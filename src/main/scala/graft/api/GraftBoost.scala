@@ -1,0 +1,158 @@
+package graft.api
+
+import graft.data.{DMatrixSpec, Sharding}
+import graft.learner._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Functional train/predict API — signature-level analog of the
+ * reference's module entry points `train()` (xgboost_ray/main.py:1341)
+ * and `predict()` (main.py:1810). The `RayParams` knobs that configure
+ * Ray actors (num_actors, cpus_per_actor, placement) collapse into
+ * `numWorkers` (a repartition count) because Spark owns placement,
+ * locality and retries (SURVEY §2.6 C1-C3).
+ */
+object GraftBoost {
+
+  /**
+   * Train a boosted-tree model.
+   *
+   * @param df         training table (any numeric feature columns)
+   * @param spec       column-role declaration (RayDMatrix analog)
+   * @param params     boosting params
+   * @param evals      named evaluation DataFrames (same schema), analog of
+   *                   `evals=[(dtrain, "train")]` (main.py:1341)
+   * @param numWorkers repartition count; 0 = keep input partitioning
+   *                   (num_actors analog)
+   */
+  def train(
+      df: DataFrame,
+      spec: DMatrixSpec,
+      params: TrainParams,
+      evals: Seq[(String, DataFrame)] = Nil,
+      numWorkers: Int = 0,
+      callbacks: Seq[TrainingCallback] = Nil,
+      initModel: Option[GraftModel] = None): TrainResult = {
+    val spark = df.sparkSession
+    spec.validate(df, requireLabel = true)
+    require(spec.labelCol.size == 1,
+      "trainer supports a single label column (multi-label loading is a " +
+        "data-layer feature; see DMatrixSpec)")
+    val obj = Objectives.forName(params.objective, params.numClass)
+
+    val prepared = prepare(df, spec, obj, numWorkers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalRows = prepared.count()
+    val bins = Binner.fit(prepared.map(_._1), totalRows, params.maxBins,
+      seed = params.seed + 42)
+    val p2 = params.copy(featureWeights =
+      params.featureWeights.orElse(spec.featureWeights))
+
+    val train = toBinned(prepared, bins, obj, params.baseScore)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    train.foreachPartition(_ => ()) // materialize bytes, then drop floats
+    prepared.unpersist(blocking = false)
+    val evalRdds = evals.map { case (n, e) =>
+      (n, toBinned(prepare(e, spec, obj, numWorkers), bins, obj,
+        params.baseScore))
+    }
+    Trainer.boost(train, evalRdds, bins, p2, callbacks, initModel,
+      Some(spark))
+  }
+
+  /**
+   * Batch prediction — analog of `predict()` (main.py:1750-1806): model
+   * broadcast (the `ray.put(model)` at main.py:1790), embarrassingly
+   * parallel map, NO shuffle. Row order/correspondence is preserved by
+   * construction (`withColumn`), which subsumes the reference's
+   * `combine_data` order restoration (matrix.py:1113-1156).
+   *
+   * @return input df + `prediction` column (double; class id for softmax,
+   *         probability for logistic) and, for softprob, a
+   *         `probabilities` array column.
+   */
+  def predict(
+      model: GraftModel,
+      df: DataFrame,
+      spec: DMatrixSpec,
+      outputMargin: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val feats = spec.resolveFeatures(df)
+    require(feats.size == model.numFeatures,
+      s"model expects ${model.numFeatures} features, got ${feats.size}")
+    val featsArr = array(feats.map(f =>
+      when(col(f).cast("float").isNull, lit(Float.NaN))
+        .otherwise(col(f).cast("float"))): _*)
+    if (model.numClass >= 2 && model.objective == "multi:softprob") {
+      val probaUdf = udf { xs: Seq[Float] =>
+        val m = bc.value.margins(xs.toArray)
+        if (outputMargin) m.toSeq
+        else Objectives.forName(bc.value.objective, bc.value.numClass)
+          .transform(m).toSeq
+      }
+      val withP = df.withColumn("probabilities", probaUdf(featsArr))
+      withP.withColumn("prediction",
+        (array_position(col("probabilities"),
+          array_max(col("probabilities"))) - 1).cast("double"))
+    } else {
+      val predUdf = udf { xs: Seq[Float] =>
+        val mdl = bc.value
+        if (outputMargin) mdl.margins(xs.toArray)(0).toDouble
+        else mdl.predict(xs.toArray)(0).toDouble
+      }
+      df.withColumn("prediction", predUdf(featsArr))
+    }
+  }
+
+  // ---- internals ----
+
+  /** (features, label, weight, baseMargin, qid) rows. */
+  private type Prepared = RDD[(Array[Float], Float, Float, Float, Long)]
+
+  private def prepare(df: DataFrame, spec: DMatrixSpec, obj: Objective,
+      numWorkers: Int): Prepared = {
+    // ranking needs qid-contiguous partitions (matrix.py:70-102)
+    val base =
+      if (obj.needsGroups) {
+        val q = spec.qidCol.getOrElse(throw new IllegalArgumentException(
+          "rank objective requires qidCol"))
+        val parts = if (numWorkers > 0) numWorkers
+          else df.rdd.getNumPartitions
+        Sharding.sortByQid(df, q, math.max(parts, 1))
+      } else if (numWorkers > 0) df.repartition(numWorkers)
+      else df
+
+    val assembled = spec.assemble(base)
+    val cols = assembled.columns
+    val li = spec.labelCol.headOption.map(cols.indexOf(_)).getOrElse(-1)
+    val wi = spec.weightCol.map(cols.indexOf(_)).getOrElse(-1)
+    val mi = spec.baseMarginCol.map(cols.indexOf(_)).getOrElse(-1)
+    val qi = spec.qidCol.map(cols.indexOf(_)).getOrElse(-1)
+    assembled.rdd.map { row: Row =>
+      val f = row.getSeq[Float](0).toArray
+      val y = if (li >= 0 && !row.isNullAt(li)) row.getFloat(li) else 0f
+      val w = if (wi >= 0 && !row.isNullAt(wi)) row.getFloat(wi) else 1f
+      val m = if (mi >= 0 && !row.isNullAt(mi)) row.getFloat(mi)
+        else Float.NaN
+      val q = if (qi >= 0 && !row.isNullAt(qi)) row.getLong(qi) else 0L
+      (f, y, w, m, q)
+    }
+  }
+
+  private def toBinned(rows: Prepared, bins: Binner.Bins, obj: Objective,
+      baseScore: Double): RDD[(TrainInstance, Array[Float])] = {
+    val k = obj.numOutputs
+    val init = obj.initMargin(baseScore)
+    rows.mapPartitions({ it =>
+      it.map { case (f, y, w, m, q) =>
+        val margins = new Array[Float](k)
+        val m0 = if (m.isNaN) init else m
+        java.util.Arrays.fill(margins, m0)
+        (TrainInstance(bins.binRow(f), y, w, q), margins)
+      }
+    }, preservesPartitioning = true)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Column-role specification over a DataFrame — the Spark-native analog of
+ * the reference's `RayDMatrix` (reference: xgboost_ray/matrix.py:696-968).
+ *
+ * The reference models a logical, lazily-loaded, sharded 2-D table of
+ * float features plus per-row metadata vectors (label, weight, qid,
+ * base_margin, survival bounds). On Spark the table IS a lazy, sharded
+ * `DataFrame`; this class only declares which columns play which role and
+ * resolves the feature set (all residual columns, original order
+ * preserved — matrix.py:306-347).
+ *
+ * Scale note: `resolve()` emits a single `select` — Catalyst prunes the
+ * parquet scan down to exactly the referenced columns, so a 100-column
+ * table with 4 features reads 4 (+roles) columns, not 100.
+ *
+ * @param labelCol        label column; may be multiple names for
+ *                        multi-label (matrix.py:410-425)
+ * @param weightCol       per-row sample weight (matrix.py:315-317)
+ * @param baseMarginCol   initial prediction offset (matrix.py:329-331)
+ * @param qidCol          query/group id for ranking (matrix.py:325-327)
+ * @param labelLowerCol   survival lower bound (matrix.py:333-343)
+ * @param labelUpperCol   survival upper bound
+ * @param ignore          columns to drop before role resolution
+ *                        (matrix.py:744-745)
+ * @param featureCols     explicit feature list (feature_names override,
+ *                        matrix.py:797); None = all residual columns
+ * @param featureWeights  per-feature sampling weight for colsample
+ *                        (matrix.py:319-323)
+ * @param missing         value treated as NA (matrix.py:794); NaN always is
+ */
+final case class DMatrixSpec(
+    labelCol: Seq[String] = Nil,
+    weightCol: Option[String] = None,
+    baseMarginCol: Option[String] = None,
+    qidCol: Option[String] = None,
+    labelLowerCol: Option[String] = None,
+    labelUpperCol: Option[String] = None,
+    ignore: Seq[String] = Nil,
+    featureCols: Option[Seq[String]] = None,
+    featureWeights: Option[Array[Double]] = None,
+    missing: Option[Double] = None) {
+
+  def hasLabel: Boolean = labelCol.nonEmpty
+
+  /** Role columns, in the order they are appended after the features. */
+  def roleCols: Seq[String] =
+    labelCol ++ weightCol ++ baseMarginCol ++ qidCol ++ labelLowerCol ++
+      labelUpperCol
+
+  /**
+   * Resolve feature columns: explicit list if given, else every column
+   * that is neither a role column nor ignored, preserving the source
+   * column order (reference preserves residual order,
+   * tests/test_matrix.py:64-72).
+   */
+  def resolveFeatures(df: DataFrame): Seq[String] = featureCols.getOrElse {
+    val excluded = (roleCols ++ ignore).toSet
+    df.columns.filterNot(excluded.contains).toSeq
+  }
+
+  /**
+   * Numeric-feature projection: features kept as individual columns
+   * (residual order), roles appended. The relational fragment of
+   * matrix.py:283-358 `_split_dataframe`.
+   */
+  def project(df: DataFrame): DataFrame = {
+    val feats = resolveFeatures(df)
+    require(feats.nonEmpty, "DMatrixSpec resolved zero feature columns")
+    df.select((feats ++ roleCols).map(col): _*)
+  }
+
+  /**
+   * Assembled form: one `features: array<float>` column + role columns.
+   * `missing` values and NULLs become NaN inside the array (xgboost
+   * semantics: NaN rides the per-node default direction during training).
+   * Stays inside whole-stage codegen: pure Catalyst expressions, no UDF.
+   */
+  def assemble(df: DataFrame): DataFrame = {
+    val feats = resolveFeatures(df)
+    require(feats.nonEmpty, "DMatrixSpec resolved zero feature columns")
+    val fcols: Seq[Column] = feats.map { f =>
+      val c = col(f).cast(FloatType)
+      val cleaned = missing match {
+        case Some(m) => when(c.isNull || c === lit(m.toFloat), lit(Float.NaN))
+          .otherwise(c)
+        case None => when(c.isNull, lit(Float.NaN)).otherwise(c)
+      }
+      cleaned
+    }
+    // role columns cast to what the learner consumes: labels/weights/
+    // margins/bounds → float, qid → long
+    val roles: Seq[Column] =
+      labelCol.map(c => col(c).cast(FloatType).as(c)) ++
+        (weightCol ++ baseMarginCol ++ labelLowerCol ++ labelUpperCol)
+          .map(c => col(c).cast(FloatType).as(c)) ++
+        qidCol.map(c => col(c).cast(LongType).as(c))
+    df.select((array(fcols: _*).as(DMatrixSpec.FeaturesCol) +: roles): _*)
+  }
+
+  /** Analysis-time validation (matrix.py:890-892, main.py:1548-1553). */
+  def validate(df: DataFrame, requireLabel: Boolean): Unit = {
+    val cols = df.columns.toSet
+    val missingCols = (roleCols ++ ignore.filter(cols.contains))
+      .filterNot(cols.contains)
+    require(missingCols.isEmpty,
+      s"Role columns not in schema: ${missingCols.mkString(", ")}")
+    if (requireLabel) require(hasLabel,
+      "Training requires a label column (reference: RayDMatrix has_label " +
+        "check, matrix.py:890-892)")
+    featureWeights.foreach { fw =>
+      val n = resolveFeatures(df).size
+      require(fw.length == n,
+        s"feature_weights length ${fw.length} != num features $n")
+    }
+  }
+}
+
+object DMatrixSpec {
+  val FeaturesCol = "features"
+
+  /** Convenience: single label column. */
+  def apply(label: String): DMatrixSpec = DMatrixSpec(labelCol = Seq(label))
+}

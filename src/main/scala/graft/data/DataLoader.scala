@@ -1,0 +1,105 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Source dispatch + file loading — the Spark-native analog of the
+ * reference's `DataSource` registry and filetype sniffing
+ * (reference: xgboost_ray/data_sources/__init__.py:13-24,
+ * matrix.py:240-260; CSV: data_sources/csv.py:9-47; Parquet:
+ * data_sources/parquet.py:9-48; dir glob matrix.py:501-505).
+ *
+ * On Spark, multi-file / directory / glob reads, gzip CSV, column
+ * pruning, and partition locality are all native to the DataSource V2
+ * scan — so each "source" collapses to a reader config. We keep:
+ *   - extension sniffing (`get_filetype` analog),
+ *   - deterministic file ordering (matrix.py:503-505 sorts globs; Spark's
+ *     file listing is deterministic, we sort explicit lists),
+ *   - `ignore` / `columns` projection forwarded to the scan so Catalyst
+ *     prunes the parquet footer read (matrix.py:765-767).
+ */
+object DataLoader {
+
+  sealed trait FileType
+  case object CsvFile extends FileType
+  case object ParquetFile extends FileType
+
+  /** Extension-based detection (csv.py:20-23, parquet.py:20-23). */
+  def sniffFiletype(path: String): Option[FileType] = {
+    val p = path.toLowerCase
+    if (p.endsWith(".csv") || p.endsWith(".csv.gz")) Some(CsvFile)
+    else if (p.endsWith(".parquet") || p.endsWith(".pq")) Some(ParquetFile)
+    else None
+  }
+
+  /**
+   * Load one or more paths into a DataFrame. Multiple files of one format
+   * become one multi-path scan (the reference's per-file shard concat,
+   * matrix.py:65-67 / csv.py:40, is a no-op on Spark: the scan already
+   * yields one logical table with one partition per split).
+   *
+   * @param columns optional column pruning pushed into the scan
+   *                (README.md:197-210 `columns=` kwarg)
+   * @param schema  optional explicit schema (feature_types override)
+   */
+  def load(
+      spark: SparkSession,
+      paths: Seq[String],
+      columns: Option[Seq[String]] = None,
+      schema: Option[StructType] = None,
+      csvHeader: Boolean = true): DataFrame = {
+    require(paths.nonEmpty, "no input paths")
+    val sorted = paths.sorted // deterministic order (matrix.py:503-505)
+    val types = sorted.flatMap(sniffFiletype).distinct
+    require(types.size <= 1,
+      s"mixed file types in one load: ${sorted.mkString(", ")}")
+    val df = types.headOption match {
+      case Some(CsvFile) =>
+        val r = spark.read.option("header", csvHeader.toString)
+        val r2 = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
+        r2.csv(sorted: _*)
+      case _ => // parquet is the default for dirs / unknown extensions
+        val r = spark.read
+        schema.map(r.schema).getOrElse(r).parquet(sorted: _*)
+    }
+    columns match {
+      case Some(cs) => df.select(cs.map(col): _*) // pruned at the scan
+      case None => df
+    }
+  }
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    load(spark, Seq(path))
+
+  /**
+   * In-memory matrix ingestion — the Numpy source analog
+   * (data_sources/numpy.py:13-33): columns auto-named f0..fN, plus an
+   * optional label vector.
+   */
+  def fromMatrix(
+      spark: SparkSession,
+      rows: Seq[Array[Double]],
+      labels: Option[Seq[Double]] = None): DataFrame = {
+    import spark.implicits._
+    require(rows.nonEmpty, "empty matrix")
+    val n = rows.head.length
+    val names = (0 until n).map(i => s"f$i")
+    labels match {
+      case Some(ys) =>
+        require(ys.size == rows.size, "labels length != rows")
+        val df = rows.zip(ys).map { case (r, y) => (r.toSeq, y) }
+          .toDF("_arr", "label")
+        val cols = names.zipWithIndex.map { case (nm, i) =>
+          $"_arr".getItem(i).as(nm)
+        } :+ $"label"
+        df.select(cols: _*)
+      case None =>
+        val df = rows.map(r => Tuple1(r.toSeq)).toDF("_arr")
+        df.select(names.zipWithIndex.map { case (nm, i) =>
+          $"_arr".getItem(i).as(nm)
+        }: _*)
+    }
+  }
+}

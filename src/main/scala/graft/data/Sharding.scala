@@ -1,0 +1,84 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sharding modes + order restoration — analog of `RayShardingMode` and
+ * `combine_data` (reference: xgboost_ray/matrix.py:105-124, 1088-1110,
+ * 1113-1156).
+ *
+ * On Spark a "shard" is a partition and the scheduler owns placement
+ * (FIXED-mode locality is native), so these helpers exist for (a) parity
+ * semantics — reproducing the reference's deterministic row→shard maps in
+ * tests and oracle queries — and (b) the order-restoring row id used by
+ * predict (§2.3-O2).
+ *
+ * Scale notes:
+ *  - `withRowId` uses `zipWithIndex`-free window only when a total order
+ *    column is supplied; the monotonic variant is a narrow no-shuffle op.
+ *  - INTERLEAVED/BATCH materialize `rank` with integer arithmetic and
+ *    repartition by that column — one shuffle, identical to what any
+ *    engine must pay to re-shard.
+ */
+object Sharding {
+
+  val RowIdCol = "__row_id"
+
+  /**
+   * Stable row id from a total-order key (deterministic across runs and
+   * partitionings — unlike monotonically_increasing_id). One global sort;
+   * use only when parity with the reference's row ordering is required.
+   */
+  def withRowIdByKey(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    df.withColumn(RowIdCol, row_number().over(w).cast("long") - 1)
+  }
+
+  /** Cheap, plan-order row id (no shuffle); NOT stable across re-plans. */
+  def withRowId(df: DataFrame): DataFrame =
+    df.withColumn(RowIdCol, monotonically_increasing_id())
+
+  /**
+   * INTERLEAVED: row i → shard (i % numShards) (matrix.py:1100-1101).
+   * Requires a row id column.
+   */
+  def interleavedShard(df: DataFrame, numShards: Int): DataFrame =
+    df.withColumn("__shard", (col(RowIdCol) % numShards).cast("int"))
+
+  /**
+   * BATCH: contiguous ranges sized like np.array_split
+   * (matrix.py:1092-1099): first (n % k) shards get ceil(n/k) rows.
+   */
+  def batchShard(df: DataFrame, numShards: Int, totalRows: Long): DataFrame = {
+    val base = totalRows / numShards
+    val rem = totalRows % numShards
+    val cut = rem * (base + 1) // rows below this are in the "big" shards
+    val shard = when(col(RowIdCol) < cut,
+      (col(RowIdCol) / (base + 1)).cast("int"))
+      .otherwise(((col(RowIdCol) - cut) / math.max(base, 1) + rem).cast("int"))
+    df.withColumn("__shard", shard)
+  }
+
+  /** Select one shard's rows (parity with per-rank get_data). */
+  def shardRows(df: DataFrame, rank: Int): DataFrame =
+    df.filter(col("__shard") === rank).drop("__shard")
+
+  /**
+   * `combine_data` analog (matrix.py:1113-1156): after per-shard
+   * processing, restore original row order by the carried row id.
+   */
+  def restoreOrder(df: DataFrame): DataFrame =
+    df.orderBy(col(RowIdCol)).drop(RowIdCol)
+
+  /**
+   * Ranking precondition (matrix.py:70-102 ensure_sorted_by_qid): rows of
+   * one qid must be contiguous within a shard. Range-partition by qid so a
+   * query group never straddles partitions, then sort within partitions —
+   * the layout rank:pairwise gradients need (SURVEY §4.4).
+   */
+  def sortByQid(df: DataFrame, qidCol: String, numPartitions: Int): DataFrame =
+    df.repartitionByRange(numPartitions, col(qidCol))
+      .sortWithinPartitions(qidCol)
+}

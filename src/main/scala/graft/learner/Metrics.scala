@@ -1,0 +1,114 @@
+package graft.learner
+
+import org.apache.spark.rdd.RDD
+
+/**
+ * Distributed evaluation metrics — analog of the reference's eval-metric
+ * aggregation (xgboost computes metrics with a weighted allreduce; the
+ * driver reads rank-0's result, reference: xgboost_ray/main.py:704-708,
+ * 745-752, 1323-1328). Here each metric is one partial-aggregate job
+ * (seqOp/combOp), i.e. the same partial+final shape as the allreduce.
+ *
+ * AUC is computed from a fixed 4096-bucket score histogram (rank-sum
+ * formula over buckets) — single pass, deterministic, no global sort;
+ * exact when scores land in distinct buckets, else a tight approximation.
+ * Custom metrics: pass a function (margin, label, weight) → (loss, w).
+ */
+object Metrics {
+
+  /** rows: (transformed margins, label, weight). */
+  def compute(name: String, obj: Objective,
+      rows: RDD[(Array[Float], Float, Float)]): Double = name match {
+    case "rmse" =>
+      val (se, w) = rows.map { case (m, y, wt) =>
+        val d = obj.transform(m)(0) - y; (d.toDouble * d * wt, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      math.sqrt(se / w)
+    case "mae" =>
+      val (ae, w) = rows.map { case (m, y, wt) =>
+        (math.abs(obj.transform(m)(0) - y).toDouble * wt, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      ae / w
+    case "logloss" =>
+      val (ll, w) = rows.map { case (m, y, wt) =>
+        val p = clamp(obj.transform(m)(0))
+        (-(y * math.log(p) + (1 - y) * math.log(1 - p)) * wt, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      ll / w
+    case "mlogloss" =>
+      val (ll, w) = rows.map { case (m, y, wt) =>
+        val p = clamp(obj.transform(m)(y.toInt))
+        (-math.log(p) * wt, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      ll / w
+    case "error" => // binary misclassification at p=0.5
+      val (e, w) = rows.map { case (m, y, wt) =>
+        val p = obj.transform(m)(0)
+        (if ((if (p > 0.5f) 1f else 0f) != y) wt.toDouble else 0.0,
+          wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      e / w
+    case "merror" => // multiclass: argmax != label
+      val (e, w) = rows.map { case (m, y, wt) =>
+        val p = obj.transform(m)
+        var best = 0; var i = 1
+        while (i < p.length) { if (p(i) > p(best)) best = i; i += 1 }
+        // softmax objective already argmaxes to length-1
+        val cls = if (p.length == 1) p(0) else best.toFloat
+        (if (cls != y) wt.toDouble else 0.0, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      e / w
+    case "auc" => auc(rows, obj)
+    case other => throw new IllegalArgumentException(s"unknown metric $other")
+  }
+
+  def defaultMetric(objective: String): String = objective match {
+    case "reg:squarederror" | "reg:linear" => "rmse"
+    case "reg:absoluteerror" => "mae"
+    case "binary:logistic" | "binary:logitraw" => "logloss"
+    case "multi:softprob" => "mlogloss"
+    case "multi:softmax" => "merror"
+    case "rank:pairwise" => "auc"
+    case _ => "rmse"
+  }
+
+  /** true ⇔ larger metric value is better (for early stopping). */
+  def maximize(name: String): Boolean = name == "auc"
+
+  private val Buckets = 4096
+
+  /** Bucketed rank-sum AUC: one treeAggregate over (score, label, w). */
+  private def auc(rows: RDD[(Array[Float], Float, Float)],
+      obj: Objective): Double = {
+    // score = probability of / margin for the positive class
+    val hist = rows.treeAggregate(
+      (new Array[Double](Buckets), new Array[Double](Buckets)))(
+      seqOp = { case ((pos, neg), (m, y, wt)) =>
+        val t = obj.transform(m)
+        val s = if (t.length > 1) t(t.length - 1) else t(0)
+        // margins are unbounded for rank objectives — squash to (0,1)
+        val p = if (s >= 0f && s <= 1f) s.toDouble
+          else 1.0 / (1.0 + math.exp(-s))
+        val b = math.min((p * Buckets).toInt, Buckets - 1)
+        if (y > 0.5f) pos(b) += wt else neg(b) += wt
+        (pos, neg)
+      },
+      combOp = { case ((p1, n1), (p2, n2)) =>
+        var i = 0
+        while (i < Buckets) { p1(i) += p2(i); n1(i) += n2(i); i += 1 }
+        (p1, n1)
+      })
+    val (pos, neg) = hist
+    var negBelow = 0.0; var rankSum = 0.0; var p = 0.0; var n = 0.0
+    var i = 0
+    while (i < Buckets) {
+      rankSum += pos(i) * (negBelow + 0.5 * neg(i))
+      negBelow += neg(i); p += pos(i); n += neg(i)
+      i += 1
+    }
+    if (p == 0 || n == 0) 0.5 else rankSum / (p * n)
+  }
+
+  private def clamp(p: Float): Double =
+    math.min(math.max(p.toDouble, 1e-15), 1.0 - 1e-15)
+}

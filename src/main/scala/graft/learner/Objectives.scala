@@ -1,0 +1,168 @@
+package graft.learner
+
+/**
+ * Training objectives — grad/hess functions analogous to the xgboost
+ * objectives the reference forwards (reference: xgboost_ray/sklearn.py
+ * 708-719 selects binary:logistic vs multi:softprob; rank:pairwise in
+ * RayXGBRanker sklearn.py:920-1083; custom objective hook
+ * sklearn.py:511-515).
+ *
+ * Pointwise objectives emit per-row (grad, hess) from (margin, label).
+ * Listwise (ranking) objectives compute gradients over a whole query
+ * group and therefore get the group's margins/labels at once — the
+ * trainer guarantees a qid group never straddles partitions.
+ */
+trait Objective extends Serializable {
+  def name: String
+  /** Number of margin outputs per row (K for softmax family, else 1). */
+  def numOutputs: Int
+  /** Initial raw margin from base_score (xgboost inverse-link). */
+  def initMargin(baseScore: Double): Float
+  /** margin(s) → user-facing prediction(s). */
+  def transform(margin: Array[Float]): Array[Float]
+  /**
+   * Fill grad/hess (length numOutputs) for one row.
+   * Pointwise objectives implement this; ranking overrides groupGradients.
+   */
+  def gradHess(margin: Array[Float], label: Float,
+      grad: Array[Float], hess: Array[Float]): Unit
+  /** Whether gradient computation needs whole-qid groups. */
+  def needsGroups: Boolean = false
+  /** Ranking-style gradient over one query group (margins flat, 1 output). */
+  def groupGradients(margins: Array[Float], labels: Array[Float],
+      weights: Array[Float], grad: Array[Float], hess: Array[Float],
+      lo: Int, hi: Int): Unit =
+    throw new UnsupportedOperationException(s"$name is pointwise")
+}
+
+object Objectives {
+  @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+
+  /** reg:squarederror — grad = pred - label, hess = 1. */
+  final class SquaredError extends Objective {
+    val name = "reg:squarederror"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = b.toFloat
+    def transform(m: Array[Float]): Array[Float] = m
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      g(0) = m(0) - y; h(0) = 1.0f
+    }
+  }
+
+  /** reg:absoluteerror — grad = sign(pred - label); hess lower-bounded. */
+  final class AbsoluteError extends Objective {
+    val name = "reg:absoluteerror"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = b.toFloat
+    def transform(m: Array[Float]): Array[Float] = m
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      g(0) = math.signum(m(0) - y); h(0) = 1.0f // constant-hessian MAE
+    }
+  }
+
+  /** binary:logistic — prob output; margin space is the logit. */
+  final class Logistic(rawOutput: Boolean = false) extends Objective {
+    val name = if (rawOutput) "binary:logitraw" else "binary:logistic"
+    val numOutputs = 1
+    def initMargin(b: Double): Float =
+      math.log(b / (1.0 - b)).toFloat // logit(base_score); 0.5 → 0
+    def transform(m: Array[Float]): Array[Float] =
+      if (rawOutput) m else Array(sigmoid(m(0)).toFloat)
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      val p = sigmoid(m(0))
+      g(0) = (p - y).toFloat
+      h(0) = math.max(p * (1.0 - p), 1e-16).toFloat
+    }
+  }
+
+  /** multi:softprob / multi:softmax — K trees per round, softmax grads. */
+  final class Softmax(k: Int, prob: Boolean) extends Objective {
+    require(k >= 2, s"multi objective needs num_class>=2, got $k")
+    val name = if (prob) "multi:softprob" else "multi:softmax"
+    val numOutputs = k
+    def initMargin(b: Double): Float = 0.0f
+    def transform(m: Array[Float]): Array[Float] = {
+      val p = softmax(m)
+      if (prob) p
+      else { // argmax class id
+        var best = 0; var i = 1
+        while (i < k) { if (p(i) > p(best)) best = i; i += 1 }
+        Array(best.toFloat)
+      }
+    }
+    private def softmax(m: Array[Float]): Array[Float] = {
+      var mx = Float.NegativeInfinity
+      var i = 0
+      while (i < k) { if (m(i) > mx) mx = m(i); i += 1 }
+      val e = new Array[Float](k); var s = 0.0
+      i = 0
+      while (i < k) { val v = math.exp(m(i) - mx); e(i) = v.toFloat; s += v; i += 1 }
+      i = 0
+      while (i < k) { e(i) = (e(i) / s).toFloat; i += 1 }
+      e
+    }
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      val p = softmax(m)
+      val yi = y.toInt
+      var c = 0
+      while (c < k) {
+        val pc = p(c)
+        g(c) = if (c == yi) (pc - 1.0).toFloat else pc
+        h(c) = math.max(2.0 * pc * (1.0 - pc), 1e-16).toFloat
+        c += 1
+      }
+    }
+  }
+
+  /**
+   * rank:pairwise — LambdaRank-style pairwise logistic loss over each qid
+   * group (all (winner, loser) pairs). Needs qid-contiguous partitions
+   * (reference sorts by qid for exactly this reason, matrix.py:70-102).
+   */
+  final class PairwiseRank extends Objective {
+    val name = "rank:pairwise"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = b.toFloat
+    def transform(m: Array[Float]): Array[Float] = m
+    override def needsGroups: Boolean = true
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit =
+      throw new UnsupportedOperationException("rank:pairwise needs groups")
+    override def groupGradients(margins: Array[Float], labels: Array[Float],
+        weights: Array[Float], grad: Array[Float], hess: Array[Float],
+        lo: Int, hi: Int): Unit = {
+      var i = lo
+      while (i < hi) {
+        var j = lo
+        while (j < hi) {
+          if (labels(i) > labels(j)) { // i should rank above j
+            val s = sigmoid(margins(i) - margins(j))
+            val w = weights(i) * weights(j)
+            val gg = ((s - 1.0) * w).toFloat       // push m_i up
+            val hh = math.max(s * (1.0 - s) * w, 1e-16).toFloat
+            grad(i) += gg; grad(j) -= gg
+            hess(i) += hh; hess(j) += hh
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  def forName(name: String, numClass: Int): Objective = name match {
+    case "reg:squarederror" | "reg:linear" => new SquaredError
+    case "reg:absoluteerror" => new AbsoluteError
+    case "binary:logistic" => new Logistic()
+    case "binary:logitraw" => new Logistic(rawOutput = true)
+    case "multi:softprob" => new Softmax(numClass, prob = true)
+    case "multi:softmax" => new Softmax(numClass, prob = false)
+    case "rank:pairwise" => new PairwiseRank
+    case other => throw new IllegalArgumentException(
+      s"unknown objective '$other'")
+  }
+}

@@ -1,0 +1,508 @@
+package graft.learner
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Boosting parameters — union of the reference's `RayParams` and the
+ * xgboost params it forwards (reference: xgboost_ray/main.py:449-504
+ * RayParams; xgboost param passthrough main.py:1341-1398).
+ */
+final case class TrainParams(
+    objective: String = "reg:squarederror",
+    numClass: Int = 0,
+    numRounds: Int = 10,
+    maxDepth: Int = 6,
+    eta: Double = 0.3,
+    lambda: Double = 1.0,
+    alpha: Double = 0.0,
+    gamma: Double = 0.0,
+    minChildWeight: Double = 1.0,
+    subsample: Double = 1.0,
+    colsampleByTree: Double = 1.0,
+    colsampleByLevel: Double = 1.0,
+    colsampleByNode: Double = 1.0,
+    maxBins: Int = 256,
+    baseScore: Double = 0.5,
+    seed: Long = 0L,
+    earlyStoppingRounds: Int = 0,
+    evalMetric: Seq[String] = Nil,
+    featureWeights: Option[Array[Double]] = None,
+    checkpointEvery: Int = 0,            // reference default 5 (main.py:466)
+    checkpointPath: Option[String] = None,
+    /** Cap one histogram aggregation buffer; wide feature sets are
+      * processed in node chunks per level to stay under it. */
+    maxHistBytes: Long = 64L << 20)
+
+/** One binned training row. bins(f) ∈ [0, numBins(f)) or 255=missing. */
+final case class TrainInstance(bins: Array[Byte], label: Float,
+    weight: Float, qid: Long)
+
+/** Per-iteration callback (reference C9: compat/__init__.py:6-44). */
+trait TrainingCallback extends Serializable {
+  /** Return true to stop training (cooperative cancel, C6 analog). */
+  def afterIteration(round: Int, metrics: Map[String, Double]): Boolean =
+    false
+}
+
+final case class TrainResult(
+    model: GraftModel,
+    evalsResult: Map[String, Map[String, ArrayBuffer[Double]]],
+    totalN: Long,
+    roundsCompleted: Int)
+
+/**
+ * Native distributed gradient-boosted-tree trainer.
+ *
+ * Semantic replacement for the reference's Rabit allreduce ring
+ * (xgboost_ray/main.py:292-324, 672-793): there, every actor builds a
+ * local gradient histogram and Rabit allreduces it so all workers see the
+ * global histogram. Here the identical global histogram is produced by
+ * `RDD.treeAggregate` (partial per-partition histograms, tree-merged),
+ * and the (tiny) split-finding step runs once on the driver — the MLlib
+ * GBT pattern. Same learned model, simpler failure model: a lost task is
+ * recomputed by Spark (spark.task.maxFailures) instead of the reference's
+ * actor-restart machinery (main.py:1606-1713).
+ *
+ * Scale design:
+ *  - rows are binned once into bytes (≤256 bins/feature): 4 features =
+ *    4 bytes/row vs 16 for floats; the per-round working set is margins
+ *    (K floats) only.
+ *  - per level, ONE job aggregates histograms for ALL active nodes
+ *    (chunked if the buffer would exceed maxHistBytes).
+ *  - driver work is O(nodes × features × bins) per level — independent
+ *    of row count; executors never see the model except via broadcast.
+ */
+object Trainer {
+
+  private val MissingBin = Binner.MissingBin
+
+  /** Snapshot of the partially-built tree, broadcast per level. */
+  private final case class PartialTree(
+      feature: Array[Int],        // -1 leaf, -2 pending (active frontier)
+      thresholdBin: Array[Int],
+      defaultLeft: Array[Boolean],
+      left: Array[Int],
+      right: Array[Int],
+      slotOf: Array[Int],         // nodeId → histogram slot or -1
+      featLists: Array[Array[Int]]) // per-slot sampled feature ids
+
+  /** Traverse the partial tree; returns nodeId (pending or leaf). */
+  private def route(pt: PartialTree, bins: Array[Byte]): Int = {
+    var i = 0
+    while (pt.feature(i) >= 0) {
+      val b = bins(pt.feature(i)) & 0xFF
+      i = if (b == MissingBin) { if (pt.defaultLeft(i)) pt.left(i) else pt.right(i) }
+      else if (b <= pt.thresholdBin(i)) pt.left(i)
+      else pt.right(i)
+    }
+    i
+  }
+
+  // ---- growable node storage while building one tree ----
+  private final class TreeBuilder {
+    val feature = ArrayBuffer[Int]()
+    val thresholdBin = ArrayBuffer[Int]()
+    val threshold = ArrayBuffer[Float]()
+    val defaultLeft = ArrayBuffer[Boolean]()
+    val left = ArrayBuffer[Int]()
+    val right = ArrayBuffer[Int]()
+    val value = ArrayBuffer[Float]()
+    val sumG = ArrayBuffer[Double]()
+    val sumH = ArrayBuffer[Double]()
+
+    def newNode(g: Double, h: Double): Int = {
+      feature += -2; thresholdBin += -1; threshold += 0f
+      defaultLeft += false; left += -1; right += -1; value += 0f
+      sumG += g; sumH += h
+      feature.length - 1
+    }
+
+    def finalizeLeaf(i: Int, params: TrainParams): Unit = {
+      feature(i) = -1
+      value(i) = leafWeight(sumG(i), sumH(i), params).toFloat
+    }
+
+    def result(): RegTree = new RegTree(feature.toArray, thresholdBin.toArray,
+      threshold.toArray, defaultLeft.toArray, left.toArray, right.toArray,
+      value.toArray)
+  }
+
+  /** xgboost leaf weight with L1/L2 regularization and shrinkage. */
+  private def leafWeight(g: Double, h: Double, p: TrainParams): Double =
+    -p.eta * thresholdL1(g, p.alpha) / (h + p.lambda)
+
+  private def thresholdL1(g: Double, alpha: Double): Double =
+    if (g > alpha) g - alpha else if (g < -alpha) g + alpha else 0.0
+
+  /** xgboost split score: T(G)² / (H + λ). */
+  private def score(g: Double, h: Double, p: TrainParams): Double = {
+    val t = thresholdL1(g, p.alpha)
+    t * t / (h + p.lambda)
+  }
+
+  /** Weighted sampling without replacement (Efraimidis-Spirakis A-Res) —
+    * implements colsample_by* honoring feature_weights
+    * (reference: matrix.py:319-323, tests/test_end_to_end.py:429-470). */
+  private def sampleFeatures(all: Array[Int], rate: Double,
+      weights: Option[Array[Double]], rng: java.util.Random): Array[Int] = {
+    if (rate >= 1.0 && weights.isEmpty) return all
+    val n = math.max(1, math.round(rate * all.length).toInt)
+    val keyed = all.map { f =>
+      val w = weights.map(_(f)).getOrElse(1.0)
+      val key = if (w <= 0) Double.NegativeInfinity
+        else math.pow(rng.nextDouble(), 1.0 / w)
+      (key, f)
+    }
+    keyed.sortBy(-_._1).take(n).map(_._2).sorted
+  }
+
+  /**
+   * Compute per-row gradients for one boosting round.
+   * Output: (bins, gh) with gh = [g0,h0,...,g_{K-1},h_{K-1}] interleaved.
+   * Rows dropped by `subsample` are omitted entirely (they still get
+   * margin updates — just don't vote on splits).
+   */
+  private def gradients(data: RDD[(TrainInstance, Array[Float])],
+      obj: Objective, round: Int, p: TrainParams)
+      : RDD[(Array[Byte], Array[Float])] = {
+    val k = obj.numOutputs
+    val sub = p.subsample
+    val seed = p.seed
+    if (!obj.needsGroups) {
+      data.mapPartitionsWithIndex({ (pid, it) =>
+        val rng = new java.util.Random(mix(seed, round, pid))
+        it.flatMap { case (inst, m) =>
+          if (sub < 1.0 && rng.nextDouble() >= sub) Iterator.empty
+          else {
+            val gh = new Array[Float](2 * k)
+            val g = new Array[Float](k); val h = new Array[Float](k)
+            obj.gradHess(m, inst.label, g, h)
+            var c = 0
+            while (c < k) {
+              gh(2 * c) = g(c) * inst.weight
+              gh(2 * c + 1) = h(c) * inst.weight
+              c += 1
+            }
+            Iterator.single((inst.bins, gh))
+          }
+        }
+      }, preservesPartitioning = true)
+    } else {
+      // ranking: buffer the partition, process contiguous qid runs
+      data.mapPartitionsWithIndex({ (pid, it) =>
+        val rows = it.toArray
+        val n = rows.length
+        val margins = new Array[Float](n)
+        val labels = new Array[Float](n)
+        val weights = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          margins(i) = rows(i)._2(0); labels(i) = rows(i)._1.label
+          weights(i) = rows(i)._1.weight; i += 1
+        }
+        val grad = new Array[Float](n); val hess = new Array[Float](n)
+        var lo = 0
+        while (lo < n) {
+          var hi = lo + 1
+          while (hi < n && rows(hi)._1.qid == rows(lo)._1.qid) hi += 1
+          obj.groupGradients(margins, labels, weights, grad, hess, lo, hi)
+          lo = hi
+        }
+        val rng = new java.util.Random(mix(seed, round, pid))
+        (0 until n).iterator.flatMap { i =>
+          if (sub < 1.0 && rng.nextDouble() >= sub) Iterator.empty
+          else Iterator.single((rows(i)._1.bins, Array(grad(i), hess(i))))
+        }
+      }, preservesPartitioning = true)
+    }
+  }
+
+  private def mix(seed: Long, round: Int, pid: Int): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L * (round * 1048573L + pid + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * Build one regression tree for output class `cls` from the round's
+   * gradient RDD. Level-synchronous: one histogram job per depth level
+   * (chunked under maxHistBytes).
+   */
+  private def buildTree(grads: RDD[(Array[Byte], Array[Float])], cls: Int,
+      bins: Binner.Bins, p: TrainParams, treeSeed: Long): RegTree = {
+    val sc = grads.sparkContext
+    val b = bins.maxRealBins + 1 // last slot = missing
+    val nf = bins.numFeatures
+    val rng = new java.util.Random(treeSeed)
+    val allFeatures = Array.range(0, nf)
+    val treeFeats = sampleFeatures(allFeatures, p.colsampleByTree,
+      p.featureWeights, rng)
+
+    val tb = new TreeBuilder
+    val root = tb.newNode(Double.NaN, Double.NaN) // stats filled at level 0
+    var active: Array[Int] = Array(root)
+    var depth = 0
+    while (depth < p.maxDepth && active.nonEmpty) {
+      val levelFeats = sampleFeatures(treeFeats, p.colsampleByLevel,
+        p.featureWeights, rng)
+      val featLists: Array[Array[Int]] = active.map { _ =>
+        sampleFeatures(levelFeats, p.colsampleByNode, p.featureWeights, rng)
+      }
+      val fPerNode = featLists.map(_.length).max
+      // chunk active nodes so one buffer stays under maxHistBytes
+      val bytesPerNode = fPerNode.toLong * b * 2 * 8
+      val chunkSize = math.max(1, (p.maxHistBytes / bytesPerNode).toInt)
+      val nextActive = ArrayBuffer[Int]()
+      active.zip(featLists).grouped(chunkSize).foreach { pairs =>
+        val chunk = pairs.map(_._1)
+        val chunkFeats = pairs.map(_._2)
+        val slotOf = Array.fill(tb.feature.length)(-1)
+        chunk.zipWithIndex.foreach { case (nid, s) => slotOf(nid) = s }
+        val pt = PartialTree(tb.feature.toArray, tb.thresholdBin.toArray,
+          tb.defaultLeft.toArray, tb.left.toArray, tb.right.toArray,
+          slotOf, chunkFeats)
+        val bc = sc.broadcast(pt)
+        val histSize = chunk.length * fPerNode * b * 2
+        val hist = grads.treeAggregate(new Array[Double](histSize))(
+          seqOp = { (acc, row) =>
+            val (rb, gh) = row
+            val node = route(bc.value, rb)
+            val slot = bc.value.slotOf(node)
+            if (slot >= 0) {
+              val g = gh(2 * cls); val h = gh(2 * cls + 1)
+              val fl = bc.value.featLists(slot)
+              var j = 0
+              while (j < fl.length) {
+                val bi = rb(fl(j)) & 0xFF
+                val slotBin = if (bi == MissingBin) b - 1 else bi
+                val idx = ((slot * fPerNode + j) * b + slotBin) * 2
+                acc(idx) += g; acc(idx + 1) += h
+                j += 1
+              }
+            }
+            acc
+          },
+          combOp = { (a, c) =>
+            var i = 0
+            while (i < a.length) { a(i) += c(i); i += 1 }
+            a
+          },
+          depth = 2)
+        bc.destroy()
+
+        // driver-side split finding per node in this chunk
+        chunk.zipWithIndex.foreach { case (nid, s) =>
+          val fl = chunkFeats(s)
+          // node totals from feature 0's column (all bins + missing)
+          if (tb.sumG(nid).isNaN) {
+            var g = 0.0; var h = 0.0
+            val base = (s * fPerNode) * b * 2
+            var bi = 0
+            while (bi < b) { g += hist(base + bi * 2); h += hist(base + bi * 2 + 1); bi += 1 }
+            tb.sumG(nid) = g; tb.sumH(nid) = h
+          }
+          val gTot = tb.sumG(nid); val hTot = tb.sumH(nid)
+          val parentScore = score(gTot, hTot, p)
+          var bestGain = 0.0
+          var bestF = -1; var bestBin = -1; var bestDefLeft = false
+          var bestGL = 0.0; var bestHL = 0.0
+          var j = 0
+          while (j < fl.length) {
+            val f = fl(j)
+            val base = ((s * fPerNode + j) * b) * 2
+            val gMiss = hist(base + (b - 1) * 2)
+            val hMiss = hist(base + (b - 1) * 2 + 1)
+            val nb = bins.numBins(f)
+            var gl = 0.0; var hl = 0.0
+            var bi = 0
+            while (bi < nb - 1) {
+              gl += hist(base + bi * 2); hl += hist(base + bi * 2 + 1)
+              // missing → left
+              val glA = gl + gMiss; val hlA = hl + hMiss
+              if (hlA >= p.minChildWeight &&
+                  hTot - hlA >= p.minChildWeight) {
+                val gain = 0.5 * (score(glA, hlA, p) +
+                  score(gTot - glA, hTot - hlA, p) - parentScore) - p.gamma
+                if (gain > bestGain + 1e-12) {
+                  bestGain = gain; bestF = f; bestBin = bi
+                  bestDefLeft = true; bestGL = glA; bestHL = hlA
+                }
+              }
+              // missing → right
+              if (hl >= p.minChildWeight && hTot - hl >= p.minChildWeight) {
+                val gain = 0.5 * (score(gl, hl, p) +
+                  score(gTot - gl, hTot - hl, p) - parentScore) - p.gamma
+                if (gain > bestGain + 1e-12) {
+                  bestGain = gain; bestF = f; bestBin = bi
+                  bestDefLeft = false; bestGL = gl; bestHL = hl
+                }
+              }
+              bi += 1
+            }
+            j += 1
+          }
+          if (bestF < 0) tb.finalizeLeaf(nid, p)
+          else {
+            val l = tb.newNode(bestGL, bestHL)
+            val r = tb.newNode(tb.sumG(nid) - bestGL, tb.sumH(nid) - bestHL)
+            tb.feature(nid) = bestF
+            tb.thresholdBin(nid) = bestBin
+            tb.threshold(nid) = bins.cuts(bestF)(bestBin)
+            tb.defaultLeft(nid) = bestDefLeft
+            tb.left(nid) = l; tb.right(nid) = r
+            nextActive += l; nextActive += r
+          }
+        }
+      }
+      active = nextActive.toArray
+      depth += 1
+    }
+    // frontier nodes at maxDepth become leaves (stats already known)
+    active.foreach(tb.finalizeLeaf(_, p))
+    tb.result()
+  }
+
+  /**
+   * The boosting loop — analog of the reference's `_train` round loop
+   * (main.py:1061-1337), with the driver playing the tracker role.
+   *
+   * @param train  binned rows zipped with current margins (will be
+   *               persisted/replaced per round)
+   * @param evals  named eval sets in the same representation
+   */
+  def boost(
+      train: RDD[(TrainInstance, Array[Float])],
+      evals: Seq[(String, RDD[(TrainInstance, Array[Float])])],
+      bins: Binner.Bins,
+      p: TrainParams,
+      callbacks: Seq[TrainingCallback] = Nil,
+      initModel: Option[GraftModel] = None,
+      spark: Option[org.apache.spark.sql.SparkSession] = None)
+      : TrainResult = {
+    val obj = Objectives.forName(p.objective, p.numClass)
+    val k = obj.numOutputs
+    val trees = ArrayBuffer[RegTree]()
+    initModel.foreach(m => trees ++= m.trees)
+
+    var data = train.persist(StorageLevel.MEMORY_AND_DISK)
+    var evalData = evals.map { case (n, r) =>
+      (n, r.persist(StorageLevel.MEMORY_AND_DISK))
+    }
+    val totalN = data.count() // A3 total_n (main.py:1333-1335)
+
+    val metricNames =
+      if (p.evalMetric.nonEmpty) p.evalMetric
+      else Seq(Metrics.defaultMetric(p.objective))
+    val evalsResult = scala.collection.mutable.LinkedHashMap[String,
+      Map[String, ArrayBuffer[Double]]]()
+    evalData.foreach { case (n, _) =>
+      evalsResult(n) = metricNames.map(m => m -> ArrayBuffer[Double]()).toMap
+    }
+
+    var bestScore = Double.NaN
+    var bestRound = -1
+    var stop = false
+    var round = 0
+    val startRound = trees.length / k // checkpoint-resume arithmetic (C4)
+    while (round < p.numRounds && !stop) {
+      val grads = gradients(data, obj, startRound + round, p)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val roundTrees = Array.tabulate(k) { cls =>
+        buildTree(grads, cls, bins, p,
+          mix(p.seed, startRound + round, 7919 + cls))
+      }
+      grads.unpersist(blocking = false)
+      trees ++= roundTrees
+
+      val bcTrees = data.sparkContext.broadcast(roundTrees)
+      val newData = data.mapPartitions({ it =>
+        val ts = bcTrees.value
+        it.map { case (inst, m) =>
+          val m2 = m.clone()
+          var c = 0
+          while (c < ts.length) {
+            m2(c) += ts(c).predictBinned(inst.bins, MissingBin)
+            c += 1
+          }
+          (inst, m2)
+        }
+      }, preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if ((round + 1) % 50 == 0) newData.localCheckpoint()
+      newData.foreachPartition(_ => ()) // materialize before dropping parent
+      data.unpersist(blocking = false)
+      data = newData
+
+      val newEvals = evalData.map { case (n, r) =>
+        val updated = r.mapPartitions({ it =>
+          val ts = bcTrees.value
+          it.map { case (inst, m) =>
+            val m2 = m.clone()
+            var c = 0
+            while (c < ts.length) {
+              m2(c) += ts(c).predictBinned(inst.bins, MissingBin)
+              c += 1
+            }
+            (inst, m2)
+          }
+        }, preservesPartitioning = true)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        updated.foreachPartition(_ => ())
+        r.unpersist(blocking = false)
+        (n, updated)
+      }
+      evalData = newEvals
+
+      // eval-metric aggregation (A2 analog)
+      val roundMetrics = scala.collection.mutable.LinkedHashMap[String, Double]()
+      evalData.foreach { case (n, r) =>
+        val rows = r.map { case (inst, m) => (m, inst.label, inst.weight) }
+        metricNames.foreach { mn =>
+          val v = Metrics.compute(mn, obj, rows)
+          evalsResult(n)(mn) += v
+          roundMetrics(s"$n-$mn") = v
+        }
+      }
+
+      // early stopping on the LAST eval set + LAST metric (xgboost rule)
+      if (p.earlyStoppingRounds > 0 && evalData.nonEmpty) {
+        val lastEval = evalData.last._1
+        val lastMetric = metricNames.last
+        val cur = evalsResult(lastEval)(lastMetric).last
+        val better = bestScore.isNaN ||
+          (if (Metrics.maximize(lastMetric)) cur > bestScore
+           else cur < bestScore)
+        if (better) { bestScore = cur; bestRound = round }
+        else if (round - bestRound >= p.earlyStoppingRounds) stop = true
+      }
+
+      // checkpoint (A6/C4 analog of _save_checkpoint_callback main.py:612)
+      if (p.checkpointEvery > 0 && p.checkpointPath.isDefined &&
+          (round + 1) % p.checkpointEvery == 0) {
+        spark.foreach { s =>
+          currentModel(trees, obj, p, bins).save(s, p.checkpointPath.get)
+        }
+      }
+
+      callbacks.foreach { cb =>
+        if (cb.afterIteration(startRound + round, roundMetrics.toMap))
+          stop = true
+      }
+      round += 1
+    }
+
+    data.unpersist(blocking = false)
+    evalData.foreach(_._2.unpersist(blocking = false))
+    TrainResult(currentModel(trees, obj, p, bins),
+      evalsResult.map { case (n, m) => (n, m) }.toMap, totalN, round)
+  }
+
+  private def currentModel(trees: ArrayBuffer[RegTree], obj: Objective,
+      p: TrainParams, bins: Binner.Bins): GraftModel =
+    new GraftModel(trees.toArray, p.objective, p.numClass, p.baseScore,
+      MissingBin, bins.numFeatures)
+}

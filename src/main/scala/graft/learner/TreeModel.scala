@@ -1,0 +1,153 @@
+package graft.learner
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * Gradient-boosted tree ensemble model — the artifact our `train` returns,
+ * analogous to the reference's `xgb.Booster` result
+ * (reference: xgboost_ray/main.py:1747 returns the rank-0 booster).
+ *
+ * Trees are flat parallel arrays (cache-friendly traversal, cheap to
+ * broadcast: a depth-6 tree is ~127 nodes ≈ 3 KB). Each internal node
+ * stores BOTH the bin-space threshold (used during training, where rows
+ * are pre-binned bytes) and the raw float threshold (the bin's upper cut,
+ * used at inference on unbinned features). The two are consistent by
+ * construction: bin(x) <= thresholdBin  ⇔  x <= threshold.
+ */
+final class RegTree(
+    val feature: Array[Int],       // -1 for leaves
+    val thresholdBin: Array[Int],  // go left iff bin <= thresholdBin
+    val threshold: Array[Float],   // go left iff x <= threshold
+    val defaultLeft: Array[Boolean], // direction for missing (NaN)
+    val left: Array[Int],
+    val right: Array[Int],
+    val value: Array[Float])       // leaf value (eta already applied)
+    extends Serializable {
+
+  def numNodes: Int = feature.length
+
+  /** Traverse with pre-binned features; bin `missingBin` = NaN. */
+  def predictBinned(bins: Array[Byte], missingBin: Int): Float = {
+    var i = 0
+    while (feature(i) >= 0) {
+      val b = bins(feature(i)) & 0xFF
+      i = if (b == missingBin) { if (defaultLeft(i)) left(i) else right(i) }
+      else if (b <= thresholdBin(i)) left(i)
+      else right(i)
+    }
+    value(i)
+  }
+
+  /** Traverse with raw float features; NaN takes the default direction. */
+  def predictRaw(x: Array[Float]): Float = {
+    var i = 0
+    while (feature(i) >= 0) {
+      val v = x(feature(i))
+      i = if (v.isNaN) { if (defaultLeft(i)) left(i) else right(i) }
+      else if (v <= threshold(i)) left(i)
+      else right(i)
+    }
+    value(i)
+  }
+
+  /** xgboost-style text dump (for golden-equality tree comparison). */
+  def dump(treeIdx: Int): String = {
+    val sb = new StringBuilder
+    def rec(i: Int, depth: Int): Unit = {
+      sb.append("\t" * depth)
+      if (feature(i) < 0) sb.append(s"$i:leaf=${value(i)}\n")
+      else {
+        sb.append(s"$i:[f${feature(i)}<=${threshold(i)}] " +
+          s"yes=${left(i)},no=${right(i)},missing=" +
+          s"${if (defaultLeft(i)) left(i) else right(i)}\n")
+        rec(left(i), depth + 1)
+        rec(right(i), depth + 1)
+      }
+    }
+    rec(0, 0)
+    s"booster[$treeIdx]:\n" + sb.result()
+  }
+}
+
+/**
+ * The trained ensemble. For multi:softprob/softmax with K classes, trees
+ * are laid out round-major: tree t belongs to output class (t % K)
+ * (same layout xgboost uses).
+ */
+final class GraftModel(
+    val trees: Array[RegTree],
+    val objective: String,
+    val numClass: Int,     // 0/1 ⇒ single-output
+    val baseScore: Double,
+    val missingBin: Int,
+    val numFeatures: Int) extends Serializable {
+
+  def numOutputs: Int = math.max(numClass, 1)
+
+  /** Raw margin(s) for one row (inference path, unbinned floats). */
+  def margins(x: Array[Float]): Array[Float] = {
+    val k = numOutputs
+    val out = new Array[Float](k)
+    val bias = Objectives.forName(objective, numClass).initMargin(baseScore)
+    java.util.Arrays.fill(out, bias)
+    var t = 0
+    while (t < trees.length) {
+      out(t % k) += trees(t).predictRaw(x)
+      t += 1
+    }
+    out
+  }
+
+  /** Transformed prediction: prob / value / softprob vector. */
+  def predict(x: Array[Float]): Array[Float] =
+    Objectives.forName(objective, numClass).transform(margins(x))
+
+  def dump(): String =
+    trees.zipWithIndex.map { case (t, i) => t.dump(i) }.mkString
+
+  /**
+   * Persist as parquet (model sink S12 analog of tune.py:130-156
+   * save_model/load_model): `path/nodes` one row per node, `path/meta`
+   * one row of scalars. Parquet keeps the model engine-readable and
+   * versionable without hand-rolled serialization.
+   */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val nodes = trees.zipWithIndex.flatMap { case (t, ti) =>
+      (0 until t.numNodes).map { i =>
+        (ti, i, t.feature(i), t.thresholdBin(i), t.threshold(i),
+          t.defaultLeft(i), t.left(i), t.right(i), t.value(i))
+      }
+    }.toSeq.toDF("tree", "node", "feature", "thresholdBin", "threshold",
+      "defaultLeft", "left", "right", "value")
+    nodes.repartition(1).write.mode("overwrite").parquet(s"$path/nodes")
+    Seq((objective, numClass, baseScore, missingBin, numFeatures))
+      .toDF("objective", "numClass", "baseScore", "missingBin", "numFeatures")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+}
+
+object GraftModel {
+  def load(spark: SparkSession, path: String): GraftModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nodeRows = spark.read.parquet(s"$path/nodes")
+      .orderBy("tree", "node").collect()
+    val byTree = nodeRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val trees = byTree.map { case (_, rows) =>
+      val n = rows.length
+      val t = new RegTree(new Array[Int](n), new Array[Int](n),
+        new Array[Float](n), new Array[Boolean](n), new Array[Int](n),
+        new Array[Int](n), new Array[Float](n))
+      rows.foreach { r: Row =>
+        val i = r.getInt(1)
+        t.feature(i) = r.getInt(2); t.thresholdBin(i) = r.getInt(3)
+        t.threshold(i) = r.getFloat(4); t.defaultLeft(i) = r.getBoolean(5)
+        t.left(i) = r.getInt(6); t.right(i) = r.getInt(7)
+        t.value(i) = r.getFloat(8)
+      }
+      t
+    }.toArray
+    new GraftModel(trees, meta.getString(0), meta.getInt(1),
+      meta.getDouble(2), meta.getInt(3), meta.getInt(4))
+  }
+}

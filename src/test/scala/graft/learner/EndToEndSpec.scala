@@ -1,0 +1,129 @@
+package graft.learner
+
+import graft.SparkTestBase
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+
+/**
+ * Flagship semantic tests, mirroring the reference's end-to-end suite
+ * (xgboost_ray/tests/test_end_to_end.py).
+ */
+class EndToEndSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // F1 fixture: 4 distinct one-hot rows × 8 (test_end_to_end.py:74-93)
+  private def onehotDf(repeats: Int = 8) = {
+    val base = Seq(
+      (1.0, 0.0, 0.0, 0.0, 0),
+      (0.0, 1.0, 0.0, 0.0, 1),
+      (0.0, 0.0, 1.0, 1.0, 2),
+      (0.0, 0.0, 1.0, 0.0, 3))
+    Seq.fill(repeats)(base).flatten
+      .toDF("f0", "f1", "f2", "f3", "label")
+  }
+
+  test("half-data convergence: multi:softmax learns all 4 classes " +
+      "across partitions (test_end_to_end.py:57-70 semantics)") {
+    // 2 partitions = the reference's 2 actors; each sees interleaved rows.
+    // Only cross-partition histogram aggregation can learn all classes.
+    val df = onehotDf().repartition(2)
+    val res = GraftBoost.train(df, DMatrixSpec("label"),
+      TrainParams(objective = "multi:softmax", numClass = 4,
+        numRounds = 10, maxDepth = 2, seed = 7))
+    assert(res.totalN === 32)
+    val pred = GraftBoost.predict(res.model, onehotDf(1), DMatrixSpec("label"))
+    val rows = pred.select("label", "prediction").collect()
+    assert(rows.forall(r => r.getInt(0) == r.getDouble(1).toInt),
+      s"mispredictions: ${rows.mkString(", ")}")
+  }
+
+  test("golden equality: 1-partition model == 8-partition model") {
+    val df = onehotDf()
+    val p = TrainParams(objective = "multi:softmax", numClass = 4,
+      numRounds = 5, maxDepth = 2, seed = 3)
+    val m1 = GraftBoost.train(df.coalesce(1), DMatrixSpec("label"), p)
+      .model.dump()
+    val m8 = GraftBoost.train(df.repartition(8), DMatrixSpec("label"), p)
+      .model.dump()
+    assert(m1 === m8)
+  }
+
+  test("binary:logistic learns a separable function") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 500).map { _ =>
+      val x0 = rng.nextDouble() * 10; val x1 = rng.nextDouble() * 10
+      (x0, x1, if (x0 + x1 > 10) 1 else 0)
+    }
+    val df = rows.toDF("x0", "x1", "y").repartition(4)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numRounds = 20,
+        maxDepth = 4, seed = 5),
+      evals = Seq(("train", df)))
+    val ll = res.evalsResult("train")("logloss")
+    assert(ll.last < 0.2, s"logloss stayed high: ${ll.mkString(",")}")
+    assert(ll.last < ll.head, "logloss did not decrease")
+    // predictions agree with labels for almost all rows
+    val pred = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+    val acc = pred.selectExpr(
+      "cast(avg(case when (prediction > 0.5) = (y = 1) " +
+        "then 1.0 else 0.0 end) as double)")
+      .head().getDouble(0)
+    assert(acc > 0.95, s"train accuracy $acc")
+  }
+
+  test("reg:squarederror fits a linear target") {
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 500).map { _ =>
+      val x0 = rng.nextDouble(); val x1 = rng.nextDouble()
+      (x0, x1, 3.0 * x0 - 2.0 * x1 + 1.0)
+    }
+    val df = rows.toDF("x0", "x1", "y").repartition(3)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 40,
+        maxDepth = 4, eta = 0.3, seed = 5),
+      evals = Seq(("train", df)))
+    assert(res.evalsResult("train")("rmse").last < 0.12)
+  }
+
+  test("early stopping halts before numRounds") {
+    val df = onehotDf().repartition(2)
+    val res = GraftBoost.train(df, DMatrixSpec("label"),
+      TrainParams(objective = "multi:softmax", numClass = 4,
+        numRounds = 50, maxDepth = 2, earlyStoppingRounds = 3, seed = 1),
+      evals = Seq(("val", onehotDf(2))))
+    assert(res.roundsCompleted < 50)
+  }
+
+  test("model save/load round-trip preserves predictions") {
+    val df = onehotDf().repartition(2)
+    val res = GraftBoost.train(df, DMatrixSpec("label"),
+      TrainParams(objective = "multi:softprob", numClass = 4,
+        numRounds = 3, maxDepth = 2, seed = 9))
+    val dir = java.nio.file.Files.createTempDirectory("graft-model")
+      .toString
+    res.model.save(spark, dir)
+    val loaded = GraftModel.load(spark, dir)
+    assert(loaded.dump() === res.model.dump())
+    assert(loaded.objective === "multi:softprob")
+  }
+
+  test("rank:pairwise improves AUC over rounds (F4 fixture)") {
+    val rng = new scala.util.Random(17)
+    // 40 groups of 5; relevance correlates with feature 0
+    val rows = (0 until 40).flatMap { q =>
+      (0 until 5).map { _ =>
+        val x = rng.nextDouble()
+        (x, rng.nextDouble(), if (x > 0.6) 1 else 0, q.toLong)
+      }
+    }
+    val df = rows.toDF("a", "b", "rel", "group").repartition(4)
+    val spec = DMatrixSpec(labelCol = Seq("rel"), qidCol = Some("group"))
+    val res = GraftBoost.train(df, spec,
+      TrainParams(objective = "rank:pairwise", numRounds = 10,
+        maxDepth = 3, eta = 1.0, seed = 2),
+      evals = Seq(("train", df)))
+    val auc = res.evalsResult("train")("auc")
+    assert(auc.last > 0.9, s"AUC: ${auc.mkString(",")}")
+    assert(auc.last >= auc.head)
+  }
+}
