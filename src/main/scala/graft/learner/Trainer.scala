@@ -26,6 +26,12 @@ final case class TrainParams(
     colsampleByNode: Double = 1.0,
     maxBins: Int = 256,
     baseScore: Double = 0.5,
+    /** Random-forest mode: trees per class per round, each built from the
+      * SAME gradients with independent row/col subsampling (xgboost
+      * num_parallel_tree). Leaves are scaled by eta/numParallelTree so
+      * the forest is a bagged average (divergence from xgboost, which
+      * sums unscaled — ours keeps single-round regression unbiased). */
+    numParallelTree: Int = 1,
     seed: Long = 0L,
     earlyStoppingRounds: Int = 0,
     evalMetric: Seq[String] = Nil,
@@ -161,33 +167,29 @@ object Trainer {
 
   /**
    * Compute per-row gradients for one boosting round.
-   * Output: (bins, gh) with gh = [g0,h0,...,g_{K-1},h_{K-1}] interleaved.
-   * Rows dropped by `subsample` are omitted entirely (they still get
-   * margin updates — just don't vote on splits).
+   * Output: (bins, gh, salt) with gh = [g0,h0,...] interleaved and salt a
+   * deterministic per-row random used by per-TREE subsampling in
+   * buildTree (rows skip split voting but still get margin updates).
    */
   private def gradients(data: RDD[(TrainInstance, Array[Float])],
       obj: Objective, round: Int, p: TrainParams)
-      : RDD[(Array[Byte], Array[Float])] = {
+      : RDD[(Array[Byte], Array[Float], Int)] = {
     val k = obj.numOutputs
-    val sub = p.subsample
     val seed = p.seed
     if (!obj.needsGroups) {
       data.mapPartitionsWithIndex({ (pid, it) =>
         val rng = new java.util.Random(mix(seed, round, pid))
-        it.flatMap { case (inst, m) =>
-          if (sub < 1.0 && rng.nextDouble() >= sub) Iterator.empty
-          else {
-            val gh = new Array[Float](2 * k)
-            val g = new Array[Float](k); val h = new Array[Float](k)
-            obj.gradHess(m, inst.label, g, h)
-            var c = 0
-            while (c < k) {
-              gh(2 * c) = g(c) * inst.weight
-              gh(2 * c + 1) = h(c) * inst.weight
-              c += 1
-            }
-            Iterator.single((inst.bins, gh))
+        it.map { case (inst, m) =>
+          val gh = new Array[Float](2 * k)
+          val g = new Array[Float](k); val h = new Array[Float](k)
+          obj.gradHess(m, inst.label, g, h)
+          var c = 0
+          while (c < k) {
+            gh(2 * c) = g(c) * inst.weight
+            gh(2 * c + 1) = h(c) * inst.weight
+            c += 1
           }
+          (inst.bins, gh, rng.nextInt())
         }
       }, preservesPartitioning = true)
     } else {
@@ -212,12 +214,17 @@ object Trainer {
           lo = hi
         }
         val rng = new java.util.Random(mix(seed, round, pid))
-        (0 until n).iterator.flatMap { i =>
-          if (sub < 1.0 && rng.nextDouble() >= sub) Iterator.empty
-          else Iterator.single((rows(i)._1.bins, Array(grad(i), hess(i))))
+        (0 until n).iterator.map { i =>
+          (rows(i)._1.bins, Array(grad(i), hess(i)), rng.nextInt())
         }
       }, preservesPartitioning = true)
     }
+  }
+
+  private def mixInt(a: Int, b: Int): Int = {
+    var z = a * 0x9e3779b9 + b
+    z ^= z >>> 16; z *= 0x85ebca6b; z ^= z >>> 13; z *= 0xc2b2ae35
+    z ^ (z >>> 16)
   }
 
   private def mix(seed: Long, round: Int, pid: Int): Long = {
@@ -232,8 +239,14 @@ object Trainer {
    * gradient RDD. Level-synchronous: one histogram job per depth level
    * (chunked under maxHistBytes).
    */
-  private def buildTree(grads: RDD[(Array[Byte], Array[Float])], cls: Int,
-      bins: Binner.Bins, p: TrainParams, treeSeed: Long): RegTree = {
+  private def buildTree(grads: RDD[(Array[Byte], Array[Float], Int)],
+      cls: Int, bins: Binner.Bins, p: TrainParams, treeSeed: Long)
+      : RegTree = {
+    // per-tree deterministic row subsample threshold on the row salt
+    val subsampleCut: Int =
+      if (p.subsample >= 1.0) Int.MaxValue
+      else (Int.MinValue + (p.subsample * 4294967295.0)).toInt
+    val treeSalt = treeSeed.toInt ^ (treeSeed >>> 32).toInt
     val sc = grads.sparkContext
     val b = bins.maxRealBins + 1 // last slot = missing
     val nf = bins.numFeatures
@@ -269,9 +282,11 @@ object Trainer {
         val histSize = chunk.length * fPerNode * b * 2
         val hist = grads.treeAggregate(new Array[Double](histSize))(
           seqOp = { (acc, row) =>
-            val (rb, gh) = row
-            val node = route(bc.value, rb)
-            val slot = bc.value.slotOf(node)
+            val (rb, gh, salt) = row
+            val keep = subsampleCut == Int.MaxValue ||
+              mixInt(salt, treeSalt) < subsampleCut
+            val node = if (keep) route(bc.value, rb) else -1
+            val slot = if (node >= 0) bc.value.slotOf(node) else -1
             if (slot >= 0) {
               val g = gh(2 * cls); val h = gh(2 * cls + 1)
               val fl = bc.value.featLists(slot)
@@ -411,9 +426,12 @@ object Trainer {
     while (round < p.numRounds && !stop) {
       val grads = gradients(data, obj, startRound + round, p)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val roundTrees = Array.tabulate(k) { cls =>
-        buildTree(grads, cls, bins, p,
-          mix(p.seed, startRound + round, 7919 + cls))
+      // layout: class-inner so GraftModel's (t % k) class mapping holds
+      // for any numParallelTree: [pt0·c0, pt0·c1, …, pt1·c0, …]
+      val pTree = p.copy(eta = p.eta / p.numParallelTree)
+      val roundTrees = Array.tabulate(p.numParallelTree * k) { i =>
+        buildTree(grads, i % k, bins, pTree,
+          mix(p.seed, startRound + round, 7919 + i))
       }
       grads.unpersist(blocking = false)
       trees ++= roundTrees
@@ -423,10 +441,10 @@ object Trainer {
         val ts = bcTrees.value
         it.map { case (inst, m) =>
           val m2 = m.clone()
-          var c = 0
-          while (c < ts.length) {
-            m2(c) += ts(c).predictBinned(inst.bins, MissingBin)
-            c += 1
+          var t = 0
+          while (t < ts.length) {
+            m2(t % k) += ts(t).predictBinned(inst.bins, MissingBin)
+            t += 1
           }
           (inst, m2)
         }
@@ -442,10 +460,10 @@ object Trainer {
           val ts = bcTrees.value
           it.map { case (inst, m) =>
             val m2 = m.clone()
-            var c = 0
-            while (c < ts.length) {
-              m2(c) += ts(c).predictBinned(inst.bins, MissingBin)
-              c += 1
+            var t = 0
+            while (t < ts.length) {
+              m2(t % k) += ts(t).predictBinned(inst.bins, MissingBin)
+              t += 1
             }
             (inst, m2)
           }

@@ -1,0 +1,189 @@
+package graft.ml
+
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+import graft.learner.{GraftModel, TrainParams, TrainResult}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Estimator surface — analog of the reference's scikit-learn wrappers
+ * (xgboost_ray/sklearn.py: RayXGBRegressor :450-599, RayXGBClassifier
+ * :643-877, RayXGBRFRegressor/RayXGBRFClassifier :602-640/880-917,
+ * RayXGBRanker :920-1083).
+ *
+ * Follows the MLlib Estimator.fit(df) → Model.transform(df) idiom rather
+ * than fit(X, y): on Spark the DataFrame *is* the (X, y) pair, with the
+ * label declared by column name — exactly the RayDMatrix passthrough case
+ * the reference prefers (sklearn.py:280-334).
+ */
+abstract class GraftPredictor[M <: GraftPredictionModel](
+    defaultObjective: String) extends Serializable {
+
+  // --- params (RayParams + xgboost param union, SURVEY §2.7) ---
+  var labelCol: String = "label"
+  var featuresCols: Option[Seq[String]] = None // None = all residual cols
+  var weightCol: Option[String] = None
+  var baseMarginCol: Option[String] = None
+  var ignoreCols: Seq[String] = Nil
+  var params: TrainParams = TrainParams(objective = defaultObjective)
+  var numWorkers: Int = 0
+  var evalSets: Seq[(String, DataFrame)] = Nil
+
+  def setLabelCol(c: String): this.type = { labelCol = c; this }
+  def setFeaturesCols(cs: Seq[String]): this.type = {
+    featuresCols = Some(cs); this
+  }
+  def setWeightCol(c: String): this.type = { weightCol = Some(c); this }
+  def setBaseMarginCol(c: String): this.type = {
+    baseMarginCol = Some(c); this
+  }
+  def setIgnoreCols(cs: Seq[String]): this.type = { ignoreCols = cs; this }
+  def setParams(p: TrainParams): this.type = { params = p; this }
+  def setNumWorkers(n: Int): this.type = { numWorkers = n; this }
+  def setEvalSets(es: Seq[(String, DataFrame)]): this.type = {
+    evalSets = es; this
+  }
+  def setNumRounds(n: Int): this.type = {
+    params = params.copy(numRounds = n); this
+  }
+  def setMaxDepth(d: Int): this.type = {
+    params = params.copy(maxDepth = d); this
+  }
+  def setEta(e: Double): this.type = { params = params.copy(eta = e); this }
+  def setSeed(s: Long): this.type = { params = params.copy(seed = s); this }
+
+  protected def spec: DMatrixSpec = DMatrixSpec(
+    labelCol = Seq(labelCol), weightCol = weightCol,
+    baseMarginCol = baseMarginCol, ignore = ignoreCols,
+    featureCols = featuresCols)
+
+  protected def resolvedParams(df: DataFrame): TrainParams = params
+
+  protected def buildModel(res: TrainResult, spec: DMatrixSpec): M
+
+  def fit(df: DataFrame): M = {
+    val s = spec
+    val res = GraftBoost.train(df, s, resolvedParams(df), evalSets,
+      numWorkers)
+    buildModel(res, s)
+  }
+}
+
+abstract class GraftPredictionModel(
+    val model: GraftModel,
+    val spec: DMatrixSpec,
+    val evalsResult: Map[String, Map[String, ArrayBuffer[Double]]])
+    extends Serializable {
+
+  /** Append prediction column(s); no shuffle (SURVEY §3.2). */
+  def transform(df: DataFrame): DataFrame =
+    GraftBoost.predict(model, df, spec)
+
+  /** Model sink (S12): parquet nodes + meta. */
+  def save(spark: SparkSession, path: String): Unit =
+    model.save(spark, path)
+}
+
+// ---------------- Regressor ----------------
+
+final class GraftRegressionModel(m: GraftModel, s: DMatrixSpec,
+    ev: Map[String, Map[String, ArrayBuffer[Double]]])
+    extends GraftPredictionModel(m, s, ev)
+
+/** RayXGBRegressor analog (sklearn.py:450-599). */
+class GraftRegressor extends GraftPredictor[GraftRegressionModel](
+    "reg:squarederror") {
+  def setObjective(o: String): this.type = {
+    params = params.copy(objective = o); this
+  }
+  protected def buildModel(res: TrainResult, s: DMatrixSpec) =
+    new GraftRegressionModel(res.model, s, res.evalsResult)
+}
+
+/** RayXGBRFRegressor analog (sklearn.py:602-640): random-forest preset —
+  * num_parallel_tree trees, ONE boosting round, row/col subsampling. */
+class GraftRFRegressor extends GraftRegressor {
+  params = params.copy(numRounds = 1, subsample = 0.8,
+    colsampleByNode = 0.8, eta = 1.0, numParallelTree = 100)
+  /** n_estimators analog (xgboost: num_parallel_tree). */
+  def setNumTrees(n: Int): this.type = {
+    params = params.copy(numParallelTree = n); this
+  }
+}
+
+// ---------------- Classifier ----------------
+
+final class GraftClassificationModel(m: GraftModel, s: DMatrixSpec,
+    ev: Map[String, Map[String, ArrayBuffer[Double]]],
+    val numClasses: Int)
+    extends GraftPredictionModel(m, s, ev) {
+  /** predict_proba analog (sklearn.py:839-865): probabilities column. */
+  def transformProba(df: DataFrame): DataFrame =
+    GraftBoost.predict(model, df, spec)
+}
+
+/** RayXGBClassifier analog (sklearn.py:643-877): binary logistic vs
+  * multi:softprob chosen from the label cardinality (sklearn.py:704-719). */
+class GraftClassifier extends GraftPredictor[GraftClassificationModel](
+    "binary:logistic") {
+  private var numClassOverride: Int = 0
+  def setNumClass(k: Int): this.type = { numClassOverride = k; this }
+
+  override protected def resolvedParams(df: DataFrame): TrainParams = {
+    val k = if (numClassOverride > 0) numClassOverride
+      else df.select(labelCol).distinct().count().toInt
+    if (k > 2) params.copy(objective = "multi:softprob", numClass = k)
+    else params.copy(objective =
+      if (params.objective.startsWith("multi")) params.objective
+      else "binary:logistic")
+  }
+
+  protected def buildModel(res: TrainResult, s: DMatrixSpec) =
+    new GraftClassificationModel(res.model, s, res.evalsResult,
+      math.max(res.model.numClass, 2))
+}
+
+/** RayXGBRFClassifier analog (sklearn.py:880-917). */
+class GraftRFClassifier extends GraftClassifier {
+  params = params.copy(numRounds = 1, subsample = 0.8,
+    colsampleByNode = 0.8, eta = 1.0, numParallelTree = 100)
+  def setNumTrees(n: Int): this.type = {
+    params = params.copy(numParallelTree = n); this
+  }
+}
+
+// ---------------- Ranker ----------------
+
+final class GraftRankerModel(m: GraftModel, s: DMatrixSpec,
+    ev: Map[String, Map[String, ArrayBuffer[Double]]])
+    extends GraftPredictionModel(m, s, ev)
+
+/** RayXGBRanker analog (sklearn.py:920-1083): requires qid. */
+class GraftRanker extends GraftPredictor[GraftRankerModel](
+    "rank:pairwise") {
+  var qidCol: String = "qid"
+  def setQidCol(c: String): this.type = { qidCol = c; this }
+
+  override protected def spec: DMatrixSpec =
+    super.spec.copy(qidCol = Some(qidCol))
+
+  protected def buildModel(res: TrainResult, s: DMatrixSpec) =
+    new GraftRankerModel(res.model, s, res.evalsResult)
+}
+
+object GraftPredictionModel {
+  /** Model source (S12): load + rewrap. */
+  def loadClassifier(spark: SparkSession, path: String,
+      spec: DMatrixSpec): GraftClassificationModel = {
+    val m = GraftModel.load(spark, path)
+    new GraftClassificationModel(m, spec, Map.empty,
+      math.max(m.numClass, 2))
+  }
+  def loadRegressor(spark: SparkSession, path: String,
+      spec: DMatrixSpec): GraftRegressionModel = {
+    val m = GraftModel.load(spark, path)
+    new GraftRegressionModel(m, spec, Map.empty)
+  }
+}

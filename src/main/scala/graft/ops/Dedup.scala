@@ -1,0 +1,270 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact,
+ * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+ *
+ * Scale design (the whole point — these must survive 100 TB):
+ *  - NO pairwise cross joins. Every near-dup path is
+ *    sketch → bucket → shuffle-on-bucket → verify-within-bucket.
+ *  - "Keeper" semantics are one-pass: a doc is a duplicate iff some
+ *    bucket pairs it with a smaller id that verifies. No iterative
+ *    connected components (a transitively-closed variant can be layered
+ *    on with label propagation later; the keep-min-id pass is the
+ *    standard corpus-dedup recipe and needs exactly 2 shuffles).
+ *  - Signatures are computed row-local (UDF tight loops over shingles),
+ *    buckets explode to (bucket, id) pairs — skew-safe because band
+ *    hashes spread uniformly; pathological buckets are capped.
+ */
+object Dedup {
+
+  // ---------------- exact ----------------
+
+  /**
+   * Exact dedup on normalized text hash: keeps the smallest id per
+   * distinct text. Pure groupBy — one shuffle, map-side combinable.
+   */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("__fp"))
+      .groupBy("__fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+      .drop("__fp")
+
+  /** Rows surviving exact dedup (the keeper rows themselves). */
+  def exactKeepers(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** Character-shingle set hashed to ints (row-local). */
+  private def shingleHashes(k: Int) = udf { s: String =>
+    if (s == null) Array.empty[Int]
+    else {
+      val t = s.toLowerCase.replaceAll("\\s+", " ").trim
+      if (t.length < k) Array(t.hashCode)
+      else {
+        val set = new java.util.HashSet[Integer]()
+        var i = 0
+        while (i + k <= t.length) {
+          var h = 0
+          var j = i
+          while (j < i + k) { h = h * 31 + t.charAt(j); j += 1 }
+          set.add(h)
+          i += 1
+        }
+        val out = new Array[Int](set.size)
+        val it = set.iterator()
+        var x = 0
+        while (it.hasNext) { out(x) = it.next(); x += 1 }
+        out
+      }
+    }
+  }
+
+  /** MinHash signature: m universal-hash minima over the shingle set. */
+  private def minhashSig(m: Int, seed: Long) = udf { sh: Seq[Int] =>
+    if (sh.isEmpty) Array.fill(m)(Long.MaxValue)
+    else {
+      val rng = new java.util.Random(seed)
+      val a = Array.fill(m)(rng.nextLong() | 1L)
+      val b = Array.fill(m)(rng.nextLong())
+      val sig = Array.fill(m)(Long.MaxValue)
+      sh.foreach { x =>
+        var i = 0
+        while (i < m) {
+          val h = a(i) * x + b(i)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig
+    }
+  }
+
+  /**
+   * MinHash-LSH near-dup detection.
+   * shingle → minhash(m = bands×rowsPerBand) → band buckets → for each
+   * bucket, pair each doc with the bucket's min id → verify by signature
+   * agreement (estimated Jaccard) → duplicates above threshold.
+   *
+   * @return (keep_id, dup_id, est_jaccard) rows, dup_id > keep_id
+   */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    val m = bands * rowsPerBand
+    val sig = df
+      .select(col(idCol).as("id"),
+        minhashSig(m, seed)(shingleHashes(shingleLen)(col(textCol)))
+          .as("sig"))
+    // band bucket key: hash of the band's signature slice
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+            .as("bh"))
+      }: _*)).as("bucket"))
+      .select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+    // pair every doc with its bucket's minimum id (skew-capped)
+    val w = Window.partitionBy("band", "bh").orderBy("id")
+    val candidates = banded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket)
+      .withColumn("keep_id", first("id").over(
+        Window.partitionBy("band", "bh").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("id") > col("keep_id"))
+      .select(col("keep_id"), col("id").as("dup_id"), col("sig"))
+      .dropDuplicates("keep_id", "dup_id")
+    // verify: estimated jaccard = fraction of agreeing signature slots
+    val keepSig = sig.select(col("id").as("keep_id"),
+      col("sig").as("keep_sig"))
+    candidates.join(keepSig, "keep_id")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig, keep_sig, (a,b) -> a = b)," +
+          " x -> x)) / size(sig)").cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("keep_id", "dup_id", "est_jaccard")
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over whitespace tokens (row-local). */
+  private val simhashUdf = udf { s: String =>
+    if (s == null) 0L
+    else {
+      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        // splitmix64 of the token hash → 64 well-mixed bits
+        var z = t.hashCode.toLong + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        var b = 0
+        while (b < 64) {
+          if (((z >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+  }
+
+  def simhash(text: Column): Column = simhashUdf(text)
+
+  /**
+   * SimHash near-dup: 64-bit signatures, banded into four 16-bit chunks
+   * (two docs within Hamming distance 3 share ≥1 chunk — pigeonhole),
+   * verified by exact Hamming distance. Same bucket-join shape as
+   * MinHash-LSH: no cross join.
+   */
+  def simhashDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sig"))
+    val chunked = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))
+            .as("ch"))
+      }: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.chunk"), col("b.ch"))
+    val w = Window.partitionBy("chunk", "ch").orderBy("id")
+    chunked
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket)
+      .withColumn("keep_id", first("id").over(w
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("keep_sig", first("sig").over(w
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("id") > col("keep_id"))
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("keep_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("keep_id"), col("id").as("dup_id"), col("hamming"))
+      .dropDuplicates("keep_id", "dup_id")
+  }
+
+  // ---------------- n-gram Jaccard ----------------
+
+  /**
+   * Exact word n-gram Jaccard similarity for candidate pairs produced by
+   * an inverted index: ngram → posting list (capped: frequent shingles
+   * are stop-shingles and only produce noise pairs) → co-occurrence
+   * count per pair → |A∩B| / (|A|+|B|−|A∩B|).
+   */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxPosting: Int = 200): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val gramArr = when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => hash(slice(toks, i + 1, lit(n))))))
+      .when(size(toks) > 0, array(hash(toks)))
+      .otherwise(array().cast("array<int>"))
+    val grams = df.select(col(idCol).as("id"), gramArr.as("grams"))
+      .filter(size(col("grams")) > 0)
+    val sizes = grams.select(col("id"), size(col("grams")).as("n_grams"))
+    val posting = grams.select(col("id"),
+      explode(col("grams")).as("gram"))
+    // cap postings: drop grams appearing in too many docs
+    val wg = Window.partitionBy("gram").orderBy("id")
+    val capped = posting.withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= maxPosting)
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("keep_id"), col("id_b").as("dup_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------- embedding cosine near-dup ----------------
+
+  /**
+   * Embedding near-dup via random-hyperplane LSH buckets + exact cosine
+   * verification within buckets (see Similarity.cosine for the metric).
+   */
+  def embeddingDups(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, planes: Int = 12, seed: Long = 7L,
+      maxBucket: Int = 2000): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.hyperplaneSig(col(vecCol), planes, seed).as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("id")
+    sig
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket)
+      .withColumn("keep_id", first("id").over(w
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("keep_vec", first("vec").over(w
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("id") > col("keep_id"))
+      .withColumn("cosine", Similarity.cosine(col("vec"), col("keep_vec")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("keep_id"), col("id").as("dup_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * token counting, quality scoring, language ID, document fingerprinting.
+ *
+ * Everything here is pure Catalyst `Column` expressions (whole-stage
+ * codegen, no UDFs) so a 100 TB scan stays in Tungsten — the only
+ * exception is the winnowing fingerprint, which needs a rolling window
+ * and is a tight-loop UDF.
+ */
+object TextOps {
+
+  /** Null-safe text: NULL behaves as the empty document everywhere. */
+  private def nz(text: Column): Column = coalesce(text, lit(""))
+
+  /** Whitespace tokens of normalized text (empty/NULL → empty array). */
+  def tokens(text: Column): Column = {
+    val t = trim(nz(text))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Whitespace token count — codegen'd, no UDF. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish subword count estimate: word-piece regex splits on
+   * letter/digit/punct boundaries, approximating how byte-pair tokenizers
+   * segment text (≈ tokens a GPT-style BPE would produce, without a
+   * vocab). Deterministic and cheap: one regexp pass.
+   */
+  def subwordCount(text: Column): Column =
+    regexp_count(nz(text), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(nz(text)) === 0, 0.0)
+      .otherwise(regexp_count(nz(text), lit("[\\p{Punct}]"))
+        .cast("double") / length(nz(text)))
+
+  /** Uppercase ratio over letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = regexp_count(nz(text), lit("[A-Za-z]"))
+    when(letters === 0, 0.0)
+      .otherwise(regexp_count(nz(text), lit("[A-Z]")).cast("double") /
+        letters)
+  }
+
+  private val EnglishStops: Seq[String] = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "it", "you", "that", "he",
+    "was", "for", "on", "are", "as", "with", "his", "they", "i", "at",
+    "be", "this", "have", "from", "or", "had", "by", "not", "but", "what",
+    "we", "can", "an", "which", "their")
+
+  /** Fraction of tokens that are English stopwords (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = array(EnglishStops.map(lit): _*)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => array_contains(stops, t)))
+        .cast("double") / size(toks))
+  }
+
+  /** Mean word length (characters per token). */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L),
+        (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1] — the length/punct/stopword-ratio
+   * heuristic family used by large-scale corpus filters (C4/Gopher-style
+   * rules): long-enough docs, sane word lengths, some stopwords, not
+   * mostly punctuation.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0)) // saturates at 50 tokens
+    val mwl = meanWordLen(text)
+    val wordLenScore = when(mwl >= 3 && mwl <= 10, 1.0)
+      .when(mwl > 0, 0.5).otherwise(0.0)
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    round((lenScore * 0.3 + wordLenScore * 0.2 + stopScore * 0.3 +
+      punctScore * 0.2), 6)
+  }
+
+  // --- language ID: stopword-profile n-gram heuristic ---
+
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnglishStops,
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein",
+      "eine", "mit", "für", "auf", "sie", "des", "dem", "den", "von", "zu",
+      "im", "sich", "auch", "als", "es", "war", "aber"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "du", "et", "est", "une",
+      "un", "que", "qui", "dans", "pour", "pas", "sur", "avec", "au", "il",
+      "elle", "ne", "se", "ce", "plus", "par"),
+    "es" -> Seq("el", "la", "los", "las", "de", "del", "y", "es", "una",
+      "un", "que", "en", "no", "se", "por", "con", "para", "su", "al",
+      "lo", "como", "más", "pero", "sus", "le"))
+
+  /**
+   * Per-language stopword-hit score; lang = argmax. Pure expressions —
+   * builds one score column per profile and picks the max via a struct
+   * array (no UDF, survives codegen).
+   */
+  def langScores(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = Profiles.map { case (l, stops) =>
+      val s = array(stops.map(lit): _*)
+      struct(
+        when(size(toks) === 0, 0.0)
+          .otherwise(size(filter(toks, t => array_contains(s, t)))
+            .cast("double") / size(toks)).as("score"),
+        lit(l).as("lang"))
+    }
+    array(scores: _*)
+  }
+
+  /** Detected language code, "und" when no profile scores > 0. */
+  def langId(text: Column): Column = {
+    val best = array_max(langScores(text))
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /**
+   * Exact-dup fingerprint: 64-bit hash of whitespace-normalized,
+   * lowercased text. Pure codegen (xxhash64).
+   */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(nz(text)), "\\s+", " ")))
+
+  /**
+   * Winnowing fingerprint (rolling Rabin-Karp hash, window minima) —
+   * near-dup document sketch: k-gram rolling hashes, keep the minimum in
+   * each window of w, distinct. Two docs sharing any winnowed hash are
+   * near-dup candidates. UDF (rolling state), but output is a small
+   * array usable with explode + groupBy at scale.
+   */
+  def winnow(k: Int = 9, w: Int = 16): Column => Column = { text =>
+    val f = udf { s: String =>
+      if (s == null || s.length < k) Array.empty[Long]
+      else {
+        val n = s.length
+        val B = 1000000007L; val M = (1L << 61) - 1
+        var pow = 1L
+        var i = 1
+        while (i < k) { pow = pow * B % M; i += 1 }
+        val hashes = new Array[Long](n - k + 1)
+        var h = 0L
+        i = 0
+        while (i < n) {
+          if (i >= k) {
+            h = (h - s.charAt(i - k) * pow % M + M) % M
+          }
+          h = (h * B + s.charAt(i)) % M
+          if (i >= k - 1) hashes(i - k + 1) = h
+          i += 1
+        }
+        // tiled window minima, deduped (winnowing-style sketch)
+        val out = scala.collection.mutable.LinkedHashSet[Long]()
+        var lo = 0
+        while (lo < hashes.length) {
+          val hi = math.min(lo + w, hashes.length)
+          var mn = Long.MaxValue
+          var j = lo
+          while (j < hi) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+          out += mn
+          lo += w
+        }
+        out.toArray
+      }
+    }
+    f(text)
+  }
+
+  /** Convenience: append the standard text-analysis columns. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("token_count", tokenCount(t))
+      .withColumn("subword_count", subwordCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

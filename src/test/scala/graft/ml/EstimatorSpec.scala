@@ -1,0 +1,90 @@
+package graft.ml
+
+import graft.SparkTestBase
+
+/** sklearn-wrapper conformance (reference: tests/test_sklearn.py). */
+class EstimatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val binaryDf = {
+    val rng = new scala.util.Random(23)
+    (1 to 400).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, if (a > b) 1 else 0)
+    }.toDF("a", "b", "label").repartition(4)
+  }
+
+  test("GraftClassifier auto-detects binary vs multiclass objective") {
+    val m = new GraftClassifier().setNumRounds(10).setMaxDepth(3)
+      .setSeed(1).fit(binaryDf)
+    assert(m.model.objective === "binary:logistic")
+    val acc = m.transform(binaryDf)
+      .selectExpr("avg(case when (prediction > 0.5) = (label = 1) " +
+        "then 1.0 else 0.0 end)").head().getDecimal(0).doubleValue()
+    assert(acc > 0.93, s"acc=$acc")
+
+    val multi = binaryDf.withColumn("label",
+      org.apache.spark.sql.functions.expr(
+        "cast(case when a > 0.66 then 2 when a > 0.33 then 1 " +
+          "else 0 end as int)"))
+    val mm = new GraftClassifier().setNumRounds(10).setMaxDepth(3)
+      .setSeed(1).fit(multi)
+    assert(mm.model.objective === "multi:softprob")
+    assert(mm.numClasses === 3)
+    val probs = mm.transform(multi).select("probabilities").head()
+      .getSeq[Float](0)
+    assert(probs.length === 3)
+    assert(math.abs(probs.sum - 1.0) < 1e-5)
+  }
+
+  test("GraftRegressor fit/transform + ignoreCols") {
+    val df = binaryDf.withColumn("junk",
+      org.apache.spark.sql.functions.lit("x"))
+      .withColumn("y", $"a" * 2 + $"b")
+      .drop("label")
+    val m = new GraftRegressor().setLabelCol("y").setIgnoreCols(Seq("junk"))
+      .setNumRounds(30).setMaxDepth(4).setSeed(2).fit(df)
+    val rmse = m.transform(df)
+      .selectExpr("sqrt(avg(pow(prediction - y, 2)))").head().getDouble(0)
+    assert(rmse < 0.1, s"rmse=$rmse")
+  }
+
+  test("GraftRFClassifier: one round, many parallel trees") {
+    val m = new GraftRFClassifier().setNumTrees(20).setSeed(3)
+      .setMaxDepth(4).fit(binaryDf)
+    assert(m.model.trees.length === 20)
+    val acc = m.transform(binaryDf)
+      .selectExpr("avg(case when (prediction > 0.5) = (label = 1) " +
+        "then 1.0 else 0.0 end)").head().getDecimal(0).doubleValue()
+    assert(acc > 0.9, s"acc=$acc")
+  }
+
+  test("GraftRanker trains with qid column") {
+    val rng = new scala.util.Random(29)
+    val df = (0 until 30).flatMap { q =>
+      (0 until 4).map { _ =>
+        val x = rng.nextDouble()
+        (x, rng.nextDouble(), if (x > 0.5) 1 else 0, q.toLong)
+      }
+    }.toDF("f0", "f1", "rel", "qid").repartition(3)
+    val m = new GraftRanker().setLabelCol("rel").setQidCol("qid")
+      .setNumRounds(8).setMaxDepth(2).setEta(0.5).setSeed(4).fit(df)
+    // higher f0 should get a higher ranking score
+    val scored = m.transform(df)
+    val corr = scored.stat.corr("f0", "prediction")
+    assert(corr > 0.7, s"corr=$corr")
+  }
+
+  test("model save/load through estimator wrapper (S12)") {
+    val m = new GraftClassifier().setNumRounds(5).setMaxDepth(3)
+      .setSeed(5).fit(binaryDf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-est").toString
+    m.save(spark, dir)
+    val loaded = GraftPredictionModel.loadClassifier(spark, dir, m.spec)
+    val a = m.transform(binaryDf).select("prediction").collect()
+      .map(_.getDouble(0))
+    val b = loaded.transform(binaryDf).select("prediction").collect()
+      .map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+}

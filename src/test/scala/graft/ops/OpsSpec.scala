@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet").cache()
+  private lazy val embs =
+    spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").cache()
+
+  test("tokenCount matches manual whitespace split") {
+    val rows = Seq(("a b  c", 3), ("  ", 0), ("single", 1), ("x\ty z", 3))
+      .toDF("text", "expect")
+    val got = rows.withColumn("n", TextOps.tokenCount($"text"))
+      .filter($"n" =!= $"expect").count()
+    assert(got === 0)
+  }
+
+  test("langId identifies planted language snippets") {
+    val rows = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("der hund ist nicht mit der katze und auch nicht", "de"),
+      ("le chat est dans la maison avec le chien et il est", "fr"),
+      ("el perro y el gato en la casa con su amigo", "es"))
+      .toDF("text", "expect")
+    val wrong = rows.withColumn("lang", TextOps.langId($"text"))
+      .filter($"lang" =!= $"expect").collect()
+    assert(wrong.isEmpty, wrong.mkString(","))
+  }
+
+  test("quality score orders garbage below prose") {
+    val q = Seq(
+      ("This is a perfectly normal sentence with the usual words in it " +
+        "and it keeps going for a while to be long enough.", "good"),
+      ("!!!###@@@ ???", "garbage"))
+      .toDF("text", "kind")
+      .withColumn("q", TextOps.qualityScore($"text"))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(q("good") > q("garbage") + 0.3, q.toString)
+  }
+
+  test("exact dedup on documents: keepers + counts are consistent") {
+    val total = docs.count()
+    val dd = Dedup.exact(docs, "doc_id", "text")
+    val distinctTexts = docs
+      .select(lower(regexp_replace(trim($"text"), "\\s+", " "))).distinct()
+      .count()
+    assert(dd.count() === distinctTexts)
+    assert(dd.agg(sum("dup_count")).head().getLong(0) === total)
+    val keepers = Dedup.exactKeepers(docs, "doc_id", "text")
+    assert(keepers.count() === distinctTexts)
+  }
+
+  test("minhash LSH finds planted exact duplicates") {
+    // corpus is all-distinct → plant 10 exact copies with new ids
+    val planted = docs.limit(10)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val dupPairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+      threshold = 0.95)
+    val plantedFound = dupPairs.filter($"dup_id" >= 100000)
+      .select("dup_id").distinct().count()
+    assert(plantedFound === 10,
+      s"found $plantedFound of 10 planted dups")
+    // exact copies estimate at jaccard 1.0
+    assert(dupPairs.filter($"dup_id" >= 100000 && $"est_jaccard" < 1.0)
+      .count() === 0)
+  }
+
+  test("simhash: identical text → distance 0; dups found") {
+    val sig = docs.select(Dedup.simhash($"text").as("s"),
+      TextOps.fingerprint($"text").as("fp"))
+    // same fingerprint ⇒ same simhash
+    val incoherent = sig.groupBy("fp")
+      .agg(countDistinct("s").as("n")).filter($"n" > 1).count()
+    assert(incoherent === 0)
+    val dups = Dedup.simhashDups(docs, "doc_id", "text", maxHamming = 0)
+    assert(dups.count() > 0) // testdata plants exact dups
+  }
+
+  test("ngram jaccard finds planted duplicates with jaccard 1.0") {
+    val planted = docs.limit(5)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val corpus = docs.limit(100).select("doc_id", "text")
+      .unionByName(planted)
+    val dups = Dedup.ngramJaccard(corpus, "doc_id", "text",
+      n = 3, threshold = 0.99)
+    assert(dups.filter($"dup_id" >= 100000).count() === 5,
+      dups.collect().mkString(","))
+    assert(dups.filter($"jaccard" < 0.99).count() === 0)
+  }
+
+  test("brute-force topk: self is nearest neighbor at cosine 1") {
+    val queries = embs.limit(5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val topk = Similarity.bruteForceTopK(embs, queries,
+      "vec_id", "embedding", "query_id", k = 3)
+    val self = topk.filter($"rank" === 1).collect()
+    assert(self.length === 5)
+    self.foreach { r =>
+      assert(r.getAs[Long]("query_id") === r.getAs[Long]("id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-4)
+    }
+  }
+
+  test("LSH topk recall vs brute force") {
+    val queries = embs.limit(8)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(embs, queries,
+      "vec_id", "embedding", "query_id", k = 5)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(embs, queries,
+      "vec_id", "embedding", "query_id", k = 5, planes = 6, tables = 6)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("embedding near-dup self-consistency") {
+    // duplicate the first 3 vectors with new ids → must be flagged
+    val extra = embs.limit(3)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding", $"label")
+    val withDups = embs.unionByName(extra)
+    val found = Dedup.embeddingDups(withDups, "vec_id", "embedding",
+      minCosine = 0.999)
+    assert(found.filter($"dup_id" >= 1000000).count() === 3)
+  }
+
+  test("multimodal plumbing: decode/resize/features on fake binaries") {
+    val bin = Seq(
+      (1L, Array.fill[Byte](4096)(7)),
+      (2L, Array.fill[Byte](128)(3)),
+      (3L, "hello world".getBytes))
+      .toDF("id", "bytes")
+    val dec = bin.withColumn("meta", Multimodal.decodeImage($"bytes"))
+      .withColumn("resized", Multimodal.resizePlan($"meta", 256))
+      .withColumn("emb", Multimodal.extractFeatures($"bytes", 16))
+    val rows = dec.select("meta.width", "meta.height", "resized.width",
+      "resized.height", "emb").collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 64 && r.getInt(2) <= 256)
+      val e = r.getSeq[Float](4)
+      assert(e.length === 16)
+      assert(math.abs(e.map(x => x * x).sum - 1.0) < 1e-3) // unit norm
+    }
+    // determinism
+    val a = dec.select("emb").collect().map(_.getSeq[Float](0))
+    val b = bin.withColumn("emb", Multimodal.extractFeatures($"bytes", 16))
+      .select("emb").collect().map(_.getSeq[Float](0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    val frames = Multimodal.sampleFrames(bin, "id", "bytes", 4, lit(8000))
+    assert(frames.count() === 12)
+    assert(frames.filter($"offset_ms" === 6000).count() === 3)
+  }
+}
