@@ -1,13 +1,525 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api.GraftBoost
+import graft.data.{DMatrixSpec, DataLoader, Sharding}
+import graft.learner.TrainParams
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one query per implemented operator from SURVEY.md §2
+ * plus the training-data pipeline additions. Query names carry the
+ * operator id. Every oracle-paired query is deterministic (explicit
+ * ORDER BY + rounding + bigint casts) and aliases columns identically on
+ * both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def ld(s: SparkSession, dir: String, t: String): DataFrame = {
+    // events.parquet carries timestamp[ns]; Spark reads nanos as long
+    // only with this legacy conf (runtime-settable SQLConf)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$t.parquet")
+  }
+
+  /** Double-array view of a float-vector column (keeps the dot product
+    * in double on both engines for oracle parity). */
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0:
+    * load → role split → distributed train → predict (SURVEY §3.1-3.2). */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = ld(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+    val res = GraftBoost.train(df, DMatrixSpec("label"),
+      TrainParams(objective = "binary:logistic", numRounds = 5,
+        maxDepth = 3, seed = 1), numWorkers = 4)
+    GraftBoost.predict(res.model, df, DMatrixSpec("label"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S2 + P2: parquet scan with pushed filter + column pruning ----
+    "s2_scan_prune" -> ((s, dir) => {
+      ld(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- S1: CSV scan (round-trip through our loader) ----
+    "s1_csv_roundtrip" -> ((s, dir) => {
+      val region = ld(s, dir, "region")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        math.abs(dir.hashCode)
+      region.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      val files = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".csv")).map(_.getPath).toSeq
+      DataLoader.load(s, files, schema = Some(region.schema))
+        .orderBy("r_regionkey")
+    }),
+
+    // ---- S3/S4: in-memory source round-trip ----
+    "s3_mem_roundtrip" -> ((s, dir) => {
+      val nation = ld(s, dir, "nation")
+      val rows = nation.collect().toIndexedSeq
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), nation.schema)
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- P1: ignore/drop columns ----
+    "p1_ignore_drop" -> ((s, dir) => {
+      ld(s, dir, "documents").drop("text", "source")
+        .orderBy("doc_id")
+    }),
+
+    // ---- P3: role-column split (residual order preserved) ----
+    "p3_role_project" -> ((s, dir) => {
+      val spec = DMatrixSpec(labelCol = Seq("l_extendedprice"),
+        ignore = Seq("l_returnflag", "l_linestatus", "l_shipdate"))
+      spec.project(ld(s, dir, "lineitem"))
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- P4/U2: interleaved shard row selection ----
+    "p4_shard_select" -> ((s, dir) => {
+      val withId = Sharding.withRowIdByKey(ld(s, dir, "customer"),
+        Seq("c_custkey"))
+      Sharding.shardRows(Sharding.interleavedShard(withId, 4), 1)
+        .drop(Sharding.RowIdCol)
+        .orderBy("c_custkey")
+    }),
+
+    // ---- U2 inverse: shards reassemble to the original table ----
+    "u2_shard_roundtrip" -> ((s, dir) => {
+      val withId = Sharding.withRowIdByKey(ld(s, dir, "orders"),
+        Seq("o_orderkey"))
+      val sharded = Sharding.interleavedShard(withId, 4)
+      val parts = (0 until 4).map(Sharding.shardRows(sharded, _))
+      Sharding.restoreOrder(parts.reduce(_ unionByName _))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // ---- O1: sort-by-qid (ranking precondition) ----
+    "o1_qid_sort" -> ((s, dir) => {
+      ld(s, dir, "events")
+        .repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions("user_id", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        // coalesce(1) at write keeps range-partition order ⇒ global sort
+    }),
+
+    // ---- O2: order restoration after scrambling (combine_data) ----
+    "o2_order_restore" -> ((s, dir) => {
+      val withId = Sharding.withRowIdByKey(ld(s, dir, "orders"),
+        Seq("o_orderkey"))
+      Sharding.restoreOrder(withId.repartition(16))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
+    // ---- U1: shard concat (union) ----
+    "u1_union_concat" -> ((s, dir) => {
+      val li = ld(s, dir, "lineitem")
+      val even = li.filter(col("l_linenumber") % 2 === 0)
+      val odd = li.filter(col("l_linenumber") % 2 === 1)
+      even.unionByName(odd)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- A2: eval-metric aggregation shapes (exact decimal inner sums
+    //      ⇒ deterministic across partitionings AND engines) ----
+    "a2_metric_agg" -> ((s, dir) => {
+      val q = col("l_quantity").cast("decimal(18,4)")
+      ld(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(q).cast("double") / count(lit(1))).as("mean_qty"),
+          (sum((q * q).cast("decimal(28,8)")).cast("double") /
+            count(lit(1))).as("mean_qty_sq"))
+        .withColumn("std_qty", round(sqrt(
+          col("mean_qty_sq") - col("mean_qty") * col("mean_qty")), 4))
+        .withColumn("mean_qty", round(col("mean_qty"), 4))
+        .drop("mean_qty_sq")
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- A3: row-count aggregation (total_n) ----
+    "a3_counts" -> ((s, dir) => {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.map { t =>
+        ld(s, dir, t).select(lit(t).as("tbl"), lit(1).as("one"))
+          .groupBy("tbl").agg(count(lit(1)).as("n"))
+      }.reduce(_ unionByName _).orderBy("tbl")
+    }),
+
+    // ---- A5: softprob → argmax (first-max-wins, like predict) ----
+    "a5_argmax" -> ((s, dir) => {
+      val probs = array(col("l_quantity"), col("l_discount") * 100,
+        col("l_tax") * 100)
+      ld(s, dir, "lineitem")
+        .withColumn("cls",
+          (array_position(probs, array_max(probs)) - 1).cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("cls"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- joins come free with the engine: broadcast dim join + agg ----
+    "j1_enrich_agg" -> ((s, dir) => {
+      val o = ld(s, dir, "orders")
+      val c = ld(s, dir, "customer")
+      val n = ld(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .withColumn("revenue", round(col("revenue"), 2))
+        .orderBy("n_name")
+    }),
+
+    // ---- window function capability ----
+    "w1_running_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ld(s, dir, "orders")
+        .withColumn("run_price",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double"))
+        .withColumn("run_price", round(col("run_price"), 2))
+        .select("o_custkey", "o_orderkey", "run_price")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- dedup: exact ----
+    "dd_exact" -> ((s, dir) => {
+      Dedup.exact(ld(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")
+    }),
+
+    // ---- text analysis: token counts ----
+    "tx_tokens" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("token_count"),
+        TextOps.subwordCount(col("text")).cast("long").as("subword_count"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: quality stats ----
+    "tx_stats" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+      d.select(col("doc_id"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: language id ----
+    "tx_langid" -> ((s, dir) => {
+      ld(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity: exact cosine top-k (brute force baseline) ----
+    "sim_topk" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+        .select(col("vec_id"), dvec(col("embedding")).as("embedding"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "query_id",
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- rows-only checks (no SQL-expressible oracle) ----
+    "dd_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(ld(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9).orderBy("keep_id", "dup_id")),
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhashDups(ld(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3).orderBy("keep_id", "dup_id")),
+    "dd_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(ld(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8).orderBy("keep_id", "dup_id")),
+    "dd_embedding" -> ((s, dir) =>
+      Dedup.embeddingDups(
+        ld(s, dir, "embeddings").unionByName(
+          ld(s, dir, "embeddings").limit(20)
+            .withColumn("vec_id", col("vec_id") + 10000000)),
+        "vec_id", "embedding", minCosine = 0.999)
+        .orderBy("keep_id", "dup_id")),
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id",
+        k = 10, planes = 8, tables = 4).orderBy("query_id", "rank")
+    }),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(e, q, "vec_id", "embedding", "query_id",
+        k = 10, nCells = 16, nProbe = 6).orderBy("query_id", "rank")
+    }),
+    "tx_winnow" -> ((s, dir) =>
+      ld(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.winnow()(col("text")).as("sketch"))
+        .orderBy("doc_id")),
+    "mm_decode" -> ((s, dir) => {
+      // media assets faked from document text bytes: real plumbing,
+      // stubbed kernel (see Multimodal scaladoc)
+      val assets = ld(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      Multimodal.balanceBySize(assets, "bytes", 8)
+        .withColumn("meta", Multimodal.decodeImage(col("bytes")))
+        .withColumn("resized", Multimodal.resizePlan(col("meta"), 224))
+        .withColumn("emb", Multimodal.extractFeatures(col("bytes"), 16))
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("resized.width").as("rw"), col("resized.height").as("rh"),
+          col("emb"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ML surface (rows-only; semantics tested in ScalaTest) ----
+    "ml_train_predict" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+            .as("label"))
+      val res = GraftBoost.train(df, DMatrixSpec("label"),
+        TrainParams(objective = "binary:logistic", numRounds = 10,
+          maxDepth = 4, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("prediction"), 2)
+          .as("mean_pred"))
+        .orderBy("label")
+    }),
+    "ml_softprob" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"),
+          when(col("l_returnflag") === "R", 2.0)
+            .when(col("l_returnflag") === "A", 1.0).otherwise(0.0)
+            .as("label"))
+      val res = GraftBoost.train(df, DMatrixSpec("label"),
+        TrainParams(objective = "multi:softprob", numClass = 3,
+          numRounds = 5, maxDepth = 3, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label")
+    }),
+    "ml_rank" -> ((s, dir) => {
+      val df = ld(s, dir, "events")
+        .select(col("value"), col("event_id").cast("double").as("f1"),
+          when(col("value") > 0.5, 1.0).otherwise(0.0).as("rel"),
+          col("user_id"))
+      val spec = DMatrixSpec(labelCol = Seq("rel"),
+        qidCol = Some("user_id"))
+      val res = GraftBoost.train(df, spec,
+        TrainParams(objective = "rank:pairwise", numRounds = 5,
+          maxDepth = 3, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, spec)
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_groups"))
+    })
+  )
+
+  /** DuckDB oracles — identical aliases, ordering and rounding. */
+  def oracleSql: Map[String, String] = Map(
+    "s2_scan_prune" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_quantity FROM lineitem WHERE l_quantity >= 30
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s1_csv_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "s3_mem_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "p1_ignore_drop" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "p3_role_project" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey,
+        | CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+        | l_discount, l_tax, l_extendedprice
+        | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p4_shard_select" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        | FROM (SELECT *, row_number() OVER (ORDER BY c_custkey) - 1
+        |   AS rid FROM customer)
+        | WHERE rid % 4 = 1 ORDER BY c_custkey""".stripMargin,
+    "u2_shard_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | ORDER BY o_orderkey""".stripMargin,
+    "o1_qid_sort" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+        | ORDER BY user_id, event_id""".stripMargin,
+    "o2_order_restore" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        | ORDER BY o_orderkey""".stripMargin,
+    "u1_union_concat" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_returnflag FROM lineitem
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a2_metric_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |   / count(*), 4) AS mean_qty,
+        | round(sqrt(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4))
+        |     * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+        |     AS DOUBLE) / count(*)
+        |   - (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*))
+        |   * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*))), 4) AS std_qty
+        | FROM lineitem GROUP BY l_returnflag
+        | ORDER BY l_returnflag""".stripMargin,
+    "a3_counts" ->
+      """SELECT * FROM (
+        | SELECT 'region' AS tbl, count(*) AS n FROM region UNION ALL
+        | SELECT 'nation', count(*) FROM nation UNION ALL
+        | SELECT 'customer', count(*) FROM customer UNION ALL
+        | SELECT 'supplier', count(*) FROM supplier UNION ALL
+        | SELECT 'part', count(*) FROM part UNION ALL
+        | SELECT 'orders', count(*) FROM orders UNION ALL
+        | SELECT 'lineitem', count(*) FROM lineitem UNION ALL
+        | SELECT 'events', count(*) FROM events UNION ALL
+        | SELECT 'documents', count(*) FROM documents UNION ALL
+        | SELECT 'embeddings', count(*) FROM embeddings
+        |) ORDER BY tbl""".stripMargin,
+    "a5_argmax" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(CASE
+        |   WHEN l_quantity >= l_discount * 100
+        |     AND l_quantity >= l_tax * 100 THEN 0
+        |   WHEN l_discount * 100 >= l_tax * 100 THEN 1
+        |   ELSE 2 END AS BIGINT) AS cls
+        | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j1_enrich_agg" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |   2) AS revenue
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "w1_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE), 2) AS run_price
+        | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "dd_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        | FROM documents
+        | GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        | ORDER BY keep_id""".stripMargin,
+    "tx_tokens" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |   AS token_count,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+        |   AS subword_count
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   CASE WHEN length(trim(text)) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(trim(text), '\s+') END AS toks
+        | FROM documents)
+        |SELECT doc_id,
+        | round(CASE WHEN length(text) = 0 THEN 0.0
+        |   ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
+        |     AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+        | round(CASE WHEN len(toks) = 0 THEN 0.0
+        |   ELSE CAST(len(list_filter(
+        |     string_split_regex(trim(lower(text)), '\s+'),
+        |     x -> list_contains(['the','of','and','a','to','in','is',
+        |       'it','you','that','he','was','for','on','are','as',
+        |       'with','his','they','i','at','be','this','have','from',
+        |       'or','had','by','not','but','what','we','can','an',
+        |       'which','their'], x))) AS DOUBLE) / len(toks) END, 6)
+        |   AS stopword_ratio,
+        | round(CASE WHEN len(toks) = 0 THEN 0.0
+        |   ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+        |     AS DOUBLE) / len(toks) END, 6) AS mean_word_len
+        | FROM t ORDER BY doc_id""".stripMargin,
+    "tx_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |     AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |     CAST(len(list_filter(toks, x -> list_contains(['the','of',
+        |       'and','a','to','in','is','it','you','that','he','was',
+        |       'for','on','are','as','with','his','they','i','at','be',
+        |       'this','have','from','or','had','by','not','but','what',
+        |       'we','can','an','which','their'], x))) AS DOUBLE)
+        |       / len(toks) END AS s_en,
+        |   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |     CAST(len(list_filter(toks, x -> list_contains(['der','die',
+        |       'das','und','ist','ich','nicht','ein','eine','mit','für',
+        |       'auf','sie','des','dem','den','von','zu','im','sich',
+        |       'auch','als','es','war','aber'], x))) AS DOUBLE)
+        |       / len(toks) END AS s_de,
+        |   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |     CAST(len(list_filter(toks, x -> list_contains(['le','la',
+        |       'les','de','des','du','et','est','une','un','que','qui',
+        |       'dans','pour','pas','sur','avec','au','il','elle','ne',
+        |       'se','ce','plus','par'], x))) AS DOUBLE)
+        |       / len(toks) END AS s_fr,
+        |   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |     CAST(len(list_filter(toks, x -> list_contains(['el','la',
+        |       'los','las','de','del','y','es','una','un','que','en',
+        |       'no','se','por','con','para','su','al','lo','como','más',
+        |       'pero','sus','le'], x))) AS DOUBLE)
+        |       / len(toks) END AS s_es
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+        |   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |   ELSE 'de' END AS lang_id
+        | FROM s ORDER BY doc_id""".stripMargin,
+    "sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |   CAST(embedding AS DOUBLE[]) AS qv
+        | FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+        | FROM embeddings),
+        |j AS (SELECT q.query_id, c.id,
+        |   list_cosine_similarity(c.cv, q.qv) AS cos FROM c, q),
+        |r AS (SELECT query_id, id, round(cos, 6) AS cosine,
+        |   CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cos DESC, id) AS BIGINT) AS rank FROM j)
+        |SELECT query_id, id, cosine, rank FROM r WHERE rank <= 10
+        | ORDER BY query_id, rank""".stripMargin
+  )
 }
