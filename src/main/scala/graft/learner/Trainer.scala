@@ -422,6 +422,10 @@ object Trainer {
     var bestRound = -1
     var stop = false
     var round = 0
+    // margin-update RDD of the previous round, unpersisted lazily once
+    // the current round's gradient pass has materialized on top of it
+    // (saves one full data pass per round vs eager materialization)
+    var prevData: Option[RDD[(TrainInstance, Array[Float])]] = None
     val startRound = trees.length / k // checkpoint-resume arithmetic (C4)
     while (round < p.numRounds && !stop) {
       val grads = gradients(data, obj, startRound + round, p)
@@ -433,6 +437,10 @@ object Trainer {
         buildTree(grads, i % k, bins, pTree,
           mix(p.seed, startRound + round, 7919 + i))
       }
+      // the tree builds above materialized `grads`, which materialized
+      // `data` — the previous round's cache is now safe to drop
+      prevData.foreach(_.unpersist(blocking = false))
+      prevData = None
       grads.unpersist(blocking = false)
       trees ++= roundTrees
 
@@ -450,9 +458,11 @@ object Trainer {
         }
       }, preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if ((round + 1) % 50 == 0) newData.localCheckpoint()
-      newData.foreachPartition(_ => ()) // materialize before dropping parent
-      data.unpersist(blocking = false)
+      if ((round + 1) % 50 == 0) {
+        newData.localCheckpoint()
+        newData.foreachPartition(_ => ()) // force the lineage truncation
+      }
+      prevData = Some(data)
       data = newData
 
       val newEvals = evalData.map { case (n, r) =>

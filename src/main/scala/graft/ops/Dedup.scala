@@ -219,15 +219,27 @@ object Dedup {
     val grams = df.select(col(idCol).as("id"), gramArr.as("grams"))
       .filter(size(col("grams")) > 0)
     val sizes = grams.select(col("id"), size(col("grams")).as("n_grams"))
-    val posting = grams.select(col("id"),
+    val posting = grams.select(col("id").cast("long").as("id"),
       explode(col("grams")).as("gram"))
-    // cap postings: drop grams appearing in too many docs
-    val wg = Window.partitionBy("gram").orderBy("id")
-    val capped = posting.withColumn("__rn", row_number().over(wg))
-      .filter(col("__rn") <= maxPosting)
-    val pairs = capped.as("a").join(capped.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // ONE shuffle to posting lists; frequent grams (stop-shingles) are
+    // dropped entirely — they only generate noise pairs; pairs explode
+    // map-side from each list (no self-join, no second scan of grams)
+    val pairUdf = udf { ids: Seq[Long] =>
+      val s = ids.sorted.toArray
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+        i += 1
+      }
+      out.toSeq
+    }
+    val pairs = posting.groupBy("gram")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxPosting)
+      .select(explode(pairUdf(col("ids"))).as("p"))
+      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnRenamed("id", "id_a")
