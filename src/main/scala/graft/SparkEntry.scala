@@ -280,11 +280,19 @@ object SparkEntry {
       Similarity.ivfTopK(e, q, "vec_id", "embedding", "query_id",
         k = 10, nCells = 16, nProbe = 6).orderBy("query_id", "rank")
     }),
-    "tx_winnow" -> ((s, dir) =>
+    "tx_winnow" -> ((s, dir) => {
+      // scalar digests of the sketch (the driver harness can't sort
+      // array columns): size + min/max fingerprint + order-sensitive hash
+      val sk = TextOps.winnow()(col("text"))
       ld(s, dir, "documents")
+        .select(col("doc_id"), sk.as("sketch"))
         .select(col("doc_id"),
-          TextOps.winnow()(col("text")).as("sketch"))
-        .orderBy("doc_id")),
+          size(col("sketch")).cast("long").as("sketch_size"),
+          array_min(col("sketch")).as("sketch_min"),
+          array_max(col("sketch")).as("sketch_max"),
+          xxhash64(to_json(struct(col("sketch")))).as("sketch_digest"))
+        .orderBy("doc_id")
+    }),
     "mm_decode" -> ((s, dir) => {
       // media assets faked from document text bytes: real plumbing,
       // stubbed kernel (see Multimodal scaladoc)
@@ -297,7 +305,12 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.width").as("width"),
           col("meta.height").as("height"),
           col("resized.width").as("rw"), col("resized.height").as("rh"),
-          col("emb"))
+          // scalar digests instead of the raw emb array (harness
+          // compatibility: pandas can't sort array cells)
+          size(col("emb")).cast("long").as("emb_dim"),
+          round(element_at(col("emb"), 1), 6).as("emb_first"),
+          round(aggregate(col("emb"), lit(0.0d), (a, v) => a + v), 6)
+            .as("emb_sum"))
         .orderBy("doc_id")
     }),
 
