@@ -121,6 +121,21 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("IVF topk recall vs brute force") {
+    val queries = embs.limit(8)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(embs, queries,
+      "vec_id", "embedding", "query_id", k = 5)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(embs, queries,
+      "vec_id", "embedding", "query_id", k = 5, nCells = 16, nProbe = 8)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
   test("embedding near-dup self-consistency") {
     // duplicate the first 3 vectors with new ids → must be flagged
     val extra = embs.limit(3)
