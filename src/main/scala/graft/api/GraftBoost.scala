@@ -40,7 +40,7 @@ object GraftBoost {
     require(spec.labelCol.size == 1,
       "trainer supports a single label column (multi-label loading is a " +
         "data-layer feature; see DMatrixSpec)")
-    val obj = Objectives.forName(params.objective, params.numClass)
+    val obj = Objectives.resolve(params)
 
     val prepared = prepare(df, spec, obj, numWorkers)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

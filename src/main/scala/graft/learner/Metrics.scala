@@ -16,8 +16,21 @@ import org.apache.spark.rdd.RDD
  */
 object Metrics {
 
-  /** rows: (transformed margins, label, weight). */
+  /** rows: (raw margins, label, weight). Custom metrics (E7) win over
+    * built-in names. */
   def compute(name: String, obj: Objective,
+      rows: RDD[(Array[Float], Float, Float)],
+      custom: Map[String, CustomMetric] = Map.empty): Double =
+    custom.get(name) match {
+      case Some(cm) =>
+        val fn = cm.fn
+        val (loss, w) = rows.map { case (m, y, wt) => fn(m, y, wt) }
+          .treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+        loss / w
+      case None => computeBuiltin(name, obj, rows)
+    }
+
+  private def computeBuiltin(name: String, obj: Objective,
       rows: RDD[(Array[Float], Float, Float)]): Double = name match {
     case "rmse" =>
       val (se, w) = rows.map { case (m, y, wt) =>
@@ -36,8 +49,17 @@ object Metrics {
       }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
       ll / w
     case "mlogloss" =>
+      // softmax over RAW margins — obj.transform would argmax to a
+      // length-1 array under multi:softmax (advisor r1: AIOOBE)
       val (ll, w) = rows.map { case (m, y, wt) =>
-        val p = clamp(obj.transform(m)(y.toInt))
+        var mx = Float.NegativeInfinity
+        var i = 0
+        while (i < m.length) { if (m(i) > mx) mx = m(i); i += 1 }
+        var s = 0.0
+        val e = new Array[Double](m.length)
+        i = 0
+        while (i < m.length) { e(i) = math.exp(m(i) - mx); s += e(i); i += 1 }
+        val p = math.min(math.max(e(y.toInt) / s, 1e-15), 1.0 - 1e-15)
         (-math.log(p) * wt, wt.toDouble)
       }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
       ll / w
@@ -73,7 +95,9 @@ object Metrics {
   }
 
   /** true ⇔ larger metric value is better (for early stopping). */
-  def maximize(name: String): Boolean = name == "auc"
+  def maximize(name: String,
+      custom: Map[String, CustomMetric] = Map.empty): Boolean =
+    custom.get(name).map(_.isMaximize).getOrElse(name == "auc")
 
   private val Buckets = 4096
 

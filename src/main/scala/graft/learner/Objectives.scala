@@ -154,6 +154,27 @@ object Objectives {
     }
   }
 
+  /**
+   * Inference-side stand-in for a user-supplied custom objective (E6):
+   * margins pass through untransformed — the same contract as xgboost,
+   * where predictions under a custom `obj` are raw margins. Lets a model
+   * trained with `TrainParams.customObjective` be saved, re-loaded and
+   * predicted without shipping the user's closure.
+   */
+  final class RawIdentity(val name: String, k: Int) extends Objective {
+    val numOutputs: Int = math.max(k, 1)
+    def initMargin(b: Double): Float = b.toFloat
+    def transform(m: Array[Float]): Array[Float] = m
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = throw new UnsupportedOperationException(
+      s"$name: custom objective closure not available (inference-only)")
+  }
+
+  /** Effective objective for a parameter set: the custom hook wins
+    * (reference sklearn.py:511-515 `obj=` passthrough). */
+  def resolve(p: TrainParams): Objective =
+    p.customObjective.getOrElse(forName(p.objective, p.numClass))
+
   def forName(name: String, numClass: Int): Objective = name match {
     case "reg:squarederror" | "reg:linear" => new SquaredError
     case "reg:absoluteerror" => new AbsoluteError
@@ -162,6 +183,7 @@ object Objectives {
     case "multi:softprob" => new Softmax(numClass, prob = true)
     case "multi:softmax" => new Softmax(numClass, prob = false)
     case "rank:pairwise" => new PairwiseRank
+    case c if c.startsWith("custom:") => new RawIdentity(c, numClass)
     case other => throw new IllegalArgumentException(
       s"unknown objective '$other'")
   }

@@ -38,9 +38,28 @@ final case class TrainParams(
     featureWeights: Option[Array[Double]] = None,
     checkpointEvery: Int = 0,            // reference default 5 (main.py:466)
     checkpointPath: Option[String] = None,
+    /** Custom objective hook (E6, reference sklearn.py:511-515): wins
+      * over `objective`. Its `name` must start with "custom:" so a saved
+      * model round-trips through Objectives.forName (margins-only
+      * inference, the xgboost custom-obj contract). */
+    customObjective: Option[Objective] = None,
+    /** Custom eval metrics (E7, reference sklearn.py:431-437), evaluated
+      * alongside `evalMetric` each round. */
+    customMetrics: Seq[CustomMetric] = Nil,
     /** Cap one histogram aggregation buffer; wide feature sets are
       * processed in node chunks per level to stay under it. */
     maxHistBytes: Long = 64L << 20)
+
+/**
+ * Custom eval metric (E7): `fn(margins, label, weight)` returns the
+ * row's (weighted loss contribution, weight); the metric value is
+ * sum(loss)/sum(weight) — the same partial+final aggregation shape the
+ * built-ins use, so it distributes for free.
+ */
+final case class CustomMetric(
+    name: String,
+    fn: (Array[Float], Float, Float) => (Double, Double),
+    isMaximize: Boolean = false) extends Serializable
 
 /** One binned training row. bins(f) ∈ [0, numBins(f)) or 255=missing. */
 final case class TrainInstance(bins: Array[Byte], label: Float,
@@ -398,20 +417,53 @@ object Trainer {
       initModel: Option[GraftModel] = None,
       spark: Option[org.apache.spark.sql.SparkSession] = None)
       : TrainResult = {
-    val obj = Objectives.forName(p.objective, p.numClass)
+    val obj = Objectives.resolve(p)
+    require(p.customObjective.forall(_.name.startsWith("custom:")),
+      "customObjective.name must start with \"custom:\" (model save/load " +
+        "round-trips through Objectives.forName)")
     val k = obj.numOutputs
     val trees = ArrayBuffer[RegTree]()
     initModel.foreach(m => trees ++= m.trees)
+    val broadcasts = ArrayBuffer[org.apache.spark.broadcast.Broadcast[_]]()
 
     var data = train.persist(StorageLevel.MEMORY_AND_DISK)
     var evalData = evals.map { case (n, r) =>
       (n, r.persist(StorageLevel.MEMORY_AND_DISK))
     }
+    // Continued training (C4): fold the init model's trees into the
+    // margins BEFORE the round loop — otherwise new trees fit gradients
+    // that ignore the init model while the final ensemble sums both
+    // (advisor r1, Trainer.scala:404). Requires the same Binner cuts the
+    // init model was trained with (deterministic for same data + seed).
+    initModel.filter(_.trees.nonEmpty).foreach { m =>
+      require(m.trees.length % (k * p.numParallelTree) == 0,
+        s"init model has ${m.trees.length} trees, not a multiple of " +
+          s"numOutputs*numParallelTree = ${k * p.numParallelTree}")
+      val bcInit = data.sparkContext.broadcast(m.trees)
+      broadcasts += bcInit
+      val upd = applyTrees(data, bcInit, k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      upd.foreachPartition(_ => ())
+      data.unpersist(blocking = false)
+      data = upd
+      evalData = evalData.map { case (n, r) =>
+        val u = applyTrees(r, bcInit, k)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        u.foreachPartition(_ => ())
+        r.unpersist(blocking = false)
+        (n, u)
+      }
+    }
     val totalN = data.count() // A3 total_n (main.py:1333-1335)
 
-    val metricNames =
-      if (p.evalMetric.nonEmpty) p.evalMetric
-      else Seq(Metrics.defaultMetric(p.objective))
+    val customByName = p.customMetrics.map(m => m.name -> m).toMap
+    val metricNames = {
+      val base =
+        if (p.evalMetric.nonEmpty) p.evalMetric
+        else if (p.customMetrics.nonEmpty) Nil
+        else Seq(Metrics.defaultMetric(obj.name))
+      base ++ p.customMetrics.map(_.name).filterNot(base.contains)
+    }
     val evalsResult = scala.collection.mutable.LinkedHashMap[String,
       Map[String, ArrayBuffer[Double]]]()
     evalData.foreach { case (n, _) =>
@@ -426,7 +478,9 @@ object Trainer {
     // the current round's gradient pass has materialized on top of it
     // (saves one full data pass per round vs eager materialization)
     var prevData: Option[RDD[(TrainInstance, Array[Float])]] = None
-    val startRound = trees.length / k // checkpoint-resume arithmetic (C4)
+    // checkpoint-resume arithmetic (C4): each completed round appended
+    // numParallelTree*k trees (advisor r1: `/k` alone miscounted forests)
+    val startRound = trees.length / (k * p.numParallelTree)
     while (round < p.numRounds && !stop) {
       val grads = gradients(data, obj, startRound + round, p)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -445,18 +499,8 @@ object Trainer {
       trees ++= roundTrees
 
       val bcTrees = data.sparkContext.broadcast(roundTrees)
-      val newData = data.mapPartitions({ it =>
-        val ts = bcTrees.value
-        it.map { case (inst, m) =>
-          val m2 = m.clone()
-          var t = 0
-          while (t < ts.length) {
-            m2(t % k) += ts(t).predictBinned(inst.bins, MissingBin)
-            t += 1
-          }
-          (inst, m2)
-        }
-      }, preservesPartitioning = true)
+      broadcasts += bcTrees
+      val newData = applyTrees(data, bcTrees, k)
         .persist(StorageLevel.MEMORY_AND_DISK)
       if ((round + 1) % 50 == 0) {
         newData.localCheckpoint()
@@ -466,18 +510,7 @@ object Trainer {
       data = newData
 
       val newEvals = evalData.map { case (n, r) =>
-        val updated = r.mapPartitions({ it =>
-          val ts = bcTrees.value
-          it.map { case (inst, m) =>
-            val m2 = m.clone()
-            var t = 0
-            while (t < ts.length) {
-              m2(t % k) += ts(t).predictBinned(inst.bins, MissingBin)
-              t += 1
-            }
-            (inst, m2)
-          }
-        }, preservesPartitioning = true)
+        val updated = applyTrees(r, bcTrees, k)
           .persist(StorageLevel.MEMORY_AND_DISK)
         updated.foreachPartition(_ => ())
         r.unpersist(blocking = false)
@@ -490,7 +523,7 @@ object Trainer {
       evalData.foreach { case (n, r) =>
         val rows = r.map { case (inst, m) => (m, inst.label, inst.weight) }
         metricNames.foreach { mn =>
-          val v = Metrics.compute(mn, obj, rows)
+          val v = Metrics.compute(mn, obj, rows, customByName)
           evalsResult(n)(mn) += v
           roundMetrics(s"$n-$mn") = v
         }
@@ -502,7 +535,7 @@ object Trainer {
         val lastMetric = metricNames.last
         val cur = evalsResult(lastEval)(lastMetric).last
         val better = bestScore.isNaN ||
-          (if (Metrics.maximize(lastMetric)) cur > bestScore
+          (if (Metrics.maximize(lastMetric, customByName)) cur > bestScore
            else cur < bestScore)
         if (better) { bestScore = cur; bestRound = round }
         else if (round - bestRound >= p.earlyStoppingRounds) stop = true
@@ -524,13 +557,35 @@ object Trainer {
     }
 
     data.unpersist(blocking = false)
+    prevData.foreach(_.unpersist(blocking = false))
     evalData.foreach(_._2.unpersist(blocking = false))
+    // all per-round results are materialized — the round broadcasts are
+    // no longer reachable from any live lineage (advisor r1: leak)
+    broadcasts.foreach(_.destroy())
     TrainResult(currentModel(trees, obj, p, bins),
       evalsResult.map { case (n, m) => (n, m) }.toMap, totalN, round)
   }
 
+  /** Add each tree's contribution to the carried margins (class = t % k). */
+  private def applyTrees(
+      rdd: RDD[(TrainInstance, Array[Float])],
+      bcTrees: org.apache.spark.broadcast.Broadcast[Array[RegTree]],
+      k: Int): RDD[(TrainInstance, Array[Float])] =
+    rdd.mapPartitions({ it =>
+      val ts = bcTrees.value
+      it.map { case (inst, m) =>
+        val m2 = m.clone()
+        var t = 0
+        while (t < ts.length) {
+          m2(t % k) += ts(t).predictBinned(inst.bins, MissingBin)
+          t += 1
+        }
+        (inst, m2)
+      }
+    }, preservesPartitioning = true)
+
   private def currentModel(trees: ArrayBuffer[RegTree], obj: Objective,
       p: TrainParams, bins: Binner.Bins): GraftModel =
-    new GraftModel(trees.toArray, p.objective, p.numClass, p.baseScore,
+    new GraftModel(trees.toArray, obj.name, p.numClass, p.baseScore,
       MissingBin, bins.numFeatures)
 }

@@ -107,6 +107,110 @@ class EndToEndSpec extends SparkTestBase {
     assert(loaded.objective === "multi:softprob")
   }
 
+  test("checkpoint-resume golden equality: 5+5 rounds == 10 rounds " +
+      "(C4, test_fault_tolerance.py:401-453 semantics)") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 400).map { _ =>
+      val x0 = rng.nextDouble() * 10; val x1 = rng.nextDouble() * 10
+      (x0, x1, if (x0 + x1 > 10) 1 else 0)
+    }
+    val df = rows.toDF("x0", "x1", "y").repartition(4)
+    val p = TrainParams(objective = "binary:logistic", numRounds = 10,
+      maxDepth = 3, seed = 3)
+    val full = GraftBoost.train(df, DMatrixSpec("y"), p)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    GraftBoost.train(df, DMatrixSpec("y"),
+      p.copy(numRounds = 5, checkpointEvery = 5,
+        checkpointPath = Some(ckpt)))
+    val loaded = GraftModel.load(spark, ckpt)
+    assert(loaded.trees.length === 5)
+    val resumed = GraftBoost.train(df, DMatrixSpec("y"),
+      p.copy(numRounds = 5), initModel = Some(loaded))
+    assert(resumed.model.trees.length === 10)
+    assert(resumed.model.dump() === full.model.dump(),
+      "resumed model diverged from uninterrupted training")
+  }
+
+  test("custom objective parity: custom squared-error == builtin (E6, " +
+      "test_xgboost_api.py:77-103 semantics)") {
+    val rng = new scala.util.Random(29)
+    val rows = (1 to 300).map { _ =>
+      val x0 = rng.nextDouble(); val x1 = rng.nextDouble()
+      (x0, x1, 3.0 * x0 - 2.0 * x1 + 1.0)
+    }
+    val df = rows.toDF("x0", "x1", "y").repartition(3)
+    val customSq = new Objective {
+      val name = "custom:squarederror"
+      val numOutputs = 1
+      def initMargin(b: Double): Float = b.toFloat
+      def transform(m: Array[Float]): Array[Float] = m
+      def gradHess(m: Array[Float], y: Float, g: Array[Float],
+          h: Array[Float]): Unit = { g(0) = m(0) - y; h(0) = 1.0f }
+    }
+    val p = TrainParams(numRounds = 8, maxDepth = 3, seed = 5)
+    val builtin = GraftBoost.train(df, DMatrixSpec("y"),
+      p.copy(objective = "reg:squarederror"))
+    val custom = GraftBoost.train(df, DMatrixSpec("y"),
+      p.copy(customObjective = Some(customSq)))
+    assert(custom.model.dump() === builtin.model.dump())
+    assert(custom.model.objective === "custom:squarederror")
+    // save/load round-trips; custom-objective predictions are raw margins
+    val dir = java.nio.file.Files.createTempDirectory("graft-cobj").toString
+    custom.model.save(spark, dir)
+    val loaded = GraftModel.load(spark, dir)
+    val a = GraftBoost.predict(builtin.model, df, DMatrixSpec("y"))
+      .select("prediction").collect().map(_.getDouble(0))
+    val b = GraftBoost.predict(loaded, df, DMatrixSpec("y"))
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 })
+  }
+
+  test("custom eval metric: rmsle tracked per round (E7, " +
+      "test_xgboost_api.py:104-153 semantics)") {
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 300).map { _ =>
+      val x0 = rng.nextDouble(); val x1 = rng.nextDouble()
+      (x0, x1, 4.0 * x0 + x1)
+    }
+    val df = rows.toDF("x0", "x1", "y").repartition(3)
+    val rmsle = CustomMetric("rmsle", (m, y, wt) => {
+      val d = math.log1p(math.max(m(0), 0.0)) - math.log1p(y)
+      (d * d * wt, wt.toDouble)
+    })
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 10,
+        maxDepth = 3, seed = 5, evalMetric = Seq("rmse"),
+        customMetrics = Seq(rmsle)),
+      evals = Seq(("train", df)))
+    val track = res.evalsResult("train")("rmsle")
+    assert(track.length === 10)
+    assert(track.last < track.head, s"rmsle did not improve: $track")
+    // value is sqrt-able mean: spot-check the final round against a
+    // direct computation over the final model's predictions
+    val pred = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .select("prediction", "y").collect()
+    val manual = pred.map { r =>
+      val d = math.log1p(math.max(r.getDouble(0), 0.0)) -
+        math.log1p(r.getDouble(1))
+      d * d
+    }.sum / pred.length
+    assert(math.abs(track.last - manual) < 1e-6)
+  }
+
+  test("mlogloss under multi:softmax does not throw (advisor r1)") {
+    val df = onehotDf().repartition(2)
+    val res = GraftBoost.train(df, DMatrixSpec("label"),
+      TrainParams(objective = "multi:softmax", numClass = 4,
+        numRounds = 3, maxDepth = 2, seed = 7,
+        evalMetric = Seq("mlogloss", "merror")),
+      evals = Seq(("train", onehotDf(2))))
+    val ml = res.evalsResult("train")("mlogloss")
+    assert(ml.length === 3 && ml.forall(v => !v.isNaN))
+    assert(ml.last < ml.head)
+  }
+
   test("rank:pairwise improves AUC over rounds (F4 fixture)") {
     val rng = new scala.util.Random(17)
     // 40 groups of 5; relevance correlates with feature 0
