@@ -34,7 +34,8 @@ object GraftBoost {
       evals: Seq[(String, DataFrame)] = Nil,
       numWorkers: Int = 0,
       callbacks: Seq[TrainingCallback] = Nil,
-      initModel: Option[GraftModel] = None): TrainResult = {
+      initModel: Option[GraftModel] = None,
+      distributedCallbacks: Seq[DistributedCallback] = Nil): TrainResult = {
     val spark = df.sparkSession
     spec.validate(df, requireLabel = true)
     require(spec.labelCol.size == 1,
@@ -42,7 +43,7 @@ object GraftBoost {
         "data-layer feature; see DMatrixSpec)")
     val obj = Objectives.resolve(params)
 
-    val prepared = prepare(df, spec, obj, numWorkers)
+    val prepared = prepare(df, spec, obj, numWorkers, distributedCallbacks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totalRows = prepared.count()
     val bins = Binner.fit(prepared.map(_._1), totalRows, params.maxBins,
@@ -59,7 +60,7 @@ object GraftBoost {
         params.baseScore))
     }
     Trainer.boost(train, evalRdds, bins, p2, callbacks, initModel,
-      Some(spark))
+      Some(spark), distributedCallbacks)
   }
 
   /**
@@ -77,7 +78,8 @@ object GraftBoost {
       model: GraftModel,
       df: DataFrame,
       spec: DMatrixSpec,
-      outputMargin: Boolean = false): DataFrame = {
+      outputMargin: Boolean = false,
+      distributedCallbacks: Seq[DistributedCallback] = Nil): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     val feats = spec.resolveFeatures(df)
@@ -86,7 +88,7 @@ object GraftBoost {
     val featsArr = array(feats.map(f =>
       when(col(f).cast("float").isNull, lit(Float.NaN))
         .otherwise(col(f).cast("float"))): _*)
-    if (model.numClass >= 2 && model.objective == "multi:softprob") {
+    val out = if (model.numClass >= 2 && model.objective == "multi:softprob") {
       val probaUdf = udf { xs: Seq[Float] =>
         val m = bc.value.margins(xs.toArray)
         if (outputMargin) m.toSeq
@@ -105,6 +107,14 @@ object GraftBoost {
       }
       df.withColumn("prediction", predUdf(featsArr))
     }
+    if (distributedCallbacks.isEmpty) out
+    else {
+      // before/afterPredict fire when each output partition is computed
+      val schema = out.schema
+      val rdd = out.rdd.mapPartitions(
+        DistributedCallback.wrapPredict(distributedCallbacks)(_))
+      spark.createDataFrame(rdd, schema)
+    }
   }
 
   // ---- internals ----
@@ -113,7 +123,8 @@ object GraftBoost {
   private type Prepared = RDD[(Array[Float], Float, Float, Float, Long)]
 
   private def prepare(df: DataFrame, spec: DMatrixSpec, obj: Objective,
-      numWorkers: Int): Prepared = {
+      numWorkers: Int,
+      dcbs: Seq[DistributedCallback] = Nil): Prepared = {
     // ranking needs qid-contiguous partitions (matrix.py:70-102)
     val base =
       if (obj.needsGroups) {
@@ -131,15 +142,18 @@ object GraftBoost {
     val wi = spec.weightCol.map(cols.indexOf(_)).getOrElse(-1)
     val mi = spec.baseMarginCol.map(cols.indexOf(_)).getOrElse(-1)
     val qi = spec.qidCol.map(cols.indexOf(_)).getOrElse(-1)
-    assembled.rdd.map { row: Row =>
-      val f = row.getSeq[Float](0).toArray
-      val y = if (li >= 0 && !row.isNullAt(li)) row.getFloat(li) else 0f
-      val w = if (wi >= 0 && !row.isNullAt(wi)) row.getFloat(wi) else 1f
-      val m = if (mi >= 0 && !row.isNullAt(mi)) row.getFloat(mi)
-        else Float.NaN
-      val q = if (qi >= 0 && !row.isNullAt(qi)) row.getLong(qi) else 0L
-      (f, y, w, m, q)
-    }
+    assembled.rdd.mapPartitions({ it0 =>
+      val it = DistributedCallback.wrapLoading(dcbs, init = true)(it0)
+      it.map { row: Row =>
+        val f = row.getSeq[Float](0).toArray
+        val y = if (li >= 0 && !row.isNullAt(li)) row.getFloat(li) else 0f
+        val w = if (wi >= 0 && !row.isNullAt(wi)) row.getFloat(wi) else 1f
+        val m = if (mi >= 0 && !row.isNullAt(mi)) row.getFloat(mi)
+          else Float.NaN
+        val q = if (qi >= 0 && !row.isNullAt(qi)) row.getLong(qi) else 0L
+        (f, y, w, m, q)
+      }
+    }, preservesPartitioning = true)
   }
 
   private def toBinned(rows: Prepared, bins: Binner.Bins, obj: Objective,

@@ -415,7 +415,8 @@ object Trainer {
       p: TrainParams,
       callbacks: Seq[TrainingCallback] = Nil,
       initModel: Option[GraftModel] = None,
-      spark: Option[org.apache.spark.sql.SparkSession] = None)
+      spark: Option[org.apache.spark.sql.SparkSession] = None,
+      distributedCallbacks: Seq[DistributedCallback] = Nil)
       : TrainResult = {
     val obj = Objectives.resolve(p)
     require(p.customObjective.forall(_.name.startsWith("custom:")),
@@ -455,6 +456,15 @@ object Trainer {
       }
     }
     val totalN = data.count() // A3 total_n (main.py:1333-1335)
+
+    // C8 beforeTrain: one lightweight job over the cached partitions
+    if (distributedCallbacks.nonEmpty) {
+      val dcbs = distributedCallbacks
+      data.foreachPartition { (_: Iterator[(TrainInstance, Array[Float])]) =>
+        val r = DistributedCallback.rank()
+        dcbs.foreach(_.beforeTrain(r))
+      }
+    }
 
     val customByName = p.customMetrics.map(m => m.name -> m).toMap
     val metricNames = {
@@ -554,6 +564,15 @@ object Trainer {
           stop = true
       }
       round += 1
+    }
+
+    // C8 afterTrain, before the caches go away
+    if (distributedCallbacks.nonEmpty) {
+      val dcbs = distributedCallbacks
+      data.foreachPartition { (_: Iterator[(TrainInstance, Array[Float])]) =>
+        val r = DistributedCallback.rank()
+        dcbs.foreach(_.afterTrain(r))
+      }
     }
 
     data.unpersist(blocking = false)

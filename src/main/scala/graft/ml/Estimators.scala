@@ -117,27 +117,95 @@ class GraftRFRegressor extends GraftRegressor {
 
 final class GraftClassificationModel(m: GraftModel, s: DMatrixSpec,
     ev: Map[String, Map[String, ArrayBuffer[Double]]],
-    val numClasses: Int)
+    val numClasses: Int,
+    /** Sorted original label values; index = trained class id. Empty ⇒
+      * labels were already 0..k-1 (identity encoding). */
+    val classLabels: Array[Double] = Array.empty)
     extends GraftPredictionModel(m, s, ev) {
+
+  private def identity: Boolean = classLabels.isEmpty ||
+    classLabels.zipWithIndex.forall { case (v, i) => v == i.toDouble }
+
+  /** Multiclass predictions are decoded back to the ORIGINAL label
+    * values (reference label-encodes via sklearn, sklearn.py:722-737);
+    * binary predictions stay the positive-class probability (use
+    * `transformClass` for hard labels). */
+  override def transform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = GraftBoost.predict(model, df, spec)
+    if (identity || model.numClass < 2) base
+    else base.withColumn("prediction",
+      element_at(lit(classLabels), col("prediction").cast("int") + 1))
+  }
+
+  /** Hard class labels (sklearn predict): argmax / 0.5-threshold, decoded
+    * to original label values. */
+  def transformClass(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val labels = if (classLabels.nonEmpty) classLabels
+      else (0 until numClasses).map(_.toDouble).toArray
+    val base = GraftBoost.predict(model, df, spec)
+    if (model.numClass >= 2) // transform() path already argmaxes
+      this.transform(df)
+    else base.withColumn("prediction",
+      when(col("prediction") > 0.5, labels(1)).otherwise(labels(0)))
+  }
+
   /** predict_proba analog (sklearn.py:839-865): probabilities column. */
   def transformProba(df: DataFrame): DataFrame =
     GraftBoost.predict(model, df, spec)
 }
 
 /** RayXGBClassifier analog (sklearn.py:643-877): binary logistic vs
-  * multi:softprob chosen from the label cardinality (sklearn.py:704-719). */
+  * multi:softprob chosen from the label cardinality (sklearn.py:704-719).
+  * Arbitrary label values (e.g. {-1,1} or {1,2,3}) are label-encoded to
+  * 0..k-1 for training — the reference does the same through sklearn's
+  * LabelEncoder (sklearn.py:722-737) — and multiclass predictions are
+  * decoded back. */
 class GraftClassifier extends GraftPredictor[GraftClassificationModel](
     "binary:logistic") {
   private var numClassOverride: Int = 0
   def setNumClass(k: Int): this.type = { numClassOverride = k; this }
 
-  override protected def resolvedParams(df: DataFrame): TrainParams = {
-    val k = if (numClassOverride > 0) numClassOverride
-      else df.select(labelCol).distinct().count().toInt
-    if (k > 2) params.copy(objective = "multi:softprob", numClass = k)
-    else params.copy(objective =
-      if (params.objective.startsWith("multi")) params.objective
-      else "binary:logistic")
+  private val EncCol = "__graft_label"
+
+  override def fit(df: DataFrame): GraftClassificationModel = {
+    import org.apache.spark.sql.functions._
+    val labels: Array[Double] = df
+      .select(col(labelCol).cast("double").as("l"))
+      .na.drop().distinct().orderBy("l").collect().map(_.getDouble(0))
+    val k = if (numClassOverride > 0) numClassOverride else labels.length
+    require(k >= 2, s"need at least 2 distinct labels, found $k")
+    require(labels.length <= k,
+      s"found ${labels.length} distinct labels but numClass=$k")
+    val identity = labels.zipWithIndex
+      .forall { case (v, i) => v == i.toDouble }
+    val p =
+      if (k > 2) params.copy(objective = "multi:softprob", numClass = k)
+      else if (params.objective.startsWith("multi"))
+        params.copy(numClass = k)
+      else params.copy(objective = "binary:logistic")
+
+    def encode(d: DataFrame): DataFrame = {
+      var e: org.apache.spark.sql.Column = lit(null).cast("double")
+      labels.zipWithIndex.reverse.foreach { case (v, i) =>
+        e = when(col(labelCol).cast("double") === v, i.toDouble)
+          .otherwise(e)
+      }
+      d.withColumn(EncCol, e)
+    }
+
+    val baseSpec = spec
+    val (tdf, tSpec, tEvals) =
+      if (identity) (df, baseSpec, evalSets)
+      else (encode(df),
+        baseSpec.copy(labelCol = Seq(EncCol),
+          ignore = baseSpec.ignore :+ labelCol),
+        evalSets.map { case (n, e) => (n, encode(e)) })
+    val res = GraftBoost.train(tdf, tSpec, p, tEvals, numWorkers)
+    new GraftClassificationModel(res.model, baseSpec, res.evalsResult,
+      math.max(res.model.numClass, 2),
+      if (identity) Array.empty else labels)
   }
 
   protected def buildModel(res: TrainResult, s: DMatrixSpec) =

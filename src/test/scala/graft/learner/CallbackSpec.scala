@@ -1,0 +1,110 @@
+package graft.learner
+
+import graft.SparkTestBase
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Shared sink for hook events (local mode = one JVM). */
+object HookLog {
+  val events = new ConcurrentLinkedQueue[(Int, String)]()
+  def clear(): Unit = events.clear()
+  def list: List[(Int, String)] =
+    events.toArray(Array.empty[(Int, String)]).toList
+}
+
+/** C8 test double, mirroring test_end_to_end.py:279-320's
+  * _make_callback counter checks. */
+class RecordingCallback extends DistributedCallback {
+  private def rec(r: Int, h: String): Unit = HookLog.events.add((r, h))
+  override def onInit(r: Int): Unit = rec(r, "onInit")
+  override def beforeDataLoading(r: Int): Unit = rec(r, "beforeDataLoading")
+  override def afterDataLoading(r: Int): Unit = rec(r, "afterDataLoading")
+  override def beforeTrain(r: Int): Unit = rec(r, "beforeTrain")
+  override def afterTrain(r: Int): Unit = rec(r, "afterTrain")
+  override def beforePredict(r: Int): Unit = rec(r, "beforePredict")
+  override def afterPredict(r: Int): Unit = rec(r, "afterPredict")
+}
+
+class CallbackSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def trainDf = {
+    val rng = new scala.util.Random(41)
+    (1 to 200).map { _ =>
+      val x0 = rng.nextDouble(); val x1 = rng.nextDouble()
+      (x0, x1, if (x0 > x1) 1 else 0)
+    }.toDF("x0", "x1", "y")
+  }
+
+  test("distributed callbacks fire in lifecycle order per rank (C8)") {
+    HookLog.clear()
+    val cb = new RecordingCallback
+    val res = GraftBoost.train(trainDf, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numRounds = 2,
+        maxDepth = 2, seed = 1),
+      numWorkers = 4, distributedCallbacks = Seq(cb))
+    val events = HookLog.list
+    val hooks = events.map(_._2).toSet
+    assert(Set("onInit", "beforeDataLoading", "afterDataLoading",
+      "beforeTrain", "afterTrain").subsetOf(hooks), hooks.toString)
+    // per-rank: first onInit <= first beforeDataLoading <
+    //   first afterDataLoading <= first beforeTrain < first afterTrain
+    val ranks = events.filter(_._2 == "beforeTrain").map(_._1).distinct
+    assert(ranks.size === 4, s"expected 4 training ranks, got $ranks")
+    ranks.foreach { r =>
+      def first(h: String): Int = {
+        val i = events.indexOf((r, h))
+        assert(i >= 0, s"rank $r missing hook $h")
+        i
+      }
+      assert(first("onInit") <= first("beforeDataLoading"))
+      assert(first("beforeDataLoading") < first("afterDataLoading"))
+      assert(first("afterDataLoading") < first("beforeTrain"))
+      assert(first("beforeTrain") < first("afterTrain"))
+    }
+    // predict hooks fire when the output partitions are computed
+    HookLog.clear()
+    val pred = GraftBoost.predict(res.model, trainDf, DMatrixSpec("y"),
+      distributedCallbacks = Seq(cb))
+    assert(HookLog.list.isEmpty) // lazy: nothing fired yet
+    pred.count()
+    val pEvents = HookLog.list.map(_._2)
+    assert(pEvents.contains("beforePredict") &&
+      pEvents.contains("afterPredict"), pEvents.toString)
+  }
+
+  test("StopEvent halts training at the next round boundary (C6)") {
+    val stop = new StopEvent
+    val trigger = new TrainingCallback {
+      override def afterIteration(round: Int,
+          metrics: Map[String, Double]): Boolean = {
+        if (round >= 1) stop.set() // fires during round index 1
+        false
+      }
+    }
+    val res = GraftBoost.train(trainDf, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numRounds = 50,
+        maxDepth = 2, seed = 1),
+      numWorkers = 2, callbacks = Seq(trigger, stop))
+    assert(stop.isSet)
+    assert(res.roundsCompleted === 2,
+      s"expected stop after round 2, got ${res.roundsCompleted}")
+  }
+
+  test("ResultChannel carries worker items to the driver (C7)") {
+    val chan = new ResultChannel(spark.sparkContext)
+    val sender = new DistributedCallback {
+      override def beforeTrain(r: Int): Unit = chan.put(s"hello-$r")
+    }
+    GraftBoost.train(trainDf, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numRounds = 1,
+        maxDepth = 2, seed = 1),
+      numWorkers = 3, distributedCallbacks = Seq(sender))
+    val got = chan.items
+    assert(got.size >= 3, got.toString)
+    assert((0 until 3).forall(r => got.contains((r, s"hello-$r"))),
+      got.toString)
+  }
+}

@@ -75,6 +75,56 @@ class EstimatorSpec extends SparkTestBase {
     assert(corr > 0.7, s"corr=$corr")
   }
 
+  test("GraftClassifier label-encodes arbitrary label values " +
+      "(advisor r1: {1,2,3} and {-1,1} trained silently wrong)") {
+    // multiclass with labels {1,2,3}: must decode predictions back
+    val shifted = binaryDf.withColumn("label",
+      org.apache.spark.sql.functions.expr(
+        "cast(case when a > 0.66 then 3 when a > 0.33 then 2 " +
+          "else 1 end as int)"))
+    val m = new GraftClassifier().setNumRounds(10).setMaxDepth(3)
+      .setSeed(7).fit(shifted)
+    assert(m.numClasses === 3)
+    assert(m.classLabels.toSeq === Seq(1.0, 2.0, 3.0))
+    val preds = m.transform(shifted).select("label", "prediction").collect()
+    val predSet = preds.map(_.getDouble(1)).toSet
+    assert(predSet.subsetOf(Set(1.0, 2.0, 3.0)), predSet.toString)
+    val acc = preds.count(r => r.getInt(0).toDouble == r.getDouble(1))
+      .toDouble / preds.length
+    assert(acc > 0.9, s"decoded accuracy $acc")
+
+    // binary with labels {-1, 1}: hard-label path decodes
+    val pm = binaryDf.withColumn("label",
+      org.apache.spark.sql.functions.expr(
+        "cast(case when label = 1 then 1 else -1 end as int)"))
+    val mb = new GraftClassifier().setNumRounds(10).setMaxDepth(3)
+      .setSeed(7).fit(pm)
+    assert(mb.classLabels.toSeq === Seq(-1.0, 1.0))
+    val hard = mb.transformClass(pm).select("label", "prediction").collect()
+    assert(hard.map(_.getDouble(1)).toSet.subsetOf(Set(-1.0, 1.0)))
+    val accB = hard.count(r => r.getInt(0).toDouble == r.getDouble(1))
+      .toDouble / hard.length
+    assert(accB > 0.9, s"binary decoded accuracy $accB")
+  }
+
+  test("GraftGridSearch picks the better eta on a validation set (C11)") {
+    import graft.data.DMatrixSpec
+    import graft.learner.TrainParams
+    val df = binaryDf.withColumn("y", $"a" * 3 + $"b").drop("label")
+    val Array(tr, va) = df.randomSplit(Array(0.7, 0.3), seed = 11)
+    val grid = GraftGridSearch.expand(
+      TrainParams(objective = "reg:squarederror", numRounds = 10,
+        maxDepth = 3, seed = 1),
+      eta = Seq(0.01, 0.3))
+    assert(grid.size === 2)
+    val res = GraftGridSearch.fit(tr, DMatrixSpec("y"), grid, va)
+    assert(res.bestParams.eta === 0.3,
+      res.trials.map(t => s"${t.params.eta}->${t.score}").mkString(","))
+    assert(res.trials.size === 2)
+    assert(res.bestScore ===
+      res.trials.filter(_.params.eta == 0.3).head.score)
+  }
+
   test("model save/load through estimator wrapper (S12)") {
     val m = new GraftClassifier().setNumRounds(5).setMaxDepth(3)
       .setSeed(5).fit(binaryDf)
