@@ -73,6 +73,16 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ---- S4: in-memory numeric matrix source (f0..fN naming) ----
+    "s4_matrix_roundtrip" -> ((s, dir) => {
+      val rows = ld(s, dir, "nation")
+        .select(col("n_nationkey").cast("double"),
+          col("n_regionkey").cast("double"))
+        .orderBy("n_nationkey").collect()
+        .map(r => Array(r.getDouble(0), r.getDouble(1))).toSeq
+      DataLoader.fromMatrix(s, rows).orderBy("f0")
+    }),
+
     // ---- P1: ignore/drop columns ----
     "p1_ignore_drop" -> ((s, dir) => {
       ld(s, dir, "documents").drop("text", "source")
@@ -373,6 +383,10 @@ object SparkEntry {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "p1_ignore_drop" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "s4_matrix_roundtrip" ->
+      """SELECT CAST(n_nationkey AS DOUBLE) AS f0,
+        | CAST(n_regionkey AS DOUBLE) AS f1
+        | FROM nation ORDER BY f0""".stripMargin,
     "p3_role_project" ->
       """SELECT l_orderkey, l_partkey, l_suppkey,
         | CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,

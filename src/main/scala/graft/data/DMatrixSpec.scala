@@ -103,7 +103,11 @@ final case class DMatrixSpec(
     df.select((array(fcols: _*).as(DMatrixSpec.FeaturesCol) +: roles): _*)
   }
 
-  /** Analysis-time validation (matrix.py:890-892, main.py:1548-1553). */
+  /** Analysis-time validation (matrix.py:890-892, main.py:1548-1553):
+    * role columns exist, a label is present when required, feature
+    * columns carry numeric types (P6 type-compat check — the reference
+    * fails on non-numeric features inside xgb.DMatrix; we fail fast at
+    * plan time instead of silently casting strings to NaN). */
   def validate(df: DataFrame, requireLabel: Boolean): Unit = {
     val cols = df.columns.toSet
     val missingCols = (roleCols ++ ignore.filter(cols.contains))
@@ -113,6 +117,15 @@ final case class DMatrixSpec(
     if (requireLabel) require(hasLabel,
       "Training requires a label column (reference: RayDMatrix has_label " +
         "check, matrix.py:890-892)")
+    val nonNumeric = resolveFeatures(df).filter { f =>
+      df.schema(f).dataType match {
+        case _: NumericType => false
+        case _ => true
+      }
+    }
+    require(nonNumeric.isEmpty,
+      s"Non-numeric feature columns: ${nonNumeric.mkString(", ")} " +
+        "(cast them, list them in `ignore`, or set `featureCols`)")
     featureWeights.foreach { fw =>
       val n = resolveFeatures(df).size
       require(fw.length == n,

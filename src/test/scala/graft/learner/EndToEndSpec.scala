@@ -211,6 +211,73 @@ class EndToEndSpec extends SparkTestBase {
     assert(ml.last < ml.head)
   }
 
+  test("feature_weights steer node column sampling " +
+      "(test_end_to_end.py:429-470 semantics)") {
+    val rng = new scala.util.Random(37)
+    val rows = (1 to 300).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, a + b) // both features equally informative
+    }
+    val df = rows.toDF("a", "b", "y").repartition(2)
+    // weight 0 on feature 1 + colsample_bynode 0.5 (pick 1 of 2):
+    // every node must sample feature 0 only
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 5,
+        maxDepth = 3, seed = 5, colsampleByNode = 0.5,
+        featureWeights = Some(Array(1.0, 0.0))))
+    val dump = res.model.dump()
+    assert(dump.contains("[f0<="), "feature 0 never used")
+    assert(!dump.contains("[f1<="), s"zero-weighted feature 1 was used:\n$dump")
+    // flipped weights → only feature 1
+    val res2 = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 5,
+        maxDepth = 3, seed = 5, colsampleByNode = 0.5,
+        featureWeights = Some(Array(0.0, 1.0))))
+    assert(!res2.model.dump().contains("[f0<="))
+  }
+
+  test("weightCol: zero-weight rows do not influence the model") {
+    // discrete feature grid so quantile cuts are identical across the
+    // two datasets; the zero-weight rows carry corrupted labels
+    val rng = new scala.util.Random(43)
+    val base = (1 to 200).map { _ =>
+      val a = rng.nextInt(10).toDouble; val b = rng.nextInt(10).toDouble
+      (a, b, a - b, 1.0)
+    }
+    val poisoned = base ++ base.map { case (a, b, y, _) =>
+      (a, b, -10.0 * y + 7.0, 0.0) // garbage label, weight 0
+    }
+    val spec = DMatrixSpec(labelCol = Seq("y"), weightCol = Some("w"))
+    val p = TrainParams(objective = "reg:squarederror", numRounds = 5,
+      maxDepth = 3, seed = 5)
+    val clean = GraftBoost.train(
+      base.toDF("a", "b", "y", "w").coalesce(1), spec, p)
+    val withZeros = GraftBoost.train(
+      poisoned.toDF("a", "b", "y", "w").coalesce(1), spec, p)
+    assert(clean.model.dump() === withZeros.model.dump(),
+      "zero-weight rows changed the model")
+  }
+
+  test("missing= value is treated exactly like NaN") {
+    val rng = new scala.util.Random(47)
+    val rows = (1 to 300).map { i =>
+      val a = rng.nextInt(20).toDouble; val b = rng.nextInt(20).toDouble
+      (if (i % 7 == 0) -999.0 else a, b, a + 2 * b)
+    }
+    val sentinel = rows.toDF("a", "b", "y")
+    val nan = rows.map { case (a, b, y) =>
+      (if (a == -999.0) Double.NaN else a, b, y)
+    }.toDF("a", "b", "y")
+    val p = TrainParams(objective = "reg:squarederror", numRounds = 5,
+      maxDepth = 3, seed = 5)
+    val mSentinel = GraftBoost.train(sentinel.coalesce(1),
+      DMatrixSpec(labelCol = Seq("y"), missing = Some(-999.0)), p)
+    val mNan = GraftBoost.train(nan.coalesce(1),
+      DMatrixSpec(labelCol = Seq("y")), p)
+    assert(mSentinel.model.dump() === mNan.model.dump(),
+      "missing=-999 diverged from NaN handling")
+  }
+
   test("rank:pairwise improves AUC over rounds (F4 fixture)") {
     val rng = new scala.util.Random(17)
     // 40 groups of 5; relevance correlates with feature 0
