@@ -37,11 +37,15 @@ object GraftBoost {
       initModel: Option[GraftModel] = None,
       distributedCallbacks: Seq[DistributedCallback] = Nil): TrainResult = {
     val spark = df.sparkSession
-    spec.validate(df, requireLabel = true)
-    require(spec.labelCol.size == 1,
+    val obj = Objectives.resolve(params)
+    // survival objectives may declare bounds instead of a point label
+    // (matrix.py:333-343): label_lower_bound stands in as the label
+    val boundsOnly = obj.needsBounds && spec.labelCol.isEmpty &&
+      spec.labelLowerCol.isDefined
+    spec.validate(df, requireLabel = !boundsOnly)
+    require(spec.labelCol.size == 1 || boundsOnly,
       "trainer supports a single label column (multi-label loading is a " +
         "data-layer feature; see DMatrixSpec)")
-    val obj = Objectives.resolve(params)
 
     val prepared = prepare(df, spec, obj, numWorkers, distributedCallbacks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -119,8 +123,11 @@ object GraftBoost {
 
   // ---- internals ----
 
-  /** (features, label, weight, baseMargin, qid) rows. */
-  private type Prepared = RDD[(Array[Float], Float, Float, Float, Long)]
+  /** (features, label, weight, baseMargin, qid, upperBound) rows; label
+    * doubles as the survival lower bound, upperBound is NaN unless the
+    * spec declares survival bounds. */
+  private type Prepared =
+    RDD[(Array[Float], Float, Float, Float, Long, Float)]
 
   private def prepare(df: DataFrame, spec: DMatrixSpec, obj: Objective,
       numWorkers: Int,
@@ -138,10 +145,12 @@ object GraftBoost {
 
     val assembled = spec.assemble(base)
     val cols = assembled.columns
-    val li = spec.labelCol.headOption.map(cols.indexOf(_)).getOrElse(-1)
+    val li = spec.labelCol.headOption.orElse(spec.labelLowerCol)
+      .map(cols.indexOf(_)).getOrElse(-1)
     val wi = spec.weightCol.map(cols.indexOf(_)).getOrElse(-1)
     val mi = spec.baseMarginCol.map(cols.indexOf(_)).getOrElse(-1)
     val qi = spec.qidCol.map(cols.indexOf(_)).getOrElse(-1)
+    val ui = spec.labelUpperCol.map(cols.indexOf(_)).getOrElse(-1)
     assembled.rdd.mapPartitions({ it0 =>
       val it = DistributedCallback.wrapLoading(dcbs, init = true)(it0)
       it.map { row: Row =>
@@ -151,7 +160,10 @@ object GraftBoost {
         val m = if (mi >= 0 && !row.isNullAt(mi)) row.getFloat(mi)
           else Float.NaN
         val q = if (qi >= 0 && !row.isNullAt(qi)) row.getLong(qi) else 0L
-        (f, y, w, m, q)
+        val u = if (ui >= 0 && !row.isNullAt(ui)) row.getFloat(ui)
+          else if (ui < 0) y // no upper column ⇒ uncensored point label
+          else Float.NaN     // declared but NULL ⇒ right-censored (∞)
+        (f, y, w, m, q, u)
       }
     }, preservesPartitioning = true)
   }
@@ -161,11 +173,11 @@ object GraftBoost {
     val k = obj.numOutputs
     val init = obj.initMargin(baseScore)
     rows.mapPartitions({ it =>
-      it.map { case (f, y, w, m, q) =>
+      it.map { case (f, y, w, m, q, u) =>
         val margins = new Array[Float](k)
         val m0 = if (m.isNaN) init else m
         java.util.Arrays.fill(margins, m0)
-        (TrainInstance(bins.binRow(f), y, w, q), margins)
+        (TrainInstance(bins.binRow(f), y, w, q, u), margins)
       }
     }, preservesPartitioning = true)
   }

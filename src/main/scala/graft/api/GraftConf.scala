@@ -1,0 +1,57 @@
+package graft.api
+
+import graft.learner.TrainParams
+import org.apache.spark.sql.SparkSession
+
+/**
+ * `spark.graft.*` configuration surface (C13) — the Spark-idiomatic
+ * analog of the reference's env-var/config knobs (reference:
+ * xgboost_ray/main.py:70-92 reads RXGB_* environment variables;
+ * session.py config). Set via `--conf spark.graft.numRounds=50` or
+ * `spark.conf.set(...)`, then overlay onto a base `TrainParams`:
+ *
+ * {{{
+ *   val params = GraftConf.overlay(spark, TrainParams())
+ * }}}
+ *
+ * Only keys that are present override the base; everything else keeps
+ * the base value, so code-level params and cluster-level config compose.
+ */
+object GraftConf {
+
+  val Prefix = "spark.graft."
+
+  def overlay(spark: SparkSession,
+      base: TrainParams = TrainParams()): TrainParams = {
+    def get(k: String): Option[String] =
+      spark.conf.getOption(Prefix + k).map(_.trim).filter(_.nonEmpty)
+    var p = base
+    get("objective").foreach(v => p = p.copy(objective = v))
+    get("numClass").foreach(v => p = p.copy(numClass = v.toInt))
+    get("numRounds").foreach(v => p = p.copy(numRounds = v.toInt))
+    get("maxDepth").foreach(v => p = p.copy(maxDepth = v.toInt))
+    get("eta").foreach(v => p = p.copy(eta = v.toDouble))
+    get("lambda").foreach(v => p = p.copy(lambda = v.toDouble))
+    get("alpha").foreach(v => p = p.copy(alpha = v.toDouble))
+    get("gamma").foreach(v => p = p.copy(gamma = v.toDouble))
+    get("minChildWeight").foreach(v => p = p.copy(minChildWeight = v.toDouble))
+    get("subsample").foreach(v => p = p.copy(subsample = v.toDouble))
+    get("colsampleByTree").foreach(v => p = p.copy(colsampleByTree = v.toDouble))
+    get("colsampleByLevel").foreach(v => p = p.copy(colsampleByLevel = v.toDouble))
+    get("colsampleByNode").foreach(v => p = p.copy(colsampleByNode = v.toDouble))
+    get("maxBins").foreach(v => p = p.copy(maxBins = v.toInt))
+    get("baseScore").foreach(v => p = p.copy(baseScore = v.toDouble))
+    get("numParallelTree").foreach(v => p = p.copy(numParallelTree = v.toInt))
+    get("aftSigma").foreach(v => p = p.copy(aftSigma = v.toDouble))
+    get("seed").foreach(v => p = p.copy(seed = v.toLong))
+    get("earlyStoppingRounds").foreach(v =>
+      p = p.copy(earlyStoppingRounds = v.toInt))
+    get("evalMetric").foreach(v =>
+      p = p.copy(evalMetric = v.split(",").map(_.trim).filter(_.nonEmpty)
+        .toSeq))
+    get("checkpointEvery").foreach(v => p = p.copy(checkpointEvery = v.toInt))
+    get("checkpointPath").foreach(v => p = p.copy(checkpointPath = Some(v)))
+    get("maxHistBytes").foreach(v => p = p.copy(maxHistBytes = v.toLong))
+    p
+  }
+}

@@ -28,6 +28,13 @@ trait Objective extends Serializable {
       grad: Array[Float], hess: Array[Float]): Unit
   /** Whether gradient computation needs whole-qid groups. */
   def needsGroups: Boolean = false
+  /** Whether gradients consume (label_lower, label_upper) survival
+    * bounds instead of a point label (matrix.py:333-343). */
+  def needsBounds: Boolean = false
+  /** Survival-style gradient from interval bounds (needsBounds = true). */
+  def gradHessBounds(margin: Array[Float], lower: Float, upper: Float,
+      grad: Array[Float], hess: Array[Float]): Unit =
+    throw new UnsupportedOperationException(s"$name takes point labels")
   /** Ranking-style gradient over one query group (margins flat, 1 output). */
   def groupGradients(margins: Array[Float], labels: Array[Float],
       weights: Array[Float], grad: Array[Float], hess: Array[Float],
@@ -119,6 +126,65 @@ object Objectives {
   }
 
   /**
+   * survival:aft — accelerated-failure-time objective with a normal
+   * error distribution (the xgboost AFT default), consuming
+   * (label_lower_bound, label_upper_bound) interval labels
+   * (reference: matrix.py:333-343 carries the bounds to xgb.DMatrix;
+   * the loss itself is the published AFT-in-XGBoost formulation).
+   *
+   * Margin is in LOG-time; predictions are exp(margin) (time domain).
+   * base_score is interpreted directly in the margin (log-time) domain.
+   * Uncensored rows (lower == upper == y) reduce at sigma=1 exactly to
+   * squared error on ln(y): z = ln(y) − m, grad = −z, hess = 1.
+   * Interval/right/left-censored rows use −ln(Φ(z_u) − Φ(z_l)).
+   */
+  final class AftNormal(sigma: Double = 1.0) extends Objective {
+    require(sigma > 0, "aft sigma must be positive")
+    val name = "survival:aft"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = b.toFloat
+    def transform(m: Array[Float]): Array[Float] =
+      Array(math.exp(m(0)).toFloat)
+    override def needsBounds: Boolean = true
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = gradHessBounds(m, y, y, g, h)
+
+    @inline private def pdf(z: Double): Double =
+      if (z.isInfinite) 0.0
+      else math.exp(-0.5 * z * z) / math.sqrt(2.0 * math.Pi)
+    @inline private def cdf(z: Double): Double =
+      if (z == Double.PositiveInfinity) 1.0
+      else if (z == Double.NegativeInfinity) 0.0
+      else 0.5 * (1.0 + org.apache.commons.math3.special.Erf.erf(
+        z / math.sqrt(2.0)))
+
+    override def gradHessBounds(m: Array[Float], lower: Float,
+        upper: Float, g: Array[Float], h: Array[Float]): Unit = {
+      val lnL = if (lower > 0 && !lower.isInfinite) math.log(lower.toDouble)
+        else Double.NegativeInfinity
+      val lnU = if (upper.isNaN || upper.isInfinite) Double.PositiveInfinity
+        else if (upper > 0) math.log(upper.toDouble)
+        else Double.NegativeInfinity
+      if (lnL == lnU) { // uncensored: −ln pdf(z), normal ⇒ 0.5 z²
+        val z = (lnL - m(0)) / sigma
+        g(0) = (-z / sigma).toFloat
+        h(0) = (1.0 / (sigma * sigma)).toFloat
+      } else {          // censored: −ln(Φ(z_u) − Φ(z_l))
+        val zU = (lnU - m(0)) / sigma
+        val zL = (lnL - m(0)) / sigma
+        val d = math.max(cdf(zU) - cdf(zL), 1e-15)
+        val pU = pdf(zU); val pL = pdf(zL)
+        val grad = (pU - pL) / (sigma * d)
+        val zpU = if (zU.isInfinite) 0.0 else zU * pU
+        val zpL = if (zL.isInfinite) 0.0 else zL * pL
+        val hess = (zpU - zpL) / (sigma * sigma * d) + grad * grad
+        g(0) = grad.toFloat
+        h(0) = math.max(hess, 1e-16).toFloat
+      }
+    }
+  }
+
+  /**
    * rank:pairwise — LambdaRank-style pairwise logistic loss over each qid
    * group (all (winner, loser) pairs). Needs qid-contiguous partitions
    * (reference sorts by qid for exactly this reason, matrix.py:70-102).
@@ -173,7 +239,9 @@ object Objectives {
   /** Effective objective for a parameter set: the custom hook wins
     * (reference sklearn.py:511-515 `obj=` passthrough). */
   def resolve(p: TrainParams): Objective =
-    p.customObjective.getOrElse(forName(p.objective, p.numClass))
+    p.customObjective.getOrElse(
+      if (p.objective == "survival:aft") new AftNormal(p.aftSigma)
+      else forName(p.objective, p.numClass))
 
   def forName(name: String, numClass: Int): Objective = name match {
     case "reg:squarederror" | "reg:linear" => new SquaredError
@@ -183,6 +251,7 @@ object Objectives {
     case "multi:softprob" => new Softmax(numClass, prob = true)
     case "multi:softmax" => new Softmax(numClass, prob = false)
     case "rank:pairwise" => new PairwiseRank
+    case "survival:aft" => new AftNormal()
     case c if c.startsWith("custom:") => new RawIdentity(c, numClass)
     case other => throw new IllegalArgumentException(
       s"unknown objective '$other'")

@@ -32,6 +32,9 @@ final case class TrainParams(
       * the forest is a bagged average (divergence from xgboost, which
       * sums unscaled — ours keeps single-round regression unbiased). */
     numParallelTree: Int = 1,
+    /** survival:aft error-distribution scale (xgboost
+      * aft_loss_distribution_scale). */
+    aftSigma: Double = 1.0,
     seed: Long = 0L,
     earlyStoppingRounds: Int = 0,
     evalMetric: Seq[String] = Nil,
@@ -61,9 +64,11 @@ final case class CustomMetric(
     fn: (Array[Float], Float, Float) => (Double, Double),
     isMaximize: Boolean = false) extends Serializable
 
-/** One binned training row. bins(f) ∈ [0, numBins(f)) or 255=missing. */
+/** One binned training row. bins(f) ∈ [0, numBins(f)) or 255=missing.
+  * `upper` is the survival upper bound (NaN unless the objective needs
+  * bounds; `label` doubles as the lower bound — matrix.py:333-343). */
 final case class TrainInstance(bins: Array[Byte], label: Float,
-    weight: Float, qid: Long)
+    weight: Float, qid: Long, upper: Float = Float.NaN)
 
 /** Per-iteration callback (reference C9: compat/__init__.py:6-44). */
 trait TrainingCallback extends Serializable {
@@ -201,7 +206,9 @@ object Trainer {
         it.map { case (inst, m) =>
           val gh = new Array[Float](2 * k)
           val g = new Array[Float](k); val h = new Array[Float](k)
-          obj.gradHess(m, inst.label, g, h)
+          if (obj.needsBounds)
+            obj.gradHessBounds(m, inst.label, inst.upper, g, h)
+          else obj.gradHess(m, inst.label, g, h)
           var c = 0
           while (c < k) {
             gh(2 * c) = g(c) * inst.weight

@@ -214,7 +214,7 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxPosting: Int = 200): DataFrame = {
+      maxPosting: Int = 100): DataFrame = {
     val toks = TextOps.tokens(lower(col(textCol)))
     val gramArr = when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
