@@ -94,10 +94,9 @@ object GraftBoost {
         .otherwise(col(f).cast("float"))): _*)
     val out = if (model.numClass >= 2 && model.objective == "multi:softprob") {
       val probaUdf = udf { xs: Seq[Float] =>
-        val m = bc.value.margins(xs.toArray)
-        if (outputMargin) m.toSeq
-        else Objectives.forName(bc.value.objective, bc.value.numClass)
-          .transform(m).toSeq
+        val mdl = bc.value
+        if (outputMargin) mdl.margins(xs.toArray).toSeq
+        else mdl.predict(xs.toArray).toSeq
       }
       val withP = df.withColumn("probabilities", probaUdf(featsArr))
       withP.withColumn("prediction",

@@ -84,11 +84,16 @@ final class GraftModel(
 
   def numOutputs: Int = math.max(numClass, 1)
 
+  /** Objective resolved once per (de)serialized copy — NOT per row (the
+    * predict UDF calls margins/predict for every row). */
+  @transient private lazy val obj: Objective =
+    Objectives.forName(objective, numClass)
+  @transient private lazy val bias: Float = obj.initMargin(baseScore)
+
   /** Raw margin(s) for one row (inference path, unbinned floats). */
   def margins(x: Array[Float]): Array[Float] = {
     val k = numOutputs
     val out = new Array[Float](k)
-    val bias = Objectives.forName(objective, numClass).initMargin(baseScore)
     java.util.Arrays.fill(out, bias)
     var t = 0
     while (t < trees.length) {
@@ -99,8 +104,7 @@ final class GraftModel(
   }
 
   /** Transformed prediction: prob / value / softprob vector. */
-  def predict(x: Array[Float]): Array[Float] =
-    Objectives.forName(objective, numClass).transform(margins(x))
+  def predict(x: Array[Float]): Array[Float] = obj.transform(margins(x))
 
   def dump(): String =
     trees.zipWithIndex.map { case (t, i) => t.dump(i) }.mkString

@@ -123,11 +123,55 @@ object TextOps {
     array(scores: _*)
   }
 
-  /** Detected language code, "und" when no profile scores > 0. */
+  /** Detected language code, "und" when no profile scores > 0.
+    *
+    * Single-pass UDF over the token stream with per-language hash sets:
+    * the Column-expression variant (`langScores` + array_max) runs the
+    * higher-order `filter` lambda interpreted — not codegen'd — per
+    * profile, ~4 passes per document. Semantics are identical, including
+    * the tie-break (equal scores prefer fr > es > en > de, matching the
+    * struct-max ordering and the driver oracle). */
   def langId(text: Column): Column = {
-    val best = array_max(langScores(text))
-    when(best.getField("score") > 0, best.getField("lang"))
-      .otherwise(lit("und"))
+    val profileSets: Seq[(String, Set[String])] =
+      Profiles.map { case (l, ws) => (l, ws.toSet) }
+    val f = udf { s: String =>
+      if (s == null) "und"
+      else {
+        val t = s.toLowerCase.trim
+        if (t.isEmpty) "und"
+        else {
+          val toks = t.split("\\s+")
+          val hits = new Array[Int](profileSets.length)
+          var i = 0
+          while (i < toks.length) {
+            var p = 0
+            while (p < profileSets.length) {
+              if (profileSets(p)._2.contains(toks(i))) hits(p) += 1
+              p += 1
+            }
+            i += 1
+          }
+          var best = -1
+          var bestScore = 0.0
+          var p = 0
+          while (p < profileSets.length) {
+            val sc = hits(p).toDouble / toks.length
+            // >= with ascending profile order ⇒ ties prefer the LAST
+            // profile in (en, de, fr, es) sorted by lang code:
+            // struct-max picks lexicographically-largest lang on ties
+            if (sc > bestScore ||
+                (sc == bestScore && best >= 0 && sc > 0 &&
+                  profileSets(p)._1 > profileSets(best)._1)) {
+              best = p; bestScore = sc
+            }
+            p += 1
+          }
+          if (best < 0 || bestScore == 0.0) "und"
+          else profileSets(best)._1
+        }
+      }
+    }
+    f(text)
   }
 
   /**
