@@ -67,6 +67,52 @@ object GraftBoost {
       Some(spark), distributedCallbacks)
   }
 
+  /** Per-label results of a multi-label run. */
+  final case class MultiLabelResult(results: Seq[(String, TrainResult)]) {
+    def models: Seq[(String, GraftModel)] =
+      results.map { case (n, r) => (n, r.model) }
+  }
+
+  /** The per-label spec a multi-label run trains/predicts with: the
+    * other label columns are ignored so the feature set is identical
+    * across labels. */
+  private def singleLabelSpec(spec: DMatrixSpec, label: String)
+      : DMatrixSpec =
+    spec.copy(labelCol = Seq(label),
+      ignore = spec.ignore ++ spec.labelCol.filterNot(_ == label))
+
+  /**
+   * Multi-label training (matrix.py:410-425: list-of-names labels,
+   * Parquet multi-label loading): one boosted ensemble per label column
+   * over the SAME feature set — the per-target-tree layout xgboost
+   * multi-output uses, trained sequentially with full cluster
+   * parallelism per target.
+   */
+  def trainMultiLabel(
+      df: DataFrame,
+      spec: DMatrixSpec,
+      params: TrainParams,
+      evals: Seq[(String, DataFrame)] = Nil,
+      numWorkers: Int = 0): MultiLabelResult = {
+    require(spec.labelCol.size >= 2,
+      s"multi-label needs >=2 label columns, got ${spec.labelCol}")
+    MultiLabelResult(spec.labelCol.map { l =>
+      (l, train(df, singleLabelSpec(spec, l), params, evals, numWorkers))
+    })
+  }
+
+  /** Append one `prediction_<label>` column per trained label. */
+  def predictMultiLabel(result: MultiLabelResult, df: DataFrame,
+      spec: DMatrixSpec): DataFrame = {
+    // earlier prediction columns must not leak into later feature sets
+    val predCols = result.results.map { case (l, _) => s"prediction_$l" }
+    result.results.foldLeft(df) { case (acc, (l, r)) =>
+      val s = singleLabelSpec(spec, l)
+      predict(r.model, acc, s.copy(ignore = s.ignore ++ predCols))
+        .withColumnRenamed("prediction", s"prediction_$l")
+    }
+  }
+
   /**
    * Batch prediction — analog of `predict()` (main.py:1750-1806): model
    * broadcast (the `ray.put(model)` at main.py:1790), embarrassingly

@@ -9,11 +9,14 @@ import org.apache.spark.rdd.RDD
  * `hist` as the distributable tree method, main.py:1506-1515 rejects
  * `exact`).
  *
- * v1 sketch: a seeded uniform row sample (capped at `maxSampleRows`)
- * collected to the driver, exact quantiles on the sample. This is the
- * standard sample-based sketch (same family LightGBM uses); at 100 TB
- * the sample is still `maxSampleRows` — the collect is O(sample), not
- * O(data), and the binning pass itself is a single distributed map.
+ * Two sketch paths:
+ *  - `totalRows <= maxSampleRows`: exact quantiles on the collected
+ *    rows — deterministic regardless of partitioning (what the
+ *    golden-equality tests rely on).
+ *  - larger data: one distributed pass building a Greenwald-Khanna
+ *    `QuantileSummaries` PER FEATURE, tree-merged. Driver traffic is
+ *    O(features × sketch), independent of row count AND of feature
+ *    width × sample size — no 200k-row collect blow-up on wide tables.
  *
  * Bin layout: `cuts(f)` are interior boundaries; bin(x) = #{c < x}, so
  * bin(x) <= b  ⇔  x <= cuts(f)(b). numBins(f) = cuts(f).length + 1.
@@ -63,14 +66,16 @@ object Binner {
   def fit(rows: RDD[Array[Float]], totalRows: Long, maxBins: Int = 256,
       maxSampleRows: Int = 200000, seed: Long = 42L): Bins = {
     require(maxBins >= 2 && maxBins <= 256, s"maxBins in [2,256]: $maxBins")
-    val sample: Array[Array[Float]] =
-      if (totalRows <= maxSampleRows) rows.collect()
-      else rows.sample(withReplacement = false,
-        math.min(1.0, maxSampleRows.toDouble / totalRows * 1.1), seed)
-        .collect()
+    val nCuts = math.min(maxBins - 1, MaxCuts)
+    if (totalRows <= maxSampleRows) fitExact(rows, nCuts)
+    else fitSketch(rows, nCuts)
+  }
+
+  /** Exact quantiles on collected rows (small data / tests). */
+  private def fitExact(rows: RDD[Array[Float]], nCuts: Int): Bins = {
+    val sample = rows.collect()
     require(sample.nonEmpty, "cannot fit bins on an empty dataset")
     val numFeatures = sample.head.length
-    val nCuts = math.min(maxBins - 1, MaxCuts)
     val cuts = Array.tabulate(numFeatures) { f =>
       val vals = sample.iterator.map(_(f)).filterNot(_.isNaN).toArray
       if (vals.isEmpty) Array.empty[Float]
@@ -80,6 +85,45 @@ object Binner {
         val raw = (1 to nCuts).iterator
           .map(i => vals(((i.toLong * (vals.length - 1)) / (nCuts + 1)).toInt))
           .toArray
+        dedupeSorted(raw)
+      }
+    }
+    Bins(cuts)
+  }
+
+  /** Distributed Greenwald-Khanna sketch per feature (one data pass,
+    * tree-merged; the engine approxQuantile machinery). */
+  private def fitSketch(rows: RDD[Array[Float]], nCuts: Int): Bins = {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    val numFeatures = rows.first().length
+    val relErr = math.min(0.25 / (nCuts + 1), 0.001)
+    val zero = Array.fill(numFeatures)(new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, relErr))
+    val merged = rows.treeAggregate(zero)(
+      seqOp = { (acc, row) =>
+        var f = 0
+        while (f < numFeatures && f < row.length) {
+          if (!row(f).isNaN) acc(f) = acc(f).insert(row(f).toDouble)
+          f += 1
+        }
+        acc
+      },
+      combOp = { (a, b) =>
+        var f = 0
+        while (f < numFeatures) {
+          a(f) = a(f).compress().merge(b(f).compress())
+          f += 1
+        }
+        a
+      },
+      depth = 2)
+    val cuts = Array.tabulate(numFeatures) { f =>
+      val s = merged(f).compress()
+      if (s.count == 0) Array.empty[Float]
+      else {
+        val raw = (1 to nCuts).iterator
+          .flatMap(i => s.query(i.toDouble / (nCuts + 1)))
+          .map(_.toFloat).toArray
         dedupeSorted(raw)
       }
     }

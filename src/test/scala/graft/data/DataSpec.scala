@@ -49,6 +49,28 @@ class DataSpec extends SparkTestBase {
       .validate(df, requireLabel = true)
   }
 
+  test("Binner sketch path: distributed quantiles track exact ones") {
+    import graft.learner.Binner
+    val rng = new scala.util.Random(67)
+    val data = (1 to 300000).map(_ => Array(rng.nextFloat() * 100,
+      rng.nextGaussian().toFloat))
+    val rdd = spark.sparkContext.parallelize(data, 8)
+    // force the sketch path (totalRows > maxSampleRows)
+    val sketch = Binner.fit(rdd, data.size, maxBins = 64,
+      maxSampleRows = 1000)
+    val exact = Binner.fit(rdd, data.size, maxBins = 64,
+      maxSampleRows = 1000000)
+    assert(sketch.numFeatures === 2)
+    // uniform feature: cuts of the 64-bin sketch within 1.5 of exact
+    val maxDiff = sketch.cuts(0).zip(exact.cuts(0))
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(sketch.cuts(0).length === exact.cuts(0).length)
+    assert(maxDiff < 1.5, s"sketch cuts drifted by $maxDiff")
+    // binning stays total: every value lands in [0, numBins)
+    val b = sketch.binRow(Array(-5f, 0f))
+    assert((b(0) & 0xFF) >= 0 && (b(0) & 0xFF) < sketch.numBins(0))
+  }
+
   test("missing role columns are reported by name") {
     val df = Seq((1.0, 2.0)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {

@@ -211,6 +211,34 @@ class EndToEndSpec extends SparkTestBase {
     assert(ml.last < ml.head)
   }
 
+  test("multi-label training: one ensemble per label column " +
+      "(matrix.py:410-425 semantics)") {
+    val rng = new scala.util.Random(61)
+    val rows = (1 to 300).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 2.0 * a, 3.0 * b - a)
+    }
+    val df = rows.toDF("a", "b", "y1", "y2").repartition(3)
+    val spec = DMatrixSpec(labelCol = Seq("y1", "y2"))
+    val res = GraftBoost.trainMultiLabel(df, spec,
+      TrainParams(objective = "reg:squarederror", numRounds = 25,
+        maxDepth = 3, seed = 5))
+    assert(res.models.map(_._1) === Seq("y1", "y2"))
+    // both targets use the same 2-feature set (labels excluded)
+    res.models.foreach { case (_, m) => assert(m.numFeatures === 2) }
+    val pred = GraftBoost.predictMultiLabel(res, df, spec)
+    val rmse = pred.selectExpr(
+      "sqrt(avg(pow(prediction_y1 - y1, 2))) as r1",
+      "sqrt(avg(pow(prediction_y2 - y2, 2))) as r2").head()
+    assert(rmse.getDouble(0) < 0.1, s"y1 rmse ${rmse.getDouble(0)}")
+    assert(rmse.getDouble(1) < 0.15, s"y2 rmse ${rmse.getDouble(1)}")
+    // single-label train still rejects multi-label specs
+    val e = intercept[IllegalArgumentException] {
+      GraftBoost.train(df, spec, TrainParams(numRounds = 1))
+    }
+    assert(e.getMessage.contains("single label"))
+  }
+
   test("feature_weights steer node column sampling " +
       "(test_end_to_end.py:429-470 semantics)") {
     val rng = new scala.util.Random(37)
