@@ -306,33 +306,42 @@ object Trainer {
           slotOf, chunkFeats)
         val bc = sc.broadcast(pt)
         val histSize = chunk.length * fPerNode * b * 2
-        val hist = grads.treeAggregate(new Array[Double](histSize))(
-          seqOp = { (acc, row) =>
-            val (rb, gh, salt) = row
-            val keep = subsampleCut == Int.MaxValue ||
-              mixInt(salt, treeSalt) < subsampleCut
-            val node = if (keep) route(bc.value, rb) else -1
-            val slot = if (node >= 0) bc.value.slotOf(node) else -1
-            if (slot >= 0) {
-              val g = gh(2 * cls); val h = gh(2 * cls + 1)
-              val fl = bc.value.featLists(slot)
-              var j = 0
-              while (j < fl.length) {
-                val bi = rb(fl(j)) & 0xFF
-                val slotBin = if (bi == MissingBin) b - 1 else bi
-                val idx = ((slot * fPerNode + j) * b + slotBin) * 2
-                acc(idx) += g; acc(idx + 1) += h
-                j += 1
-              }
+        val seqOp = (acc: Array[Double],
+            row: (Array[Byte], Array[Float], Int)) => {
+          val (rb, gh, salt) = row
+          val keep = subsampleCut == Int.MaxValue ||
+            mixInt(salt, treeSalt) < subsampleCut
+          val node = if (keep) route(bc.value, rb) else -1
+          val slot = if (node >= 0) bc.value.slotOf(node) else -1
+          if (slot >= 0) {
+            val g = gh(2 * cls); val h = gh(2 * cls + 1)
+            val fl = bc.value.featLists(slot)
+            var j = 0
+            while (j < fl.length) {
+              val bi = rb(fl(j)) & 0xFF
+              val slotBin = if (bi == MissingBin) b - 1 else bi
+              val idx = ((slot * fPerNode + j) * b + slotBin) * 2
+              acc(idx) += g; acc(idx + 1) += h
+              j += 1
             }
-            acc
-          },
-          combOp = { (a, c) =>
-            var i = 0
-            while (i < a.length) { a(i) += c(i); i += 1 }
-            a
-          },
-          depth = 2)
+          }
+          acc
+        }
+        val combOp = (a: Array[Double], c: Array[Double]) => {
+          var i = 0
+          while (i < a.length) { a(i) += c(i); i += 1 }
+          a
+        }
+        // small total merge volume → single-stage aggregate (driver
+        // merges the partials); big volume → tree merge so the driver
+        // never receives numPartitions × histogram at once. The extra
+        // treeAggregate stage is pure latency when histograms are KBs.
+        val mergeBytes = histSize.toLong * 8L * grads.getNumPartitions
+        val hist =
+          if (mergeBytes < (64L << 20))
+            grads.aggregate(new Array[Double](histSize))(seqOp, combOp)
+          else grads.treeAggregate(new Array[Double](histSize))(
+            seqOp, combOp, depth = 2)
         bc.destroy()
 
         // driver-side split finding per node in this chunk

@@ -268,21 +268,36 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (size(col("grams")).cast("double") * (1.0 - threshold))
       .cast("int") + 1
-    val posting = grams.select(col("id"),
+    // posting rows carry (id, |grams|) packed into one long so the pair
+    // generator can apply the AllPairs SIZE filter in place: jaccard >= t
+    // forces min(|A|,|B|) >= t * max(|A|,|B|) — mismatched sizes never
+    // reach verification
+    val SzBits = 20
+    val packed = (col("id") * (1L << SzBits)) +
+      least(size(col("grams")), lit((1 << SzBits) - 1))
+    val posting = grams.select(packed.as("pid"),
       explode(slice(col("grams"), lit(1), prefixLen)).as("gram"))
+    val t = threshold
     val pairUdf = udf { ids: Seq[Long] =>
       val s = ids.sorted.toArray
+      val mask = (1L << SzBits) - 1
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       var i = 0
       while (i < s.length) {
+        val szI = (s(i) & mask).toDouble
         var j = i + 1
-        while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+        while (j < s.length) {
+          val szJ = (s(j) & mask).toDouble
+          if (math.min(szI, szJ) >= t * math.max(szI, szJ))
+            out += ((s(i) >> SzBits, s(j) >> SzBits))
+          j += 1
+        }
         i += 1
       }
       out.toSeq
     }
     val candidates = posting.groupBy("gram")
-      .agg(collect_list("id").as("ids"))
+      .agg(collect_list("pid").as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxPosting)
       .select(explode(pairUdf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
