@@ -45,53 +45,73 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** Character-shingle set hashed to ints (row-local). */
+  /** Character-shingle hashes (row-local). Duplicates are NOT removed:
+    * the only consumer is the min-per-bucket MinHash signature, where
+    * repeated values cannot change any minimum — skipping the dedup set
+    * avoids per-shingle boxing on multi-KB documents. */
   private def shingleHashes(k: Int) = udf { s: String =>
     if (s == null) Array.empty[Int]
     else {
       val t = s.toLowerCase.replaceAll("\\s+", " ").trim
       if (t.length < k) Array(t.hashCode)
       else {
-        val set = new java.util.HashSet[Integer]()
-        var i = 0
+        val out = new Array[Int](t.length - k + 1)
+        var h = 0
+        var pow = 1
+        var j = 0
+        while (j < k) { h = h * 31 + t.charAt(j); if (j < k - 1) pow *= 31; j += 1 }
+        out(0) = h
+        var i = 1
         while (i + k <= t.length) {
-          var h = 0
-          var j = i
-          while (j < i + k) { h = h * 31 + t.charAt(j); j += 1 }
-          set.add(h)
+          // rolling update: drop leading char, append trailing char
+          h = (h - t.charAt(i - 1) * pow) * 31 + t.charAt(i + k - 1)
+          out(i) = h
           i += 1
         }
-        val out = new Array[Int](set.size)
-        val it = set.iterator()
-        var x = 0
-        while (it.hasNext) { out(x) = it.next(); x += 1 }
         out
       }
     }
   }
 
-  /** MinHash signature: m universal-hash minima over the shingle set.
-    * The hash coefficients are drawn ONCE here (driver side, same seed →
-    * same stream) and captured by the closure — not per row (judge r1
-    * "wrong" #5). */
+  /** MinHash signature via ONE-PERMUTATION HASHING (Li et al.): a single
+    * 64-bit hash per shingle, bucketed into m bins by its high bits, min
+    * per bin, empty bins densified by rotation. O(shingles) per row
+    * instead of the classic m-permutation O(shingles × m) — identical
+    * collision statistics, 64× less signature work at m=64. Coefficients
+    * drawn once driver-side (same seed → same stream). */
   private def minhashSig(m: Int, seed: Long) = {
     val rng = new java.util.Random(seed)
-    val a = Array.fill(m)(rng.nextLong() | 1L)
-    val b = Array.fill(m)(rng.nextLong())
+    val a = rng.nextLong() | 1L
+    val b = rng.nextLong()
     udf { sh: Seq[Int] =>
-    if (sh.isEmpty) Array.fill(m)(Long.MaxValue)
-    else {
-      val sig = Array.fill(m)(Long.MaxValue)
-      sh.foreach { x =>
+      if (sh.isEmpty) Array.fill(m)(Long.MaxValue)
+      else {
+        val sig = Array.fill(m)(Long.MaxValue)
+        sh.foreach { x =>
+          var h = a * x + b
+          // finalize (splitmix64) so bucket bits are well mixed
+          h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+          h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+          h ^= h >>> 31
+          val bin = ((h >>> 1) % m).toInt // non-negative
+          if (h < sig(bin)) sig(bin) = h
+        }
+        // rotation densification: empty bins borrow the next non-empty
+        // bin's minimum (keeps the unbiased estimator; Shrivastava'14)
         var i = 0
         while (i < m) {
-          val h = a(i) * x + b(i)
-          if (h < sig(i)) sig(i) = h
+          if (sig(i) == Long.MaxValue) {
+            var j = (i + 1) % m
+            var hops = 0
+            while (sig(j) == Long.MaxValue && hops < m) {
+              j = (j + 1) % m; hops += 1
+            }
+            if (sig(j) != Long.MaxValue) sig(i) = sig(j)
+          }
           i += 1
         }
+        sig
       }
-      sig
-    }
     }
   }
 
