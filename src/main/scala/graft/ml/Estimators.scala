@@ -154,6 +154,16 @@ final class GraftClassificationModel(m: GraftModel, s: DMatrixSpec,
   /** predict_proba analog (sklearn.py:839-865): probabilities column. */
   def transformProba(df: DataFrame): DataFrame =
     GraftBoost.predict(model, df, spec)
+
+  /** Model sink including the label mapping (classes_ analog). */
+  override def save(spark: SparkSession, path: String): Unit = {
+    super.save(spark, path)
+    if (classLabels.nonEmpty) {
+      import spark.implicits._
+      classLabels.toSeq.zipWithIndex.toDF("label", "idx")
+        .write.mode("overwrite").parquet(s"$path/labels")
+    }
+  }
 }
 
 /** RayXGBClassifier analog (sklearn.py:643-877): binary logistic vs
@@ -242,12 +252,17 @@ class GraftRanker extends GraftPredictor[GraftRankerModel](
 }
 
 object GraftPredictionModel {
-  /** Model source (S12): load + rewrap. */
+  /** Model source (S12): load + rewrap, restoring the label mapping
+    * when the sink wrote one. */
   def loadClassifier(spark: SparkSession, path: String,
       spec: DMatrixSpec): GraftClassificationModel = {
     val m = GraftModel.load(spark, path)
+    val labels: Array[Double] =
+      try spark.read.parquet(s"$path/labels").orderBy("idx")
+        .collect().map(_.getDouble(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => Array.empty }
     new GraftClassificationModel(m, spec, Map.empty,
-      math.max(m.numClass, 2))
+      math.max(m.numClass, 2), labels)
   }
   def loadRegressor(spark: SparkSession, path: String,
       spec: DMatrixSpec): GraftRegressionModel = {

@@ -125,6 +125,25 @@ class EstimatorSpec extends SparkTestBase {
       res.trials.filter(_.params.eta == 0.3).head.score)
   }
 
+  test("classifier save/load round-trips the label mapping (S12)") {
+    val shifted = binaryDf.withColumn("label",
+      org.apache.spark.sql.functions.expr(
+        "cast(case when a > 0.66 then 3 when a > 0.33 then 2 " +
+          "else 1 end as int)"))
+    val m = new GraftClassifier().setNumRounds(5).setMaxDepth(3)
+      .setSeed(13).fit(shifted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lbl").toString
+    m.save(spark, dir)
+    val loaded = GraftPredictionModel.loadClassifier(spark, dir, m.spec)
+    assert(loaded.classLabels.toSeq === Seq(1.0, 2.0, 3.0))
+    val a = m.transform(shifted).select("prediction").collect()
+      .map(_.getDouble(0))
+    val b = loaded.transform(shifted).select("prediction").collect()
+      .map(_.getDouble(0))
+    assert(a.sameElements(b))
+    assert(b.toSet.subsetOf(Set(1.0, 2.0, 3.0)))
+  }
+
   test("model save/load through estimator wrapper (S12)") {
     val m = new GraftClassifier().setNumRounds(5).setMaxDepth(3)
       .setSeed(5).fit(binaryDf)

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+import graft.learner.TrainParams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class StreamPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("stateless text scoring runs on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val scored = StreamPipeline.scoreText(
+      in.toDF().toDF("doc_id", "text"), "text")
+    val q = scored.writeStream.format("memory")
+      .queryName("scored_stream").outputMode("append").start()
+    in.addData((1L, "the cat sat on the mat and it was happy here"),
+      (2L, "!!!###@@@"))
+    q.processAllAvailable()
+    val byId = spark.table("scored_stream")
+      .select("doc_id", "lang_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(byId(1L)._1 === "en")
+    assert(byId(1L)._2 > byId(2L)._2)
+    q.stop()
+  }
+
+  test("streaming model scoring matches batch predictions") {
+    val rng = new scala.util.Random(71)
+    val data = (1 to 200).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, if (a > b) 1.0 else 0.0)
+    }
+    val batch = data.toDF("a", "b", "y")
+    val res = GraftBoost.train(batch, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numRounds = 5,
+        maxDepth = 3, seed = 3))
+    val expected = GraftBoost.predict(res.model, batch, DMatrixSpec("y"))
+      .select("a", "prediction").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Double, Double, Double)]
+    val scored = StreamPipeline.scoreModel(res.model,
+      in.toDF().toDF("a", "b", "y"), DMatrixSpec("y"))
+    val q = scored.writeStream.format("memory")
+      .queryName("pred_stream").outputMode("append").start()
+    in.addData(data.take(20))
+    q.processAllAvailable()
+    val got = spark.table("pred_stream").select("a", "prediction")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got.size === 20)
+    got.foreach { case (a, p) =>
+      assert(math.abs(p - expected(a)) < 1e-9, s"stream/batch diverge at $a")
+    }
+    q.stop()
+  }
+
+  test("dedupStream drops repeated fingerprints within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamPipeline.dedupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    in.addData(
+      (1L, ts(0), "alpha beta gamma"),
+      (2L, ts(1), "alpha  beta   GAMMA"), // same normalized fingerprint
+      (3L, ts(2), "something else entirely"))
+    q.processAllAvailable()
+    in.addData((4L, ts(3), "alpha beta gamma")) // dup in later batch
+    q.processAllAvailable()
+    val ids = spark.table("dedup_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L), s"got $ids")
+    q.stop()
+  }
+
+  test("qualityByWindow aggregates per window and language") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = StreamPipeline.qualityByWindow(
+      in.toDF().toDF("ts", "text"), "ts", "text",
+      "1 minute", "0 seconds")
+    val q = agg.writeStream.format("memory")
+      .queryName("quality_stream").outputMode("complete").start()
+    in.addData(
+      (ts(0), "the cat sat on the mat with the dog and it was good"),
+      (ts(5), "the quick brown fox jumps over the lazy dog at home"),
+      (ts(10), "el perro y el gato en la casa con su amigo y las cosas"))
+    q.processAllAvailable()
+    val rows = spark.table("quality_stream")
+      .select("lang_id", "n_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.get("en").contains(2L), rows.toString)
+    assert(rows.get("es").contains(1L), rows.toString)
+    q.stop()
+  }
+}
