@@ -49,6 +49,32 @@ class DataSpec extends SparkTestBase {
       .validate(df, requireLabel = true)
   }
 
+  test("batchShard mirrors np.array_split (matrix.py:1092-1099)") {
+    // 10 rows over 3 shards: np.array_split → sizes 4,3,3
+    val df = (0L until 10L).toDF(Sharding.RowIdCol)
+    val sharded = Sharding.batchShard(df, 3, 10)
+    val sizes = (0 until 3).map(r =>
+      Sharding.shardRows(sharded, r).count())
+    assert(sizes === Seq(4L, 3L, 3L))
+    // shard 0 gets rows 0..3 (contiguous ranges, not interleaved)
+    val s0 = Sharding.shardRows(sharded, 0)
+      .collect().map(_.getLong(0)).sorted
+    assert(s0.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("filetype sniffing and mixed-type rejection (S11)") {
+    import DataLoader._
+    assert(sniffFiletype("a/b.csv").contains(CsvFile))
+    assert(sniffFiletype("a/b.CSV.GZ").contains(CsvFile))
+    assert(sniffFiletype("x.parquet").contains(ParquetFile))
+    assert(sniffFiletype("x.pq").contains(ParquetFile))
+    assert(sniffFiletype("x.json").isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      DataLoader.load(spark, Seq("a.csv", "b.parquet"))
+    }
+    assert(e.getMessage.contains("mixed"))
+  }
+
   test("Binner sketch path: distributed quantiles track exact ones") {
     import graft.learner.Binner
     val rng = new scala.util.Random(67)
