@@ -538,6 +538,7 @@ object Trainer {
       val newEvals = evalData.map { case (n, r) =>
         val updated = applyTrees(r, bcTrees, k)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        if ((round + 1) % 50 == 0) updated.localCheckpoint()
         updated.foreachPartition(_ => ())
         r.unpersist(blocking = false)
         (n, updated)

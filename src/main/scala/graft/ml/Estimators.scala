@@ -26,6 +26,8 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   var featuresCols: Option[Seq[String]] = None // None = all residual cols
   var weightCol: Option[String] = None
   var baseMarginCol: Option[String] = None
+  var labelLowerCol: Option[String] = None // survival bounds (AFT)
+  var labelUpperCol: Option[String] = None
   var ignoreCols: Seq[String] = Nil
   var params: TrainParams = TrainParams(objective = defaultObjective)
   var numWorkers: Int = 0
@@ -38,6 +40,9 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   def setWeightCol(c: String): this.type = { weightCol = Some(c); this }
   def setBaseMarginCol(c: String): this.type = {
     baseMarginCol = Some(c); this
+  }
+  def setLabelBoundsCols(lower: String, upper: String): this.type = {
+    labelLowerCol = Some(lower); labelUpperCol = Some(upper); this
   }
   def setIgnoreCols(cs: Seq[String]): this.type = { ignoreCols = cs; this }
   def setParams(p: TrainParams): this.type = { params = p; this }
@@ -55,9 +60,11 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   def setSeed(s: Long): this.type = { params = params.copy(seed = s); this }
 
   protected def spec: DMatrixSpec = DMatrixSpec(
-    labelCol = Seq(labelCol), weightCol = weightCol,
-    baseMarginCol = baseMarginCol, ignore = ignoreCols,
-    featureCols = featuresCols)
+    labelCol = if (labelLowerCol.isDefined) Nil else Seq(labelCol),
+    weightCol = weightCol,
+    baseMarginCol = baseMarginCol,
+    labelLowerCol = labelLowerCol, labelUpperCol = labelUpperCol,
+    ignore = ignoreCols, featureCols = featuresCols)
 
   protected def resolvedParams(df: DataFrame): TrainParams = params
 

@@ -84,6 +84,27 @@ class SurvivalSpec extends SparkTestBase {
       s"only $above/${pred.length} predictions above the lower bound")
   }
 
+  test("GraftRegressor trains AFT through the estimator surface") {
+    import graft.ml.GraftRegressor
+    val df = timesDf
+      .withColumn("lo", $"t" * 0.9)
+      .withColumn("hi", $"t" * 1.1)
+      .drop("t").coalesce(2)
+    val m = new GraftRegressor()
+      .setObjective("survival:aft")
+      .setLabelBoundsCols("lo", "hi")
+      .setNumRounds(20).setMaxDepth(3).setSeed(5)
+      .fit(df)
+    val pred = m.transform(df).select("prediction", "lo", "hi").collect()
+    val inLogBand = pred.count { r =>
+      val p = math.log(r.getDouble(0))
+      val mid = math.log(math.sqrt(r.getDouble(1) * r.getDouble(2)))
+      math.abs(p - mid) < 0.5
+    }
+    assert(inLogBand > pred.length * 0.9,
+      s"only $inLogBand/${pred.length} predictions near the interval")
+  }
+
   test("spark.graft.* conf overlays TrainParams (C13)") {
     val keys = Seq("numRounds" -> "17", "eta" -> "0.05",
       "objective" -> "binary:logistic", "evalMetric" -> "auc,logloss",
