@@ -109,15 +109,22 @@ object Trainer {
 
   private val MissingBin = Binner.MissingBin
 
-  /** Snapshot of the partially-built tree, broadcast per level. */
+  /** Snapshot of one partially-built tree, broadcast per level chunk. */
   private final case class PartialTree(
       feature: Array[Int],        // -1 leaf, -2 pending (active frontier)
       thresholdBin: Array[Int],
       defaultLeft: Array[Boolean],
       left: Array[Int],
       right: Array[Int],
-      slotOf: Array[Int],         // nodeId → histogram slot or -1
-      featLists: Array[Array[Int]]) // per-slot sampled feature ids
+      slotOf: Array[Int])         // nodeId → global histogram slot or -1
+
+  /** One level chunk covering (tree, node) pairs across ALL trees of a
+    * round — the unit of a single fused histogram job. */
+  private final case class LevelChunk(
+      trees: Array[PartialTree],  // per round-tree; null = no work here
+      treeCls: Array[Int],        // tree → output class (gh index)
+      treeSalts: Array[Int],      // tree → subsample salt
+      featLists: Array[Array[Int]]) // global slot → sampled feature ids
 
   /** Traverse the partial tree; returns nodeId (pending or leaf). */
   private def route(pt: PartialTree, bins: Array[Byte]): Int = {
@@ -260,70 +267,105 @@ object Trainer {
     z ^ (z >>> 31)
   }
 
+  /** Driver-side per-tree growth state for one fused round. */
+  private final class TreeState(val cls: Int, treeSeed: Long, nf: Int,
+      p: TrainParams) {
+    val rng = new java.util.Random(treeSeed)
+    val treeSalt: Int = treeSeed.toInt ^ (treeSeed >>> 32).toInt
+    val tb = new TreeBuilder
+    val treeFeats: Array[Int] = sampleFeatures(Array.range(0, nf),
+      p.colsampleByTree, p.featureWeights, rng)
+    var active: Array[Int] = Array(tb.newNode(Double.NaN, Double.NaN))
+  }
+
   /**
-   * Build one regression tree for output class `cls` from the round's
-   * gradient RDD. Level-synchronous: one histogram job per depth level
-   * (chunked under maxHistBytes).
+   * Build ALL trees of one boosting round (numParallelTree × numClass)
+   * level-synchronously from the round's gradient RDD: per depth level,
+   * ONE fused histogram job covers every (tree, active-node) pair —
+   * the data is scanned once per level regardless of class count or
+   * forest size, instead of once per level PER TREE (K× / forest-size×
+   * fewer passes for softmax / RF presets). Work is chunked so one
+   * aggregation buffer stays under maxHistBytes.
    */
-  private def buildTree(grads: RDD[(Array[Byte], Array[Float], Int)],
-      cls: Int, bins: Binner.Bins, p: TrainParams, treeSeed: Long)
-      : RegTree = {
+  private def buildTrees(grads: RDD[(Array[Byte], Array[Float], Int)],
+      bins: Binner.Bins, p: TrainParams, treeSeeds: Array[Long],
+      classes: Array[Int]): Array[RegTree] = {
     // per-tree deterministic row subsample threshold on the row salt
     val subsampleCut: Int =
       if (p.subsample >= 1.0) Int.MaxValue
       else (Int.MinValue + (p.subsample * 4294967295.0)).toInt
-    val treeSalt = treeSeed.toInt ^ (treeSeed >>> 32).toInt
     val sc = grads.sparkContext
     val b = bins.maxRealBins + 1 // last slot = missing
     val nf = bins.numFeatures
-    val rng = new java.util.Random(treeSeed)
-    val allFeatures = Array.range(0, nf)
-    val treeFeats = sampleFeatures(allFeatures, p.colsampleByTree,
-      p.featureWeights, rng)
+    val states = Array.tabulate(treeSeeds.length)(i =>
+      new TreeState(classes(i), treeSeeds(i), nf, p))
+    val treeSalts = states.map(_.treeSalt)
+    val treeCls = states.map(_.cls)
 
-    val tb = new TreeBuilder
-    val root = tb.newNode(Double.NaN, Double.NaN) // stats filled at level 0
-    var active: Array[Int] = Array(root)
     var depth = 0
-    while (depth < p.maxDepth && active.nonEmpty) {
-      val levelFeats = sampleFeatures(treeFeats, p.colsampleByLevel,
-        p.featureWeights, rng)
-      val featLists: Array[Array[Int]] = active.map { _ =>
-        sampleFeatures(levelFeats, p.colsampleByNode, p.featureWeights, rng)
+    while (depth < p.maxDepth && states.exists(_.active.nonEmpty)) {
+      // (treeIdx, nodeId, sampled features); per-tree RNG draw order is
+      // identical to growing each tree separately
+      val work = ArrayBuffer[(Int, Int, Array[Int])]()
+      states.zipWithIndex.foreach { case (st, t) =>
+        if (st.active.nonEmpty) {
+          val levelFeats = sampleFeatures(st.treeFeats, p.colsampleByLevel,
+            p.featureWeights, st.rng)
+          st.active.foreach { nid =>
+            work += ((t, nid, sampleFeatures(levelFeats,
+              p.colsampleByNode, p.featureWeights, st.rng)))
+          }
+        }
       }
-      val fPerNode = featLists.map(_.length).max
-      // chunk active nodes so one buffer stays under maxHistBytes
+      val nextActive = Array.fill(states.length)(ArrayBuffer[Int]())
+      val fPerNode = work.map(_._3.length).max
       val bytesPerNode = fPerNode.toLong * b * 2 * 8
       val chunkSize = math.max(1, (p.maxHistBytes / bytesPerNode).toInt)
-      val nextActive = ArrayBuffer[Int]()
-      active.zip(featLists).grouped(chunkSize).foreach { pairs =>
-        val chunk = pairs.map(_._1)
-        val chunkFeats = pairs.map(_._2)
-        val slotOf = Array.fill(tb.feature.length)(-1)
-        chunk.zipWithIndex.foreach { case (nid, s) => slotOf(nid) = s }
-        val pt = PartialTree(tb.feature.toArray, tb.thresholdBin.toArray,
-          tb.defaultLeft.toArray, tb.left.toArray, tb.right.toArray,
-          slotOf, chunkFeats)
-        val bc = sc.broadcast(pt)
+
+      work.grouped(chunkSize).foreach { chunk =>
+        // per-tree node→global-slot maps for this chunk
+        val slotOf = states.map(st => Array.fill(st.tb.feature.length)(-1))
+        chunk.zipWithIndex.foreach { case ((t, nid, _), s) =>
+          slotOf(t)(nid) = s
+        }
+        val chunkTrees = states.indices.map { t =>
+          if (chunk.exists(_._1 == t)) {
+            val tb = states(t).tb
+            PartialTree(tb.feature.toArray, tb.thresholdBin.toArray,
+              tb.defaultLeft.toArray, tb.left.toArray, tb.right.toArray,
+              slotOf(t))
+          } else null
+        }.toArray
+        val bc = sc.broadcast(LevelChunk(chunkTrees, treeCls, treeSalts,
+          chunk.map(_._3).toArray))
         val histSize = chunk.length * fPerNode * b * 2
         val seqOp = (acc: Array[Double],
             row: (Array[Byte], Array[Float], Int)) => {
           val (rb, gh, salt) = row
-          val keep = subsampleCut == Int.MaxValue ||
-            mixInt(salt, treeSalt) < subsampleCut
-          val node = if (keep) route(bc.value, rb) else -1
-          val slot = if (node >= 0) bc.value.slotOf(node) else -1
-          if (slot >= 0) {
-            val g = gh(2 * cls); val h = gh(2 * cls + 1)
-            val fl = bc.value.featLists(slot)
-            var j = 0
-            while (j < fl.length) {
-              val bi = rb(fl(j)) & 0xFF
-              val slotBin = if (bi == MissingBin) b - 1 else bi
-              val idx = ((slot * fPerNode + j) * b + slotBin) * 2
-              acc(idx) += g; acc(idx + 1) += h
-              j += 1
+          val ch = bc.value
+          var t = 0
+          while (t < ch.trees.length) {
+            val pt = ch.trees(t)
+            if (pt != null) {
+              val keep = subsampleCut == Int.MaxValue ||
+                mixInt(salt, ch.treeSalts(t)) < subsampleCut
+              val node = if (keep) route(pt, rb) else -1
+              val slot = if (node >= 0) pt.slotOf(node) else -1
+              if (slot >= 0) {
+                val cls = ch.treeCls(t)
+                val g = gh(2 * cls); val h = gh(2 * cls + 1)
+                val fl = ch.featLists(slot)
+                var j = 0
+                while (j < fl.length) {
+                  val bi = rb(fl(j)) & 0xFF
+                  val slotBin = if (bi == MissingBin) b - 1 else bi
+                  val idx = ((slot * fPerNode + j) * b + slotBin) * 2
+                  acc(idx) += g; acc(idx + 1) += h
+                  j += 1
+                }
+              }
             }
+            t += 1
           }
           acc
         }
@@ -344,9 +386,9 @@ object Trainer {
             seqOp, combOp, depth = 2)
         bc.destroy()
 
-        // driver-side split finding per node in this chunk
-        chunk.zipWithIndex.foreach { case (nid, s) =>
-          val fl = chunkFeats(s)
+        // driver-side split finding per (tree, node) in this chunk
+        chunk.zipWithIndex.foreach { case ((t, nid, fl), s) =>
+          val tb = states(t).tb
           // node totals from feature 0's column (all bins + missing)
           if (tb.sumG(nid).isNaN) {
             var g = 0.0; var h = 0.0
@@ -404,16 +446,18 @@ object Trainer {
             tb.threshold(nid) = bins.cuts(bestF)(bestBin)
             tb.defaultLeft(nid) = bestDefLeft
             tb.left(nid) = l; tb.right(nid) = r
-            nextActive += l; nextActive += r
+            nextActive(t) += l; nextActive(t) += r
           }
         }
       }
-      active = nextActive.toArray
+      states.zipWithIndex.foreach { case (st, t) =>
+        st.active = nextActive(t).toArray
+      }
       depth += 1
     }
     // frontier nodes at maxDepth become leaves (stats already known)
-    active.foreach(tb.finalizeLeaf(_, p))
-    tb.result()
+    states.foreach(st => st.active.foreach(st.tb.finalizeLeaf(_, p)))
+    states.map(_.tb.result())
   }
 
   /**
@@ -511,12 +555,13 @@ object Trainer {
       val grads = gradients(data, obj, startRound + round, p)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // layout: class-inner so GraftModel's (t % k) class mapping holds
-      // for any numParallelTree: [pt0·c0, pt0·c1, …, pt1·c0, …]
+      // for any numParallelTree: [pt0·c0, pt0·c1, …, pt1·c0, …].
+      // All trees of the round grow in ONE fused job per level.
       val pTree = p.copy(eta = p.eta / p.numParallelTree)
-      val roundTrees = Array.tabulate(p.numParallelTree * k) { i =>
-        buildTree(grads, i % k, bins, pTree,
-          mix(p.seed, startRound + round, 7919 + i))
-      }
+      val nTrees = p.numParallelTree * k
+      val roundTrees = buildTrees(grads, bins, pTree,
+        Array.tabulate(nTrees)(i => mix(p.seed, startRound + round, 7919 + i)),
+        Array.tabulate(nTrees)(_ % k))
       // the tree builds above materialized `grads`, which materialized
       // `data` — the previous round's cache is now safe to drop
       prevData.foreach(_.unpersist(blocking = false))
