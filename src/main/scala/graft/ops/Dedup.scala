@@ -358,7 +358,8 @@ object Dedup {
       .withColumn("keep_vec", first("vec").over(w
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("id") > col("keep_id"))
-      .withColumn("cosine", Similarity.cosine(col("vec"), col("keep_vec")))
+      .withColumn("cosine", Similarity.cosineNative(df.sparkSession,
+        col("vec"), col("keep_vec")))
       .filter(col("cosine") >= minCosine)
       .select(col("keep_id"), col("id").as("dup_id"),
         round(col("cosine"), 6).as("cosine"))

@@ -29,22 +29,86 @@ object Multimodal {
   def mediaStruct(bytes: Column, mime: Column, sourceId: Column): Column =
     struct(bytes.as("bytes"), mime.as("mime"), sourceId.as("source_id"))
 
+  /** Parse an ASCII integer starting at `from` in `b`, skipping
+    * whitespace and `#` comment lines (netpbm header grammar). Returns
+    * (value, nextIndex) or null. */
+  private def pnmInt(b: Array[Byte], from: Int): (Int, Int) = {
+    var i = from
+    var guard = 0
+    while (i < b.length && guard < 65536) {
+      val c = b(i).toChar
+      if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+      else if (c.isWhitespace) i += 1
+      else {
+        var v = 0L
+        var start = i
+        while (i < b.length && b(i).toChar.isDigit && i - start < 10) {
+          v = v * 10 + (b(i) - '0'); i += 1
+        }
+        if (i == start || v > Int.MaxValue) return null
+        return (v.toInt, i)
+      }
+      guard += 1
+    }
+    null
+  }
+
   /**
-   * Deterministic pseudo-decode of an image binary.
-   * >>> STUB: a real build links an image codec here; the fake derives
-   * >>> plausible metadata from a hash of the bytes so pipelines are
-   * >>> testable end-to-end with stable results.
+   * Image decode. REAL header parsing for the uncompressed formats a
+   * JVM can read without codec libraries:
+   *  - netpbm P1-P6 (PBM/PGM/PPM, ASCII + binary): dims from the ASCII
+   *    header, channels 1 (P1/P2/P4/P5) or 3 (P3/P6)
+   *  - BMP: little-endian width/height at offsets 18/22, bit depth → channels
+   *  - PNG: width/height from the IHDR chunk (metadata only — pixel
+   *    decode would need inflate; channels from the color-type byte)
+   * Other formats (JPEG etc.) fall back to the deterministic
+   * >>> STUB metadata (hash-derived dims) so pipelines stay testable
+   * end-to-end in this codec-less container.
    */
   private val decodeImageUdf = udf { bytes: Array[Byte] =>
     if (bytes == null || bytes.isEmpty) None
     else {
-      var h = 1125899906842597L
-      var i = 0
-      val step = math.max(1, bytes.length / 64) // sample bytes, O(64)
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += step }
-      val w = 64 + math.floorMod(h, 1920).toInt
-      val ht = 64 + math.floorMod(h >>> 16, 1080).toInt
-      Some((w, ht, 3, bytes.length.toLong))
+      def stub: Option[(Int, Int, Int, Long)] = {
+        var h = 1125899906842597L
+        var i = 0
+        val step = math.max(1, bytes.length / 64) // sample bytes, O(64)
+        while (i < bytes.length) { h = 31 * h + bytes(i); i += step }
+        val w = 64 + math.floorMod(h, 1920).toInt
+        val ht = 64 + math.floorMod(h >>> 16, 1080).toInt
+        Some((w, ht, 3, bytes.length.toLong))
+      }
+      def u32be(o: Int): Long =
+        ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+          ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+      def u32le(o: Int): Long =
+        (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+          ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      val n = bytes.length
+      if (n >= 3 && bytes(0) == 'P' && bytes(1) >= '1' && bytes(1) <= '6'
+          && bytes(2).toChar.isWhitespace) {
+        val channels = if (bytes(1) == '3' || bytes(1) == '6') 3 else 1
+        val r = for {
+          (w, i1) <- Option(pnmInt(bytes, 2))
+          (h, _) <- Option(pnmInt(bytes, i1))
+        } yield (w, h, channels, n.toLong)
+        r.orElse(stub)
+      } else if (n >= 30 && bytes(0) == 'B' && bytes(1) == 'M') {
+        val w = u32le(18).toInt
+        val h = math.abs(u32le(22).toInt) // negative = top-down rows
+        val bpp = (bytes(28) & 0xFF) | ((bytes(29) & 0xFF) << 8)
+        val channels = if (bpp >= 32) 4 else if (bpp >= 24) 3 else 1
+        if (w > 0 && h > 0) Some((w, h, channels, n.toLong)) else stub
+      } else if (n >= 29 && u32be(0) == 0x89504E47L &&
+          bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' &&
+          bytes(15) == 'R') {
+        val w = u32be(16).toInt
+        val h = u32be(20).toInt
+        val channels = (bytes(25) & 0xFF) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => 3
+        }
+        if (w > 0 && h > 0) Some((w, h, channels, n.toLong)) else stub
+      } else stub
     }
   }
 

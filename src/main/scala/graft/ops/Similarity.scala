@@ -24,7 +24,9 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (codegen, no UDF). */
+  /** Cosine similarity via pure built-in higher-order functions —
+    * correct everywhere but evaluated interpreted; prefer
+    * `cosineNative` on hot paths. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0d), (acc, v) => acc + v)
@@ -33,6 +35,13 @@ object Similarity {
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d),
       (acc, v) => acc + v))
     when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Same semantics through the native whole-stage-codegen expression
+    * (graft.functions.CosineSimilarity); registers it on the session. */
+  def cosineNative(spark: SparkSession, a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.cosine(a, b)
   }
 
   // ---------------- bounded top-k heap ----------------
@@ -312,7 +321,8 @@ object Similarity {
     val scored = hashedCorpus.join(broadcast(probes), Seq("t", "sig"))
       .select("query_id", "id", "vec", "qvec")
       .dropDuplicates("query_id", "id")
-      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+      .withColumn("cosine",
+        cosineNative(corpus.sparkSession, col("vec"), col("qvec")))
     heapTopKByQuery(scored, k)
   }
 
@@ -384,7 +394,8 @@ object Similarity {
       col(vecCol).as("qvec"),
       explode(nearestCells(col(vecCol), lit(nProbe))).as("cell"))
     val scored = corpusCells.join(queryCells, "cell")
-      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+      .withColumn("cosine",
+        cosineNative(spark, col("vec"), col("qvec")))
     heapTopKByQuery(scored, k)
   }
 }

@@ -136,6 +136,31 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("native codegen cosine matches the HOF formulation bit-exactly") {
+    val pairs = embs.limit(50).select($"vec_id", $"embedding")
+      .crossJoin(embs.limit(5)
+        .select($"vec_id".as("qid"), $"embedding".as("emb2")))
+    val hof = pairs
+      .withColumn("c", Similarity.cosine($"embedding", $"emb2"))
+      .select("vec_id", "qid", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val native = pairs
+      .withColumn("c",
+        Similarity.cosineNative(spark, $"embedding", $"emb2"))
+      .select("vec_id", "qid", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hof.size === native.size)
+    hof.foreach { case (k, v) =>
+      assert(v === native(k), s"mismatch at $k")
+    }
+    // null-safety and zero-norm edge: empty/zero vector → 0.0
+    val edge = Seq((Array(0f, 0f), Array(1f, 2f)))
+      .toDF("a", "b")
+      .withColumn("c", Similarity.cosineNative(spark, $"a", $"b"))
+      .head().getDouble(2)
+    assert(edge === 0.0)
+  }
+
   test("embedding near-dup self-consistency") {
     // duplicate the first 3 vectors with new ids → must be flagged
     val extra = embs.limit(3)
@@ -144,6 +169,34 @@ class OpsSpec extends SparkTestBase {
     val found = Dedup.embeddingDups(withDups, "vec_id", "embedding",
       minCosine = 0.999)
     assert(found.filter($"dup_id" >= 1000000).count() === 3)
+  }
+
+  test("decodeImage parses real PPM/BMP/PNG headers") {
+    // P6 PPM with a comment line, 640x480
+    val ppm = "P6\n# a comment\n640 480\n255\n".getBytes("US-ASCII")
+    // minimal BMP header: 'BM' + width 800 @18, height 600 @22, 24bpp @28
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = (800 & 0xFF).toByte; bmp(19) = (800 >> 8).toByte
+    bmp(22) = (600 & 0xFF).toByte; bmp(23) = (600 >> 8).toByte
+    bmp(28) = 24.toByte
+    // PNG signature + IHDR: width 320, height 200, colorType 6 (RGBA)
+    val png = new Array[Byte](33)
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).zipWithIndex
+      .foreach { case (v, i) => png(i) = v.toByte }
+    png(12) = 'I'; png(13) = 'H'; png(14) = 'D'; png(15) = 'R'
+    png(18) = (320 >> 8).toByte; png(19) = (320 & 0xFF).toByte
+    png(22) = (200 >> 8).toByte; png(23) = (200 & 0xFF).toByte
+    png(25) = 6.toByte
+    val rows = Seq((1L, ppm), (2L, bmp), (3L, png))
+      .toDF("id", "bytes")
+      .withColumn("meta", Multimodal.decodeImage($"bytes"))
+      .select("id", "meta.width", "meta.height", "meta.channels")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(rows(1L) === ((640, 480, 3)), rows.toString)
+    assert(rows(2L) === ((800, 600, 3)), rows.toString)
+    assert(rows(3L) === ((320, 200, 4)), rows.toString)
   }
 
   test("multimodal plumbing: decode/resize/features on fake binaries") {
