@@ -81,7 +81,17 @@ final case class TrainResult(
     model: GraftModel,
     evalsResult: Map[String, Map[String, ArrayBuffer[Double]]],
     totalN: Long,
-    roundsCompleted: Int)
+    roundsCompleted: Int,
+    /** Best round index under early stopping (xgboost best_iteration);
+      * -1 when early stopping was not active. */
+    bestIteration: Int = -1,
+    /** Metric value at bestIteration (xgboost best_score); NaN when
+      * early stopping was not active. */
+    bestScore: Double = Double.NaN) {
+  /** Model truncated to the first `rounds` rounds — the
+    * `iteration_range=(0, best_iteration+1)` predict idiom. */
+  def modelAt(rounds: Int): GraftModel = model.truncate(rounds)
+}
 
 /**
  * Native distributed gradient-boosted-tree trainer.
@@ -644,7 +654,9 @@ object Trainer {
     // no longer reachable from any live lineage (advisor r1: leak)
     broadcasts.foreach(_.destroy())
     TrainResult(currentModel(trees, obj, p, bins),
-      evalsResult.map { case (n, m) => (n, m) }.toMap, totalN, round)
+      evalsResult.map { case (n, m) => (n, m) }.toMap, totalN, round,
+      bestIteration = if (p.earlyStoppingRounds > 0) bestRound else -1,
+      bestScore = if (p.earlyStoppingRounds > 0) bestScore else Double.NaN)
   }
 
   /** Add each tree's contribution to the carried margins (class = t % k). */

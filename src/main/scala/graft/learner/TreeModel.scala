@@ -109,6 +109,15 @@ final class GraftModel(
   def dump(): String =
     trees.zipWithIndex.map { case (t, i) => t.dump(i) }.mkString
 
+  /** First `rounds` boosting rounds only (numOutputs trees per round) —
+    * the xgboost `iteration_range` predict idiom for early stopping. */
+  def truncate(rounds: Int): GraftModel = {
+    val perRound = numOutputs
+    val keep = math.min(trees.length, math.max(0, rounds) * perRound)
+    new GraftModel(trees.take(keep), objective, numClass, baseScore,
+      missingBin, numFeatures)
+  }
+
   /**
    * Persist as parquet (model sink S12 analog of tune.py:130-156
    * save_model/load_model): `path/nodes` one row per node, `path/meta`

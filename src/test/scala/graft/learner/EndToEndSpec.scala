@@ -85,13 +85,22 @@ class EndToEndSpec extends SparkTestBase {
     assert(res.evalsResult("train")("rmse").last < 0.12)
   }
 
-  test("early stopping halts before numRounds") {
+  test("early stopping halts before numRounds and reports best round") {
     val df = onehotDf().repartition(2)
     val res = GraftBoost.train(df, DMatrixSpec("label"),
       TrainParams(objective = "multi:softmax", numClass = 4,
         numRounds = 50, maxDepth = 2, earlyStoppingRounds = 3, seed = 1),
       evals = Seq(("val", onehotDf(2))))
     assert(res.roundsCompleted < 50)
+    // best_iteration/best_score contract (xgboost early stopping)
+    assert(res.bestIteration >= 0 &&
+      res.bestIteration <= res.roundsCompleted - 1)
+    assert(!res.bestScore.isNaN)
+    val merr = res.evalsResult("val")("merror")
+    assert(res.bestScore === merr(res.bestIteration))
+    // truncation to the best round: 4 trees per round (numClass)
+    val best = res.modelAt(res.bestIteration + 1)
+    assert(best.trees.length === (res.bestIteration + 1) * 4)
   }
 
   test("model save/load round-trip preserves predictions") {
