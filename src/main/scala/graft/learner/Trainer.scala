@@ -236,7 +236,10 @@ object Trainer {
         }
       }, preservesPartitioning = true)
     } else {
-      // ranking: buffer the partition, process contiguous qid runs
+      // ranking: buffer the partition, process contiguous qid runs.
+      // Memory bound: one partition's (bins + margin) rows — size
+      // executor partitions (numWorkers / maxPartitionBytes) so a
+      // partition fits; qid groups never straddle partitions (sortByQid)
       data.mapPartitionsWithIndex({ (pid, it) =>
         val rows = it.toArray
         val n = rows.length

@@ -62,6 +62,26 @@ class DataSpec extends SparkTestBase {
     assert(s0.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("interleaved + batch shards partition rows exactly " +
+      "(disjoint cover, test_matrix.py semantics)") {
+    val n = 101L
+    val df = (0L until n).toDF(Sharding.RowIdCol)
+    for (shards <- Seq(1, 3, 7)) {
+      val inter = Sharding.interleavedShard(df, shards)
+      val parts = (0 until shards).map(r =>
+        Sharding.shardRows(inter, r).collect().map(_.getLong(0)).toSet)
+      assert(parts.map(_.size).sum === n) // disjoint
+      assert(parts.reduce(_ ++ _).size === n) // covering
+      val batch = Sharding.batchShard(df, shards, n)
+      val bparts = (0 until shards).map(r =>
+        Sharding.shardRows(batch, r).collect().map(_.getLong(0)).toSet)
+      assert(bparts.map(_.size).sum === n)
+      assert(bparts.reduce(_ ++ _).size === n)
+      // batch sizes differ by at most 1 (np.array_split)
+      assert(bparts.map(_.size).max - bparts.map(_.size).min <= 1)
+    }
+  }
+
   test("filetype sniffing and mixed-type rejection (S11)") {
     import DataLoader._
     assert(sniffFiletype("a/b.csv").contains(CsvFile))
