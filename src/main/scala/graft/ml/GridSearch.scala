@@ -47,18 +47,35 @@ object GraftGridSearch {
   /**
    * Train every candidate, score on `valDf`, return the best.
    * Each candidate's training is fully distributed; the search loop is
-   * driver-side (tune.py's trial loop analog).
+   * driver-side (tune.py's trial loop analog). `parallelism > 1` runs
+   * that many trials as concurrent Spark job groups (the MLlib
+   * CrossValidator parallelism idiom) — useful when single trials
+   * cannot saturate the cluster.
    */
   def fit(df: DataFrame, spec: DMatrixSpec, grid: Seq[TrainParams],
-      valDf: DataFrame, numWorkers: Int = 0): Result = {
+      valDf: DataFrame, numWorkers: Int = 0,
+      parallelism: Int = 1): Result = {
     require(grid.nonEmpty, "empty parameter grid")
-    val scored = grid.map { p =>
+    def trial(p: TrainParams): (Trial, TrainResult) = {
       val metric = rankingMetric(p)
       val res = GraftBoost.train(df, spec, p,
         evals = Seq(("val", valDf)), numWorkers)
       val value = res.evalsResult("val")(metric).last
       (Trial(p, metric, value), res)
     }
+    val scored: Seq[(Trial, TrainResult)] =
+      if (parallelism <= 1) grid.map(trial)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(parallelism, grid.size))
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(grid.map(p =>
+          Future(trial(p)))), Duration.Inf)
+        finally pool.shutdown()
+      }
     val customByName = grid.head.customMetrics.map(m => m.name -> m).toMap
     val best = scored.minBy { case (t, _) =>
       if (Metrics.maximize(t.metric, customByName)) -t.score else t.score

@@ -123,6 +123,25 @@ class EstimatorSpec extends SparkTestBase {
     assert(res.trials.size === 2)
     assert(res.bestScore ===
       res.trials.filter(_.params.eta == 0.3).head.score)
+    // concurrent trials (CrossValidator parallelism idiom) agree
+    val par = GraftGridSearch.fit(tr, DMatrixSpec("y"), grid, va,
+      parallelism = 2)
+    assert(par.bestParams.eta === 0.3)
+    assert(par.bestScore === res.bestScore)
+  }
+
+  test("predict works on unlabeled data (label column absent)") {
+    val m = new GraftClassifier().setNumRounds(5).setMaxDepth(3)
+      .setSeed(17).fit(binaryDf)
+    val unlabeled = binaryDf.drop("label")
+    val withLabel = m.transform(binaryDf)
+      .select("a", "prediction").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val noLabel = m.transform(unlabeled)
+      .select("a", "prediction").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(noLabel.size === withLabel.size)
+    noLabel.foreach { case (a, p) => assert(p === withLabel(a)) }
   }
 
   test("classifier save/load round-trips the label mapping (S12)") {
