@@ -109,6 +109,24 @@ final class GraftModel(
   def dump(): String =
     trees.zipWithIndex.map { case (t, i) => t.dump(i) }.mkString
 
+  /** Split-count ("weight") feature importances, normalized to sum 1 —
+    * the sklearn wrapper's feature_importances_ default
+    * (reference exposes the xgboost booster's get_score;
+    * gain/cover variants would need per-node statistics the compact
+    * node layout intentionally drops). */
+  def featureImportances: Array[Double] = {
+    val counts = new Array[Double](numFeatures)
+    trees.foreach { t =>
+      var i = 0
+      while (i < t.numNodes) {
+        if (t.feature(i) >= 0) counts(t.feature(i)) += 1
+        i += 1
+      }
+    }
+    val total = counts.sum
+    if (total == 0) counts else counts.map(_ / total)
+  }
+
   /** First `rounds` boosting rounds only (numOutputs trees per round) —
     * the xgboost `iteration_range` predict idiom for early stopping. */
   def truncate(rounds: Int): GraftModel = {

@@ -130,6 +130,20 @@ class EstimatorSpec extends SparkTestBase {
     assert(par.bestScore === res.bestScore)
   }
 
+  test("featureImportances concentrate on the informative feature") {
+    val rng = new scala.util.Random(19)
+    // y depends only on a; b is noise
+    val df = (1 to 300).map { _ =>
+      (rng.nextDouble(), rng.nextDouble())
+    }.toDF("a", "b").withColumn("y", $"a" * 5)
+    val m = new GraftRegressor().setLabelCol("y")
+      .setNumRounds(10).setMaxDepth(3).setSeed(3).fit(df)
+    val imp = m.model.featureImportances
+    assert(imp.length === 2)
+    assert(math.abs(imp.sum - 1.0) < 1e-9)
+    assert(imp(0) > 0.9, s"importances: ${imp.mkString(",")}")
+  }
+
   test("predict works on unlabeled data (label column absent)") {
     val m = new GraftClassifier().setNumRounds(5).setMaxDepth(3)
       .setSeed(17).fit(binaryDf)
