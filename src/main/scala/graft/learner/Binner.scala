@@ -67,13 +67,26 @@ object Binner {
       maxSampleRows: Int = 200000, seed: Long = 42L): Bins = {
     require(maxBins >= 2 && maxBins <= 256, s"maxBins in [2,256]: $maxBins")
     val nCuts = math.min(maxBins - 1, MaxCuts)
-    if (totalRows <= maxSampleRows) fitExact(rows, nCuts)
-    else fitSketch(rows, nCuts)
+    if (totalRows <= maxSampleRows) fitExact(rows.collect(), nCuts)
+    else {
+      val nf = rows.first().length
+      // collect a seeded sample only while its cell volume stays small
+      // (narrow tables); wide tables take the sketch (driver traffic
+      // independent of both row count and sample width)
+      val maxCells = 8L << 20
+      if (totalRows * nf <= maxCells * 4) {
+        val targetRows = math.min(maxSampleRows.toLong, maxCells / nf)
+        val sample = rows.sample(withReplacement = false,
+          math.min(1.0, targetRows.toDouble / totalRows * 1.1), seed)
+          .collect()
+        if (sample.nonEmpty) fitExact(sample, nCuts)
+        else fitSketch(rows, nCuts)
+      } else fitSketch(rows, nCuts)
+    }
   }
 
   /** Exact quantiles on collected rows (small data / tests). */
-  private def fitExact(rows: RDD[Array[Float]], nCuts: Int): Bins = {
-    val sample = rows.collect()
+  private def fitExact(sample: Array[Array[Float]], nCuts: Int): Bins = {
     require(sample.nonEmpty, "cannot fit bins on an empty dataset")
     val numFeatures = sample.head.length
     val cuts = Array.tabulate(numFeatures) { f =>

@@ -95,26 +95,47 @@ class DataSpec extends SparkTestBase {
     assert(e.getMessage.contains("mixed"))
   }
 
-  test("Binner sketch path: distributed quantiles track exact ones") {
+  test("Binner sample and sketch paths track exact quantiles") {
     import graft.learner.Binner
     val rng = new scala.util.Random(67)
     val data = (1 to 300000).map(_ => Array(rng.nextFloat() * 100,
       rng.nextGaussian().toFloat))
     val rdd = spark.sparkContext.parallelize(data, 8)
-    // force the sketch path (totalRows > maxSampleRows)
-    val sketch = Binner.fit(rdd, data.size, maxBins = 64,
-      maxSampleRows = 1000)
+    // narrow table over maxSampleRows → seeded-sample path
+    val sampled = Binner.fit(rdd, data.size, maxBins = 64,
+      maxSampleRows = 50000)
     val exact = Binner.fit(rdd, data.size, maxBins = 64,
       maxSampleRows = 1000000)
-    assert(sketch.numFeatures === 2)
-    // uniform feature: cuts of the 64-bin sketch within 1.5 of exact
-    val maxDiff = sketch.cuts(0).zip(exact.cuts(0))
+    assert(sampled.numFeatures === 2)
+    val maxDiff = sampled.cuts(0).zip(exact.cuts(0))
       .map { case (a, b) => math.abs(a - b) }.max
-    assert(sketch.cuts(0).length === exact.cuts(0).length)
-    assert(maxDiff < 1.5, s"sketch cuts drifted by $maxDiff")
+    assert(sampled.cuts(0).length === exact.cuts(0).length)
+    assert(maxDiff < 1.5, s"sampled cuts drifted by $maxDiff")
     // binning stays total: every value lands in [0, numBins)
-    val b = sketch.binRow(Array(-5f, 0f))
-    assert((b(0) & 0xFF) >= 0 && (b(0) & 0xFF) < sketch.numBins(0))
+    val b = sampled.binRow(Array(-5f, 0f))
+    assert((b(0) & 0xFF) >= 0 && (b(0) & 0xFF) < sampled.numBins(0))
+
+    // wide table (rows × features over the cell cap) → sketch path;
+    // feature 0 uniform in [0,100): cuts near the true quantiles
+    val wide = spark.sparkContext.range(0, 100000, numSlices = 8)
+      .map { i =>
+        Array.tabulate(128) { j =>
+          var z = i * 131071L + j + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          (((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53) * 100).toFloat
+        }
+      }
+    val sk = Binner.fit(wide, 100000, maxBins = 64, maxSampleRows = 1000)
+    assert(sk.numFeatures === 128)
+    val cuts = sk.cuts(0)
+    assert(cuts.length === 63)
+    // merged GK summaries drift most at the tails; a couple percent is
+    // immaterial for 64-bin gradient histograms
+    val drift = cuts.zipWithIndex.map { case (c, i) =>
+      math.abs(c - (i + 1) * 100.0 / 64)
+    }.max
+    assert(drift < 2.5, s"sketch cuts drifted by $drift")
   }
 
   test("missing role columns are reported by name") {
