@@ -281,7 +281,10 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxPosting: Int = 100): DataFrame = {
-    // grams sorted ascending = the global prefix order
+    // grams sorted ascending = the global prefix order. Cached because
+    // the plan reads it three times (posting build + both verification
+    // joins); MEMORY_AND_DISK entries are LRU-evicted, and callers doing
+    // repeated dedup passes can spark.catalog.clearCache() between runs.
     val grams = df.select(col(idCol).cast("long").as("id"),
       wordGramHashes(n)(col(textCol)).as("grams"))
       .filter(size(col("grams")) > 0)
