@@ -116,6 +116,39 @@ class EndToEndSpec extends SparkTestBase {
     assert(loaded.objective === "multi:softprob")
   }
 
+  test("histogram chunking under maxHistBytes does not change the model") {
+    val rng = new scala.util.Random(71)
+    val rows = (1 to 300).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      val c = rng.nextDouble(); val d = rng.nextDouble()
+      (a, b, c, d, 2 * a - b + 0.5 * c)
+    }
+    val df = rows.toDF("a", "b", "c", "d", "y").repartition(3)
+    val p = TrainParams(objective = "reg:squarederror", numRounds = 5,
+      maxDepth = 4, seed = 9)
+    val whole = GraftBoost.train(df, DMatrixSpec("y"), p)
+    // ~16KB per node forces multi-chunk levels at depth 3-4
+    val chunked = GraftBoost.train(df, DMatrixSpec("y"),
+      p.copy(maxHistBytes = 16L << 10))
+    assert(chunked.model.dump() === whole.model.dump(),
+      "chunked histogram aggregation changed the model")
+  }
+
+  test("long runs cross the 50-round lineage truncation safely") {
+    val rng = new scala.util.Random(73)
+    val rows = (1 to 200).map { _ =>
+      val a = rng.nextDouble(); (a, rng.nextDouble(), 3 * a)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(2)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 60,
+        maxDepth = 2, seed = 11),
+      evals = Seq(("train", df)))
+    assert(res.roundsCompleted === 60)
+    val rmse = res.evalsResult("train")("rmse")
+    assert(rmse.last < rmse.head / 5, s"rmse: ${rmse.head} -> ${rmse.last}")
+  }
+
   test("checkpoint-resume golden equality: 5+5 rounds == 10 rounds " +
       "(C4, test_fault_tolerance.py:401-453 semantics)") {
     val rng = new scala.util.Random(23)
