@@ -67,15 +67,30 @@ private[graft] object DistributedCallback {
 }
 
 /**
- * Cooperative stop event (C6) — analog of the reference's `stop_event` /
+ * Stop event (C6) — analog of the reference's `stop_event` /
  * `_StopCallback` pair (reference: xgboost_ray/main.py session stop
- * handling): the driver (or any thread) calls `set()`, and training
- * stops at the next round boundary. Register it in the `callbacks` list
- * of `GraftBoost.train`.
+ * handling). Register it in the `callbacks` list of `GraftBoost.train`.
+ *
+ *  - `set()`: cooperative — training stops at the next round boundary.
+ *  - `set(hard = true)`: additionally cancels the trainer's Spark job
+ *    group, killing in-flight histogram/eval stages; the trainer
+ *    catches the cancellation and still returns the model built so far
+ *    (completed rounds only), like the reference returning the last
+ *    checkpoint on stop.
  */
 final class StopEvent extends TrainingCallback {
   @volatile private var stopped = false
-  def set(): Unit = { stopped = true }
+  @volatile private var cancelHook: () => Unit = () => ()
+
+  /** Wired by the trainer so hard stops can kill the running stages. */
+  private[learner] def bindCancel(hook: () => Unit): Unit =
+    cancelHook = hook
+
+  def set(): Unit = set(hard = false)
+  def set(hard: Boolean): Unit = {
+    stopped = true
+    if (hard) cancelHook()
+  }
   def isSet: Boolean = stopped
   override def afterIteration(round: Int,
       metrics: Map[String, Double]): Boolean = stopped

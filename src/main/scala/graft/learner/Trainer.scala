@@ -557,6 +557,15 @@ object Trainer {
     var bestRound = -1
     var stop = false
     var round = 0
+    // C6: all training jobs run under one job group so a hard StopEvent
+    // can kill in-flight stages; the catch below turns the cancellation
+    // into a clean return of the model built so far
+    val sc = data.sparkContext
+    val jobGroup = s"graft-train-${java.util.UUID.randomUUID()}"
+    sc.setJobGroup(jobGroup, "graft boosting rounds",
+      interruptOnCancel = true)
+    val stopEvents = callbacks.collect { case s: StopEvent => s }
+    stopEvents.foreach(_.bindCancel(() => sc.cancelJobGroup(jobGroup)))
     // margin-update RDD of the previous round, unpersisted lazily once
     // the current round's gradient pass has materialized on top of it
     // (saves one full data pass per round vs eager materialization)
@@ -564,9 +573,11 @@ object Trainer {
     // checkpoint-resume arithmetic (C4): each completed round appended
     // numParallelTree*k trees (advisor r1: `/k` alone miscounted forests)
     val startRound = trees.length / (k * p.numParallelTree)
-    while (round < p.numRounds && !stop) {
+    var curGrads: Option[RDD[(Array[Byte], Array[Float], Int)]] = None
+    while (round < p.numRounds && !stop) try {
       val grads = gradients(data, obj, startRound + round, p)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      curGrads = Some(grads)
       // layout: class-inner so GraftModel's (t % k) class mapping holds
       // for any numParallelTree: [pt0·c0, pt0·c1, …, pt1·c0, …].
       // All trees of the round grow in ONE fused job per level.
@@ -580,6 +591,7 @@ object Trainer {
       prevData.foreach(_.unpersist(blocking = false))
       prevData = None
       grads.unpersist(blocking = false)
+      curGrads = None
       trees ++= roundTrees
 
       val bcTrees = data.sparkContext.broadcast(roundTrees)
@@ -639,7 +651,15 @@ object Trainer {
           stop = true
       }
       round += 1
+    } catch {
+      // a hard StopEvent cancelled the job group mid-round: drop the
+      // partial round and return the model built so far (the reference
+      // returns the last checkpoint on stop)
+      case _: Throwable if stopEvents.exists(_.isSet) =>
+        curGrads.foreach(_.unpersist(blocking = false))
+        stop = true
     }
+    sc.clearJobGroup() // post-loop jobs must not inherit the cancel group
 
     // C8 afterTrain, before the caches go away
     if (distributedCallbacks.nonEmpty) {

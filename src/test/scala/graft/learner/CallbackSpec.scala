@@ -93,6 +93,36 @@ class CallbackSpec extends SparkTestBase {
       s"expected stop after round 2, got ${res.roundsCompleted}")
   }
 
+  test("hard StopEvent cancels in-flight stages and returns the " +
+      "model built so far (C6 job-group cancel)") {
+    val rng = new scala.util.Random(83)
+    // big enough that 200 rounds take well over the stop delay
+    val rows = (1 to 60000).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 2 * a + b)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(8)
+    val stop = new StopEvent
+    val stopper = new Thread(() => {
+      Thread.sleep(1500)
+      stop.set(hard = true)
+    })
+    stopper.start()
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 200,
+        maxDepth = 6, seed = 1), callbacks = Seq(stop))
+    stopper.join()
+    assert(stop.isSet)
+    assert(res.roundsCompleted < 200,
+      s"hard stop did not interrupt (${res.roundsCompleted} rounds)")
+    // the returned model holds only whole rounds and still predicts
+    assert(res.model.trees.length >= res.roundsCompleted &&
+      res.model.trees.length <= res.roundsCompleted + 1,
+      s"${res.model.trees.length} trees vs ${res.roundsCompleted} rounds")
+    val pred = GraftBoost.predict(res.model, df.limit(10), DMatrixSpec("y"))
+    assert(pred.count() === 10)
+  }
+
   test("ResultChannel carries worker items to the driver (C7)") {
     val chan = new ResultChannel(spark.sparkContext)
     val sender = new DistributedCallback {
