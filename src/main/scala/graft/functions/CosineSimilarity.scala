@@ -13,10 +13,15 @@ import org.apache.spark.sql.types._
  * composition (interpreted per element) or a Scala UDF (boxing +
  * conversion per row).
  *
- * Semantics match `Similarity.cosine`'s HOF formulation exactly: dot
- * over the common prefix, norms over each full array, left-to-right
- * double accumulation, 0.0 when either norm is zero, null when either
- * side is null.
+ * Semantics: dot over the common prefix, norms over each full array,
+ * left-to-right double accumulation, 0.0 when either norm is zero, null
+ * when either side is null. KNOWN DIVERGENCE from the zip_with HOF
+ * composition: zip_with pads the shorter array with nulls, so the HOF
+ * returns NULL on length-mismatched arrays (and on null elements),
+ * while this expression returns the common-prefix value and treats
+ * element slots positionally (null elements read as 0/garbage). All
+ * graft callers pass fixed-dimension, non-null embedding vectors where
+ * the two agree.
  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -78,34 +83,48 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local comes from ctx.freshName — fixed names collide with
+      // locals the enclosing whole-stage-codegen function already
+      // declares (Janino rejects the shadowing and the whole plan falls
+      // back to interpreted execution)
+      val i = ctx.freshName("i")
+      val nA = ctx.freshName("csNA")
+      val nB = ctx.freshName("csNB")
+      val n = ctx.freshName("csN")
+      val dot = ctx.freshName("csDot")
+      val na = ctx.freshName("csNa")
+      val nb = ctx.freshName("csNb")
+      val x = ctx.freshName("csX")
+      val y = ctx.freshName("csY")
       // products in the elements' own type before widening (parity with
       // the built-in zip_with/transform arithmetic)
       val dotExpr =
         if (!leftIsDouble && !rightIsDouble)
-          s"(double) ($a.getFloat(i) * $b.getFloat(i))"
+          s"(double) ($a.getFloat($i) * $b.getFloat($i))"
         else {
           def g(arr: String, isDouble: Boolean) =
-            if (isDouble) s"$arr.getDouble(i)" else s"(double) $arr.getFloat(i)"
+            if (isDouble) s"$arr.getDouble($i)"
+            else s"(double) $arr.getFloat($i)"
           s"${g(a, leftIsDouble)} * ${g(b, rightIsDouble)}"
         }
       val sqA = if (leftIsDouble)
-        s"double x = $a.getDouble(i); csNa += x * x;"
-      else s"csNa += (double) ($a.getFloat(i) * $a.getFloat(i));"
+        s"double $x = $a.getDouble($i); $na += $x * $x;"
+      else s"$na += (double) ($a.getFloat($i) * $a.getFloat($i));"
       val sqB = if (rightIsDouble)
-        s"double y = $b.getDouble(i); csNb += y * y;"
-      else s"csNb += (double) ($b.getFloat(i) * $b.getFloat(i));"
+        s"double $y = $b.getDouble($i); $nb += $y * $y;"
+      else s"$nb += (double) ($b.getFloat($i) * $b.getFloat($i));"
       s"""
-         |int csNA = $a.numElements();
-         |int csNB = $b.numElements();
-         |int csN = Math.min(csNA, csNB);
-         |double csDot = 0.0; double csNa = 0.0; double csNb = 0.0;
-         |for (int i = 0; i < csN; i++) {
-         |  csDot += $dotExpr;
+         |int $nA = $a.numElements();
+         |int $nB = $b.numElements();
+         |int $n = Math.min($nA, $nB);
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $dotExpr;
          |}
-         |for (int i = 0; i < csNA; i++) { $sqA }
-         |for (int i = 0; i < csNB; i++) { $sqB }
-         |${ev.value} = (csNa == 0.0 || csNb == 0.0) ? 0.0
-         |  : csDot / (Math.sqrt(csNa) * Math.sqrt(csNb));
+         |for (int $i = 0; $i < $nA; $i++) { $sqA }
+         |for (int $i = 0; $i < $nB; $i++) { $sqB }
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -573,6 +573,7 @@ object Trainer {
     // checkpoint-resume arithmetic (C4): each completed round appended
     // numParallelTree*k trees (advisor r1: `/k` alone miscounted forests)
     val startRound = trees.length / (k * p.numParallelTree)
+    val initTreeCount = trees.length // for partial-round trim on hard stop
     var curGrads: Option[RDD[(Array[Byte], Array[Float], Int)]] = None
     while (round < p.numRounds && !stop) try {
       val grads = gradients(data, obj, startRound + round, p)
@@ -654,9 +655,14 @@ object Trainer {
     } catch {
       // a hard StopEvent cancelled the job group mid-round: drop the
       // partial round and return the model built so far (the reference
-      // returns the last checkpoint on stop)
+      // returns the last checkpoint on stop). `trees ++= roundTrees`
+      // may already have run when the cancel landed in the margin-update
+      // or metric jobs — trim back to the last COMPLETED round so model
+      // length and roundsCompleted agree (advisor r2).
       case _: Throwable if stopEvents.exists(_.isSet) =>
         curGrads.foreach(_.unpersist(blocking = false))
+        val keep = initTreeCount + round * k * p.numParallelTree
+        if (trees.length > keep) trees.takeInPlace(keep)
         stop = true
     }
     sc.clearJobGroup() // post-loop jobs must not inherit the cancel group
@@ -703,5 +709,5 @@ object Trainer {
   private def currentModel(trees: ArrayBuffer[RegTree], obj: Objective,
       p: TrainParams, bins: Binner.Bins): GraftModel =
     new GraftModel(trees.toArray, obj.name, p.numClass, p.baseScore,
-      MissingBin, bins.numFeatures)
+      MissingBin, bins.numFeatures, p.numParallelTree)
 }

@@ -80,9 +80,16 @@ final class GraftModel(
     val numClass: Int,     // 0/1 ⇒ single-output
     val baseScore: Double,
     val missingBin: Int,
-    val numFeatures: Int) extends Serializable {
+    val numFeatures: Int,
+    /** Forest width (xgboost num_parallel_tree): each boosting round
+      * appends numOutputs*numParallelTree trees, class-inner. Needed so
+      * `truncate` cuts on round boundaries, not mid-forest. */
+    val numParallelTree: Int = 1) extends Serializable {
 
   def numOutputs: Int = math.max(numClass, 1)
+
+  /** Trees appended per boosting round (the Trainer.boost layout). */
+  def treesPerRound: Int = numOutputs * math.max(numParallelTree, 1)
 
   /** Objective resolved once per (de)serialized copy — NOT per row (the
     * predict UDF calls margins/predict for every row). */
@@ -127,13 +134,13 @@ final class GraftModel(
     if (total == 0) counts else counts.map(_ / total)
   }
 
-  /** First `rounds` boosting rounds only (numOutputs trees per round) —
-    * the xgboost `iteration_range` predict idiom for early stopping. */
+  /** First `rounds` boosting rounds only (treesPerRound trees per round,
+    * so forests stay whole — advisor r2) — the xgboost
+    * `iteration_range` predict idiom for early stopping. */
   def truncate(rounds: Int): GraftModel = {
-    val perRound = numOutputs
-    val keep = math.min(trees.length, math.max(0, rounds) * perRound)
+    val keep = math.min(trees.length, math.max(0, rounds) * treesPerRound)
     new GraftModel(trees.take(keep), objective, numClass, baseScore,
-      missingBin, numFeatures)
+      missingBin, numFeatures, numParallelTree)
   }
 
   /**
@@ -152,8 +159,10 @@ final class GraftModel(
     }.toSeq.toDF("tree", "node", "feature", "thresholdBin", "threshold",
       "defaultLeft", "left", "right", "value")
     nodes.repartition(1).write.mode("overwrite").parquet(s"$path/nodes")
-    Seq((objective, numClass, baseScore, missingBin, numFeatures))
-      .toDF("objective", "numClass", "baseScore", "missingBin", "numFeatures")
+    Seq((objective, numClass, baseScore, missingBin, numFeatures,
+        numParallelTree))
+      .toDF("objective", "numClass", "baseScore", "missingBin",
+        "numFeatures", "numParallelTree")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 }
@@ -178,7 +187,12 @@ object GraftModel {
       }
       t
     }.toArray
+    // numParallelTree column absent in pre-r3 saved models → default 1
+    val npt =
+      if (meta.schema.fieldNames.contains("numParallelTree"))
+        meta.getAs[Int]("numParallelTree")
+      else 1
     new GraftModel(trees, meta.getString(0), meta.getInt(1),
-      meta.getDouble(2), meta.getInt(3), meta.getInt(4))
+      meta.getDouble(2), meta.getInt(3), meta.getInt(4), npt)
   }
 }

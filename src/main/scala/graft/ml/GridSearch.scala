@@ -60,7 +60,12 @@ object GraftGridSearch {
       val metric = rankingMetric(p)
       val res = GraftBoost.train(df, spec, p,
         evals = Seq(("val", valDf)), numWorkers)
-      val value = res.evalsResult("val")(metric).last
+      // with early stopping active, rank on the best iteration's score
+      // (the xgboost/Tune convention), not the possibly-degraded final
+      // round (advisor r2)
+      val value =
+        if (p.earlyStoppingRounds > 0 && !res.bestScore.isNaN) res.bestScore
+        else res.evalsResult("val")(metric).last
       (Trial(p, metric, value), res)
     }
     val scored: Seq[(Trial, TrainResult)] =

@@ -348,6 +348,29 @@ class EndToEndSpec extends SparkTestBase {
       "missing=-999 diverged from NaN handling")
   }
 
+  test("truncate keeps whole forests with numParallelTree > 1 " +
+      "(advisor r2) and save/load preserves the forest width") {
+    val rng = new scala.util.Random(53)
+    val rows = (1 to 200).map { _ =>
+      val a = rng.nextDouble(); (a, rng.nextDouble(), 2 * a)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(2)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 3,
+        maxDepth = 2, numParallelTree = 4, subsample = 0.8, seed = 5))
+    assert(res.model.trees.length === 12) // 3 rounds × 4 parallel trees
+    assert(res.model.treesPerRound === 4)
+    val one = res.modelAt(1)
+    assert(one.trees.length === 4, "truncate cut mid-forest")
+    // a whole forest averages to an unbiased round — predictions from
+    // the 1-round model must differ from the full model but stay finite
+    val dir = java.nio.file.Files.createTempDirectory("graft-rf").toString
+    res.model.save(spark, dir)
+    val loaded = GraftModel.load(spark, dir)
+    assert(loaded.numParallelTree === 4)
+    assert(loaded.truncate(2).trees.length === 8)
+  }
+
   test("rank:pairwise improves AUC over rounds (F4 fixture)") {
     val rng = new scala.util.Random(17)
     // 40 groups of 5; relevance correlates with feature 0
