@@ -259,23 +259,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- rows-only checks (no SQL-expressible oracle) ----
+    // ---- dedup: MinHash-LSH with exact shingle-Jaccard verification
+    //      (oracle = min-id pairing over the exhaustive exact pair set) --
     "dd_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(ld(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.9).orderBy("keep_id", "dup_id")),
-    "dd_simhash" -> ((s, dir) =>
-      Dedup.simhashDups(ld(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3).orderBy("keep_id", "dup_id")),
+        threshold = 0.9, exactVerify = true).orderBy("keep_id", "dup_id")),
+
+    // ---- dedup: exact word-3-gram Jaccard (prefix-filtered index is
+    //      candidate-complete ⇒ oracle = exhaustive exact pair set) ----
     "dd_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(ld(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8).orderBy("keep_id", "dup_id")),
+
+    // ---- dedup: embedding near-dup, exact cosine verification ----
     "dd_embedding" -> ((s, dir) =>
       Dedup.embeddingDups(
         ld(s, dir, "embeddings").unionByName(
-          ld(s, dir, "embeddings").limit(20)
+          ld(s, dir, "embeddings").filter(col("vec_id") < 20)
             .withColumn("vec_id", col("vec_id") + 10000000)),
         "vec_id", "embedding", minCosine = 0.999)
         .orderBy("keep_id", "dup_id")),
+
+    // ---- rows-only checks (no SQL-expressible oracle) ----
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhashDups(ld(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3).orderBy("keep_id", "dup_id")),
     "sim_lsh_topk" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -535,6 +543,63 @@ object SparkEntry {
         |   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
         |   ELSE 'de' END AS lang_id
         | FROM s ORDER BY doc_id""".stripMargin,
+    "dd_ngram" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |     x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT id,
+        |   CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |       for i in range(1, len(toks) - 1)]) END AS grams
+        | FROM tok),
+        |gg AS (SELECT id, grams, len(grams) AS sz FROM g
+        | WHERE len(grams) > 0),
+        |p AS (SELECT a.id AS keep_id, b.id AS dup_id,
+        |   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |     (a.sz + b.sz - len(list_intersect(a.grams, b.grams))) AS j
+        | FROM gg a JOIN gg b ON a.id < b.id
+        | WHERE least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz))
+        |SELECT keep_id, dup_id, round(j, 6) AS jaccard FROM p
+        | WHERE j >= 0.8 ORDER BY keep_id, dup_id""".stripMargin,
+    "dd_minhash" ->
+      """WITH norm AS (SELECT doc_id AS id,
+        |   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        | FROM documents),
+        |sh AS (SELECT id,
+        |   CASE WHEN length(t) < 5 THEN [t]
+        |     ELSE list_distinct([substr(t, i, 5)
+        |       for i in range(1, length(t) - 3)]) END AS shingles
+        | FROM norm),
+        |ss AS (SELECT id, shingles, len(shingles) AS sz FROM sh),
+        |p AS (SELECT a.id AS keep_id, b.id AS dup_id,
+        |   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |     (a.sz + b.sz
+        |      - len(list_intersect(a.shingles, b.shingles))) AS j
+        | FROM ss a JOIN ss b ON a.id < b.id
+        | WHERE least(a.sz, b.sz) >= 0.9 * greatest(a.sz, b.sz)),
+        |f AS (SELECT keep_id, dup_id, round(j, 6) AS jaccard,
+        |   row_number() OVER (PARTITION BY dup_id ORDER BY keep_id)
+        |     AS rn
+        | FROM p WHERE j >= 0.9)
+        |SELECT keep_id, dup_id, jaccard FROM f WHERE rn = 1
+        | ORDER BY keep_id, dup_id""".stripMargin,
+    "dd_embedding" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM embeddings
+        |  WHERE vec_id < 20),
+        |p AS (SELECT a.id AS keep_id, b.id AS dup_id,
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) AS cos
+        | FROM base a JOIN base b ON a.id < b.id),
+        |f AS (SELECT keep_id, dup_id, round(cos, 6) AS cosine,
+        |   row_number() OVER (PARTITION BY dup_id ORDER BY keep_id)
+        |     AS rn
+        | FROM p WHERE cos >= 0.999)
+        |SELECT keep_id, dup_id, cosine FROM f WHERE rn = 1
+        | ORDER BY keep_id, dup_id""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |   CAST(embedding AS DOUBLE[]) AS qv

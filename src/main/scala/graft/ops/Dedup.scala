@@ -115,18 +115,55 @@ object Dedup {
     }
   }
 
+  /** Sorted DISTINCT shingle hashes — the exact-verify representation
+    * (array_intersect set semantics need distinct element counts). */
+  private def shingleSet(k: Int) = udf { s: String =>
+    if (s == null) Array.empty[Int]
+    else {
+      val t = s.toLowerCase.replaceAll("\\s+", " ").trim
+      val set = new java.util.HashSet[Integer]()
+      if (t.length < k) set.add(t.hashCode)
+      else {
+        var i = 0
+        while (i + k <= t.length) {
+          var h = 0
+          var j = i
+          while (j < i + k) { h = h * 31 + t.charAt(j); j += 1 }
+          set.add(h)
+          i += 1
+        }
+      }
+      val out = new Array[Int](set.size)
+      val it = set.iterator()
+      var x = 0
+      while (it.hasNext) { out(x) = it.next(); x += 1 }
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
+
   /**
    * MinHash-LSH near-dup detection.
    * shingle → minhash(m = bands×rowsPerBand) → band buckets → for each
-   * bucket, pair each doc with the bucket's min id → verify by signature
-   * agreement (estimated Jaccard) → duplicates above threshold.
+   * bucket, pair each doc with the bucket's min id → verify → duplicates
+   * above threshold.
    *
-   * @return (keep_id, dup_id, est_jaccard) rows, dup_id > keep_id
+   * Verification modes:
+   *  - `exactVerify = false` (default): estimated Jaccard = fraction of
+   *    agreeing signature slots. Zero extra data reads — right at 100 TB
+   *    when a small false-positive rate is acceptable.
+   *  - `exactVerify = true`: exact shingle-set Jaccard, computed only for
+   *    candidate ids (semi-join keeps the shingle re-read proportional to
+   *    the candidate set, not the corpus). The standard production recipe
+   *    when dedup decisions must be exact.
+   *
+   * @return (keep_id, dup_id, est_jaccard) rows, dup_id > keep_id; with
+   *         `exactVerify` the third column is exact `jaccard` (rounded 6)
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8, seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, exactVerify: Boolean = false): DataFrame = {
     val m = bands * rowsPerBand
     val sig = df
       .select(col(idCol).as("id"),
@@ -151,15 +188,36 @@ object Dedup {
       .filter(col("id") > col("keep_id"))
       .select(col("keep_id"), col("id").as("dup_id"), col("sig"))
       .dropDuplicates("keep_id", "dup_id")
-    // verify: estimated jaccard = fraction of agreeing signature slots
-    val keepSig = sig.select(col("id").as("keep_id"),
-      col("sig").as("keep_sig"))
-    candidates.join(keepSig, "keep_id")
-      .withColumn("est_jaccard",
-        expr("size(filter(zip_with(sig, keep_sig, (a,b) -> a = b)," +
-          " x -> x)) / size(sig)").cast("double"))
-      .filter(col("est_jaccard") >= threshold)
-      .select("keep_id", "dup_id", "est_jaccard")
+    if (exactVerify) {
+      val pairs = candidates.select("keep_id", "dup_id")
+      val candIds = pairs.select(col("keep_id").as("id"))
+        .union(pairs.select(col("dup_id").as("id"))).distinct()
+      val sets = df.select(col(idCol).as("id"),
+        shingleSet(shingleLen)(col(textCol)).as("sh"))
+        .join(candIds, "id") // semi filter: shingles only for candidates
+      pairs
+        .join(sets.select(col("id").as("keep_id"), col("sh").as("ka")),
+          "keep_id")
+        .join(sets.select(col("id").as("dup_id"), col("sh").as("kb")),
+          "dup_id")
+        .withColumn("common",
+          size(array_intersect(col("ka"), col("kb"))).cast("long"))
+        .withColumn("jaccard", col("common").cast("double") /
+          (size(col("ka")) + size(col("kb")) - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("keep_id"), col("dup_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      // verify: estimated jaccard = fraction of agreeing signature slots
+      val keepSig = sig.select(col("id").as("keep_id"),
+        col("sig").as("keep_sig"))
+      candidates.join(keepSig, "keep_id")
+        .withColumn("est_jaccard",
+          expr("size(filter(zip_with(sig, keep_sig, (a,b) -> a = b)," +
+            " x -> x)) / size(sig)").cast("double"))
+        .filter(col("est_jaccard") >= threshold)
+        .select("keep_id", "dup_id", "est_jaccard")
+    }
   }
 
   // ---------------- SimHash ----------------
