@@ -280,10 +280,14 @@ object SparkEntry {
         "vec_id", "embedding", minCosine = 0.999)
         .orderBy("keep_id", "dup_id")),
 
-    // ---- rows-only checks (no SQL-expressible oracle) ----
+    // ---- dedup: SimHash (md5-bit signatures reproducible in SQL;
+    //      pigeonhole chunking is candidate-complete ⇒ oracle =
+    //      exhaustive hamming-pair set) ----
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashDups(ld(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3).orderBy("keep_id", "dup_id")),
+
+    // ---- rows-only checks (no SQL-expressible oracle) ----
     "sim_lsh_topk" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -300,31 +304,53 @@ object SparkEntry {
     }),
     "tx_winnow" -> ((s, dir) => {
       // scalar digests of the sketch (the driver harness can't sort
-      // array columns): size + min/max fingerprint + order-sensitive hash
+      // array columns): size + min/max + an ORDER-SENSITIVE polynomial
+      // fold mod 2³¹−1 — every digest is reproducible in DuckDB, so the
+      // whole winnowing pipeline is oracle-checked
       val sk = TextOps.winnow()(col("text"))
       ld(s, dir, "documents")
         .select(col("doc_id"), sk.as("sketch"))
         .select(col("doc_id"),
           size(col("sketch")).cast("long").as("sketch_size"),
-          array_min(col("sketch")).as("sketch_min"),
-          array_max(col("sketch")).as("sketch_max"),
-          xxhash64(to_json(struct(col("sketch")))).as("sketch_digest"))
+          coalesce(array_min(col("sketch")), lit(-1L)).as("sketch_min"),
+          coalesce(array_max(col("sketch")), lit(-1L)).as("sketch_max"),
+          aggregate(col("sketch"), lit(0L),
+            (a, x) => (a * 31 + x) % 2147483647L).as("sketch_digest"))
         .orderBy("doc_id")
     }),
     "mm_decode" -> ((s, dir) => {
-      // media assets faked from document text bytes: real plumbing,
-      // stubbed kernel (see Multimodal scaladoc)
-      val assets = ld(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      // REAL header-decode path: PPM (P6) assets constructed from table
+      // columns, so width/height/byte_size are independently derivable
+      // by the oracle — this drives Multimodal.decodeImage's actual
+      // netpbm parser, not the hash stub
+      val d = ld(s, dir, "documents")
+        .withColumn("w", (col("n_chars") % 640 + 1).cast("int"))
+        .withColumn("h", (col("doc_id") % 480 + 1).cast("int"))
+      val ppm = concat(lit("P6\n"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n"), col("text"))
+      val assets = d.select(col("doc_id"),
+        encode(ppm, "UTF-8").as("bytes"))
       Multimodal.balanceBySize(assets, "bytes", 8)
         .withColumn("meta", Multimodal.decodeImage(col("bytes")))
         .withColumn("resized", Multimodal.resizePlan(col("meta"), 224))
+        .select(col("doc_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.byte_size").as("byte_size"),
+          col("resized.width").cast("long").as("rw"),
+          col("resized.height").cast("long").as("rh"))
+        .orderBy("doc_id")
+    }),
+    "mm_features" -> ((s, dir) => {
+      // stub-kernel surface (feature extraction on raw bytes): real
+      // plumbing, deterministic fake kernel (see Multimodal scaladoc);
+      // scalar digests instead of raw arrays (harness compatibility)
+      val assets = ld(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      Multimodal.balanceBySize(assets, "bytes", 8)
         .withColumn("emb", Multimodal.extractFeatures(col("bytes"), 16))
-        .select(col("doc_id"), col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          col("resized.width").as("rw"), col("resized.height").as("rh"),
-          // scalar digests instead of the raw emb array (harness
-          // compatibility: pandas can't sort array cells)
+        .select(col("doc_id"),
           size(col("emb")).cast("long").as("emb_dim"),
           round(element_at(col("emb"), 1), 6).as("emb_first"),
           round(aggregate(col("emb"), lit(0.0d), (a, v) => a + v), 6)
@@ -600,6 +626,85 @@ object SparkEntry {
         | FROM p WHERE cos >= 0.999)
         |SELECT keep_id, dup_id, cosine FROM f WHERE rn = 1
         | ORDER BY keep_id, dup_id""".stripMargin,
+    // winnowing replay: code points → k=9-gram polynomial hashes mod
+    // 2³¹−1 (closed form Σ c·Bᵉ with precomputed B=1000003 powers — no
+    // rolling state needed in SQL) → w=16 tile minima → first-occurrence
+    // dedup → the same scalar digests the Spark query emits
+    "tx_winnow" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN text IS NULL OR length(text) < 9
+        |      THEN CAST([] AS BIGINT[])
+        |      ELSE [CAST(unicode(text[i]) AS BIGINT)
+        |            for i in range(1, length(text)+1)]
+        |    END AS cps
+        |  FROM documents),
+        |hh AS (SELECT id,
+        |    CASE WHEN len(cps) = 0 THEN CAST([] AS BIGINT[])
+        |      ELSE [CAST(list_sum([cps[i+j-1] * ([1544709545, 57298384,
+        |              2061642598, 1953433226, 1604566856, 1049561761,
+        |              1426104154, 1000003, 1])[j]
+        |              for j in range(1, 10)]) AS BIGINT) % 2147483647
+        |            for i in range(1, len(cps) - 7)]
+        |    END AS hashes
+        |  FROM c),
+        |tl AS (SELECT id,
+        |    CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+        |      ELSE [list_min(hashes[lo+1:least(lo+16, len(hashes))])
+        |            for lo in range(0, len(hashes), 16)]
+        |    END AS tiles
+        |  FROM hh),
+        |dd AS (SELECT id,
+        |    [tiles[i] for i in range(1, len(tiles)+1)
+        |      if coalesce(list_position(tiles[1:i-1], tiles[i]), 0) = 0]
+        |      AS sketch
+        |  FROM tl)
+        |SELECT id AS doc_id, CAST(len(sketch) AS BIGINT) AS sketch_size,
+        |  coalesce(list_min(sketch), -1) AS sketch_min,
+        |  coalesce(list_max(sketch), -1) AS sketch_max,
+        |  coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), sketch),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS sketch_digest
+        | FROM dd ORDER BY doc_id""".stripMargin,
+    "dd_simhash" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |     x -> x <> '') AS toks FROM documents),
+        |tu AS (SELECT id, unnest(toks) AS t FROM tok),
+        |h AS (SELECT id, md5_number_lower(t) AS z FROM tu),
+        |bits AS (SELECT id, r.b AS b,
+        |   sum(CASE WHEN (z >> CAST(r.b AS INTEGER)) & 1 = 1
+        |     THEN 1 ELSE -1 END) AS v
+        | FROM h CROSS JOIN range(64) r(b) GROUP BY id, r.b),
+        |sig0 AS (SELECT id,
+        |   bit_or(CASE WHEN v > 0
+        |     THEN (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))
+        |     ELSE CAST(0 AS UBIGINT) END) AS sig
+        | FROM bits GROUP BY id),
+        |sig AS (SELECT d.doc_id AS id,
+        |   coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
+        | FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.id),
+        |p AS (SELECT a.id AS keep_id, b.id AS dup_id,
+        |   bit_count(xor(a.sig, b.sig)) AS hamming
+        | FROM sig a JOIN sig b ON a.id < b.id)
+        |SELECT keep_id, dup_id, CAST(hamming AS BIGINT) AS hamming
+        | FROM p WHERE hamming <= 3
+        | ORDER BY keep_id, dup_id""".stripMargin,
+    "mm_decode" ->
+      """WITH a AS (SELECT doc_id,
+        |   n_chars % 640 + 1 AS w, doc_id % 480 + 1 AS h,
+        |   strlen(text) AS payload
+        | FROM documents),
+        |m AS (SELECT doc_id, w, h,
+        |   3 + length(CAST(w AS VARCHAR)) + 1
+        |     + length(CAST(h AS VARCHAR)) + 5 + payload AS byte_size,
+        |   least(224.0 / greatest(w, h), 1.0) AS scale
+        | FROM a)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        | CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+        | CAST(byte_size AS BIGINT) AS byte_size,
+        | CAST(ceil(w * scale) AS BIGINT) AS rw,
+        | CAST(ceil(h * scale) AS BIGINT) AS rh
+        | FROM m ORDER BY doc_id""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |   CAST(embedding AS DOUBLE[]) AS qv

@@ -222,18 +222,21 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash over whitespace tokens (row-local). */
+  /** 64-bit SimHash over whitespace tokens (row-local). Token bits are
+    * the LOWER 8 MD5 digest bytes read little-endian — exactly DuckDB's
+    * `md5_number_lower`, making the whole signature reproducible in SQL
+    * for oracle checks (and better-mixed than String.hashCode). */
   private val simhashUdf = udf { s: String =>
     if (s == null) 0L
     else {
+      val md = java.security.MessageDigest.getInstance("MD5")
       val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
       val acc = new Array[Int](64)
       toks.foreach { t =>
-        // splitmix64 of the token hash → 64 well-mixed bits
-        var z = t.hashCode.toLong + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z = z ^ (z >>> 31)
+        val d = md.digest(t.getBytes("UTF-8"))
+        var z = 0L
+        var i = 15
+        while (i >= 8) { z = (z << 8) | (d(i) & 0xFFL); i -= 1 }
         var b = 0
         while (b < 64) {
           if (((z >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -251,13 +254,18 @@ object Dedup {
 
   /**
    * SimHash near-dup: 64-bit signatures, banded into four 16-bit chunks
-   * (two docs within Hamming distance 3 share ≥1 chunk — pigeonhole),
-   * verified by exact Hamming distance. Same bucket-join shape as
-   * MinHash-LSH: no cross join.
+   * (two docs within Hamming distance ≤3 share ≥1 identical chunk —
+   * pigeonhole, so the candidate set is COMPLETE), verified by exact
+   * Hamming distance within each chunk bucket. Emits EVERY verified pair
+   * (keep_id = the pair's smaller id), so the result equals the
+   * exhaustive hamming-pair set — unlike a bucket-min pairing, which
+   * drops pairs whenever a bucket's minimum id happens not to be a true
+   * near-dup of a member. No cross join: pair generation is per-bucket,
+   * bounded by `maxBucket`² per bucket.
    */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
+    val sig = df.select(col(idCol).cast("long").as("id"),
       simhash(col(textCol)).as("sig"))
     val chunked = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
@@ -266,19 +274,29 @@ object Dedup {
             .as("ch"))
       }: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.chunk"), col("b.ch"))
-    val w = Window.partitionBy("chunk", "ch").orderBy("id")
-    chunked
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucket)
-      .withColumn("keep_id", first("id").over(w
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("keep_sig", first("sig").over(w
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("id") > col("keep_id"))
-      .withColumn("hamming",
-        bit_count(col("sig").bitwiseXOR(col("keep_sig"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("keep_id"), col("id").as("dup_id"), col("hamming"))
+    val maxH = maxHamming
+    val pairUdf = udf { members: Seq[org.apache.spark.sql.Row] =>
+      val m = members.sortBy(_.getLong(0)).toArray
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      var i = 0
+      while (i < m.length) {
+        var j = i + 1
+        while (j < m.length) {
+          val h = java.lang.Long.bitCount(m(i).getLong(1) ^ m(j).getLong(1))
+          if (h <= maxH) out += ((m(i).getLong(0), m(j).getLong(0), h))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    chunked.groupBy("chunk", "ch")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")) >= 2 &&
+        size(col("members")) <= maxBucket)
+      .select(explode(pairUdf(col("members"))).as("p"))
+      .select(col("p._1").as("keep_id"), col("p._2").as("dup_id"),
+        col("p._3").cast("long").as("hamming"))
       .dropDuplicates("keep_id", "dup_id")
   }
 

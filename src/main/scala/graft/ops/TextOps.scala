@@ -193,7 +193,11 @@ object TextOps {
       if (s == null || s.length < k) Array.empty[Long]
       else {
         val n = s.length
-        val B = 1000000007L; val M = (1L << 61) - 1
+        // B·M sized so every intermediate fits a signed 64-bit long:
+        // h < M = 2³¹−1, h·B < 2³¹·2²⁰ = 2⁵¹ (the previous M = 2⁶¹−1
+        // overflowed h·B, silently breaking the rolling identity — the
+        // same k-gram at different positions hashed differently)
+        val B = 1000003L; val M = 2147483647L
         var pow = 1L
         var i = 1
         while (i < k) { pow = pow * B % M; i += 1 }
