@@ -159,11 +159,12 @@ object Trainer {
     val value = ArrayBuffer[Float]()
     val sumG = ArrayBuffer[Double]()
     val sumH = ArrayBuffer[Double]()
+    val gain = ArrayBuffer[Double]()   // split gain (0 at leaves)
 
     def newNode(g: Double, h: Double): Int = {
       feature += -2; thresholdBin += -1; threshold += 0f
       defaultLeft += false; left += -1; right += -1; value += 0f
-      sumG += g; sumH += h
+      sumG += g; sumH += h; gain += 0.0
       feature.length - 1
     }
 
@@ -174,7 +175,8 @@ object Trainer {
 
     def result(): RegTree = new RegTree(feature.toArray, thresholdBin.toArray,
       threshold.toArray, defaultLeft.toArray, left.toArray, right.toArray,
-      value.toArray)
+      value.toArray, gain.toArray.map(_.toFloat),
+      sumH.toArray.map(_.toFloat)) // cover = hessian sum through the node
   }
 
   /** xgboost leaf weight with L1/L2 regularization and shrinkage. */
@@ -454,6 +456,7 @@ object Trainer {
           else {
             val l = tb.newNode(bestGL, bestHL)
             val r = tb.newNode(tb.sumG(nid) - bestGL, tb.sumH(nid) - bestHL)
+            tb.gain(nid) = bestGain
             tb.feature(nid) = bestF
             tb.thresholdBin(nid) = bestBin
             tb.threshold(nid) = bins.cuts(bestF)(bestBin)

@@ -21,10 +21,19 @@ final class RegTree(
     val defaultLeft: Array[Boolean], // direction for missing (NaN)
     val left: Array[Int],
     val right: Array[Int],
-    val value: Array[Float])       // leaf value (eta already applied)
+    val value: Array[Float],       // leaf value (eta already applied)
+    /** Split gain per internal node (0 at leaves) — xgboost get_score
+      * gain/total_gain importances need it. */
+    val gain: Array[Float] = Array.empty,
+    /** Hessian sum routed through each node (xgboost "cover"). */
+    val cover: Array[Float] = Array.empty)
     extends Serializable {
 
   def numNodes: Int = feature.length
+
+  /** True when this tree carries per-node gain/cover statistics
+    * (models saved before they existed load without them). */
+  def hasStats: Boolean = gain.length == numNodes
 
   /** Traverse with pre-binned features; bin `missingBin` = NaN. */
   def predictBinned(bins: Array[Byte], missingBin: Int): Float = {
@@ -116,23 +125,48 @@ final class GraftModel(
   def dump(): String =
     trees.zipWithIndex.map { case (t, i) => t.dump(i) }.mkString
 
-  /** Split-count ("weight") feature importances, normalized to sum 1 —
-    * the sklearn wrapper's feature_importances_ default
-    * (reference exposes the xgboost booster's get_score;
-    * gain/cover variants would need per-node statistics the compact
-    * node layout intentionally drops). */
-  def featureImportances: Array[Double] = {
+  /** Feature importances, normalized to sum 1 (the sklearn wrapper's
+    * feature_importances_ convention; reference exposes the xgboost
+    * booster's get_score importance_type surface):
+    *  - "weight": number of splits per feature
+    *  - "total_gain" / "gain": summed / per-split-average split gain
+    *  - "total_cover" / "cover": summed / average hessian routed through
+    *    split nodes
+    * gain/cover need per-node stats; models saved before those existed
+    * fall back to zeros (hasStats = false). */
+  def featureImportances(importanceType: String = "weight")
+      : Array[Double] = {
     val counts = new Array[Double](numFeatures)
+    val sums = new Array[Double](numFeatures)
     trees.foreach { t =>
       var i = 0
       while (i < t.numNodes) {
-        if (t.feature(i) >= 0) counts(t.feature(i)) += 1
+        val f = t.feature(i)
+        if (f >= 0) {
+          counts(f) += 1
+          if (t.hasStats) sums(f) += (importanceType match {
+            case "total_gain" | "gain" => t.gain(i)
+            case "total_cover" | "cover" => t.cover(i)
+            case _ => 0.0
+          })
+        }
         i += 1
       }
     }
-    val total = counts.sum
-    if (total == 0) counts else counts.map(_ / total)
+    val raw = importanceType match {
+      case "weight" => counts
+      case "total_gain" | "total_cover" => sums
+      case "gain" | "cover" =>
+        sums.zip(counts).map { case (s, c) => if (c > 0) s / c else 0.0 }
+      case other => throw new IllegalArgumentException(
+        s"unknown importance type: $other")
+    }
+    val total = raw.sum
+    if (total == 0) raw else raw.map(_ / total)
   }
+
+  /** Split-count importances (back-compat overload). */
+  def featureImportances: Array[Double] = featureImportances("weight")
 
   /** First `rounds` boosting rounds only (treesPerRound trees per round,
     * so forests stay whole — advisor r2) — the xgboost
@@ -154,10 +188,12 @@ final class GraftModel(
     val nodes = trees.zipWithIndex.flatMap { case (t, ti) =>
       (0 until t.numNodes).map { i =>
         (ti, i, t.feature(i), t.thresholdBin(i), t.threshold(i),
-          t.defaultLeft(i), t.left(i), t.right(i), t.value(i))
+          t.defaultLeft(i), t.left(i), t.right(i), t.value(i),
+          if (t.hasStats) t.gain(i) else 0f,
+          if (t.hasStats) t.cover(i) else 0f)
       }
     }.toSeq.toDF("tree", "node", "feature", "thresholdBin", "threshold",
-      "defaultLeft", "left", "right", "value")
+      "defaultLeft", "left", "right", "value", "gain", "cover")
     nodes.repartition(1).write.mode("overwrite").parquet(s"$path/nodes")
     Seq((objective, numClass, baseScore, missingBin, numFeatures,
         numParallelTree))
@@ -173,17 +209,26 @@ object GraftModel {
     val nodeRows = spark.read.parquet(s"$path/nodes")
       .orderBy("tree", "node").collect()
     val byTree = nodeRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    // gain/cover columns absent in pre-r3 saved models → stat-less trees
+    val hasStats = nodeRows.headOption
+      .exists(_.schema.fieldNames.contains("gain"))
     val trees = byTree.map { case (_, rows) =>
       val n = rows.length
       val t = new RegTree(new Array[Int](n), new Array[Int](n),
         new Array[Float](n), new Array[Boolean](n), new Array[Int](n),
-        new Array[Int](n), new Array[Float](n))
+        new Array[Int](n), new Array[Float](n),
+        if (hasStats) new Array[Float](n) else Array.empty,
+        if (hasStats) new Array[Float](n) else Array.empty)
       rows.foreach { r: Row =>
         val i = r.getInt(1)
         t.feature(i) = r.getInt(2); t.thresholdBin(i) = r.getInt(3)
         t.threshold(i) = r.getFloat(4); t.defaultLeft(i) = r.getBoolean(5)
         t.left(i) = r.getInt(6); t.right(i) = r.getInt(7)
         t.value(i) = r.getFloat(8)
+        if (hasStats) {
+          t.gain(i) = r.getAs[Float]("gain")
+          t.cover(i) = r.getAs[Float]("cover")
+        }
       }
       t
     }.toArray

@@ -142,6 +142,23 @@ class EstimatorSpec extends SparkTestBase {
     assert(imp.length === 2)
     assert(math.abs(imp.sum - 1.0) < 1e-9)
     assert(imp(0) > 0.9, s"importances: ${imp.mkString(",")}")
+    // gain/cover variants (xgboost get_score importance types): the
+    // informative feature dominates gain even harder than weight
+    for (t <- Seq("gain", "total_gain", "cover", "total_cover")) {
+      val v = m.model.featureImportances(t)
+      assert(v.length === 2 && math.abs(v.sum - 1.0) < 1e-9, t)
+    }
+    assert(m.model.featureImportances("total_gain")(0) > 0.95)
+    // stats survive the parquet round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft-imp").toString
+    m.model.save(spark, dir)
+    val loaded = graft.learner.GraftModel.load(spark, dir)
+    assert(loaded.trees.forall(_.hasStats))
+    assert(loaded.featureImportances("total_gain").toSeq ===
+      m.model.featureImportances("total_gain").toSeq)
+    intercept[IllegalArgumentException] {
+      m.model.featureImportances("bogus")
+    }
   }
 
   test("predict works on unlabeled data (label column absent)") {
