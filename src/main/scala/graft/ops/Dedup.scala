@@ -165,10 +165,14 @@ object Dedup {
       threshold: Double = 0.8, seed: Long = 42L,
       maxBucket: Int = 1000, exactVerify: Boolean = false): DataFrame = {
     val m = bands * rowsPerBand
+    // cached: the plan reads signatures twice (banding + verify side);
+    // entries are m longs per doc — tiny next to the text — and
+    // MEMORY_AND_DISK entries are LRU-evicted under pressure
     val sig = df
       .select(col(idCol).as("id"),
         minhashSig(m, seed)(shingleHashes(shingleLen)(col(textCol)))
           .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band bucket key: hash of the band's signature slice
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -189,12 +193,39 @@ object Dedup {
       .select(col("keep_id"), col("id").as("dup_id"), col("sig"))
       .dropDuplicates("keep_id", "dup_id")
     if (exactVerify) {
-      val pairs = candidates.select("keep_id", "dup_id")
+      // Two-tier verification. Band buckets are collision-heavy on
+      // natural text (the globally-smallest shingle hashes are COMMON
+      // n-grams, so per-bin minima coincide across unrelated docs — at
+      // sf0.1, 24k candidate pairs for 25 true dups). Tier 1 filters by
+      // estimated jaccard on the already-computed signatures, zero extra
+      // data reads; tier 2 computes exact shingle-set jaccard only for
+      // survivors. The 0.15 slack keeps tier 1 statistically complete:
+      // a true pair AT the threshold has est ≈ j ± sqrt(j(1-j)/m), so
+      // the miss probability at m=64 slots is ~1e-5.
+      val estCut = math.max(0.0, threshold - 0.15)
+      val keepSig = sig.select(col("id").as("keep_id"),
+        col("sig").as("keep_sig"))
+      // cached AND forced: the verify plan reads the surviving pairs
+      // from three branches (pairs + both candId legs) in one job —
+      // without eager materialization those branches race ahead of the
+      // cache blocks and each recomputes the banding+window pipeline
+      val pairs = candidates.join(keepSig, "keep_id")
+        .withColumn("est_jaccard",
+          expr("size(filter(zip_with(sig, keep_sig, (a,b) -> a = b)," +
+            " x -> x)) / size(sig)").cast("double"))
+        .filter(col("est_jaccard") >= estCut)
+        .select("keep_id", "dup_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
       val candIds = pairs.select(col("keep_id").as("id"))
         .union(pairs.select(col("dup_id").as("id"))).distinct()
-      val sets = df.select(col(idCol).as("id"),
-        shingleSet(shingleLen)(col(textCol)).as("sh"))
-        .join(candIds, "id") // semi filter: shingles only for candidates
+      // semi-join BEFORE the shingle UDF so shingle sets are built only
+      // for surviving candidate ids, not the whole corpus; cached
+      // because both verify legs read it
+      val sets = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
+        .join(candIds, "id")
+        .select(col("id"), shingleSet(shingleLen)(col("__txt")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs
         .join(sets.select(col("id").as("keep_id"), col("sh").as("ka")),
           "keep_id")
@@ -205,8 +236,13 @@ object Dedup {
         .withColumn("jaccard", col("common").cast("double") /
           (size(col("ka")) + size(col("kb")) - col("common")))
         .filter(col("jaccard") >= threshold)
-        .select(col("keep_id"), col("dup_id"),
-          round(col("jaccard"), 6).as("jaccard"))
+        // one keeper per duplicate: different bands can pair the same
+        // dup with different bucket minima — keep the smallest verified
+        // keeper (min-id pairing, struct-min is lexicographic)
+        .groupBy("dup_id")
+        .agg(min(struct(col("keep_id"), col("jaccard"))).as("s"))
+        .select(col("s.keep_id").as("keep_id"), col("dup_id"),
+          round(col("s.jaccard"), 6).as("jaccard"))
     } else {
       // verify: estimated jaccard = fraction of agreeing signature slots
       val keepSig = sig.select(col("id").as("keep_id"),
