@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan regression audit: the properties that make the
+ * SparkEntry queries scale (pushdown, pruning, broadcast joins,
+ * map-side partial top-k, whole-stage codegen) are asserted here so a
+ * future refactor can't silently re-introduce a scan-everything /
+ * shuffle-everything / interpreted-fallback plan.
+ */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s2_scan_prune: filter is pushed to the parquet scan and only " +
+      "the projected columns are read") {
+    val p = plan("s2_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_quantity,30"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_extendedprice") && !read.contains("l_tax"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("j1_enrich_agg: both dimension joins broadcast (no shuffle of " +
+      "the fact table by join key)") {
+    val p = plan("j1_enrich_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sim_topk: top-k never re-ranks the scored corpus through a " +
+      "window — only the pre-aggregated |Q|·k result reaches SQL") {
+    val p = plan("sim_topk")
+    // the bounded-heap treeAggregate produces a tiny RDD (per-partition
+    // partial heaps, driver merge); a row_number() re-rank would show a
+    // Window over an exchange of every scored row instead
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("aggregations keep map-side partial combining") {
+    val p = plan("a2_metric_agg")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("no query plans a global (unpartitioned) window sort") {
+    // Window with an empty partition spec funnels the whole table into
+    // one task ("WindowExec: No Partition Defined" at runtime)
+    for ((name, fn) <- SparkEntry.queries
+         if !name.startsWith("ml_")) { // ml queries train eagerly
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      val bad = p.linesIterator.exists { l =>
+        l.contains("Window") && l.contains("windowspecdefinition()")
+      }
+      assert(!bad, s"$name has a global window:\n$p")
+    }
+  }
+
+  test("CosineSimilarity compiles under codegen-only mode (no " +
+      "interpreted fallback)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import spark.implicits._
+      val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 1.0f)),
+        (Array(0.5f, 0.5f), Array(0.5f, 0.5f))).toDF("a", "b")
+      val res = df.select(
+        graft.ops.Similarity.cosineNative(spark, col("a"), col("b"))
+          .as("c"))
+        .collect().map(_.getDouble(0))
+      assert(math.abs(res(1) - 1.0) < 1e-9)
+      assert(res(0) > 0.7 && res(0) < 0.9)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}
