@@ -287,6 +287,14 @@ object SparkEntry {
       Dedup.simhashDups(ld(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3).orderBy("keep_id", "dup_id")),
 
+    // ---- composed pipeline: exact dedup → quality gate → near-dup
+    //      removal (every stage already oracle-proven individually) ----
+    "pp_clean" -> ((s, dir) =>
+      ops.CorpusPipeline.clean(ld(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("token_count"), col("punct_ratio"),
+          col("mean_word_len"))
+        .orderBy("doc_id")),
+
     // ---- rows-only checks (no SQL-expressible oracle) ----
     "sim_lsh_topk" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
@@ -626,6 +634,49 @@ object SparkEntry {
         | FROM p WHERE cos >= 0.999)
         |SELECT keep_id, dup_id, cosine FROM f WHERE rn = 1
         | ORDER BY keep_id, dup_id""".stripMargin,
+    "pp_clean" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))),
+        |k AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN keep USING (doc_id)),
+        |q0 AS (SELECT doc_id, text,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |    AS token_count,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
+        |      AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(
+        |      string_split_regex(trim(text), '\s+'), x -> length(x)))
+        |      AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) END, 6)
+        |    AS mean_word_len
+        | FROM k),
+        |q AS (SELECT * FROM q0
+        | WHERE token_count >= 10 AND punct_ratio <= 0.1
+        |   AND mean_word_len BETWEEN 2.0 AND 12.0),
+        |tok AS (SELECT doc_id AS id,
+        |   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |     x -> x <> '') AS toks FROM q),
+        |g AS (SELECT id,
+        |   CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |       for i in range(1, len(toks) - 1)]) END AS grams
+        | FROM tok),
+        |gg AS (SELECT id, grams, len(grams) AS sz FROM g
+        | WHERE len(grams) > 0),
+        |dups AS (SELECT DISTINCT b.id AS dup_id
+        | FROM gg a JOIN gg b ON a.id < b.id
+        | WHERE least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)
+        |   AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |     (a.sz + b.sz - len(list_intersect(a.grams, b.grams)))
+        |     >= 0.8)
+        |SELECT doc_id, token_count, punct_ratio, mean_word_len FROM q
+        | WHERE doc_id NOT IN (SELECT dup_id FROM dups)
+        | ORDER BY doc_id""".stripMargin,
     // winnowing replay: code points → k=9-gram polynomial hashes mod
     // 2³¹−1 (closed form Σ c·Bᵉ with precomputed B=1000003 powers — no
     // rolling state needed in SQL) → w=16 tile minima → first-occurrence

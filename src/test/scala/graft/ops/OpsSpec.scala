@@ -225,4 +225,32 @@ class OpsSpec extends SparkTestBase {
     assert(frames.count() === 12)
     assert(frames.filter($"offset_ms" === 6000).count() === 3)
   }
+
+  test("cleanCorpus: exact dups, garbage, and near-dups all removed") {
+    // corpus: 3 distinct good docs, 1 exact copy, 1 near-copy, 1 garbage
+    val good1 = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the quiet green forest before dark tonight"
+    val good2 = "distributed systems require careful attention to " +
+      "partial failures and retries when the network starts dropping " +
+      "packets under heavy sustained load conditions"
+    val good3 = "a completely different document about cooking pasta " +
+      "with fresh tomatoes garlic olive oil and plenty of grated " +
+      "parmesan cheese on top served warm"
+    val nearDup = good1.replace("tonight", "today") // high jaccard
+    val rows = Seq(
+      (0L, good1), (1L, good2), (2L, good3),
+      (3L, good1),             // exact dup of 0
+      (4L, nearDup),           // near dup of 0
+      (5L, "!!! ### @@@ ???")) // garbage (punct, short)
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(rows, "doc_id", "text",
+      jaccardThreshold = 0.5)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 1L, 2L),
+      s"survivors: $ids (expected exact dup 3, near dup 4, garbage 5 gone)")
+    // quality columns present and sane
+    val r = out.filter($"doc_id" === 0L).head()
+    assert(r.getAs[Long]("token_count") >= 10)
+    assert(r.getAs[Double]("punct_ratio") <= 0.1)
+  }
 }
