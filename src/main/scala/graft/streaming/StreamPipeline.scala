@@ -3,9 +3,10 @@ package graft.streaming
 import graft.api.GraftBoost
 import graft.data.DMatrixSpec
 import graft.learner.GraftModel
-import graft.ops.TextOps
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Structured-Streaming face of the pipeline ops. The batch reference
@@ -47,6 +48,86 @@ object StreamPipeline {
       .withWatermark(tsCol, delayThreshold)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** One simhash-chunk bucket row (the stream analog of
+    * `Dedup.simhashDups`' banding). */
+  final case class ChunkRow(chunk: Int, ch: Long, id: Long, sig: Long,
+      ts: java.sql.Timestamp)
+
+  /** A detected near-duplicate pair (keep_id < dup_id). */
+  final case class DupHit(keep_id: Long, dup_id: Long, hamming: Int)
+
+  /**
+   * Streaming NEAR-dup detection — the custom-state pattern watermark
+   * dedup can't express: each arriving doc must compare against ALL
+   * recent docs in its simhash chunk buckets, not just test key
+   * equality. `flatMapGroupsWithState` keys on (chunk, bucket) and holds
+   * the bucket's recent (id, sig) members; a new doc emits a DupHit per
+   * member within `maxHamming`, then joins the state.
+   *
+   * State bound, both dimensions: `maxBucket` members per bucket (FIFO
+   * eviction), and an EVENT-TIME TTL — a bucket that sees no rows for
+   * `delayThreshold` past the watermark clears, so total state is
+   * O(active buckets × maxBucket), independent of stream length.
+   * (Event-time timeout, not processing-time: expiry advances with the
+   * data's own clock and replays deterministically.) A pair sharing
+   * several chunks can emit once per shared chunk; feed the output
+   * through dropDuplicatesWithinWatermark when exactly-once pairs
+   * matter.
+   */
+  def nearDupStream(stream: DataFrame, idCol: String, tsCol: String,
+      textCol: String, delayThreshold: String = "10 minutes",
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      stateTtlMs: Long = 600000L): Dataset[DupHit] = {
+    import stream.sparkSession.implicits._
+    val withSig = stream
+      .withWatermark(tsCol, delayThreshold)
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.simhash(col(textCol)).as("sig"),
+        // plain alias — a cast here would strip the watermark tag and
+        // EventTimeTimeout rejects plans without one
+        col(tsCol).as("ts"))
+    val chunked = withSig.select(explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))
+            .as("ch"),
+          col("id"), col("sig"), col("ts"))
+      }: _*)).as("r")).select("r.*").as[ChunkRow]
+    chunked.groupByKey(r => (r.chunk, r.ch))
+      .flatMapGroupsWithState[List[(Long, Long)], DupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer[DupHit]()
+            var maxEventMs = Long.MinValue
+            rows.foreach { r =>
+              members.foreach { case (mid, msig) =>
+                if (mid != r.id) {
+                  val h = java.lang.Long.bitCount(msig ^ r.sig)
+                  if (h <= maxHamming)
+                    out += DupHit(math.min(mid, r.id),
+                      math.max(mid, r.id), h)
+                }
+              }
+              members = ((r.id, r.sig) :: members).take(maxBucket)
+              if (r.ts != null && r.ts.getTime > maxEventMs)
+                maxEventMs = r.ts.getTime
+            }
+            state.update(members)
+            // expire one TTL past the bucket's last event time (NOT
+            // the current watermark, which lags and would expire fresh
+            // state as soon as the watermark catches up)
+            val base = if (maxEventMs == Long.MinValue)
+              state.getCurrentWatermarkMs() else maxEventMs
+            state.setTimeoutTimestamp(
+              math.max(base + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 
   /**
    * Tumbling-window corpus-quality monitor: per (window, language)

@@ -83,6 +83,43 @@ class StreamPipelineSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("nearDupStream detects near-dups across micro-batches via " +
+      "flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // long doc: a single-token edit flips few simhash bits only when
+    // the token population is large enough to dominate the bit votes
+    val base = (1 to 6).map(i =>
+      s"paragraph $i the quick brown fox jumps over the lazy dog and " +
+        "then runs far away into the deep green forest before dark " +
+        "while the river keeps flowing quietly past the old stone mill")
+      .mkString(" ") + " tonight"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val hits = StreamPipeline.nearDupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      maxHamming = 8)
+    val q = hits.writeStream.format("memory")
+      .queryName("neardup_stream").outputMode("append").start()
+    in.addData((1L, ts(0), base),
+      (2L, ts(1), "distributed systems require careful attention to " +
+        "partial failures and retries when networks drop packets"))
+    q.processAllAvailable()
+    assert(spark.table("neardup_stream").count() === 0)
+    // near-copy and exact copy arrive in LATER batches — only state
+    // carried across micro-batches can pair them with doc 1
+    in.addData((3L, ts(2), base.replace("tonight", "today")))
+    q.processAllAvailable()
+    in.addData((4L, ts(3), base))
+    q.processAllAvailable()
+    val pairs = spark.table("neardup_stream")
+      .select("keep_id", "dup_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), s"near dup missed: $pairs")
+    assert(pairs.contains((1L, 4L)), s"exact dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated doc paired: $pairs")
+    q.stop()
+  }
+
   test("qualityByWindow aggregates per window and language") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
