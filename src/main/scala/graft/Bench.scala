@@ -10,9 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JIT + codegen + parquet footer caches, outside the timings
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => }
+    // warmup OUTSIDE the timings: run every query once at the smallest
+    // SF so JIT, whole-stage-codegen compilation, and parquet footer
+    // caches are hot before measurement — otherwise whichever queries
+    // run first absorb one-time JVM costs and the per-query numbers
+    // are unattributable
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+    spark.catalog.clearCache() // operator caches must not leak into timing
     // noop sink: unlike count(), materializes every output column, so
     // UDF/sort/projection work is actually measured (judge r1 #8)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
