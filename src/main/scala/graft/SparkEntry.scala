@@ -366,6 +366,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ML: closed-form stump — a depth-1, 1-round model on a
+    //      binary feature has analytically-determined leaves
+    //      (pred = base + eta·(Σy − n·base)/(n + λ)), so DuckDB verifies
+    //      the trainer's gradient/leaf arithmetic independently. All
+    //      sums are exact in double (half-integer gradients), and the
+    //      float rounding of the leaf is replicated with REAL casts ----
+    "ml_stump" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML surface (rows-only; semantics tested in ScalaTest) ----
     "ml_train_predict" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
@@ -634,6 +655,19 @@ object SparkEntry {
         | FROM p WHERE cos >= 0.999)
         |SELECT keep_id, dup_id, cosine FROM f WHERE rn = 1
         | ORDER BY keep_id, dup_id""".stripMargin,
+    // leaf = (−eta·G)/(H+λ) with G = Σ(base−y) = 0.5n−Σy, H = n; the
+    // REAL casts replicate the trainer's float rounding exactly (all
+    // double-side sums are exact, so no tolerance is needed)
+    "ml_stump" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - sy)) / (n + 1.0) AS REAL) AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
     "pp_clean" ->
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents
