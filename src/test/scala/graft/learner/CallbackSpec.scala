@@ -115,9 +115,10 @@ class CallbackSpec extends SparkTestBase {
     assert(stop.isSet)
     assert(res.roundsCompleted < 200,
       s"hard stop did not interrupt (${res.roundsCompleted} rounds)")
-    // the returned model holds only whole rounds and still predicts
-    assert(res.model.trees.length >= res.roundsCompleted &&
-      res.model.trees.length <= res.roundsCompleted + 1,
+    // the returned model holds EXACTLY the completed rounds' trees —
+    // a cancel landing after `trees ++= roundTrees` must trim the
+    // partial round (advisor r2)
+    assert(res.model.trees.length === res.roundsCompleted,
       s"${res.model.trees.length} trees vs ${res.roundsCompleted} rounds")
     val pred = GraftBoost.predict(res.model, df.limit(10), DMatrixSpec("y"))
     assert(pred.count() === 10)

@@ -128,6 +128,20 @@ class EstimatorSpec extends SparkTestBase {
       parallelism = 2)
     assert(par.bestParams.eta === 0.3)
     assert(par.bestScore === res.bestScore)
+    // with early stopping the trial ranks on its BEST iteration, not a
+    // possibly-degraded final round (the xgboost/Tune convention,
+    // advisor r2)
+    val esGrid = GraftGridSearch.expand(
+      TrainParams(objective = "reg:squarederror", numRounds = 30,
+        maxDepth = 3, seed = 1, earlyStoppingRounds = 3),
+      eta = Seq(0.01, 0.3))
+    val esRes = GraftGridSearch.fit(tr, DMatrixSpec("y"), esGrid, va)
+    val bestTrialRes = esRes.bestResult
+    assert(!bestTrialRes.bestScore.isNaN)
+    assert(esRes.bestScore === bestTrialRes.bestScore,
+      "trial score must be the early-stopping best, not the last round")
+    assert(esRes.bestScore <=
+      bestTrialRes.evalsResult("val")("rmse").last + 1e-12)
   }
 
   test("featureImportances concentrate on the informative feature") {
