@@ -88,6 +88,12 @@ abstract class GraftPredictionModel(
   def transform(df: DataFrame): DataFrame =
     GraftBoost.predict(model, df, spec)
 
+  /** sklearn `feature_importances_` with `importance_type`
+    * (reference sklearn.py wrapper surface): weight | gain |
+    * total_gain | cover | total_cover, normalized to sum 1. */
+  def featureImportances(importanceType: String = "weight")
+      : Array[Double] = model.featureImportances(importanceType)
+
   /** Model sink (S12): parquet nodes + meta. */
   def save(spark: SparkSession, path: String): Unit =
     model.save(spark, path)

@@ -156,6 +156,9 @@ class EstimatorSpec extends SparkTestBase {
     assert(imp.length === 2)
     assert(math.abs(imp.sum - 1.0) < 1e-9)
     assert(imp(0) > 0.9, s"importances: ${imp.mkString(",")}")
+    // estimator-model delegate (sklearn importance_type surface)
+    assert(m.featureImportances("gain").toSeq ===
+      m.model.featureImportances("gain").toSeq)
     // gain/cover variants (xgboost get_score importance types): the
     // informative feature dominates gain even harder than weight
     for (t <- Seq("gain", "total_gain", "cover", "total_cover")) {
