@@ -287,6 +287,15 @@ object SparkEntry {
       Dedup.simhashDups(ld(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3).orderBy("keep_id", "dup_id")),
 
+    // ---- dedup: transitive-closure components over the ngram dup
+    //      pairs (oracle = recursive-CTE reachability min-id) ----
+    "dd_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(ld(s, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.8)
+      Dedup.components(pairs, "keep_id", "dup_id")
+        .orderBy("id")
+    }),
+
     // ---- composed pipeline: exact dedup → quality gate → near-dup
     //      removal (every stage already oracle-proven individually) ----
     "pp_clean" -> ((s, dir) =>
@@ -655,6 +664,34 @@ object SparkEntry {
         | FROM p WHERE cos >= 0.999)
         |SELECT keep_id, dup_id, cosine FROM f WHERE rn = 1
         | ORDER BY keep_id, dup_id""".stripMargin,
+    // transitive closure by recursive reachability over the (symmetric)
+    // pair edges; component label = min reachable id
+    "dd_components" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id AS id,
+        |   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |     x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT id,
+        |   CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |       for i in range(1, len(toks) - 1)]) END AS grams
+        | FROM tok),
+        |gg AS (SELECT id, grams, len(grams) AS sz FROM g
+        | WHERE len(grams) > 0),
+        |pr AS (SELECT a.id AS keep_id, b.id AS dup_id
+        | FROM gg a JOIN gg b ON a.id < b.id
+        | WHERE least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)
+        |   AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |     (a.sz + b.sz - len(list_intersect(a.grams, b.grams)))
+        |     >= 0.8),
+        |e AS (SELECT keep_id AS src, dup_id AS dst FROM pr
+        | UNION SELECT dup_id, keep_id FROM pr),
+        |r AS (
+        | SELECT src AS id, src AS m FROM e
+        | UNION
+        | SELECT e.dst AS id, r.m FROM r JOIN e ON e.src = r.id)
+        |SELECT id, min(m) AS comp FROM r GROUP BY id
+        | ORDER BY id""".stripMargin,
     // leaf = (−eta·G)/(H+λ) with G = Σ(base−y) = 0.5n−Σy, H = n; the
     // REAL casts replicate the trainer's float rounding exactly (all
     // double-side sums are exact, so no tolerance is needed)

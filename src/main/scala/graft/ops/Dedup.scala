@@ -457,6 +457,63 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---------------- transitive closure over dup pairs ----------------
+
+  /**
+   * Connected components over a duplicate-pair graph — upgrades the
+   * one-pass keep-min-id pairing to TRANSITIVE closure: if a~b and b~c
+   * then a, b, c share one keeper even when (a,c) was never verified.
+   *
+   * Iterative min-label propagation: each node repeatedly adopts the
+   * smallest label among itself and its neighbors until a fixpoint
+   * (bounded by `maxIter`; converges in at most the graph diameter,
+   * and dedup clusters are near-cliques so 3-4 rounds typically
+   * suffice). Runs on the PAIR graph, which is tiny relative to the
+   * corpus (only verified duplicates appear), so per-iteration joins
+   * are cheap at any corpus scale.
+   *
+   * @param pairs verified dup pairs, e.g. `ngramJaccard` output
+   * @return (id, comp) — comp is the component's minimum id (keeper)
+   */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(lvl)
+    // localCheckpoint per iteration RESETS the logical plan (LogicalRDD)
+    // — without it each round nests the previous round's plan and the
+    // tree grows exponentially with iterations (OOM by ~iteration 12).
+    // On a cluster that needs checkpoint-level FT, swap for
+    // spark.sparkContext.setCheckpointDir + .checkpoint().
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neigh = edges
+        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("comp").as("ncomp"))
+      val updated = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("comp", "old"),
+        "id").filter(col("comp") < col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   // ---------------- embedding cosine near-dup ----------------
 
   /**

@@ -253,4 +253,20 @@ class OpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("token_count") >= 10)
     assert(r.getAs[Double]("punct_ratio") <= 0.1)
   }
+
+  test("components closes dup pairs transitively (chain -> one keeper)") {
+    // a~b, b~c, plus an unrelated pair d~e
+    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 60L))
+      .toDF("keep_id", "dup_id")
+    val comp = Dedup.components(pairs, "keep_id", "dup_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      50L -> 50L, 60L -> 50L), comp.toString)
+    // a longer chain exercises multiple propagation rounds
+    val chain = (0 until 12).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("keep_id", "dup_id")
+    val c2 = Dedup.components(chain, "keep_id", "dup_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.values.toSet === Set(0L), c2.toString)
+  }
 }
