@@ -478,12 +478,19 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(aCol).cast("long").as("src"),
+    // cache + force the incoming pairs: both union legs of the edge
+    // build read them, and the caller's pair pipeline (LSH, posting
+    // lists...) is far too expensive to execute twice
+    val p = pairs.persist(lvl)
+    p.count()
+    val edges = p.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"),
+      .union(p.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(lvl)
+    edges.count()
+    p.unpersist(blocking = false)
     // localCheckpoint per iteration RESETS the logical plan (LogicalRDD)
     // — without it each round nests the previous round's plan and the
     // tree grows exponentially with iterations (OOM by ~iteration 12).
