@@ -496,8 +496,12 @@ object Dedup {
     // tree grows exponentially with iterations (OOM by ~iteration 12).
     // On a cluster that needs checkpoint-level FT, swap for
     // spark.sparkContext.setCheckpointDir + .checkpoint().
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed each node with min(self, min neighbor) — identical to one
+    // free propagation round (every node appears as src: edges are
+    // symmetric), so near-clique dup clusters converge a round earlier
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
