@@ -18,9 +18,35 @@ import org.apache.spark.sql.functions._
  *    standard corpus-dedup recipe and needs exactly 2 shuffles).
  *  - Signatures are computed row-local (UDF tight loops over shingles),
  *    buckets explode to (bucket, id) pairs — skew-safe because band
- *    hashes spread uniformly; pathological buckets are capped.
+ *    hashes spread uniformly; pathological buckets are CHUNKED into
+ *    bounded block-pairs (never silently dropped — a duplicate-heavy
+ *    corpus puts its duplicates exactly in the oversized buckets, so a
+ *    drop-cap would be a recall hole at precisely the scale dedup
+ *    exists for).
  */
 object Dedup {
+
+  /**
+   * Block-pair replication for bounded all-pairs generation inside a
+   * skewed group (the "triangle" partitioning of an N² self-join): a
+   * group of `sz` members is hash-split into `nb = ceil(sz/cap)` blocks;
+   * a member of block b emits one row per block-pair it participates in
+   * — (b, j, side=0) for j in [b, nb) and (i, b, side=1) for i in
+   * [0, b). Grouping on (bucket, i, j) and pairing side-0×side-0 when
+   * i == j, side-0×side-1 when i < j yields every unordered pair
+   * EXACTLY once while no task ever buffers more than ~2·cap members.
+   * For the common nb == 1 bucket this degenerates to a single (0,0)
+   * group — the fast path is unchanged.
+   */
+  private val blockPairs = udf { (blk: Int, nBlocks: Int) =>
+    val out = new Array[(Int, Int, Int)](nBlocks)
+    var x = 0
+    var j = blk
+    while (j < nBlocks) { out(x) = (blk, j, 0); x += 1; j += 1 }
+    var i = 0
+    while (i < blk) { out(x) = (i, blk, 1); x += 1; i += 1 }
+    out.toSeq
+  }
 
   // ---------------- exact ----------------
 
@@ -163,7 +189,7 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8, seed: Long = 42L,
-      maxBucket: Int = 1000, exactVerify: Boolean = false): DataFrame = {
+      exactVerify: Boolean = false): DataFrame = {
     val m = bands * rowsPerBand
     // cached: the plan reads signatures twice (banding + verify side);
     // entries are m longs per doc — tiny next to the text — and
@@ -181,14 +207,15 @@ object Dedup {
             .as("bh"))
       }: _*)).as("bucket"))
       .select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
-    // pair every doc with its bucket's minimum id (skew-capped)
+    // pair every doc with its bucket's minimum id. Min-pairing is
+    // LINEAR in bucket size (one candidate row per member, no quadratic
+    // blow-up exists to cap), so skewed buckets are handled by the
+    // spill-safe window sort rather than by dropping members — a
+    // duplicate-heavy corpus keeps every candidate.
     val w = Window.partitionBy("band", "bh").orderBy("id")
     val candidates = banded
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucket)
       .withColumn("keep_id", first("id").over(
-        Window.partitionBy("band", "bh").orderBy("id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("id") > col("keep_id"))
       .select(col("keep_id"), col("id").as("dup_id"), col("sig"))
       .dropDuplicates("keep_id", "dup_id")
@@ -297,7 +324,11 @@ object Dedup {
    * exhaustive hamming-pair set — unlike a bucket-min pairing, which
    * drops pairs whenever a bucket's minimum id happens not to be a true
    * near-dup of a member. No cross join: pair generation is per-bucket,
-   * bounded by `maxBucket`² per bucket.
+   * and buckets larger than `maxBucket` are split into hash blocks with
+   * pairs generated per block-pair (see [[blockPairs]]), so skewed
+   * buckets — exactly where a duplicate-heavy corpus concentrates — are
+   * chunked, NOT dropped, and the candidate set stays complete at any
+   * bucket size while a task buffers at most ~2·`maxBucket` members.
    */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
@@ -311,26 +342,59 @@ object Dedup {
       }: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.chunk"), col("b.ch"))
     val maxH = maxHamming
-    val pairUdf = udf { members: Seq[org.apache.spark.sql.Row] =>
-      val m = members.sortBy(_.getLong(0)).toArray
+    // (bi, bj, side-0 members, side-1 members) → pairs. bi == bj is a
+    // within-block group (all members side 0); bi < bj pairs strictly
+    // across the two sides — dispatching on bi == bj (not on emptiness)
+    // keeps a cross group whose j-side happens to be empty from
+    // re-emitting block i's internal pairs.
+    val pairUdf = udf { (bi: Int, bj: Int,
+        ma: Seq[org.apache.spark.sql.Row],
+        mb: Seq[org.apache.spark.sql.Row]) =>
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
-      var i = 0
-      while (i < m.length) {
-        var j = i + 1
-        while (j < m.length) {
-          val h = java.lang.Long.bitCount(m(i).getLong(1) ^ m(j).getLong(1))
-          if (h <= maxH) out += ((m(i).getLong(0), m(j).getLong(0), h))
-          j += 1
+      def emit(a: org.apache.spark.sql.Row,
+          b: org.apache.spark.sql.Row): Unit = {
+        val h = java.lang.Long.bitCount(a.getLong(1) ^ b.getLong(1))
+        if (h <= maxH) {
+          if (a.getLong(0) < b.getLong(0))
+            out += ((a.getLong(0), b.getLong(0), h))
+          else if (a.getLong(0) > b.getLong(0))
+            out += ((b.getLong(0), a.getLong(0), h))
         }
-        i += 1
+      }
+      if (bi == bj) {
+        val m = ma.sortBy(_.getLong(0)).toArray
+        var i = 0
+        while (i < m.length) {
+          var j = i + 1
+          while (j < m.length) { emit(m(i), m(j)); j += 1 }
+          i += 1
+        }
+      } else {
+        ma.foreach { a => mb.foreach { b => emit(a, b) } }
       }
       out.toSeq
     }
-    chunked.groupBy("chunk", "ch")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .filter(size(col("members")) >= 2 &&
-        size(col("members")) <= maxBucket)
-      .select(explode(pairUdf(col("members"))).as("p"))
+    val wc = Window.partitionBy("chunk", "ch")
+    chunked
+      // spill-safe window pass sizes each bucket so oversized ones can
+      // be hash-split; nb == 1 (the overwhelmingly common case) emits a
+      // single (0,0) group — identical volume to the uncapped groupBy
+      .withColumn("__sz", count(lit(1)).over(wc))
+      .filter(col("__sz") >= 2)
+      .withColumn("__nb",
+        ceil(col("__sz").cast("double") / maxBucket).cast("int"))
+      .withColumn("__blk", pmod(hash(col("id")), col("__nb")))
+      .select(col("chunk"), col("ch"), col("id"), col("sig"),
+        explode(blockPairs(col("__blk"), col("__nb"))).as("bp"))
+      .groupBy(col("chunk"), col("ch"),
+        col("bp._1").as("bi"), col("bp._2").as("bj"))
+      .agg(
+        collect_list(when(col("bp._3") === 0,
+          struct(col("id"), col("sig")))).as("ma"),
+        collect_list(when(col("bp._3") === 1,
+          struct(col("id"), col("sig")))).as("mb"))
+      .select(explode(
+        pairUdf(col("bi"), col("bj"), col("ma"), col("mb"))).as("p"))
       .select(col("p._1").as("keep_id"), col("p._2").as("dup_id"),
         col("p._3").cast("long").as("hamming"))
       .dropDuplicates("keep_id", "dup_id")
@@ -349,10 +413,14 @@ object Dedup {
    * the full sorted gram arrays — no silent jaccard deflation from
    * dropped stop-shingles (judge r1 note).
    *
-   * Shuffle budget: gram build (scan) → prefix posting groupBy →
-   * candidate pair dedup → 2 id-joins for verification. Every stage is
-   * keyed and map-side combinable; `maxPosting` still caps pathological
-   * buckets (duplicate-heavy corpora).
+   * Shuffle budget: gram build (scan) → posting-size window → prefix
+   * posting groupBy → candidate pair dedup → 2 id-joins for
+   * verification. Every stage is keyed; posting lists larger than
+   * `maxPosting` are hash-split into block-pairs (see [[blockPairs]]) so
+   * duplicate-heavy corpora — whose duplicates land exactly in the
+   * oversized postings — are chunked, NOT dropped: the candidate set
+   * stays complete at any posting size while a task buffers at most
+   * ~2·`maxPosting` ids.
    */
   /** Sorted distinct word-n-gram hashes (row-local tight loop; the
     * Catalyst transform/slice/hash lambda chain is interpreted — not
@@ -417,28 +485,47 @@ object Dedup {
     val posting = grams.select(packed.as("pid"),
       explode(slice(col("grams"), lit(1), prefixLen)).as("gram"))
     val t = threshold
-    val pairUdf = udf { ids: Seq[Long] =>
-      val s = ids.sorted.toArray
+    // (bi, bj, side-0 ids, side-1 ids) → size-filtered pairs; bi == bj
+    // pairs within side 0, bi < bj pairs strictly across sides (see
+    // simhashDups for why dispatch is on bi == bj, not emptiness)
+    val pairUdf = udf { (bi: Int, bj: Int, ia: Seq[Long], ib: Seq[Long]) =>
       val mask = (1L << SzBits) - 1
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      var i = 0
-      while (i < s.length) {
-        val szI = (s(i) & mask).toDouble
-        var j = i + 1
-        while (j < s.length) {
-          val szJ = (s(j) & mask).toDouble
-          if (math.min(szI, szJ) >= t * math.max(szI, szJ))
-            out += ((s(i) >> SzBits, s(j) >> SzBits))
-          j += 1
+      def emit(a: Long, b: Long): Unit = {
+        val szA = (a & mask).toDouble
+        val szB = (b & mask).toDouble
+        if (math.min(szA, szB) >= t * math.max(szA, szB)) {
+          if (a < b) out += ((a >> SzBits, b >> SzBits))
+          else if (a > b) out += ((b >> SzBits, a >> SzBits))
         }
-        i += 1
+      }
+      if (bi == bj) {
+        val s = ia.sorted.toArray
+        var i = 0
+        while (i < s.length) {
+          var j = i + 1
+          while (j < s.length) { emit(s(i), s(j)); j += 1 }
+          i += 1
+        }
+      } else {
+        ia.foreach { a => ib.foreach { b => emit(a, b) } }
       }
       out.toSeq
     }
-    val candidates = posting.groupBy("gram")
-      .agg(collect_list("pid").as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxPosting)
-      .select(explode(pairUdf(col("ids"))).as("p"))
+    val wc = Window.partitionBy("gram")
+    val candidates = posting
+      .withColumn("__sz", count(lit(1)).over(wc))
+      .filter(col("__sz") >= 2)
+      .withColumn("__nb",
+        ceil(col("__sz").cast("double") / maxPosting).cast("int"))
+      .withColumn("__blk", pmod(hash(col("pid")), col("__nb")))
+      .select(col("gram"), col("pid"),
+        explode(blockPairs(col("__blk"), col("__nb"))).as("bp"))
+      .groupBy(col("gram"), col("bp._1").as("bi"), col("bp._2").as("bj"))
+      .agg(collect_list(when(col("bp._3") === 0, col("pid"))).as("ia"),
+        collect_list(when(col("bp._3") === 1, col("pid"))).as("ib"))
+      .select(explode(
+        pairUdf(col("bi"), col("bj"), col("ia"), col("ib"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
     // exact verification on the full gram sets (sorted int arrays)
@@ -530,16 +617,17 @@ object Dedup {
   /**
    * Embedding near-dup via random-hyperplane LSH buckets + exact cosine
    * verification within buckets (see Similarity.cosine for the metric).
+   * Min-pairing is linear in bucket size (one candidate per member), so
+   * no skew cap is needed: oversized buckets sort in a spill-safe
+   * window and every member keeps its candidate pairing.
    */
   def embeddingDups(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double = 0.95, planes: Int = 12, seed: Long = 7L,
-      maxBucket: Int = 2000): DataFrame = {
+      minCosine: Double = 0.95, planes: Int = 12, seed: Long = 7L)
+      : DataFrame = {
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Similarity.hyperplaneSig(col(vecCol), planes, seed).as("bucket"))
     val w = Window.partitionBy("bucket").orderBy("id")
     sig
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucket)
       .withColumn("keep_id", first("id").over(w
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("keep_vec", first("vec").over(w

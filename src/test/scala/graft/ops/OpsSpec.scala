@@ -93,6 +93,48 @@ class OpsSpec extends SparkTestBase {
     assert(dups.filter($"jaccard" < 0.99).count() === 0)
   }
 
+  test("planted skew: oversized buckets are chunked, not dropped") {
+    // 500 copies of ONE document with caps far below the bucket size —
+    // the duplicate-heavy case that a drop-cap silently loses. Every
+    // one of the C(500,2) = 124750 pairs must be found exactly once.
+    val nCopies = 500
+    val expected = nCopies.toLong * (nCopies - 1) / 2
+    val copies = spark.range(nCopies)
+      .select(($"id" + 1).as("doc_id"),
+        lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    // simhash: one 500-member bucket per chunk; cap 50 → 10 hash blocks
+    val sh = Dedup.simhashDups(copies, "doc_id", "text",
+      maxHamming = 0, maxBucket = 50)
+    assert(sh.count() === expected)
+    assert(sh.filter($"keep_id" >= $"dup_id").count() === 0)
+    assert(sh.filter($"hamming" =!= 0).count() === 0)
+    // ngram: 500-id posting lists; cap 50 → 10 hash blocks
+    val ng = Dedup.ngramJaccard(copies, "doc_id", "text",
+      n = 3, threshold = 0.9, maxPosting = 50)
+    assert(ng.count() === expected)
+    assert(ng.filter($"keep_id" >= $"dup_id").count() === 0)
+    assert(ng.filter($"jaccard" =!= 1.0).count() === 0)
+    // minhash pairs every copy with the bucket min — no drop cap exists
+    val mh = Dedup.minhashLsh(copies, "doc_id", "text",
+      threshold = 0.9, exactVerify = true)
+    assert(mh.count() === nCopies - 1)
+    assert(mh.select(min($"keep_id")).head().getLong(0) === 1L)
+    // mixed corpus: the skewed cluster must not perturb normal pairs —
+    // the non-planted pair set must equal a run on the base corpus alone
+    // (testdata plants its own dups, so the base is not pair-free)
+    val base = docs.limit(50).select($"doc_id", $"text")
+    val basePairs = Dedup.ngramJaccard(base, "doc_id", "text",
+      n = 3, threshold = 0.9, maxPosting = 50)
+      .select("keep_id", "dup_id").collect().toSet
+    val mixed = base.unionByName(
+      copies.select($"doc_id" + 900000, $"text").toDF("doc_id", "text"))
+    val ngMixed = Dedup.ngramJaccard(mixed, "doc_id", "text",
+      n = 3, threshold = 0.9, maxPosting = 50)
+    assert(ngMixed.filter($"dup_id" >= 900000).count() === expected)
+    assert(ngMixed.filter($"dup_id" < 900000)
+      .select("keep_id", "dup_id").collect().toSet === basePairs)
+  }
+
   test("brute-force topk: self is nearest neighbor at cosine 1") {
     val queries = embs.limit(5)
       .select($"vec_id".as("query_id"), $"embedding")
