@@ -396,6 +396,63 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: closed-form LOGISTIC stump — at margin 0 (logit of the
+    //      0.5 base score) every row has g = 0.5−y and h = 0.25 exactly,
+    //      so leaf = (−0.3·(0.5n−Σy))/(0.25n+1) and the sigmoid output
+    //      is replicated with REAL casts; together with ml_stump and
+    //      ml_stump_softmax this DuckDB-verifies the trainer's gradient
+    //      arithmetic for all three major objective families ----
+    "ml_stump_logit" -> ((s, dir) => {
+      // label correlated-but-not-identical to the feature: the x = 0
+      // leaf keeps a label mix (20 ≤ q < 25 rows), so the oracle checks
+      // mixed-gradient sums, while the correlation keeps the split gain
+      // positive (with λ > 0 an independent feature has NEGATIVE gain
+      // and the stump would stay a single root leaf)
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"),
+          when(col("l_quantity") >= 20, 1.0).otherwise(0.0).as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "binary:logistic", numRounds = 1,
+          maxDepth = 1, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
+    // ---- ML: closed-form SOFTMAX stump — at margin 0 every class has
+    //      p = float(1/3), so per-leaf G_c = a_c·(p−1) + (n−a_c)·p and
+    //      H_c = n·float(2p(1−p)) are exact in double (all partial sums
+    //      are integer multiples of 2^-25 < 2^53, hence order-free);
+    //      leaves and the float softmax transform are replicated with
+    //      REAL casts ----
+    "ml_stump_softmax" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"),
+          when(col("l_returnflag") === "R", 2.0)
+            .when(col("l_returnflag") === "A", 1.0).otherwise(0.0)
+            .as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "multi:softprob", numClass = 3,
+          numRounds = 1, maxDepth = 1, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"),
+          max(element_at(col("probabilities"), 1)).cast("double")
+            .as("p0"),
+          max(element_at(col("probabilities"), 2)).cast("double")
+            .as("p1"),
+          max(element_at(col("probabilities"), 3)).cast("double")
+            .as("p2"))
+        .select(col("x").cast("long").as("x"), col("n"), col("p0"),
+          col("p1"), col("p2"))
+        .orderBy("x")
+    }),
+
     // ---- ML surface (rows-only; semantics tested in ScalaTest) ----
     "ml_train_predict" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
@@ -705,6 +762,66 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,
+    // logistic at margin 0: g = 0.5−y, h = 0.25 per row (both exact in
+    // float), so leaf = (−0.3·(0.5n−Σy))/(0.25n+1); the prediction is
+    // sigmoid(leaf) rounded through REAL exactly as the float model
+    "ml_stump_logit" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, CASE WHEN l_quantity >= 20 THEN 1.0 ELSE 0.0 END
+        |   AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - sy)) / (0.25 * n + 1.0) AS REAL)
+        |     AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(1.0 / (1.0 + exp(-CAST(leaf AS DOUBLE))) AS REAL)
+        |   AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // softmax at margin 0: every class sees p = float(1/3); per leaf
+    // G_c = a_c·float(p−1) + (n−a_c)·p and H_c = n·float(2p(1−p)) are
+    // exact in double, leaves follow the same (−0.3·G)/(H+1) form, and
+    // the float softmax transform (max-shift, float-rounded exp
+    // numerator over the double exp sum) is replayed step for step
+    "ml_stump_softmax" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, CASE WHEN l_returnflag = 'R' THEN 2
+        |     WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS y
+        | FROM lineitem),
+        |c AS (SELECT CAST(1.0 / 3.0 AS REAL) AS pc),
+        |c2 AS (SELECT pc, CAST(pc - 1.0 AS REAL) AS gown,
+        |   CAST(2.0 * pc * (1.0 - pc) AS REAL) AS h FROM c),
+        |s AS (SELECT x, count(*) AS n,
+        |   sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS a0,
+        |   sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS a1,
+        |   sum(CASE WHEN y = 2 THEN 1 ELSE 0 END) AS a2
+        | FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (a0 * CAST(gown AS DOUBLE)
+        |       + (n - a0) * CAST(pc AS DOUBLE)))
+        |     / (n * CAST(h AS DOUBLE) + 1.0) AS REAL) AS l0,
+        |   CAST((-0.3 * (a1 * CAST(gown AS DOUBLE)
+        |       + (n - a1) * CAST(pc AS DOUBLE)))
+        |     / (n * CAST(h AS DOUBLE) + 1.0) AS REAL) AS l1,
+        |   CAST((-0.3 * (a2 * CAST(gown AS DOUBLE)
+        |       + (n - a2) * CAST(pc AS DOUBLE)))
+        |     / (n * CAST(h AS DOUBLE) + 1.0) AS REAL) AS l2
+        | FROM s, c2),
+        |m AS (SELECT x, n, l0, l1, l2, greatest(l0, l1, l2) AS mx
+        | FROM l),
+        |e AS (SELECT x, n,
+        |   exp(CAST(l0 - mx AS DOUBLE)) AS e0,
+        |   exp(CAST(l1 - mx AS DOUBLE)) AS e1,
+        |   exp(CAST(l2 - mx AS DOUBLE)) AS e2 FROM m),
+        |p AS (SELECT x, n, e0 + e1 + e2 AS sm, e0, e1, e2 FROM e)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(CAST(CAST(e0 AS REAL) AS DOUBLE) / sm AS REAL)
+        |   AS DOUBLE) AS p0,
+        | CAST(CAST(CAST(CAST(e1 AS REAL) AS DOUBLE) / sm AS REAL)
+        |   AS DOUBLE) AS p1,
+        | CAST(CAST(CAST(CAST(e2 AS REAL) AS DOUBLE) / sm AS REAL)
+        |   AS DOUBLE) AS p2
+        | FROM p ORDER BY x""".stripMargin,
     "pp_clean" ->
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents
