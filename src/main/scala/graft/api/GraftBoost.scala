@@ -114,11 +114,16 @@ object GraftBoost {
   }
 
   /**
-   * Batch prediction — analog of `predict()` (main.py:1750-1806): model
-   * broadcast (the `ray.put(model)` at main.py:1790), embarrassingly
-   * parallel map, NO shuffle. Row order/correspondence is preserved by
-   * construction (`withColumn`), which subsumes the reference's
-   * `combine_data` order restoration (matrix.py:1113-1156).
+   * Batch prediction — analog of `predict()` (main.py:1750-1806):
+   * embarrassingly parallel map, NO shuffle. Row order/correspondence
+   * is preserved by construction (`withColumn`), which subsumes the
+   * reference's `combine_data` order restoration
+   * (matrix.py:1113-1156). Scoring runs through the whole-stage-codegen
+   * [[graft.functions.EnsembleScore]] expression — primitive ArrayData
+   * reads + flat-array tree traversal, no per-row Seq boxing (the r3
+   * UDF hot-path regression); the model ships inside the expression
+   * with the stage's task binary (the `ray.put(model)` analog,
+   * main.py:1790).
    *
    * @return input df + `prediction` column (double; class id for softmax,
    *         probability for logistic) and, for softprob, a
@@ -131,30 +136,22 @@ object GraftBoost {
       outputMargin: Boolean = false,
       distributedCallbacks: Seq[DistributedCallback] = Nil): DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
     val feats = spec.resolveFeatures(df)
     require(feats.size == model.numFeatures,
       s"model expects ${model.numFeatures} features, got ${feats.size}")
     val featsArr = array(feats.map(f =>
       when(col(f).cast("float").isNull, lit(Float.NaN))
         .otherwise(col(f).cast("float"))): _*)
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    val scores = GraftColumnBridge.column(graft.functions.EnsembleScore(
+      GraftColumnBridge.expression(featsArr), model, outputMargin))
     val out = if (model.numClass >= 2 && model.objective == "multi:softprob") {
-      val probaUdf = udf { xs: Seq[Float] =>
-        val mdl = bc.value
-        if (outputMargin) mdl.margins(xs.toArray).toSeq
-        else mdl.predict(xs.toArray).toSeq
-      }
-      val withP = df.withColumn("probabilities", probaUdf(featsArr))
+      val withP = df.withColumn("probabilities", scores)
       withP.withColumn("prediction",
         (array_position(col("probabilities"),
           array_max(col("probabilities"))) - 1).cast("double"))
     } else {
-      val predUdf = udf { xs: Seq[Float] =>
-        val mdl = bc.value
-        if (outputMargin) mdl.margins(xs.toArray)(0).toDouble
-        else mdl.predict(xs.toArray)(0).toDouble
-      }
-      df.withColumn("prediction", predUdf(featsArr))
+      df.withColumn("prediction", element_at(scores, 1).cast("double"))
     }
     if (distributedCallbacks.isEmpty) out
     else {

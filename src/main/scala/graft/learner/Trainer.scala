@@ -578,10 +578,22 @@ object Trainer {
     val startRound = trees.length / (k * p.numParallelTree)
     val initTreeCount = trees.length // for partial-round trim on hard stop
     var curGrads: Option[RDD[(Array[Byte], Array[Float], Int)]] = None
+    // Pointwise gradients are a cheap narrow map over the cached margin
+    // RDD — recomputing them inside each level's histogram job costs a
+    // few sigmoid/softmax evaluations per row, while PERSISTING them
+    // costs a full extra cached copy of the dataset per round (old-gen
+    // churn that showed up as the r3 train slowdown). Only ranking
+    // gradients — which buffer whole partitions to walk qid groups —
+    // are worth caching across the round's level jobs.
+    val cacheGrads = obj.needsGroups
     while (round < p.numRounds && !stop) try {
-      val grads = gradients(data, obj, startRound + round, p)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      curGrads = Some(grads)
+      val gradsRaw = gradients(data, obj, startRound + round, p)
+      val grads =
+        if (cacheGrads) {
+          val g = gradsRaw.persist(StorageLevel.MEMORY_AND_DISK)
+          curGrads = Some(g)
+          g
+        } else gradsRaw
       // layout: class-inner so GraftModel's (t % k) class mapping holds
       // for any numParallelTree: [pt0·c0, pt0·c1, …, pt1·c0, …].
       // All trees of the round grow in ONE fused job per level.
@@ -590,12 +602,11 @@ object Trainer {
       val roundTrees = buildTrees(grads, bins, pTree,
         Array.tabulate(nTrees)(i => mix(p.seed, startRound + round, 7919 + i)),
         Array.tabulate(nTrees)(_ % k))
-      // the tree builds above materialized `grads`, which materialized
-      // `data` — the previous round's cache is now safe to drop
+      // the tree builds above materialized `data` (via the gradient
+      // map) — the previous round's cache is now safe to drop
       prevData.foreach(_.unpersist(blocking = false))
       prevData = None
-      grads.unpersist(blocking = false)
-      curGrads = None
+      if (cacheGrads) { grads.unpersist(blocking = false); curGrads = None }
       trees ++= roundTrees
 
       val bcTrees = data.sparkContext.broadcast(roundTrees)

@@ -64,6 +64,24 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("predict scores through the native EnsembleScore expression — " +
+      "no Scala UDF in the batch-predict plan") {
+    import graft.api.GraftBoost
+    import graft.data.DMatrixSpec
+    import graft.learner.TrainParams
+    val df = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_quantity").cast("double").as("f0"),
+        col("l_tax").cast("double").as("f1"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numRounds = 2,
+        maxDepth = 2, seed = 1), numWorkers = 4)
+    val p = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ensemblescore") || p.contains("EnsembleScore"), p)
+    assert(!p.contains("UDF"), s"predict plan still routes a UDF:\n$p")
+  }
+
   test("CosineSimilarity compiles under codegen-only mode (no " +
       "interpreted fallback)") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
