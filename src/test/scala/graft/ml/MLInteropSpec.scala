@@ -1,0 +1,178 @@
+package graft.ml
+
+import graft.SparkTestBase
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.SQLTransformer
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.functions._
+
+/**
+ * MLlib conformance for the Estimator/Model facades — the Spark analog
+ * of the reference's sklearn conformance surface (clone
+ * tests/test_sklearn.py:603, grid-search compat :363, get_params
+ * round-trips).
+ */
+class MLInteropSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val df = spark.read
+    .parquet(sf("sf0.001") + "/lineitem.parquet")
+    .select($"l_quantity".cast("double").as("qty"),
+      $"l_extendedprice".cast("double").as("price"),
+      $"l_discount".cast("double").as("disc"),
+      when($"l_returnflag" === "R", 1.0).otherwise(0.0).as("y"))
+    .cache()
+
+  test("params: copy/ParamMap round-trip (sklearn clone analog)") {
+    val est = new GraftXGBClassifier()
+      .setLabelCol("y").setNumRounds(3).setMaxDepth(2).setEta(0.5)
+      .setSeed(7L)
+    val cloned = est.copy(ParamMap.empty)
+    assert(cloned.uid === est.uid)
+    assert(cloned.getNumRounds === 3 && cloned.getMaxDepth === 2 &&
+      cloned.getEta === 0.5 && cloned.getSeed === 7L)
+    // explain/extract surface
+    assert(est.explainParams().contains("numRounds"))
+    val overridden = est.copy(ParamMap(est.numRounds -> 5))
+    assert(overridden.getNumRounds === 5 && est.getNumRounds === 3)
+  }
+
+  test("Pipeline with a feature-engineering stage fits, transforms, " +
+      "and save/loads") {
+    val fe = new SQLTransformer().setStatement(
+      "SELECT *, qty * (1.0 - disc) AS net FROM __THIS__")
+    val clf = new GraftXGBClassifier()
+      .setLabelCol("y").setFeaturesCols(Array("qty", "price", "net"))
+      .setNumRounds(4).setMaxDepth(3).setSeed(1L).setNumWorkers(4)
+    val pipe = new Pipeline().setStages(Array(fe, clf))
+    val model = pipe.fit(df)
+    val out = model.transform(df)
+    assert(out.columns.contains("prediction"))
+    // hard labels (MLlib classifier convention), probability present
+    assert(out.select("prediction").distinct().count() <= 2)
+    assert(out.columns.contains("probability"))
+    val acc = out.filter($"prediction" === $"y").count().toDouble /
+      out.count()
+    assert(acc > 0.672, s"pipeline accuracy $acc") // beat base rate
+    // persistence round-trip through the MLlib writer machinery
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe")
+      .toString
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val again = loaded.transform(df)
+    val a = out.select("prediction").collect().map(_.getDouble(0))
+    val b = again.select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+
+  test("classifier model save/load keeps params, labels, and " +
+      "predictions (non-identity label decode)") {
+    // labels {1,3,5} force the encode/decode path
+    val tri = df.withColumn("y",
+      when($"qty" >= 30, 5.0).when($"qty" >= 15, 3.0).otherwise(1.0))
+    val est = new GraftXGBClassifier().setLabelCol("y")
+      .setNumRounds(3).setMaxDepth(3).setSeed(2L).setNumWorkers(4)
+    val model = est.fit(tri)
+    assert(model.numClasses === 3)
+    assert(model.classLabels.toSeq === Seq(1.0, 3.0, 5.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf")
+      .toString
+    model.write.overwrite().save(dir)
+    val loaded = GraftXGBClassificationModel.load(dir)
+    assert(loaded.uid === model.uid)
+    assert(loaded.getNumRounds === 3)
+    assert(loaded.classLabels.toSeq === Seq(1.0, 3.0, 5.0))
+    val a = model.transform(tri).select("prediction").collect()
+      .map(_.getDouble(0))
+    val b = loaded.transform(tri).select("prediction").collect()
+      .map(_.getDouble(0))
+    assert(a.sameElements(b))
+    assert(a.toSet.subsetOf(Set(1.0, 3.0, 5.0)))
+  }
+
+  test("CrossValidator drives the estimator over a param grid " +
+      "(sklearn GridSearchCV compat analog)") {
+    val est = new GraftXGBClassifier().setLabelCol("y")
+      .setNumRounds(3).setSeed(3L).setNumWorkers(4)
+    val grid = new ParamGridBuilder()
+      .addGrid(est.maxDepth, Array(2, 4))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(est)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol("y").setPredictionCol("prediction")
+        .setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(2)
+      .setSeed(11L)
+    val cvModel = cv.fit(df.limit(5000))
+    assert(cvModel.avgMetrics.length === 2)
+    assert(cvModel.avgMetrics.forall(m => m > 0.5 && m <= 1.0),
+      cvModel.avgMetrics.toSeq.toString)
+    val best = cvModel.bestModel
+      .asInstanceOf[GraftXGBClassificationModel]
+    assert(Set(2, 4).contains(best.getMaxDepth))
+  }
+
+  test("regressor facade fits and save/loads") {
+    val est = new GraftXGBRegressor().setLabelCol("qty")
+      .setFeaturesCols(Array("price", "disc"))
+      .setNumRounds(4).setMaxDepth(3).setSeed(4L).setNumWorkers(4)
+    val model = est.fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg")
+      .toString
+    model.write.overwrite().save(dir)
+    val loaded = GraftXGBRegressionModel.load(dir)
+    val a = model.transform(df).agg(sum("prediction")).head().getDouble(0)
+    val b = loaded.transform(df).agg(sum("prediction")).head().getDouble(0)
+    assert(a === b)
+  }
+
+  test("declared labels skip the distinct-label scan") {
+    // with setNumClass the fit never runs a distinct aggregate over the
+    // label column: assert by counting jobs via a listener
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    val tri = df.withColumn("y",
+      when($"qty" >= 30, 2.0).when($"qty" >= 15, 1.0).otherwise(0.0))
+      .cache()
+    tri.count()
+    val mk = () => new GraftClassifier().setLabelCol("y")
+      .setParams(graft.learner.TrainParams(numRounds = 2, maxDepth = 2,
+        seed = 5L))
+    // the listener bus is async (and private[spark]); wait until the
+    // job counter stops moving before reading it
+    def settle(): Int = {
+      var last = -1
+      var tries = 0
+      while (jobs != last && tries < 100) {
+        last = jobs; Thread.sleep(100); tries += 1
+      }
+      jobs
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      mk().fit(tri)
+      val withScan = settle()
+      jobs = 0
+      mk().setNumClass(3).fit(tri)
+      val withDeclared = settle()
+      assert(withDeclared < withScan,
+        s"declared-label fit ran $withDeclared jobs vs $withScan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the declared-label model still predicts identical classes
+    val a = mk().fit(tri)
+    val b = mk().setNumClass(3).fit(tri)
+    val pa = a.transform(tri).select("prediction").collect()
+      .map(_.getDouble(0))
+    val pb = b.transform(tri).select("prediction").collect()
+      .map(_.getDouble(0))
+    assert(pa.sameElements(pb))
+  }
+}
