@@ -390,4 +390,28 @@ class EndToEndSpec extends SparkTestBase {
     assert(auc.last > 0.9, s"AUC: ${auc.mkString(",")}")
     assert(auc.last >= auc.head)
   }
+
+  test("streamed ranking gradients: one giant partition trains the " +
+      "identical model as many partitions") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 60).flatMap { q =>
+      (0 until 8).map { _ =>
+        val x = rng.nextDouble()
+        (x, rng.nextDouble(), if (x > 0.5) 1 else 0, q.toLong)
+      }
+    }
+    val df = rows.toDF("a", "b", "rel", "group")
+    val spec = DMatrixSpec(labelCol = Seq("rel"), qidCol = Some("group"))
+    val p = TrainParams(objective = "rank:pairwise", numRounds = 4,
+      maxDepth = 3, seed = 9)
+    // numWorkers=1: the whole dataset is ONE partition — the qid-run
+    // streaming buffer must never need the full partition in its arrays
+    // (it holds one 8-row group at a time); numWorkers=5 splits groups
+    // across partitions. Identical models ⇒ the gradient values are
+    // partition-layout-independent and the streaming refactor preserved
+    // the buffered formulation bit for bit.
+    val one = GraftBoost.train(df, spec, p, numWorkers = 1)
+    val many = GraftBoost.train(df, spec, p, numWorkers = 5)
+    assert(one.model.dump() === many.model.dump())
+  }
 }
