@@ -486,6 +486,31 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: closed-form RANKING stump — at a constant base margin
+    //      every pairwise sigmoid is exactly 0.5, so a row's gradient
+    //      collapses to 0.5·(losses−wins) and its hessian to
+    //      0.25·(wins+losses) within its qid group (wins = lower-label
+    //      rows, losses = higher-label rows) — all exact halves and
+    //      quarters; with ml_stump / ml_stump_logit / ml_stump_softmax
+    //      this oracle-verifies all FOUR objective families ----
+    "ml_stump_rank" -> ((s, dir) => {
+      val df = ld(s, dir, "events")
+        .select(when(col("value") >= 3.0, 1.0).otherwise(0.0).as("x"),
+          when(col("value") > 5.0, 1.0).otherwise(0.0).as("rel"),
+          col("user_id"))
+      val spec = DMatrixSpec(labelCol = Seq("rel"),
+        qidCol = Some("user_id"))
+      val res = GraftBoost.train(df, spec,
+        TrainParams(objective = "rank:pairwise", numRounds = 1,
+          maxDepth = 1, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, spec)
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML surface (rows-only; semantics tested in ScalaTest) ----
     "ml_train_predict" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
@@ -810,6 +835,29 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(1.0 / (1.0 + exp(-CAST(leaf AS DOUBLE))) AS REAL)
         |   AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // pairwise rank at a constant margin: sigmoid(m_i − m_j) = 0.5 for
+    // every pair, so grad_i = 0.5·(L_i − W_i) and hess_i =
+    // 0.25·(W_i + L_i) with W/L the lower/higher-label counts in the
+    // row's qid group — closed-form halves/quarters, summed exactly
+    "ml_stump_rank" ->
+      """WITH t AS (SELECT CASE WHEN value >= 3.0 THEN 1 ELSE 0 END
+        |   AS x, CASE WHEN value > 5.0 THEN 1 ELSE 0 END AS rel,
+        |   user_id AS qid FROM events),
+        |g AS (SELECT qid, sum(rel) AS n1, count(*) - sum(rel) AS n0
+        | FROM t GROUP BY qid),
+        |r AS (SELECT t.x,
+        |   CASE WHEN t.rel = 1 THEN -0.5 * g.n0 ELSE 0.5 * g.n1 END
+        |     AS grad,
+        |   CASE WHEN t.rel = 1 THEN 0.25 * g.n0 ELSE 0.25 * g.n1 END
+        |     AS hess
+        | FROM t JOIN g USING (qid)),
+        |s AS (SELECT x, count(*) AS n, sum(grad) AS sg, sum(hess) AS sh
+        | FROM r GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * sg) / (sh + 1.0) AS REAL) AS leaf FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,
     // softmax at margin 0: every class sees p = float(1/3); per leaf
     // G_c = a_c·float(p−1) + (n−a_c)·p and H_c = n·float(2p(1−p)) are
