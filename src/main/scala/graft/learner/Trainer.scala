@@ -77,6 +77,19 @@ trait TrainingCallback extends Serializable {
     false
 }
 
+/** Per-iteration callback that can also materialize the PARTIAL model
+  * built so far (lazily — the thunk assembles it only when called).
+  * Powers the Tune-style per-round report/checkpoint consumer
+  * (reference: TuneReportCheckpointCallback, tune.py:26-104). */
+trait ModelAwareCallback extends TrainingCallback {
+  def afterIterationWithModel(round: Int, metrics: Map[String, Double],
+      model: () => GraftModel): Boolean
+  final override def afterIteration(round: Int,
+      metrics: Map[String, Double]): Boolean =
+    throw new IllegalStateException(
+      "ModelAwareCallback must be driven via afterIterationWithModel")
+}
+
 final case class TrainResult(
     model: GraftModel,
     evalsResult: Map[String, Map[String, ArrayBuffer[Double]]],
@@ -673,8 +686,14 @@ object Trainer {
       }
 
       callbacks.foreach { cb =>
-        if (cb.afterIteration(startRound + round, roundMetrics.toMap))
-          stop = true
+        val stopNow = cb match {
+          case m: ModelAwareCallback => m.afterIterationWithModel(
+            startRound + round, roundMetrics.toMap,
+            () => currentModel(trees, obj, p, bins))
+          case _ =>
+            cb.afterIteration(startRound + round, roundMetrics.toMap)
+        }
+        if (stopNow) stop = true
       }
       round += 1
     } catch {

@@ -54,12 +54,20 @@ object GraftGridSearch {
    */
   def fit(df: DataFrame, spec: DMatrixSpec, grid: Seq[TrainParams],
       valDf: DataFrame, numWorkers: Int = 0,
-      parallelism: Int = 1): Result = {
+      parallelism: Int = 1,
+      /** Per-round trial stream (the tune.report analog): invoked with
+        * (trial params, round, metrics) as each round of each trial
+        * completes — lets a search-side consumer monitor or log
+        * mid-trial instead of waiting for the final ranking. */
+      onRound: (TrainParams, Int, Map[String, Double]) => Unit =
+        (_, _, _) => ()): Result = {
     require(grid.nonEmpty, "empty parameter grid")
     def trial(p: TrainParams): (Trial, TrainResult) = {
       val metric = rankingMetric(p)
       val res = GraftBoost.train(df, spec, p,
-        evals = Seq(("val", valDf)), numWorkers)
+        evals = Seq(("val", valDf)), numWorkers = numWorkers,
+        callbacks = Seq(new TuneReportCallback(
+          (r, m) => onRound(p, r, m))))
       // with early stopping active, rank on the best iteration's score
       // (the xgboost/Tune convention), not the possibly-degraded final
       // round (advisor r2)

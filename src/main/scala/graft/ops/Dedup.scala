@@ -332,8 +332,14 @@ object Dedup {
    */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    // cached: the skew-count branch and the pair branch both read the
+    // signatures, and the per-token MD5 simhash is the expensive part
+    // (16 bytes per row cached; LRU-evicted under pressure). The
+    // broadcast-side count job below materializes the cache before the
+    // main job reads it, so the two branches never race the blocks.
     val sig = df.select(col(idCol).cast("long").as("id"),
       simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -374,15 +380,21 @@ object Dedup {
       }
       out.toSeq
     }
-    val wc = Window.partitionBy("chunk", "ch")
-    chunked
-      // spill-safe window pass sizes each bucket so oversized ones can
-      // be hash-split; nb == 1 (the overwhelmingly common case) emits a
-      // single (0,0) group — identical volume to the uncapped groupBy
-      .withColumn("__sz", count(lit(1)).over(wc))
-      .filter(col("__sz") >= 2)
+    // skew detection: a map-side-combined count finds ONLY the buckets
+    // over `maxBucket` — under any remotely Zipfian corpus that set is
+    // tiny (≤ totalRows·4/maxBucket keys even in the degenerate
+    // all-identical case), so it broadcasts, and normal buckets pay
+    // zero extra shuffle (nb defaults to 1). A window count here would
+    // re-shuffle and sort every chunked row instead.
+    val oversized = chunked.groupBy("chunk", "ch")
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > maxBucket)
       .withColumn("__nb",
         ceil(col("__sz").cast("double") / maxBucket).cast("int"))
+      .select("chunk", "ch", "__nb")
+    chunked
+      .join(broadcast(oversized), Seq("chunk", "ch"), "left")
+      .withColumn("__nb", coalesce(col("__nb"), lit(1)))
       .withColumn("__blk", pmod(hash(col("id")), col("__nb")))
       .select(col("chunk"), col("ch"), col("id"), col("sig"),
         explode(blockPairs(col("__blk"), col("__nb"))).as("bp"))
@@ -512,12 +524,19 @@ object Dedup {
       }
       out.toSeq
     }
-    val wc = Window.partitionBy("gram")
-    val candidates = posting
-      .withColumn("__sz", count(lit(1)).over(wc))
-      .filter(col("__sz") >= 2)
+    // skew detection: only postings over `maxPosting` (tiny under Zipf,
+    // ≤ totalPostings/maxPosting keys worst-case) broadcast back; the
+    // count branch re-explodes prefixes from the already-forced gram
+    // cache, so nothing is computed twice from raw text
+    val oversized = posting.groupBy("gram")
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > maxPosting)
       .withColumn("__nb",
         ceil(col("__sz").cast("double") / maxPosting).cast("int"))
+      .select("gram", "__nb")
+    val candidates = posting
+      .join(broadcast(oversized), Seq("gram"), "left")
+      .withColumn("__nb", coalesce(col("__nb"), lit(1)))
       .withColumn("__blk", pmod(hash(col("pid")), col("__nb")))
       .select(col("gram"), col("pid"),
         explode(blockPairs(col("__blk"), col("__nb"))).as("bp"))
@@ -592,20 +611,30 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    val sess = pairs.sparkSession
+    import sess.implicits._
     while (!converged && iter < maxIter) {
       val neigh = edges
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("comp").as("ncomp"))
+      // the changed-count rides an accumulator on the SAME job the
+      // eager localCheckpoint runs (exactly once, so the count is
+      // exact) — no separate join+count probe job per iteration
+      val acc = sess.sparkContext.longAccumulator("components-changed")
       val updated = labels.join(neigh, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id").cast("long"), col("comp").cast("long"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
-            .as("comp"))
+            .cast("long"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, old, nc) =>
+          if (nc < old) acc.add(1L)
+          (id, nc)
+        })
+        .toDF("id", "comp")
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("comp", "old"),
-        "id").filter(col("comp") < col("old")).count()
       labels = updated
-      converged = changed == 0
+      converged = acc.value == 0L
       iter += 1
     }
     edges.unpersist(blocking = false)

@@ -144,6 +144,47 @@ class EstimatorSpec extends SparkTestBase {
       bestTrialRes.evalsResult("val")("rmse").last + 1e-12)
   }
 
+  test("TuneReportCallback streams per-round metrics and checkpoints " +
+      "mid-trial (tune.py TuneReportCheckpointCallback analog)") {
+    import graft.api.GraftBoost
+    import graft.data.DMatrixSpec
+    import graft.learner.{GraftModel, TrainParams}
+    val df = binaryDf.withColumn("y", $"a" * 3 + $"b").drop("label")
+    val Array(tr, va) = df.randomSplit(Array(0.7, 0.3), seed = 11)
+    // per-round streaming through the grid search: every (trial, round)
+    // arrives as it completes and matches the trial's final history
+    val seen = scala.collection.mutable.ArrayBuffer[
+      (Double, Int, Double)]()
+    val grid = GraftGridSearch.expand(
+      TrainParams(objective = "reg:squarederror", numRounds = 4,
+        maxDepth = 2, seed = 1), eta = Seq(0.1, 0.3))
+    val res = GraftGridSearch.fit(tr, DMatrixSpec("y"), grid, va,
+      onRound = (p, r, m) => seen.synchronized {
+        seen += ((p.eta, r, m("val-rmse")))
+      })
+    assert(seen.size === 8, s"expected 2 trials x 4 rounds, got $seen")
+    for (t <- res.trials; (hist, i) <-
+        res.bestResult.evalsResult("val")("rmse").zipWithIndex
+        if t.params.eta == res.bestParams.eta) {
+      val streamed = seen.find(s => s._1 == t.params.eta && s._2 == i).get
+      assert(streamed._3 === hist)
+    }
+    // checkpoint cadence: partial models land under round=<r> and load
+    // independently with the right tree counts
+    val dir = java.nio.file.Files.createTempDirectory("graft-tune")
+      .toString
+    GraftBoost.train(tr, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 5,
+        maxDepth = 2, seed = 2),
+      evals = Seq(("val", va)),
+      callbacks = Seq(new TuneReportCallback((_, _) => (),
+        checkpointEvery = 2, checkpointPath = Some(dir),
+        spark = Some(spark))))
+    val m1 = GraftModel.load(spark, s"$dir/round=1")
+    val m3 = GraftModel.load(spark, s"$dir/round=3")
+    assert(m1.trees.length === 2 && m3.trees.length === 4)
+  }
+
   test("featureImportances concentrate on the informative feature") {
     val rng = new scala.util.Random(19)
     // y depends only on a; b is noise
