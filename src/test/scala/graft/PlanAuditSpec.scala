@@ -80,6 +80,19 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("ensemblescore") || p.contains("EnsembleScore"), p)
     assert(!p.contains("UDF"), s"predict plan still routes a UDF:\n$p")
+    // and the expression must COMPILE under codegen-only mode — an
+    // interpreted fallback would silently drop the whole stage out of
+    // codegen (the CosineSimilarity r2 lesson)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val n = GraftBoost.predict(res.model, df.limit(100),
+        DMatrixSpec("y")).filter(col("prediction") >= 0).count()
+      assert(n === 100L)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("CosineSimilarity compiles under codegen-only mode (no " +
