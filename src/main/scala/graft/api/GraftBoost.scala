@@ -163,6 +163,28 @@ object GraftBoost {
     }
   }
 
+  /**
+   * Leaf-index prediction — the xgboost `pred_leaf=True` kwarg the
+   * reference forwards through `predict` (main.py:1750-1806): appends a
+   * `leaf_indices` array<int> column with one leaf node id per tree
+   * (ensemble layout order). The standard building block for
+   * gradient-boosted embedding features and leaf-level analysis; same
+   * codegen zero-boxing path as the score predict.
+   */
+  def predictLeaf(model: GraftModel, df: DataFrame,
+      spec: DMatrixSpec): DataFrame = {
+    val feats = spec.resolveFeatures(df)
+    require(feats.size == model.numFeatures,
+      s"model expects ${model.numFeatures} features, got ${feats.size}")
+    val featsArr = array(feats.map(f =>
+      when(col(f).cast("float").isNull, lit(Float.NaN))
+        .otherwise(col(f).cast("float"))): _*)
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    df.withColumn("leaf_indices",
+      GraftColumnBridge.column(graft.functions.EnsembleLeaves(
+        GraftColumnBridge.expression(featsArr), model)))
+  }
+
   // ---- internals ----
 
   /** (features, label, weight, baseMargin, qid, upperBound) rows; label

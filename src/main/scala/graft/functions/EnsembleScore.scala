@@ -67,3 +67,45 @@ case class EnsembleScore(child: Expression, model: GraftModel,
   override protected def withNewChildInternal(newChild: Expression)
       : EnsembleScore = copy(child = newChild)
 }
+
+/**
+ * Per-tree leaf node ids for a feature array — the xgboost
+ * `pred_leaf=True` analog (the reference forwards that kwarg through
+ * `predict`, main.py:1750-1806). Same zero-boxing shape as
+ * [[EnsembleScore]]; output length = total trees in ensemble layout
+ * order (round-major, class-inner).
+ */
+case class EnsembleLeaves(child: Expression, model: GraftModel)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ensemble_leaves needs array<float> input, got ${other.catalogString}")
+  }
+
+  def leaves(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val feats = new Array[Float](n)
+    var i = 0
+    while (i < n) { feats(i) = a.getFloat(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(model.leafIndices(feats))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    leaves(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftLeaves", this,
+        classOf[EnsembleLeaves].getName)
+      s"${ev.value} = $ref.leaves($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : EnsembleLeaves = copy(child = newChild)
+}

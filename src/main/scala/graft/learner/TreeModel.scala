@@ -59,6 +59,18 @@ final class RegTree(
     value(i)
   }
 
+  /** Node id of the leaf a row lands in (xgboost `pred_leaf` analog). */
+  def leafIndex(x: Array[Float]): Int = {
+    var i = 0
+    while (feature(i) >= 0) {
+      val v = x(feature(i))
+      i = if (v.isNaN) { if (defaultLeft(i)) left(i) else right(i) }
+      else if (v <= threshold(i)) left(i)
+      else right(i)
+    }
+    i
+  }
+
   /** xgboost-style text dump (for golden-equality tree comparison). */
   def dump(treeIdx: Int): String = {
     val sb = new StringBuilder
@@ -121,6 +133,16 @@ final class GraftModel(
 
   /** Transformed prediction: prob / value / softprob vector. */
   def predict(x: Array[Float]): Array[Float] = obj.transform(margins(x))
+
+  /** Per-tree leaf node ids for one row (xgboost `pred_leaf=True`):
+    * length = total trees, tree order = round-major class-inner, same
+    * as the ensemble layout. */
+  def leafIndices(x: Array[Float]): Array[Int] = {
+    val out = new Array[Int](trees.length)
+    var t = 0
+    while (t < trees.length) { out(t) = trees(t).leafIndex(x); t += 1 }
+    out
+  }
 
   def dump(): String =
     trees.zipWithIndex.map { case (t, i) => t.dump(i) }.mkString

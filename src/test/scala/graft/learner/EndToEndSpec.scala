@@ -414,4 +414,36 @@ class EndToEndSpec extends SparkTestBase {
     val many = GraftBoost.train(df, spec, p, numWorkers = 5)
     assert(one.model.dump() === many.model.dump())
   }
+
+  test("predictLeaf: leaf indices reconstruct the margin exactly " +
+      "(pred_leaf analog)") {
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 400).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, if (a + b > 1.0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(3)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numRounds = 3,
+        maxDepth = 3, seed = 7))
+    val m = res.model
+    val got = GraftBoost.predictLeaf(m, df, DMatrixSpec("y"))
+    val margins = GraftBoost.predict(m, df, DMatrixSpec("y"),
+      outputMargin = true).select("a", "prediction").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val leaves = got.select("a", "leaf_indices").collect()
+    assert(leaves.length === 400)
+    leaves.foreach { r =>
+      val li = r.getSeq[Int](1)
+      assert(li.size === m.trees.length)
+      // replay the ensemble's float accumulation over the leaf values:
+      // bias + Σ value(leaf_t) must equal the margin bit for bit
+      var acc = 0.0f // logistic initMargin(0.5) = 0
+      li.zipWithIndex.foreach { case (leaf, t) =>
+        assert(m.trees(t).feature(leaf) < 0, "index is not a leaf")
+        acc += m.trees(t).value(leaf)
+      }
+      assert(acc.toDouble === margins(r.getDouble(0)))
+    }
+  }
 }
