@@ -473,18 +473,18 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxPosting: Int = 100): DataFrame = {
-    // grams sorted ascending = the global prefix order. Cached AND
-    // eagerly materialized: the final plan reads it from three branches
-    // (posting build + both verification joins) in one job, and without
-    // the count() those branches race ahead of the cache blocks and
-    // each re-runs the gram UDF over the corpus. MEMORY_AND_DISK
+    // grams sorted ascending = the global prefix order. Cached because
+    // the plan reads it from FOUR branches (skew count, posting build,
+    // both verification joins); the broadcast skew-count job below runs
+    // BEFORE the main job and materializes the cache, so the main job's
+    // branches never race the blocks (the r3 diamond-race lesson — the
+    // eager count() that used to do this is subsumed). MEMORY_AND_DISK
     // entries are LRU-evicted; callers doing repeated dedup passes can
     // spark.catalog.clearCache() between runs.
     val grams = df.select(col(idCol).cast("long").as("id"),
       wordGramHashes(n)(col(textCol)).as("grams"))
       .filter(size(col("grams")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    grams.count()
     val prefixLen = (size(col("grams")).cast("double") * (1.0 - threshold))
       .cast("int") + 1
     // posting rows carry (id, |grams|) packed into one long so the pair
