@@ -185,6 +185,28 @@ object GraftBoost {
         GraftColumnBridge.expression(featsArr), model)))
   }
 
+  /**
+   * Approximate feature-contribution prediction — the xgboost
+   * `pred_contribs=True, approx_contribs=True` kwarg the reference
+   * forwards through `predict`: appends a `contribs` array<float>
+   * column laid out as documented on [[GraftModel.contribs]]
+   * (per class: numFeatures contributions + bias; each class block
+   * sums to that class's raw margin).
+   */
+  def predictContrib(model: GraftModel, df: DataFrame,
+      spec: DMatrixSpec): DataFrame = {
+    val feats = spec.resolveFeatures(df)
+    require(feats.size == model.numFeatures,
+      s"model expects ${model.numFeatures} features, got ${feats.size}")
+    val featsArr = array(feats.map(f =>
+      when(col(f).cast("float").isNull, lit(Float.NaN))
+        .otherwise(col(f).cast("float"))): _*)
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    df.withColumn("contribs",
+      GraftColumnBridge.column(graft.functions.EnsembleContribs(
+        GraftColumnBridge.expression(featsArr), model)))
+  }
+
   // ---- internals ----
 
   /** (features, label, weight, baseMargin, qid, upperBound) rows; label

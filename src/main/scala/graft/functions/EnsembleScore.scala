@@ -109,3 +109,44 @@ case class EnsembleLeaves(child: Expression, model: GraftModel)
   override protected def withNewChildInternal(newChild: Expression)
       : EnsembleLeaves = copy(child = newChild)
 }
+
+/**
+ * Approximate (Saabas) per-feature margin contributions — the xgboost
+ * `pred_contribs=True, approx_contribs=True` kwarg the reference
+ * forwards through `predict`. Output layout documented on
+ * [[GraftModel.contribs]]. Same zero-boxing shape as [[EnsembleScore]].
+ */
+case class EnsembleContribs(child: Expression, model: GraftModel)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ensemble_contribs needs array<float> input, got ${other.catalogString}")
+  }
+
+  def contribs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val feats = new Array[Float](n)
+    var i = 0
+    while (i < n) { feats(i) = a.getFloat(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(model.contribs(feats))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    contribs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftContribs", this,
+        classOf[EnsembleContribs].getName)
+      s"${ev.value} = $ref.contribs($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : EnsembleContribs = copy(child = newChild)
+}

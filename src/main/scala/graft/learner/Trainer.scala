@@ -186,10 +186,23 @@ object Trainer {
       value(i) = leafWeight(sumG(i), sumH(i), params).toFloat
     }
 
-    def result(): RegTree = new RegTree(feature.toArray, thresholdBin.toArray,
-      threshold.toArray, defaultLeft.toArray, left.toArray, right.toArray,
-      value.toArray, gain.toArray.map(_.toFloat),
-      sumH.toArray.map(_.toFloat)) // cover = hessian sum through the node
+    def result(p: TrainParams): RegTree = {
+      // internal nodes carry their would-be leaf weight too: the
+      // Saabas contribution walk (GraftModel.contribs) attributes
+      // v(child) − v(parent) per split, so v must exist at every node.
+      // G/H are known for every materialized node (root from its first
+      // histogram, children exactly at split time).
+      var i = 0
+      while (i < feature.length) {
+        if (feature(i) >= 0 && !sumG(i).isNaN)
+          value(i) = leafWeight(sumG(i), sumH(i), p).toFloat
+        i += 1
+      }
+      new RegTree(feature.toArray, thresholdBin.toArray,
+        threshold.toArray, defaultLeft.toArray, left.toArray,
+        right.toArray, value.toArray, gain.toArray.map(_.toFloat),
+        sumH.toArray.map(_.toFloat)) // cover = hessian sum through node
+    }
   }
 
   /** xgboost leaf weight with L1/L2 regularization and shrinkage. */
@@ -497,7 +510,7 @@ object Trainer {
     }
     // frontier nodes at maxDepth become leaves (stats already known)
     states.foreach(st => st.active.foreach(st.tb.finalizeLeaf(_, p)))
-    states.map(_.tb.result())
+    states.map(_.tb.result(p))
   }
 
   /**

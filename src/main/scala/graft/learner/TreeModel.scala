@@ -71,6 +71,25 @@ final class RegTree(
     i
   }
 
+  /** Saabas-style contribution walk: each split on the root→leaf path
+    * attributes v(child) − v(parent) to its split feature
+    * (accumulated into `acc`), which telescopes to v(leaf) − v(root);
+    * returns v(root) — the tree's expectation / bias share. Requires
+    * internal-node values (trees built since they exist; older saved
+    * models carry 0s there and degrade). */
+  def contribWalk(x: Array[Float], acc: Array[Double]): Double = {
+    var i = 0
+    while (feature(i) >= 0) {
+      val v = x(feature(i))
+      val nxt = if (v.isNaN) { if (defaultLeft(i)) left(i) else right(i) }
+        else if (v <= threshold(i)) left(i)
+        else right(i)
+      acc(feature(i)) += value(nxt).toDouble - value(i).toDouble
+      i = nxt
+    }
+    value(0).toDouble
+  }
+
   /** xgboost-style text dump (for golden-equality tree comparison). */
   def dump(treeIdx: Int): String = {
     val sb = new StringBuilder
@@ -141,6 +160,35 @@ final class GraftModel(
     val out = new Array[Int](trees.length)
     var t = 0
     while (t < trees.length) { out(t) = trees(t).leafIndex(x); t += 1 }
+    out
+  }
+
+  /** Approximate per-feature margin contributions — the xgboost
+    * `pred_contribs=True, approx_contribs=True` (Saabas) analog.
+    * Row-major layout: for each output class c, numFeatures entries
+    * followed by that class's bias (tree-root expectations + the
+    * objective's init margin), flattened across classes — so the sum
+    * of each class's block equals that class's raw margin (up to float
+    * association). Exact TreeSHAP is out of scope; the Saabas variant
+    * is xgboost's own documented approximation. */
+  def contribs(x: Array[Float]): Array[Float] = {
+    val k = numOutputs
+    val w = numFeatures + 1
+    val acc = Array.ofDim[Double](k, numFeatures)
+    val biasAcc = new Array[Double](k)
+    var t = 0
+    while (t < trees.length) {
+      biasAcc(t % k) += trees(t).contribWalk(x, acc(t % k))
+      t += 1
+    }
+    val out = new Array[Float](k * w)
+    var c = 0
+    while (c < k) {
+      var f = 0
+      while (f < numFeatures) { out(c * w + f) = acc(c)(f).toFloat; f += 1 }
+      out(c * w + numFeatures) = (biasAcc(c) + bias).toFloat
+      c += 1
+    }
     out
   }
 

@@ -446,4 +446,37 @@ class EndToEndSpec extends SparkTestBase {
       assert(acc.toDouble === margins(r.getDouble(0)))
     }
   }
+
+  test("predictContrib: Saabas contributions sum to the margin and " +
+      "concentrate on the informative feature (pred_contribs analog)") {
+    val rng = new scala.util.Random(37)
+    // y depends on a only; b is pure noise
+    val rows = (1 to 500).map { _ =>
+      val a = rng.nextDouble(); (a, rng.nextDouble(), 3 * a + 1)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(3)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 5,
+        maxDepth = 3, seed = 7))
+    val m = res.model
+    val margins = GraftBoost.predict(m, df, DMatrixSpec("y"),
+      outputMargin = true).select("a", "prediction").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val got = GraftBoost.predictContrib(m, df, DMatrixSpec("y"))
+      .select("a", "contribs").collect()
+    assert(got.length === 500)
+    var massA = 0.0; var massB = 0.0
+    got.foreach { r =>
+      val c = r.getSeq[Float](1)
+      assert(c.size === 3) // 2 features + bias
+      // telescoping sum property: Σ contribs + bias == margin (float
+      // association differs from the predict path → small tolerance)
+      val sum = c.map(_.toDouble).sum
+      assert(math.abs(sum - margins(r.getDouble(0))) < 1e-4,
+        s"contrib sum $sum vs margin ${margins(r.getDouble(0))}")
+      massA += math.abs(c(0)); massB += math.abs(c(1))
+    }
+    assert(massA > 10 * massB,
+      s"informative-feature mass a=$massA vs noise b=$massB")
+  }
 }
