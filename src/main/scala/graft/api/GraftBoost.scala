@@ -143,8 +143,16 @@ object GraftBoost {
       when(col(f).cast("float").isNull, lit(Float.NaN))
         .otherwise(col(f).cast("float"))): _*)
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    // per-row base margin (DMatrix base_margin predict semantics,
+    // matrix.py:329-331): rows without one — or a predict df without
+    // the declared column — fall back to the objective's init margin
+    // (NaN sentinel)
+    val baseMargin = spec.baseMarginCol.filter(df.columns.contains)
+      .map(c => coalesce(col(c).cast("float"), lit(Float.NaN)))
+      .getOrElse(lit(Float.NaN))
     val scores = GraftColumnBridge.column(graft.functions.EnsembleScore(
-      GraftColumnBridge.expression(featsArr), model, outputMargin))
+      GraftColumnBridge.expression(featsArr),
+      GraftColumnBridge.expression(baseMargin), model, outputMargin))
     val out = if (model.numClass >= 2 && model.objective == "multi:softprob") {
       val withP = df.withColumn("probabilities", scores)
       withP.withColumn("prediction",

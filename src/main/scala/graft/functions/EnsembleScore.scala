@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.learner.GraftModel
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -27,45 +27,54 @@ import org.apache.spark.sql.types._
  * @param rawMargin true → untransformed margins (length numOutputs);
  *                  false → objective-transformed prediction (softprob
  *                  probabilities, sigmoid probability, argmax, …)
+ *
+ * The right child is the per-row BASE MARGIN (float; NaN = fall back
+ * to the objective's init margin) — the DMatrix `base_margin` predict
+ * semantics the reference carries through `matrix.py:329-331`.
  */
-case class EnsembleScore(child: Expression, model: GraftModel,
-    rawMargin: Boolean) extends UnaryExpression {
+case class EnsembleScore(left: Expression, right: Expression,
+    model: GraftModel, rawMargin: Boolean) extends BinaryExpression {
 
   override def dataType: DataType =
     ArrayType(FloatType, containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"ensemble_score needs array<float> input, got ${other.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), FloatType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ensemble_score needs (array<float>, float) inputs, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
 
   /** Row scoring entry shared by interpreted eval and generated code. */
-  def score(a: ArrayData): ArrayData = {
+  def score(a: ArrayData, base: Float): ArrayData = {
     val n = a.numElements()
     val feats = new Array[Float](n)
     var i = 0
     while (i < n) { feats(i) = a.getFloat(i); i += 1 }
-    val out = if (rawMargin) model.margins(feats) else model.predict(feats)
+    val out = if (rawMargin) model.marginsFrom(feats, base)
+      else model.predictFrom(feats, base)
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    score(input.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(input: Any, base: Any): Any =
+    score(input.asInstanceOf[ArrayData], base.asInstanceOf[Float])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
+    nullSafeCodeGen(ctx, ev, (c, b) => {
       // the expression itself is the reference object; score() does the
       // traversal in JIT-compiled Scala, so the generated Java stays a
       // single call and the enclosing whole-stage span is preserved
       val ref = ctx.addReferenceObj("graftScore", this,
         classOf[EnsembleScore].getName)
-      s"${ev.value} = $ref.score($c);"
+      s"${ev.value} = $ref.score($c, $b);"
     })
 
-  override protected def withNewChildInternal(newChild: Expression)
-      : EnsembleScore = copy(child = newChild)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): EnsembleScore =
+    copy(left = newLeft, right = newRight)
 }
 
 /**

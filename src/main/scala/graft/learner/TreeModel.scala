@@ -138,10 +138,16 @@ final class GraftModel(
   @transient private lazy val bias: Float = obj.initMargin(baseScore)
 
   /** Raw margin(s) for one row (inference path, unbinned floats). */
-  def margins(x: Array[Float]): Array[Float] = {
+  def margins(x: Array[Float]): Array[Float] = marginsFrom(x, bias)
+
+  /** Raw margins starting from an explicit per-row base margin — the
+    * DMatrix `base_margin` predict semantics (matrix.py:329-331: a
+    * margin column rides the DMatrix into xgboost's predict). Pass
+    * NaN to fall back to the objective's init margin. */
+  def marginsFrom(x: Array[Float], base: Float): Array[Float] = {
     val k = numOutputs
     val out = new Array[Float](k)
-    java.util.Arrays.fill(out, bias)
+    java.util.Arrays.fill(out, if (base.isNaN) bias else base)
     var t = 0
     while (t < trees.length) {
       out(t % k) += trees(t).predictRaw(x)
@@ -152,6 +158,10 @@ final class GraftModel(
 
   /** Transformed prediction: prob / value / softprob vector. */
   def predict(x: Array[Float]): Array[Float] = obj.transform(margins(x))
+
+  /** Transformed prediction from an explicit base margin (NaN = init). */
+  def predictFrom(x: Array[Float], base: Float): Array[Float] =
+    obj.transform(marginsFrom(x, base))
 
   /** Per-tree leaf node ids for one row (xgboost `pred_leaf=True`):
     * length = total trees, tree order = round-major class-inner, same

@@ -447,6 +447,44 @@ class EndToEndSpec extends SparkTestBase {
     }
   }
 
+  test("predict honors the per-row base margin (DMatrix base_margin " +
+      "semantics) and falls back to init when absent") {
+    val rng = new scala.util.Random(41)
+    val rows = (1 to 300).map { i =>
+      val a = rng.nextDouble()
+      (i, a, 3 * a + 1, a.toFloat * 2) // bm varies per row
+    }
+    val df = rows.toDF("id", "a", "y", "bm").repartition(3)
+    val spec = DMatrixSpec(labelCol = Seq("y"),
+      baseMarginCol = Some("bm"), featureCols = Some(Seq("a")))
+    val res = GraftBoost.train(df, spec,
+      TrainParams(objective = "reg:squarederror", numRounds = 3,
+        maxDepth = 2, seed = 3))
+    val m = res.model
+    val leaves = GraftBoost.predictLeaf(m, df, spec)
+      .select("id", "leaf_indices").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    val bm = rows.map(r => r._1 -> r._4).toMap
+    // with the margin column present: margin = row base + Σ leaf values
+    val withBm = GraftBoost.predict(m, df, spec, outputMargin = true)
+      .select("id", "prediction").collect()
+    withBm.foreach { r =>
+      var acc = bm(r.getInt(0))
+      leaves(r.getInt(0)).zipWithIndex
+        .foreach { case (l, t) => acc += m.trees(t).value(l) }
+      assert(acc.toDouble === r.getDouble(1))
+    }
+    // without the column: falls back to the objective init margin
+    val noBm = GraftBoost.predict(m, df.drop("bm"), spec,
+      outputMargin = true).select("id", "prediction").collect()
+    noBm.foreach { r =>
+      var acc = 0.5f // squared-error initMargin(baseScore 0.5)
+      leaves(r.getInt(0)).zipWithIndex
+        .foreach { case (l, t) => acc += m.trees(t).value(l) }
+      assert(acc.toDouble === r.getDouble(1))
+    }
+  }
+
   test("predictContrib: Saabas contributions sum to the margin and " +
       "concentrate on the informative feature (pred_contribs analog)") {
     val rng = new scala.util.Random(37)
