@@ -135,6 +135,50 @@ class OpsSpec extends SparkTestBase {
       .select("keep_id", "dup_id").collect().toSet === basePairs)
   }
 
+  test("chunking invariance: tiny caps produce the identical pair set " +
+      "as unbounded caps on random clustered corpora") {
+    // differential property at the heart of the skew fix: block-pair
+    // chunking must be INVISIBLE in the result for any cap value. A
+    // tiny cap forces chunking on nearly every posting/bucket; the
+    // pair sets must match an effectively-unbounded run exactly.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val base = (1 to 60).map { i =>
+        val toks = Vector.fill(5 + rng.nextInt(8))(
+          vocab(rng.nextInt(vocab.size)))
+        (i.toLong, toks.mkString(" "))
+      }
+      // planted clusters: copies and one-token mutations of random docs
+      val planted = (1 to 25).map { j =>
+        val (_, t) = base(rng.nextInt(base.size))
+        val toks = t.split(" ").toVector
+        val mutated = if (j % 3 == 0)
+          toks.updated(rng.nextInt(toks.size),
+            vocab(rng.nextInt(vocab.size))).mkString(" ")
+        else t
+        (1000L + j, mutated)
+      }
+      val df = (base ++ planted).toDF("doc_id", "text")
+      def pairSet(d: org.apache.spark.sql.DataFrame) =
+        d.select("keep_id", "dup_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ngTiny = pairSet(Dedup.ngramJaccard(df, "doc_id", "text",
+        n = 2, threshold = 0.6, maxPosting = 3))
+      val ngBig = pairSet(Dedup.ngramJaccard(df, "doc_id", "text",
+        n = 2, threshold = 0.6, maxPosting = 1000000))
+      assert(ngTiny === ngBig, s"ngram pair set diverged at seed $seed")
+      assert(ngBig.nonEmpty, s"fixture has no pairs at seed $seed")
+      val shTiny = pairSet(Dedup.simhashDups(df, "doc_id", "text",
+        maxHamming = 6, maxBucket = 2))
+      val shBig = pairSet(Dedup.simhashDups(df, "doc_id", "text",
+        maxHamming = 6, maxBucket = 1000000))
+      assert(shTiny === shBig, s"simhash pair set diverged at seed $seed")
+      assert(shBig.nonEmpty, s"fixture has no simhash pairs at seed $seed")
+    }
+  }
+
   test("brute-force topk: self is nearest neighbor at cosine 1") {
     val queries = embs.limit(5)
       .select($"vec_id".as("query_id"), $"embedding")
