@@ -225,7 +225,12 @@ class GraftClassifier extends GraftPredictor[GraftClassificationModel](
       if (k > 2) params.copy(objective = "multi:softprob", numClass = k)
       else if (params.objective.startsWith("multi"))
         params.copy(numClass = k)
-      else params.copy(objective = "binary:logistic")
+      // numClass must be ZEROED for the binary objective: a caller that
+      // set TrainParams.numClass = 2 (e.g. the MLlib facade's numClass
+      // param) would otherwise produce a model with numOutputs = 2 over
+      // single-output logistic trees, silently routing alternate trees
+      // to a phantom second output
+      else params.copy(objective = "binary:logistic", numClass = 0)
 
     def encode(d: DataFrame): DataFrame = {
       var e: org.apache.spark.sql.Column = lit(null).cast("double")

@@ -175,7 +175,15 @@ class GraftXGBClassifier(override val uid: String)
 
   override def transformSchema(schema: StructType): StructType = {
     validateFitSchema(schema)
-    schema.add("prediction", DoubleType)
+    // declare what the fitted model will emit so downstream Pipeline
+    // stages consuming probability/prediction validate pre-fit; the
+    // softprob `probabilities` array is declarable only when the class
+    // count is known up front
+    val base = schema.add("prediction", DoubleType)
+      .add("probability", org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+    if ($(numClass) > 2)
+      base.add("probabilities", ArrayType(FloatType, containsNull = false))
+    else base
   }
 }
 

@@ -334,9 +334,11 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     // cached: the skew-count branch and the pair branch both read the
     // signatures, and the per-token MD5 simhash is the expensive part
-    // (16 bytes per row cached; LRU-evicted under pressure). The
-    // broadcast-side count job below materializes the cache before the
-    // main job reads it, so the two branches never race the blocks.
+    // (16 bytes per row cached; LRU-evicted under pressure — like the
+    // gram cache, repeated pipeline runs can spark.catalog.clearCache()
+    // between passes). The broadcast-side count job below materializes
+    // the cache before the main job reads it, so the two branches never
+    // race the blocks.
     val sig = df.select(col(idCol).cast("long").as("id"),
       simhash(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -619,8 +621,11 @@ object Dedup {
         .groupBy(col("dst").as("id"))
         .agg(min("comp").as("ncomp"))
       // the changed-count rides an accumulator on the SAME job the
-      // eager localCheckpoint runs (exactly once, so the count is
-      // exact) — no separate join+count probe job per iteration
+      // eager localCheckpoint runs — no separate join+count probe job
+      // per iteration. Retries/speculation can only OVER-count (a task
+      // adds only when it observed nc < old, i.e. a real change), and
+      // the decision compares against zero, so the convergence verdict
+      // is exact either way: acc == 0 ⇔ no row changed.
       val acc = sess.sparkContext.longAccumulator("components-changed")
       val updated = labels.join(neigh, Seq("id"), "left")
         .select(col("id").cast("long"), col("comp").cast("long"),

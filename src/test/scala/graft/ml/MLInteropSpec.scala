@@ -116,6 +116,28 @@ class MLInteropSpec extends SparkTestBase {
     assert(Set(2, 4).contains(best.getMaxDepth))
   }
 
+  test("facade setNumClass(2) trains a working BINARY model (numClass " +
+      "must not leak into the logistic TrainParams)") {
+    // regression: TrainParams.numClass = 2 with binary:logistic used to
+    // produce a model with numOutputs = 2 over single-output trees,
+    // routing alternate trees to a phantom second output
+    val est = new GraftXGBClassifier().setLabelCol("y")
+      .setNumClass(2).setNumRounds(4).setMaxDepth(3).setSeed(6L)
+      .setNumWorkers(4)
+    val model = est.fit(df)
+    assert(model.graftModel.numOutputs === 1)
+    assert(model.graftModel.trees.length === 4)
+    val out = model.transform(df)
+    val acc = out.filter($"prediction" === $"y").count().toDouble /
+      out.count()
+    assert(acc > 0.672, s"declared-binary accuracy $acc")
+    // and it must match the label-discovery model exactly
+    val disc = new GraftXGBClassifier().setLabelCol("y")
+      .setNumRounds(4).setMaxDepth(3).setSeed(6L).setNumWorkers(4)
+      .fit(df)
+    assert(model.graftModel.dump() === disc.graftModel.dump())
+  }
+
   test("regressor facade fits and save/loads") {
     val est = new GraftXGBRegressor().setLabelCol("qty")
       .setFeaturesCols(Array("price", "disc"))
@@ -132,12 +154,13 @@ class MLInteropSpec extends SparkTestBase {
 
   test("declared labels skip the distinct-label scan") {
     // with setNumClass the fit never runs a distinct aggregate over the
-    // label column: assert by counting jobs via a listener
-    var jobs = 0
+    // label column: assert by counting jobs via a listener (atomic —
+    // the listener bus delivers on its own thread)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        jobs.incrementAndGet()
     }
     val tri = df.withColumn("y",
       when($"qty" >= 30, 2.0).when($"qty" >= 15, 1.0).otherwise(0.0))
@@ -151,16 +174,16 @@ class MLInteropSpec extends SparkTestBase {
     def settle(): Int = {
       var last = -1
       var tries = 0
-      while (jobs != last && tries < 100) {
-        last = jobs; Thread.sleep(100); tries += 1
+      while (jobs.get() != last && tries < 100) {
+        last = jobs.get(); Thread.sleep(100); tries += 1
       }
-      jobs
+      jobs.get()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       mk().fit(tri)
       val withScan = settle()
-      jobs = 0
+      jobs.set(0)
       mk().setNumClass(3).fit(tri)
       val withDeclared = settle()
       assert(withDeclared < withScan,
