@@ -765,6 +765,12 @@ object Trainer {
 
   private def currentModel(trees: ArrayBuffer[RegTree], obj: Objective,
       p: TrainParams, bins: Binner.Bins): GraftModel =
-    new GraftModel(trees.toArray, obj.name, p.numClass, p.baseScore,
+    // the stored class count follows the OBJECTIVE, not the raw param:
+    // a caller passing numClass = 2 with a single-output objective
+    // (binary logistic trains one tree per round) must not produce a
+    // model that thinks it has two outputs and routes alternate trees
+    // to a phantom class
+    new GraftModel(trees.toArray, obj.name,
+      if (obj.numOutputs <= 1) 0 else p.numClass, p.baseScore,
       MissingBin, bins.numFeatures, p.numParallelTree)
 }

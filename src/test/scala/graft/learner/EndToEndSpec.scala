@@ -447,6 +447,30 @@ class EndToEndSpec extends SparkTestBase {
     }
   }
 
+  test("numClass with a single-output objective cannot poison the " +
+      "model's output count") {
+    val rng = new scala.util.Random(43)
+    val rows = (1 to 200).map { _ =>
+      val a = rng.nextDouble(); (a, if (a > 0.5) 1.0 else 0.0)
+    }
+    val df = rows.toDF("a", "y").repartition(2)
+    // e.g. a spark.graft.numClass conf overlay left set while switching
+    // to a binary objective
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numClass = 2,
+        numRounds = 4, maxDepth = 2, seed = 1))
+    assert(res.model.numOutputs === 1)
+    assert(res.model.trees.length === 4)
+    val clean = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numRounds = 4,
+        maxDepth = 2, seed = 1))
+    assert(res.model.dump() === clean.model.dump())
+    val acc = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .filter(($"prediction" > 0.5).cast("int") === $"y")
+      .count().toDouble / 200
+    assert(acc > 0.95, s"accuracy $acc")
+  }
+
   test("predict honors the per-row base margin (DMatrix base_margin " +
       "semantics) and falls back to init when absent") {
     val rng = new scala.util.Random(41)
