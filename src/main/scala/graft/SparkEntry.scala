@@ -270,6 +270,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text analysis: repetition metrics (Gopher-style filters) ----
+    "tx_repetition" -> ((s, dir) => {
+      val rep = TextOps.repetitionStats(col("text"))
+      ld(s, dir, "documents")
+        .select(col("doc_id"), rep.as("rep"))
+        .select(col("doc_id"),
+          round(col("rep._1"), 6).as("max_token_frac"),
+          round(col("rep._2"), 6).as("top2gram_frac"),
+          round(col("rep._3"), 6).as("dup3gram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: PII detect + redact (deterministic planted
+    //      PII keyed on doc_id, so the regexes are actually exercised
+    //      — the corpus itself contains none) ----
+    "tx_pii" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com now")))
+          .when(col("doc_id") % 4 === 1, lit(" call 555-123-4567 soon"))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(" from 10.0."), col("doc_id") % 250, lit("."),
+              (col("doc_id") * 7) % 250, lit(" logged")))
+          .otherwise(lit("")))
+      val (em, ph, ip) = TextOps.piiCounts(planted)
+      ld(s, dir, "documents")
+        .select(col("doc_id"),
+          em.cast("long").as("email_count"),
+          ph.cast("long").as("phone_count"),
+          ip.cast("long").as("ip_count"),
+          TextOps.redactPii(planted).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: corpus document frequency (top-k tokens) ----
+    "tx_docfreq" -> ((s, dir) =>
+      TextOps.docFrequency(ld(s, dir, "documents"), "doc_id", "text",
+        k = 20).orderBy(col("doc_freq").desc, col("token").asc)),
+
     // ---- similarity: exact cosine top-k (brute force baseline) ----
     "sim_topk" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
@@ -726,6 +766,86 @@ object SparkEntry {
         |   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
         |   ELSE 'de' END AS lang_id
         | FROM s ORDER BY doc_id""".stripMargin,
+    // repetition metrics replay: token/2-gram/3-gram frequency tables
+    // per doc, then max-fraction / duplicated-occurrence-fraction
+    "tx_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |tokc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1,2),
+        |toka AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tokc
+        | GROUP BY 1),
+        |g2 AS (SELECT doc_id,
+        |   unnest([toks[i] || ' ' || toks[i+1]
+        |     for i in range(1, len(toks))]) AS g
+        | FROM t WHERE len(toks) >= 2),
+        |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2),
+        |g2a AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM g2c
+        | GROUP BY 1),
+        |g3 AS (SELECT doc_id,
+        |   unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)]) AS g
+        | FROM t WHERE len(toks) >= 3),
+        |g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1,2),
+        |g3a AS (SELECT doc_id,
+        |   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+        |   sum(c) AS tot FROM g3c GROUP BY 1)
+        |SELECT t.doc_id,
+        | round(coalesce(CAST(toka.mx AS DOUBLE) / toka.tot, 0.0), 6)
+        |   AS max_token_frac,
+        | round(coalesce(CAST(g2a.mx AS DOUBLE) / g2a.tot, 0.0), 6)
+        |   AS top2gram_frac,
+        | round(coalesce(CAST(g3a.dup AS DOUBLE) / g3a.tot, 0.0), 6)
+        |   AS dup3gram_frac
+        | FROM t
+        | LEFT JOIN toka USING (doc_id)
+        | LEFT JOIN g2a USING (doc_id)
+        | LEFT JOIN g3a USING (doc_id)
+        | ORDER BY doc_id""".stripMargin,
+    // PII replay: the same deterministic planting keyed on doc_id, the
+    // same three regexes (RE2 and Java agree on these ASCII patterns)
+    "tx_pii" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |   CASE doc_id % 4
+        |     WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+        |     WHEN 1 THEN ' call 555-123-4567 soon'
+        |     WHEN 2 THEN ' from 10.0.' || (doc_id % 250) || '.' ||
+        |       ((doc_id * 7) % 250) || ' logged'
+        |     ELSE '' END AS planted
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(planted,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   AS BIGINT) AS email_count,
+        | CAST(len(regexp_extract_all(planted,
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS phone_count,
+        | CAST(len(regexp_extract_all(planted,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+        |   AS ip_count,
+        | regexp_replace(regexp_replace(regexp_replace(planted,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |   '<EMAIL>', 'g'),
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |   AS redacted
+        | FROM p ORDER BY doc_id""".stripMargin,
+    // document frequency: distinct tokens per doc → corpus-wide count,
+    // deterministic top-20 (ties broken by token)
+    "tx_docfreq" ->
+      """WITH t AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE list_distinct(string_split_regex(trim(text), '\s+'))
+        |     END AS toks
+        | FROM documents)
+        |SELECT token, count(*) AS doc_freq FROM
+        | (SELECT doc_id, unnest(toks) AS token FROM t)
+        | GROUP BY token
+        | ORDER BY doc_freq DESC, token ASC
+        | LIMIT 20""".stripMargin,
     "dd_ngram" ->
       """WITH tok AS (SELECT doc_id AS id,
         |   list_filter(string_split_regex(trim(lower(text)), '\s+'),

@@ -229,6 +229,113 @@ object TextOps {
     f(text)
   }
 
+  // --- repetition metrics (Gopher-style repetition filters) ---
+
+  /**
+   * Per-document repetition metrics, the Gopher/MassiveText-family
+   * filter signals for boilerplate and degenerate text:
+   *   - `max_token_frac`: occurrences of the most frequent token / total
+   *     tokens;
+   *   - `top2gram_frac`: occurrences of the most frequent token 2-gram /
+   *     total 2-grams;
+   *   - `dup3gram_frac`: fraction of 3-grams that occur more than once
+   *     (counting all occurrences of duplicated grams).
+   *
+   * The metric is strictly per-document, so the scale-right shape is a
+   * single tight-loop pass with local hash counting — zero shuffle, one
+   * corpus scan — rather than explode + groupBy(doc, gram), which would
+   * shuffle O(total tokens) rows for a result that never crosses
+   * documents. Tokenization matches [[tokens]] (trim + `\s+` split).
+   */
+  def repetitionStats(text: Column): Column = {
+    val f = udf { s: String =>
+      if (s == null || s.trim.isEmpty) (0.0, 0.0, 0.0)
+      else {
+        val toks = s.trim.split("\\s+")
+        val n = toks.length
+        def gramStats(k: Int): (Int, Int, Int) = {
+          // (maxCount, dupOccurrences, totalGrams) for token k-grams
+          val m = new java.util.HashMap[String, Int]()
+          var i = 0
+          val total = n - k + 1
+          val sb = new java.lang.StringBuilder
+          while (i < total) {
+            sb.setLength(0)
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j)); j += 1
+            }
+            m.merge(sb.toString, 1, Integer.sum)
+            i += 1
+          }
+          var mx = 0; var dup = 0
+          val it = m.values().iterator()
+          while (it.hasNext) {
+            val c = it.next()
+            if (c > mx) mx = c
+            if (c > 1) dup += c
+          }
+          (mx, dup, total)
+        }
+        val (mx1, _, t1) = gramStats(1)
+        val maxTok = mx1.toDouble / t1
+        val top2 = if (n < 2) 0.0 else {
+          val (mx2, _, t2) = gramStats(2); mx2.toDouble / t2
+        }
+        val dup3 = if (n < 3) 0.0 else {
+          val (_, d3, t3) = gramStats(3); d3.toDouble / t3
+        }
+        (maxTok, top2, dup3)
+      }
+    }
+    f(text)
+  }
+
+  // --- PII detection / redaction ---
+
+  /** Email / NANP-phone / IPv4 patterns, chosen to behave identically
+    * under Java regex (Spark codegen) and RE2 (DuckDB oracle): ASCII
+    * classes, `\b`, bounded quantifiers only. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII hit counts — pure codegen `regexp_count`. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(nz(text), lit(EmailRe)),
+      regexp_count(nz(text), lit(PhoneRe)),
+      regexp_count(nz(text), lit(Ipv4Re)))
+
+  /**
+   * Redact PII in place (emails, then phones, then IPs — order matters
+   * only in that redaction tags must not re-match later patterns; these
+   * don't). Pure codegen `regexp_replace`, global by default in Spark.
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(nz(text), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /**
+   * Corpus-level document frequency: top `k` tokens by the number of
+   * distinct documents containing them. The genuinely relational text
+   * op — per-doc distinct tokens explode into a groupBy(token) count,
+   * map-side combinable, one shuffle of O(distinct tokens per doc) rows.
+   * Deterministic output: ties broken by token ascending.
+   */
+  def docFrequency(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count("*").as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Convenience: append the standard text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -42,6 +42,67 @@ class OpsSpec extends SparkTestBase {
     assert(q("good") > q("garbage") + 0.3, q.toString)
   }
 
+  test("repetition stats: hand-computed fractions on known docs") {
+    val rows = Seq(
+      (0L, "a a a a"),          // 1 token repeated: all fracs 1.0
+      (1L, "a b c d"),          // all distinct: max_token 1/4, no rep
+      (2L, "x y x y x y"),      // "x y"/"y x" alternation
+      (3L, ""),                 // empty → all 0
+      (4L, "solo"),             // 1 token: no 2/3-grams
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rep = TextOps.repetitionStats(col("text"))
+    val out = rows.withColumn("rep", rep)
+      .select(col("doc_id"), col("rep._1").as("mt"),
+        col("rep._2").as("t2"), col("rep._3").as("d3"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((1.0, 1.0, 1.0)))
+    assert(out(1L) === ((0.25, 1.0 / 3, 0.0)))
+    // "x y x y x y": tokens x:3 y:3 → 3/6; 2-grams x_y:3 y_x:2 → 3/5;
+    // 3-grams xyx:2 yxy:2 → 4/4
+    assert(out(2L) === ((0.5, 0.6, 1.0)))
+    assert(out(3L) === ((0.0, 0.0, 0.0)))
+    assert(out(4L) === ((1.0, 0.0, 0.0)))
+    assert(out(5L) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("PII counts and redaction: planted emails/phones/IPs") {
+    val rows = Seq(
+      (0L, "reach me at jo.doe+x@mail.example.org or 212-555-0100 ok"),
+      (1L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (2L, "no pii here"),
+      (3L, "a@b.co 1.2.3.4 111.222.333.4444"))
+      .toDF("doc_id", "text")
+    val (em, ph, ip) = TextOps.piiCounts(col("text"))
+    val out = rows.select(col("doc_id"), em.as("e"), ph.as("p"),
+      ip.as("i"), TextOps.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    assert(out(0L)._1 === ((1, 1, 0)))
+    assert(out(0L)._2 === "reach me at <EMAIL> or <PHONE> ok")
+    assert(out(1L)._1 === ((0, 0, 2)))
+    assert(out(1L)._2 === "server <IP> and <IP> up")
+    assert(out(2L)._1 === ((0, 0, 0)))
+    assert(out(2L)._2 === "no pii here")
+    // 111.222.333.4444: \d{1,3}-bounded groups still match a prefix
+    // window (333.444 splits) — both engines agree; just assert parity
+    // of the email and first clean IP
+    assert(out(3L)._1._1 === 1)
+    assert(out(3L)._2.startsWith("<EMAIL> <IP>"))
+  }
+
+  test("docFrequency: counts distinct docs per token, deterministic ties") {
+    val rows = Seq(
+      (0L, "alpha beta alpha"),   // alpha counted once per doc
+      (1L, "alpha gamma"),
+      (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.docFrequency(rows, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("alpha", 2L), ("beta", 2L), ("gamma", 2L)))
+  }
+
   test("exact dedup on documents: keepers + counts are consistent") {
     val total = docs.count()
     val dd = Dedup.exact(docs, "doc_id", "text")
