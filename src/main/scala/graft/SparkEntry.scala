@@ -3,7 +3,7 @@ package graft
 import graft.api.GraftBoost
 import graft.data.{DMatrixSpec, DataLoader, Sharding}
 import graft.learner.TrainParams
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{CorpusPipeline, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,22 @@ object SparkEntry {
     "tx_docfreq" -> ((s, dir) =>
       TextOps.docFrequency(ld(s, dir, "documents"), "doc_id", "text",
         k = 20).orderBy(col("doc_freq").desc, col("token").asc)),
+
+    // ---- text analysis: sequence chunking (context-window packing) --
+    "tx_chunks" -> ((s, dir) =>
+      TextOps.chunkDocs(ld(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48).orderBy("doc_id", "chunk_idx")),
+
+    // ---- pipeline: data mixture (deterministic weighted sampling) --
+    "pp_mixture" -> ((s, dir) => {
+      val rates = (0 until 20).map { i =>
+        s"src$i" -> (if (i < 4) 1.0 else if (i < 8) 0.5
+          else if (i < 12) 0.25 else 0.1)
+      }.toMap
+      CorpusPipeline.mixture(ld(s, dir, "documents"), "doc_id",
+        "source", rates)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
 
     // ---- similarity: exact cosine top-k (brute force baseline) ----
     "sim_topk" -> ((s, dir) => {
@@ -846,6 +862,36 @@ object SparkEntry {
         | GROUP BY token
         | ORDER BY doc_freq DESC, token ASC
         | LIMIT 20""".stripMargin,
+    // chunking replay: window starts at multiples of the stride,
+    // 1-based inclusive list slicing mirrors Spark's slice(start, len)
+    "tx_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |   unnest(range(0, len(toks), 48)) AS start
+        | FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        | CAST(start // 48 AS BIGINT) AS chunk_idx,
+        | CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens,
+        | array_to_string(toks[start + 1 : start + 64], ' ')
+        |   AS chunk_text
+        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // mixture replay: md5_number_lower is the same lower-8-bytes
+    // little-endian read the Spark side reconstructs (it uses the low
+    // 4 bytes, hence the % 2^32)
+    "pp_mixture" ->
+      """SELECT doc_id, source FROM documents
+        | WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix')
+        |     % 4294967296 AS DOUBLE) <
+        |   CASE WHEN source IN ('src0','src1','src2','src3')
+        |       THEN 1.0
+        |     WHEN source IN ('src4','src5','src6','src7') THEN 0.5
+        |     WHEN source IN ('src8','src9','src10','src11') THEN 0.25
+        |     ELSE 0.1 END * 4294967296
+        | ORDER BY doc_id""".stripMargin,
     "dd_ngram" ->
       """WITH tok AS (SELECT doc_id AS id,
         |   list_filter(string_split_regex(trim(lower(text)), '\s+'),

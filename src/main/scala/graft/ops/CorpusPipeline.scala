@@ -43,4 +43,35 @@ object CorpusPipeline {
       jaccardThreshold).select(col("dup_id"))
     quality.join(dups, quality(idCol) === dups("dup_id"), "left_anti")
   }
+
+  /**
+   * Data mixture: deterministic per-source weighted sampling — the
+   * "mix sources at different rates" step of LLM training-data prep
+   * (e.g. keep all of a high-quality source, 10% of a crawl).
+   *
+   * The keep decision hashes the row id (salted, md5 lower-4-bytes
+   * little-endian — the byte order of DuckDB's `md5_number_lower`, so
+   * the exact decision is replayable in SQL) against the source's rate.
+   * Deterministic: the same row is kept or dropped on every run, on any
+   * partitioning, under task retries — which `sample()` does not
+   * guarantee — and it needs no shuffle, no RNG state, one codegen scan.
+   *
+   * @param rates keep-probability per source value; sources absent from
+   *              the map use `defaultRate`
+   */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r =>
+      r >= 0.0 && r <= 1.0), s"rates must be in [0,1]: $rates")
+    val h = md5(concat(col(idCol).cast("string"), lit(":mix")))
+    // lower 4 digest bytes (hex chars 17..24) little-endian → [0, 2³²)
+    val z = (0 until 4).map { j =>
+      conv(substring(h, 17 + 2 * j, 2), 16, 10).cast("long") *
+        (1L << (8 * j))
+    }.reduce(_ + _)
+    val rate = rates.foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, r).otherwise(acc)
+    }
+    df.filter(z.cast("double") < rate * 4294967296.0)
+  }
 }

@@ -336,6 +336,35 @@ object TextOps {
       .limit(k)
   }
 
+  /**
+   * Sequence chunking: split each document into fixed-size token
+   * windows with stride overlap — the context-window packing step of an
+   * LLM data pipeline. Chunk i covers tokens [i·stride, i·stride+size).
+   *
+   * Pure narrow transformation: tokens → `posexplode` over window
+   * starts → `slice` per chunk. No shuffle; output rows ≈ n/stride per
+   * doc, so a 100 TB corpus chunks in one scan with no repartitioning.
+   *
+   * @return (idCol, chunk_idx, n_tokens, chunk_text) rows; empty docs
+   *         produce no chunks
+   */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got size=$chunkSize stride=$stride")
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(size(col("toks")) - col("start"), lit(chunkSize))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   /** Convenience: append the standard text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -103,6 +103,48 @@ class OpsSpec extends SparkTestBase {
     assert(out === Array(("alpha", 2L), ("beta", 2L), ("gamma", 2L)))
   }
 
+  test("chunkDocs: window starts, overlap, and tail sizes") {
+    val rows = Seq(
+      (0L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (1L, "a b c"),                                    // one short chunk
+      (2L, ""))                                         // no chunks
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(rows, "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(c => (c._1, c._2))
+    // doc 0: starts 0, 48, 96 → sizes 64, 52, 4
+    assert(out.map(c => (c._1, c._2, c._3)).toSeq ===
+      Seq((0L, 0L, 64L), (0L, 1L, 52L), (0L, 2L, 4L), (1L, 0L, 3L)))
+    assert(out(0)._4.startsWith("t1 t2 ") && out(0)._4.endsWith(" t64"))
+    assert(out(1)._4.startsWith("t49 ") && out(1)._4.endsWith(" t100"))
+    assert(out(2)._4 === "t97 t98 t99 t100")
+    // overlap: chunk 1 re-covers tokens 49..64 from chunk 0
+    assert(out(0)._4.contains("t49"))
+  }
+
+  test("mixture: deterministic, rate-respecting weighted sampling") {
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "keepall" else "half"))
+      .toDF("doc_id", "source")
+    val kept = CorpusPipeline.mixture(rows, "doc_id", "source",
+      Map("keepall" -> 1.0, "half" -> 0.5))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("keepall") === 1000L, "rate 1.0 must keep every row")
+    assert(bySrc("half") > 400 && bySrc("half") < 600,
+      s"rate 0.5 kept ${bySrc("half")}/1000")
+    // determinism: identical keep set on re-run and on a repartition
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = CorpusPipeline.mixture(rows.repartition(7), "doc_id",
+      "source", Map("keepall" -> 1.0, "half" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // rate 0 drops everything
+    assert(CorpusPipeline.mixture(rows, "doc_id", "source",
+      Map.empty, defaultRate = 0.0).count() === 0L)
+  }
+
   test("exact dedup on documents: keepers + counts are consistent") {
     val total = docs.count()
     val dd = Dedup.exact(docs, "doc_id", "text")
