@@ -38,7 +38,13 @@ object Bench {
               System.err.println(s"BENCH FAILURE $name: $e")
               Some(e.toString.replaceAll("[\"\\\\\n\r]", " ").take(200))
           }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        val t = (System.nanoTime() - t0) / 1e9
+        // operator-internal caches (gram/signature persists) are
+        // LRU-managed by design and survive the query — drop them so
+        // query N's leftovers never skew query N+1's timing; the clear
+        // runs OUTSIDE the timed window
+        spark.catalog.clearCache()
+        (name, t, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
