@@ -315,6 +315,17 @@ object SparkEntry {
       TextOps.chunkDocs(ld(s, dir, "documents"), "doc_id", "text",
         chunkSize = 64, stride = 48).orderBy("doc_id", "chunk_idx")),
 
+    // ---- pipeline: eval-set decontamination (n-gram overlap sweep;
+    //      pseudo-eval set = doc_id % 97 == 0, train = the rest) ----
+    "pp_decontam" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      CorpusPipeline.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy("train_id")
+    }),
+
     // ---- pipeline: data mixture (deterministic weighted sampling) --
     "pp_mixture" -> ((s, dir) => {
       val rates = (0 until 20).map { i =>
@@ -879,6 +890,24 @@ object SparkEntry {
         | array_to_string(toks[start + 1 : start + 64], ' ')
         |   AS chunk_text
         | FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // decontamination replay: distinct 5-gram strings per doc, eval =
+    // doc_id % 97 == 0, inner join on gram, per-train-doc rollup
+    "pp_decontam" ->
+      """WITH t AS (SELECT doc_id,
+        |   string_split_regex(trim(text), '\s+') AS toks
+        | FROM documents WHERE length(trim(text)) > 0),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+4], ' ')
+        |     for i in range(1, len(toks) - 3)])) AS gram
+        | FROM t WHERE len(toks) >= 5),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM g
+        | WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_id, gram FROM g
+        | WHERE doc_id % 97 <> 0)
+        |SELECT train_id, count(DISTINCT tr.gram) AS n_shared,
+        |   min(ev.eval_id) AS eval_id
+        | FROM tr JOIN ev USING (gram)
+        | GROUP BY train_id ORDER BY train_id""".stripMargin,
     // mixture replay: md5_number_lower is the same lower-8-bytes
     // little-endian read the Spark side reconstructs (it uses the low
     // 4 bytes, hence the % 2^32)

@@ -45,6 +45,41 @@ object CorpusPipeline {
   }
 
   /**
+   * Eval-set decontamination: flag training documents sharing any
+   * token `n`-gram with an evaluation/benchmark document — the
+   * standard "did the benchmark leak into the training corpus" sweep
+   * run before LLM training.
+   *
+   * Scale shape: the eval set is tiny next to the corpus, so its gram
+   * set BROADCASTS; the corpus side is one narrow scan + explode into
+   * a broadcast-hash join — the only shuffle is the final per-doc
+   * aggregate of matched rows (≈ contaminated grams only, a sliver of
+   * the corpus). Grams join as exact strings here; at 100 TB hash them
+   * (`xxhash64(gram)`) on both sides first — same plan, 8-byte keys.
+   *
+   * @return one row per contaminated training doc: (train_id,
+   *         n_shared distinct shared grams, eval_id = smallest matching
+   *         eval doc)
+   */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    def grams(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).cast("long").as(outId),
+          TextOps.tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col(outId), explode(array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+          .as("gram"))
+    grams(corpus, "train_id")
+      .join(broadcast(grams(evalSet, "eval_id")), "gram")
+      .groupBy("train_id")
+      .agg(countDistinct("gram").as("n_shared"),
+        min("eval_id").as("eval_id"))
+  }
+
+  /**
    * Data mixture: deterministic per-source weighted sampling — the
    * "mix sources at different rates" step of LLM training-data prep
    * (e.g. keep all of a high-quality source, 10% of a crawl).

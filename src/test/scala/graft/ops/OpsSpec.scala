@@ -145,6 +145,29 @@ class OpsSpec extends SparkTestBase {
       Map.empty, defaultRate = 0.0).count() === 0L)
   }
 
+  test("decontaminate: flags exactly the train docs sharing an n-gram") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "prefix words the quick brown fox jumps over suffix"), // hit 100
+      (1L, "pack my box with five dozen liquor jugs verbatim"),   // hit 101
+      (2L, "a completely unrelated training document here now"),
+      (3L, "quick brown fox jumps but only four shared tokens"))  // < 5-gram
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.decontaminate(corpus, evalSet,
+      "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.keySet === Set(0L, 1L))
+    // doc 0 shares "the quick brown fox jumps" + 3 more shifted 5-grams
+    assert(out(0L)._2 === 100L)
+    assert(out(0L)._1 >= 1L)
+    assert(out(1L)._2 === 101L)
+    // doc 3 shares only a 4-token run — below the 5-gram bar
+  }
+
   test("exact dedup on documents: keepers + counts are consistent") {
     val total = docs.count()
     val dd = Dedup.exact(docs, "doc_id", "text")
