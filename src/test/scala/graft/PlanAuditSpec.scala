@@ -46,6 +46,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("pp_decontam: the eval gram set broadcasts — the corpus is " +
+      "never shuffled by gram") {
+    val p = plan("pp_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tx_chunks: chunking is a narrow plan — no exchange before " +
+      "the generator") {
+    val df = SparkEntry.queries("tx_chunks")(spark, dir)
+    // strip the final presentation orderBy (bench/verify-side sort);
+    // the operator itself must not shuffle
+    val core = df.queryExecution.executedPlan.toString
+    val beforeSort = core.linesIterator.dropWhile(l =>
+      !l.contains("Generate")).mkString("\n")
+    assert(!beforeSort.contains("Exchange"),
+      s"chunk generation shuffles:\n$beforeSort")
+  }
+
+  test("pp_mixture: the keep decision reads only the scanned columns " +
+      "(pure codegen filter, no shuffle, no UDF)") {
+    val p = plan("pp_mixture")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"), p)
+  }
+
   test("aggregations keep map-side partial combining") {
     val p = plan("a2_metric_agg")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
