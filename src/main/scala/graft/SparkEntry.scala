@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.GraftBoost
+import graft.api.{GraftBoost, GraftLinear}
 import graft.data.{DMatrixSpec, DataLoader, Sharding}
 import graft.learner.TrainParams
 import graft.ops.{CorpusPipeline, Dedup, Multimodal, Similarity, TextOps}
@@ -485,6 +485,26 @@ object SparkEntry {
     //      the trainer's gradient/leaf arithmetic independently. All
     //      sums are exact in double (half-integer gradients), and the
     //      float rounding of the leaf is replicated with REAL casts ----
+    // ---- ML: linear booster (gblinear analog), one shotgun round
+    //      from zero weights ⇒ every weight is closed-form:
+    //      w_j = (−η·ΣG·x_j/(ΣH·x_j²+λ)) as REAL — DuckDB-replayable --
+    "ml_linear" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+            .as("label"))
+      val m = GraftLinear.train(df, DMatrixSpec("label"),
+        TrainParams(objective = "reg:squarederror", numRounds = 1,
+          seed = 1), numWorkers = 8)
+      val names = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      import s.implicits._
+      (names.zip(m.weights.map(_.toDouble)) :+
+        ("bias" -> m.bias.toDouble))
+        .toDF("term", "weight").orderBy("term")
+    }),
+
     "ml_stump" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
         .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
@@ -1009,6 +1029,46 @@ object SparkEntry {
     // leaf = (−eta·G)/(H+λ) with G = Σ(base−y) = 0.5n−Σy, H = n; the
     // REAL casts replicate the trainer's float rounding exactly (all
     // double-side sums are exact, so no tolerance is needed)
+    // gblinear one-round replay: margins all init=0.5 (REAL-exact for
+    // 0/1 labels), g = 0.5−y float-exact, h = 1; per-feature sums in
+    // DOUBLE exactly as the treeAggregate accumulates, final weight
+    // rounded once through REAL like the Float weight store
+    "ml_linear" ->
+      """WITH f AS (SELECT
+        |   CAST(l_quantity AS REAL) AS x0,
+        |   CAST(l_extendedprice AS REAL) AS x1,
+        |   CAST(l_discount AS REAL) AS x2,
+        |   CAST(l_tax AS REAL) AS x3,
+        |   CAST(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+        |     AS REAL) AS y
+        | FROM lineitem),
+        |g AS (SELECT *, CAST(CAST(0.5 AS REAL) - y AS REAL) AS gr
+        | FROM f),
+        |s AS (SELECT
+        |   sum(CAST(gr AS DOUBLE) * CAST(x0 AS DOUBLE)) AS g0,
+        |   sum(CAST(x0 AS DOUBLE) * CAST(x0 AS DOUBLE)) AS h0,
+        |   sum(CAST(gr AS DOUBLE) * CAST(x1 AS DOUBLE)) AS g1,
+        |   sum(CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)) AS h1,
+        |   sum(CAST(gr AS DOUBLE) * CAST(x2 AS DOUBLE)) AS g2,
+        |   sum(CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS h2,
+        |   sum(CAST(gr AS DOUBLE) * CAST(x3 AS DOUBLE)) AS g3,
+        |   sum(CAST(x3 AS DOUBLE) * CAST(x3 AS DOUBLE)) AS h3,
+        |   sum(CAST(gr AS DOUBLE)) AS gb,
+        |   CAST(count(*) AS DOUBLE) AS hb
+        | FROM g)
+        |SELECT term, weight FROM (
+        | SELECT 'l_quantity' AS term,
+        |   CAST(CAST(-0.3 * g0 / (h0 + 1.0) AS REAL) AS DOUBLE)
+        |     AS weight FROM s
+        | UNION ALL SELECT 'l_extendedprice',
+        |   CAST(CAST(-0.3 * g1 / (h1 + 1.0) AS REAL) AS DOUBLE) FROM s
+        | UNION ALL SELECT 'l_discount',
+        |   CAST(CAST(-0.3 * g2 / (h2 + 1.0) AS REAL) AS DOUBLE) FROM s
+        | UNION ALL SELECT 'l_tax',
+        |   CAST(CAST(-0.3 * g3 / (h3 + 1.0) AS REAL) AS DOUBLE) FROM s
+        | UNION ALL SELECT 'bias',
+        |   CAST(CAST(-0.3 * gb / hb AS REAL) AS DOUBLE) FROM s)
+        | ORDER BY term""".stripMargin,
     "ml_stump" ->
       """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
         |   AS x, l_quantity AS y FROM lineitem),

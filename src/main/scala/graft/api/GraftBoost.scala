@@ -220,10 +220,10 @@ object GraftBoost {
   /** (features, label, weight, baseMargin, qid, upperBound) rows; label
     * doubles as the survival lower bound, upperBound is NaN unless the
     * spec declares survival bounds. */
-  private type Prepared =
+  private[api] type Prepared =
     RDD[(Array[Float], Float, Float, Float, Long, Float)]
 
-  private def prepare(df: DataFrame, spec: DMatrixSpec, obj: Objective,
+  private[api] def prepare(df: DataFrame, spec: DMatrixSpec, obj: Objective,
       numWorkers: Int,
       dcbs: Seq[DistributedCallback] = Nil): Prepared = {
     // ranking needs qid-contiguous partitions (matrix.py:70-102)

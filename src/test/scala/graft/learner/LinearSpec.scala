@@ -1,0 +1,87 @@
+package graft.learner
+
+import graft.SparkTestBase
+import graft.api.GraftLinear
+import graft.data.DMatrixSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Linear booster (gblinear analog) semantics: convergence to a known
+ * linear signal, partition invariance, missing-as-zero, and
+ * codegen-predict parity (reference surface:
+ * xgboost_ray/tests/test_sklearn.py:493 gblinear).
+ */
+class LinearSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // y = 2·x0 − 3·x1 + 1 with standardized-ish inputs
+  private def linearDf(n: Int = 2000) = {
+    val rng = new scala.util.Random(7)
+    (0 until n).map { _ =>
+      val x0 = rng.nextDouble() * 2 - 1
+      val x1 = rng.nextDouble() * 2 - 1
+      (x0, x1, 2.0 * x0 - 3.0 * x1 + 1.0)
+    }.toDF("x0", "x1", "y")
+  }
+
+  test("recovers a linear signal with squared error") {
+    val df = linearDf()
+    val m = GraftLinear.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 200,
+        eta = 0.5, lambda = 0.0, baseScore = 0.0))
+    assert(math.abs(m.weights(0) - 2.0) < 0.1, m.weights.mkString(","))
+    assert(math.abs(m.weights(1) + 3.0) < 0.1, m.weights.mkString(","))
+    assert(math.abs(m.bias - 1.0) < 0.1, m.bias.toString)
+    // prediction RMSE well under the all-mean baseline
+    val pred = GraftLinear.predict(m, df, DMatrixSpec("y"))
+    val rmse = math.sqrt(pred
+      .select(avg(pow(col("prediction") - col("y"), 2))).head.getDouble(0))
+    assert(rmse < 0.2, s"rmse=$rmse")
+  }
+
+  test("partitioning does not change the learned model") {
+    val df = linearDf(500)
+    val p = TrainParams(objective = "reg:squarederror", numRounds = 20,
+      seed = 3)
+    val m1 = GraftLinear.train(df.coalesce(1), DMatrixSpec("y"), p)
+    val m8 = GraftLinear.train(df.repartition(8), DMatrixSpec("y"), p)
+    // double-precision sums of float inputs: float-rounded weights agree
+    (m1.weights zip m8.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-5f, s"$a vs $b")
+    }
+    assert(math.abs(m1.bias - m8.bias) < 1e-5f)
+  }
+
+  test("logistic gblinear separates a linear boundary") {
+    val rng = new scala.util.Random(11)
+    val df = (0 until 2000).map { _ =>
+      val x0 = rng.nextDouble() * 2 - 1
+      val x1 = rng.nextDouble() * 2 - 1
+      (x0, x1, if (x0 - x1 > 0) 1.0 else 0.0)
+    }.toDF("x0", "x1", "label")
+    val m = GraftLinear.train(df, DMatrixSpec("label"),
+      TrainParams(objective = "binary:logistic", numRounds = 100,
+        eta = 0.5, lambda = 0.0))
+    val acc = GraftLinear.predict(m, df, DMatrixSpec("label"))
+      .select(avg(when((col("prediction") >= 0.5) ===
+        (col("label") === 1.0), 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(acc > 0.95, s"accuracy=$acc")
+  }
+
+  test("missing (null) features contribute nothing") {
+    // x1 is entirely NULL: the model must learn on x0 alone and assign
+    // x1 weight 0 (its gradient sums are empty)
+    val df = Seq((1.0, Option.empty[Double], 2.0),
+      (2.0, Option.empty[Double], 4.0),
+      (3.0, Option.empty[Double], 6.0),
+      (4.0, Option.empty[Double], 8.0))
+      .toDF("x0", "x1", "y")
+    val m = GraftLinear.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 50,
+        eta = 0.5, lambda = 0.0, baseScore = 0.0))
+    assert(m.weights(1) === 0.0f, m.weights.mkString(","))
+    val pred = GraftLinear.predict(m, df, DMatrixSpec("y"))
+      .select(avg(pow(col("prediction") - col("y"), 2))).head.getDouble(0)
+    assert(pred < 0.5, s"mse=$pred")
+  }
+}
