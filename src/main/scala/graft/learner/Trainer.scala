@@ -51,7 +51,16 @@ final case class TrainParams(
     customMetrics: Seq[CustomMetric] = Nil,
     /** Cap one histogram aggregation buffer; wide feature sets are
       * processed in node chunks per level to stay under it. */
-    maxHistBytes: Long = 64L << 20)
+    maxHistBytes: Long = 64L << 20,
+    /** Per-feature monotone constraints (xgboost monotone_constraints):
+      * +1 prediction non-decreasing in the feature, −1 non-increasing,
+      * 0 unconstrained. Indexed by feature position; shorter than the
+      * feature count ⇒ remaining features unconstrained. Enforced by
+      * (a) rejecting splits whose child weights violate the direction
+      * and (b) midpoint bound propagation with leaf clamping — the
+      * monotonicity guarantee holds by construction; split choice can
+      * differ from xgboost's clamped-gain variant in edge cases. */
+    monotoneConstraints: Seq[Int] = Nil)
 
 /**
  * Custom eval metric (E7): `fn(margins, label, weight)` returns the
@@ -173,17 +182,27 @@ object Trainer {
     val sumG = ArrayBuffer[Double]()
     val sumH = ArrayBuffer[Double]()
     val gain = ArrayBuffer[Double]()   // split gain (0 at leaves)
+    // monotone-constraint value bounds, in the stored-value (post-η)
+    // domain; (−∞, +∞) when unconstrained so clamping is a no-op
+    val lower = ArrayBuffer[Double]()
+    val upper = ArrayBuffer[Double]()
 
-    def newNode(g: Double, h: Double): Int = {
+    def newNode(g: Double, h: Double,
+        lo: Double = Double.NegativeInfinity,
+        up: Double = Double.PositiveInfinity): Int = {
       feature += -2; thresholdBin += -1; threshold += 0f
       defaultLeft += false; left += -1; right += -1; value += 0f
       sumG += g; sumH += h; gain += 0.0
+      lower += lo; upper += up
       feature.length - 1
     }
 
+    def clamp(w: Double, i: Int): Double =
+      math.min(math.max(w, lower(i)), upper(i))
+
     def finalizeLeaf(i: Int, params: TrainParams): Unit = {
       feature(i) = -1
-      value(i) = leafWeight(sumG(i), sumH(i), params).toFloat
+      value(i) = clamp(leafWeight(sumG(i), sumH(i), params), i).toFloat
     }
 
     def result(p: TrainParams): RegTree = {
@@ -195,7 +214,8 @@ object Trainer {
       var i = 0
       while (i < feature.length) {
         if (feature(i) >= 0 && !sumG(i).isNaN)
-          value(i) = leafWeight(sumG(i), sumH(i), p).toFloat
+          value(i) =
+            clamp(leafWeight(sumG(i), sumH(i), p), i).toFloat
         i += 1
       }
       new RegTree(feature.toArray, thresholdBin.toArray,
@@ -454,6 +474,18 @@ object Trainer {
           var bestGain = 0.0
           var bestF = -1; var bestBin = -1; var bestDefLeft = false
           var bestGL = 0.0; var bestHL = 0.0
+          val mc = p.monotoneConstraints
+          // a candidate split on a constrained feature must order its
+          // child weights in the constraint's direction
+          def monotoneOk(f: Int, gL: Double, hL: Double): Boolean = {
+            val c = if (f < mc.length) mc(f) else 0
+            if (c == 0) true
+            else {
+              val wl = leafWeight(gL, hL, p)
+              val wr = leafWeight(gTot - gL, hTot - hL, p)
+              if (c > 0) wl <= wr else wl >= wr
+            }
+          }
           var j = 0
           while (j < fl.length) {
             val f = fl(j)
@@ -471,7 +503,7 @@ object Trainer {
                   hTot - hlA >= p.minChildWeight) {
                 val gain = 0.5 * (score(glA, hlA, p) +
                   score(gTot - glA, hTot - hlA, p) - parentScore) - p.gamma
-                if (gain > bestGain + 1e-12) {
+                if (gain > bestGain + 1e-12 && monotoneOk(f, glA, hlA)) {
                   bestGain = gain; bestF = f; bestBin = bi
                   bestDefLeft = true; bestGL = glA; bestHL = hlA
                 }
@@ -480,7 +512,7 @@ object Trainer {
               if (hl >= p.minChildWeight && hTot - hl >= p.minChildWeight) {
                 val gain = 0.5 * (score(gl, hl, p) +
                   score(gTot - gl, hTot - hl, p) - parentScore) - p.gamma
-                if (gain > bestGain + 1e-12) {
+                if (gain > bestGain + 1e-12 && monotoneOk(f, gl, hl)) {
                   bestGain = gain; bestF = f; bestBin = bi
                   bestDefLeft = false; bestGL = gl; bestHL = hl
                 }
@@ -491,8 +523,28 @@ object Trainer {
           }
           if (bestF < 0) tb.finalizeLeaf(nid, p)
           else {
-            val l = tb.newNode(bestGL, bestHL)
-            val r = tb.newNode(tb.sumG(nid) - bestGL, tb.sumH(nid) - bestHL)
+            // child bounds: inherit the parent's; a split on a
+            // constrained feature additionally pins the children on
+            // either side of the clamped child-weight midpoint, which
+            // makes every left-subtree value ≤ mid ≤ every
+            // right-subtree value (for +1) — monotone by construction
+            var lLo = tb.lower(nid); var lUp = tb.upper(nid)
+            var rLo = lLo; var rUp = lUp
+            val cBest =
+              if (bestF < mc.length) mc(bestF) else 0
+            if (cBest != 0) {
+              val wl = tb.clamp(leafWeight(bestGL, bestHL, p), nid)
+              val wr = tb.clamp(
+                leafWeight(gTot - bestGL, hTot - bestHL, p), nid)
+              val mid = (wl + wr) / 2
+              if (cBest > 0) { lUp = math.min(lUp, mid)
+                rLo = math.max(rLo, mid) }
+              else { lLo = math.max(lLo, mid)
+                rUp = math.min(rUp, mid) }
+            }
+            val l = tb.newNode(bestGL, bestHL, lLo, lUp)
+            val r = tb.newNode(tb.sumG(nid) - bestGL,
+              tb.sumH(nid) - bestHL, rLo, rUp)
             tb.gain(nid) = bestGain
             tb.feature(nid) = bestF
             tb.thresholdBin(nid) = bestBin

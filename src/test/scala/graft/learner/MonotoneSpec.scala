@@ -1,0 +1,72 @@
+package graft.learner
+
+import graft.SparkTestBase
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Monotone-constraint semantics (xgboost `monotone_constraints`, part
+ * of the params the reference forwards; reference conformance surface:
+ * xgboost_ray/tests/test_sklearn.py:957 test_constraint_parameters).
+ */
+class MonotoneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // noisy signal, increasing overall but with a strong local dip — an
+  // unconstrained tree WILL fit the dip (asserted below)
+  private def dippedDf = {
+    val rng = new scala.util.Random(5)
+    (0 until 4000).map { _ =>
+      val x = rng.nextDouble() * 10
+      val dip = if (x > 4 && x < 6) -3.0 else 0.0
+      (x, x + dip + rng.nextGaussian() * 0.1)
+    }.toDF("x", "y")
+  }
+
+  private def gridPreds(df: org.apache.spark.sql.DataFrame,
+      constraints: Seq[Int]): Array[Double] = {
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 20,
+        maxDepth = 4, seed = 2, monotoneConstraints = constraints))
+    val grid = (0 until 200).map(i => (i * 0.05, 0.0)).toDF("x", "y")
+    GraftBoost.predict(res.model, grid, DMatrixSpec("y"))
+      .orderBy("x").select("prediction").collect().map(_.getDouble(0))
+  }
+
+  test("+1 constraint makes predictions non-decreasing where the " +
+      "unconstrained model dips") {
+    val df = dippedDf
+    val un = gridPreds(df, Nil)
+    val dips = un.sliding(2).count(p => p(1) < p(0) - 1e-9)
+    assert(dips > 0, "fixture too easy: unconstrained model is already" +
+      " monotone, the constraint assertion below would prove nothing")
+    val con = gridPreds(df, Seq(1))
+    con.sliding(2).foreach { p =>
+      assert(p(1) >= p(0) - 1e-9, s"decrease: ${p(0)} -> ${p(1)}")
+    }
+  }
+
+  test("-1 constraint mirrors: non-increasing predictions") {
+    val df = dippedDf.select(col("x"), (-col("y")).as("y"))
+    val con = gridPreds(df, Seq(-1))
+    con.sliding(2).foreach { p =>
+      assert(p(1) <= p(0) + 1e-9, s"increase: ${p(0)} -> ${p(1)}")
+    }
+  }
+
+  test("empty constraints leave the learned model unchanged " +
+      "(default-path golden)") {
+    val df = dippedDf.limit(800)
+    val p0 = TrainParams(objective = "reg:squarederror", numRounds = 5,
+      maxDepth = 3, seed = 9)
+    val a = GraftBoost.train(df, DMatrixSpec("y"), p0).model
+    val b = GraftBoost.train(df, DMatrixSpec("y"),
+      p0.copy(monotoneConstraints = Seq(0))).model
+    val ga = GraftBoost.predict(a, df, DMatrixSpec("y"))
+      .agg(sum("prediction")).head.getDouble(0)
+    val gb = GraftBoost.predict(b, df, DMatrixSpec("y"))
+      .agg(sum("prediction")).head.getDouble(0)
+    assert(ga === gb)
+  }
+}
