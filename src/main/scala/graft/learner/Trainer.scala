@@ -60,7 +60,14 @@ final case class TrainParams(
       * and (b) midpoint bound propagation with leaf clamping — the
       * monotonicity guarantee holds by construction; split choice can
       * differ from xgboost's clamped-gain variant in edge cases. */
-    monotoneConstraints: Seq[Int] = Nil)
+    monotoneConstraints: Seq[Int] = Nil,
+    /** Interaction constraints (xgboost interaction_constraints):
+      * groups of feature indices allowed to interact. A node may split
+      * on feature f only if some group contains f together with every
+      * feature already used on the path from the root (features in no
+      * group form implicit singletons: once used, only they may be
+      * reused below). Empty ⇒ unconstrained. */
+    interactionConstraints: Seq[Seq[Int]] = Nil)
 
 /**
  * Custom eval metric (E7): `fn(margins, label, weight)` returns the
@@ -186,14 +193,17 @@ object Trainer {
     // domain; (−∞, +∞) when unconstrained so clamping is a no-op
     val lower = ArrayBuffer[Double]()
     val upper = ArrayBuffer[Double]()
+    // features on the path from the root (interaction constraints)
+    val path = ArrayBuffer[List[Int]]()
 
     def newNode(g: Double, h: Double,
         lo: Double = Double.NegativeInfinity,
-        up: Double = Double.PositiveInfinity): Int = {
+        up: Double = Double.PositiveInfinity,
+        pf: List[Int] = Nil): Int = {
       feature += -2; thresholdBin += -1; threshold += 0f
       defaultLeft += false; left += -1; right += -1; value += 0f
       sumG += g; sumH += h; gain += 0.0
-      lower += lo; upper += up
+      lower += lo; upper += up; path += pf
       feature.length - 1
     }
 
@@ -374,21 +384,43 @@ object Trainer {
     val treeSalts = states.map(_.treeSalt)
     val treeCls = states.map(_.cls)
 
+    // interaction-constraint check: f may extend path P when some
+    // group holds P ∪ {f}; path features themselves stay allowed, so
+    // ungrouped features become implicit singletons once used
+    val interSets: Array[Set[Int]] =
+      p.interactionConstraints.map(_.toSet).toArray
+    def interOk(path: List[Int], f: Int): Boolean =
+      interSets.isEmpty || path.isEmpty || path.contains(f) ||
+        interSets.exists(s => s.contains(f) && path.forall(s.contains))
+
     var depth = 0
     while (depth < p.maxDepth && states.exists(_.active.nonEmpty)) {
       // (treeIdx, nodeId, sampled features); per-tree RNG draw order is
-      // identical to growing each tree separately
+      // identical to growing each tree separately. The interaction
+      // filter runs AFTER sampling so the RNG sequence — and with it
+      // the unconstrained model — is unchanged by the feature.
       val work = ArrayBuffer[(Int, Int, Array[Int])]()
       states.zipWithIndex.foreach { case (st, t) =>
         if (st.active.nonEmpty) {
           val levelFeats = sampleFeatures(st.treeFeats, p.colsampleByLevel,
             p.featureWeights, st.rng)
           st.active.foreach { nid =>
-            work += ((t, nid, sampleFeatures(levelFeats,
-              p.colsampleByNode, p.featureWeights, st.rng)))
+            val sampled = sampleFeatures(levelFeats,
+              p.colsampleByNode, p.featureWeights, st.rng)
+            val feats =
+              if (interSets.isEmpty) sampled
+              else sampled.filter(interOk(st.tb.path(nid), _))
+            // no admissible feature: the node's stats are already known
+            // (children get G/H at split time; only a root can be
+            // stat-less, and a root has an empty path ⇒ never filtered)
+            if (feats.isEmpty) st.tb.finalizeLeaf(nid, p)
+            else work += ((t, nid, feats))
           }
         }
       }
+      if (work.isEmpty) {
+        states.foreach(_.active = Array.empty)
+      } else {
       val nextActive = Array.fill(states.length)(ArrayBuffer[Int]())
       val fPerNode = work.map(_._3.length).max
       val bytesPerNode = fPerNode.toLong * b * 2 * 8
@@ -542,9 +574,12 @@ object Trainer {
               else { lLo = math.max(lLo, mid)
                 rUp = math.min(rUp, mid) }
             }
-            val l = tb.newNode(bestGL, bestHL, lLo, lUp)
+            val childPath =
+              if (p.interactionConstraints.isEmpty) Nil
+              else bestF :: tb.path(nid)
+            val l = tb.newNode(bestGL, bestHL, lLo, lUp, childPath)
             val r = tb.newNode(tb.sumG(nid) - bestGL,
-              tb.sumH(nid) - bestHL, rLo, rUp)
+              tb.sumH(nid) - bestHL, rLo, rUp, childPath)
             tb.gain(nid) = bestGain
             tb.feature(nid) = bestF
             tb.thresholdBin(nid) = bestBin
@@ -558,6 +593,7 @@ object Trainer {
       states.zipWithIndex.foreach { case (st, t) =>
         st.active = nextActive(t).toArray
       }
+      } // work.nonEmpty
       depth += 1
     }
     // frontier nodes at maxDepth become leaves (stats already known)

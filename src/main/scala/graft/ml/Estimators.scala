@@ -58,6 +58,14 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   }
   def setEta(e: Double): this.type = { params = params.copy(eta = e); this }
   def setSeed(s: Long): this.type = { params = params.copy(seed = s); this }
+  /** xgboost `monotone_constraints` (per-feature ±1/0). */
+  def setMonotoneConstraints(cs: Seq[Int]): this.type = {
+    params = params.copy(monotoneConstraints = cs); this
+  }
+  /** xgboost `interaction_constraints` (feature groups). */
+  def setInteractionConstraints(groups: Seq[Seq[Int]]): this.type = {
+    params = params.copy(interactionConstraints = groups); this
+  }
 
   protected def spec: DMatrixSpec = DMatrixSpec(
     labelCol = if (labelLowerCol.isDefined) Nil else Seq(labelCol),

@@ -2,6 +2,7 @@ package graft.learner
 
 import graft.SparkTestBase
 import graft.api.GraftBoost
+import graft.learner.RegTree
 import graft.data.DMatrixSpec
 import org.apache.spark.sql.functions._
 
@@ -53,6 +54,42 @@ class MonotoneSpec extends SparkTestBase {
     con.sliding(2).foreach { p =>
       assert(p(1) <= p(0) + 1e-9, s"increase: ${p(0)} -> ${p(1)}")
     }
+  }
+
+  test("interaction constraints: no root-to-leaf path mixes features " +
+      "from different groups") {
+    // y = x0·x1 NEEDS the interaction; groups {0},{1} forbid it
+    val rng = new scala.util.Random(13)
+    val df = (0 until 3000).map { _ =>
+      val x0 = rng.nextDouble() * 2 - 1
+      val x1 = rng.nextDouble() * 2 - 1
+      (x0, x1, x0 * x1)
+    }.toDF("x0", "x1", "y")
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 8,
+        maxDepth = 4, seed = 4,
+        interactionConstraints = Seq(Seq(0), Seq(1))))
+    // structural proof: walk every tree, collect path feature sets
+    def paths(t: RegTree, i: Int, acc: Set[Int]): Seq[Set[Int]] =
+      if (t.feature(i) < 0) Seq(acc)
+      else {
+        val a2 = acc + t.feature(i)
+        paths(t, t.left(i), a2) ++ paths(t, t.right(i), a2)
+      }
+    res.model.trees.foreach { t =>
+      paths(t, 0, Set.empty).foreach { pf =>
+        assert(!(pf.contains(0) && pf.contains(1)),
+          s"path uses both constrained features: $pf")
+      }
+    }
+    // the unconstrained control DOES mix them (fixture is meaningful)
+    val un = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 8,
+        maxDepth = 4, seed = 4))
+    val mixed = un.model.trees.exists(t =>
+      paths(t, 0, Set.empty).exists(pf => pf.contains(0) && pf.contains(1)))
+    assert(mixed, "unconstrained model never mixed features — fixture " +
+      "proves nothing")
   }
 
   test("empty constraints leave the learned model unchanged " +
