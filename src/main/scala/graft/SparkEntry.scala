@@ -305,6 +305,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text analysis: token-distribution entropy ----
+    "tx_entropy" -> ((s, dir) =>
+      ld(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.tokenEntropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id")),
+
     // ---- text analysis: corpus document frequency (top-k tokens) ----
     "tx_docfreq" -> ((s, dir) =>
       TextOps.docFrequency(ld(s, dir, "documents"), "doc_id", "text",
@@ -879,6 +886,24 @@ object SparkEntry {
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
         |   AS redacted
         | FROM p ORDER BY doc_id""".stripMargin,
+    // entropy replay: token frequency table per doc, −Σ p·log2 p;
+    // rounded to 6 so libm last-ulp differences can't flip the hash
+    "tx_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM
+        |   (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1),
+        |e AS (SELECT c.doc_id,
+        |   -sum((c / n.n) * ln(c / n.n)) / ln(2.0) AS h
+        | FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY 1)
+        |SELECT t.doc_id AS doc_id, round(coalesce(e.h, 0.0), 6)
+        |   AS entropy
+        | FROM t LEFT JOIN e ON t.doc_id = e.doc_id
+        | ORDER BY t.doc_id""".stripMargin,
     // document frequency: distinct tokens per doc → corpus-wide count,
     // deterministic top-20 (ties broken by token)
     "tx_docfreq" ->

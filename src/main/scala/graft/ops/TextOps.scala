@@ -292,6 +292,33 @@ object TextOps {
     f(text)
   }
 
+  /**
+   * Shannon entropy (bits) of the document's token distribution — low
+   * entropy flags repetitive/boilerplate text, near-zero flags
+   * degenerate single-token spam; a complement to [[repetitionStats]]
+   * in the quality-filter family. Per-document local computation, same
+   * zero-shuffle single-pass shape as the repetition metrics.
+   */
+  def tokenEntropy(text: Column): Column = {
+    val f = udf { s: String =>
+      if (s == null || s.trim.isEmpty) 0.0
+      else {
+        val toks = s.trim.split("\\s+")
+        val m = new java.util.HashMap[String, Int]()
+        toks.foreach(t => m.merge(t, 1, Integer.sum))
+        val n = toks.length.toDouble
+        var h = 0.0
+        val it = m.values().iterator()
+        while (it.hasNext) {
+          val p = it.next() / n
+          h -= p * math.log(p)
+        }
+        h / math.log(2.0)
+      }
+    }
+    f(text)
+  }
+
   // --- PII detection / redaction ---
 
   /** Email / NANP-phone / IPv4 patterns, chosen to behave identically

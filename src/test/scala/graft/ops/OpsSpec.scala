@@ -103,6 +103,22 @@ class OpsSpec extends SparkTestBase {
     assert(out === Array(("alpha", 2L), ("beta", 2L), ("gamma", 2L)))
   }
 
+  test("tokenEntropy: hand-computed values") {
+    val rows = Seq(
+      (0L, "a a a a"),       // one token → 0 bits
+      (1L, "a b a b"),       // uniform 2 → 1 bit
+      (2L, "a b c d"),       // uniform 4 → 2 bits
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+      TextOps.tokenEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(0L)) < 1e-12)
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L) - 2.0) < 1e-12)
+    assert(out(3L) === 0.0 && out(4L) === 0.0)
+  }
+
   test("chunkDocs: window starts, overlap, and tail sizes") {
     val rows = Seq(
       (0L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
