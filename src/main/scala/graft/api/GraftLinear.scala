@@ -148,6 +148,29 @@ object GraftLinear {
     } finally rows.unpersist(blocking = false)
   }
 
+  /** Model sink/source (S12 parity for the linear booster): one
+    * parquet of (idx, weight) rows — idx −1 is the bias — plus the
+    * objective/baseScore meta encoded in the same file. */
+  def save(model: LinearModel, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = model.weights.toSeq.zipWithIndex
+      .map { case (w, i) => (i, w.toDouble, "", 0.0) } :+
+      ((-1, model.bias.toDouble, model.objective, model.baseScore))
+    rows.toDF("idx", "weight", "objective", "base_score")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): LinearModel = {
+    val rows = spark.read.parquet(path).collect()
+    val meta = rows.find(_.getInt(0) == -1).get
+    val ws = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
+      .map(_.getDouble(1).toFloat)
+    LinearModel(ws, meta.getDouble(1).toFloat, meta.getString(2),
+      meta.getDouble(3))
+  }
+
   /** Append a prediction column — pure codegen, no UDF, no shuffle. */
   def predict(model: LinearModel, df: DataFrame, spec: DMatrixSpec,
       outputCol: String = "prediction"): DataFrame = {

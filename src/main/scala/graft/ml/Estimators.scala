@@ -134,6 +134,59 @@ class GraftRFRegressor extends GraftRegressor {
   }
 }
 
+// ---------------- Linear regressor (gblinear) ----------------
+
+final class GraftLinearModel(
+    val model: graft.api.GraftLinear.LinearModel,
+    val spec: DMatrixSpec) extends Serializable {
+  def transform(df: DataFrame): DataFrame =
+    graft.api.GraftLinear.predict(model, df, spec)
+  def save(spark: SparkSession, path: String): Unit =
+    graft.api.GraftLinear.save(model, spark, path)
+}
+
+/** `RayXGBRegressor(booster="gblinear")` analog
+  * (tests/test_sklearn.py:493-517): same setter surface as the tree
+  * estimators, linear trainer underneath. */
+class GraftLinearRegressor {
+  var labelCol: String = "label"
+  var featuresCols: Option[Seq[String]] = None
+  var weightCol: Option[String] = None
+  var baseMarginCol: Option[String] = None
+  var ignoreCols: Seq[String] = Nil
+  var params: TrainParams = TrainParams(objective = "reg:squarederror")
+  var numWorkers: Int = 0
+
+  def setLabelCol(c: String): this.type = { labelCol = c; this }
+  def setFeaturesCols(cs: Seq[String]): this.type = {
+    featuresCols = Some(cs); this
+  }
+  def setWeightCol(c: String): this.type = { weightCol = Some(c); this }
+  def setBaseMarginCol(c: String): this.type = {
+    baseMarginCol = Some(c); this
+  }
+  def setIgnoreCols(cs: Seq[String]): this.type = { ignoreCols = cs; this }
+  def setParams(p: TrainParams): this.type = { params = p; this }
+  def setObjective(o: String): this.type = {
+    params = params.copy(objective = o); this
+  }
+  def setNumRounds(n: Int): this.type = {
+    params = params.copy(numRounds = n); this
+  }
+  def setEta(e: Double): this.type = { params = params.copy(eta = e); this }
+  def setNumWorkers(n: Int): this.type = { numWorkers = n; this }
+
+  private def spec = DMatrixSpec(labelCol = Seq(labelCol),
+    weightCol = weightCol, baseMarginCol = baseMarginCol,
+    ignore = ignoreCols, featureCols = featuresCols)
+
+  def fit(df: DataFrame): GraftLinearModel = {
+    val s = spec
+    new GraftLinearModel(
+      graft.api.GraftLinear.train(df, s, params, numWorkers), s)
+  }
+}
+
 // ---------------- Classifier ----------------
 
 final class GraftClassificationModel(m: GraftModel, s: DMatrixSpec,

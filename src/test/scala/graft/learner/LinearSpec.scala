@@ -68,6 +68,27 @@ class LinearSpec extends SparkTestBase {
     assert(acc > 0.95, s"accuracy=$acc")
   }
 
+  test("estimator facade + save/load round-trip") {
+    val df = linearDf(800)
+    val m = new graft.ml.GraftLinearRegressor()
+      .setLabelCol("y")
+      .setParams(TrainParams(objective = "reg:squarederror",
+        numRounds = 50, eta = 0.5, lambda = 0.0, baseScore = 0.0))
+      .fit(df)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-linear").toString + "/m"
+    m.save(spark, dir)
+    val loaded = GraftLinear.load(spark, dir)
+    assert(loaded.weights.toSeq === m.model.weights.toSeq)
+    assert(loaded.bias === m.model.bias)
+    assert(loaded.objective === m.model.objective)
+    // transform parity between saved and loaded models
+    val a = m.transform(df).agg(sum("prediction")).head.getDouble(0)
+    val b = GraftLinear.predict(loaded, df, DMatrixSpec("y"))
+      .agg(sum("prediction")).head.getDouble(0)
+    assert(a === b)
+  }
+
   test("missing (null) features contribute nothing") {
     // x1 is entirely NULL: the model must learn on x0 alone and assign
     // x1 weight 0 (its gradient sums are empty)
