@@ -52,6 +52,16 @@ object GraftConf {
     get("checkpointEvery").foreach(v => p = p.copy(checkpointEvery = v.toInt))
     get("checkpointPath").foreach(v => p = p.copy(checkpointPath = Some(v)))
     get("maxHistBytes").foreach(v => p = p.copy(maxHistBytes = v.toLong))
+    // xgboost string forms: "(1,0,-1)" and "[[0,1],[2,3]]"
+    get("monotoneConstraints").foreach(v => p = p.copy(
+      monotoneConstraints = v.replaceAll("[()\\[\\]\\s]", "")
+        .split(",").filter(_.nonEmpty).map(_.toInt).toSeq))
+    get("interactionConstraints").foreach(v => p = p.copy(
+      interactionConstraints = v.replaceAll("\\s", "")
+        .stripPrefix("[").stripSuffix("]")
+        .split("\\],\\[").filter(_.nonEmpty).map(grp =>
+          grp.replaceAll("[\\[\\]]", "").split(",")
+            .filter(_.nonEmpty).map(_.toInt).toSeq).toSeq))
     p
   }
 }
