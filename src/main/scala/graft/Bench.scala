@@ -41,9 +41,11 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         // operator-internal caches (gram/signature persists) are
         // LRU-managed by design and survive the query — drop them so
-        // query N's leftovers never skew query N+1's timing; the clear
-        // runs OUTSIDE the timed window
+        // query N's leftovers never skew query N+1's timing; likewise
+        // collect the dropped blocks' garbage now, not mid-way through
+        // the next query. Both run OUTSIDE the timed window.
         spark.catalog.clearCache()
+        System.gc()
         (name, t, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
