@@ -52,6 +52,8 @@ object GraftConf {
     get("checkpointEvery").foreach(v => p = p.copy(checkpointEvery = v.toInt))
     get("checkpointPath").foreach(v => p = p.copy(checkpointPath = Some(v)))
     get("maxHistBytes").foreach(v => p = p.copy(maxHistBytes = v.toLong))
+    get("scalePosWeight").foreach(v =>
+      p = p.copy(scalePosWeight = v.toDouble))
     // xgboost string forms: "(1,0,-1)" and "[[0,1],[2,3]]"
     get("monotoneConstraints").foreach(v => p = p.copy(
       monotoneConstraints = v.replaceAll("[()\\[\\]\\s]", "")

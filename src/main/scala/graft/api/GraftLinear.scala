@@ -85,6 +85,11 @@ object GraftLinear {
       val d = rows.first()._1.length
       val sc = df.sparkSession.sparkContext
       val init = obj.initMargin(params.baseScore)
+      // scale_pos_weight: same binary-objective gating as the tree path
+      val spw =
+        if (params.scalePosWeight != 1.0 &&
+          obj.name.startsWith("binary:")) params.scalePosWeight.toFloat
+        else 1.0f
       val weights = new Array[Float](d)
       var bias = 0.0f
       var round = 0
@@ -103,8 +108,9 @@ object GraftLinear {
             }
             val g = new Array[Float](1); val h = new Array[Float](1)
             obj.gradHess(Array(m.toFloat), y, g, h)
-            val gw = g(0).toDouble * wt
-            val hw = h(0).toDouble * wt
+            val w2 = if (spw != 1.0f && y == 1.0f) wt * spw else wt
+            val gw = g(0).toDouble * w2
+            val hw = h(0).toDouble * w2
             j = 0
             while (j < d) {
               val xv = x(j)

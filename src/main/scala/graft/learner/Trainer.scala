@@ -61,6 +61,11 @@ final case class TrainParams(
       * monotonicity guarantee holds by construction; split choice can
       * differ from xgboost's clamped-gain variant in edge cases. */
     monotoneConstraints: Seq[Int] = Nil,
+    /** xgboost scale_pos_weight: multiplies the gradient/hessian of
+      * positive (label==1) rows in binary objectives — the standard
+      * class-imbalance lever. Applied to training gradients only, like
+      * xgboost (eval metrics see the user's row weights unchanged). */
+    scalePosWeight: Double = 1.0,
     /** Interaction constraints (xgboost interaction_constraints):
       * groups of feature indices allowed to interact. A node may split
       * on feature f only if some group contains f together with every
@@ -275,6 +280,12 @@ object Trainer {
       : RDD[(Array[Byte], Array[Float], Int)] = {
     val k = obj.numOutputs
     val seed = p.seed
+    // scale_pos_weight multiplies positive-row gradients in binary
+    // objectives (xgboost applies it inside logistic regression only)
+    val spw =
+      if (p.scalePosWeight != 1.0 && obj.name.startsWith("binary:"))
+        p.scalePosWeight.toFloat
+      else 1.0f
     if (!obj.needsGroups) {
       data.mapPartitionsWithIndex({ (pid, it) =>
         val rng = new java.util.Random(mix(seed, round, pid))
@@ -284,10 +295,13 @@ object Trainer {
           if (obj.needsBounds)
             obj.gradHessBounds(m, inst.label, inst.upper, g, h)
           else obj.gradHess(m, inst.label, g, h)
+          val w =
+            if (spw != 1.0f && inst.label == 1.0f) inst.weight * spw
+            else inst.weight
           var c = 0
           while (c < k) {
-            gh(2 * c) = g(c) * inst.weight
-            gh(2 * c + 1) = h(c) * inst.weight
+            gh(2 * c) = g(c) * w
+            gh(2 * c + 1) = h(c) * w
             c += 1
           }
           (inst.bins, gh, rng.nextInt())

@@ -58,6 +58,10 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   }
   def setEta(e: Double): this.type = { params = params.copy(eta = e); this }
   def setSeed(s: Long): this.type = { params = params.copy(seed = s); this }
+  /** xgboost `scale_pos_weight` (binary class-imbalance lever). */
+  def setScalePosWeight(w: Double): this.type = {
+    params = params.copy(scalePosWeight = w); this
+  }
   /** xgboost `monotone_constraints` (per-feature ±1/0). */
   def setMonotoneConstraints(cs: Seq[Int]): this.type = {
     params = params.copy(monotoneConstraints = cs); this

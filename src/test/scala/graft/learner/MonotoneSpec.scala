@@ -92,6 +92,31 @@ class MonotoneSpec extends SparkTestBase {
       "proves nothing")
   }
 
+  test("scale_pos_weight shifts predictions toward the rare positive " +
+      "class; 1.0 leaves the model unchanged") {
+    // 5% positives
+    val rng = new scala.util.Random(21)
+    val df = (0 until 4000).map { _ =>
+      val x = rng.nextDouble()
+      val y = if (rng.nextDouble() < (if (x > 0.5) 0.09 else 0.01)) 1.0
+        else 0.0
+      (x, y)
+    }.toDF("x", "label")
+    def meanPred(spw: Double): Double = {
+      val res = GraftBoost.train(df, DMatrixSpec("label"),
+        TrainParams(objective = "binary:logistic", numRounds = 10,
+          maxDepth = 3, seed = 6, scalePosWeight = spw))
+      GraftBoost.predict(res.model, df, DMatrixSpec("label"))
+        .agg(avg("prediction")).head.getDouble(0)
+    }
+    val base = meanPred(1.0)
+    val weighted = meanPred(10.0)
+    assert(weighted > base * 2,
+      s"spw=10 mean pred $weighted vs base $base — no shift")
+    // golden: spw=1.0 must take the un-gated code path bit-identically
+    assert(meanPred(1.0) === base)
+  }
+
   test("empty constraints leave the learned model unchanged " +
       "(default-path golden)") {
     val df = dippedDf.limit(800)
