@@ -507,8 +507,8 @@ object SparkEntry {
       val names = Seq("l_quantity", "l_extendedprice", "l_discount",
         "l_tax")
       import s.implicits._
-      (names.zip(m.weights.map(_.toDouble)) :+
-        ("bias" -> m.bias.toDouble))
+      (names.zip(m.weights(0).map(_.toDouble)) :+
+        ("bias" -> m.bias(0).toDouble))
         .toDF("term", "weight").orderBy("term")
     }),
 

@@ -13,13 +13,14 @@ import graft.learner.{Objectives, TrainParams}
  * xgboost_ray/tests/test_sklearn.py:493 `test_sklearn_api_gblinear`;
  * params pass-through sklearn.py:708-719).
  *
- * Model state is one weight vector + bias — it BROADCASTS, so a round
- * is exactly ONE `treeAggregate` job computing per-feature
+ * Model state is K weight vectors + K biases (K = 1 for regression /
+ * binary, num_class for softmax) — it BROADCASTS, so a round is
+ * exactly ONE `treeAggregate` job computing per-class per-feature
  * [Σ gᵢ·xᵢⱼ, Σ hᵢ·xᵢⱼ²] (plus the bias pair [Σ gᵢ, Σ hᵢ]) with margins
  * recomputed on the fly from the broadcast weights. No cached margin
  * RDD, no shuffle, nothing persisted between rounds beyond the input
  * rows: at 100 TB each round is a single scan-and-reduce whose merge
- * volume is 2(d+1) doubles per partition.
+ * volume is K·2(d+1) doubles per partition.
  *
  * Update rule (xgboost's shotgun/parallel coordinate step with elastic
  * net, all coordinates updated from the same round's gradients):
@@ -36,49 +37,60 @@ import graft.learner.{Objectives, TrainParams}
  */
 object GraftLinear {
 
-  /** Linear model: margin = bias + w·x (+ init/base margin). */
-  final case class LinearModel(weights: Array[Float], bias: Float,
-      objective: String, baseScore: Double) {
+  /** Linear model: margin_c = bias_c + w_c·x (+ init/base margin). */
+  final case class LinearModel(weights: Array[Array[Float]],
+      bias: Array[Float], objective: String, baseScore: Double) {
+
+    def numClass: Int = weights.length
+    def numFeatures: Int = weights.headOption.map(_.length).getOrElse(0)
 
     /**
-     * Margin as a pure unrolled Column expression (codegen, no UDF):
-     * zero-weight features are dropped from the sum at plan time.
+     * Class-c margin as a pure unrolled Column expression (codegen, no
+     * UDF): zero-weight features drop out of the sum at plan time.
      */
-    def marginExpr(features: Column): Column = {
-      val terms = weights.iterator.zipWithIndex.collect {
+    def marginExpr(features: Column, cls: Int = 0): Column = {
+      val terms = weights(cls).iterator.zipWithIndex.collect {
         case (w, j) if w != 0f =>
           nanvl(coalesce(element_at(features, j + 1), lit(0f)), lit(0f))
             .cast("double") * w.toDouble
       }.toSeq
-      val obj = Objectives.resolve(
-        TrainParams(objective = objective, baseScore = baseScore))
+      val obj = Objectives.resolve(TrainParams(objective = objective,
+        numClass = math.max(numClass, 2), baseScore = baseScore))
       terms.foldLeft(lit(obj.initMargin(baseScore).toDouble +
-        bias.toDouble))(_ + _)
+        bias(cls).toDouble))(_ + _)
     }
 
-    /** Transformed prediction (prob for logistic, identity otherwise). */
+    /** Transformed prediction: prob for logistic, per-class softmax
+      * probabilities for multiclass, identity margin otherwise. */
     def predictExpr(features: Column): Column = {
-      val m = marginExpr(features)
-      objective match {
-        case "binary:logistic" => lit(1.0) / (lit(1.0) + exp(-m))
-        case _ => m
+      if (numClass >= 2) {
+        val ms = array((0 until numClass).map(marginExpr(features, _)): _*)
+        val mx = array_max(ms)
+        val ex = transform(ms, e => exp(e - mx))
+        val norm = aggregate(ex, lit(0.0), (a, e) => a + e)
+        transform(ex, e => e / norm)
+      } else {
+        val m = marginExpr(features)
+        objective match {
+          case "binary:logistic" => lit(1.0) / (lit(1.0) + exp(-m))
+          case _ => m
+        }
       }
     }
   }
 
   /**
-   * Train a linear booster. Supports the pointwise single-output
-   * objectives (squared/absolute error, logistic); multiclass and
-   * ranking remain tree-booster territory, as in xgboost itself where
-   * gblinear is a (generalized) linear model.
+   * Train a linear booster. Supports the pointwise objectives
+   * (squared/absolute error, logistic, softmax/softprob); ranking and
+   * survival bounds remain tree-booster territory.
    */
   def train(df: DataFrame, spec: DMatrixSpec, params: TrainParams,
       numWorkers: Int = 0): LinearModel = {
     val obj = Objectives.resolve(params)
-    require(obj.numOutputs <= 1 && !obj.needsGroups && !obj.needsBounds,
-      s"gblinear supports pointwise single-output objectives; " +
-        s"got ${obj.name}")
+    require(!obj.needsGroups && !obj.needsBounds,
+      s"gblinear supports pointwise objectives; got ${obj.name}")
     spec.validate(df, requireLabel = true)
+    val k = math.max(obj.numOutputs, 1)
     val rows = GraftBoost.prepare(df, spec, obj, numWorkers)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -90,37 +102,50 @@ object GraftLinear {
         if (params.scalePosWeight != 1.0 &&
           obj.name.startsWith("binary:")) params.scalePosWeight.toFloat
         else 1.0f
-      val weights = new Array[Float](d)
-      var bias = 0.0f
+      val weights = Array.fill(k)(new Array[Float](d))
+      val bias = new Array[Float](k)
+      val stride = 2 * d + 2 // per-class accumulator block
       var round = 0
       while (round < params.numRounds) {
-        val bcW = sc.broadcast((weights.clone(), bias))
-        val acc = rows.treeAggregate(new Array[Double](2 * d + 2))(
+        val bcW = sc.broadcast((weights.map(_.clone()), bias.clone()))
+        val acc = rows.treeAggregate(new Array[Double](k * stride))(
           seqOp = (a, r) => {
             val (x, y, wt, bm, _, _) = r
             val (w, b) = bcW.value
-            var m = (if (bm.isNaN) init else bm).toDouble + b
-            var j = 0
-            while (j < d) {
-              val xv = x(j)
-              if (!xv.isNaN) m += w(j).toDouble * xv
-              j += 1
-            }
-            val g = new Array[Float](1); val h = new Array[Float](1)
-            obj.gradHess(Array(m.toFloat), y, g, h)
-            val w2 = if (spw != 1.0f && y == 1.0f) wt * spw else wt
-            val gw = g(0).toDouble * w2
-            val hw = h(0).toDouble * w2
-            j = 0
-            while (j < d) {
-              val xv = x(j)
-              if (!xv.isNaN && xv != 0f) {
-                a(2 * j) += gw * xv
-                a(2 * j + 1) += hw * xv.toDouble * xv
+            val m = new Array[Float](k)
+            var c = 0
+            while (c < k) {
+              var mc = (if (bm.isNaN) init else bm).toDouble + b(c)
+              val wc = w(c)
+              var j = 0
+              while (j < d) {
+                val xv = x(j)
+                if (!xv.isNaN) mc += wc(j).toDouble * xv
+                j += 1
               }
-              j += 1
+              m(c) = mc.toFloat
+              c += 1
             }
-            a(2 * d) += gw; a(2 * d + 1) += hw
+            val g = new Array[Float](k); val h = new Array[Float](k)
+            obj.gradHess(m, y, g, h)
+            val w2 = if (spw != 1.0f && y == 1.0f) wt * spw else wt
+            c = 0
+            while (c < k) {
+              val base = c * stride
+              val gw = g(c).toDouble * w2
+              val hw = h(c).toDouble * w2
+              var j = 0
+              while (j < d) {
+                val xv = x(j)
+                if (!xv.isNaN && xv != 0f) {
+                  a(base + 2 * j) += gw * xv
+                  a(base + 2 * j + 1) += hw * xv.toDouble * xv
+                }
+                j += 1
+              }
+              a(base + 2 * d) += gw; a(base + 2 * d + 1) += hw
+              c += 1
+            }
             a
           },
           combOp = (a, c) => {
@@ -130,24 +155,31 @@ object GraftLinear {
           },
           depth = 2)
         bcW.destroy()
-        var j = 0
-        while (j < d) {
-          val denom = acc(2 * j + 1) + params.lambda
-          // a feature absent from every row has H_j = 0; with λ = 0 the
-          // step would be 0/0 — skip, as xgboost does for empty columns
-          if (denom > 0) {
-            val gj = acc(2 * j) + params.lambda * weights(j)
-            val t =
-              if (gj > params.alpha) gj - params.alpha
-              else if (gj < -params.alpha) gj + params.alpha
-              else 0.0
-            weights(j) =
-              (weights(j) - params.eta * t / denom).toFloat
+        var c = 0
+        while (c < k) {
+          val base = c * stride
+          val wc = weights(c)
+          var j = 0
+          while (j < d) {
+            val denom = acc(base + 2 * j + 1) + params.lambda
+            // a feature absent from every row has H_j = 0; with λ = 0
+            // the step would be 0/0 — skip, like xgboost empty columns
+            if (denom > 0) {
+              val gj = acc(base + 2 * j) + params.lambda * wc(j)
+              val t =
+                if (gj > params.alpha) gj - params.alpha
+                else if (gj < -params.alpha) gj + params.alpha
+                else 0.0
+              wc(j) = (wc(j) - params.eta * t / denom).toFloat
+            }
+            j += 1
           }
-          j += 1
+          if (acc(base + 2 * d + 1) > 0)
+            bias(c) = (bias(c) -
+              params.eta * acc(base + 2 * d) /
+                acc(base + 2 * d + 1)).toFloat
+          c += 1
         }
-        if (acc(2 * d + 1) > 0)
-          bias = (bias - params.eta * acc(2 * d) / acc(2 * d + 1)).toFloat
         round += 1
       }
       LinearModel(weights, bias, obj.name, params.baseScore)
@@ -155,37 +187,54 @@ object GraftLinear {
   }
 
   /** Model sink/source (S12 parity for the linear booster): one
-    * parquet of (idx, weight) rows — idx −1 is the bias — plus the
-    * objective/baseScore meta encoded in the same file. */
+    * parquet of (cls, idx, weight) rows — idx −1 is the class bias —
+    * with the objective/baseScore meta inline. */
   def save(model: LinearModel, spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import spark.implicits._
-    val rows = model.weights.toSeq.zipWithIndex
-      .map { case (w, i) => (i, w.toDouble, "", 0.0) } :+
-      ((-1, model.bias.toDouble, model.objective, model.baseScore))
-    rows.toDF("idx", "weight", "objective", "base_score")
+    val rows = model.weights.zipWithIndex.flatMap { case (wc, c) =>
+      wc.toSeq.zipWithIndex.map { case (w, i) =>
+        (c, i, w.toDouble, "", 0.0)
+      } :+ ((c, -1, model.bias(c).toDouble, model.objective,
+        model.baseScore))
+    }.toSeq
+    rows.toDF("cls", "idx", "weight", "objective", "base_score")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   def load(spark: org.apache.spark.sql.SparkSession,
       path: String): LinearModel = {
     val rows = spark.read.parquet(path).collect()
-    val meta = rows.find(_.getInt(0) == -1).get
-    val ws = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
-      .map(_.getDouble(1).toFloat)
-    LinearModel(ws, meta.getDouble(1).toFloat, meta.getString(2),
-      meta.getDouble(3))
+    val k = rows.map(_.getInt(0)).max + 1
+    val meta = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == -1).get
+    val weights = (0 until k).map { c =>
+      rows.filter(r => r.getInt(0) == c && r.getInt(1) >= 0)
+        .sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+    }.toArray
+    val bias = (0 until k).map { c =>
+      rows.find(r => r.getInt(0) == c && r.getInt(1) == -1).get
+        .getDouble(2).toFloat
+    }.toArray
+    LinearModel(weights, bias, meta.getString(3), meta.getDouble(4))
   }
 
-  /** Append a prediction column — pure codegen, no UDF, no shuffle. */
+  /** Append prediction column(s) — pure codegen, no UDF, no shuffle.
+    * Multiclass mirrors `GraftBoost.predict`'s softprob surface:
+    * `probabilities` array + argmax `prediction`. */
   def predict(model: LinearModel, df: DataFrame, spec: DMatrixSpec,
       outputCol: String = "prediction"): DataFrame = {
     val feats = spec.resolveFeatures(df)
-    require(feats.size == model.weights.length,
-      s"model expects ${model.weights.length} features, got ${feats.size}")
+    require(feats.size == model.numFeatures,
+      s"model expects ${model.numFeatures} features, got ${feats.size}")
     val featsArr = array(feats.map(f =>
       when(col(f).cast("float").isNull, lit(Float.NaN))
         .otherwise(col(f).cast("float"))): _*)
-    df.withColumn(outputCol, model.predictExpr(featsArr))
+    if (model.numClass >= 2) {
+      val withP = df.withColumn("probabilities",
+        model.predictExpr(featsArr))
+      withP.withColumn(outputCol,
+        (array_position(col("probabilities"),
+          array_max(col("probabilities"))) - 1).cast("double"))
+    } else df.withColumn(outputCol, model.predictExpr(featsArr))
   }
 }

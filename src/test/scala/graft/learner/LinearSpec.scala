@@ -29,9 +29,11 @@ class LinearSpec extends SparkTestBase {
     val m = GraftLinear.train(df, DMatrixSpec("y"),
       TrainParams(objective = "reg:squarederror", numRounds = 200,
         eta = 0.5, lambda = 0.0, baseScore = 0.0))
-    assert(math.abs(m.weights(0) - 2.0) < 0.1, m.weights.mkString(","))
-    assert(math.abs(m.weights(1) + 3.0) < 0.1, m.weights.mkString(","))
-    assert(math.abs(m.bias - 1.0) < 0.1, m.bias.toString)
+    assert(math.abs(m.weights(0)(0) - 2.0) < 0.1,
+      m.weights(0).mkString(","))
+    assert(math.abs(m.weights(0)(1) + 3.0) < 0.1,
+      m.weights(0).mkString(","))
+    assert(math.abs(m.bias(0) - 1.0) < 0.1, m.bias(0).toString)
     // prediction RMSE well under the all-mean baseline
     val pred = GraftLinear.predict(m, df, DMatrixSpec("y"))
     val rmse = math.sqrt(pred
@@ -46,10 +48,10 @@ class LinearSpec extends SparkTestBase {
     val m1 = GraftLinear.train(df.coalesce(1), DMatrixSpec("y"), p)
     val m8 = GraftLinear.train(df.repartition(8), DMatrixSpec("y"), p)
     // double-precision sums of float inputs: float-rounded weights agree
-    (m1.weights zip m8.weights).foreach { case (a, b) =>
+    (m1.weights(0) zip m8.weights(0)).foreach { case (a, b) =>
       assert(math.abs(a - b) < 1e-5f, s"$a vs $b")
     }
-    assert(math.abs(m1.bias - m8.bias) < 1e-5f)
+    assert(math.abs(m1.bias(0) - m8.bias(0)) < 1e-5f)
   }
 
   test("logistic gblinear separates a linear boundary") {
@@ -79,14 +81,38 @@ class LinearSpec extends SparkTestBase {
       .createTempDirectory("graft-linear").toString + "/m"
     m.save(spark, dir)
     val loaded = GraftLinear.load(spark, dir)
-    assert(loaded.weights.toSeq === m.model.weights.toSeq)
-    assert(loaded.bias === m.model.bias)
+    assert(loaded.weights.map(_.toSeq).toSeq ===
+      m.model.weights.map(_.toSeq).toSeq)
+    assert(loaded.bias.toSeq === m.model.bias.toSeq)
     assert(loaded.objective === m.model.objective)
     // transform parity between saved and loaded models
     val a = m.transform(df).agg(sum("prediction")).head.getDouble(0)
     val b = GraftLinear.predict(loaded, df, DMatrixSpec("y"))
       .agg(sum("prediction")).head.getDouble(0)
     assert(a === b)
+  }
+
+  test("multiclass gblinear separates 3 linearly-separable classes") {
+    val rng = new scala.util.Random(17)
+    val df = (0 until 3000).map { _ =>
+      val x0 = rng.nextDouble() * 2 - 1
+      val x1 = rng.nextDouble() * 2 - 1
+      val cls = if (x0 > 0.3) 2 else if (x0 < -0.3) 0 else 1
+      (x0, x1, cls)
+    }.toDF("x0", "x1", "label")
+    val m = GraftLinear.train(df, DMatrixSpec("label"),
+      TrainParams(objective = "multi:softprob", numClass = 3,
+        numRounds = 150, eta = 0.5, lambda = 0.0))
+    assert(m.numClass === 3)
+    val out = GraftLinear.predict(m, df, DMatrixSpec("label"))
+    val acc = out.select(avg(when(col("prediction") ===
+      col("label").cast("double"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc > 0.9, s"accuracy=$acc")
+    // probabilities sum to 1
+    val psum = out.select(avg(aggregate(col("probabilities"),
+      lit(0.0), (a, e) => a + e))).head.getDouble(0)
+    assert(math.abs(psum - 1.0) < 1e-9, s"prob sum=$psum")
   }
 
   test("missing (null) features contribute nothing") {
@@ -100,7 +126,7 @@ class LinearSpec extends SparkTestBase {
     val m = GraftLinear.train(df, DMatrixSpec("y"),
       TrainParams(objective = "reg:squarederror", numRounds = 50,
         eta = 0.5, lambda = 0.0, baseScore = 0.0))
-    assert(m.weights(1) === 0.0f, m.weights.mkString(","))
+    assert(m.weights(0)(1) === 0.0f, m.weights(0).mkString(","))
     val pred = GraftLinear.predict(m, df, DMatrixSpec("y"))
       .select(avg(pow(col("prediction") - col("y"), 2))).head.getDouble(0)
     assert(pred < 0.5, s"mse=$pred")
