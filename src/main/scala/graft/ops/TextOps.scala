@@ -395,6 +395,7 @@ object TextOps {
   /** Convenience: append the standard text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    val rep = repetitionStats(t)
     df.withColumn("token_count", tokenCount(t))
       .withColumn("subword_count", subwordCount(t))
       .withColumn("punct_ratio", round(punctRatio(t), 6))
@@ -402,5 +403,11 @@ object TextOps {
       .withColumn("quality_score", qualityScore(t))
       .withColumn("lang_id", langId(t))
       .withColumn("fingerprint", fingerprint(t))
+      .withColumn("entropy", round(tokenEntropy(t), 6))
+      .withColumn("rep", rep)
+      .withColumn("max_token_frac", round(col("rep._1"), 6))
+      .withColumn("top2gram_frac", round(col("rep._2"), 6))
+      .withColumn("dup3gram_frac", round(col("rep._3"), 6))
+      .drop("rep")
   }
 }
