@@ -17,9 +17,12 @@ object TextOps {
   /** Null-safe text: NULL behaves as the empty document everywhere. */
   private def nz(text: Column): Column = coalesce(text, lit(""))
 
-  /** Whitespace tokens of normalized text (empty/NULL → empty array). */
+  /** Whitespace tokens of normalized text (empty/NULL → empty array).
+    * Strips ALL leading/trailing whitespace via regexp — Spark's
+    * `trim` removes spaces only, so a tab-padded document would
+    * otherwise produce phantom empty tokens through `split`. */
   def tokens(text: Column): Column = {
-    val t = trim(nz(text))
+    val t = regexp_replace(nz(text), "^\\s+|\\s+$", "")
     when(length(t) === 0, array().cast("array<string>"))
       .otherwise(split(t, "\\s+"))
   }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/**
+ * Randomized differential tests: every text metric is recomputed by an
+ * independent, naive in-JVM model over generated documents (varied
+ * alphabets, whitespace runs, repetition-heavy and degenerate cases)
+ * and must agree with the Spark-side expression/UDF exactly.
+ */
+class TextPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(99)
+
+  private def randomDoc(): String = {
+    val vocabSize = 1 + rng.nextInt(8)
+    val vocab = Vector.fill(vocabSize)(
+      Vector.fill(1 + rng.nextInt(6))(
+        ('a' + rng.nextInt(26)).toChar).mkString)
+    val n = rng.nextInt(40)
+    val sep = () => if (rng.nextInt(5) == 0) "  \t " else " "
+    val body = Vector.fill(n)(vocab(rng.nextInt(vocabSize)))
+      .mkString(sep())
+    if (rng.nextInt(6) == 0) s"  $body " else body
+  }
+
+  private val docs: Seq[(Long, String)] =
+    (0L until 200L).map(i => (i, randomDoc())) ++
+      Seq((200L, ""), (201L, "   "), (202L, "\t\t"), (203L, "one"))
+
+  private def toks(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  test("tokenCount and tokenEntropy match the naive model on random " +
+      "documents") {
+    val out = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n"),
+        TextOps.tokenEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    docs.foreach { case (id, s) =>
+      val t = toks(s)
+      assert(out(id)._1 === t.length, s"doc $id [$s]")
+      val expH =
+        if (t.isEmpty) 0.0
+        else {
+          val n = t.length.toDouble
+          -t.groupBy(identity).values
+            .map(g => (g.length / n) * math.log(g.length / n))
+            .sum / math.log(2.0)
+        }
+      assert(math.abs(out(id)._2 - expH) < 1e-9,
+        s"doc $id entropy ${out(id)._2} vs $expH [$s]")
+    }
+  }
+
+  test("repetitionStats match the naive model on random documents") {
+    val rep = TextOps.repetitionStats(col("text"))
+    val out = docs.toDF("doc_id", "text")
+      .withColumn("rep", rep)
+      .select(col("doc_id"), col("rep._1"), col("rep._2"), col("rep._3"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def gramFracs(t: Array[String], k: Int): (Double, Double) = {
+      if (t.length < k) (0.0, 0.0)
+      else {
+        val grams = t.sliding(k).map(_.mkString(" ")).toVector
+        val counts = grams.groupBy(identity).values.map(_.length)
+        (counts.max.toDouble / grams.length,
+          counts.filter(_ > 1).sum.toDouble / grams.length)
+      }
+    }
+    docs.foreach { case (id, s) =>
+      val t = toks(s)
+      val (mt, _) = gramFracs(t, 1)
+      val (t2, _) = gramFracs(t, 2)
+      val (_, d3) = gramFracs(t, 3)
+      assert(math.abs(out(id)._1 - mt) < 1e-12, s"doc $id max_token [$s]")
+      assert(math.abs(out(id)._2 - t2) < 1e-12, s"doc $id top2gram [$s]")
+      assert(math.abs(out(id)._3 - d3) < 1e-12, s"doc $id dup3gram [$s]")
+    }
+  }
+
+  test("fingerprint is invariant to whitespace runs and case") {
+    val f = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"),
+        TextOps.fingerprint(
+          upper(regexp_replace(col("text"), " ", "  "))).as("g"))
+      .collect()
+    f.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"doc ${r.getLong(0)} fingerprint not normalization-invariant"))
+  }
+
+  test("chunkDocs loses no tokens: stride-prefixes reassemble the " +
+      "token stream") {
+    val df = docs.toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocs(df, "doc_id", "text",
+      chunkSize = 7, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, s) =>
+      val t = toks(s)
+      if (t.isEmpty) assert(!chunks.contains(id))
+      else {
+        val ordered = chunks(id).sortBy(_._2).map(_._3)
+        // each chunk contributes its first `stride` tokens; the final
+        // chunk contributes everything it holds
+        val rebuilt = ordered.zipWithIndex.flatMap { case (c, i) =>
+          val ct = c.split(" ")
+          if (i == ordered.length - 1) ct else ct.take(5)
+        }
+        assert(rebuilt.toSeq === t.toSeq, s"doc $id [$s]")
+      }
+    }
+  }
+}
