@@ -750,8 +750,8 @@ object SparkEntry {
         | ORDER BY keep_id""".stripMargin,
     "tx_tokens" ->
       """SELECT doc_id,
-        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        | CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |   ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT)
         |   AS token_count,
         | CAST(len(regexp_extract_all(text,
         |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
@@ -759,9 +759,9 @@ object SparkEntry {
         | FROM documents ORDER BY doc_id""".stripMargin,
     "tx_stats" ->
       """WITH t AS (SELECT doc_id, text,
-        |   CASE WHEN length(trim(text)) = 0
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
         |     THEN CAST([] AS VARCHAR[])
-        |     ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |     ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
         | FROM documents)
         |SELECT doc_id,
         | round(CASE WHEN length(text) = 0 THEN 0.0
@@ -769,7 +769,7 @@ object SparkEntry {
         |     AS DOUBLE) / length(text) END, 6) AS punct_ratio,
         | round(CASE WHEN len(toks) = 0 THEN 0.0
         |   ELSE CAST(len(list_filter(
-        |     string_split_regex(trim(lower(text)), '\s+'),
+        |     string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
         |     x -> list_contains(['the','of','and','a','to','in','is',
         |       'it','you','that','he','was','for','on','are','as',
         |       'with','his','they','i','at','be','this','have','from',
@@ -782,9 +782,9 @@ object SparkEntry {
         | FROM t ORDER BY doc_id""".stripMargin,
     "tx_langid" ->
       """WITH t AS (SELECT doc_id,
-        |   CASE WHEN length(trim(text)) = 0
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
         |     THEN CAST([] AS VARCHAR[])
-        |     ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |     ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END
         |     AS toks FROM documents),
         |s AS (SELECT doc_id,
         |   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
@@ -824,9 +824,9 @@ object SparkEntry {
     // per doc, then max-fraction / duplicated-occurrence-fraction
     "tx_repetition" ->
       """WITH t AS (SELECT doc_id,
-        |   CASE WHEN length(trim(text)) = 0
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
         |     THEN CAST([] AS VARCHAR[])
-        |     ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |     ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
         | FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
         |tokc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1,2),
@@ -890,9 +890,9 @@ object SparkEntry {
     // rounded to 6 so libm last-ulp differences can't flip the hash
     "tx_entropy" ->
       """WITH t AS (SELECT doc_id,
-        |   CASE WHEN length(trim(text)) = 0
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
         |     THEN CAST([] AS VARCHAR[])
-        |     ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |     ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
         | FROM documents),
         |c AS (SELECT doc_id, w, count(*) AS c FROM
         |   (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
@@ -908,9 +908,9 @@ object SparkEntry {
     // deterministic top-20 (ties broken by token)
     "tx_docfreq" ->
       """WITH t AS (SELECT doc_id,
-        |   CASE WHEN length(trim(text)) = 0
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
         |     THEN CAST([] AS VARCHAR[])
-        |     ELSE list_distinct(string_split_regex(trim(text), '\s+'))
+        |     ELSE list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
         |     END AS toks
         | FROM documents)
         |SELECT token, count(*) AS doc_freq FROM
@@ -922,9 +922,9 @@ object SparkEntry {
     // 1-based inclusive list slicing mirrors Spark's slice(start, len)
     "tx_chunks" ->
       """WITH t AS (SELECT doc_id,
-        |   CASE WHEN length(trim(text)) = 0
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
         |     THEN CAST([] AS VARCHAR[])
-        |     ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |     ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
         | FROM documents),
         |c AS (SELECT doc_id, toks,
         |   unnest(range(0, len(toks), 48)) AS start
@@ -939,8 +939,8 @@ object SparkEntry {
     // doc_id % 97 == 0, inner join on gram, per-train-doc rollup
     "pp_decontam" ->
       """WITH t AS (SELECT doc_id,
-        |   string_split_regex(trim(text), '\s+') AS toks
-        | FROM documents WHERE length(trim(text)) > 0),
+        |   string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+        | FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
         |g AS (SELECT doc_id, unnest(list_distinct(
         |   [array_to_string(toks[i:i+4], ' ')
         |     for i in range(1, len(toks) - 3)])) AS gram
@@ -968,7 +968,7 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin,
     "dd_ngram" ->
       """WITH tok AS (SELECT doc_id AS id,
-        |   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
         |     x -> x <> '') AS toks FROM documents),
         |g AS (SELECT id,
         |   CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
@@ -1027,7 +1027,7 @@ object SparkEntry {
     // pair edges; component label = min reachable id
     "dd_components" ->
       """WITH RECURSIVE tok AS (SELECT doc_id AS id,
-        |   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
         |     x -> x <> '') AS toks FROM documents),
         |g AS (SELECT id,
         |   CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
@@ -1194,24 +1194,24 @@ object SparkEntry {
         |k AS (SELECT d.doc_id, d.text FROM documents d
         |  JOIN keep USING (doc_id)),
         |q0 AS (SELECT doc_id, text,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |  CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |    ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT)
         |    AS token_count,
         |  round(CASE WHEN length(text) = 0 THEN 0.0
         |    ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
         |      AS DOUBLE) / length(text) END, 6) AS punct_ratio,
-        |  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |  round(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0.0
         |    ELSE CAST(list_sum(list_transform(
-        |      string_split_regex(trim(text), '\s+'), x -> length(x)))
+        |      string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), x -> length(x)))
         |      AS DOUBLE)
-        |      / len(string_split_regex(trim(text), '\s+')) END, 6)
+        |      / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END, 6)
         |    AS mean_word_len
         | FROM k),
         |q AS (SELECT * FROM q0
         | WHERE token_count >= 10 AND punct_ratio <= 0.1
         |   AND mean_word_len BETWEEN 2.0 AND 12.0),
         |tok AS (SELECT doc_id AS id,
-        |   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
         |     x -> x <> '') AS toks FROM q),
         |g AS (SELECT id,
         |   CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
@@ -1271,7 +1271,7 @@ object SparkEntry {
         | FROM dd ORDER BY doc_id""".stripMargin,
     "dd_simhash" ->
       """WITH tok AS (SELECT doc_id AS id,
-        |   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
         |     x -> x <> '') AS toks FROM documents),
         |tu AS (SELECT id, unnest(toks) AS t FROM tok),
         |h AS (SELECT id, md5_number_lower(t) AS z FROM tu),

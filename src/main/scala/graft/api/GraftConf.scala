@@ -54,6 +54,8 @@ object GraftConf {
     get("maxHistBytes").foreach(v => p = p.copy(maxHistBytes = v.toLong))
     get("scalePosWeight").foreach(v =>
       p = p.copy(scalePosWeight = v.toDouble))
+    get("maxDeltaStep").foreach(v =>
+      p = p.copy(maxDeltaStep = v.toDouble))
     // xgboost string forms: "(1,0,-1)" and "[[0,1],[2,3]]"
     get("monotoneConstraints").foreach(v => p = p.copy(
       monotoneConstraints = v.replaceAll("[()\\[\\]\\s]", "")

@@ -44,37 +44,41 @@ object GraftLinear {
     def numClass: Int = weights.length
     def numFeatures: Int = weights.headOption.map(_.length).getOrElse(0)
 
+    private def initMargin: Float = Objectives.resolve(
+      TrainParams(objective = objective,
+        numClass = math.max(numClass, 2), baseScore = baseScore))
+      .initMargin(baseScore)
+
     /**
      * Class-c margin as a pure unrolled Column expression (codegen, no
      * UDF): zero-weight features drop out of the sum at plan time.
+     * `baseMargin` (NaN sentinel = absent) replaces the objective's
+     * init margin per row — the same DMatrix base_margin semantics the
+     * tree booster's predict honors.
      */
-    def marginExpr(features: Column, cls: Int = 0): Column = {
+    def marginExpr(features: Column, cls: Int = 0,
+        baseMargin: Column = lit(Float.NaN)): Column = {
       val terms = weights(cls).iterator.zipWithIndex.collect {
         case (w, j) if w != 0f =>
           nanvl(coalesce(element_at(features, j + 1), lit(0f)), lit(0f))
             .cast("double") * w.toDouble
       }.toSeq
-      val obj = Objectives.resolve(TrainParams(objective = objective,
-        numClass = math.max(numClass, 2), baseScore = baseScore))
-      terms.foldLeft(lit(obj.initMargin(baseScore).toDouble +
-        bias(cls).toDouble))(_ + _)
+      val base = when(isnan(baseMargin),
+        lit(initMargin.toDouble)).otherwise(baseMargin.cast("double")) +
+        bias(cls).toDouble
+      terms.foldLeft(base)(_ + _)
     }
 
-    /** Transformed prediction: prob for logistic, per-class softmax
-      * probabilities for multiclass, identity margin otherwise. */
-    def predictExpr(features: Column): Column = {
-      if (numClass >= 2) {
-        val ms = array((0 until numClass).map(marginExpr(features, _)): _*)
-        val mx = array_max(ms)
-        val ex = transform(ms, e => exp(e - mx))
-        val norm = aggregate(ex, lit(0.0), (a, e) => a + e)
-        transform(ex, e => e / norm)
-      } else {
-        val m = marginExpr(features)
-        objective match {
-          case "binary:logistic" => lit(1.0) / (lit(1.0) + exp(-m))
-          case _ => m
-        }
+    /** Transformed prediction for the single-output objectives: prob
+      * for logistic, identity margin otherwise. Multiclass goes
+      * through [[GraftLinear.predict]], which materializes the margin
+      * array once instead of re-expanding it per output element. */
+    def predictExpr(features: Column,
+        baseMargin: Column = lit(Float.NaN)): Column = {
+      val m = marginExpr(features, 0, baseMargin)
+      objective match {
+        case "binary:logistic" => lit(1.0) / (lit(1.0) + exp(-m))
+        case _ => m
       }
     }
   }
@@ -94,7 +98,9 @@ object GraftLinear {
     val rows = GraftBoost.prepare(df, spec, obj, numWorkers)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val d = rows.first()._1.length
+      val head = rows.take(1)
+      require(head.nonEmpty, "gblinear training data is empty")
+      val d = head(0)._1.length
       val sc = df.sparkSession.sparkContext
       val init = obj.initMargin(params.baseScore)
       // scale_pos_weight: same binary-objective gating as the tree path
@@ -220,7 +226,9 @@ object GraftLinear {
 
   /** Append prediction column(s) — pure codegen, no UDF, no shuffle.
     * Multiclass mirrors `GraftBoost.predict`'s softprob surface:
-    * `probabilities` array + argmax `prediction`. */
+    * `probabilities` array + argmax `prediction`. Per-row base margins
+    * (spec.baseMarginCol, if present in `df`) offset the init margin
+    * exactly as at training time. */
   def predict(model: LinearModel, df: DataFrame, spec: DMatrixSpec,
       outputCol: String = "prediction"): DataFrame = {
     val feats = spec.resolveFeatures(df)
@@ -229,12 +237,25 @@ object GraftLinear {
     val featsArr = array(feats.map(f =>
       when(col(f).cast("float").isNull, lit(Float.NaN))
         .otherwise(col(f).cast("float"))): _*)
+    val bm = spec.baseMarginCol.filter(df.columns.contains)
+      .map(c => coalesce(col(c).cast("float"), lit(Float.NaN)))
+      .getOrElse(lit(Float.NaN))
     if (model.numClass >= 2) {
-      val withP = df.withColumn("probabilities",
-        model.predictExpr(featsArr))
-      withP.withColumn(outputCol,
+      // materialize margins → exps → norm as chained columns so each
+      // stage is computed once per row (a single nested expression
+      // would re-expand the K-margin array per output element)
+      val ms = array((0 until model.numClass)
+        .map(model.marginExpr(featsArr, _, bm)): _*)
+      val mTmp = "__graft_m"; val eTmp = "__graft_e"
+      val out = df.withColumn(mTmp, ms)
+        .withColumn(eTmp, transform(col(mTmp),
+          e => exp(e - array_max(col(mTmp)))))
+        .withColumn("probabilities", transform(col(eTmp),
+          e => e / aggregate(col(eTmp), lit(0.0), (a, x) => a + x)))
+        .drop(mTmp, eTmp)
+      out.withColumn(outputCol,
         (array_position(col("probabilities"),
           array_max(col("probabilities"))) - 1).cast("double"))
-    } else df.withColumn(outputCol, model.predictExpr(featsArr))
+    } else df.withColumn(outputCol, model.predictExpr(featsArr, bm))
   }
 }

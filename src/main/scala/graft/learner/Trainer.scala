@@ -66,6 +66,12 @@ final case class TrainParams(
       * class-imbalance lever. Applied to training gradients only, like
       * xgboost (eval metrics see the user's row weights unchanged). */
     scalePosWeight: Double = 1.0,
+    /** xgboost max_delta_step: cap on |raw leaf weight| (before the η
+      * scaling), stabilizing extremely-imbalanced logistic training.
+      * 0 = no cap (xgboost default). Divergence: split GAIN is still
+      * scored with uncapped weights (xgboost re-scores with the capped
+      * weight); the learned values honor the cap either way. */
+    maxDeltaStep: Double = 0.0,
     /** Interaction constraints (xgboost interaction_constraints):
       * groups of feature indices allowed to interact. A node may split
       * on feature f only if some group contains f together with every
@@ -240,9 +246,15 @@ object Trainer {
     }
   }
 
-  /** xgboost leaf weight with L1/L2 regularization and shrinkage. */
+  /** xgboost leaf weight with L1/L2 regularization and shrinkage;
+    * max_delta_step caps the RAW weight before η, as in xgboost. The
+    * uncapped branch keeps the original operation ORDER — the bit-exact
+    * stump oracles replay exactly (−η·T(G))/(H+λ). */
   private def leafWeight(g: Double, h: Double, p: TrainParams): Double =
-    -p.eta * thresholdL1(g, p.alpha) / (h + p.lambda)
+    if (p.maxDeltaStep > 0) {
+      val raw = -thresholdL1(g, p.alpha) / (h + p.lambda)
+      p.eta * math.min(math.max(raw, -p.maxDeltaStep), p.maxDeltaStep)
+    } else -p.eta * thresholdL1(g, p.alpha) / (h + p.lambda)
 
   private def thresholdL1(g: Double, alpha: Double): Double =
     if (g > alpha) g - alpha else if (g < -alpha) g + alpha else 0.0

@@ -58,6 +58,10 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   }
   def setEta(e: Double): this.type = { params = params.copy(eta = e); this }
   def setSeed(s: Long): this.type = { params = params.copy(seed = s); this }
+  /** xgboost `max_delta_step` (leaf-weight cap for extreme imbalance). */
+  def setMaxDeltaStep(d: Double): this.type = {
+    params = params.copy(maxDeltaStep = d); this
+  }
   /** xgboost `scale_pos_weight` (binary class-imbalance lever). */
   def setScalePosWeight(w: Double): this.type = {
     params = params.copy(scalePosWeight = w); this

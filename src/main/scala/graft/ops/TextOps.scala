@@ -252,9 +252,12 @@ object TextOps {
    */
   def repetitionStats(text: Column): Column = {
     val f = udf { s: String =>
-      if (s == null || s.trim.isEmpty) (0.0, 0.0, 0.0)
+      if (s == null) (0.0, 0.0, 0.0)
       else {
-        val toks = s.trim.split("\\s+")
+        val t = s.replaceAll("^\\s+|\\s+$", "")
+        if (t.isEmpty) (0.0, 0.0, 0.0)
+        else {
+        val toks = t.split("\\s+")
         val n = toks.length
         def gramStats(k: Int): (Int, Int, Int) = {
           // (maxCount, dupOccurrences, totalGrams) for token k-grams
@@ -290,6 +293,7 @@ object TextOps {
           val (_, d3, t3) = gramStats(3); d3.toDouble / t3
         }
         (maxTok, top2, dup3)
+        }
       }
     }
     f(text)
@@ -304,9 +308,12 @@ object TextOps {
    */
   def tokenEntropy(text: Column): Column = {
     val f = udf { s: String =>
-      if (s == null || s.trim.isEmpty) 0.0
+      if (s == null) 0.0
       else {
-        val toks = s.trim.split("\\s+")
+        val t = s.replaceAll("^\\s+|\\s+$", "")
+        if (t.isEmpty) 0.0
+        else {
+        val toks = t.split("\\s+")
         val m = new java.util.HashMap[String, Int]()
         toks.foreach(t => m.merge(t, 1, Integer.sum))
         val n = toks.length.toDouble
@@ -317,6 +324,7 @@ object TextOps {
           h -= p * math.log(p)
         }
         h / math.log(2.0)
+        }
       }
     }
     f(text)
@@ -407,10 +415,10 @@ object TextOps {
       .withColumn("lang_id", langId(t))
       .withColumn("fingerprint", fingerprint(t))
       .withColumn("entropy", round(tokenEntropy(t), 6))
-      .withColumn("rep", rep)
-      .withColumn("max_token_frac", round(col("rep._1"), 6))
-      .withColumn("top2gram_frac", round(col("rep._2"), 6))
-      .withColumn("dup3gram_frac", round(col("rep._3"), 6))
-      .drop("rep")
+      .withColumn("__graft_rep", rep)
+      .withColumn("max_token_frac", round(col("__graft_rep._1"), 6))
+      .withColumn("top2gram_frac", round(col("__graft_rep._2"), 6))
+      .withColumn("dup3gram_frac", round(col("__graft_rep._3"), 6))
+      .drop("__graft_rep")
   }
 }

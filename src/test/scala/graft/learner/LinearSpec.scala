@@ -92,6 +92,23 @@ class LinearSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("per-row base margins are honored at predict time") {
+    // constant residual signal on top of a declared base margin: with
+    // bm honored, train and predict agree; a predict that falls back
+    // to the init margin would shift every prediction by (bm − init)
+    val df = (0 until 400).map { i =>
+      val x = i / 400.0
+      (x, 5.0, 5.0 + 2.0 * x) // y = bm + 2x
+    }.toDF("x", "bm", "y")
+    val spec = DMatrixSpec("y").copy(baseMarginCol = Some("bm"))
+    val m = GraftLinear.train(df, spec,
+      TrainParams(objective = "reg:squarederror", numRounds = 100,
+        eta = 0.5, lambda = 0.0))
+    val mse = GraftLinear.predict(m, df, spec)
+      .select(avg(pow(col("prediction") - col("y"), 2))).head.getDouble(0)
+    assert(mse < 0.05, s"mse=$mse — base margin dropped at predict?")
+  }
+
   test("multiclass gblinear separates 3 linearly-separable classes") {
     val rng = new scala.util.Random(17)
     val df = (0 until 3000).map { _ =>

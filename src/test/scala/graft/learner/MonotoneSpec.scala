@@ -117,6 +117,27 @@ class MonotoneSpec extends SparkTestBase {
     assert(meanPred(1.0) === base)
   }
 
+  test("max_delta_step caps leaf magnitudes; 0 leaves the model " +
+      "unchanged") {
+    val df = dippedDf.limit(1000)
+    def leaves(mds: Double): Array[Float] = {
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "reg:squarederror", numRounds = 3,
+          maxDepth = 3, seed = 8, maxDeltaStep = mds))
+      res.model.trees.flatMap(t =>
+        t.value.indices.collect { case i if t.feature(i) == -1 =>
+          t.value(i) })
+    }
+    val capped = leaves(0.5)
+    // cap applies to the raw weight; stored value is eta * capped
+    val bound = 0.3 * 0.5 + 1e-6
+    assert(capped.forall(v => math.abs(v) <= bound),
+      s"max |leaf| = ${capped.map(math.abs).max}")
+    val un = leaves(0.0)
+    assert(un.exists(v => math.abs(v) > bound),
+      "fixture never exceeds the cap — test proves nothing")
+  }
+
   test("empty constraints leave the learned model unchanged " +
       "(default-path golden)") {
     val df = dippedDf.limit(800)
