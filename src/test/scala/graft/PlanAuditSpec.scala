@@ -72,6 +72,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"), p)
   }
 
+  test("linear-booster predict is a pure expression plan — no UDF, " +
+      "no shuffle") {
+    import org.apache.spark.sql.functions._
+    import graft.api.GraftLinear
+    val m = GraftLinear.LinearModel(
+      Array(Array(0.5f, -1f), Array(1f, 2f), Array(0f, 3f)),
+      Array(0.1f, 0.2f, 0.3f), "multi:softprob", 0.5)
+    val df = spark.range(8).select(
+      (col("id") % 3).cast("double").as("x0"),
+      (col("id") % 5).cast("double").as("x1"),
+      lit(0.0).as("label"))
+    val p = GraftLinear.predict(m, df,
+      graft.data.DMatrixSpec("label")
+        .copy(featureCols = Some(Seq("x0", "x1"))))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("aggregations keep map-side partial combining") {
     val p = plan("a2_metric_agg")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
