@@ -482,6 +482,38 @@ class OpsSpec extends SparkTestBase {
     assert(r.getAs[Double]("punct_ratio") <= 0.1)
   }
 
+  test("components match naive union-find on random pair graphs") {
+    val rng = new scala.util.Random(31)
+    (0 until 3).foreach { trial =>
+      val nNodes = 60 + rng.nextInt(60)
+      val nEdges = 30 + rng.nextInt(120)
+      val pairs = (0 until nEdges).map { _ =>
+        val a = rng.nextInt(nNodes).toLong
+        val b = rng.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // naive union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = touched.map(x => x -> find(x)).toMap
+      val got = Dedup.components(
+        pairs.toDF("keep_id", "dup_id"), "keep_id", "dup_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected,
+        s"trial $trial: ${got.toSet diff expected.toSet} / " +
+          s"${expected.toSet diff got.toSet}")
+    }
+  }
+
   test("components closes dup pairs transitively (chain -> one keeper)") {
     // a~b, b~c, plus an unrelated pair d~e
     val pairs = Seq((10L, 20L), (20L, 30L), (50L, 60L))
