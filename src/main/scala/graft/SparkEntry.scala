@@ -253,13 +253,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- text analysis: quality stats ----
+    // ---- text analysis: quality stats (fused single-pass UDF for the
+    //      token metrics; punct stays a codegen regexp count) ----
     "tx_stats" -> ((s, dir) => {
       val d = ld(s, dir, "documents")
+      val sm = TextOps.stopwordAndMeanLen(col("text"))
       d.select(col("doc_id"),
         round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"))
+        sm.as("sm"))
+        .select(col("doc_id"), col("punct_ratio"),
+          round(col("sm._1"), 6).as("stopword_ratio"),
+          round(col("sm._2"), 6).as("mean_word_len"))
         .orderBy("doc_id")
     }),
 

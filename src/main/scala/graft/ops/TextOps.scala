@@ -77,6 +77,39 @@ object TextOps {
   }
 
   /**
+   * Fused (stopword_ratio, mean_word_len) in ONE token pass — the
+   * Column formulations run their higher-order `filter`/`aggregate`
+   * lambdas interpreted (not codegen), costing ~3 token-array walks per
+   * document; this is the same single-pass-UDF trade [[langId]] makes.
+   * Arithmetic matches the Column versions exactly on ASCII text
+   * (hits/n and Σlen/n in double); astral-plane codepoints count as 2
+   * chars here (Java UTF-16) vs 1 in Spark's `length`.
+   */
+  def stopwordAndMeanLen(text: Column): Column = {
+    val stops = EnglishStops.toSet
+    val f = udf { s: String =>
+      if (s == null) (0.0, 0.0)
+      else {
+        val t = s.replaceAll("^\\s+|\\s+$", "")
+        if (t.isEmpty) (0.0, 0.0)
+        else {
+          val toks = t.split("\\s+")
+          var hits = 0
+          var chars = 0L
+          var i = 0
+          while (i < toks.length) {
+            if (stops.contains(toks(i).toLowerCase)) hits += 1
+            chars += toks(i).length
+            i += 1
+          }
+          (hits.toDouble / toks.length, chars.toDouble / toks.length)
+        }
+      }
+    }
+    f(text)
+  }
+
+  /**
    * Composite quality score in [0,1] — the length/punct/stopword-ratio
    * heuristic family used by large-scale corpus filters (C4/Gopher-style
    * rules): long-enough docs, sane word lengths, some stopwords, not

@@ -87,6 +87,27 @@ class TextPropertySpec extends SparkTestBase {
     }
   }
 
+  test("fused stopwordAndMeanLen matches the Column formulations") {
+    val withStops = docs.map { case (id, s) =>
+      (id, if (id % 3 == 0) s + " the of and" else s)
+    }
+    val sm = TextOps.stopwordAndMeanLen(col("text"))
+    val out = withStops.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.stopwordRatio(col("text")).as("sr"),
+        TextOps.meanWordLen(col("text")).as("ml"),
+        sm.as("sm"))
+      .select(col("doc_id"), col("sr"), col("ml"),
+        col("sm._1").as("fsr"), col("sm._2").as("fml"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(3),
+        s"doc ${r.getLong(0)} stopword_ratio")
+      assert(r.getDouble(2) === r.getDouble(4),
+        s"doc ${r.getLong(0)} mean_word_len")
+    }
+  }
+
   test("fingerprint is invariant to whitespace runs and case") {
     val f = docs.toDF("doc_id", "text")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"),
