@@ -34,8 +34,10 @@ object CorpusPipeline {
         TextOps.tokenCount(col(textCol)).cast("long"))
       .withColumn("punct_ratio",
         round(TextOps.punctRatio(col(textCol)), 6))
+      // fused single-pass UDF: the Column meanWordLen runs its
+      // aggregate lambda interpreted per document (see tx_stats)
       .withColumn("mean_word_len",
-        round(TextOps.meanWordLen(col(textCol)), 6))
+        round(TextOps.stopwordAndMeanLen(col(textCol))("_2"), 6))
       .filter(col("token_count") >= minTokens &&
         col("punct_ratio") <= maxPunct &&
         col("mean_word_len").between(minMeanLen, maxMeanLen))
