@@ -613,6 +613,83 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: closed-form POISSON stump — base_score 1.0 puts the
+    //      initial log-rate margin at exactly 0, so g = 1−y is an exact
+    //      integer per row and h = float(e^0.7) is one constant (the
+    //      xgboost Poisson hessian inflation); leaf and the exp(margin)
+    //      transform are replayed with REAL casts ----
+    "ml_stump_poisson" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "count:poisson", numRounds = 1,
+          maxDepth = 1, baseScore = 1.0, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
+    // ---- ML: closed-form GAMMA stump — at margin 0 the log-link
+    //      gamma deviance collapses to g = 1−y, h = y (exact integers,
+    //      no exp anywhere in the gradient pass) ----
+    "ml_stump_gamma" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "reg:gamma", numRounds = 1,
+          maxDepth = 1, baseScore = 1.0, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
+    // ---- ML: closed-form TWEEDIE stump (ρ = 1.5) — at margin 0 both
+    //      exponentials are exactly 1, so g = 1−y and h = (y+1)/2 are
+    //      exact halves per row ----
+    "ml_stump_tweedie" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "reg:tweedie", numRounds = 1,
+          maxDepth = 1, baseScore = 1.0, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
+    // ---- ML: closed-form HINGE stump — every row sits inside the
+    //      hinge (|margin| = 0.5 < 1), so g = 1−2y exactly; η = 2 makes
+    //      the all-negative leaf pull the margin below 0, so the two
+    //      leaves emit OPPOSITE hard classes and the oracle checks the
+    //      sign flip, not just the leaf arithmetic ----
+    "ml_stump_hinge" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"),
+          when(col("l_quantity") >= 40, 1.0).otherwise(0.0).as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "binary:hinge", numRounds = 1,
+          maxDepth = 1, eta = 2.0, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction").cast("double").as("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML surface (rows-only; semantics tested in ScalaTest) ----
     "ml_train_predict" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
@@ -1191,6 +1268,66 @@ object SparkEntry {
         | CAST(CAST(CAST(CAST(e2 AS REAL) AS DOUBLE) / sm AS REAL)
         |   AS DOUBLE) AS p2
         | FROM p ORDER BY x""".stripMargin,
+    // poisson at margin 0 (base_score 1.0): g = 1−y exact integers,
+    // h = float(e^0.7) one constant (hessian inflation, xgboost's
+    // poisson max_delta_step safeguard); prediction = exp(leaf) rounded
+    // through REAL exactly like the float transform
+    "ml_stump_poisson" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |c AS (SELECT CAST(exp(0.7) AS REAL) AS hf),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (n - sy)) / (n * CAST(hf AS DOUBLE) + 1.0)
+        |     AS REAL) AS leaf
+        | FROM s, c)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(exp(CAST(leaf AS DOUBLE)) AS REAL) AS DOUBLE)
+        |   AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // gamma at margin 0: g = 1−y and h = y are exact integers — the
+    // whole gradient pass is exp-free; only the final exp(leaf)
+    // transform needs the REAL-cast replay
+    "ml_stump_gamma" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (n - sy)) / (sy + 1.0) AS REAL) AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(exp(CAST(leaf AS DOUBLE)) AS REAL) AS DOUBLE)
+        |   AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // tweedie (ρ = 1.5) at margin 0: both exponentials are exactly 1,
+    // so g = 1−y and h = (y+1)/2 — exact halves
+    "ml_stump_tweedie" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (n - sy)) / (0.5 * (sy + n) + 1.0) AS REAL)
+        |     AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(exp(CAST(leaf AS DOUBLE)) AS REAL) AS DOUBLE)
+        |   AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // hinge at margin 0.5: every row is inside the hinge, so
+    // g = 1−2y, h = 1; η = 2 ⇒ leaf = (−2·(n−2Σy))/(n+1); the hard
+    // 0/1 prediction is the sign of the float margin 0.5 ⊕ leaf
+    "ml_stump_hinge" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END AS y
+        | FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-2.0 * (n - 2 * sy)) / (n + 1.0) AS REAL) AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CASE WHEN CAST(CAST(0.5 AS REAL) + leaf AS REAL) > 0
+        |   THEN 1.0 ELSE 0.0 END AS prediction
+        | FROM l ORDER BY x""".stripMargin,
     "pp_clean" ->
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents

@@ -81,6 +81,40 @@ object Metrics {
       }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
       e / w
     case "auc" => auc(rows, obj)
+    case "mape" => // mean absolute percentage error (zero-safe floor)
+      val (ape, w) = rows.map { case (m, y, wt) =>
+        val d = math.abs(obj.transform(m)(0) - y).toDouble /
+          math.max(math.abs(y.toDouble), 1e-10)
+        (d * wt, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      ape / w
+    case "poisson-nloglik" => // lnΓ(y+1) + p − y·ln p (p = predicted rate)
+      val (ll, w) = rows.map { case (m, y, wt) =>
+        val p = math.max(obj.transform(m)(0).toDouble, 1e-16)
+        ((org.apache.commons.math3.special.Gamma.logGamma(y + 1.0)
+          + p - math.log(p) * y) * wt, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      ll / w
+    case "gamma-nloglik" => // unit-shape gamma NLL: y/p + ln p
+      val (ll, w) = rows.map { case (m, y, wt) =>
+        val p = math.max(obj.transform(m)(0).toDouble, 1e-16)
+        ((y / p + math.log(p)) * wt, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      ll / w
+    case t if t.startsWith("tweedie-nloglik") =>
+      // −y·p^{1−ρ}/(1−ρ) + p^{2−ρ}/(2−ρ); ρ from "tweedie-nloglik@1.5"
+      val rho = t.split('@') match {
+        case Array(_, r) => r.toDouble
+        case _ => 1.5
+      }
+      require(rho > 1.0 && rho < 2.0, s"tweedie power out of (1,2): $rho")
+      val (ll, w) = rows.map { case (m, y, wt) =>
+        val p = math.max(obj.transform(m)(0).toDouble, 1e-16)
+        val a = y * math.exp((1.0 - rho) * math.log(p)) / (1.0 - rho)
+        val b = math.exp((2.0 - rho) * math.log(p)) / (2.0 - rho)
+        ((-a + b) * wt, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      ll / w
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 
@@ -88,16 +122,115 @@ object Metrics {
     case "reg:squarederror" | "reg:linear" => "rmse"
     case "reg:absoluteerror" => "mae"
     case "binary:logistic" | "binary:logitraw" => "logloss"
+    case "binary:hinge" => "error"
     case "multi:softprob" => "mlogloss"
     case "multi:softmax" => "merror"
     case "rank:pairwise" => "auc"
+    case "count:poisson" => "poisson-nloglik"
+    case "reg:gamma" => "gamma-nloglik"
+    case "reg:tweedie" => "tweedie-nloglik@1.5"
     case _ => "rmse"
   }
 
   /** true ⇔ larger metric value is better (for early stopping). */
   def maximize(name: String,
       custom: Map[String, CustomMetric] = Map.empty): Boolean =
-    custom.get(name).map(_.isMaximize).getOrElse(name == "auc")
+    custom.get(name).map(_.isMaximize)
+      .getOrElse(name == "auc" || isGroupMetric(name))
+
+  /** True for per-query-group ranking metrics: ndcg[@k], map[@k]
+    * (NOT mape, which is pointwise). */
+  def isGroupMetric(name: String): Boolean =
+    name == "ndcg" || name.startsWith("ndcg@") ||
+      name == "map" || name.startsWith("map@")
+
+  /**
+   * ndcg[@k] / map[@k] over qid groups (the xgboost ranking metrics the
+   * reference forwards; ranking conformance test
+   * tests/test_end_to_end.py:374-425 checks rank quality).
+   *
+   * Rows are (score, label, weight, qid) and must be qid-CONTIGUOUS
+   * within partitions — the layout the trainer guarantees for rank
+   * objectives (Sharding.sortByQid, groups never straddle partitions) —
+   * so one mapPartitions pass scores every group with ZERO shuffle and
+   * memory bounded by the largest single group; the reduce carries one
+   * (weighted sum, weight) pair per partition.
+   *
+   * Conventions (documented divergences where xgboost is ambiguous):
+   * group weight = the group's first row weight (xgboost's per-group
+   * ranking weight); groups with no positive label score 1.0 (they
+   * cannot be mis-ranked); score ties keep row order (stable sort);
+   * ndcg gain is exponential (2^rel − 1), the xgboost default.
+   */
+  def computeGroup(name: String,
+      rows: RDD[(Float, Float, Float, Long)]): Double = {
+    val (base, kOpt) = name.split('@') match {
+      case Array(b, kk) => (b, Some(kk.toInt))
+      case _ => (name, None)
+    }
+    require(base == "ndcg" || base == "map",
+      s"unknown group metric $name")
+    val (s, w) = rows.mapPartitions { it =>
+      var sum = 0.0
+      var wsum = 0.0
+      val buf = scala.collection.mutable.ArrayBuffer[(Float, Float)]()
+      var qid = 0L
+      var open = false
+      var gw = 1.0f
+      def flush(): Unit = if (buf.nonEmpty) {
+        val arr = buf.toArray
+        val k = kOpt.getOrElse(arr.length)
+        val v = if (base == "ndcg") ndcgOf(arr, k) else apOf(arr, k)
+        sum += v * gw
+        wsum += gw
+        buf.clear()
+      }
+      it.foreach { case (score, rel, wt, q) =>
+        if (!open || q != qid) { flush(); qid = q; gw = wt; open = true }
+        buf += ((score, rel))
+      }
+      flush()
+      Iterator((sum, wsum))
+    }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+    if (w == 0) 0.0 else s / w
+  }
+
+  /** Relevances in ranked order: stable sort by score descending. */
+  private def rankedRels(arr: Array[(Float, Float)]): Array[Float] =
+    arr.zipWithIndex
+      .sortBy { case ((score, _), i) => (-score.toDouble, i) }
+      .map(_._1._2)
+
+  private def ndcgOf(arr: Array[(Float, Float)], k: Int): Double = {
+    val ln2 = math.log(2.0)
+    def dcg(rs: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(k, rs.length)
+      while (i < n) {
+        s += (math.pow(2.0, rs(i)) - 1.0) * ln2 / math.log(i + 2.0)
+        i += 1
+      }
+      s
+    }
+    val ideal = dcg(arr.map(_._2).sorted(Ordering[Float].reverse))
+    if (ideal == 0.0) 1.0 else dcg(rankedRels(arr)) / ideal
+  }
+
+  /** Average precision at k with binary relevance (rel > 0). */
+  private def apOf(arr: Array[(Float, Float)], k: Int): Double = {
+    val rels = rankedRels(arr)
+    val n = math.min(k, rels.length)
+    var hits = 0
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (rels(i) > 0f) { hits += 1; s += hits.toDouble / (i + 1) }
+      i += 1
+    }
+    val totalPos = rels.count(_ > 0f)
+    if (totalPos == 0) 1.0 else s / math.min(totalPos, n)
+  }
 
   private val Buckets = 4096
 

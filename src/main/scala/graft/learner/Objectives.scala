@@ -126,6 +126,88 @@ object Objectives {
   }
 
   /**
+   * count:poisson — Poisson NLL with a log link (margin is log-rate,
+   * prediction exp(margin)): grad = exp(m) − y, hess = exp(m + d) with
+   * d = max_delta_step (xgboost stabilizes Poisson the same way,
+   * defaulting d to 0.7 when the user sets none — the inflated hessian
+   * bounds the Newton step for near-empty leaves).
+   */
+  final class Poisson(maxDeltaStep: Double = 0.7) extends Objective {
+    val name = "count:poisson"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = math.log(b).toFloat
+    def transform(m: Array[Float]): Array[Float] =
+      Array(math.exp(m(0)).toFloat)
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      val e = math.exp(m(0).toDouble)
+      g(0) = (e - y).toFloat
+      h(0) = math.exp(m(0).toDouble + maxDeltaStep).toFloat
+    }
+  }
+
+  /** reg:gamma — gamma deviance with a log link: grad = 1 − y·exp(−m),
+    * hess = y·exp(−m). Labels must be strictly positive. */
+  final class GammaDeviance extends Objective {
+    val name = "reg:gamma"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = math.log(b).toFloat
+    def transform(m: Array[Float]): Array[Float] =
+      Array(math.exp(m(0)).toFloat)
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      val yem = y * math.exp(-m(0).toDouble)
+      g(0) = (1.0 - yem).toFloat
+      h(0) = math.max(yem, 1e-16).toFloat
+    }
+  }
+
+  /**
+   * reg:tweedie — compound-Poisson deviance with variance power
+   * ρ ∈ (1, 2) and a log link:
+   *   grad = −y·e^{(1−ρ)m} + e^{(2−ρ)m}
+   *   hess = −y·(1−ρ)·e^{(1−ρ)m} + (2−ρ)·e^{(2−ρ)m}
+   * ρ→1 recovers Poisson, ρ→2 gamma. Useful for zero-inflated
+   * non-negative targets (insurance-style counts·severity).
+   */
+  final class Tweedie(rho: Double = 1.5) extends Objective {
+    require(rho > 1.0 && rho < 2.0,
+      s"tweedie_variance_power must be in (1,2), got $rho")
+    val name = "reg:tweedie"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = math.log(b).toFloat
+    def transform(m: Array[Float]): Array[Float] =
+      Array(math.exp(m(0)).toFloat)
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      val md = m(0).toDouble
+      val a = math.exp((1.0 - rho) * md)
+      val b = math.exp((2.0 - rho) * md)
+      g(0) = (-y * a + b).toFloat
+      h(0) = math.max(-y * (1.0 - rho) * a + (2.0 - rho) * b,
+        1e-16).toFloat
+    }
+  }
+
+  /** binary:hinge — SVM-style hinge subgradient on y ∈ {0,1} mapped to
+    * s ∈ {−1,+1}: if s·m < 1 then grad = −s else 0; unit hessian.
+    * Predictions are hard 0/1 (margin sign), matching xgboost. The
+    * base_score is used directly as the initial margin. */
+  final class Hinge extends Objective {
+    val name = "binary:hinge"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = b.toFloat
+    def transform(m: Array[Float]): Array[Float] =
+      Array(if (m(0) > 0f) 1f else 0f)
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      val s = if (y > 0.5f) 1f else -1f
+      g(0) = if (s * m(0) < 1f) -s else 0f
+      h(0) = 1f
+    }
+  }
+
+  /**
    * survival:aft — accelerated-failure-time objective with a normal
    * error distribution (the xgboost AFT default), consuming
    * (label_lower_bound, label_upper_bound) interval labels
@@ -239,9 +321,14 @@ object Objectives {
   /** Effective objective for a parameter set: the custom hook wins
     * (reference sklearn.py:511-515 `obj=` passthrough). */
   def resolve(p: TrainParams): Objective =
-    p.customObjective.getOrElse(
-      if (p.objective == "survival:aft") new AftNormal(p.aftSigma)
-      else forName(p.objective, p.numClass))
+    p.customObjective.getOrElse(p.objective match {
+      case "survival:aft" => new AftNormal(p.aftSigma)
+      case "count:poisson" =>
+        // xgboost forces max_delta_step to 0.7 for Poisson when unset
+        new Poisson(if (p.maxDeltaStep > 0) p.maxDeltaStep else 0.7)
+      case "reg:tweedie" => new Tweedie(p.tweedieVariancePower)
+      case other => forName(other, p.numClass)
+    })
 
   def forName(name: String, numClass: Int): Objective = name match {
     case "reg:squarederror" | "reg:linear" => new SquaredError
@@ -252,6 +339,10 @@ object Objectives {
     case "multi:softmax" => new Softmax(numClass, prob = false)
     case "rank:pairwise" => new PairwiseRank
     case "survival:aft" => new AftNormal()
+    case "count:poisson" => new Poisson()
+    case "reg:gamma" => new GammaDeviance
+    case "reg:tweedie" => new Tweedie() // transform is ρ-free (exp)
+    case "binary:hinge" => new Hinge
     case c if c.startsWith("custom:") => new RawIdentity(c, numClass)
     case other => throw new IllegalArgumentException(
       s"unknown objective '$other'")

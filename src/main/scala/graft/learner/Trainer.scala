@@ -35,6 +35,9 @@ final case class TrainParams(
     /** survival:aft error-distribution scale (xgboost
       * aft_loss_distribution_scale). */
     aftSigma: Double = 1.0,
+    /** reg:tweedie variance power ρ ∈ (1,2) (xgboost
+      * tweedie_variance_power): ρ→1 Poisson-like, ρ→2 gamma-like. */
+    tweedieVariancePower: Double = 1.5,
     seed: Long = 0L,
     earlyStoppingRounds: Int = 0,
     evalMetric: Seq[String] = Nil,
@@ -786,7 +789,15 @@ object Trainer {
       evalData.foreach { case (n, r) =>
         val rows = r.map { case (inst, m) => (m, inst.label, inst.weight) }
         metricNames.foreach { mn =>
-          val v = Metrics.compute(mn, obj, rows, customByName)
+          val v =
+            if (!customByName.contains(mn) && Metrics.isGroupMetric(mn)) {
+              // ndcg/map walk qid groups — the rank layout keeps groups
+              // partition-contiguous, so this is one shuffle-free pass
+              require(obj.needsGroups, s"$mn needs a rank:* objective " +
+                "(qid-contiguous evaluation partitions)")
+              Metrics.computeGroup(mn, r.map { case (inst, m) =>
+                (m(0), inst.label, inst.weight, inst.qid) })
+            } else Metrics.compute(mn, obj, rows, customByName)
           evalsResult(n)(mn) += v
           roundMetrics(s"$n-$mn") = v
         }

@@ -1,0 +1,148 @@
+package graft.learner
+
+import graft.SparkTestBase
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+
+/**
+ * Count/severity/hinge objective families (the xgboost objectives the
+ * reference forwards verbatim: count:poisson, reg:gamma, reg:tweedie,
+ * binary:hinge) plus their default eval metrics. One-round leaf
+ * arithmetic is DuckDB-verified by the ml_stump_{poisson,gamma,tweedie,
+ * hinge} oracles; these tests cover multi-round convergence, the exp
+ * transform, metric wiring, and partitioning invariance.
+ */
+class ObjectivesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic count-like data: rate = exp(1 + a − b), y = round(rate)
+    * (noise-free so few rounds converge tightly). */
+  private def countsDf = {
+    val rng = new scala.util.Random(61)
+    (1 to 600).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, math.rint(math.exp(1.0 + a - b)))
+    }.toDF("a", "b", "y")
+  }
+
+  test("count:poisson recovers the rate surface; nloglik decreases") {
+    val df = countsDf.repartition(4)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "count:poisson", numRounds = 40,
+        maxDepth = 3, seed = 5),
+      evals = Seq(("train", df)))
+    val nll = res.evalsResult("train")("poisson-nloglik")
+    assert(nll.last < nll.head, s"nloglik did not improve: $nll")
+    val pred = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .select("prediction", "y").collect()
+    assert(pred.forall(_.getDouble(0) > 0), "poisson predictions must be +")
+    val relErr = pred.map(r =>
+      math.abs(r.getDouble(0) - r.getDouble(1)) /
+        math.max(r.getDouble(1), 1.0)).sum / pred.length
+    assert(relErr < 0.15, s"mean relative error $relErr")
+  }
+
+  test("reg:gamma fits positive severities in the log domain") {
+    val rng = new scala.util.Random(67)
+    val rows = (1 to 600).map { _ =>
+      val a = rng.nextDouble()
+      (a, math.exp(0.5 + 2.0 * a)) // strictly positive target
+    }
+    val df = rows.toDF("a", "y").repartition(3)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:gamma", numRounds = 40,
+        maxDepth = 3, seed = 5),
+      evals = Seq(("train", df)))
+    val nll = res.evalsResult("train")("gamma-nloglik")
+    assert(nll.last < nll.head, s"gamma-nloglik did not improve: $nll")
+    val pred = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .selectExpr("avg(abs(log(prediction) - log(y)))").head().getDouble(0)
+    assert(pred < 0.1, s"mean |log error| $pred")
+  }
+
+  test("reg:tweedie handles zero-inflated targets (ρ = 1.3)") {
+    val rng = new scala.util.Random(71)
+    val rows = (1 to 800).map { _ =>
+      val a = rng.nextDouble()
+      // 40% structural zeros, else severity exp(1 + a)
+      val y = if (rng.nextDouble() < 0.4) 0.0 else math.exp(1.0 + a)
+      (a, y)
+    }
+    val df = rows.toDF("a", "y").repartition(4)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:tweedie", tweedieVariancePower = 1.3,
+        numRounds = 30, maxDepth = 3, seed = 5,
+        evalMetric = Seq("tweedie-nloglik@1.3")),
+      evals = Seq(("train", df)))
+    val nll = res.evalsResult("train")("tweedie-nloglik@1.3")
+    assert(nll.last < nll.head, s"tweedie nloglik did not improve: $nll")
+    val pred = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(pred.forall(p => p > 0 && !p.isNaN && !p.isInfinite),
+      "tweedie predictions must be positive finite")
+  }
+
+  test("binary:hinge emits hard 0/1 labels and separates") {
+    val rng = new scala.util.Random(73)
+    val rows = (1 to 500).map { _ =>
+      val x0 = rng.nextDouble() * 10; val x1 = rng.nextDouble() * 10
+      (x0, x1, if (x0 + x1 > 10) 1 else 0)
+    }
+    val df = rows.toDF("x0", "x1", "y").repartition(4)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "binary:hinge", numRounds = 20,
+        maxDepth = 4, seed = 5),
+      evals = Seq(("train", df)))
+    val err = res.evalsResult("train")("error")
+    assert(err.last < 0.05, s"hinge error stayed high: ${err.mkString(",")}")
+    val preds = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .select("prediction").distinct().collect().map(_.getDouble(0)).sorted
+    assert(preds.forall(p => p == 0.0 || p == 1.0),
+      s"hinge must predict hard classes, got ${preds.mkString(",")}")
+  }
+
+  test("golden equality: poisson 1-partition == 8-partition model") {
+    val df = countsDf
+    val p = TrainParams(objective = "count:poisson", numRounds = 8,
+      maxDepth = 3, seed = 3)
+    val m1 = GraftBoost.train(df.coalesce(1), DMatrixSpec("y"), p)
+      .model.dump()
+    val m8 = GraftBoost.train(df.repartition(8), DMatrixSpec("y"), p)
+      .model.dump()
+    assert(m1 === m8)
+  }
+
+  test("log-link models round-trip through save/load") {
+    val df = countsDf.coalesce(2)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "count:poisson", numRounds = 5,
+        maxDepth = 3, seed = 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft-poisson")
+      .toString
+    res.model.save(spark, dir)
+    val back = GraftModel.load(spark, dir)
+    val a = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .select("prediction").collect().map(_.getDouble(0))
+    val b = GraftBoost.predict(back, df, DMatrixSpec("y"))
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b), "reloaded poisson model diverges")
+  }
+
+  test("mape and nloglik metrics compute standalone values") {
+    val obj = new Objectives.SquaredError
+    val rows = spark.sparkContext.parallelize(Seq(
+      (Array(2.0f), 1.0f, 1.0f), (Array(3.0f), 4.0f, 1.0f)))
+    val mape = Metrics.compute("mape", obj, rows)
+    assert(math.abs(mape - (1.0 + 0.25) / 2) < 1e-12, s"mape $mape")
+    // poisson nll at p=1 (margin 0 under exp link): lnΓ(y+1) + 1
+    val pObj = new Objectives.Poisson()
+    val pRows = spark.sparkContext.parallelize(Seq(
+      (Array(0.0f), 2.0f, 1.0f))) // p = e^0 = 1, y = 2 → ln2! + 1
+    val nll = Metrics.compute("poisson-nloglik", pObj, pRows)
+    assert(math.abs(nll - (math.log(2.0) + 1.0)) < 1e-9, s"poisson $nll")
+    val gObj = new Objectives.GammaDeviance
+    val gNll = Metrics.compute("gamma-nloglik", gObj,
+      spark.sparkContext.parallelize(Seq((Array(0.0f), 3.0f, 1.0f))))
+    assert(math.abs(gNll - 3.0) < 1e-9, s"gamma y/p + ln p = 3, got $gNll")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.learner
+
+import graft.SparkTestBase
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+
+/** ndcg[@k] / map[@k] qid-group ranking metrics (the xgboost ranking
+  * eval surface the reference forwards; rank-quality conformance is
+  * tests/test_end_to_end.py:374-425 in the reference). */
+class RankMetricSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def groupRows(rows: Seq[(Float, Float, Float, Long)],
+      parts: Int = 2) = {
+    // one qid group per slice: whole groups stay partition-contiguous,
+    // exactly as the trainer lays rank data out (Sharding.sortByQid)
+    val byGroup = rows.foldLeft(Vector.empty[Vector[
+      (Float, Float, Float, Long)]]) { (acc, r) =>
+      if (acc.nonEmpty && acc.last.last._4 == r._4)
+        acc.init :+ (acc.last :+ r)
+      else acc :+ Vector(r)
+    }
+    spark.sparkContext.parallelize(byGroup, math.min(parts, byGroup.size))
+      .flatMap(identity)
+  }
+
+  test("ndcg matches a hand computation (with an all-negative group)") {
+    val rows = Seq(
+      (0.9f, 1f, 1f, 1L), (0.8f, 0f, 1f, 1L), (0.7f, 1f, 1f, 1L),
+      (0.5f, 0f, 1f, 2L), (0.6f, 0f, 1f, 2L))
+    // group 1 ranked rels [1,0,1]: dcg = 1 + 0.5 = 1.5,
+    // ideal [1,1,0]: 1 + 1/log2(3); group 2 has no positives → 1.0
+    val g1 = 1.5 / (1.0 + 1.0 / (math.log(3.0) / math.log(2.0)))
+    val expected = (g1 + 1.0) / 2.0
+    val got = Metrics.computeGroup("ndcg", groupRows(rows))
+    assert(math.abs(got - expected) < 1e-12, s"ndcg $got vs $expected")
+  }
+
+  test("map matches a hand computation; map@1 truncates") {
+    val rows = Seq(
+      (0.9f, 1f, 1f, 1L), (0.8f, 0f, 1f, 1L), (0.7f, 1f, 1f, 1L),
+      (0.5f, 0f, 1f, 2L), (0.6f, 1f, 1f, 2L))
+    // g1: hits at ranks 1,3 → AP = (1 + 2/3)/2; g2 ranked rels [1,0] → 1
+    val expected = ((1.0 + 2.0 / 3.0) / 2.0 + 1.0) / 2.0
+    val got = Metrics.computeGroup("map", groupRows(rows))
+    assert(math.abs(got - expected) < 1e-12, s"map $got vs $expected")
+    // @1: g1 top doc is relevant → 1; g2 top doc relevant → 1
+    val at1 = Metrics.computeGroup("map@1", groupRows(rows))
+    assert(math.abs(at1 - 1.0) < 1e-12, s"map@1 $at1")
+  }
+
+  test("ndcg@k truncation and score ties keep row order") {
+    val rows = Seq( // one group, all scores tied → ranked order = row order
+      (0.5f, 0f, 1f, 9L), (0.5f, 1f, 1f, 9L), (0.5f, 1f, 1f, 9L))
+    // ranked rels [0,1,1]: dcg@2 = 0 + 1/log2(3); ideal@2 = 1 + 1/log2(3)
+    val l3 = 1.0 / (math.log(3.0) / math.log(2.0))
+    val expected = l3 / (1.0 + l3)
+    val got = Metrics.computeGroup("ndcg@2", groupRows(rows, parts = 1))
+    assert(math.abs(got - expected) < 1e-12, s"ndcg@2 $got vs $expected")
+  }
+
+  test("group weight comes from the group's first row") {
+    val rows = Seq(
+      (0.9f, 1f, 3f, 1L), (0.1f, 0f, 3f, 1L), // perfect, weight 3
+      (0.1f, 1f, 1f, 2L), (0.9f, 0f, 2L.toFloat, 2L)) // inverted, weight 1
+    // inverted pair: ranked rels [0,1] → dcg = 1/log2(3), ideal = 1
+    val inv = 1.0 / (math.log(3.0) / math.log(2.0))
+    val expected = (3.0 * 1.0 + 1.0 * inv) / 4.0
+    val got = Metrics.computeGroup("ndcg", groupRows(rows))
+    assert(math.abs(got - expected) < 1e-12, s"weighted ndcg $got")
+  }
+
+  test("rank:pairwise training improves ndcg@10 and map (end-to-end)") {
+    val rng = new scala.util.Random(83)
+    val rows = (1 to 2000).map { i =>
+      val q = i / 20 // 100 groups of 20
+      val x = rng.nextDouble()
+      val rel = if (x + 0.1 * rng.nextDouble() > 0.7) 1.0 else 0.0
+      (x, rel, q.toLong)
+    }
+    val df = rows.toDF("x", "rel", "qid").repartition(4)
+    val res = GraftBoost.train(df,
+      DMatrixSpec(labelCol = Seq("rel"), qidCol = Some("qid")),
+      TrainParams(objective = "rank:pairwise", numRounds = 15,
+        maxDepth = 3, seed = 5, evalMetric = Seq("ndcg@10", "map")),
+      evals = Seq(("train", df)))
+    val ndcg = res.evalsResult("train")("ndcg@10")
+    val map = res.evalsResult("train")("map")
+    assert(ndcg.last > ndcg.head, s"ndcg@10 did not improve: $ndcg")
+    assert(map.last > map.head, s"map did not improve: $map")
+    assert(ndcg.last > 0.9, s"final ndcg@10 ${ndcg.last}")
+  }
+
+  test("group metrics on a pointwise objective fail fast") {
+    val df = (1 to 50).map(i => (i.toDouble, i % 2)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "binary:logistic", numRounds = 2,
+          evalMetric = Seq("ndcg")),
+        evals = Seq(("train", df)))
+    }
+    assert(e.getMessage.contains("rank"), e.getMessage)
+  }
+}
