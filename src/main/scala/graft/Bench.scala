@@ -43,8 +43,14 @@ object Bench {
         // LRU-managed by design and survive the query — drop them so
         // query N's leftovers never skew query N+1's timing; likewise
         // collect the dropped blocks' garbage now, not mid-way through
-        // the next query. Both run OUTSIDE the timed window.
+        // the next query. All of this runs OUTSIDE the timed window.
+        // clearCache only drops SQL-cached relations; the trainer's
+        // RDD-level persists are self-unpersisted with blocking=false,
+        // so their block frees would otherwise bleed into the next
+        // query's timing — drop any survivors synchronously here.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         (name, t, err)
     }

@@ -33,10 +33,21 @@ object SparkEntry {
     * |Q| queries (bounded heaps, no shuffle of scored rows) — cheap at
     * verification SFs and exactly the self-check a production ANN
     * rollout runs on a sampled query set at 100 TB. */
-  private def withRecall(approx: DataFrame, corpus: DataFrame,
+  private def withRecall(approx0: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
+    // `approx` feeds two plan branches (the output rows + the hit join)
+    // and `exact` feeds two more (hit join + per-query denominator) —
+    // without a persist each branch re-runs its WHOLE ANN / brute-force
+    // pipeline. Both are |Q|·k ≈ 80-row results of expensive scans:
+    // persist + force, so each pipeline runs once and the branches never
+    // race an unmaterialized cache (the dd_minhash diamond lesson).
+    val approx = approx0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    approx.count()
     val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id",
       "embedding", "query_id", k = k).select(col("query_id"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exact.count()
     val exactN = exact.groupBy("query_id")
       .agg(count(lit(1)).as("__exact_n"))
     val hits = approx.select(col("query_id"), col("id"))

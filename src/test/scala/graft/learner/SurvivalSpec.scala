@@ -109,11 +109,13 @@ class SurvivalSpec extends SparkTestBase {
     val keys = Seq("numRounds" -> "17", "eta" -> "0.05",
       "objective" -> "binary:logistic", "evalMetric" -> "auc,logloss",
       "checkpointPath" -> "/tmp/ck",
+      "tweedieVariancePower" -> "1.2",
       "monotoneConstraints" -> "(1,0,-1)",
       "interactionConstraints" -> "[[0,1],[2,3,4]]")
     try {
       keys.foreach { case (k, v) => spark.conf.set(s"spark.graft.$k", v) }
       val p = GraftConf.overlay(spark, TrainParams(maxDepth = 9))
+      assert(p.tweedieVariancePower === 1.2)
       assert(p.monotoneConstraints === Seq(1, 0, -1))
       assert(p.interactionConstraints === Seq(Seq(0, 1), Seq(2, 3, 4)))
       assert(p.numRounds === 17)
