@@ -416,6 +416,21 @@ object SparkEntry {
           col("mean_word_len"))
         .orderBy("doc_id")),
 
+    // ---- incremental ingest dedup: bloom-prescreened cross-batch
+    //      exact dedup (new batch vs existing corpus; planted re-id'd
+    //      copies MUST drop, parity-split rows survive unless their
+    //      normalized text already occurs in the seen half) ----
+    "pp_incremental" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000))
+      ops.Dedup.incrementalDedup(incoming, seen, "doc_id", "text",
+          expectedSeen = 1 << 16)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- rows-only checks (no SQL-expressible oracle) ----
     // approximate ANN rows carry an in-query `recall_vs_exact` column
     // (per-query overlap with bruteForceTopK) — the rows-only gate
@@ -840,6 +855,20 @@ object SparkEntry {
         | FROM documents
         | GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         | ORDER BY keep_id""".stripMargin,
+    // incremental dedup replay: same normalization as dd_exact; the
+    // bloom filter is invisible to the semantics (prune-only, every
+    // drop join-verified), so the oracle is a plain anti-join
+    "pp_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |   lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS k
+        | FROM documents),
+        |seen AS (SELECT k FROM d WHERE doc_id % 2 = 0),
+        |inc AS (SELECT doc_id, k FROM d WHERE doc_id % 2 = 1
+        | UNION ALL
+        | SELECT doc_id + 10000000, k FROM d WHERE doc_id % 20 = 0)
+        |SELECT doc_id FROM inc
+        | WHERE k NOT IN (SELECT k FROM seen)
+        | ORDER BY doc_id""".stripMargin,
     "tx_tokens" ->
       """SELECT doc_id,
         | CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0

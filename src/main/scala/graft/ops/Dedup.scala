@@ -69,6 +69,67 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  // ---------------- incremental (cross-batch) exact dedup ----------------
+
+  /**
+   * Bloom filter over a corpus's normalized-text fingerprints — one
+   * `treeAggregate` pass (`DataFrameStatFunctions.bloomFilter`), built
+   * once and reused across many ingest batches. Size it for the corpus:
+   * ~1.2 GiB at 10⁹ keys / 1% FPP.
+   */
+  def seenFilter(seen: DataFrame, textCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    seen.select(TextOps.fingerprint(col(textCol)).as("__fp"))
+      .stat.bloomFilter("__fp", expectedItems, fpp)
+
+  /**
+   * Incremental exact dedup: drop rows of `incoming` whose
+   * normalized-text fingerprint already appears in `seen` — the
+   * "dedupe today's crawl against the existing corpus" step of a
+   * continuously ingesting pipeline (batch analog of the streaming
+   * watermark dedup in StreamPipeline).
+   *
+   * Scale shape — the corpus dwarfs the batch, so a plain join would
+   * shuffle the corpus on every ingest. Instead:
+   *  1. a broadcast Bloom filter over corpus fingerprints prescreens
+   *     the batch — only bloom-POSITIVE rows (true duplicates + the
+   *     FPP sliver) go further;
+   *  2. the surviving candidate keys (tiny) broadcast BACK against the
+   *     corpus scan as a semi-join, confirming true membership;
+   *  3. the confirmed keys (≤ candidates) broadcast-anti-join the batch.
+   * Net: one corpus SCAN (no corpus shuffle, ever), two batch scans,
+   * zero wide exchanges. The result is EXACT for any FPP — the filter
+   * only prunes, every drop decision is join-verified. In production
+   * `seen` can be the compact per-doc fingerprint index (8 bytes/doc)
+   * rather than the corpus itself; the plan is identical.
+   *
+   * @param filter pre-built [[seenFilter]] to reuse across batches
+   *               (skips the corpus aggregate pass)
+   */
+  def incrementalDedup(incoming: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String,
+      filter: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      expectedSeen: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val bloom = filter.getOrElse(
+      seenFilter(seen, textCol, expectedSeen, fpp))
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    // bloom probe is one long-key lookup per row; a UDF (the
+    // single-pass-kernel trade langId documents) — the filter output
+    // is a sliver, so everything downstream stays tiny
+    val might = udf { k: Long => bc.value.mightContainLong(k) }
+    val inc = incoming
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    val candKeys = inc.filter(might(col("__fp")))
+      .select("__fp").distinct()
+    val confirmed = seen
+      .select(TextOps.fingerprint(col(textCol)).as("__fp"))
+      .join(broadcast(candKeys), Seq("__fp"), "left_semi")
+      .distinct()
+    inc.join(broadcast(confirmed), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** Character-shingle hashes (row-local). Duplicates are NOT removed:

@@ -321,6 +321,53 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalDedup drops exactly the cross-batch duplicates") {
+    val seen = Seq((0L, "alpha beta"), (2L, "gamma delta"), (4L, "epsilon"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "alpha  BETA "),   // normalizes to a seen doc → drop
+      (13L, "gamma delta"),    // exact seen text → drop
+      (15L, "zeta eta"),       // new → keep
+      (17L, "epsilon theta"))  // superset, different text → keep
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, seen, "doc_id", "text",
+      expectedSeen = 100).select("doc_id").as[Long].collect().sorted
+    assert(out === Array(15L, 17L))
+  }
+
+  test("incrementalDedup stays exact under a saturated bloom filter") {
+    // expectedItems 1 at 50% FPP ⇒ nearly every probe is a false
+    // positive — the verify join must still keep every non-duplicate
+    val seen = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val loose = Dedup.incrementalDedup(incoming, seen, "doc_id", "text",
+      filter = Some(Dedup.seenFilter(seen, "text", expectedItems = 1,
+        fpp = 0.5)))
+      .select("doc_id").as[Long].collect().sorted
+    val tight = Dedup.incrementalDedup(incoming, seen, "doc_id", "text",
+      expectedSeen = 100000)
+      .select("doc_id").as[Long].collect().sorted
+    assert(loose === tight, "FPP must never change the result")
+    // reference semantics: plain anti-join on the fingerprint
+    val fp = TextOps.fingerprint($"text")
+    val ref = incoming.withColumn("__k", fp)
+      .join(seen.select(fp.as("__k")).distinct(), Seq("__k"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(tight === ref)
+  }
+
+  test("incrementalDedup plan: corpus side joins broadcast, " +
+      "never sort-merge") {
+    val seen = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val plan = Dedup.incrementalDedup(incoming, seen, "doc_id", "text",
+      expectedSeen = 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the verify join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("brute-force topk: self is nearest neighbor at cosine 1") {
     val queries = embs.limit(5)
       .select($"vec_id".as("query_id"), $"embedding")
