@@ -136,12 +136,7 @@ object GraftBoost {
       outputMargin: Boolean = false,
       distributedCallbacks: Seq[DistributedCallback] = Nil): DataFrame = {
     val spark = df.sparkSession
-    val feats = spec.resolveFeatures(df)
-    require(feats.size == model.numFeatures,
-      s"model expects ${model.numFeatures} features, got ${feats.size}")
-    val featsArr = array(feats.map(f =>
-      when(col(f).cast("float").isNull, lit(Float.NaN))
-        .otherwise(col(f).cast("float"))): _*)
+    val featsArr = checkedFeatures(model, df, spec)
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
     // per-row base margin (DMatrix base_margin predict semantics,
     // matrix.py:329-331): rows without one — or a predict df without
@@ -181,12 +176,7 @@ object GraftBoost {
    */
   def predictLeaf(model: GraftModel, df: DataFrame,
       spec: DMatrixSpec): DataFrame = {
-    val feats = spec.resolveFeatures(df)
-    require(feats.size == model.numFeatures,
-      s"model expects ${model.numFeatures} features, got ${feats.size}")
-    val featsArr = array(feats.map(f =>
-      when(col(f).cast("float").isNull, lit(Float.NaN))
-        .otherwise(col(f).cast("float"))): _*)
+    val featsArr = checkedFeatures(model, df, spec)
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
     df.withColumn("leaf_indices",
       GraftColumnBridge.column(graft.functions.EnsembleLeaves(
@@ -203,12 +193,7 @@ object GraftBoost {
    */
   def predictContrib(model: GraftModel, df: DataFrame,
       spec: DMatrixSpec): DataFrame = {
-    val feats = spec.resolveFeatures(df)
-    require(feats.size == model.numFeatures,
-      s"model expects ${model.numFeatures} features, got ${feats.size}")
-    val featsArr = array(feats.map(f =>
-      when(col(f).cast("float").isNull, lit(Float.NaN))
-        .otherwise(col(f).cast("float"))): _*)
+    val featsArr = checkedFeatures(model, df, spec)
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
     df.withColumn("contribs",
       GraftColumnBridge.column(graft.functions.EnsembleContribs(
@@ -216,6 +201,19 @@ object GraftBoost {
   }
 
   // ---- internals ----
+
+  /** Inference feature array via the SAME assembly expression training
+    * used (`DMatrixSpec.featuresArray` — per-column or pre-assembled
+    * Vector/array, `missing` substitution included), with the model
+    * width check applied when the width is statically known. */
+  private def checkedFeatures(model: GraftModel, df: DataFrame,
+      spec: DMatrixSpec): org.apache.spark.sql.Column = {
+    spec.featureWidth(df).foreach { n =>
+      require(n == model.numFeatures,
+        s"model expects ${model.numFeatures} features, got $n")
+    }
+    spec.featuresArray(df)
+  }
 
   /** (features, label, weight, baseMargin, qid, upperBound) rows; label
     * doubles as the survival lower bound, upperBound is NaN unless the

@@ -231,12 +231,13 @@ object GraftLinear {
     * exactly as at training time. */
   def predict(model: LinearModel, df: DataFrame, spec: DMatrixSpec,
       outputCol: String = "prediction"): DataFrame = {
-    val feats = spec.resolveFeatures(df)
-    require(feats.size == model.numFeatures,
-      s"model expects ${model.numFeatures} features, got ${feats.size}")
-    val featsArr = array(feats.map(f =>
-      when(col(f).cast("float").isNull, lit(Float.NaN))
-        .otherwise(col(f).cast("float"))): _*)
+    // same assembly expression as training (per-column or pre-assembled
+    // Vector/array, `missing` substitution included)
+    spec.featureWidth(df).foreach { n =>
+      require(n == model.numFeatures,
+        s"model expects ${model.numFeatures} features, got $n")
+    }
+    val featsArr = spec.featuresArray(df)
     val bm = spec.baseMarginCol.filter(df.columns.contains)
       .map(c => coalesce(col(c).cast("float"), lit(Float.NaN)))
       .getOrElse(lit(Float.NaN))

@@ -76,23 +76,71 @@ final case class DMatrixSpec(
   }
 
   /**
+   * The single PRE-ASSEMBLED feature column, when `featureCols` names
+   * exactly one column holding an MLlib `Vector` or a numeric array —
+   * the `VectorAssembler` convention, so a standard MLlib `Pipeline`
+   * stage output feeds the trainer directly (reference analog: the
+   * sklearn wrappers accept an already-2-D X).
+   */
+  def preAssembledCol(df: DataFrame): Option[String] = featureCols match {
+    case Some(Seq(f)) if df.columns.contains(f) =>
+      df.schema(f).dataType match {
+        case dt if dt == org.apache.spark.ml.linalg.SQLDataTypes.VectorType
+          => Some(f)
+        case ArrayType(_: NumericType, _) => Some(f)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /**
+   * The `features: array<float>` expression for this spec over `df`:
+   * per-column assembly (residual order) or a pre-assembled
+   * Vector/array column converted in place. `missing` values and NULLs
+   * become NaN (xgboost semantics: NaN rides the per-node default
+   * direction). Pure Catalyst expressions — whole-stage codegen, no UDF.
+   * Shared by training assembly and every predict entry point, so
+   * train- and inference-time feature semantics cannot drift.
+   */
+  def featuresArray(df: DataFrame): Column = preAssembledCol(df) match {
+    case Some(f) =>
+      val arr =
+        if (df.schema(f).dataType ==
+            org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+          org.apache.spark.ml.functions.vector_to_array(col(f), "float32")
+        else col(f).cast(ArrayType(FloatType, containsNull = true))
+      missing match {
+        case Some(m) => transform(arr, x =>
+          when(x.isNull || x === lit(m.toFloat), lit(Float.NaN))
+            .otherwise(x))
+        case None => transform(arr, x => coalesce(x, lit(Float.NaN)))
+      }
+    case None =>
+      val feats = resolveFeatures(df)
+      require(feats.nonEmpty, "DMatrixSpec resolved zero feature columns")
+      val fcols: Seq[Column] = feats.map { f =>
+        val c = col(f).cast(FloatType)
+        missing match {
+          case Some(m) =>
+            when(c.isNull || c === lit(m.toFloat), lit(Float.NaN))
+              .otherwise(c)
+          case None => when(c.isNull, lit(Float.NaN)).otherwise(c)
+        }
+      }
+      array(fcols: _*)
+  }
+
+  /** Feature-vector width when statically known (per-column assembly);
+    * None for a pre-assembled Vector/array column, whose width is a
+    * runtime property. */
+  def featureWidth(df: DataFrame): Option[Int] =
+    if (preAssembledCol(df).isDefined) None
+    else Some(resolveFeatures(df).size)
+
+  /**
    * Assembled form: one `features: array<float>` column + role columns.
-   * `missing` values and NULLs become NaN inside the array (xgboost
-   * semantics: NaN rides the per-node default direction during training).
-   * Stays inside whole-stage codegen: pure Catalyst expressions, no UDF.
    */
   def assemble(df: DataFrame): DataFrame = {
-    val feats = resolveFeatures(df)
-    require(feats.nonEmpty, "DMatrixSpec resolved zero feature columns")
-    val fcols: Seq[Column] = feats.map { f =>
-      val c = col(f).cast(FloatType)
-      val cleaned = missing match {
-        case Some(m) => when(c.isNull || c === lit(m.toFloat), lit(Float.NaN))
-          .otherwise(c)
-        case None => when(c.isNull, lit(Float.NaN)).otherwise(c)
-      }
-      cleaned
-    }
     // role columns cast to what the learner consumes: labels/weights/
     // margins/bounds → float, qid → long
     val roles: Seq[Column] =
@@ -100,7 +148,8 @@ final case class DMatrixSpec(
         (weightCol ++ baseMarginCol ++ labelLowerCol ++ labelUpperCol)
           .map(c => col(c).cast(FloatType).as(c)) ++
         qidCol.map(c => col(c).cast(LongType).as(c))
-    df.select((array(fcols: _*).as(DMatrixSpec.FeaturesCol) +: roles): _*)
+    df.select(
+      (featuresArray(df).as(DMatrixSpec.FeaturesCol) +: roles): _*)
   }
 
   /** Analysis-time validation (matrix.py:890-892, main.py:1548-1553):
@@ -117,20 +166,22 @@ final case class DMatrixSpec(
     if (requireLabel) require(hasLabel,
       "Training requires a label column (reference: RayDMatrix has_label " +
         "check, matrix.py:890-892)")
-    val nonNumeric = resolveFeatures(df).filter { f =>
-      df.schema(f).dataType match {
-        case _: NumericType => false
-        case _ => true
+    if (preAssembledCol(df).isEmpty) {
+      val nonNumeric = resolveFeatures(df).filter { f =>
+        df.schema(f).dataType match {
+          case _: NumericType => false
+          case _ => true
+        }
       }
-    }
-    require(nonNumeric.isEmpty,
-      s"Non-numeric feature columns: ${nonNumeric.mkString(", ")} " +
-        "(cast them, list them in `ignore`, or set `featureCols`)")
-    featureWeights.foreach { fw =>
-      val n = resolveFeatures(df).size
-      require(fw.length == n,
-        s"feature_weights length ${fw.length} != num features $n")
-    }
+      require(nonNumeric.isEmpty,
+        s"Non-numeric feature columns: ${nonNumeric.mkString(", ")} " +
+          "(cast them, list them in `ignore`, or set `featureCols`)")
+      featureWeights.foreach { fw =>
+        val n = resolveFeatures(df).size
+        require(fw.length == n,
+          s"feature_weights length ${fw.length} != num features $n")
+      }
+    } // pre-assembled width is only known at runtime; the binner checks it
   }
 }
 

@@ -146,4 +146,29 @@ class DataSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("y") && e.getMessage.contains("w"))
   }
+
+  test("pre-assembled feature columns: Vector, numeric array, and the " +
+      "missing-value substitution") {
+    import org.apache.spark.ml.linalg.Vectors
+    val vecDf = Seq((Vectors.dense(1.0, 2.0), 1.0),
+      (Vectors.sparse(2, Array(1), Array(5.0)), 0.0))
+      .toDF("features", "y")
+    val specV = DMatrixSpec(labelCol = Seq("y"),
+      featureCols = Some(Seq("features")))
+    specV.validate(vecDf, requireLabel = true)
+    val v = specV.assemble(vecDf).select("features")
+      .collect().map(_.getSeq[Float](0))
+    assert(v(0) === Seq(1f, 2f))
+    assert(v(1) === Seq(0f, 5f)) // sparse densifies
+    val arrDf = Seq(
+      (Seq[java.lang.Double](1.0, -999.0), 1.0),
+      (Seq[java.lang.Double](null, 3.0), 0.0))
+      .toDF("f", "y")
+    val a = DMatrixSpec(labelCol = Seq("y"),
+      featureCols = Some(Seq("f")), missing = Some(-999.0))
+      .assemble(arrDf).select("features")
+      .collect().map(_.getSeq[Float](0))
+    assert(a(0)(0) === 1f && a(0)(1).isNaN) // missing value → NaN
+    assert(a(1)(0).isNaN && a(1)(1) === 3f) // NULL element → NaN
+  }
 }

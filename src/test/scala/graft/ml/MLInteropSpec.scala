@@ -67,6 +67,30 @@ class MLInteropSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("VectorAssembler features column feeds the classifier directly " +
+      "(MLlib Pipeline convention)") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val va = new VectorAssembler()
+      .setInputCols(Array("qty", "price", "disc"))
+      .setOutputCol("features")
+    val clf = new GraftXGBClassifier()
+      .setLabelCol("y").setFeaturesCols(Array("features"))
+      .setNumRounds(4).setMaxDepth(3).setSeed(1L).setNumWorkers(4)
+    val model = new Pipeline().setStages(Array(va, clf)).fit(df)
+    val out = model.transform(df)
+    val acc = out.filter($"prediction" === $"y").count().toDouble /
+      out.count()
+    assert(acc > 0.672, s"vector-features accuracy $acc")
+    // identical model to the per-column route (same values, same order)
+    val direct = new GraftXGBClassifier()
+      .setLabelCol("y").setFeaturesCols(Array("qty", "price", "disc"))
+      .setNumRounds(4).setMaxDepth(3).setSeed(1L).setNumWorkers(4)
+      .fit(df)
+    assert(model.stages.last
+      .asInstanceOf[GraftXGBClassificationModel].graftModel.dump() ===
+      direct.graftModel.dump())
+  }
+
   test("classifier model save/load keeps params, labels, and " +
       "predictions (non-identity label decode)") {
     // labels {1,3,5} force the encode/decode path
