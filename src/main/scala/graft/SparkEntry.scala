@@ -416,6 +416,13 @@ object SparkEntry {
           col("mean_word_len"))
         .orderBy("doc_id")),
 
+    // ---- dedup: exact duplicate-substring SPANS (Lee et al. substring
+    //      dedup; oracle replays gram rows + rank-by-(doc,pos) + the
+    //      gaps-and-islands interval merge in closed-form SQL) ----
+    "dd_spans" -> ((s, dir) =>
+      ops.Dedup.duplicateSpans(ld(s, dir, "documents"), "doc_id", "text",
+        k = 8).orderBy("doc_id", "span_start")),
+
     // ---- incremental ingest dedup: bloom-prescreened cross-batch
     //      exact dedup (new batch vs existing corpus; planted re-id'd
     //      copies MUST drop, parity-split rows survive unless their
@@ -855,6 +862,34 @@ object SparkEntry {
         | FROM documents
         | GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         | ORDER BY keep_id""".stripMargin,
+    // duplicate-substring spans: 8-gram rows with positions, duplicate
+    // = rank >= 2 in (doc,pos) order per gram, then the classic
+    // gaps-and-islands window merge into maximal [start, end) spans
+    "dd_spans" ->
+      """WITH tok AS (SELECT doc_id,
+        |   list_filter(string_split_regex(
+        |     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+        |     x -> x <> '') AS toks
+        | FROM documents),
+        |g0 AS (SELECT doc_id,
+        |   [{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}
+        |     for i in range(1, len(toks)-6)] AS gs
+        | FROM tok WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+        |r AS (SELECT doc_id, pos, row_number()
+        |   OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+        |d AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM r WHERE rn >= 2),
+        |m AS (SELECT doc_id, s, e,
+        |   CASE WHEN s <= max(e) OVER (PARTITION BY doc_id
+        |     ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND 1 PRECEDING) THEN 0 ELSE 1 END AS brk
+        | FROM d),
+        |grp AS (SELECT doc_id, s, e,
+        |   sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+        | FROM m)
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+        | FROM grp GROUP BY doc_id, gid
+        | ORDER BY doc_id, span_start""".stripMargin,
     // incremental dedup replay: same normalization as dd_exact; the
     // bloom filter is invisible to the semantics (prune-only, every
     // drop join-verified), so the oracle is a plain anti-join

@@ -626,6 +626,103 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---------------- exact duplicate-substring spans ----------------
+
+  /**
+   * Exact duplicate-substring spans (the Lee et al. "Deduplicating
+   * Training Data Makes Language Models Better" recipe, substring-level
+   * rather than document-level): every token position whose k-token
+   * gram also occurs EARLIER in corpus (doc_id, pos) order is a
+   * duplicate position; per doc, duplicate positions merge into maximal
+   * spans `[span_start, span_end)` (1-based token index, end
+   * exclusive). The corpus-wide first occurrence is canonical and never
+   * flagged, so cutting every returned span leaves exactly one copy of
+   * each duplicated run.
+   *
+   * Scale shape: one narrow pass emits (gramHash, doc, pos) — O(tokens)
+   * 16-byte rows; ONE shuffle aggregates count + canonical-min per hash
+   * (map-side combinable — a boilerplate gram with 10⁶ occurrences
+   * never collects a list); duplicate positions (the sliver) shuffle
+   * back by doc for a bounded per-doc interval merge. No corpus-wide
+   * windows, no suffix array.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram length must be >= 2, got $k")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+    // positional gram hashes: index i (0-based) → xxhash64 of the
+    // space-joined k tokens starting there (hash semantics consistent
+    // with TextOps.fingerprint's xxhash64-of-text convention)
+    val g = toks.select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val stats = g.groupBy("h")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id"), col("pos"))).as("first"))
+    val dup = g.join(stats, "h")
+      .filter(col("n") > 1 &&
+        !(col("id") === col("first.id") && col("pos") === col("first.pos")))
+      .select(col("id"), col("pos"))
+    // merge sorted positions into maximal [p, p+k) intervals; adjacent
+    // intervals coalesce (end exclusive, so s == curEnd chains runs)
+    val kk = k
+    val mergeSpans = udf { ps: Seq[Int] =>
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var s = -1L
+      var e = -1L
+      ps.foreach { p =>
+        if (s < 0) { s = p; e = p + kk }
+        else if (p <= e) e = math.max(e, p + kk)
+        else { out += ((s, e)); s = p; e = p + kk }
+      }
+      if (s >= 0) out += ((s, e))
+      out.toSeq
+    }
+    dup.groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("id"), explode(mergeSpans(col("ps"))).as("span"))
+      .select(col("id").as(idCol), col("span._1").as("span_start"),
+        col("span._2").as("span_end"))
+  }
+
+  /**
+   * Companion remover: rebuild `textCol` with every [[duplicateSpans]]
+   * span cut (whitespace-retokenized join of the surviving tokens).
+   * Docs without spans pass through untouched — the spans side is a
+   * sliver, so the join is a broadcast at any corpus size where dup
+   * spans are rare (pass the spans DataFrame in, letting callers reuse
+   * one computation for stats AND removal).
+   */
+  def removeSpans(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cuts = spans.groupBy(col(idCol).cast("long").as("__sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val cut = udf { (text: String, sp: Seq[org.apache.spark.sql.Row]) =>
+      if (text == null || sp == null || sp.isEmpty) text
+      else {
+        val toks = text.replaceAll("^\\s+|\\s+$", "").split("\\s+")
+        val drop = new Array[Boolean](toks.length + 1)
+        sp.foreach { r =>
+          var i = math.max(r.getLong(0).toInt, 1)
+          val e = math.min(r.getLong(1).toInt, toks.length + 1)
+          while (i < e) { drop(i) = true; i += 1 }
+        }
+        toks.zipWithIndex.collect {
+          case (t, i) if !drop(i + 1) => t
+        }.mkString(" ")
+      }
+    }
+    df.join(broadcast(cuts), col(idCol).cast("long") === col("__sid"),
+        "left")
+      .withColumn(textCol, when(col("__spans").isNull, col(textCol))
+        .otherwise(cut(col(textCol), col("__spans"))))
+      .drop("__sid", "__spans")
+  }
+
   // ---------------- transitive closure over dup pairs ----------------
 
   /**

@@ -321,6 +321,37 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("duplicateSpans: cross-doc and within-doc spans, hand-computed") {
+    val rows = Seq(
+      (1L, "a b c d e f"),          // canonical occurrence of "a b c"
+      (2L, "x a b c y z"),          // dup "a b c" at pos 2 → span [2,5)
+      (3L, "p q r s p q r s"),      // self-repeat → dups at 5,6 → [5,9)
+      (4L, "all fresh tokens here today")) // no dup grams
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(rows, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity)
+    assert(spans === Array((2L, 2L, 5L), (3L, 5L, 9L)), spans.mkString(","))
+  }
+
+  test("removeSpans cuts spans and keeps canonical occurrences") {
+    val rows = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c y z"),
+      (3L, "p q r s p q r s"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(rows, "doc_id", "text", k = 3)
+    val out = Dedup.removeSpans(rows, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b c d e f")     // canonical doc untouched
+    assert(out(2L) === "x y z")           // dup run cut
+    assert(out(3L) === "p q r s")         // one copy survives
+    // idempotence: re-running finds nothing new
+    val again = Dedup.duplicateSpans(
+      out.toSeq.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+    assert(again.count() === 0)
+  }
+
   test("incrementalDedup drops exactly the cross-batch duplicates") {
     val seen = Seq((0L, "alpha beta"), (2L, "gamma delta"), (4L, "epsilon"))
       .toDF("doc_id", "text")
