@@ -352,6 +352,16 @@ class OpsSpec extends SparkTestBase {
     assert(again.count() === 0)
   }
 
+  test("duplicateSpans under heavy repetition: every copy beyond the " +
+      "first is one full-doc span (no occurrence-list skew)") {
+    val text = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val rows = (0L until 2000L).map(i => (i, text)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(rows, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.length === 1999, s"got ${spans.length} spans")
+    assert(spans.forall { case (id, s, e) => id > 0 && s == 1 && e == 51 })
+  }
+
   test("incrementalDedup drops exactly the cross-batch duplicates") {
     val seen = Seq((0L, "alpha beta"), (2L, "gamma delta"), (4L, "epsilon"))
       .toDF("doc_id", "text")
