@@ -416,6 +416,15 @@ object SparkEntry {
           col("mean_word_len"))
         .orderBy("doc_id")),
 
+    // ---- per-source cap: bound any source's contribution (the
+    //      domain-cap lever); rate = cap/count, decision = the same
+    //      salted-md5 keep hash as pp_mixture, so DuckDB replays both
+    //      the counting and the filter exactly ----
+    "pp_sourcecap" -> ((s, dir) =>
+      ops.CorpusPipeline.sourceCap(ld(s, dir, "documents"), "doc_id",
+        "source", maxPerSource = 20)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+
     // ---- dedup: exact duplicate-substring SPANS (Lee et al. substring
     //      dedup; oracle replays gram rows + rank-by-(doc,pos) + the
     //      gaps-and-islands interval merge in closed-form SQL) ----
@@ -862,6 +871,16 @@ object SparkEntry {
         | FROM documents
         | GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         | ORDER BY keep_id""".stripMargin,
+    // per-source cap: rate = least(1, 20/n) per source, keep decision
+    // = the md5_number_lower replay of the salted row hash
+    "pp_sourcecap" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |   GROUP BY source)
+        |SELECT d.doc_id, d.source FROM documents d JOIN c USING (source)
+        | WHERE CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':cap')
+        |     % 4294967296 AS DOUBLE) <
+        |   least(1.0, 20.0 / n) * 4294967296
+        | ORDER BY doc_id""".stripMargin,
     // duplicate-substring spans: 8-gram rows with positions, duplicate
     // = rank >= 2 in (doc,pos) order per gram, then the classic
     // gaps-and-islands window merge into maximal [start, end) spans

@@ -100,15 +100,50 @@ object CorpusPipeline {
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r =>
       r >= 0.0 && r <= 1.0), s"rates must be in [0,1]: $rates")
-    val h = md5(concat(col(idCol).cast("string"), lit(":mix")))
-    // lower 4 digest bytes (hex chars 17..24) little-endian → [0, 2³²)
-    val z = (0 until 4).map { j =>
-      conv(substring(h, 17 + 2 * j, 2), 16, 10).cast("long") *
-        (1L << (8 * j))
-    }.reduce(_ + _)
     val rate = rates.foldLeft(lit(defaultRate)) {
       case (acc, (s, r)) => when(col(sourceCol) === s, r).otherwise(acc)
     }
-    df.filter(z.cast("double") < rate * 4294967296.0)
+    df.filter(hashU32(col(idCol), ":mix").cast("double") <
+      rate * 4294967296.0)
+  }
+
+  /** Salted per-row hash in [0, 2³²): md5's lower 4 digest bytes
+    * little-endian — the byte order of DuckDB's `md5_number_lower`, so
+    * keep decisions replay exactly in SQL. */
+  private def hashU32(id: org.apache.spark.sql.Column,
+      salt: String): org.apache.spark.sql.Column = {
+    val h = md5(concat(id.cast("string"), lit(salt)))
+    (0 until 4).map { j =>
+      conv(substring(h, 17 + 2 * j, 2), 16, 10).cast("long") *
+        (1L << (8 * j))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * Per-source cap — bound any one source's (domain's) contribution to
+   * the corpus, the standard over-representation lever of web-corpus
+   * prep: a source with `n > maxPerSource` rows keeps each row with
+   * probability maxPerSource/n via the same salted-md5 deterministic
+   * decision [[mixture]] uses, so the kept count concentrates tightly
+   * around the cap while the decision stays reproducible across runs,
+   * partitionings, and retries.
+   *
+   * Scale shape: one map-side-combinable count aggregate (as many rows
+   * as DISTINCT sources — broadcastable by definition), a broadcast
+   * join of the per-source rate, one codegen filter. Deliberately NOT
+   * an exact-N cap: exact selection needs a per-source total order,
+   * and a skewed 100 TB source turns that sort into a straggler; the
+   * rate form is sort-free and skew-free.
+   */
+  def sourceCap(df: DataFrame, idCol: String, sourceCol: String,
+      maxPerSource: Long, salt: String = ":cap"): DataFrame = {
+    require(maxPerSource > 0, s"cap must be positive, got $maxPerSource")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+    val rate = least(lit(1.0), lit(maxPerSource.toDouble) / col("__n"))
+    df.join(broadcast(counts), Seq(sourceCol))
+      .filter(hashU32(col(idCol), salt).cast("double") <
+        rate * 4294967296.0)
+      .select(df.columns.map(col): _*)
   }
 }

@@ -161,6 +161,26 @@ class OpsSpec extends SparkTestBase {
       Map.empty, defaultRate = 0.0).count() === 0L)
   }
 
+  test("sourceCap: under-cap sources untouched, over-cap sources land " +
+      "near the cap, decision partition-invariant") {
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i < 1600) "big" else if (i < 1900) "mid" else "small"))
+      .toDF("doc_id", "source")
+    val out = CorpusPipeline.sourceCap(rows, "doc_id", "source",
+      maxPerSource = 200)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") === 100, "under-cap source must pass through")
+    // binomial(n, cap/n): mean 200, sd ~13 (big) / ~11 (mid) — 4σ bands
+    assert(kept("big") > 145 && kept("big") < 255, kept.toString)
+    assert(kept("mid") > 155 && kept("mid") < 245, kept.toString)
+    val again = CorpusPipeline.sourceCap(rows.repartition(13), "doc_id",
+      "source", maxPerSource = 200)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again === out.select("doc_id").as[Long].collect().sorted,
+      "keep decision must not depend on partitioning")
+  }
+
   test("decontaminate: flags exactly the train docs sharing an n-gram") {
     val evalSet = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
