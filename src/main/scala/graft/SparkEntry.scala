@@ -732,6 +732,40 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: closed-form AFT stump (survival:aft, σ = 1, base_score
+    //      0 ⇒ log-time margin exactly 0) — the last objective family
+    //      to get a DuckDB oracle. Rows cycle through three censoring
+    //      shapes chosen so every gradient is a float whose double sum
+    //      is EXACT in any order (≤3-octave exponent band + 24-bit
+    //      mantissas ⇒ no partial sum ever rounds):
+    //        cls 0 uncensored at y=q:   g = −ln(q),  h = 1
+    //        cls 1 right-censored lo=1: z_lo = 0 ⇒ Φ = 1/2 exactly, so
+    //                                   g = −2φ(0), h = 4φ(0)²
+    //        cls 2 left-censored hi=1:  mirror, g = +2φ(0), h = 4φ(0)²
+    //      (bounds semantics: reference matrix.py:333-343) ----
+    "ml_stump_aft" -> ((s, dir) => {
+      val q = col("l_quantity")
+      val cls = q.cast("long") % 3
+      val df = ld(s, dir, "lineitem").select(
+        when(q >= 25, 1.0).otherwise(0.0).as("x"),
+        when(cls === 0, q.cast("double"))
+          .when(cls === 1, lit(1.0)).otherwise(lit(0.0)).as("lo"),
+        when(cls === 0, q.cast("double"))
+          .when(cls === 1, lit(null).cast("double")).otherwise(lit(1.0))
+          .as("hi"))
+      val spec = DMatrixSpec(labelLowerCol = Some("lo"),
+        labelUpperCol = Some("hi"))
+      val res = GraftBoost.train(df, spec,
+        TrainParams(objective = "survival:aft", numRounds = 1,
+          maxDepth = 1, baseScore = 0.0, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, spec)
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML surface (rows-only; semantics tested in ScalaTest) ----
     "ml_train_predict" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
@@ -1421,6 +1455,35 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CASE WHEN CAST(CAST(0.5 AS REAL) + leaf AS REAL) > 0
         |   THEN 1.0 ELSE 0.0 END AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // AFT (σ=1) at margin 0: uncensored rows replay g = −ln(q), h = 1;
+    // the censored shapes pin z at 0 or ±∞ so Φ is exactly 1/2 (or 0/1)
+    // and the whole grad/hess pair collapses to ±2φ(0) and 4φ(0)² with
+    // φ(0) = 1/sqrt(2π). Per-row REAL casts then a DOUBLE sum replay
+    // the trainer's float-gradient / double-histogram pipeline; the
+    // leaf and exp() transform go through REAL exactly like the model.
+    "ml_stump_aft" ->
+      """WITH t AS (SELECT
+        |   CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS x,
+        |   CAST(l_quantity AS BIGINT) % 3 AS cls,
+        |   CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS y
+        | FROM lineitem),
+        |c AS (SELECT 1.0/sqrt(2*pi()) AS p),
+        |g AS (SELECT x,
+        |   CAST(CASE WHEN cls = 0 THEN CAST(-ln(y) AS REAL)
+        |     WHEN cls = 1 THEN CAST((0.0 - p)/(1.0*0.5) AS REAL)
+        |     ELSE CAST((p - 0.0)/(1.0*0.5) AS REAL) END AS DOUBLE) AS gr,
+        |   CAST(CASE WHEN cls = 0 THEN CAST(1.0 AS REAL)
+        |     ELSE CAST(((0.0 - p)/(1.0*0.5))*((0.0 - p)/(1.0*0.5))
+        |       AS REAL) END AS DOUBLE) AS hr
+        | FROM t, c),
+        |s AS (SELECT x, count(*) AS n, sum(gr) AS sg, sum(hr) AS sh
+        | FROM g GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * sg)/(sh + 1.0) AS REAL) AS leaf FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(exp(CAST(leaf AS DOUBLE)) AS REAL) AS DOUBLE)
+        |   AS prediction
         | FROM l ORDER BY x""".stripMargin,
     "pp_clean" ->
       """WITH keep AS (
