@@ -56,8 +56,12 @@ object CorpusPipeline {
    * set BROADCASTS; the corpus side is one narrow scan + explode into
    * a broadcast-hash join — the only shuffle is the final per-doc
    * aggregate of matched rows (≈ contaminated grams only, a sliver of
-   * the corpus). Grams join as exact strings here; at 100 TB hash them
-   * (`xxhash64(gram)`) on both sides first — same plan, 8-byte keys.
+   * the corpus). Grams join as `xxhash64(gram)` on BOTH sides: 8-byte
+   * keys keep the broadcast build side small and the probe a long
+   * compare instead of a multi-word string equality. A false flag
+   * needs an eval-gram/corpus-gram 64-bit collision — vanishingly
+   * rare even at 100 TB, and this is a flagging sweep, so the hashed
+   * join is the default rather than an opt-in.
    *
    * @return one row per contaminated training doc: (train_id,
    *         n_shared distinct shared grams, eval_id = smallest matching
@@ -72,7 +76,8 @@ object CorpusPipeline {
         .filter(size(col("toks")) >= n)
         .select(col(outId), explode(array_distinct(
           transform(sequence(lit(0), size(col("toks")) - n),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+            i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1,
+              lit(n)))))))
           .as("gram"))
     grams(corpus, "train_id")
       .join(broadcast(grams(evalSet, "eval_id")), "gram")
