@@ -237,7 +237,18 @@ object GraftLinear {
       require(n == model.numFeatures,
         s"model expects ${model.numFeatures} features, got $n")
     }
-    val featsArr = spec.featuresArray(df)
+    val raw = spec.featuresArray(df)
+    // pre-assembled width is a runtime property; marginExpr's
+    // element_at + coalesce would silently read 0 past a short row —
+    // fail the row with a clear message instead (per-column assembly is
+    // statically checked above, so the guard costs nothing there)
+    val featsArr =
+      if (spec.featureWidth(df).isDefined) raw
+      else when(size(raw) =!= model.numFeatures, raise_error(concat(
+        lit("graft: pre-assembled feature row has "),
+        size(raw).cast("string"),
+        lit(s" element(s); model expects ${model.numFeatures}"))))
+        .otherwise(raw)
     val bm = spec.baseMarginCol.filter(df.columns.contains)
       .map(c => coalesce(col(c).cast("float"), lit(Float.NaN)))
       .getOrElse(lit(Float.NaN))

@@ -109,12 +109,20 @@ final case class DMatrixSpec(
             org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
           org.apache.spark.ml.functions.vector_to_array(col(f), "float32")
         else col(f).cast(ArrayType(FloatType, containsNull = true))
-      missing match {
+      val filled = missing match {
         case Some(m) => transform(arr, x =>
           when(x.isNull || x === lit(m.toFloat), lit(Float.NaN))
             .otherwise(x))
         case None => transform(arr, x => coalesce(x, lit(Float.NaN)))
       }
+      // fail-fast: a NULL row in the pre-assembled column would surface
+      // as an opaque NPE deep inside the trainer/scorer; raise a clear
+      // error at the row instead (element NULLs are valid — they become
+      // NaN above; this guards the whole-row NULL only)
+      when(col(f).isNull, raise_error(lit(
+        s"graft: pre-assembled feature column '$f' is NULL for a row; " +
+          "drop or impute NULL feature rows before train/predict")))
+        .otherwise(filled)
     case None =>
       val feats = resolveFeatures(df)
       require(feats.nonEmpty, "DMatrixSpec resolved zero feature columns")

@@ -7,6 +7,19 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
+/** Shared per-row input validation for the ensemble expressions: a
+  * pre-assembled array whose runtime width disagrees with the model
+  * would otherwise AIOOBE mid-traversal (too narrow) or silently
+  * mis-score (too wide) — fail with an actionable message instead.
+  * One predictable branch per row; free next to the tree traversal. */
+private[functions] object EnsembleGuards {
+  @inline def checkWidth(n: Int, model: GraftModel): Unit =
+    if (n != model.numFeatures) throw new IllegalArgumentException(
+      s"graft: feature array has $n element(s) but the model expects " +
+        s"${model.numFeatures}; check the pre-assembled feature column " +
+        "width matches the training features")
+}
+
 /**
  * Native Catalyst expression scoring a feature array through a
  * [[GraftModel]] ensemble — the batch-predict hot path (replaces the
@@ -50,6 +63,7 @@ case class EnsembleScore(left: Expression, right: Expression,
   /** Row scoring entry shared by interpreted eval and generated code. */
   def score(a: ArrayData, base: Float): ArrayData = {
     val n = a.numElements()
+    EnsembleGuards.checkWidth(n, model)
     val feats = new Array[Float](n)
     var i = 0
     while (i < n) { feats(i) = a.getFloat(i); i += 1 }
@@ -98,6 +112,7 @@ case class EnsembleLeaves(child: Expression, model: GraftModel)
 
   def leaves(a: ArrayData): ArrayData = {
     val n = a.numElements()
+    EnsembleGuards.checkWidth(n, model)
     val feats = new Array[Float](n)
     var i = 0
     while (i < n) { feats(i) = a.getFloat(i); i += 1 }
@@ -139,6 +154,7 @@ case class EnsembleContribs(child: Expression, model: GraftModel)
 
   def contribs(a: ArrayData): ArrayData = {
     val n = a.numElements()
+    EnsembleGuards.checkWidth(n, model)
     val feats = new Array[Float](n)
     var i = 0
     while (i < n) { feats(i) = a.getFloat(i); i += 1 }

@@ -217,7 +217,13 @@ object Metrics {
     if (ideal == 0.0) 1.0 else dcg(rankedRels(arr)) / ideal
   }
 
-  /** Average precision at k with binary relevance (rel > 0). */
+  /** Average precision at k with binary relevance (rel > 0). Matches
+    * xgboost's `map[@k]`: precision terms are summed over the top-k
+    * positions only, but the divisor is the group's UNCAPPED positive
+    * count — a group with more positives than k can never reach 1.0
+    * (e.g. 2 positives, map@1 with the top doc relevant = 0.5).
+    * Groups with no positives score 1.0 (xgboost's default; the `map-`
+    * variant is not implemented). */
   private def apOf(arr: Array[(Float, Float)], k: Int): Double = {
     val rels = rankedRels(arr)
     val n = math.min(k, rels.length)
@@ -229,7 +235,7 @@ object Metrics {
       i += 1
     }
     val totalPos = rels.count(_ > 0f)
-    if (totalPos == 0) 1.0 else s / math.min(totalPos, n)
+    if (totalPos == 0) 1.0 else s / totalPos
   }
 
   private val Buckets = 4096

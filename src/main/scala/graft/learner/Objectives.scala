@@ -190,7 +190,11 @@ object Objectives {
   }
 
   /** binary:hinge — SVM-style hinge subgradient on y ∈ {0,1} mapped to
-    * s ∈ {−1,+1}: if s·m < 1 then grad = −s else 0; unit hessian.
+    * s ∈ {−1,+1}: rows inside the hinge (s·m < 1) get grad = −s, unit
+    * hessian; SATISFIED rows (s·m ≥ 1) get grad = 0 and an epsilon
+    * hessian (xgboost uses h ≈ 0 there, not 1 — a unit hessian would
+    * inflate leaf denominators with rows that carry no gradient,
+    * shrinking every leaf toward 0 as the margin fit improves).
     * Predictions are hard 0/1 (margin sign), matching xgboost. The
     * base_score is used directly as the initial margin. */
   final class Hinge extends Objective {
@@ -202,8 +206,8 @@ object Objectives {
     def gradHess(m: Array[Float], y: Float, g: Array[Float],
         h: Array[Float]): Unit = {
       val s = if (y > 0.5f) 1f else -1f
-      g(0) = if (s * m(0) < 1f) -s else 0f
-      h(0) = 1f
+      if (s * m(0) < 1f) { g(0) = -s; h(0) = 1f }
+      else { g(0) = 0f; h(0) = 1e-16f }
     }
   }
 

@@ -84,6 +84,21 @@ object Dedup {
       .stat.bloomFilter("__fp", expectedItems, fpp)
 
   /**
+   * [[seenFilter]] wrapped in a CALLER-OWNED broadcast — the handle to
+   * pass [[incrementalDedup]] across many ingest batches. Executors
+   * hold exactly one copy for the handle's whole lifetime (vs one new
+   * up-to-~GiB copy per batch if each call re-broadcast the filter);
+   * the caller ends the lifetime with `handle.destroy()` when the
+   * ingest loop finishes.
+   */
+  def broadcastSeenFilter(seen: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter] =
+    seen.sparkSession.sparkContext.broadcast(
+      seenFilter(seen, textCol, expectedItems, fpp))
+
+  /**
    * Incremental exact dedup: drop rows of `incoming` whose
    * normalized-text fingerprint already appears in `seen` — the
    * "dedupe today's crawl against the existing corpus" step of a
@@ -104,16 +119,22 @@ object Dedup {
    * `seen` can be the compact per-doc fingerprint index (8 bytes/doc)
    * rather than the corpus itself; the plan is identical.
    *
-   * @param filter pre-built [[seenFilter]] to reuse across batches
-   *               (skips the corpus aggregate pass)
+   * @param filter caller-owned [[broadcastSeenFilter]] handle to reuse
+   *               across batches: skips the corpus aggregate pass AND
+   *               pins executor memory to ONE filter copy for the whole
+   *               ingest loop (the caller `destroy()`s it at the end).
+   *               When absent, a filter is built and broadcast for this
+   *               call only; its lifetime is tied to the returned plan
+   *               (the ContextCleaner reclaims it once the caller drops
+   *               the DataFrame).
    */
   def incrementalDedup(incoming: DataFrame, seen: DataFrame,
       idCol: String, textCol: String,
-      filter: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      filter: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = None,
       expectedSeen: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
-    val bloom = filter.getOrElse(
-      seenFilter(seen, textCol, expectedSeen, fpp))
-    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val bc = filter.getOrElse(incoming.sparkSession.sparkContext
+      .broadcast(seenFilter(seen, textCol, expectedSeen, fpp)))
     // bloom probe is one long-key lookup per row; a UDF (the
     // single-pass-kernel trade langId documents) — the filter output
     // is a sliver, so everything downstream stays tiny

@@ -44,9 +44,23 @@ class RankMetricSpec extends SparkTestBase {
     val expected = ((1.0 + 2.0 / 3.0) / 2.0 + 1.0) / 2.0
     val got = Metrics.computeGroup("map", groupRows(rows))
     assert(math.abs(got - expected) < 1e-12, s"map $got vs $expected")
-    // @1: g1 top doc is relevant → 1; g2 top doc relevant → 1
+    // @1 (xgboost semantics — divisor is the UNCAPPED positive count):
+    // g1 top doc relevant but 2 positives → 1/2; g2 top doc relevant,
+    // 1 positive → 1. map@1 = (0.5 + 1)/2
     val at1 = Metrics.computeGroup("map@1", groupRows(rows))
-    assert(math.abs(at1 - 1.0) < 1e-12, s"map@1 $at1")
+    assert(math.abs(at1 - 0.75) < 1e-12, s"map@1 $at1")
+  }
+
+  test("map@k with more positives than k matches xgboost (never 1.0)") {
+    // the ADVICE divergence case: a single group with 2 positives,
+    // top-1 relevant — xgboost map@1 = 0.5, not 1.0
+    val rows = Seq(
+      (0.9f, 1f, 1f, 7L), (0.8f, 1f, 1f, 7L), (0.7f, 0f, 1f, 7L))
+    val at1 = Metrics.computeGroup("map@1", groupRows(rows, parts = 1))
+    assert(math.abs(at1 - 0.5) < 1e-12, s"map@1 $at1")
+    // map@2: hits at 1,2 → (1 + 2/2)/2 = 1.0 (k covers all positives)
+    val at2 = Metrics.computeGroup("map@2", groupRows(rows, parts = 1))
+    assert(math.abs(at2 - 1.0) < 1e-12, s"map@2 $at2")
   }
 
   test("ndcg@k truncation and score ties keep row order") {

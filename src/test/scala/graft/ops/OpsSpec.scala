@@ -402,8 +402,8 @@ class OpsSpec extends SparkTestBase {
     val seen = docs.filter($"doc_id" % 2 === 0)
     val incoming = docs.filter($"doc_id" % 2 === 1)
     val loose = Dedup.incrementalDedup(incoming, seen, "doc_id", "text",
-      filter = Some(Dedup.seenFilter(seen, "text", expectedItems = 1,
-        fpp = 0.5)))
+      filter = Some(Dedup.broadcastSeenFilter(seen, "text",
+        expectedItems = 1, fpp = 0.5)))
       .select("doc_id").as[Long].collect().sorted
     val tight = Dedup.incrementalDedup(incoming, seen, "doc_id", "text",
       expectedSeen = 100000)
@@ -415,6 +415,34 @@ class OpsSpec extends SparkTestBase {
       .join(seen.select(fp.as("__k")).distinct(), Seq("__k"), "left_anti")
       .select("doc_id").as[Long].collect().sorted
     assert(tight === ref)
+  }
+
+  test("incrementalDedup shares ONE caller-owned broadcast across " +
+      "batches; destroy() ends its lifetime") {
+    val seen = docs.filter($"doc_id" % 2 === 0)
+    val handle = Dedup.broadcastSeenFilter(seen, "text",
+      expectedItems = 100000)
+    val fp = TextOps.fingerprint($"text")
+    val seenKeys = seen.select(fp.as("__k")).distinct()
+    // three ingest batches against the SAME handle — the documented
+    // long-running-loop usage that used to leak one broadcast per batch
+    (0 until 3).foreach { b =>
+      val batch = docs.filter($"doc_id" % 3 === b)
+      val got = Dedup.incrementalDedup(batch, seen, "doc_id", "text",
+        filter = Some(handle)).select("doc_id").as[Long].collect().sorted
+      val ref = batch.withColumn("__k", fp)
+        .join(seenKeys, Seq("__k"), "left_anti")
+        .select("doc_id").as[Long].collect().sorted
+      assert(got === ref, s"batch $b diverged from the anti-join oracle")
+    }
+    // caller-managed lifetime: after destroy, the executors' copy is
+    // gone and further use of the handle must fail — proving the
+    // batches shared that single copy rather than private re-broadcasts
+    handle.destroy()
+    intercept[Exception] {
+      Dedup.incrementalDedup(docs.limit(10), seen, "doc_id", "text",
+        filter = Some(handle)).collect()
+    }
   }
 
   test("incrementalDedup plan: corpus side joins broadcast, " +
