@@ -374,4 +374,9 @@ object GraftPredictionModel {
     val m = GraftModel.load(spark, path)
     new GraftRegressionModel(m, spec, Map.empty)
   }
+  def loadRanker(spark: SparkSession, path: String,
+      spec: DMatrixSpec): GraftRankerModel = {
+    val m = GraftModel.load(spark, path)
+    new GraftRankerModel(m, spec, Map.empty)
+  }
 }

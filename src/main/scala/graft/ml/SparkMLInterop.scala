@@ -205,6 +205,17 @@ class GraftXGBClassificationModel(
   def numClasses: Int = inner.numClasses
   def classLabels: Array[Double] = inner.classLabels
 
+  /** sklearn `feature_importances_` in the MLlib model convention: a
+    * normalized dense Vector (sums to 1; indices follow the resolved
+    * feature order). `importanceType` ∈ weight | gain | total_gain |
+    * cover | total_cover. */
+  def featureImportances(importanceType: String)
+      : org.apache.spark.ml.linalg.Vector =
+    org.apache.spark.ml.linalg.Vectors.dense(
+      inner.featureImportances(importanceType))
+  def featureImportances: org.apache.spark.ml.linalg.Vector =
+    featureImportances("weight")
+
   // MLlib evaluators type-check any column named "probability" as a
   // Vector of class probabilities — emit the native convention
   private val binToVec = udf { (p: Double) =>
@@ -326,6 +337,15 @@ class GraftXGBRegressionModel(
 
   def graftModel: GraftModel = inner.model
 
+  /** sklearn `feature_importances_` in the MLlib model convention (see
+    * [[GraftXGBClassificationModel.featureImportances]]). */
+  def featureImportances(importanceType: String)
+      : org.apache.spark.ml.linalg.Vector =
+    org.apache.spark.ml.linalg.Vectors.dense(
+      inner.featureImportances(importanceType))
+  def featureImportances: org.apache.spark.ml.linalg.Vector =
+    featureImportances("weight")
+
   override def transform(ds: Dataset[_]): DataFrame =
     inner.transform(ds.toDF)
 
@@ -369,4 +389,226 @@ object GraftXGBRegressionModel
 
   override def load(path: String): GraftXGBRegressionModel =
     super.load(path)
+}
+
+// ---------------- Ranker ----------------
+
+/** Shared qid param so the fitted model persists/restores it through
+  * the same `mlparams` table as the rest of the Param surface. */
+trait GraftXGBRankerParams extends GraftMLParams {
+  final val qidCol = new Param[String](this, "qidCol",
+    "query/group id column for ranking")
+  final def getQidCol: String = $(qidCol)
+  setDefault(qidCol -> "qid")
+  def setQidCol(v: String): this.type = set(qidCol, v)
+}
+
+/** MLlib Estimator facade over [[GraftRanker]] — the RayXGBRanker
+  * surface (reference sklearn.py:920-1083): rank:pairwise over
+  * qid-grouped rows, `Pipeline`/`CrossValidator` compatible,
+  * save/load round-trip. Predictions are raw ranking margins (higher =
+  * ranked earlier within a query), the xgboost ranker convention. */
+class GraftXGBRanker(override val uid: String)
+    extends Estimator[GraftXGBRankerModel] with GraftXGBRankerParams
+    with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("graftXGBRanker"))
+
+  override def fit(ds: Dataset[_]): GraftXGBRankerModel = {
+    transformSchema(ds.schema)
+    val rk = new GraftRanker()
+      .setLabelCol($(labelCol))
+      .setQidCol($(qidCol))
+      .setParams(mkTrainParams("rank:pairwise"))
+      .setNumWorkers($(numWorkers))
+    if ($(featuresCols).nonEmpty) rk.setFeaturesCols($(featuresCols).toSeq)
+    val inner = rk.fit(ds.toDF)
+    copyValues(new GraftXGBRankerModel(uid, inner)).setParent(this)
+  }
+
+  override def copy(extra: ParamMap): GraftXGBRanker = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType = {
+    validateFitSchema(schema)
+    require(schema.fieldNames.contains($(qidCol)),
+      s"qid column ${$(qidCol)} missing from ${schema.fieldNames.toSeq}")
+    schema.add("prediction", DoubleType)
+  }
+}
+
+object GraftXGBRanker extends DefaultParamsReadable[GraftXGBRanker] {
+  override def load(path: String): GraftXGBRanker = super.load(path)
+}
+
+class GraftXGBRankerModel(
+    override val uid: String,
+    private[ml] val inner: GraftRankerModel)
+    extends Model[GraftXGBRankerModel] with GraftXGBRankerParams
+    with MLWritable {
+
+  def graftModel: GraftModel = inner.model
+
+  /** sklearn `feature_importances_` in the MLlib model convention (see
+    * [[GraftXGBClassificationModel.featureImportances]]). */
+  def featureImportances(importanceType: String)
+      : org.apache.spark.ml.linalg.Vector =
+    org.apache.spark.ml.linalg.Vectors.dense(
+      inner.featureImportances(importanceType))
+  def featureImportances: org.apache.spark.ml.linalg.Vector =
+    featureImportances("weight")
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    inner.transform(ds.toDF)
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add("prediction", DoubleType)
+
+  override def copy(extra: ParamMap): GraftXGBRankerModel =
+    copyValues(new GraftXGBRankerModel(uid, inner), extra)
+      .setParent(parent)
+
+  override def write: MLWriter = new GraftXGBRankerModel.Writer(this)
+}
+
+object GraftXGBRankerModel extends MLReadable[GraftXGBRankerModel] {
+
+  private[ml] class Writer(instance: GraftXGBRankerModel)
+      extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftMLIO.saveMetadata(instance,
+        classOf[GraftXGBRankerModel].getName, path, sparkSession)
+      instance.inner.save(sparkSession, s"$path/graft")
+      GraftMLIO.saveParams(instance, path, sparkSession)
+    }
+  }
+
+  private class Reader extends MLReader[GraftXGBRankerModel] {
+    override def load(path: String): GraftXGBRankerModel = {
+      val tmp = new GraftXGBRanker()
+      val uid = GraftMLIO.loadParams(tmp, path, sparkSession)
+      val spec = tmp.mkSpec.copy(qidCol = Some(tmp.getQidCol))
+      val inner = GraftPredictionModel.loadRanker(sparkSession,
+        s"$path/graft", spec)
+      val m = new GraftXGBRankerModel(uid, inner)
+      tmp.params.foreach(p =>
+        tmp.get(p).foreach(v => m.set(m.getParam(p.name), v)))
+      m
+    }
+  }
+
+  override def read: MLReader[GraftXGBRankerModel] = new Reader
+
+  override def load(path: String): GraftXGBRankerModel = super.load(path)
+}
+
+// ---------------- Linear booster (gblinear) ----------------
+
+/** MLlib Estimator facade over the linear booster ([[graft.api
+  * .GraftLinear]]) — the `RayXGBRegressor(booster="gblinear")` surface
+  * (reference tests/test_sklearn.py:493-517). Tree-only params
+  * (maxDepth, subsample) are inherited but ignored, exactly as xgboost
+  * ignores tree params under gblinear. */
+/** Shared gblinear params so the fitted model persists/restores them. */
+trait GraftXGBLinearParams extends GraftMLParams {
+  final val objective = new Param[String](this, "objective",
+    "pointwise objective for the linear booster",
+    ParamValidators.inArray(Array("reg:squarederror", "reg:absoluteerror",
+      "binary:logistic")))
+  final def getObjective: String = $(objective)
+  setDefault(objective -> "reg:squarederror")
+  def setObjective(v: String): this.type = set(objective, v)
+
+  final val alpha = new DoubleParam(this, "alpha",
+    "L1 regularization (gblinear soft-threshold)",
+    ParamValidators.gtEq(0.0))
+  final def getAlpha: Double = $(alpha)
+  setDefault(alpha -> 0.0)
+  def setAlpha(v: Double): this.type = set(alpha, v)
+}
+
+class GraftXGBLinear(override val uid: String)
+    extends Estimator[GraftXGBLinearModel] with GraftXGBLinearParams
+    with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("graftXGBLinear"))
+
+  override def fit(ds: Dataset[_]): GraftXGBLinearModel = {
+    transformSchema(ds.schema)
+    val lr = new GraftLinearRegressor()
+      .setLabelCol($(labelCol))
+      .setParams(mkTrainParams($(objective)).copy(alpha = $(alpha),
+        numClass = 0))
+      .setNumWorkers($(numWorkers))
+    if ($(featuresCols).nonEmpty) lr.setFeaturesCols($(featuresCols).toSeq)
+    val inner = lr.fit(ds.toDF)
+    copyValues(new GraftXGBLinearModel(uid, inner)).setParent(this)
+  }
+
+  override def copy(extra: ParamMap): GraftXGBLinear = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType = {
+    validateFitSchema(schema)
+    schema.add("prediction", DoubleType)
+  }
+}
+
+object GraftXGBLinear extends DefaultParamsReadable[GraftXGBLinear] {
+  override def load(path: String): GraftXGBLinear = super.load(path)
+}
+
+class GraftXGBLinearModel(
+    override val uid: String,
+    private[ml] val inner: GraftLinearModel)
+    extends Model[GraftXGBLinearModel] with GraftXGBLinearParams
+    with MLWritable {
+
+  def linearModel: graft.api.GraftLinear.LinearModel = inner.model
+
+  /** Per-feature weights (class 0) — the gblinear `coef_` analog. */
+  def coefficients: org.apache.spark.ml.linalg.Vector =
+    org.apache.spark.ml.linalg.Vectors.dense(
+      inner.model.weights(0).map(_.toDouble))
+  def intercept: Double = inner.model.bias(0).toDouble
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    inner.transform(ds.toDF)
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add("prediction", DoubleType)
+
+  override def copy(extra: ParamMap): GraftXGBLinearModel =
+    copyValues(new GraftXGBLinearModel(uid, inner), extra)
+      .setParent(parent)
+
+  override def write: MLWriter = new GraftXGBLinearModel.Writer(this)
+}
+
+object GraftXGBLinearModel extends MLReadable[GraftXGBLinearModel] {
+
+  private[ml] class Writer(instance: GraftXGBLinearModel)
+      extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftMLIO.saveMetadata(instance,
+        classOf[GraftXGBLinearModel].getName, path, sparkSession)
+      instance.inner.save(sparkSession, s"$path/graft")
+      GraftMLIO.saveParams(instance, path, sparkSession)
+    }
+  }
+
+  private class Reader extends MLReader[GraftXGBLinearModel] {
+    override def load(path: String): GraftXGBLinearModel = {
+      val tmp = new GraftXGBLinear()
+      val uid = GraftMLIO.loadParams(tmp, path, sparkSession)
+      val lm = graft.api.GraftLinear.load(sparkSession, s"$path/graft")
+      val m = new GraftXGBLinearModel(uid,
+        new GraftLinearModel(lm, tmp.mkSpec))
+      tmp.params.foreach(p =>
+        tmp.get(p).foreach(v => m.set(m.getParam(p.name), v)))
+      m
+    }
+  }
+
+  override def read: MLReader[GraftXGBLinearModel] = new Reader
+
+  override def load(path: String): GraftXGBLinearModel = super.load(path)
 }

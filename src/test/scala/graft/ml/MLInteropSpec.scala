@@ -176,6 +176,91 @@ class MLInteropSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("ranker facade fits in a Pipeline, ranks positives above " +
+      "negatives, and save/loads") {
+    val rng = new scala.util.Random(19)
+    val rows = (1 to 3000).map { i =>
+      val q = i / 30 // 100 groups of 30
+      val x = rng.nextDouble()
+      val rel = if (x + 0.05 * rng.nextGaussian() > 0.6) 1.0 else 0.0
+      (x, x * 2 + rng.nextGaussian() * 0.1, rel, q.toLong)
+    }
+    val rdf = rows.toDF("x0", "x1", "rel", "qid").repartition(4)
+    val rk = new GraftXGBRanker().setLabelCol("rel").setQidCol("qid")
+      .setFeaturesCols(Array("x0", "x1"))
+      .setNumRounds(8).setMaxDepth(3).setSeed(5L).setNumWorkers(4)
+    val model = new Pipeline().setStages(Array(rk)).fit(rdf)
+    val out = model.transform(rdf).cache()
+    assert(out.columns.contains("prediction"))
+    val Array(mPos, mNeg) = out.groupBy("rel")
+      .agg(avg("prediction")).orderBy(desc("rel"))
+      .collect().map(_.getDouble(1))
+    assert(mPos > mNeg,
+      s"ranking margins do not separate: pos=$mPos neg=$mNeg")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rank")
+      .toString
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val lm = loaded.stages.head.asInstanceOf[GraftXGBRankerModel]
+    assert(lm.getQidCol === "qid")
+    // explicit sort key: repartitioned input gives no stable collect order
+    val a = out.orderBy("qid", "x0").select("prediction")
+      .collect().map(_.getDouble(0))
+    val b = loaded.transform(rdf).orderBy("qid", "x0").select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+    out.unpersist()
+  }
+
+  test("linear facade (gblinear) fits in a Pipeline and save/loads " +
+      "with coefficients") {
+    val lin = new GraftXGBLinear().setLabelCol("qty")
+      .setFeaturesCols(Array("price", "disc"))
+      .setNumRounds(5).setEta(0.5).setSeed(3L).setNumWorkers(4)
+    val model = new Pipeline().setStages(Array(lin)).fit(df)
+    val lm = model.stages.head.asInstanceOf[GraftXGBLinearModel]
+    assert(lm.coefficients.size === 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lin")
+      .toString
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val llm = loaded.stages.head.asInstanceOf[GraftXGBLinearModel]
+    assert(llm.coefficients === lm.coefficients)
+    assert(llm.intercept === lm.intercept)
+    assert(llm.getObjective === "reg:squarederror")
+    val a = model.transform(df).agg(sum("prediction")).head().getDouble(0)
+    val b = loaded.transform(df).agg(sum("prediction")).head().getDouble(0)
+    assert(a === b)
+    // logistic variant trains and emits probabilities in (0,1)
+    val clf = new GraftXGBLinear().setLabelCol("y")
+      .setObjective("binary:logistic")
+      .setFeaturesCols(Array("qty", "price", "disc"))
+      .setNumRounds(5).setSeed(3L).setNumWorkers(4).fit(df)
+    val preds = clf.transform(df).select("prediction")
+      .agg(min("prediction"), max("prediction")).head()
+    assert(preds.getDouble(0) >= 0.0 && preds.getDouble(1) <= 1.0)
+  }
+
+  test("featureImportances surfaces as a normalized Vector on the " +
+      "MLlib models (native-API parity)") {
+    val clf = new GraftXGBClassifier().setLabelCol("y")
+      .setNumRounds(4).setMaxDepth(3).setSeed(1L).setNumWorkers(4)
+    val model = clf.fit(df)
+    val fi = model.featureImportances
+    assert(fi.size === 3, s"expected 3 features, got ${fi.size}")
+    assert(math.abs(fi.toArray.sum - 1.0) < 1e-9, fi.toString)
+    // exact parity with the native estimator API
+    assert(fi.toArray.sameElements(model.inner.featureImportances("weight")))
+    val gain = model.featureImportances("gain")
+    assert(math.abs(gain.toArray.sum - 1.0) < 1e-9, gain.toString)
+    val reg = new GraftXGBRegressor().setLabelCol("qty")
+      .setFeaturesCols(Array("price", "disc"))
+      .setNumRounds(4).setMaxDepth(3).setSeed(4L).setNumWorkers(4)
+      .fit(df)
+    val rfi = reg.featureImportances
+    assert(rfi.size === 2 && math.abs(rfi.toArray.sum - 1.0) < 1e-9)
+  }
+
   test("declared labels skip the distinct-label scan") {
     // with setNumClass the fit never runs a distinct aggregate over the
     // label column: assert by counting jobs via a listener (atomic —
