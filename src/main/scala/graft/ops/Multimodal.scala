@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
  * columns with typed metadata, plus decode / feature-extract / resize /
  * frame-sample operators.
  *
- * The decode kernels are STUBS — this container has no image/audio
- * codecs, so `decodeImage`/`decodeAudio` produce a deterministic fake
- * derived from the bytes (clearly marked below). Everything around them
- * is real and load-bearing: the schema contracts, the batch shape
- * (mapPartitions-style iteration, one struct per asset), the
- * size-balanced repartitioning, and the downstream embedding join path.
- * Swapping a real codec in changes ONE function body.
+ * Decode is REAL wherever the JVM can read pixels without a codec
+ * library: netpbm P1–P6 headers AND pixel payloads (see
+ * [[imageChannelStats]] — true per-channel mean/std over the raw
+ * samples), BMP/PNG headers. Only the codec-dependent kernels
+ * (JPEG/PNG pixel decode, audio) remain deterministic-fake STUBS,
+ * clearly marked below. Everything around them is real and
+ * load-bearing: the schema contracts, the batch shape, the
+ * size-balanced repartitioning, and the downstream embedding join
+ * path. Swapping a real codec in changes ONE function body.
  *
  * Scale notes:
  *  - assets repartition by byte size (`balanceBySize`) so one partition
@@ -116,6 +118,123 @@ object Multimodal {
   def decodeImage(bytes: Column): Column =
     decodeImageUdf(bytes).cast(
       "struct<width:int,height:int,channels:int,byte_size:bigint>")
+
+  /**
+   * REAL pixel feature-extraction kernel for the netpbm family: the
+   * P1–P6 pixel payload follows the ASCII header with no codec, so
+   * per-channel mean/std are computed from the actual sample values —
+   *  - P1/P2/P3: ASCII samples (bitmap / gray / RGB interleaved)
+   *  - P4: packed bits, each row padded to a byte boundary
+   *  - P5/P6: binary samples, 1 byte (maxval ≤ 255) or 2 bytes
+   *    big-endian (maxval ≤ 65535) each, RGB interleaved for P6
+   * Mean and std are exact-in-double (integer sums; population std via
+   * sqrt(E[v²] − E[v]²)), so the result is independently replayable in
+   * SQL — the `mm_features` DuckDB oracle does exactly that.
+   * Returns NULL for non-netpbm bytes or a truncated payload (the
+   * codec-needing formats — JPEG/PNG pixels — are where the stub
+   * kernel remains); callers decide the fallback.
+   */
+  private[ops] def pnmChannelStats(bytes: Array[Byte])
+      : Option[Seq[(Int, Long, Double, Double)]] = {
+    if (bytes == null || bytes.length < 4 || bytes(0) != 'P') return None
+    val kind = bytes(1) - '0'
+    if (kind < 1 || kind > 6 || !bytes(2).toChar.isWhitespace) return None
+    val channels = if (kind == 3 || kind == 6) 3 else 1
+    val r1 = pnmInt(bytes, 2)
+    if (r1 == null) return None
+    val (w, i1) = r1
+    val r2 = pnmInt(bytes, i1)
+    if (r2 == null) return None
+    val (h, i2) = r2
+    var maxval = 1
+    var pos = i2
+    if (kind != 1 && kind != 4) {
+      val r3 = pnmInt(bytes, pos)
+      if (r3 == null) return None
+      maxval = r3._1
+      pos = r3._2
+    }
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535) return None
+    val nPx = w.toLong * h
+    val sum = new Array[Double](channels)
+    val sumsq = new Array[Double](channels)
+    kind match {
+      case 1 => // ASCII bitmap; digits may run together ("0110")
+        var i = pos
+        var count = 0L
+        while (i < bytes.length && count < nPx) {
+          val c = bytes(i).toChar
+          if (c == '0' || c == '1') {
+            val v = (c - '0').toDouble
+            sum(0) += v; sumsq(0) += v * v; count += 1
+          } else if (c == '#') {
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          } else if (!c.isWhitespace) return None
+          i += 1
+        }
+        if (count < nPx) return None
+      case 2 | 3 => // ASCII samples
+        val total = nPx * channels
+        var i = pos
+        var count = 0L
+        while (count < total) {
+          val r = pnmInt(bytes, i)
+          if (r == null) return None
+          val v = r._1.toDouble
+          i = r._2
+          val c = (count % channels).toInt
+          sum(c) += v; sumsq(c) += v * v
+          count += 1
+        }
+      case 4 => // packed bits after ONE whitespace byte; rows padded
+        val dataStart = pos + 1
+        val rowBytes = (w + 7) / 8
+        if (bytes.length < dataStart + h.toLong * rowBytes) return None
+        var r = 0
+        while (r < h) {
+          var j = 0
+          while (j < w) {
+            val b = bytes(dataStart + r * rowBytes + j / 8)
+            val v = ((b >> (7 - (j % 8))) & 1).toDouble
+            sum(0) += v; sumsq(0) += v * v
+            j += 1
+          }
+          r += 1
+        }
+      case _ => // 5 | 6: binary samples after ONE whitespace byte
+        val dataStart = pos + 1
+        val bps = if (maxval > 255) 2 else 1
+        val total = nPx * channels
+        if (bytes.length < dataStart + total * bps) return None
+        var i = 0L
+        while (i < total) {
+          val o = dataStart + i * bps
+          val v =
+            if (bps == 1) (bytes(o.toInt) & 0xFF).toDouble
+            else (((bytes(o.toInt) & 0xFF) << 8) |
+              (bytes(o.toInt + 1) & 0xFF)).toDouble
+          val c = (i % channels).toInt
+          sum(c) += v; sumsq(c) += v * v
+          i += 1
+        }
+    }
+    Some((0 until channels).map { c =>
+      val mean = sum(c) / nPx
+      val variance = math.max(sumsq(c) / nPx - mean * mean, 0.0)
+      (c, nPx, mean, math.sqrt(variance))
+    })
+  }
+
+  private val channelStatsUdf = udf { bytes: Array[Byte] =>
+    pnmChannelStats(bytes)
+  }
+
+  /** binary → array<struct<channel, n_px, mean, std>> (one row per
+    * color channel), NULL for non-netpbm/truncated input — see
+    * [[pnmChannelStats]]. */
+  def imageChannelStats(bytes: Column): Column =
+    channelStatsUdf(bytes).cast(
+      "array<struct<channel:int,n_px:bigint,mean:double,std:double>>")
 
   /**
    * Resize plan: pure-metadata op computing target dims preserving

@@ -563,6 +563,50 @@ class OpsSpec extends SparkTestBase {
     assert(rows(3L) === ((320, 200, 4)), rows.toString)
   }
 
+  test("pnmChannelStats computes REAL per-channel mean/std for " +
+      "P2/P4/P5/P6; rejects truncation and codec formats") {
+    // P5 grayscale 2x2, samples 10,20,30,40: mean 25, var 125
+    val p5 = "P5\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40)
+    val s5 = Multimodal.pnmChannelStats(p5).get
+    assert(s5 === Seq((0, 4L, 25.0, math.sqrt(125.0))))
+    // P6 RGB 2x1: pixels (0,100,200),(50,150,250) — per-channel means
+    // 25/125/225, each channel var = 625
+    val p6 = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 100, 200.toByte, 50, 150.toByte, 250.toByte)
+    val s6 = Multimodal.pnmChannelStats(p6).get
+    assert(s6 === Seq((0, 2L, 25.0, 25.0), (1, 2L, 125.0, 25.0),
+      (2, 2L, 225.0, 25.0)))
+    // P2 ASCII grayscale matches the binary P5 stats
+    val p2 = "P2\n2 2\n255\n10 20\n30 40\n".getBytes("US-ASCII")
+    assert(Multimodal.pnmChannelStats(p2).get === s5)
+    // P4 packed bitmap 10x2 (rows pad to 2 bytes): row0 all 1s,
+    // row1 all 0s → mean 0.5, var 0.25
+    val p4 = "P4\n10 2\n".getBytes("US-ASCII") ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x00)
+    assert(Multimodal.pnmChannelStats(p4).get ===
+      Seq((0, 20L, 0.5, 0.5)))
+    // 16-bit P5 (maxval > 255): one sample 0x0102 = 258
+    val p5w = "P5\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array[Byte](0x01, 0x02)
+    assert(Multimodal.pnmChannelStats(p5w).get ===
+      Seq((0, 1L, 258.0, 0.0)))
+    // truncated payload and non-netpbm bytes → None (stub territory)
+    assert(Multimodal.pnmChannelStats(
+      "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.pnmChannelStats(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
+    assert(Multimodal.pnmChannelStats("hello".getBytes).isEmpty)
+    // column wrapper round-trips through Spark with named struct fields
+    val df = Seq((1L, p6)).toDF("id", "bytes")
+      .withColumn("st", Multimodal.imageChannelStats($"bytes"))
+      .selectExpr("id", "inline(st)")
+    val got = df.collect().map(r => (r.getInt(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((0, 2L, 25.0, 25.0), (1, 2L, 125.0, 25.0),
+      (2, 2L, 225.0, 25.0)))
+  }
+
   test("multimodal plumbing: decode/resize/features on fake binaries") {
     val bin = Seq(
       (1L, Array.fill[Byte](4096)(7)),
