@@ -255,6 +255,31 @@ class OpsSpec extends SparkTestBase {
     assert(dups.filter($"jaccard" < 0.99).count() === 0)
   }
 
+  test("capped_collect: true totals with ids bounded at the cap " +
+      "across partitions") {
+    val bridge = org.apache.spark.sql.graftbridge.GraftColumnBridge
+    def cc(cap: Int) = bridge.column(graft.functions.CappedCollect(
+      bridge.expression(col("id")), cap).toAggregateExpression())
+    val df = spark.range(0, 1000)
+      .select((col("id") % 7).as("k"), col("id")).repartition(8)
+    val got = df.groupBy("k").agg(cc(10).as("cc"))
+      .select($"k", $"cc.total", size($"cc.ids")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length === 7)
+    got.foreach { case (k, total, nIds) =>
+      assert(total === (0 until 1000).count(_ % 7 == k),
+        s"k=$k total=$total")
+      assert(nIds === 10, s"k=$k ids not capped: $nIds") // cap < total
+    }
+    // below the cap: the list is COMPLETE (this is what lets ngram
+    // dedup emit pairs straight off the aggregation)
+    val small = spark.range(0, 5)
+      .select(lit(0L).as("k"), col("id")).repartition(3)
+    val ids = small.groupBy("k").agg(cc(10).as("cc"))
+      .select(array_sort($"cc.ids")).head().getSeq[Long](0)
+    assert(ids === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("planted skew: oversized buckets are chunked, not dropped") {
     // 500 copies of ONE document with caps far below the bucket size —
     // the duplicate-heavy case that a drop-cap silently loses. Every
