@@ -612,16 +612,22 @@ object Dedup {
     // capped_collect answers "oversized?" (true total) and "members?"
     // (ids, complete iff total ≤ maxPosting) in ONE map-combinable
     // shuffle with O(maxPosting) memory per gram — the r5 shape paid a
-    // second full shuffle for a separate count job. The two consumers
-    // below read the SAME aggregation (Catalyst reuses the exchange;
-    // only the cheap final-merge runs per branch). Oversized grams
-    // (tiny under Zipf, explicitly detected — never silently dropped)
-    // re-read their postings from the cached grams and block-pair
-    // chunk exactly as before.
+    // second full shuffle over every posting for a separate count job.
+    // The aggregate is persisted and eagerly forced (same diamond
+    // discipline as the gram cache above: AQE's exchange reuse proved
+    // unreliable across the three consumer branches, and an
+    // unmaterialized cache would race them), so the posting explode +
+    // shuffle runs exactly ONCE; its footprint is bounded at
+    // O(maxPosting) ids per distinct gram. Oversized grams (tiny under
+    // Zipf, explicitly detected — never silently dropped) re-read
+    // their postings from the cached grams and block-pair chunk
+    // exactly as before.
     val bridge = org.apache.spark.sql.graftbridge.GraftColumnBridge
     val cc = bridge.column(graft.functions.CappedCollect(
       bridge.expression(col("pid")), maxPosting).toAggregateExpression())
     val agg = posting.groupBy("gram").agg(cc.as("cc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    agg.count()
     val smallPairs = agg.filter(col("cc.total") <= maxPosting)
       .select(explode(pairUdf(lit(0), lit(0), col("cc.ids"),
         typedLit(Seq.empty[Long]))).as("p"))
