@@ -788,8 +788,9 @@ object SparkEntry {
     //      0 ⇒ log-time margin exactly 0) — the last objective family
     //      to get a DuckDB oracle. Rows cycle through three censoring
     //      shapes chosen so every gradient is a float whose double sum
-    //      is EXACT in any order (≤3-octave exponent band + 24-bit
-    //      mantissas ⇒ no partial sum ever rounds):
+    //      is EXACT in any order AT GATE SCALE (≤3-octave exponent band
+    //      + 24-bit mantissas ⇒ a partial sum first rounds only past
+    //      ~2^29 ≈ 5·10⁸ rows given |g| < 4; the sf0.01 gate is 6·10⁴):
     //        cls 0 uncensored at y=q:   g = −ln(q),  h = 1
     //        cls 1 right-censored lo=1: z_lo = 0 ⇒ Φ = 1/2 exactly, so
     //                                   g = −2φ(0), h = 4φ(0)²
@@ -1514,6 +1515,12 @@ object SparkEntry {
     // φ(0) = 1/sqrt(2π). Per-row REAL casts then a DOUBLE sum replay
     // the trainer's float-gradient / double-histogram pipeline; the
     // leaf and exp() transform go through REAL exactly like the model.
+    // LIBM ASSUMPTION (diagnosability note): the uncensored branch
+    // relies on JVM Math.log and DuckDB ln/exp rounding each of the
+    // ~50 distinct inputs to the same REAL after the double→float
+    // cast. The censored branches are closed-form exact, but a
+    // platform libm whose last-ulp double for some −ln(q) lands on a
+    // float rounding boundary would surface here as a hash mismatch.
     "ml_stump_aft" ->
       """WITH t AS (SELECT
         |   CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS x,
