@@ -117,6 +117,10 @@ object GraftLinear {
         val acc = rows.treeAggregate(new Array[Double](k * stride))(
           seqOp = (a, r) => {
             val (x, y, wt, bm, _, _) = r
+            if (x.length != d) throw new IllegalArgumentException(
+              s"graft: feature row has ${x.length} element(s); training " +
+                s"resolved $d features (inconsistent pre-assembled " +
+                "feature widths?)")
             val (w, b) = bcW.value
             val m = new Array[Float](k)
             var c = 0

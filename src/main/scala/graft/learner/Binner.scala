@@ -50,6 +50,13 @@ object Binner {
     }
 
     def binRow(x: Array[Float]): Array[Byte] = {
+      // pre-assembled feature widths are a runtime property; a row that
+      // disagrees with the fitted width would silently mis-bin (short
+      // arrays truncate, long ones drop features) — fail it instead
+      if (x.length != cuts.length) throw new IllegalArgumentException(
+        s"graft: feature row has ${x.length} element(s); training " +
+          s"resolved ${cuts.length} features (inconsistent pre-assembled " +
+          "feature widths?)")
       val out = new Array[Byte](x.length)
       var f = 0
       while (f < x.length) { out(f) = bin(f, x(f)).toByte; f += 1 }
@@ -89,6 +96,10 @@ object Binner {
   private def fitExact(sample: Array[Array[Float]], nCuts: Int): Bins = {
     require(sample.nonEmpty, "cannot fit bins on an empty dataset")
     val numFeatures = sample.head.length
+    sample.foreach(r => if (r.length != numFeatures)
+      throw new IllegalArgumentException(
+        s"graft: feature row has ${r.length} element(s); another row " +
+          s"has $numFeatures (inconsistent pre-assembled feature widths?)"))
     val cuts = Array.tabulate(numFeatures) { f =>
       val vals = sample.iterator.map(_(f)).filterNot(_.isNaN).toArray
       if (vals.isEmpty) Array.empty[Float]
@@ -114,8 +125,12 @@ object Binner {
       QuantileSummaries.defaultCompressThreshold, relErr))
     val merged = rows.treeAggregate(zero)(
       seqOp = { (acc, row) =>
+        if (row.length != numFeatures) throw new IllegalArgumentException(
+          s"graft: feature row has ${row.length} element(s); another " +
+            s"row has $numFeatures (inconsistent pre-assembled feature " +
+            "widths?)")
         var f = 0
-        while (f < numFeatures && f < row.length) {
+        while (f < numFeatures) {
           if (!row(f).isNaN) acc(f) = acc(f).insert(row(f).toDouble)
           f += 1
         }

@@ -191,6 +191,29 @@ class DataSpec extends SparkTestBase {
     assert(allMessages(e).contains("'f'"), allMessages(e))
   }
 
+  test("inconsistent pre-assembled feature widths fail fast at TRAINING " +
+      "(tree and linear)") {
+    import graft.api.{GraftBoost, GraftLinear}
+    import graft.learner.TrainParams
+    // 30 good rows + 1 short row: the binner used to truncate silently
+    val rows = (1 to 30).map(i => (Seq(i.toDouble, i * 2.0), i % 2)) :+
+      ((Seq(99.0), 1))
+    val df = rows.toDF("f", "y")
+    val spec = DMatrixSpec(labelCol = Seq("y"),
+      featureCols = Some(Seq("f")))
+    val e1 = intercept[Exception] {
+      GraftBoost.train(df, spec,
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1))
+    }
+    assert(allMessages(e1).contains("inconsistent"), allMessages(e1))
+    val e2 = intercept[Exception] {
+      GraftLinear.train(df, spec,
+        TrainParams(objective = "reg:squarederror", numRounds = 1,
+          seed = 1))
+    }
+    assert(allMessages(e2).contains("inconsistent"), allMessages(e2))
+  }
+
   test("wrong-width pre-assembled feature rows fail fast at scoring") {
     import graft.api.GraftBoost
     import graft.learner.TrainParams
