@@ -451,6 +451,19 @@ object SparkEntry {
         "source", maxPerSource = 20)
         .select(col("doc_id"), col("source")).orderBy("doc_id")),
 
+    // ---- sequence packing: fixed-capacity token bins via
+    //      deterministic shard-local NEXT-FIT (the padding-waste
+    //      reducer of LLM batch prep); the oracle replays the exact
+    //      walk with a recursive CTE over (shard, doc_id) order ----
+    "pp_pack" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      ops.CorpusPipeline.packSequences(d, "doc_id", "n_tokens",
+          capacity = 256, shards = 4)
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: exact duplicate-substring SPANS (Lee et al. substring
     //      dedup; oracle replays gram rows + rank-by-(doc,pos) + the
     //      gaps-and-islands interval merge in closed-form SQL) ----
@@ -968,6 +981,35 @@ object SparkEntry {
         |     % 4294967296 AS DOUBLE) <
         |   least(1.0, 20.0 / n) * 4294967296
         | ORDER BY doc_id""".stripMargin,
+    // sequence packing: the recursive CTE walks rows in (shard,
+    // doc_id) order carrying (bin, off) — the same next-fit state
+    // machine packSequences runs per shard, with the tx_tokens token
+    // count as the length
+    "pp_pack" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, doc_id % 4 AS shard,
+        |   CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |     ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT)
+        |     AS n,
+        |   row_number() OVER (ORDER BY doc_id % 4, doc_id) AS rn
+        | FROM documents),
+        |t2 AS (SELECT rn, doc_id, shard, n,
+        |   LEAST(GREATEST(n, 0), 256) AS take FROM t),
+        |p AS (
+        | SELECT rn, doc_id, shard, n, take,
+        |   CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off
+        | FROM t2 WHERE rn = 1
+        | UNION ALL
+        | SELECT t2.rn, t2.doc_id, t2.shard, t2.n, t2.take,
+        |   CASE WHEN t2.shard <> p.shard THEN 0
+        |     WHEN p.off + p.take + t2.take > 256 THEN p.bin + 1
+        |     ELSE p.bin END,
+        |   CASE WHEN t2.shard <> p.shard THEN 0
+        |     WHEN p.off + p.take + t2.take > 256 THEN 0
+        |     ELSE p.off + p.take END
+        | FROM t2 JOIN p ON t2.rn = p.rn + 1)
+        |SELECT doc_id, shard, bin, off AS bin_offset,
+        | take AS tokens_packed, n > 256 AS truncated
+        | FROM p ORDER BY doc_id""".stripMargin,
     // duplicate-substring spans: 8-gram rows with positions, duplicate
     // = rank >= 2 in (doc,pos) order per gram, then the classic
     // gaps-and-islands window merge into maximal [start, end) spans

@@ -151,4 +151,62 @@ object CorpusPipeline {
         rate * 4294967296.0)
       .select(df.columns.map(col): _*)
   }
+
+  /**
+   * Sequence packing — assign documents to fixed-capacity token bins,
+   * the "pack short documents into one training sequence" step that
+   * minimizes padding waste when forming LLM training batches.
+   *
+   * Semantics (deterministic shard-local NEXT-FIT): documents shard by
+   * `doc_id mod shards` and are walked in doc_id order within a shard;
+   * each doc joins the current bin if it fits, else opens a new bin.
+   * Docs longer than `capacity` occupy a full bin alone, packed to
+   * exactly `capacity` tokens and flagged `truncated` (the caller
+   * decides split-vs-drop). Next-fit accepts ≤2× the optimal bin count
+   * in the adversarial case (far less on real length distributions)
+   * for a ONE-PASS in-order scan; the first-fit-decreasing alternative
+   * needs a global sort by length plus random access to all open bins
+   * — exactly the shuffle/straggler shape to avoid at 100 TB.
+   *
+   * Scale shape: one hash shuffle on the shard key, one in-order scan
+   * per partition (several shards per partition reset packing state at
+   * the boundary), zero driver state, O(1) memory per task. Bin ids
+   * replay exactly across partitionings and retries — which is what
+   * makes the recursive-CTE DuckDB oracle possible.
+   *
+   * @return (doc_id, shard, bin, bin_offset, tokens_packed, truncated);
+   *         `bin` is shard-local, `bin_offset` the doc's token offset
+   *         within its packed sequence
+   */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+      capacity: Long, shards: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(nTokensCol).cast("long").as("n_tokens"),
+        pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Long, Long)]
+    val cap = capacity
+    prepared.mapPartitions { it =>
+      var curShard = -1L
+      var bin = -1L
+      var used = cap + 1 // forces a fresh bin for a shard's first doc
+      it.map { case (docId, n, shard) =>
+        if (shard != curShard) {
+          curShard = shard; bin = -1L; used = cap + 1
+        }
+        val take = math.min(math.max(n, 0L), cap)
+        if (used + take > cap) { bin += 1; used = 0L }
+        val off = used
+        used += take
+        (docId, shard, bin, off, take, n > cap)
+      }
+    }.toDF("doc_id", "shard", "bin", "bin_offset", "tokens_packed",
+      "truncated")
+  }
 }

@@ -659,6 +659,51 @@ class OpsSpec extends SparkTestBase {
     assert(frames.filter($"offset_ms" === 6000).count() === 3)
   }
 
+  test("packSequences: next-fit bins, oversize truncation, empty docs " +
+      "(hand example)") {
+    val rows = Seq((0L, 100L), (4L, 100L), (8L, 100L), // shard 0
+      (1L, 300L), (5L, 10L), // shard 1: oversize then small
+      (2L, 0L)) // shard 2: empty doc
+    val df = rows.toDF("doc_id", "n_tokens")
+    val out = CorpusPipeline
+      .packSequences(df, "doc_id", "n_tokens", 256, 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 0L, 0L, 100L, false), // opens shard-0 bin 0
+      (1L, 1L, 0L, 0L, 256L, true),  // oversize: full bin alone
+      (2L, 2L, 0L, 0L, 0L, false),   // empty doc
+      (4L, 0L, 0L, 100L, 100L, false), // fits bin 0 at offset 100
+      (5L, 1L, 1L, 0L, 10L, false),  // bin after the oversize doc
+      (8L, 0L, 1L, 0L, 100L, false))) // 300 > 256 -> new bin
+  }
+
+  test("packSequences: partition-invariant and capacity-respecting " +
+      "on real documents") {
+    val d = docs.select($"doc_id",
+      TextOps.tokenCount($"text").cast("long").as("n_tokens"))
+    def run(in: org.apache.spark.sql.DataFrame) = CorpusPipeline
+      .packSequences(in, "doc_id", "n_tokens", 128, 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(run(d.coalesce(1)).toSeq === run(d.repartition(7)).toSeq,
+      "bin assignment must not depend on input partitioning")
+    val packed = CorpusPipeline
+      .packSequences(d, "doc_id", "n_tokens", 128, 8).cache()
+    // no bin exceeds capacity (empty docs may sit at offset==capacity
+    // after a truncated doc, contributing 0 tokens)
+    val over = packed.groupBy("shard", "bin")
+      .agg(sum("tokens_packed").as("t")).filter($"t" > 128).count()
+    assert(over === 0, "a bin exceeded capacity")
+    // every doc appears exactly once, fully packed unless truncated
+    assert(packed.count() === d.count())
+    val short = packed.join(d, "doc_id")
+      .filter(!$"truncated" && $"tokens_packed" =!= $"n_tokens").count()
+    assert(short === 0, "a non-truncated doc was not fully packed")
+    packed.unpersist()
+  }
+
   test("cleanCorpus: exact dups, garbage, and near-dups all removed") {
     // corpus: 3 distinct good docs, 1 exact copy, 1 near-copy, 1 garbage
     val good1 = "the quick brown fox jumps over the lazy dog and then " +
