@@ -451,6 +451,15 @@ object SparkEntry {
         "source", maxPerSource = 20)
         .select(col("doc_id"), col("source")).orderBy("doc_id")),
 
+    // ---- deterministic train/val/test split: salted-md5 interval
+    //      assignment (stable under corpus growth, reruns, retries —
+    //      randomSplit is none of these); decision replayed exactly by
+    //      DuckDB's md5_number_lower ----
+    "pp_split" -> ((s, dir) =>
+      ops.CorpusPipeline.assignSplit(ld(s, dir, "documents"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
+
     // ---- sequence packing: fixed-capacity token bins via
     //      deterministic shard-local NEXT-FIT (the padding-waste
     //      reducer of LLM batch prep); the oracle replays the exact
@@ -981,6 +990,17 @@ object SparkEntry {
         |     % 4294967296 AS DOUBLE) <
         |   least(1.0, 20.0 / n) * 4294967296
         | ORDER BY doc_id""".stripMargin,
+    // split: u = salted-md5 row hash in [0,1); interval bounds 0.8/0.9
+    // (integer-over-2^32 division is exact in double on both engines)
+    "pp_split" ->
+      """WITH u AS (SELECT doc_id,
+        |   CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
+        |     % 4294967296 AS DOUBLE) / 4294967296 AS u
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM u ORDER BY doc_id""".stripMargin,
     // sequence packing: the recursive CTE walks rows in (shard,
     // doc_id) order carrying (bin, off) — the same next-fit state
     // machine packSequences runs per shard, with the tx_tokens token

@@ -153,6 +153,37 @@ object CorpusPipeline {
   }
 
   /**
+   * Deterministic train/validation/test split — the salted-hash
+   * assignment every training pipeline runs before anything else.
+   * Each row's id hashes (same salted-md5 family as [[mixture]]) to
+   * u ∈ [0,1); cumulative split weights partition [0,1) and the row
+   * lands in the interval containing u. Properties `randomSplit` does
+   * NOT give: the same row lands in the same split on every run, on
+   * any partitioning, under task retries, and when the corpus grows —
+   * adding documents never reassigns existing ones (the property that
+   * keeps eval sets stable across corpus refreshes). Zero shuffle,
+   * one codegen projection; replayable in SQL via
+   * `md5_number_lower`.
+   *
+   * @param splits ordered (name, weight) pairs; weights are
+   *               normalized, so (8,1,1) means 80/10/10
+   */
+  def assignSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = ":split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), s"weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val u = hashU32(col(idCol), salt).cast("double") / 4294967296.0
+    val expr = splits.init.zip(bounds.init).reverse.foldLeft(
+      lit(splits.last._1)) { case (acc, ((name, _), b)) =>
+      when(u < b, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /**
    * Sequence packing — assign documents to fixed-capacity token bins,
    * the "pack short documents into one training sequence" step that
    * minimizes padding waste when forming LLM training batches.

@@ -659,6 +659,32 @@ class OpsSpec extends SparkTestBase {
     assert(frames.filter($"offset_ms" === 6000).count() === 3)
   }
 
+  test("assignSplit: disjoint-exhaustive, proportional, and stable " +
+      "under corpus growth") {
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val out = CorpusPipeline.assignSplit(docs, "doc_id", splits).cache()
+    // exhaustive: every row gets exactly one split label
+    assert(out.count() === docs.count())
+    assert(out.filter(!$"split".isin("train", "val", "test")).count() === 0)
+    // proportional within a generous binomial band (n = 500)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.06, counts.toString)
+    assert(math.abs(counts("val") / n - 0.1) < 0.05, counts.toString)
+    // growth stability: assignments on a SUBSET are identical to the
+    // same rows' assignments on the full corpus (randomSplit breaks
+    // this; eval sets must survive corpus refreshes)
+    val sub = CorpusPipeline
+      .assignSplit(docs.filter($"doc_id" < 100), "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = out.filter($"doc_id" < 100).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("split")))
+    full.foreach { case (id, sp) => assert(sub(id) === sp) }
+    out.unpersist()
+  }
+
   test("packSequences: next-fit bins, oversize truncation, empty docs " +
       "(hand example)") {
     val rows = Seq((0L, 100L), (4L, 100L), (8L, 100L), // shard 0
