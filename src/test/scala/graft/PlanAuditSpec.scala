@@ -72,6 +72,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"), p)
   }
 
+  test("pp_pack: exactly ONE hash exchange (the shard shuffle) feeds " +
+      "the packing scan") {
+    val df = SparkEntry.queries("pp_pack")(spark, dir)
+    // strip the final presentation orderBy's range exchange: only the
+    // operator's own shuffles count
+    val p = df.queryExecution.executedPlan.toString
+    val core = p.linesIterator.dropWhile(l =>
+      !l.contains("SerializeFromObject") && !l.contains("MapPartitions"))
+      .mkString("\n")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(core).size
+    assert(hashEx == 1, s"packing should shuffle once, saw $hashEx:\n$p")
+  }
+
+  test("pp_split: pure codegen projection — no shuffle, no UDF") {
+    val df = graft.ops.CorpusPipeline.assignSplit(
+      spark.read.parquet(dir + "/documents.parquet"), "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("linear-booster predict is a pure expression plan — no UDF, " +
       "no shuffle") {
     import org.apache.spark.sql.functions._
