@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.data.DMatrixSpec
-import graft.learner.{Objectives, TrainParams}
+import graft.learner.{Metrics, Objectives, TrainParams}
 
 /**
  * Distributed linear booster — the `booster="gblinear"` side of the
@@ -83,18 +83,87 @@ object GraftLinear {
     }
   }
 
+  /** Per-eval-set per-round metric history plus the xgboost
+    * best_iteration/best_score bookkeeping (recorded when
+    * `earlyStoppingRounds > 0`; the final weights are kept either way,
+    * matching xgboost's gblinear behavior). */
+  final case class LinearTrainResult(
+      model: LinearModel,
+      evalsResult: Map[String,
+        Map[String, scala.collection.mutable.ArrayBuffer[Double]]],
+      bestIteration: Int = -1,
+      bestScore: Double = Double.NaN)
+
   /**
    * Train a linear booster. Supports the pointwise objectives
    * (squared/absolute error, logistic, softmax/softprob); ranking and
    * survival bounds remain tree-booster territory.
    */
   def train(df: DataFrame, spec: DMatrixSpec, params: TrainParams,
-      numWorkers: Int = 0): LinearModel = {
+      numWorkers: Int = 0): LinearModel =
+    trainWithEvals(df, spec, params, Nil, numWorkers).model
+
+  /** Eval-row margins from the broadcast round weights — the same
+    * double-accumulated dot product the training seqOp computes. */
+  @inline private def evalMargins(x: Array[Float], bm: Float,
+      init: Float, w: Array[Array[Float]], b: Array[Float],
+      k: Int): Array[Float] = {
+    val m = new Array[Float](k)
+    var c = 0
+    while (c < k) {
+      var mc = (if (bm.isNaN) init else bm).toDouble + b(c)
+      val wc = w(c)
+      var j = 0
+      while (j < wc.length) {
+        val xv = if (j < x.length) x(j) else Float.NaN
+        if (!xv.isNaN) mc += wc(j).toDouble * xv
+        j += 1
+      }
+      m(c) = mc.toFloat
+      c += 1
+    }
+    m
+  }
+
+  /**
+   * [[train]] plus per-round eval-set metrics and early stopping — the
+   * xgboost `eval_set`/`early_stopping_rounds` surface under
+   * `booster="gblinear"` (same rules as the tree trainer: metric names
+   * from `evalMetric`/`customMetrics` else the objective's default;
+   * stopping watches the LAST eval set's LAST metric). Each round adds
+   * one scan per eval set — margins recomputed from the broadcast
+   * weights, no cached margin state.
+   */
+  def trainWithEvals(df: DataFrame, spec: DMatrixSpec,
+      params: TrainParams, evals: Seq[(String, DataFrame)],
+      numWorkers: Int = 0): LinearTrainResult = {
     val obj = Objectives.resolve(params)
     require(!obj.needsGroups && !obj.needsBounds,
       s"gblinear supports pointwise objectives; got ${obj.name}")
     spec.validate(df, requireLabel = true)
     val k = math.max(obj.numOutputs, 1)
+    val customByName = params.customMetrics.map(m => m.name -> m).toMap
+    val metricNames = {
+      val base =
+        if (params.evalMetric.nonEmpty) params.evalMetric
+        else if (params.customMetrics.nonEmpty) Nil
+        else Seq(Metrics.defaultMetric(obj.name))
+      base ++ params.customMetrics.map(_.name).filterNot(base.contains)
+    }
+    metricNames.foreach(mn => require(
+      customByName.contains(mn) || !Metrics.isGroupMetric(mn),
+      s"$mn needs a rank:* objective; gblinear is pointwise"))
+    val evalRows = evals.map { case (n, e) =>
+      spec.validate(e, requireLabel = true)
+      (n, GraftBoost.prepare(e, spec, obj, numWorkers)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    }
+    val evalsResult = scala.collection.mutable.LinkedHashMap[String,
+      Map[String, scala.collection.mutable.ArrayBuffer[Double]]]()
+    evalRows.foreach { case (n, _) =>
+      evalsResult(n) = metricNames.map(m =>
+        m -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    }
     val rows = GraftBoost.prepare(df, spec, obj, numWorkers)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -111,8 +180,11 @@ object GraftLinear {
       val weights = Array.fill(k)(new Array[Float](d))
       val bias = new Array[Float](k)
       val stride = 2 * d + 2 // per-class accumulator block
+      var bestScore = Double.NaN
+      var bestRound = -1
+      var stop = false
       var round = 0
-      while (round < params.numRounds) {
+      while (round < params.numRounds && !stop) {
         val bcW = sc.broadcast((weights.map(_.clone()), bias.clone()))
         val acc = rows.treeAggregate(new Array[Double](k * stride))(
           seqOp = (a, r) => {
@@ -190,10 +262,45 @@ object GraftLinear {
                 acc(base + 2 * d + 1)).toFloat
           c += 1
         }
+        if (evalRows.nonEmpty) {
+          val bcE = sc.broadcast((weights.map(_.clone()), bias.clone()))
+          evalRows.foreach { case (n, er) =>
+            val scored = er.map { case (x, y, wt, bm, _, _) =>
+              val (w, b) = bcE.value
+              (evalMargins(x, bm, init, w, b, k), y, wt)
+            }
+            metricNames.foreach { mn =>
+              evalsResult(n)(mn) +=
+                Metrics.compute(mn, obj, scored, customByName)
+            }
+          }
+          bcE.destroy()
+          // early stopping on the LAST eval set + LAST metric (the
+          // xgboost rule, same as the tree trainer)
+          if (params.earlyStoppingRounds > 0) {
+            val cur = evalsResult(evalRows.last._1)(metricNames.last).last
+            val better = bestScore.isNaN ||
+              (if (Metrics.maximize(metricNames.last, customByName))
+                cur > bestScore
+              else cur < bestScore)
+            if (better) { bestScore = cur; bestRound = round }
+            else if (round - bestRound >= params.earlyStoppingRounds)
+              stop = true
+          }
+        }
         round += 1
       }
-      LinearModel(weights, bias, obj.name, params.baseScore)
-    } finally rows.unpersist(blocking = false)
+      LinearTrainResult(
+        LinearModel(weights, bias, obj.name, params.baseScore),
+        evalsResult.toMap,
+        bestIteration =
+          if (params.earlyStoppingRounds > 0) bestRound else -1,
+        bestScore =
+          if (params.earlyStoppingRounds > 0) bestScore else Double.NaN)
+    } finally {
+      rows.unpersist(blocking = false)
+      evalRows.foreach(_._2.unpersist(blocking = false))
+    }
   }
 
   /** Model sink/source (S12 parity for the linear booster): one

@@ -146,7 +146,11 @@ class GraftRFRegressor extends GraftRegressor {
 
 final class GraftLinearModel(
     val model: graft.api.GraftLinear.LinearModel,
-    val spec: DMatrixSpec) extends Serializable {
+    val spec: DMatrixSpec,
+    val evalsResult: Map[String,
+      Map[String, ArrayBuffer[Double]]] = Map.empty,
+    /** xgboost best_iteration (−1 unless early stopping was on). */
+    val bestIteration: Int = -1) extends Serializable {
   def transform(df: DataFrame): DataFrame =
     graft.api.GraftLinear.predict(model, df, spec)
   def save(spark: SparkSession, path: String): Unit =
@@ -164,6 +168,11 @@ class GraftLinearRegressor {
   var ignoreCols: Seq[String] = Nil
   var params: TrainParams = TrainParams(objective = "reg:squarederror")
   var numWorkers: Int = 0
+  var evalSets: Seq[(String, DataFrame)] = Nil
+
+  def setEvalSets(es: Seq[(String, DataFrame)]): this.type = {
+    evalSets = es; this
+  }
 
   def setLabelCol(c: String): this.type = { labelCol = c; this }
   def setFeaturesCols(cs: Seq[String]): this.type = {
@@ -190,8 +199,9 @@ class GraftLinearRegressor {
 
   def fit(df: DataFrame): GraftLinearModel = {
     val s = spec
-    new GraftLinearModel(
-      graft.api.GraftLinear.train(df, s, params, numWorkers), s)
+    val res = graft.api.GraftLinear.trainWithEvals(df, s, params,
+      evalSets, numWorkers)
+    new GraftLinearModel(res.model, s, res.evalsResult, res.bestIteration)
   }
 }
 

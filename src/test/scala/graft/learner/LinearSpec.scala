@@ -24,6 +24,36 @@ class LinearSpec extends SparkTestBase {
     }.toDF("x0", "x1", "y")
   }
 
+  test("eval sets record per-round metrics and early stopping fires " +
+      "once converged (gblinear eval_set surface)") {
+    // y = 2x, zero-mean x, no intercept term active: with eta = 0.5
+    // and lambda = 0 the weight closes half the gap to 2 each round —
+    // geometric convergence until float rounding freezes it, after
+    // which rmse goes exactly constant and a 3-round patience must
+    // stop well short of numRounds
+    val df = Seq(-2.0, -1.0, 1.0, 2.0).flatMap(x =>
+      Seq.fill(50)((x, 2.0 * x))).toDF("x", "y").repartition(4)
+    val res = GraftLinear.trainWithEvals(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 50,
+        eta = 0.5, lambda = 0.0, baseScore = 0.0,
+        earlyStoppingRounds = 3),
+      evals = Seq(("train", df)))
+    val rmse = res.evalsResult("train")("rmse")
+    assert(rmse.last < rmse.head, s"rmse did not improve: $rmse")
+    assert(rmse.last < 1e-3, s"did not converge: ${rmse.last}")
+    assert(rmse.length < 50, s"early stopping never fired: ${rmse.length}")
+    assert(res.bestIteration >= 0 && res.bestIteration < rmse.length)
+    assert(res.bestScore === rmse(res.bestIteration))
+    // the facade surfaces the same history
+    val fm = new graft.ml.GraftLinearRegressor()
+      .setLabelCol("y")
+      .setParams(TrainParams(objective = "reg:squarederror",
+        numRounds = 5, eta = 1.0, lambda = 0.0, baseScore = 0.0))
+      .setEvalSets(Seq(("train", df)))
+      .fit(df)
+    assert(fm.evalsResult("train")("rmse").length === 5)
+  }
+
   test("recovers a linear signal with squared error") {
     val df = linearDf()
     val m = GraftLinear.train(df, DMatrixSpec("y"),
