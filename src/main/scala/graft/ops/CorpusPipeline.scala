@@ -24,12 +24,26 @@ object CorpusPipeline {
    * @return surviving rows of `df` with appended quality columns
    *         (`token_count`, `punct_ratio`, `mean_word_len`)
    */
+  /**
+   * @param cacheSurvivors persist the quality-gated survivors
+   *        (MEMORY_AND_DISK) so the expensive stage-1/2 computation
+   *        (dedup window + per-document text UDFs) runs ONCE, serving
+   *        both the near-dup gram build and the final anti-join —
+   *        instead of twice. The cache backs the returned lazy plan, so
+   *        it cannot be released here; it is LRU-evicted under
+   *        pressure, and repeated pipeline runs can
+   *        `spark.catalog.clearCache()` between batches. At extreme
+   *        scale, when caching a corpus-sized intermediate is worse
+   *        than recomputing it, pass `false` to trade the cache for a
+   *        second window-shuffle + UDF pass.
+   */
   def clean(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 10, maxPunct: Double = 0.1,
       minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
-      ngramN: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
+      ngramN: Int = 3, jaccardThreshold: Double = 0.8,
+      cacheSurvivors: Boolean = true): DataFrame = {
     val keepers = Dedup.exactKeepers(df, idCol, textCol)
-    val quality = keepers
+    val qualityPlan = keepers
       .withColumn("token_count",
         TextOps.tokenCount(col(textCol)).cast("long"))
       .withColumn("punct_ratio",
@@ -41,6 +55,15 @@ object CorpusPipeline {
       .filter(col("token_count") >= minTokens &&
         col("punct_ratio") <= maxPunct &&
         col("mean_word_len").between(minMeanLen, maxMeanLen))
+    val quality =
+      if (cacheSurvivors)
+        qualityPlan.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else qualityPlan
+    // ngramJaccard is eager (it checkpoints its verified pairs and
+    // releases its internal caches before returning), so with
+    // cacheSurvivors the survivor cache is materialized HERE and the
+    // anti-join below reads it instead of recomputing stages 1-2
     val dups = Dedup.ngramJaccard(quality, idCol, textCol, ngramN,
       jaccardThreshold).select(col("dup_id"))
     quality.join(dups, quality(idCol) === dups("dup_id"), "left_anti")

@@ -113,6 +113,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("dd_simhash: skew count and member collection are FUSED — one " +
+      "capped_collect_pair shuffle, no separate count aggregation") {
+    val p = plan("dd_simhash")
+    // the fused aggregate shows up inside the cached bucket relation;
+    // the r6 shape instead ran a second count(1) aggregation over every
+    // chunked row to find oversized buckets
+    assert(p.contains("capped_collect_pair"), p)
+    assert(!p.contains("partial_count"),
+      s"separate skew-count aggregation re-appeared:\n$p")
+  }
+
   test("aggregations keep map-side partial combining") {
     val p = plan("a2_metric_agg")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)

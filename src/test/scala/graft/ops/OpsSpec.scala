@@ -280,6 +280,62 @@ class OpsSpec extends SparkTestBase {
     assert(ids === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("capped_collect_pair: aligned (id, val) members, true totals, " +
+      "cap respected across partitions") {
+    val bridge = org.apache.spark.sql.graftbridge.GraftColumnBridge
+    def cc(cap: Int) = bridge.column(graft.functions.CappedCollectPair(
+      bridge.expression(col("id")), bridge.expression(col("v")),
+      cap).toAggregateExpression())
+    val df = spark.range(0, 1000)
+      .select((col("id") % 7).as("k"), col("id"), (col("id") * 3).as("v"))
+      .repartition(8)
+    val got = df.groupBy("k").agg(cc(10).as("cc"))
+      .select($"k", $"cc.total", $"cc.ids", $"cc.vals").collect()
+    assert(got.length === 7)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) === (0 until 1000).count(_ % 7 == k))
+      val ids = r.getSeq[Long](2)
+      val vals = r.getSeq[Long](3)
+      assert(ids.length === 10 && vals.length === 10)
+      // alignment: vals(i) must be the payload of ids(i), whatever
+      // subset the cap kept
+      ids.zip(vals).foreach { case (i, v) => assert(v === i * 3) }
+    }
+    // below the cap the member list is complete
+    val small = spark.range(0, 5)
+      .select(lit(0L).as("k"), col("id"), (col("id") + 7).as("v"))
+      .repartition(3)
+    val row = small.groupBy("k").agg(cc(10).as("cc"))
+      .select($"cc.ids", $"cc.vals").head()
+    val pairs = row.getSeq[Long](0).zip(row.getSeq[Long](1)).sorted
+    assert(pairs === Seq((0L, 7L), (1L, 8L), (2L, 9L), (3L, 10L),
+      (4L, 11L)))
+  }
+
+  test("ngramJaccard releases its gram/posting caches deterministically " +
+      "(no accumulation across repeated calls)") {
+    val corpus = docs.limit(100).select("doc_id", "text")
+    corpus.count() // settle the input's own cache before measuring
+    val sc = spark.sparkContext
+    for (_ <- 1 to 3) {
+      val before = sc.getPersistentRDDs.keySet
+      val r = Dedup.ngramJaccard(corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      assert(r.count() >= 0)
+      // unpersist removes entries from the persistentRdds registry
+      // synchronously, so a leaked gram or posting cache (2 SQL
+      // persists) is visible here; only the eager localCheckpoint of
+      // the small verified-pair result may remain
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 1,
+        s"ngramJaccard left ${leaked.size} persisted RDDs behind")
+      // drop the checkpoint blocks so the next iteration starts clean
+      leaked.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = true)))
+    }
+  }
+
   test("planted skew: oversized buckets are chunked, not dropped") {
     // 500 copies of ONE document with caps far below the bucket size —
     // the duplicate-heavy case that a drop-cap silently loses. Every
