@@ -281,6 +281,14 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    // ---- streaming: watermark dedup replay (X16) — the final sink of
+    //      a 5-micro-batch memory-stream replay must equal GLOBAL exact
+    //      dedup, so the stateful streaming path gets a full DuckDB
+    //      oracle row, not just a unit test ----
+    "st_dedup" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replayDedup(
+        ld(s, dir, "documents"), "doc_id", "text")),
+
     // ---- text analysis: token counts ----
     "tx_tokens" -> ((s, dir) => {
       val d = ld(s, dir, "documents")
@@ -980,6 +988,14 @@ object SparkEntry {
         | FROM documents
         | GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         | ORDER BY keep_id""".stripMargin,
+    // streaming watermark-dedup replay: ascending-id feed within one
+    // watermark horizon ⇒ survivors are exactly the min-id keeper per
+    // normalized fingerprint (same normalization as dd_exact)
+    "st_dedup" ->
+      """SELECT min(doc_id) AS doc_id
+        | FROM documents
+        | GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        | ORDER BY doc_id""".stripMargin,
     // per-source cap: rate = least(1, 20/n) per source, keep decision
     // = the md5_number_lower replay of the salted row hash
     "pp_sourcecap" ->

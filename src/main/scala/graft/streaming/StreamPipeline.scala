@@ -49,6 +49,59 @@ object StreamPipeline {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /**
+   * Bounded REPLAY of [[dedupStream]] for the correctness harness (the
+   * `st_dedup` query): feeds a batch table through a memory stream in
+   * `numBatches` ascending-id micro-batches and returns the surviving
+   * ids from the sink. With every synthesized event time inside one
+   * watermark horizon and ids fed ascending, watermark dedup must
+   * equal GLOBAL exact dedup — `SELECT min(doc_id) GROUP BY
+   * fingerprint` — which makes the streaming path's end state
+   * DuckDB-oracle-checkable, not just unit-tested.
+   *
+   * Verification device, not a production operator: the driver-side
+   * collect + MemoryStream replay exists to make micro-batch execution
+   * deterministic (one input partition per batch, ascending ids ⇒ the
+   * state store sees the smallest id of a fingerprint first). A real
+   * deployment points [[dedupStream]] at `readStream` (Kafka/files)
+   * and never routes data through the driver.
+   */
+  def replayDedup(df: DataFrame, idCol: String, textCol: String,
+      numBatches: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = dedupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "1 hour")
+    // unique sink per replay: Verify and Bench call this repeatedly in
+    // one session and memory sinks register a temp view per query name
+    val sink = "st_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.select("doc_id").writeStream.format("memory")
+      .queryName(sink).outputMode("append").start()
+    try {
+      val per = math.max(1,
+        math.ceil(rows.length.toDouble / numBatches).toInt)
+      rows.grouped(per).foreach { batch =>
+        in.addData(batch.map { case (id, txt) =>
+          // deterministic event times, all within a minute — far inside
+          // the 1 h horizon, so no state eviction can re-admit a dup
+          (id, new java.sql.Timestamp(86400000L + (id % 60) * 1000L),
+            txt)
+        }.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // detach the result from the temp view before dropping it
+    val out = spark.table(sink).orderBy("doc_id").localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   /** One simhash-chunk bucket row (the stream analog of
     * `Dedup.simhashDups`' banding). */
   final case class ChunkRow(chunk: Int, ch: Long, id: Long, sig: Long,

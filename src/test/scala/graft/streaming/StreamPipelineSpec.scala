@@ -83,6 +83,20 @@ class StreamPipelineSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("replayDedup: streaming watermark dedup replay equals batch " +
+      "exact dedup keepers on real documents") {
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val streamed = StreamPipeline.replayDedup(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq
+    val batch = graft.ops.Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed === batch)
+    // already sorted ascending (the harness contract)
+    assert(streamed === streamed.sorted)
+  }
+
   test("nearDupStream detects near-dups across micro-batches via " +
       "flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
