@@ -108,6 +108,13 @@ object GraftLinear {
   @inline private def evalMargins(x: Array[Float], bm: Float,
       init: Float, w: Array[Array[Float]], b: Array[Float],
       k: Int): Array[Float] = {
+    // same fail-fast as the training seqOp: a wrong-width eval row
+    // would otherwise read silently as all-missing past the end and
+    // yield quietly wrong metrics (which can misdirect early stopping)
+    if (x.length != w(0).length) throw new IllegalArgumentException(
+      s"graft: eval feature row has ${x.length} element(s); the " +
+        s"trained model has ${w(0).length} features (inconsistent " +
+        "pre-assembled feature widths?)")
     val m = new Array[Float](k)
     var c = 0
     while (c < k) {
@@ -115,7 +122,7 @@ object GraftLinear {
       val wc = w(c)
       var j = 0
       while (j < wc.length) {
-        val xv = if (j < x.length) x(j) else Float.NaN
+        val xv = x(j)
         if (!xv.isNaN) mc += wc(j).toDouble * xv
         j += 1
       }
@@ -130,9 +137,11 @@ object GraftLinear {
    * xgboost `eval_set`/`early_stopping_rounds` surface under
    * `booster="gblinear"` (same rules as the tree trainer: metric names
    * from `evalMetric`/`customMetrics` else the objective's default;
-   * stopping watches the LAST eval set's LAST metric). Each round adds
-   * one scan per eval set — margins recomputed from the broadcast
-   * weights, no cached margin state.
+   * stopping watches the LAST eval set's LAST metric). Each round, the
+   * eval margins are computed ONCE per eval set from the broadcast
+   * weights; with a single metric that is one reduce job, with several
+   * metrics the scored margins persist for the round and each extra
+   * metric is a cache-read reduce. No margin state survives the round.
    */
   def trainWithEvals(df: DataFrame, spec: DMatrixSpec,
       params: TrainParams, evals: Seq[(String, DataFrame)],
@@ -153,6 +162,11 @@ object GraftLinear {
     metricNames.foreach(mn => require(
       customByName.contains(mn) || !Metrics.isGroupMetric(mn),
       s"$mn needs a rank:* objective; gblinear is pointwise"))
+    // duplicate names would collapse into one history entry and
+    // interleave two metric series — early stopping (which reads the
+    // last set's last value) would then compare alternating datasets
+    require(evals.map(_._1).distinct.size == evals.size,
+      s"duplicate eval set names: ${evals.map(_._1).mkString(", ")}")
     val evalRows = evals.map { case (n, e) =>
       spec.validate(e, requireLabel = true)
       (n, GraftBoost.prepare(e, spec, obj, numWorkers)
@@ -269,10 +283,22 @@ object GraftLinear {
               val (w, b) = bcE.value
               (evalMargins(x, bm, init, w, b, k), y, wt)
             }
-            metricNames.foreach { mn =>
-              evalsResult(n)(mn) +=
-                Metrics.compute(mn, obj, scored, customByName)
-            }
+            // each Metrics.compute is its own reduce job; with several
+            // metrics, persist the scored margins for the round so the
+            // margin map runs ONCE and the extra metrics pay only a
+            // cache read (a single metric — the common case — skips
+            // the persist entirely)
+            val cached =
+              if (metricNames.size > 1)
+                Some(scored.persist(StorageLevel.MEMORY_AND_DISK))
+              else None
+            try {
+              val src = cached.getOrElse(scored)
+              metricNames.foreach { mn =>
+                evalsResult(n)(mn) +=
+                  Metrics.compute(mn, obj, src, customByName)
+              }
+            } finally cached.foreach(_.unpersist(blocking = false))
           }
           bcE.destroy()
           // early stopping on the LAST eval set + LAST metric (the

@@ -65,10 +65,20 @@ trait GraftMLParams extends Params {
     "declared class count (labels 0..k-1, skips label discovery); " +
       "0 = discover from data", ParamValidators.gtEq(0))
   final def getNumClass: Int = $(numClass)
+  final val earlyStoppingRounds = new IntParam(this, "earlyStoppingRounds",
+    "stop when the last eval set's last metric has not improved for " +
+      "this many rounds; 0 disables (xgboost early_stopping_rounds)",
+    ParamValidators.gtEq(0))
+  final def getEarlyStoppingRounds: Int = $(earlyStoppingRounds)
+  final val evalMetric = new StringArrayParam(this, "evalMetric",
+    "eval metric names recorded per round per eval set; empty = the " +
+      "objective's default metric")
+  final def getEvalMetric: Array[String] = $(evalMetric)
 
   setDefault(labelCol -> "label", featuresCols -> Array.empty[String],
     numRounds -> 10, maxDepth -> 6, eta -> 0.3, lambda -> 1.0,
-    subsample -> 1.0, seed -> 0L, numWorkers -> 0, numClass -> 0)
+    subsample -> 1.0, seed -> 0L, numWorkers -> 0, numClass -> 0,
+    earlyStoppingRounds -> 0, evalMetric -> Array.empty[String])
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setFeaturesCols(v: Array[String]): this.type = set(featuresCols, v)
@@ -80,11 +90,16 @@ trait GraftMLParams extends Params {
   def setSeed(v: Long): this.type = set(seed, v)
   def setNumWorkers(v: Int): this.type = set(numWorkers, v)
   def setNumClass(v: Int): this.type = set(numClass, v)
+  def setEarlyStoppingRounds(v: Int): this.type =
+    set(earlyStoppingRounds, v)
+  def setEvalMetric(v: Array[String]): this.type = set(evalMetric, v)
 
   private[ml] def mkTrainParams(objective: String): TrainParams =
     TrainParams(objective = objective, numClass = $(numClass),
       numRounds = $(numRounds), maxDepth = $(maxDepth), eta = $(eta),
-      lambda = $(lambda), subsample = $(subsample), seed = $(seed))
+      lambda = $(lambda), subsample = $(subsample), seed = $(seed),
+      earlyStoppingRounds = $(earlyStoppingRounds),
+      evalMetric = $(evalMetric).toSeq)
 
   private[ml] def mkSpec: DMatrixSpec = DMatrixSpec(
     labelCol = Seq($(labelCol)),
@@ -96,6 +111,19 @@ trait GraftMLParams extends Params {
       s"label column ${$(labelCol)} missing from ${schema.fieldNames.toSeq}")
     $(featuresCols).foreach(f => require(schema.fieldNames.contains(f),
       s"feature column $f missing from ${schema.fieldNames.toSeq}"))
+  }
+}
+
+/** Fit-time eval sets (xgboost sklearn's `eval_set=` kwarg in `fit`):
+  * DATA, not a Param — DataFrames are not JSON-encodable, so, exactly
+  * like xgboost's `eval_set` (absent from `get_params()`), they are
+  * not persisted by save/load and not carried by `copy()`. Per-round
+  * metric histories land on the fitted model's `evalsResult`; pair
+  * with `earlyStoppingRounds`/`evalMetric` Params for early stopping. */
+trait GraftXGBEvalSets {
+  protected var evalSets: Seq[(String, DataFrame)] = Nil
+  def setEvalSets(es: Seq[(String, DataFrame)]): this.type = {
+    evalSets = es; this
   }
 }
 
@@ -153,7 +181,7 @@ private[ml] object GraftMLIO {
   * compatible, `save`/`load` round-trip. */
 class GraftXGBClassifier(override val uid: String)
     extends Estimator[GraftXGBClassificationModel] with GraftMLParams
-    with DefaultParamsWritable {
+    with GraftXGBEvalSets with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("graftXGBClassifier"))
 
@@ -163,6 +191,7 @@ class GraftXGBClassifier(override val uid: String)
       .setLabelCol($(labelCol))
       .setParams(mkTrainParams("binary:logistic"))
       .setNumWorkers($(numWorkers))
+      .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) clf.setFeaturesCols($(featuresCols).toSeq)
     if ($(numClass) > 0) clf.setNumClass($(numClass))
     val inner = clf.fit(ds.toDF)
@@ -204,6 +233,12 @@ class GraftXGBClassificationModel(
   def graftModel: GraftModel = inner.model
   def numClasses: Int = inner.numClasses
   def classLabels: Array[Double] = inner.classLabels
+
+  /** Per-round eval metric history from fit-time `setEvalSets` (the
+    * xgboost `evals_result()` surface): evalSetName → metric → values. */
+  def evalsResult: Map[String,
+      Map[String, scala.collection.mutable.ArrayBuffer[Double]]] =
+    inner.evalsResult
 
   /** sklearn `feature_importances_` in the MLlib model convention: a
     * normalized dense Vector (sums to 1; indices follow the resolved
@@ -295,7 +330,7 @@ object GraftXGBClassificationModel
 /** MLlib Estimator facade over [[GraftRegressor]]. */
 class GraftXGBRegressor(override val uid: String)
     extends Estimator[GraftXGBRegressionModel] with GraftMLParams
-    with DefaultParamsWritable {
+    with GraftXGBEvalSets with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("graftXGBRegressor"))
 
@@ -311,6 +346,7 @@ class GraftXGBRegressor(override val uid: String)
       .setLabelCol($(labelCol))
       .setParams(mkTrainParams($(objective)))
       .setNumWorkers($(numWorkers))
+      .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) reg.setFeaturesCols($(featuresCols).toSeq)
     val inner = reg.fit(ds.toDF)
     copyValues(new GraftXGBRegressionModel(uid, inner)).setParent(this)
@@ -336,6 +372,12 @@ class GraftXGBRegressionModel(
     with MLWritable {
 
   def graftModel: GraftModel = inner.model
+
+  /** Per-round eval metric history (see
+    * [[GraftXGBClassificationModel.evalsResult]]). */
+  def evalsResult: Map[String,
+      Map[String, scala.collection.mutable.ArrayBuffer[Double]]] =
+    inner.evalsResult
 
   /** sklearn `feature_importances_` in the MLlib model convention (see
     * [[GraftXGBClassificationModel.featureImportances]]). */
@@ -410,7 +452,7 @@ trait GraftXGBRankerParams extends GraftMLParams {
   * ranked earlier within a query), the xgboost ranker convention. */
 class GraftXGBRanker(override val uid: String)
     extends Estimator[GraftXGBRankerModel] with GraftXGBRankerParams
-    with DefaultParamsWritable {
+    with GraftXGBEvalSets with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("graftXGBRanker"))
 
@@ -421,6 +463,7 @@ class GraftXGBRanker(override val uid: String)
       .setQidCol($(qidCol))
       .setParams(mkTrainParams("rank:pairwise"))
       .setNumWorkers($(numWorkers))
+      .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) rk.setFeaturesCols($(featuresCols).toSeq)
     val inner = rk.fit(ds.toDF)
     copyValues(new GraftXGBRankerModel(uid, inner)).setParent(this)
@@ -447,6 +490,12 @@ class GraftXGBRankerModel(
     with MLWritable {
 
   def graftModel: GraftModel = inner.model
+
+  /** Per-round eval metric history (see
+    * [[GraftXGBClassificationModel.evalsResult]]). */
+  def evalsResult: Map[String,
+      Map[String, scala.collection.mutable.ArrayBuffer[Double]]] =
+    inner.evalsResult
 
   /** sklearn `feature_importances_` in the MLlib model convention (see
     * [[GraftXGBClassificationModel.featureImportances]]). */
@@ -501,6 +550,85 @@ object GraftXGBRankerModel extends MLReadable[GraftXGBRankerModel] {
   override def load(path: String): GraftXGBRankerModel = super.load(path)
 }
 
+// ---------------- Random-forest presets ----------------
+
+/** MLlib Estimator facade over the random-forest preset
+  * ([[GraftRFClassifier]]) — the RayXGBRFClassifier surface (reference
+  * sklearn.py:880-917): `numTrees` trees grown in ONE boosting round
+  * (numRounds is forced to 1, as xgboost forces num_boost_round) with
+  * row subsampling (default 0.8) and per-node column subsampling, at
+  * learning rate 1. The fitted model is a plain
+  * [[GraftXGBClassificationModel]]: a forest is a one-round ensemble,
+  * so the prediction/persistence surface is identical. */
+class GraftXGBRFClassifier(override val uid: String)
+    extends GraftXGBClassifier(uid) {
+
+  def this() = this(Identifiable.randomUID("graftXGBRFClassifier"))
+
+  final val numTrees = new IntParam(this, "numTrees",
+    "forest size (xgboost num_parallel_tree / sklearn n_estimators)",
+    ParamValidators.gtEq(1))
+  final def getNumTrees: Int = $(numTrees)
+  setDefault(numTrees -> 100, subsample -> 0.8)
+  def setNumTrees(v: Int): this.type = set(numTrees, v)
+
+  override def fit(ds: Dataset[_]): GraftXGBClassificationModel = {
+    transformSchema(ds.schema)
+    val clf = new GraftRFClassifier()
+      .setLabelCol($(labelCol))
+      .setParams(mkTrainParams("binary:logistic").copy(numRounds = 1,
+        eta = 1.0, colsampleByNode = 0.8,
+        numParallelTree = $(numTrees)))
+      .setNumWorkers($(numWorkers))
+      .setEvalSets(evalSets)
+    if ($(featuresCols).nonEmpty) clf.setFeaturesCols($(featuresCols).toSeq)
+    if ($(numClass) > 0) clf.setNumClass($(numClass))
+    val inner = clf.fit(ds.toDF)
+    copyValues(new GraftXGBClassificationModel(uid, inner))
+      .setParent(this)
+  }
+}
+
+object GraftXGBRFClassifier
+    extends DefaultParamsReadable[GraftXGBRFClassifier] {
+  override def load(path: String): GraftXGBRFClassifier = super.load(path)
+}
+
+/** MLlib Estimator facade over [[GraftRFRegressor]] — the
+  * RayXGBRFRegressor surface (reference sklearn.py:602-640). See
+  * [[GraftXGBRFClassifier]] for the preset semantics. */
+class GraftXGBRFRegressor(override val uid: String)
+    extends GraftXGBRegressor(uid) {
+
+  def this() = this(Identifiable.randomUID("graftXGBRFRegressor"))
+
+  final val numTrees = new IntParam(this, "numTrees",
+    "forest size (xgboost num_parallel_tree / sklearn n_estimators)",
+    ParamValidators.gtEq(1))
+  final def getNumTrees: Int = $(numTrees)
+  setDefault(numTrees -> 100, subsample -> 0.8)
+  def setNumTrees(v: Int): this.type = set(numTrees, v)
+
+  override def fit(ds: Dataset[_]): GraftXGBRegressionModel = {
+    transformSchema(ds.schema)
+    val reg = new GraftRFRegressor()
+      .setLabelCol($(labelCol))
+      .setParams(mkTrainParams($(objective)).copy(numRounds = 1,
+        eta = 1.0, colsampleByNode = 0.8,
+        numParallelTree = $(numTrees)))
+      .setNumWorkers($(numWorkers))
+      .setEvalSets(evalSets)
+    if ($(featuresCols).nonEmpty) reg.setFeaturesCols($(featuresCols).toSeq)
+    val inner = reg.fit(ds.toDF)
+    copyValues(new GraftXGBRegressionModel(uid, inner)).setParent(this)
+  }
+}
+
+object GraftXGBRFRegressor
+    extends DefaultParamsReadable[GraftXGBRFRegressor] {
+  override def load(path: String): GraftXGBRFRegressor = super.load(path)
+}
+
 // ---------------- Linear booster (gblinear) ----------------
 
 /** MLlib Estimator facade over the linear booster ([[graft.api
@@ -528,7 +656,7 @@ trait GraftXGBLinearParams extends GraftMLParams {
 
 class GraftXGBLinear(override val uid: String)
     extends Estimator[GraftXGBLinearModel] with GraftXGBLinearParams
-    with DefaultParamsWritable {
+    with GraftXGBEvalSets with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("graftXGBLinear"))
 
@@ -539,6 +667,7 @@ class GraftXGBLinear(override val uid: String)
       .setParams(mkTrainParams($(objective)).copy(alpha = $(alpha),
         numClass = 0))
       .setNumWorkers($(numWorkers))
+      .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) lr.setFeaturesCols($(featuresCols).toSeq)
     val inner = lr.fit(ds.toDF)
     copyValues(new GraftXGBLinearModel(uid, inner)).setParent(this)
@@ -563,6 +692,16 @@ class GraftXGBLinearModel(
     with MLWritable {
 
   def linearModel: graft.api.GraftLinear.LinearModel = inner.model
+
+  /** Per-round eval metric history (see
+    * [[GraftXGBClassificationModel.evalsResult]]). */
+  def evalsResult: Map[String,
+      Map[String, scala.collection.mutable.ArrayBuffer[Double]]] =
+    inner.evalsResult
+
+  /** Round index of the best eval score when early stopping was armed
+    * (xgboost `best_iteration`); −1 otherwise. */
+  def bestIteration: Int = inner.bestIteration
 
   /** Per-feature weights (class 0) — the gblinear `coef_` analog. */
   def coefficients: org.apache.spark.ml.linalg.Vector =

@@ -54,6 +54,52 @@ class LinearSpec extends SparkTestBase {
     assert(fm.evalsResult("train")("rmse").length === 5)
   }
 
+  test("duplicate eval-set names fail fast (they would interleave one " +
+      "metric history and misdirect early stopping)") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      GraftLinear.trainWithEvals(df, DMatrixSpec("y"),
+        TrainParams(objective = "reg:squarederror", numRounds = 2),
+        evals = Seq(("eval", df), ("eval", df)))
+    }
+    assert(e.getMessage.contains("duplicate eval set names"))
+  }
+
+  test("wrong-width pre-assembled eval rows fail fast instead of " +
+      "scoring as all-missing") {
+    val train = Seq((Array(1.0, 2.0), 1.0), (Array(2.0, 1.0), 0.0))
+      .toDF("fs", "y")
+    val badEval = Seq((Array(1.0, 2.0, 3.0), 1.0)).toDF("fs", "y")
+    val spec = DMatrixSpec("y").copy(featureCols = Some(Seq("fs")))
+    val e = intercept[org.apache.spark.SparkException] {
+      GraftLinear.trainWithEvals(train, spec,
+        TrainParams(objective = "reg:squarederror", numRounds = 2),
+        evals = Seq(("eval", badEval)))
+    }
+    assert(e.getMessage.contains("feature row has 3 element(s)") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("feature row has 3 element(s)")),
+      e.getMessage)
+  }
+
+  test("several eval metrics record full per-round histories (single " +
+      "margin pass per round)") {
+    val df = Seq(-2.0, -1.0, 1.0, 2.0).flatMap(x =>
+      Seq.fill(20)((x, 2.0 * x))).toDF("x", "y").repartition(4)
+    val res = GraftLinear.trainWithEvals(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 4,
+        eta = 0.5, lambda = 0.0, baseScore = 0.0,
+        evalMetric = Seq("rmse", "mae")),
+      evals = Seq(("train", df)))
+    val rmse = res.evalsResult("train")("rmse")
+    val mae = res.evalsResult("train")("mae")
+    assert(rmse.length === 4 && mae.length === 4)
+    assert(rmse.last < rmse.head && mae.last < mae.head)
+    // rmse ≥ mae pointwise on any sample (Jensen), a cheap cross-check
+    // that the two series really are different metrics on the same rows
+    rmse.zip(mae).foreach { case (r, m) => assert(r >= m - 1e-12) }
+  }
+
   test("recovers a linear signal with squared error") {
     val df = linearDf()
     val m = GraftLinear.train(df, DMatrixSpec("y"),

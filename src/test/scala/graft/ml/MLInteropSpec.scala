@@ -241,6 +241,90 @@ class MLInteropSpec extends SparkTestBase {
     assert(preds.getDouble(0) >= 0.0 && preds.getDouble(1) <= 1.0)
   }
 
+  test("eval sets + early stopping work through the tree facade " +
+      "(xgboost eval_set/early_stopping_rounds via MLlib Params)") {
+    // validation labels are seeded hash noise, independent of the
+    // features: its expected logloss is minimized at the initial
+    // p = 0.5 and strictly worsens as the model fits the real train
+    // labels — so a correct early stop MUST fire after exactly
+    // earlyStoppingRounds non-improving rounds
+    val noisyEval = df.withColumn("y",
+      pmod(xxhash64($"qty", $"price", $"disc"), lit(2)).cast("double"))
+    val clf = new GraftXGBClassifier()
+      .setLabelCol("y").setFeaturesCols(Array("qty", "price", "disc"))
+      .setNumRounds(50).setMaxDepth(2).setEta(0.9).setSeed(1L)
+      .setNumWorkers(4)
+      .setEvalMetric(Array("logloss"))
+      .setEarlyStoppingRounds(2)
+      .setEvalSets(Seq(("val", noisyEval)))
+    val model = clf.fit(df)
+    val ll = model.evalsResult("val")("logloss")
+    assert(ll.nonEmpty && ll.length < 50,
+      s"early stopping never fired: ${ll.length} rounds")
+    // the Param surface round-trips through copy (sklearn clone analog)
+    val cloned = clf.copy(ParamMap.empty)
+    assert(cloned.getEarlyStoppingRounds === 2)
+    assert(cloned.getEvalMetric === Array("logloss"))
+  }
+
+  test("eval sets + early stopping work through the gblinear facade") {
+    val d2 = Seq(-2.0, -1.0, 1.0, 2.0).flatMap(x =>
+      Seq.fill(50)((x, 2.0 * x))).toDF("x", "y2").repartition(4)
+    val lin = new GraftXGBLinear().setLabelCol("y2")
+      .setNumRounds(50).setEta(0.5).setLambda(0.0)
+      .setEarlyStoppingRounds(3)
+      .setEvalSets(Seq(("train", d2)))
+    val lm = lin.fit(d2)
+    val rmse = lm.evalsResult("train")("rmse")
+    assert(rmse.length < 50, s"early stopping never fired: ${rmse.length}")
+    assert(lm.bestIteration >= 0 && lm.bestIteration < rmse.length)
+    assert(rmse.last < rmse.head)
+  }
+
+  test("RF classifier facade fits in a Pipeline and save/loads " +
+      "(RayXGBRFClassifier surface)") {
+    val fe = new SQLTransformer().setStatement(
+      "SELECT *, qty * (1.0 - disc) AS net FROM __THIS__")
+    val rf = new GraftXGBRFClassifier()
+      .setLabelCol("y").setFeaturesCols(Array("qty", "price", "net"))
+      .setNumTrees(20).setMaxDepth(3).setSeed(1L).setNumWorkers(4)
+    assert(rf.getSubsample === 0.8) // RF preset default
+    val model = new Pipeline().setStages(Array(fe, rf)).fit(df)
+    val m = model.stages(1).asInstanceOf[GraftXGBClassificationModel]
+    // ONE round of numTrees parallel trees — the RF contract
+    assert(m.graftModel.trees.length === 20,
+      s"expected 20 trees, got ${m.graftModel.trees.length}")
+    val out = model.transform(df)
+    val acc = out.filter($"prediction" === $"y").count().toDouble /
+      out.count()
+    assert(acc > 0.672, s"RF pipeline accuracy $acc")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rfc")
+      .toString
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val a = out.select("prediction").collect().map(_.getDouble(0))
+    val b = loaded.transform(df).select("prediction").collect()
+      .map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+
+  test("RF regressor facade fits in a Pipeline and save/loads " +
+      "(RayXGBRFRegressor surface)") {
+    val rf = new GraftXGBRFRegressor()
+      .setLabelCol("qty").setFeaturesCols(Array("price", "disc"))
+      .setNumTrees(15).setMaxDepth(3).setSeed(2L).setNumWorkers(4)
+    val model = new Pipeline().setStages(Array(rf)).fit(df)
+    val m = model.stages.head.asInstanceOf[GraftXGBRegressionModel]
+    assert(m.graftModel.trees.length === 15)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rfr")
+      .toString
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val a = model.transform(df).agg(sum("prediction")).head().getDouble(0)
+    val b = loaded.transform(df).agg(sum("prediction")).head().getDouble(0)
+    assert(a === b)
+  }
+
   test("featureImportances surfaces as a normalized Vector on the " +
       "MLlib models (native-API parity)") {
     val clf = new GraftXGBClassifier().setLabelCol("y")
