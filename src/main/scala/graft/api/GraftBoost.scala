@@ -200,6 +200,24 @@ object GraftBoost {
         GraftColumnBridge.expression(featsArr), model)))
   }
 
+  /**
+   * Approximate pairwise interaction prediction — the xgboost
+   * `pred_interactions=True` kwarg the reference forwards through
+   * `predict` (main.py:1750-1806): appends an `interactions`
+   * array<float> column laid out as documented on
+   * [[GraftModel.interactions]] (per class a flattened
+   * (numFeatures+1)² symmetric matrix; row sums reproduce
+   * [[predictContrib]]'s blocks, totals the raw margins).
+   */
+  def predictInteractions(model: GraftModel, df: DataFrame,
+      spec: DMatrixSpec): DataFrame = {
+    val featsArr = checkedFeatures(model, df, spec)
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    df.withColumn("interactions",
+      GraftColumnBridge.column(graft.functions.EnsembleInteractions(
+        GraftColumnBridge.expression(featsArr), model)))
+  }
+
   // ---- internals ----
 
   /** Inference feature array via the SAME assembly expression training

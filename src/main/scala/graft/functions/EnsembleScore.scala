@@ -175,3 +175,50 @@ case class EnsembleContribs(child: Expression, model: GraftModel)
   override protected def withNewChildInternal(newChild: Expression)
       : EnsembleContribs = copy(child = newChild)
 }
+
+/**
+ * Approximate (Saabas) pairwise feature-interaction values — the
+ * xgboost `pred_interactions=True` kwarg the reference forwards through
+ * `predict` (main.py:1750-1806), the last forwarded predict mode
+ * without an analog here. Output layout documented on
+ * [[GraftModel.interactions]]: per class a flattened
+ * (numFeatures+1)² symmetric matrix whose row sums reproduce
+ * [[EnsembleContribs]]' output. Same zero-boxing shape as
+ * [[EnsembleScore]].
+ */
+case class EnsembleInteractions(child: Expression, model: GraftModel)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ensemble_interactions needs array<float> input, got " +
+        s"${other.catalogString}")
+  }
+
+  def interactions(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    EnsembleGuards.checkWidth(n, model)
+    val feats = new Array[Float](n)
+    var i = 0
+    while (i < n) { feats(i) = a.getFloat(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(model.interactions(feats))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    interactions(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftInteractions", this,
+        classOf[EnsembleInteractions].getName)
+      s"${ev.value} = $ref.interactions($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : EnsembleInteractions = copy(child = newChild)
+}

@@ -90,6 +90,72 @@ final class RegTree(
     value(0).toDouble
   }
 
+  /**
+   * Saabas-style pairwise INTERACTION walk — the approximate analog of
+   * xgboost `pred_interactions` built on the same root→leaf
+   * decomposition as [[contribWalk]]. Each step's Δ = v(child) −
+   * v(parent) belongs to the step's feature f; when the path has
+   * already split on other features A (|A| = na distinct), half of Δ
+   * stays on f's main effect and half becomes interaction, split
+   * evenly and SYMMETRICALLY across the ancestors — with the matching
+   * amount moved off each ancestor's main effect so its row total is
+   * untouched:
+   *
+   *   m[f][f] += Δ/2
+   *   for a ∈ A: m[f][a] += Δ/(2na); m[a][f] += Δ/(2na);
+   *              m[a][a] −= Δ/(2na)
+   *
+   * (na = 0 puts all of Δ on m[f][f].) By construction, per step: row
+   * f gains exactly Δ, every other row gains 0, and the matrix stays
+   * symmetric — so after the walk, row sums equal the [[contribWalk]]
+   * contributions and the total equals v(leaf) − v(root), the same
+   * structural contract xgboost documents for pred_interactions (row
+   * sums = pred_contribs). Exact SHAP interaction values are out of
+   * scope, mirroring the approx_contribs stance of [[contribWalk]].
+   *
+   * @param m flattened (w × w) row-major accumulator, w ≥ numFeatures
+   * @return v(root), the tree's bias share
+   */
+  def interactionWalk(x: Array[Float], m: Array[Double],
+      w: Int): Double = {
+    val path = new Array[Int](64) // distinct path features, ≤ depth
+    var np = 0
+    var i = 0
+    while (feature(i) >= 0) {
+      val f = feature(i)
+      val v = x(f)
+      val nxt = if (v.isNaN) { if (defaultLeft(i)) left(i) else right(i) }
+        else if (v <= threshold(i)) left(i)
+        else right(i)
+      val delta = value(nxt).toDouble - value(i).toDouble
+      // distinct ancestors excluding f (depth ≤ 64 ⇒ linear scan wins)
+      var na = 0
+      var p = 0
+      while (p < np) { if (path(p) != f) na += 1; p += 1 }
+      if (na == 0) m(f * w + f) += delta
+      else {
+        val s = delta / (2.0 * na)
+        m(f * w + f) += delta / 2.0
+        p = 0
+        while (p < np) {
+          val a = path(p)
+          if (a != f) {
+            m(f * w + a) += s
+            m(a * w + f) += s
+            m(a * w + a) -= s
+          }
+          p += 1
+        }
+      }
+      var seen = false
+      p = 0
+      while (p < np && !seen) { seen = path(p) == f; p += 1 }
+      if (!seen && np < path.length) { path(np) = f; np += 1 }
+      i = nxt
+    }
+    value(0).toDouble
+  }
+
   /** xgboost-style text dump (for golden-equality tree comparison). */
   def dump(treeIdx: Int): String = {
     val sb = new StringBuilder
@@ -197,6 +263,39 @@ final class GraftModel(
       var f = 0
       while (f < numFeatures) { out(c * w + f) = acc(c)(f).toFloat; f += 1 }
       out(c * w + numFeatures) = (biasAcc(c) + bias).toFloat
+      c += 1
+    }
+    out
+  }
+
+  /** Approximate pairwise interaction values — the xgboost
+    * `pred_interactions=True` analog, Saabas-style (see
+    * [[RegTree.interactionWalk]] for the per-step rule and its
+    * contracts). Layout: per output class, a flattened (numFeatures+1)²
+    * row-major symmetric matrix — index d is the bias row/column, whose
+    * diagonal cell carries the tree-root expectations plus the
+    * objective's init margin (bias interacts with nothing, xgboost
+    * convention). Per class block: row sums equal [[contribs]]' block
+    * and the total equals that class's raw margin (up to float
+    * association). Cost is O((numFeatures+1)²) per row per class —
+    * inherent to the kwarg, identical in xgboost. */
+  def interactions(x: Array[Float]): Array[Float] = {
+    val k = numOutputs
+    val w = numFeatures + 1
+    val acc = Array.ofDim[Double](k, w * w)
+    var t = 0
+    while (t < trees.length) {
+      val c = t % k
+      acc(c)(numFeatures * w + numFeatures) +=
+        trees(t).interactionWalk(x, acc(c), w)
+      t += 1
+    }
+    val out = new Array[Float](k * w * w)
+    var c = 0
+    while (c < k) {
+      acc(c)(numFeatures * w + numFeatures) += bias
+      var i = 0
+      while (i < w * w) { out(c * w * w + i) = acc(c)(i).toFloat; i += 1 }
       c += 1
     }
     out

@@ -541,4 +541,67 @@ class EndToEndSpec extends SparkTestBase {
     assert(massA > 10 * massB,
       s"informative-feature mass a=$massA vs noise b=$massB")
   }
+
+  test("predictInteractions: symmetric matrix whose row sums telescope " +
+      "to the Saabas contribs (pred_interactions analog)") {
+    val rng = new scala.util.Random(41)
+    // y = 3a + 2ab: a main effect plus a genuine a×b interaction the
+    // trees can only express by splitting on both features on one path
+    val rows = (1 to 600).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 3 * a + 2 * a * b)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(3)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 5,
+        maxDepth = 4, seed = 7))
+    val m = res.model
+    val contribs = GraftBoost.predictContrib(m, df, DMatrixSpec("y"))
+      .select("a", "contribs").collect()
+      .map(r => r.getDouble(0) -> r.getSeq[Float](1)).toMap
+    val got = GraftBoost.predictInteractions(m, df, DMatrixSpec("y"))
+      .select("a", "interactions").collect()
+    assert(got.length === 600)
+    val w = 3 // 2 features + bias
+    var offDiagMass = 0.0
+    got.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.size === w * w)
+      val mm = Array.tabulate(w, w)((i, j) => v(i * w + j).toDouble)
+      // symmetry
+      for (i <- 0 until w; j <- 0 until w)
+        assert(math.abs(mm(i)(j) - mm(j)(i)) < 1e-6,
+          s"asymmetric at ($i,$j)")
+      // row sums reproduce the contribs vector (the xgboost
+      // pred_interactions contract: row sums = pred_contribs)
+      val c = contribs(r.getDouble(0))
+      for (i <- 0 until w)
+        assert(math.abs(mm(i).sum - c(i)) < 1e-4,
+          s"row $i sum ${mm(i).sum} vs contrib ${c(i)}")
+      offDiagMass += math.abs(mm(0)(1))
+    }
+    // the planted a×b interaction must register as off-diagonal mass
+    assert(offDiagMass > 1.0, s"a×b interaction mass $offDiagMass")
+  }
+
+  test("EnsembleInteractions compiles under codegen-only mode") {
+    val df = Seq((1.0, 2.0, 5.0), (2.0, 1.0, 8.0), (0.5, 0.5, 3.0))
+      .toDF("a", "b", "y")
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 2,
+        maxDepth = 2, seed = 1))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val n = GraftBoost.predictInteractions(res.model, df,
+        DMatrixSpec("y"))
+        .filter(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("interactions")) === 9)
+        .count()
+      assert(n === 3L)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
