@@ -658,6 +658,12 @@ object Trainer {
     val broadcasts = ArrayBuffer[org.apache.spark.broadcast.Broadcast[_]]()
 
     var data = train.persist(StorageLevel.MEMORY_AND_DISK)
+    // duplicate names would collapse into one history entry and
+    // interleave two metric series — early stopping (which reads the
+    // last set's last value) would then compare alternating datasets
+    // (same guard as the linear booster)
+    require(evals.map(_._1).distinct.size == evals.size,
+      s"duplicate eval set names: ${evals.map(_._1).mkString(", ")}")
     var evalData = evals.map { case (n, r) =>
       (n, r.persist(StorageLevel.MEMORY_AND_DISK))
     }

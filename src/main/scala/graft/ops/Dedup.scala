@@ -335,7 +335,7 @@ object Dedup {
         .join(candIds, "id")
         .select(col("id"), shingleSet(shingleLen)(col("__txt")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pairs
+      val verified = pairs
         .join(sets.select(col("id").as("keep_id"), col("sh").as("ka")),
           "keep_id")
         .join(sets.select(col("id").as("dup_id"), col("sh").as("kb")),
@@ -352,6 +352,15 @@ object Dedup {
         .agg(min(struct(col("keep_id"), col("jaccard"))).as("s"))
         .select(col("s.keep_id").as("keep_id"), col("dup_id"),
           round(col("s.jaccard"), 6).as("jaccard"))
+      // deterministic cache release, same pattern as ngramJaccard: the
+      // path is already eager (pairs.count above), so checkpoint the
+      // tiny verified result and drop all three MEMORY_AND_DISK entries
+      // now instead of leaving them to LRU pressure
+      val out = verified.localCheckpoint(true)
+      pairs.unpersist(blocking = false)
+      sets.unpersist(blocking = false)
+      sig.unpersist(blocking = false)
+      out
     } else {
       // verify: estimated jaccard = fraction of agreeing signature slots
       val keepSig = sig.select(col("id").as("keep_id"),

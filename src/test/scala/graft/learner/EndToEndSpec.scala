@@ -48,6 +48,18 @@ class EndToEndSpec extends SparkTestBase {
     assert(m1 === m8)
   }
 
+  test("duplicate eval-set names fail fast in the tree trainer (same " +
+      "guard as gblinear)") {
+    val df = Seq((1.0, 2.0, 0.0), (2.0, 1.0, 1.0)).toDF("x0", "x1", "y")
+    val e = intercept[IllegalArgumentException] {
+      GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "binary:logistic", numRounds = 2,
+          maxDepth = 2, seed = 1),
+        evals = Seq(("eval", df), ("eval", df)))
+    }
+    assert(e.getMessage.contains("duplicate eval set names"))
+  }
+
   test("binary:logistic learns a separable function") {
     val rng = new scala.util.Random(11)
     val rows = (1 to 500).map { _ =>

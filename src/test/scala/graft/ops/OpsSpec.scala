@@ -313,26 +313,33 @@ class OpsSpec extends SparkTestBase {
       (4L, 11L)))
   }
 
-  test("ngramJaccard releases its gram/posting caches deterministically " +
-      "(no accumulation across repeated calls)") {
+  test("ngramJaccard and minhash exact-verify release their caches " +
+      "deterministically (no accumulation across repeated calls)") {
     val corpus = docs.limit(100).select("doc_id", "text")
     corpus.count() // settle the input's own cache before measuring
     val sc = spark.sparkContext
-    for (_ <- 1 to 3) {
+    def assertReleased(label: String)(run: => org.apache.spark.sql
+        .DataFrame): Unit = {
       val before = sc.getPersistentRDDs.keySet
-      val r = Dedup.ngramJaccard(corpus, "doc_id", "text",
-        n = 3, threshold = 0.9)
-      assert(r.count() >= 0)
+      assert(run.count() >= 0)
       // unpersist removes entries from the persistentRdds registry
-      // synchronously, so a leaked gram or posting cache (2 SQL
-      // persists) is visible here; only the eager localCheckpoint of
-      // the small verified-pair result may remain
+      // synchronously, so a leaked internal cache is visible here;
+      // only the eager localCheckpoint of the small verified-pair
+      // result may remain
       val leaked = sc.getPersistentRDDs.keySet -- before
       assert(leaked.size <= 1,
-        s"ngramJaccard left ${leaked.size} persisted RDDs behind")
+        s"$label left ${leaked.size} persisted RDDs behind")
       // drop the checkpoint blocks so the next iteration starts clean
       leaked.foreach(id => sc.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = true)))
+    }
+    for (_ <- 1 to 3) {
+      assertReleased("ngramJaccard")(
+        Dedup.ngramJaccard(corpus, "doc_id", "text",
+          n = 3, threshold = 0.9))
+      assertReleased("minhashLsh(exactVerify)")(
+        Dedup.minhashLsh(corpus, "doc_id", "text",
+          threshold = 0.9, exactVerify = true))
     }
   }
 
