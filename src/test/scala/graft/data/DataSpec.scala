@@ -82,6 +82,29 @@ class DataSpec extends SparkTestBase {
     }
   }
 
+  test("multi-file loads are deterministic in file order (O3): any " +
+      "path permutation yields the identical row sequence") {
+    // three single-row csv shards whose listing order differs from
+    // their sorted order — matrix.py:503-505 sorts for determinism and
+    // so does DataLoader.load
+    val dir = java.nio.file.Files.createTempDirectory("graft-o3")
+    val names = Seq("b.csv", "a.csv", "c.csv")
+    names.zipWithIndex.foreach { case (n, i) =>
+      java.nio.file.Files.writeString(dir.resolve(n),
+        s"x,src\n$i,${n.stripSuffix(".csv")}\n")
+    }
+    def rows(paths: Seq[String]): Seq[(Int, String)] =
+      DataLoader.load(spark, paths).collect()
+        .map(r => (r.get(0).toString.toInt, r.getString(1))).toSeq
+    val perms = names.permutations.take(4).toSeq
+      .map(_.map(n => dir.resolve(n).toString))
+    val expect = rows(perms.head)
+    // sorted file order ⇒ a.csv's row first regardless of input order
+    assert(expect.head._2 === "a")
+    perms.tail.foreach(p => assert(rows(p) === expect,
+      s"row order changed under permutation $p"))
+  }
+
   test("filetype sniffing and mixed-type rejection (S11)") {
     import DataLoader._
     assert(sniffFiletype("a/b.csv").contains(CsvFile))
