@@ -289,6 +289,21 @@ object SparkEntry {
       graft.streaming.StreamPipeline.replayDedup(
         ld(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- streaming: watermark + tumbling-window aggregation replay
+    //      (X16) — append-mode window finals over a 5-micro-batch
+    //      memory-stream replay must equal the batch group-by on the
+    //      same synthetic event times. The per-window quality mean is
+    //      compared as an integer micro-unit SUM (recovered exactly
+    //      from mean × n; per-doc quality is a multiple of 1e-6), so
+    //      the row is immune to float summation-order noise ----
+    "st_window" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replayQualityWindow(
+        ld(s, dir, "documents"), "doc_id", "text")
+        .select(col("win_start"), col("lang_id"), col("n_docs"),
+          round(col("mean_quality") * col("n_docs") * 1e6, 0)
+            .cast("long").as("q_sum_micro"))
+        .orderBy("win_start", "lang_id")),
+
     // ---- text analysis: token counts ----
     "tx_tokens" -> ((s, dir) => {
       val d = ld(s, dir, "documents")
@@ -996,6 +1011,72 @@ object SparkEntry {
         | FROM documents
         | GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         | ORDER BY doc_id""".stripMargin,
+    // streaming windowed-quality replay: synthetic event time
+    // ts = 86400 + (doc_id % 60) s, 15 s tumbling windows aligned to
+    // the epoch; lang = the tx_langid argmax, per-doc quality = the
+    // qualityScore composite (len/word-len/stopword/punct, rounded to
+    // 1e-6), compared as an exact integer micro-unit sum per window
+    "st_window" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(86400 + (doc_id % 60) AS BIGINT) AS ts_sec, text,
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS ltoks
+        | FROM documents),
+        |s AS (SELECT doc_id, ts_sec, text, toks,
+        |   CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE
+        |     CAST(len(list_filter(ltoks, x -> list_contains(['the','of',
+        |       'and','a','to','in','is','it','you','that','he','was',
+        |       'for','on','are','as','with','his','they','i','at','be',
+        |       'this','have','from','or','had','by','not','but','what',
+        |       'we','can','an','which','their'], x))) AS DOUBLE)
+        |       / len(ltoks) END AS s_en,
+        |   CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE
+        |     CAST(len(list_filter(ltoks, x -> list_contains(['der','die',
+        |       'das','und','ist','ich','nicht','ein','eine','mit','für',
+        |       'auf','sie','des','dem','den','von','zu','im','sich',
+        |       'auch','als','es','war','aber'], x))) AS DOUBLE)
+        |       / len(ltoks) END AS s_de,
+        |   CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE
+        |     CAST(len(list_filter(ltoks, x -> list_contains(['le','la',
+        |       'les','de','des','du','et','est','une','un','que','qui',
+        |       'dans','pour','pas','sur','avec','au','il','elle','ne',
+        |       'se','ce','plus','par'], x))) AS DOUBLE)
+        |       / len(ltoks) END AS s_fr,
+        |   CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE
+        |     CAST(len(list_filter(ltoks, x -> list_contains(['el','la',
+        |       'los','las','de','del','y','es','una','un','que','en',
+        |       'no','se','por','con','para','su','al','lo','como','más',
+        |       'pero','sus','le'], x))) AS DOUBLE)
+        |       / len(ltoks) END AS s_es
+        | FROM t),
+        |q AS (SELECT ts_sec,
+        |   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |     WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+        |     WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |     ELSE 'de' END AS lang_id,
+        |   round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.3
+        |     + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0
+        |         WHEN mwl > 0 THEN 0.5 ELSE 0.0 END) * 0.2
+        |     + least(s_en * 4.0, 1.0) * 0.3
+        |     + greatest(0.0, 1.0 - pr * 4.0) * 0.2, 6) AS quality
+        | FROM (SELECT *,
+        |   CASE WHEN len(toks) = 0 THEN 0.0
+        |     ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+        |       AS DOUBLE) / len(toks) END AS mwl,
+        |   CASE WHEN length(text) = 0 THEN 0.0
+        |     ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
+        |       AS DOUBLE) / length(text) END AS pr
+        |   FROM s))
+        |SELECT CAST((ts_sec // 15) * 15 AS BIGINT) AS win_start,
+        | lang_id, count(*) AS n_docs,
+        | CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+        |   AS q_sum_micro
+        | FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // per-source cap: rate = least(1, 20/n) per source, keep decision
     // = the md5_number_lower replay of the salted row hash
     "pp_sourcecap" ->

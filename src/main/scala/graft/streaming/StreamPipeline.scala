@@ -102,6 +102,78 @@ object StreamPipeline {
     out
   }
 
+  /**
+   * Bounded REPLAY of [[qualityByWindow]] for the correctness harness
+   * (the `st_window` query): feeds the documents table through a memory
+   * stream in micro-batches with deterministic synthetic event times
+   * (`ts = day2 + (doc_id % 60) s`, so the corpus spans four 15-second
+   * windows), runs the watermark + tumbling-window aggregation in
+   * APPEND mode, and returns the emitted final windows. Because every
+   * window's final (lang, count, mean-quality) must equal the batch
+   * group-by over the same synthetic timestamps, the stateful windowed
+   * path gets a DuckDB oracle row, not just a unit test.
+   *
+   * Mechanics worth naming:
+   *  - the id→ts mapping CYCLES (`id % 60`), so later micro-batches
+   *    carry event times older than the max already seen — the
+   *    watermark delay must cover the whole synthetic span or batch 2+
+   *    would arrive late and be dropped ("2 hours" ≫ 60 s span);
+   *  - append mode only emits a window once the watermark passes its
+   *    end, and the watermark the sink sees lags one batch (batch N
+   *    runs with the watermark computed after batch N-1) — so TWO
+   *    far-future flush rows are fed: the first advances the
+   *    watermark past every real window, the second triggers the batch
+   *    that actually emits them. The flush rows' own window never
+   *    closes, so they never reach the sink.
+   *
+   * Verification device, not a production operator (same caveat as
+   * [[replayDedup]]): a real deployment points [[qualityByWindow]] at
+   * `readStream` and never routes data through the driver.
+   */
+  def replayQualityWindow(df: DataFrame, idCol: String, textCol: String,
+      windowDuration: String = "15 seconds",
+      numBatches: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseMs = 86400000L // day 2, epoch-aligned (windows align to epoch)
+    val rows = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val agg = qualityByWindow(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts", "text",
+      windowDuration, "2 hours")
+    val sink = "st_window_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1,
+        math.ceil(rows.length.toDouble / numBatches).toInt)
+      rows.grouped(per).foreach { batch =>
+        in.addData(batch.map { case (id, txt) =>
+          (id, new java.sql.Timestamp(baseMs + (id % 60) * 1000L), txt)
+        }.toSeq)
+        q.processAllAvailable()
+      }
+      // flush: ts far enough that (ts - 2h delay) > every real window end
+      (0 to 1).foreach { i =>
+        in.addData(Seq((-1L - i,
+          new java.sql.Timestamp(baseMs + 8000000L + i * 1000L), "flush")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table(sink)
+      .select(col("win.start").cast("long").as("win_start"),
+        col("lang_id"), col("n_docs"), col("mean_quality"))
+      .where(col("win_start") < lit(86400L + 3600L)) // real windows only
+      .orderBy("win_start", "lang_id")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   /** One simhash-chunk bucket row (the stream analog of
     * `Dedup.simhashDups`' banding). */
   final case class ChunkRow(chunk: Int, ch: Long, id: Long, sig: Long,

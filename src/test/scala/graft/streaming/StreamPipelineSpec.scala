@@ -134,6 +134,39 @@ class StreamPipelineSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("replayQualityWindow: append-mode window finals equal the batch " +
+      "group-by on the same synthetic event times") {
+    import graft.ops.TextOps
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val streamed = StreamPipeline
+      .replayQualityWindow(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = docs
+      .select(col("doc_id"),
+        (lit(86400L) + col("doc_id") % 60).as("ts_sec"), col("text"))
+      .groupBy((floor(col("ts_sec") / 15) * 15).cast("long").as("win_start"),
+        TextOps.langId(col("text")).as("lang_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(TextOps.qualityScore(col("text"))).as("mean_quality"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.keySet === batch.keySet,
+      s"window/lang key sets diverge: ${streamed.keySet} vs ${batch.keySet}")
+    batch.foreach { case (k, (n, mq)) =>
+      assert(streamed(k)._1 === n, s"n_docs diverges at $k")
+      assert(math.abs(streamed(k)._2 - mq) < 1e-9,
+        s"mean_quality diverges at $k: ${streamed(k)._2} vs $mq")
+    }
+    // the synthetic span is 60 s → exactly four 15 s windows
+    assert(streamed.keySet.map(_._1) ===
+      Set(86400L, 86415L, 86430L, 86445L))
+  }
+
   test("qualityByWindow aggregates per window and language") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
