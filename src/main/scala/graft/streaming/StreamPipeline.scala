@@ -81,6 +81,15 @@ object StreamPipeline {
     // one session and memory sinks register a temp view per query name
     val sink = "st_dedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // the session's shuffle-partition count (sized for batch queries)
+    // becomes the stream's STATE-STORE partition count, and every
+    // micro-batch pays per-partition store open/commit/maintenance —
+    // for a replay holding a few thousand keys that overhead dwarfs
+    // the work. Pin a small count for the stream's lifetime (the
+    // stream thread snapshots the session conf when it starts — the
+    // replay is single-threaded, so restoring after stop() is safe).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q = deduped.select("doc_id").writeStream.format("memory")
       .queryName(sink).outputMode("append").start()
     try {
@@ -95,7 +104,10 @@ object StreamPipeline {
         }.toSeq)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     // detach the result from the temp view before dropping it
     val out = spark.table(sink).orderBy("doc_id").localCheckpoint(true)
     spark.catalog.dropTempView(sink)
@@ -146,6 +158,10 @@ object StreamPipeline {
       windowDuration, "2 hours")
     val sink = "st_window_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // same state-store partition pinning as replayDedup: a handful of
+    // (window, lang) groups do not need 32 state partitions per batch
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q = agg.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
@@ -163,7 +179,10 @@ object StreamPipeline {
           new java.sql.Timestamp(baseMs + 8000000L + i * 1000L), "flush")))
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     val out = spark.table(sink)
       .select(col("win.start").cast("long").as("win_start"),
         col("lang_id"), col("n_docs"), col("mean_quality"))
