@@ -334,6 +334,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text analysis: CCNet-style unigram LM quality scoring —
+    //      per-doc mean token log-prob under the corpus's own unigram
+    //      LM, vocab cut to top-30 by count so the OOV floor path is
+    //      exercised; all compared quantities are exact integers
+    //      (micro-unit log-probs) or doubles derived from them ----
+    "tx_lmscore" -> ((s, dir) =>
+      TextOps.unigramLogProbs(ld(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 30).orderBy("doc_id")),
+
     // ---- text analysis: repetition metrics (Gopher-style filters) ----
     "tx_repetition" -> ((s, dir) => {
       val rep = TextOps.repetitionStats(col("text"))
@@ -1241,6 +1250,38 @@ object SparkEntry {
         |   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
         |   ELSE 'de' END AS lang_id
         | FROM s ORDER BY doc_id""".stripMargin,
+    // unigram LM scoring replay: same tokenization as tx_stats, counts
+    // → top-30 vocab by (count DESC, token ASC) with ln(c/total)
+    // rounded to integer micro-units, per-doc BIGINT sums (OOV floor
+    // ln(0.5/total)); the mean is derived from the integers, so every
+    // compared value is either exact or deterministically computed
+    "tx_lmscore" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END)
+        |     AS tok
+        | FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT greatest(CAST(sum(cnt) AS BIGINT), 1) AS t FROM c),
+        |v AS (SELECT tok,
+        |   CAST(round(ln(CAST(cnt AS DOUBLE)
+        |     / CAST((SELECT t FROM tot) AS DOUBLE)) * 1000000) AS BIGINT)
+        |     AS lp_micro
+        | FROM c ORDER BY cnt DESC, tok ASC LIMIT 30),
+        |d AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |   CAST(sum(coalesce(v.lp_micro,
+        |     CAST(round(ln(0.5 / CAST((SELECT t FROM tot) AS DOUBLE))
+        |       * 1000000) AS BIGINT))) AS BIGINT) AS lp_sum_micro
+        | FROM tok tk LEFT JOIN v USING (tok) GROUP BY tk.doc_id)
+        |SELECT doc_id,
+        | coalesce(n_tokens, 0) AS n_tokens,
+        | coalesce(lp_sum_micro, 0) AS lp_sum_micro,
+        | CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |   ELSE round(CAST(lp_sum_micro AS DOUBLE) / 1000000.0
+        |     / n_tokens, 6) END AS mean_logprob
+        | FROM documents LEFT JOIN d USING (doc_id)
+        | ORDER BY doc_id""".stripMargin,
     // repetition metrics replay: token/2-gram/3-gram frequency tables
     // per doc, then max-fraction / duplicated-occurrence-fraction
     "tx_repetition" ->

@@ -408,6 +408,70 @@ object TextOps {
   }
 
   /**
+   * CCNet-style unigram language-model quality scoring: per-document
+   * mean token log-probability under a unigram LM estimated from the
+   * corpus itself, with the vocabulary cut to the top `vocabSize`
+   * tokens by count and everything else scored at an OOV floor
+   * (`ln(oovFactor / totalTokens)`). Low mean log-prob = surprising /
+   * junky text — the LM-perplexity corpus filter (CCNet's approach,
+   * there with a pretrained KenLM; here the corpus IS the LM, which is
+   * the bootstrap variant when no external model ships).
+   *
+   * Scale shape, in order: (1) one map-combinable token-count shuffle
+   * (heavy hitters combine map-side); (2) the vocabulary cut is a
+   * bounded `TakeOrderedAndProject` (per-partition top-K, no full
+   * sort), ties broken (count DESC, token ASC) so the cut is
+   * deterministic; (3) the ≤vocabSize vocab BROADCASTS into the
+   * per-token left join; (4) one final groupBy(doc), with empty docs
+   * carried through by `explode_outer` as NULL-token rows — so a
+   * 100 TB corpus pays two keyed shuffles and a bounded top-K,
+   * nothing else.
+   *
+   * Numeric contract: the only transcendental (`ln`) is evaluated
+   * vocabSize+1 times while BUILDING the tiny vocab table, each result
+   * immediately rounded to a 1e-6 grid (`lp_micro`, an integer); every
+   * per-document quantity is then an exact BIGINT sum of those
+   * integers, immune to float summation order across partitionings —
+   * the property that makes the `tx_lmscore` harness row
+   * hash-comparable against DuckDB.
+   *
+   * @return (idCol, n_tokens, lp_sum_micro, mean_logprob) — mean is
+   *         the derived display value lp_sum / 1e6 / n (0.0 for empty
+   *         docs)
+   */
+  def unigramLogProbs(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 50000, oovFactor: Double = 0.5): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    // explode_outer keeps empty documents as a single NULL-token row,
+    // so they flow through the final group-by with zeros instead of
+    // needing a doc-sized restore join
+    val tok = df.select(col(idCol),
+      explode_outer(tokens(lower(col(textCol)))).as("tok"))
+    val counts = tok.where(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt")).first().getLong(0) max 1L
+    val vocab = counts
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .withColumn("lp_micro",
+        round(log(col("cnt").cast("double") / total.toDouble) * 1e6, 0)
+          .cast("long"))
+      .select("tok", "lp_micro")
+    val oovMicro = math.round(math.log(oovFactor / total.toDouble) * 1e6)
+    tok
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("tok")).as("n_tokens"),
+        coalesce(sum(when(col("tok").isNotNull,
+            coalesce(col("lp_micro"), lit(oovMicro)))), lit(0L))
+          .as("lp_sum_micro"))
+      .withColumn("mean_logprob",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(col("lp_sum_micro").cast("double") / 1e6 /
+            col("n_tokens"), 6)))
+  }
+
+  /**
    * Sequence chunking: split each document into fixed-size token
    * windows with stride overlap — the context-window packing step of an
    * LLM data pipeline. Chunk i covers tokens [i·stride, i·stride+size).

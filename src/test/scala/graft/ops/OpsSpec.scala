@@ -103,6 +103,49 @@ class OpsSpec extends SparkTestBase {
     assert(out === Array(("alpha", 2L), ("beta", 2L), ("gamma", 2L)))
   }
 
+  test("unigramLogProbs: hand-computed vocab, OOV floor, empty docs, " +
+      "partition invariance") {
+    // corpus: a×4, b×2, c×1, d×1 → total 8 tokens
+    val rows = Seq(
+      (0L, "a a b"),
+      (1L, "A b c"),     // lowercased before counting
+      (2L, "a d"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    // vocabSize=2 keeps {a, b}; c and d take the OOV floor ln(0.5/8)
+    val lpA = math.round(math.log(4.0 / 8.0) * 1e6)
+    val lpB = math.round(math.log(2.0 / 8.0) * 1e6)
+    val oov = math.round(math.log(0.5 / 8.0) * 1e6)
+    val out = TextOps.unigramLogProbs(rows, "doc_id", "text",
+      vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(0L)._1 === 3L && out(0L)._2 === 2 * lpA + lpB)
+    assert(out(1L)._1 === 3L && out(1L)._2 === lpA + lpB + oov)
+    assert(out(2L)._1 === 2L && out(2L)._2 === lpA + oov)
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    val mean0 = BigDecimal((2 * lpA + lpB).toDouble / 1e6 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L)._3 === mean0)
+    // exact-integer outputs are partitioning-invariant by construction
+    val re = TextOps.unigramLogProbs(rows.repartition(7), "doc_id",
+      "text", vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(re === out)
+  }
+
+  test("unigramLogProbs: vocab cut ties break by (count desc, token asc)") {
+    // b and c tie at 2 — vocabSize=2 must keep {a, b}, not {a, c}
+    val rows = Seq((0L, "a a a b b c c")).toDF("doc_id", "text")
+    val oov = math.round(math.log(0.5 / 7.0) * 1e6)
+    val lpA = math.round(math.log(3.0 / 7.0) * 1e6)
+    val lpB = math.round(math.log(2.0 / 7.0) * 1e6)
+    val out = TextOps.unigramLogProbs(rows, "doc_id", "text",
+      vocabSize = 2).collect().head
+    assert(out.getLong(2) === 3 * lpA + 2 * lpB + 2 * oov)
+  }
+
   test("tokenEntropy: hand-computed values") {
     val rows = Seq(
       (0L, "a a a a"),       // one token → 0 bits
