@@ -124,6 +124,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"separate skew-count aggregation re-appeared:\n$p")
   }
 
+  test("tx_lmscore: the vocab broadcasts and the per-doc scoring pays " +
+      "exactly two keyed exchanges (token count + doc group-by)") {
+    val df = graft.ops.TextOps.unigramLogProbs(
+      spark.read.parquet(dir + "/documents.parquet"), "doc_id", "text",
+      vocabSize = 30)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab join fell back to a shuffle join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2,
+      s"expected 2 keyed exchanges (token count, doc group-by), " +
+        s"saw $hashEx:\n$p")
+  }
+
   test("aggregations keep map-side partial combining") {
     val p = plan("a2_metric_agg")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
