@@ -197,6 +197,9 @@ final class GraftModel(
   /** Trees appended per boosting round (the Trainer.boost layout). */
   def treesPerRound: Int = numOutputs * math.max(numParallelTree, 1)
 
+  /** Completed boosting rounds stored in this model. */
+  def numRounds: Int = trees.length / treesPerRound
+
   /** Objective resolved once per (de)serialized copy — NOT per row (the
     * predict UDF calls margins/predict for every row). */
   @transient private lazy val obj: Objective =
@@ -350,10 +353,22 @@ final class GraftModel(
   /** First `rounds` boosting rounds only (treesPerRound trees per round,
     * so forests stay whole — advisor r2) — the xgboost
     * `iteration_range` predict idiom for early stopping. */
-  def truncate(rounds: Int): GraftModel = {
-    val keep = math.min(trees.length, math.max(0, rounds) * treesPerRound)
-    new GraftModel(trees.take(keep), objective, numClass, baseScore,
-      missingBin, numFeatures, numParallelTree)
+  def truncate(rounds: Int): GraftModel = slice(0, rounds)
+
+  /** Boosting rounds [fromRound, untilRound) only — the xgboost booster
+    * slice (`booster[a:b]`, predict's full `iteration_range=(a, b)`;
+    * the reference forwards those kwargs at main.py:795-810). Cuts on
+    * round boundaries so forests and softmax class-groups stay whole;
+    * the slice keeps baseScore, so margins follow xgboost's sliced-
+    * booster semantics (base + selected rounds' contributions). */
+  def slice(fromRound: Int, untilRound: Int): GraftModel = {
+    val nRounds = numRounds
+    val from = math.min(math.max(0, fromRound), nRounds)
+    val until = math.min(math.max(from, untilRound), nRounds)
+    new GraftModel(
+      trees.slice(from * treesPerRound, until * treesPerRound),
+      objective, numClass, baseScore, missingBin, numFeatures,
+      numParallelTree)
   }
 
   /**

@@ -383,6 +383,46 @@ class EndToEndSpec extends SparkTestBase {
     assert(loaded.truncate(2).trees.length === 8)
   }
 
+  test("slice([a,b)) follows xgboost sliced-booster semantics: margins " +
+      "are additive across a round partition, class groups stay whole") {
+    val rng = new scala.util.Random(91)
+    val rows = (1 to 300).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 3 * a - b)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(3)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 5,
+        maxDepth = 3, seed = 7))
+    val m = res.model
+    assert(m.numRounds === 5)
+    assert(m.slice(0, 2).dump() === m.truncate(2).dump())
+    // identity link: prediction == margin == base + Σ tree contribs, so
+    // pred(full) - base must equal Σ over a partition of round ranges
+    val x = Array(0.4f, 0.7f)
+    val base = m.slice(0, 0).margins(x)(0)
+    val full = m.margins(x)(0)
+    val front = m.slice(0, 2).margins(x)(0)
+    val back = m.slice(2, 5).margins(x)(0)
+    assert(math.abs((full - base) - ((front - base) + (back - base)))
+      < 1e-5, s"margins not additive: full=$full front=$front back=$back")
+    // out-of-range bounds clamp instead of throwing
+    assert(m.slice(-3, 99).dump() === m.dump())
+    assert(m.slice(4, 2).numRounds === 0)
+    // multi-class: each round appends numClass trees; a mid-model slice
+    // must keep whole class groups
+    val mc = (1 to 150).map { i =>
+      val a = rng.nextDouble()
+      (a, rng.nextDouble(), (i % 3).toDouble)
+    }.toDF("a", "b", "y")
+    val sm = GraftBoost.train(mc, DMatrixSpec("y"),
+      TrainParams(objective = "multi:softmax", numClass = 3,
+        numRounds = 4, maxDepth = 2, seed = 8)).model
+    assert(sm.treesPerRound === 3)
+    assert(sm.slice(1, 3).trees.length === 6)
+    assert(sm.slice(1, 3).numRounds === 2)
+  }
+
   test("rank:pairwise improves AUC over rounds (F4 fixture)") {
     val rng = new scala.util.Random(17)
     // 40 groups of 5; relevance correlates with feature 0
