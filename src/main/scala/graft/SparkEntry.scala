@@ -304,6 +304,15 @@ object SparkEntry {
             .cast("long").as("q_sum_micro"))
         .orderBy("win_start", "lang_id")),
 
+    // ---- streaming: flatMapGroupsWithState near-dup replay (X16) —
+    //      the custom-state path's distinct emitted pairs must equal
+    //      the BATCH simhash pair set (banding pigeonhole + uncapped
+    //      replay buckets + in-horizon event times), so all THREE
+    //      stateful streaming paths carry full DuckDB oracle rows ----
+    "st_neardup" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replayNearDup(
+        ld(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
     // ---- text analysis: token counts ----
     "tx_tokens" -> ((s, dir) => {
       val d = ld(s, dir, "documents")
@@ -1020,6 +1029,33 @@ object SparkEntry {
         | FROM documents
         | GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         | ORDER BY doc_id""".stripMargin,
+    // streaming near-dup replay: identical semantics to dd_simhash
+    // (the replay makes the stream's answer the full batch pair set —
+    // see StreamPipeline.replayNearDup's scaladoc for the argument)
+    "st_neardup" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
+        |     x -> x <> '') AS toks FROM documents),
+        |tu AS (SELECT id, unnest(toks) AS t FROM tok),
+        |h AS (SELECT id, md5_number_lower(t) AS z FROM tu),
+        |bits AS (SELECT id, r.b AS b,
+        |   sum(CASE WHEN (z >> CAST(r.b AS INTEGER)) & 1 = 1
+        |     THEN 1 ELSE -1 END) AS v
+        | FROM h CROSS JOIN range(64) r(b) GROUP BY id, r.b),
+        |sig0 AS (SELECT id,
+        |   bit_or(CASE WHEN v > 0
+        |     THEN (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))
+        |     ELSE CAST(0 AS UBIGINT) END) AS sig
+        | FROM bits GROUP BY id),
+        |sig AS (SELECT d.doc_id AS id,
+        |   coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
+        | FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.id),
+        |p AS (SELECT a.id AS keep_id, b.id AS dup_id,
+        |   bit_count(xor(a.sig, b.sig)) AS hamming
+        | FROM sig a JOIN sig b ON a.id < b.id)
+        |SELECT keep_id, dup_id, CAST(hamming AS BIGINT) AS hamming
+        | FROM p WHERE hamming <= 3
+        | ORDER BY keep_id, dup_id""".stripMargin,
     // streaming windowed-quality replay: synthetic event time
     // ts = 86400 + (doc_id % 60) s, 15 s tumbling windows aligned to
     // the epoch; lang = the tx_langid argmax, per-doc quality = the

@@ -274,6 +274,73 @@ object StreamPipeline {
   }
 
   /**
+   * Bounded REPLAY of [[nearDupStream]] for the correctness harness
+   * (the `st_neardup` query): feeds the documents table through a
+   * memory stream in micro-batches and returns the DISTINCT emitted
+   * (keep_id, dup_id, hamming) pairs. Under the replay's settings the
+   * stream's answer must equal BATCH [[graft.ops.Dedup.simhashDups]] —
+   * the full hamming ≤ maxHamming pair set — so the
+   * `flatMapGroupsWithState` path shares `dd_simhash`'s DuckDB oracle:
+   *
+   *  - banding pigeonhole: ≤3 differing bits cannot touch all four
+   *    16-bit chunks, so every qualifying pair shares ≥1 chunk bucket
+   *    and meets in that bucket's state;
+   *  - `maxBucket` is lifted to the corpus size, so FIFO eviction
+   *    cannot drop a future pair's partner;
+   *  - every synthetic event time sits far inside the TTL and the
+   *    watermark horizon, so no state expires mid-replay;
+   *  - emission is min/max-normalized and per-shared-chunk, so the
+   *    sink's DISTINCT equals the pair set regardless of arrival
+   *    order within a batch.
+   *
+   * Verification device, not a production operator (same caveat as
+   * [[replayDedup]]); production keeps the default bounded state.
+   */
+  def replayNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, numBatches: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val hits = nearDupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      delayThreshold = "2 hours", maxHamming = maxHamming,
+      maxBucket = math.max(rows.length, 1), stateTtlMs = 7200000L)
+    val sink = "st_neardup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // same state-store partition pinning as replayDedup
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = hits.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1,
+        math.ceil(rows.length.toDouble / numBatches).toInt)
+      rows.grouped(per).foreach { batch =>
+        in.addData(batch.map { case (id, txt) =>
+          (id, new java.sql.Timestamp(86400000L + (id % 60) * 1000L),
+            txt)
+        }.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    val out = spark.table(sink)
+      .select(col("keep_id"), col("dup_id"),
+        col("hamming").cast("long").as("hamming"))
+      .distinct()
+      .orderBy("keep_id", "dup_id")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
+  /**
    * Tumbling-window corpus-quality monitor: per (window, language)
    * document counts and mean quality score — the "is my ingest healthy"
    * aggregation a data pipeline runs continuously.

@@ -167,6 +167,23 @@ class StreamPipelineSpec extends SparkTestBase {
       Set(86400L, 86415L, 86430L, 86445L))
   }
 
+  test("replayNearDup: distinct streamed pairs equal the batch simhash " +
+      "pair set on real documents") {
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val streamed = StreamPipeline.replayNearDup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val batch = graft.ops.Dedup.simhashDups(docs, "doc_id", "text",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+    assert(batch.nonEmpty, "fixture has no near-dup pairs to verify")
+  }
+
   test("qualityByWindow aggregates per window and language") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
