@@ -417,15 +417,19 @@ object TextOps {
    * there with a pretrained KenLM; here the corpus IS the LM, which is
    * the bootstrap variant when no external model ships).
    *
-   * Scale shape, in order: (1) one map-combinable token-count shuffle
-   * (heavy hitters combine map-side); (2) the vocabulary cut is a
+   * Scale shape, in order: (1) ONE map-combinable token-count shuffle,
+   * persisted just long enough to serve its two driver-bounded
+   * reductions (grand total + top-K cut) and released before return —
+   * without the persist the lazy vocab would re-shuffle the whole
+   * corpus when the result materializes; (2) the vocabulary cut is a
    * bounded `TakeOrderedAndProject` (per-partition top-K, no full
    * sort), ties broken (count DESC, token ASC) so the cut is
-   * deterministic; (3) the ≤vocabSize vocab BROADCASTS into the
+   * deterministic, collected (≤vocabSize rows) and re-emitted as a
+   * literal relation; (3) that tiny vocab BROADCASTS into the
    * per-token left join; (4) one final groupBy(doc), with empty docs
    * carried through by `explode_outer` as NULL-token rows — so a
-   * 100 TB corpus pays two keyed shuffles and a bounded top-K,
-   * nothing else.
+   * 100 TB corpus pays exactly two keyed shuffles, a bounded
+   * TakeOrdered, and a broadcast join, and no cache outlives the call.
    *
    * Numeric contract: the only transcendental (`ln`) is evaluated
    * vocabSize+1 times while BUILDING the tiny vocab table, each result
@@ -442,22 +446,37 @@ object TextOps {
   def unigramLogProbs(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 50000, oovFactor: Double = 0.5): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val spark = df.sparkSession
     // explode_outer keeps empty documents as a single NULL-token row,
     // so they flow through the final group-by with zeros instead of
     // needing a doc-sized restore join
     val tok = df.select(col(idCol),
       explode_outer(tokens(lower(col(textCol)))).as("tok"))
+    // the token-count shuffle feeds TWO driver-bounded reductions (the
+    // grand total and the top-K cut) — persist it for their lifetime so
+    // the corpus is shuffled once, then release BEFORE returning: the
+    // returned plan references only the collected vocab literal, never
+    // this intermediate, so no cache outlives the call
     val counts = tok.where(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum("cnt")).first().getLong(0) max 1L
-    val vocab = counts
-      .orderBy(col("cnt").desc, col("tok").asc)
-      .limit(vocabSize)
-      .withColumn("lp_micro",
-        round(log(col("cnt").cast("double") / total.toDouble) * 1e6, 0)
-          .cast("long"))
-      .select("tok", "lp_micro")
-    val oovMicro = math.round(math.log(oovFactor / total.toDouble) * 1e6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (total, topK) = try {
+      val t = counts.agg(sum("cnt")).first().getLong(0) max 1L
+      val k = counts.orderBy(col("cnt").desc, col("tok").asc)
+        .limit(vocabSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (t, k)
+    } finally counts.unpersist(blocking = false)
+    import spark.implicits._
+    // HALF_UP (away from zero), matching Spark's round() and DuckDB's
+    // round() on these negative values — math.round would round exact
+    // halves toward +inf instead
+    def micro(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vocab = topK.map { case (t, c) =>
+      (t, micro(math.log(c.toDouble / total.toDouble)))
+    }.toSeq.toDF("tok", "lp_micro")
+    val oovMicro = micro(math.log(oovFactor / total.toDouble))
     tok
       .join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col(idCol))

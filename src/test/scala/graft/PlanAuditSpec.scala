@@ -124,8 +124,10 @@ class PlanAuditSpec extends SparkTestBase {
       s"separate skew-count aggregation re-appeared:\n$p")
   }
 
-  test("tx_lmscore: the vocab broadcasts and the per-doc scoring pays " +
-      "exactly two keyed exchanges (token count + doc group-by)") {
+  test("tx_lmscore: the collected vocab broadcasts as a literal and " +
+      "the returned plan pays exactly ONE keyed exchange (doc group-by) " +
+      "— the token-count shuffle ran once in the eager vocab jobs") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = graft.ops.TextOps.unigramLogProbs(
       spark.read.parquet(dir + "/documents.parquet"), "doc_id", "text",
       vocabSize = 30)
@@ -133,10 +135,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"),
       s"vocab join fell back to a shuffle join:\n$p")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"vocab is not a collected literal relation:\n$p")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashEx == 2,
-      s"expected 2 keyed exchanges (token count, doc group-by), " +
-        s"saw $hashEx:\n$p")
+    assert(hashEx == 1,
+      s"expected 1 keyed exchange (doc group-by), saw $hashEx:\n$p")
+    // and the call left nothing cached behind (compare against the
+    // suite's pre-existing persists — other specs share the session)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"unigramLogProbs leaked persisted RDDs: $leaked")
   }
 
   test("aggregations keep map-side partial combining") {
