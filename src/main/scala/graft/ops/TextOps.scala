@@ -444,45 +444,72 @@ object TextOps {
    *         docs)
    */
   def unigramLogProbs(df: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int = 50000, oovFactor: Double = 0.5): DataFrame = {
+      vocabSize: Int = 50000, oovFactor: Double = 0.5): DataFrame =
+    scoreUnigramLM(df, idCol, textCol,
+      fitUnigramLM(df, textCol, vocabSize, oovFactor))
+
+  /** A fitted unigram LM: (token → log-prob micro-units) for the top-K
+    * vocabulary plus the OOV floor. Driver-sized (≤ vocabSize entries),
+    * serializable — fit once on a reference corpus, score many. */
+  final case class UnigramLM(vocab: Seq[(String, Long)], oovMicro: Long,
+      totalTokens: Long) extends Serializable
+
+  /** Estimate a [[UnigramLM]] from `df` (the CROSS-CORPUS half of
+    * [[unigramLogProbs]]: CCNet scores the crawl under an LM fitted on
+    * a clean reference corpus — fit here on the clean side, then
+    * [[scoreUnigramLM]] any target). Scale shape and determinism as
+    * documented on [[unigramLogProbs]] steps (1)-(2). */
+  def fitUnigramLM(df: DataFrame, textCol: String,
+      vocabSize: Int = 50000, oovFactor: Double = 0.5): UnigramLM = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
-    val spark = df.sparkSession
-    // explode_outer keeps empty documents as a single NULL-token row,
-    // so they flow through the final group-by with zeros instead of
-    // needing a doc-sized restore join
-    val tok = df.select(col(idCol),
-      explode_outer(tokens(lower(col(textCol)))).as("tok"))
+    val tok = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
     // the token-count shuffle feeds TWO driver-bounded reductions (the
     // grand total and the top-K cut) — persist it for their lifetime so
     // the corpus is shuffled once, then release BEFORE returning: the
-    // returned plan references only the collected vocab literal, never
-    // this intermediate, so no cache outlives the call
-    val counts = tok.where(col("tok").isNotNull)
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // fitted LM is a driver value, so no cache outlives the call
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (total, topK) = try {
-      val t = counts.agg(sum("cnt")).first().getLong(0) max 1L
+      val t = counts.agg(sum("cnt")).first() match {
+        case r if r.isNullAt(0) => 1L // empty corpus
+        case r => r.getLong(0) max 1L
+      }
       val k = counts.orderBy(col("cnt").desc, col("tok").asc)
         .limit(vocabSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
       (t, k)
     } finally counts.unpersist(blocking = false)
-    import spark.implicits._
     // HALF_UP (away from zero), matching Spark's round() and DuckDB's
     // round() on these negative values — math.round would round exact
     // halves toward +inf instead
     def micro(x: Double): Long = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val vocab = topK.map { case (t, c) =>
-      (t, micro(math.log(c.toDouble / total.toDouble)))
-    }.toSeq.toDF("tok", "lp_micro")
-    val oovMicro = micro(math.log(oovFactor / total.toDouble))
+    UnigramLM(
+      topK.map { case (t, c) =>
+        (t, micro(math.log(c.toDouble / total.toDouble)))
+      }.toSeq,
+      micro(math.log(oovFactor / total.toDouble)), total)
+  }
+
+  /** Score `df` under a fitted [[UnigramLM]] — steps (3)-(4) of the
+    * [[unigramLogProbs]] scale shape: literal-vocab broadcast join +
+    * one doc group-by. */
+  def scoreUnigramLM(df: DataFrame, idCol: String, textCol: String,
+      lm: UnigramLM): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // explode_outer keeps empty documents as a single NULL-token row,
+    // so they flow through the final group-by with zeros instead of
+    // needing a doc-sized restore join
+    val tok = df.select(col(idCol),
+      explode_outer(tokens(lower(col(textCol)))).as("tok"))
+    val vocab = lm.vocab.toDF("tok", "lp_micro")
     tok
       .join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(count(col("tok")).as("n_tokens"),
         coalesce(sum(when(col("tok").isNotNull,
-            coalesce(col("lp_micro"), lit(oovMicro)))), lit(0L))
+            coalesce(col("lp_micro"), lit(lm.oovMicro)))), lit(0L))
           .as("lp_sum_micro"))
       .withColumn("mean_logprob",
         when(col("n_tokens") === 0, 0.0)

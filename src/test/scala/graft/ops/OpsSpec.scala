@@ -135,6 +135,33 @@ class OpsSpec extends SparkTestBase {
     assert(re === out)
   }
 
+  test("fitUnigramLM/scoreUnigramLM: cross-corpus scoring (the CCNet " +
+      "mode) — fit on a reference corpus, score a different target") {
+    val ref = Seq((0L, "a a a b")).toDF("doc_id", "text")
+    val lm = TextOps.fitUnigramLM(ref, "text", vocabSize = 1)
+    // vocab = {a: ln(3/4)}; b fell outside the cut; OOV = ln(0.5/4)
+    val lpA = BigDecimal(math.log(3.0 / 4.0) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val oov = BigDecimal(math.log(0.5 / 4.0) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(lm.vocab === Seq(("a", lpA)) && lm.oovMicro === oov &&
+      lm.totalTokens === 4L)
+    val target = Seq((10L, "a zzz"), (11L, "")).toDF("doc_id", "text")
+    val out = TextOps.scoreUnigramLM(target, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(10L) === ((2L, lpA + oov)))
+    assert(out(11L) === ((0L, 0L)))
+    // self-fit + score == the fused entry point
+    val docs = Seq((0L, "x y x"), (1L, "y z")).toDF("doc_id", "text")
+    val fused = TextOps.unigramLogProbs(docs, "doc_id", "text",
+      vocabSize = 2).collect().map(_.toSeq).toSet
+    val staged = TextOps.scoreUnigramLM(docs, "doc_id", "text",
+      TextOps.fitUnigramLM(docs, "text", vocabSize = 2))
+      .collect().map(_.toSeq).toSet
+    assert(fused === staged)
+  }
+
   test("unigramLogProbs: vocab cut ties break by (count desc, token asc)") {
     // b and c tie at 2 — vocabSize=2 must keep {a, b}, not {a, c}
     val rows = Seq((0L, "a a a b b c c")).toDF("doc_id", "text")
