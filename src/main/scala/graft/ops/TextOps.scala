@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -489,6 +489,28 @@ object TextOps {
         (t, micro(math.log(c.toDouble / total.toDouble)))
       }.toSeq,
       micro(math.log(oovFactor / total.toDouble)), total)
+  }
+
+  /** Persist a fitted [[UnigramLM]] as parquet (`path/vocab` +
+    * `path/meta`), the same engine-readable convention as the model
+    * sink — fit once on the clean reference corpus, reuse across
+    * pipeline jobs. */
+  def saveUnigramLM(spark: SparkSession, lm: UnigramLM,
+      path: String): Unit = {
+    import spark.implicits._
+    lm.vocab.toDF("tok", "lp_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    Seq((lm.oovMicro, lm.totalTokens)).toDF("oov_micro", "total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[UnigramLM]] written by [[saveUnigramLM]]. */
+  def loadUnigramLM(spark: SparkSession, path: String): UnigramLM = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    UnigramLM(
+      spark.read.parquet(s"$path/vocab")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+      meta.getLong(0), meta.getLong(1))
   }
 
   /** Score `df` under a fitted [[UnigramLM]] — steps (3)-(4) of the

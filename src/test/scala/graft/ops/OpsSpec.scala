@@ -160,6 +160,10 @@ class OpsSpec extends SparkTestBase {
       TextOps.fitUnigramLM(docs, "text", vocabSize = 2))
       .collect().map(_.toSeq).toSet
     assert(fused === staged)
+    // save/load round-trip preserves the LM exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    TextOps.saveUnigramLM(spark, lm, dir)
+    assert(TextOps.loadUnigramLM(spark, dir) === lm)
   }
 
   test("unigramLogProbs: vocab cut ties break by (count desc, token asc)") {
