@@ -930,6 +930,34 @@ object SparkEntry {
   )
 
   /** DuckDB oracles — identical aliases, ordering and rounding. */
+  /** Shared by dd_simhash (batch) and st_neardup (streaming replay):
+    * the replay is constructed so the stream's answer IS the batch
+    * hamming<=3 pair set — one SQL, two harness rows, no drift. */
+  private val simhashPairsSql: String =
+      """WITH tok AS (SELECT doc_id AS id,
+        |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
+        |     x -> x <> '') AS toks FROM documents),
+        |tu AS (SELECT id, unnest(toks) AS t FROM tok),
+        |h AS (SELECT id, md5_number_lower(t) AS z FROM tu),
+        |bits AS (SELECT id, r.b AS b,
+        |   sum(CASE WHEN (z >> CAST(r.b AS INTEGER)) & 1 = 1
+        |     THEN 1 ELSE -1 END) AS v
+        | FROM h CROSS JOIN range(64) r(b) GROUP BY id, r.b),
+        |sig0 AS (SELECT id,
+        |   bit_or(CASE WHEN v > 0
+        |     THEN (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))
+        |     ELSE CAST(0 AS UBIGINT) END) AS sig
+        | FROM bits GROUP BY id),
+        |sig AS (SELECT d.doc_id AS id,
+        |   coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
+        | FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.id),
+        |p AS (SELECT a.id AS keep_id, b.id AS dup_id,
+        |   bit_count(xor(a.sig, b.sig)) AS hamming
+        | FROM sig a JOIN sig b ON a.id < b.id)
+        |SELECT keep_id, dup_id, CAST(hamming AS BIGINT) AS hamming
+        | FROM p WHERE hamming <= 3
+        | ORDER BY keep_id, dup_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s2_scan_prune" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -1032,30 +1060,7 @@ object SparkEntry {
     // streaming near-dup replay: identical semantics to dd_simhash
     // (the replay makes the stream's answer the full batch pair set —
     // see StreamPipeline.replayNearDup's scaladoc for the argument)
-    "st_neardup" ->
-      """WITH tok AS (SELECT doc_id AS id,
-        |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
-        |     x -> x <> '') AS toks FROM documents),
-        |tu AS (SELECT id, unnest(toks) AS t FROM tok),
-        |h AS (SELECT id, md5_number_lower(t) AS z FROM tu),
-        |bits AS (SELECT id, r.b AS b,
-        |   sum(CASE WHEN (z >> CAST(r.b AS INTEGER)) & 1 = 1
-        |     THEN 1 ELSE -1 END) AS v
-        | FROM h CROSS JOIN range(64) r(b) GROUP BY id, r.b),
-        |sig0 AS (SELECT id,
-        |   bit_or(CASE WHEN v > 0
-        |     THEN (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))
-        |     ELSE CAST(0 AS UBIGINT) END) AS sig
-        | FROM bits GROUP BY id),
-        |sig AS (SELECT d.doc_id AS id,
-        |   coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
-        | FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.id),
-        |p AS (SELECT a.id AS keep_id, b.id AS dup_id,
-        |   bit_count(xor(a.sig, b.sig)) AS hamming
-        | FROM sig a JOIN sig b ON a.id < b.id)
-        |SELECT keep_id, dup_id, CAST(hamming AS BIGINT) AS hamming
-        | FROM p WHERE hamming <= 3
-        | ORDER BY keep_id, dup_id""".stripMargin,
+    "st_neardup" -> simhashPairsSql,
     // streaming windowed-quality replay: synthetic event time
     // ts = 86400 + (doc_id % 60) s, 15 s tumbling windows aligned to
     // the epoch; lang = the tx_langid argmax, per-doc quality = the
@@ -1862,30 +1867,7 @@ object SparkEntry {
         |  coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), sketch),
         |    (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS sketch_digest
         | FROM dd ORDER BY doc_id""".stripMargin,
-    "dd_simhash" ->
-      """WITH tok AS (SELECT doc_id AS id,
-        |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
-        |     x -> x <> '') AS toks FROM documents),
-        |tu AS (SELECT id, unnest(toks) AS t FROM tok),
-        |h AS (SELECT id, md5_number_lower(t) AS z FROM tu),
-        |bits AS (SELECT id, r.b AS b,
-        |   sum(CASE WHEN (z >> CAST(r.b AS INTEGER)) & 1 = 1
-        |     THEN 1 ELSE -1 END) AS v
-        | FROM h CROSS JOIN range(64) r(b) GROUP BY id, r.b),
-        |sig0 AS (SELECT id,
-        |   bit_or(CASE WHEN v > 0
-        |     THEN (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))
-        |     ELSE CAST(0 AS UBIGINT) END) AS sig
-        | FROM bits GROUP BY id),
-        |sig AS (SELECT d.doc_id AS id,
-        |   coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
-        | FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.id),
-        |p AS (SELECT a.id AS keep_id, b.id AS dup_id,
-        |   bit_count(xor(a.sig, b.sig)) AS hamming
-        | FROM sig a JOIN sig b ON a.id < b.id)
-        |SELECT keep_id, dup_id, CAST(hamming AS BIGINT) AS hamming
-        | FROM p WHERE hamming <= 3
-        | ORDER BY keep_id, dup_id""".stripMargin,
+    "dd_simhash" -> simhashPairsSql,
     "mm_decode" ->
       """WITH a AS (SELECT doc_id,
         |   n_chars % 640 + 1 AS w, doc_id % 480 + 1 AS h,

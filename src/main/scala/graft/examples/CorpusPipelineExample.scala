@@ -51,12 +51,17 @@ object CorpusPipelineExample {
     // 3. LM-score filter: drop the 10% most surprising docs
     val scored = TextOps.unigramLogProbs(decontamed, "doc_id", "text",
       vocabSize = 1000)
-    val cut = scored.stat.approxQuantile("mean_logprob",
-      Array(0.1), 0.001)(0)
-    val kept = decontamed.join(
-      scored.filter(col("mean_logprob") >= cut).select("doc_id"),
-      Seq("doc_id"))
-    println(s"lm_filtered=${kept.count()} (cut=$cut)")
+    val quantiles = scored.stat.approxQuantile("mean_logprob",
+      Array(0.1), 0.001)
+    val kept = quantiles.headOption match {
+      case Some(cut) =>
+        println(s"lm_cut=$cut")
+        decontamed.join(
+          scored.filter(col("mean_logprob") >= cut).select("doc_id"),
+          Seq("doc_id"))
+      case None => decontamed // everything filtered upstream
+    }
+    println(s"lm_filtered=${kept.count()}")
 
     // 4. deterministic split — stable under corpus growth and retries
     val split = CorpusPipeline.assignSplit(kept, "doc_id",
@@ -71,9 +76,12 @@ object CorpusPipelineExample {
       "n_tokens", capacity = 256, shards = 4)
     val bins = packed.select(countDistinct(concat_ws(":",
       col("shard"), col("bin"))).as("bins")).head().getLong(0)
-    val toks = packed.agg(sum("tokens_packed")).head().getLong(0)
-    println(s"packed bins=$bins tokens=$toks " +
-      s"fill=${toks.toDouble / (bins * 256)}")
+    val toksRow = packed.agg(sum("tokens_packed")).head()
+    val toks = if (toksRow.isNullAt(0)) 0L else toksRow.getLong(0)
+    if (bins > 0)
+      println(s"packed bins=$bins tokens=$toks " +
+        s"fill=${toks.toDouble / (bins * 256)}")
+    else println("packed bins=0 (empty train split)")
     spark.stop()
   }
 }

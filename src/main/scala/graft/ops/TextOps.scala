@@ -462,6 +462,10 @@ object TextOps {
   def fitUnigramLM(df: DataFrame, textCol: String,
       vocabSize: Int = 50000, oovFactor: Double = 0.5): UnigramLM = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    // ln(oovFactor/total) must be finite — 0 would yield -Infinity and
+    // an opaque BigDecimal failure instead of a usable error
+    require(oovFactor > 0 && !oovFactor.isInfinite,
+      s"oovFactor must be a positive finite pseudo-count: $oovFactor")
     val tok = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
     // the token-count shuffle feeds TWO driver-bounded reductions (the
     // grand total and the top-K cut) — persist it for their lifetime so

@@ -77,41 +77,62 @@ object StreamPipeline {
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
     val deduped = dedupStream(
       in.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "1 hour")
-    // unique sink per replay: Verify and Bench call this repeatedly in
-    // one session and memory sinks register a temp view per query name
-    val sink = "st_dedup_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    // the session's shuffle-partition count (sized for batch queries)
-    // becomes the stream's STATE-STORE partition count, and every
-    // micro-batch pays per-partition store open/commit/maintenance —
-    // for a replay holding a few thousand keys that overhead dwarfs
-    // the work. Pin a small count for the stream's lifetime (the
-    // stream thread snapshots the session conf when it starts — the
-    // replay is single-threaded, so restoring after stop() is safe).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = deduped.select("doc_id").writeStream.format("memory")
-      .queryName(sink).outputMode("append").start()
-    try {
-      val per = math.max(1,
-        math.ceil(rows.length.toDouble / numBatches).toInt)
-      rows.grouped(per).foreach { batch =>
+    withReplaySink(spark, "st_dedup_", deduped.select("doc_id")) { q =>
+      feedBatches(rows, numBatches) { batch =>
         in.addData(batch.map { case (id, txt) =>
           // deterministic event times, all within a minute — far inside
           // the 1 h horizon, so no state eviction can re-admit a dup
-          (id, new java.sql.Timestamp(86400000L + (id % 60) * 1000L),
-            txt)
+          (id, new java.sql.Timestamp(BaseMs + (id % 60) * 1000L), txt)
         }.toSeq)
         q.processAllAvailable()
       }
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } { sink =>
+      spark.table(sink).orderBy("doc_id").localCheckpoint(true)
     }
-    // detach the result from the temp view before dropping it
-    val out = spark.table(sink).orderBy("doc_id").localCheckpoint(true)
-    spark.catalog.dropTempView(sink)
-    out
+  }
+
+  /** Synthetic replay epoch: day 2, so windows align to the epoch. */
+  private val BaseMs = 86400000L
+
+  /** Shared replay plumbing. The session's shuffle-partition count
+    * (sized for batch queries) becomes the stream's STATE-STORE
+    * partition count, and every micro-batch pays per-partition store
+    * open/commit/maintenance — for replays holding a few thousand keys
+    * that overhead dwarfs the work, so a small count is pinned for the
+    * stream's lifetime (the stream thread snapshots the session conf
+    * when it starts; the replay is single-threaded). Every exit path —
+    * start failure, mid-feed exception, success — restores the conf,
+    * stops the query, and drops the UUID-named memory-sink temp view
+    * (Verify and Bench call the replays repeatedly in one session).
+    * `read` runs BEFORE cleanup and must detach its result from the
+    * temp view (localCheckpoint). */
+  private def withReplaySink(spark: org.apache.spark.sql.SparkSession,
+      sinkPrefix: String, stream: DataFrame)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit)(
+      read: String => DataFrame): DataFrame = {
+    val sink = sinkPrefix +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      q = Some(stream.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start())
+      feed(q.get)
+      read(sink)
+    } finally {
+      q.foreach(_.stop())
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.catalog.dropTempView(sink) // no-op if start() never ran
+    }
+  }
+
+  /** Feed `rows` in `numBatches` ascending groups. */
+  private def feedBatches[T](rows: Array[T], numBatches: Int)(
+      send: Seq[T] => Unit): Unit = {
+    val per = math.max(1,
+      math.ceil(rows.length.toDouble / numBatches).toInt)
+    rows.grouped(per).foreach(b => send(b.toSeq))
   }
 
   /**
@@ -143,54 +164,50 @@ object StreamPipeline {
    * `readStream` and never routes data through the driver.
    */
   def replayQualityWindow(df: DataFrame, idCol: String, textCol: String,
-      windowDuration: String = "15 seconds",
-      numBatches: Int = 5): DataFrame = {
+      windowSeconds: Int = 15, numBatches: Int = 5): DataFrame = {
+    // an Int, not a duration string, so the flush horizon below can be
+    // DERIVED from it — a fixed flush with a too-long window would
+    // close nothing and silently return an empty result
+    require(windowSeconds >= 1 && windowSeconds <= 3600,
+      s"windowSeconds in [1, 3600]: $windowSeconds")
     val spark = df.sparkSession
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val baseMs = 86400000L // day 2, epoch-aligned (windows align to epoch)
     val rows = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)].collect().sortBy(_._1)
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
     val agg = qualityByWindow(
       in.toDF().toDF("doc_id", "ts", "text"), "ts", "text",
-      windowDuration, "2 hours")
-    val sink = "st_window_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    // same state-store partition pinning as replayDedup: a handful of
-    // (window, lang) groups do not need 32 state partitions per batch
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      val per = math.max(1,
-        math.ceil(rows.length.toDouble / numBatches).toInt)
-      rows.grouped(per).foreach { batch =>
+      s"$windowSeconds seconds", "2 hours")
+    // last real event is base+59s, so the last real window ends no
+    // later than base + 59 + windowSeconds; the flush watermark
+    // (flushTs - 2 h) must pass that, and the flush rows' own window
+    // (>= flushTs - windowSeconds) must stay beyond the realCutoff
+    // filter — both hold for every allowed windowSeconds
+    val delayMs = 7200000L
+    val flushMs = BaseMs + delayMs + (2L * windowSeconds + 120L) * 1000L
+    val realCutoffSec = BaseMs / 1000L + 3600L + windowSeconds
+    withReplaySink(spark, "st_window_", agg) { q =>
+      feedBatches(rows, numBatches) { batch =>
         in.addData(batch.map { case (id, txt) =>
-          (id, new java.sql.Timestamp(baseMs + (id % 60) * 1000L), txt)
-        }.toSeq)
+          (id, new java.sql.Timestamp(BaseMs + (id % 60) * 1000L), txt)
+        })
         q.processAllAvailable()
       }
-      // flush: ts far enough that (ts - 2h delay) > every real window end
       (0 to 1).foreach { i =>
         in.addData(Seq((-1L - i,
-          new java.sql.Timestamp(baseMs + 8000000L + i * 1000L), "flush")))
+          new java.sql.Timestamp(flushMs + i * 1000L), "flush")))
         q.processAllAvailable()
       }
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } { sink =>
+      spark.table(sink)
+        .select(col("win.start").cast("long").as("win_start"),
+          col("lang_id"), col("n_docs"), col("mean_quality"))
+        .where(col("win_start") < lit(realCutoffSec)) // real windows only
+        .orderBy("win_start", "lang_id")
+        .localCheckpoint(true)
     }
-    val out = spark.table(sink)
-      .select(col("win.start").cast("long").as("win_start"),
-        col("lang_id"), col("n_docs"), col("mean_quality"))
-      .where(col("win_start") < lit(86400L + 3600L)) // real windows only
-      .orderBy("win_start", "lang_id")
-      .localCheckpoint(true)
-    spark.catalog.dropTempView(sink)
-    out
   }
 
   /** One simhash-chunk bucket row (the stream analog of
@@ -309,35 +326,21 @@ object StreamPipeline {
       in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
       delayThreshold = "2 hours", maxHamming = maxHamming,
       maxBucket = math.max(rows.length, 1), stateTtlMs = 7200000L)
-    val sink = "st_neardup_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    // same state-store partition pinning as replayDedup
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = hits.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      val per = math.max(1,
-        math.ceil(rows.length.toDouble / numBatches).toInt)
-      rows.grouped(per).foreach { batch =>
+    withReplaySink(spark, "st_neardup_", hits.toDF()) { q =>
+      feedBatches(rows, numBatches) { batch =>
         in.addData(batch.map { case (id, txt) =>
-          (id, new java.sql.Timestamp(86400000L + (id % 60) * 1000L),
-            txt)
-        }.toSeq)
+          (id, new java.sql.Timestamp(BaseMs + (id % 60) * 1000L), txt)
+        })
         q.processAllAvailable()
       }
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } { sink =>
+      spark.table(sink)
+        .select(col("keep_id"), col("dup_id"),
+          col("hamming").cast("long").as("hamming"))
+        .distinct()
+        .orderBy("keep_id", "dup_id")
+        .localCheckpoint(true)
     }
-    val out = spark.table(sink)
-      .select(col("keep_id"), col("dup_id"),
-        col("hamming").cast("long").as("hamming"))
-      .distinct()
-      .orderBy("keep_id", "dup_id")
-      .localCheckpoint(true)
-    spark.catalog.dropTempView(sink)
-    out
   }
 
   /**
