@@ -1,0 +1,54 @@
+package graft
+
+/**
+ * Driver-contract drift guard: the correctness gate hash-compares every
+ * `SparkEntry.queries` entry that has an `oracleSql` row and records a
+ * weaker rows-only check otherwise. A query added without an oracle
+ * silently downgrades its own verification — this spec makes that a
+ * loud, reviewed decision instead.
+ */
+class HarnessContractSpec extends SparkTestBase {
+
+  /** Queries that are rows-only BY NATURE, each with the reason. */
+  private val rowsOnly: Map[String, String] = Map(
+    "ml_train_predict" -> "learned multi-round model output",
+    "ml_softprob" -> "learned multi-round model output",
+    "ml_rank" -> "learned multi-round model output",
+    "sim_lsh_topk" -> "approximate ANN (recall gated by sim_recall_check)",
+    "sim_ivf_topk" -> "approximate ANN (recall gated by sim_recall_check)",
+    "sim_recall_check" -> "the recall gate itself (self-referential)")
+
+  test("every query is oracle-paired or on the declared rows-only list") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val unpaired = queries -- oracles -- rowsOnly.keySet
+    assert(unpaired.isEmpty,
+      s"queries without an oracle and without a declared rows-only " +
+        s"reason: $unpaired — add oracleSql or document why not")
+    val stale = (oracles -- queries) ++ (rowsOnly.keySet -- queries)
+    assert(stale.isEmpty,
+      s"oracle/rows-only entries with no matching query: $stale")
+    val overlapped = oracles.intersect(rowsOnly.keySet)
+    assert(overlapped.isEmpty,
+      s"declared rows-only but an oracle exists: $overlapped")
+  }
+
+  test("oracle SQL only references the driver-provided tables") {
+    // the driver registers exactly the testdata tables as DuckDB views;
+    // a typo'd table name would fail only at gate time, rounds later
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fromRe = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*)".r
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      val cteNames = "(?i)([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase)
+        .filterNot(cteNames)
+        .filterNot(Set("range", "unnest", "read_parquet", "values"))
+        .toSet
+      val unknown = refs -- tables
+      assert(unknown.isEmpty,
+        s"$name references unknown tables: $unknown")
+    }
+  }
+}

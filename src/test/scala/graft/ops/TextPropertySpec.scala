@@ -140,4 +140,35 @@ class TextPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("unigramLogProbs matches a naive in-JVM LM on random documents " +
+      "(exact integer sums, every vocab cut)") {
+    val df = docs.toDF("doc_id", "text")
+    // the naive model: lowercased whitespace tokens, global counts,
+    // (count desc, token asc) vocab cut, ln rounded HALF_UP to 1e-6
+    val allToks = docs.flatMap { case (_, s) => toks(s.toLowerCase) }
+    val counts = allToks.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val total = math.max(allToks.size.toLong, 1L)
+    def micro(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    for (vocabSize <- Seq(1, 3, 1000)) {
+      val vocab = counts.toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(vocabSize)
+        .map { case (t, c) => t -> micro(math.log(c.toDouble / total)) }
+        .toMap
+      val oov = micro(math.log(0.5 / total))
+      val out = TextOps.unigramLogProbs(df, "doc_id", "text",
+        vocabSize = vocabSize)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      docs.foreach { case (id, s) =>
+        val t = toks(s.toLowerCase)
+        val expSum = t.map(w => vocab.getOrElse(w, oov)).sum
+        assert(out(id) === ((t.length.toLong, expSum)),
+          s"doc $id vocabSize=$vocabSize [$s]: " +
+            s"${out(id)} vs (${t.length}, $expSum)")
+      }
+    }
+  }
 }
