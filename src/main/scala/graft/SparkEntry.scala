@@ -688,6 +688,32 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: closed-form EXACT-SHAP contributions on the stump — for
+    //      a depth-1 tree, TreeSHAP's Shapley value is φ = (1−z_h)·v_h
+    //      − z_c·v_c with z = leaf cover / root cover, and the bias is
+    //      the cover-weighted expectation (n0·v0 + n1·v1)/n + base.
+    //      Leaves replay via the ml_stump REAL formula; the walk's
+    //      double arithmetic (unwound kernel weights are exactly 1.0
+    //      for one split) is replicated operation for operation ----
+    "ml_contribs_shap" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      GraftBoost.predictContrib(res.model, df, DMatrixSpec("y"))
+        .select(col("x"),
+          element_at(col("contribs"), 1).cast("double").as("phi"),
+          element_at(col("contribs"), 2).cast("double").as("bias"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("phi").as("phi"),
+          max("bias").as("bias"))
+        .select(col("x").cast("long").as("x"), col("n"), col("phi"),
+          col("bias"))
+        .orderBy("x")
+    }),
+
     // ---- ML: closed-form LOGISTIC stump — at margin 0 (logit of the
     //      0.5 base score) every row has g = 0.5−y and h = 0.25 exactly,
     //      so leaf = (−0.3·(0.5n−Σy))/(0.25n+1) and the sigmoid output
@@ -1607,6 +1633,39 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,
+    // exact TreeSHAP on the depth-1 stump: unwound Shapley-kernel
+    // weights are exactly 1.0, so φ(group) = (1 − n_g/n)·v_g +
+    // (0 − n_o/n)·v_o and bias = (n0·v0 + n1·v1)/n + 0.5, every op in
+    // IEEE double exactly as the walk computes it, float-rounded once
+    "ml_contribs_shap" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - sy)) / (n + 1.0) AS REAL) AS leaf
+        | FROM s),
+        |w AS (SELECT
+        |   max(CASE WHEN x = 0 THEN n END) AS n0,
+        |   max(CASE WHEN x = 1 THEN n END) AS n1,
+        |   max(CASE WHEN x = 0 THEN leaf END) AS v0,
+        |   max(CASE WHEN x = 1 THEN leaf END) AS v1 FROM l),
+        |e AS (SELECT n0, n1, v0, v1, n0 + n1 AS nt,
+        |   (CAST(n0 AS DOUBLE) * CAST(v0 AS DOUBLE)
+        |     + CAST(n1 AS DOUBLE) * CAST(v1 AS DOUBLE))
+        |     / CAST(n0 + n1 AS DOUBLE) AS ev FROM w)
+        |SELECT CAST(l.x AS BIGINT) AS x, l.n,
+        | CAST(CAST(CASE WHEN l.x = 0
+        |   THEN (1.0 - CAST(n0 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |       * CAST(v0 AS DOUBLE)
+        |     + (0.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |       * CAST(v1 AS DOUBLE)
+        |   ELSE (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |       * CAST(v1 AS DOUBLE)
+        |     + (0.0 - CAST(n0 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |       * CAST(v0 AS DOUBLE)
+        |   END AS REAL) AS DOUBLE) AS phi,
+        | CAST(CAST(ev + 0.5 AS REAL) AS DOUBLE) AS bias
+        | FROM l, e ORDER BY x""".stripMargin,
     // logistic at margin 0: g = 0.5−y, h = 0.25 per row (both exact in
     // float), so leaf = (−0.3·(0.5n−Σy))/(0.25n+1); the prediction is
     // sigmoid(leaf) rounded through REAL exactly as the float model

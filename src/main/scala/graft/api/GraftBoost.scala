@@ -184,20 +184,28 @@ object GraftBoost {
   }
 
   /**
-   * Approximate feature-contribution prediction — the xgboost
-   * `pred_contribs=True, approx_contribs=True` kwarg the reference
-   * forwards through `predict`: appends a `contribs` array<float>
-   * column laid out as documented on [[GraftModel.contribs]]
-   * (per class: numFeatures contributions + bias; each class block
-   * sums to that class's raw margin).
+   * Feature-contribution prediction — the xgboost `pred_contribs=True`
+   * kwarg the reference forwards through `predict` (main.py:1750-1806):
+   * appends a `contribs` array<float> column laid out as documented on
+   * [[GraftModel.contribs]] (per class: numFeatures contributions +
+   * bias; each class block sums to that class's raw margin).
+   *
+   * @param approxContribs false (default, like xgboost): EXACT TreeSHAP
+   *                       Shapley values (Lundberg's polynomial walk
+   *                       over the trained cover stats); true: the
+   *                       Saabas path decomposition (xgboost's
+   *                       `approx_contribs=True`).
    */
   def predictContrib(model: GraftModel, df: DataFrame,
-      spec: DMatrixSpec): DataFrame = {
+      spec: DMatrixSpec, approxContribs: Boolean = false): DataFrame = {
     val featsArr = checkedFeatures(model, df, spec)
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
-    df.withColumn("contribs",
-      GraftColumnBridge.column(graft.functions.EnsembleContribs(
-        GraftColumnBridge.expression(featsArr), model)))
+    val expr =
+      if (approxContribs) graft.functions.EnsembleContribs(
+        GraftColumnBridge.expression(featsArr), model)
+      else graft.functions.EnsembleShapContribs(
+        GraftColumnBridge.expression(featsArr), model)
+    df.withColumn("contribs", GraftColumnBridge.column(expr))
   }
 
   /**

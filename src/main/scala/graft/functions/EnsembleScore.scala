@@ -177,6 +177,52 @@ case class EnsembleContribs(child: Expression, model: GraftModel)
 }
 
 /**
+ * EXACT TreeSHAP per-feature contributions — the xgboost
+ * `pred_contribs=True` DEFAULT (no `approx_contribs`) the reference
+ * forwards through `predict` (main.py:1750-1806): Lundberg's
+ * polynomial Tree SHAP recursion over the trained cover statistics
+ * (see [[graft.learner.GraftModel.shapContribs]] for layout and the
+ * exact local-accuracy contract). Same zero-boxing codegen shape as
+ * [[EnsembleScore]].
+ */
+case class EnsembleShapContribs(child: Expression, model: GraftModel)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ensemble_shap_contribs needs array<float> input, got " +
+        s"${other.catalogString}")
+  }
+
+  def shap(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    EnsembleGuards.checkWidth(n, model)
+    val feats = new Array[Float](n)
+    var i = 0
+    while (i < n) { feats(i) = a.getFloat(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(model.shapContribs(feats))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    shap(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftShapContribs", this,
+        classOf[EnsembleShapContribs].getName)
+      s"${ev.value} = $ref.shap($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : EnsembleShapContribs = copy(child = newChild)
+}
+
+/**
  * Approximate (Saabas) pairwise feature-interaction values — the
  * xgboost `pred_interactions=True` kwarg the reference forwards through
  * `predict` (main.py:1750-1806), the last forwarded predict mode

@@ -156,6 +156,196 @@ final class RegTree(
     value(0).toDouble
   }
 
+  /** Cover-weighted tree expectation E[f(x)] — the SHAP bias share.
+    * Node mean = (cover(L)·mean(L) + cover(R)·mean(R)) / cover(node),
+    * the conditional-expectation recursion xgboost uses to fill node
+    * mean values for its contribution predicts. Deterministic double
+    * arithmetic (the stump oracle replays it verbatim). */
+  @transient lazy val expectedValue: Double = {
+    def mean(i: Int): Double =
+      if (feature(i) < 0) value(i).toDouble
+      else (cover(left(i)) * mean(left(i)) +
+        cover(right(i)) * mean(right(i))) / cover(i)
+    mean(0)
+  }
+
+  /** Longest root→leaf path length in SPLITS (0 for a bare leaf). */
+  @transient lazy val maxPathDepth: Int = {
+    def depth(i: Int): Int =
+      if (feature(i) < 0) 0
+      else 1 + math.max(depth(left(i)), depth(right(i)))
+    depth(0)
+  }
+
+  /** Workspace element count the SHAP walk needs for this tree: each
+    * recursion level keeps its own copy of the unique path, laid out
+    * contiguously (level l holds ≤ l+1 elements). */
+  private[learner] def shapWorkspaceSize: Int = {
+    val d = maxPathDepth + 2
+    d * (d + 1) / 2
+  }
+
+  /**
+   * EXACT TreeSHAP contribution walk — Lundberg et al.'s polynomial
+   * algorithm (the "Tree SHAP" recursion of *Consistent Individualized
+   * Feature Attribution for Tree Ensembles*, Algorithm 2), which is
+   * what xgboost computes for `pred_contribs=True` WITHOUT
+   * `approx_contribs` (the default the reference forwards,
+   * main.py:1750-1806). Adds each feature's Shapley value of this
+   * tree's margin to `phi` and returns [[expectedValue]] (the bias
+   * share); phi sums + expectation reproduce the tree's margin.
+   *
+   * The recursion tracks the "unique path" of distinct features split
+   * on so far; each element carries the fraction of subset-weighted
+   * paths flowing when the feature is excluded (`z`, cover ratios) vs
+   * included (`o`, 1 while x follows the split, 0 once it does not),
+   * and a Shapley-kernel weight (`w`). EXTEND pushes a split,
+   * UNWIND removes one for repeated features, and at a leaf each
+   * path feature's contribution is the unwound weight sum ×
+   * (o − z) × leaf value. Node weighting uses the trained `cover`
+   * (hessian sums), exactly like xgboost.
+   *
+   * Needs per-node cover stats ([[hasStats]]); hot-child choice treats
+   * NaN via the default direction, like every other walk here.
+   *
+   * @param phi  per-feature accumulator (length ≥ numFeatures)
+   * @param ws   workspace of ≥ [[shapWorkspaceSize]] slots per array:
+   *             (featureIdx, zeroFrac, oneFrac, weight)
+   */
+  private[learner] def shapInto(x: Array[Float], phi: Array[Double],
+      wsD: Array[Int], wsZ: Array[Double], wsO: Array[Double],
+      wsW: Array[Double]): Double = {
+    if (!hasStats) throw new IllegalStateException(
+      "exact SHAP contributions need per-node cover statistics; this " +
+        "model was saved without them (pre-r3 format) — retrain, or use " +
+        "the approximate (Saabas) contributions")
+
+    // EXTEND: append (pi, pz, po) to the path of `ud` elements at `off`
+    def extend(off: Int, ud: Int, pz: Double, po: Double, pi: Int)
+        : Unit = {
+      wsD(off + ud) = pi; wsZ(off + ud) = pz; wsO(off + ud) = po
+      wsW(off + ud) = if (ud == 0) 1.0 else 0.0
+      var i = ud - 1
+      while (i >= 0) {
+        wsW(off + i + 1) += po * wsW(off + i) * (i + 1.0) / (ud + 1.0)
+        wsW(off + i) = pz * wsW(off + i) * (ud - i.toDouble) / (ud + 1.0)
+        i -= 1
+      }
+    }
+
+    // Weight sum of the path with element `i` hypothetically unwound
+    // (non-mutating): the per-leaf Shapley kernel factor.
+    def unwoundSum(off: Int, ud: Int, i: Int): Double = {
+      val one = wsO(off + i); val zero = wsZ(off + i)
+      var total = 0.0
+      var next = wsW(off + ud)
+      var j = ud - 1
+      while (j >= 0) {
+        if (one != 0.0) {
+          val t = next * (ud + 1.0) / ((j + 1.0) * one)
+          total += t
+          next = wsW(off + j) - t * zero * (ud - j.toDouble) / (ud + 1.0)
+        } else {
+          total += wsW(off + j) * (ud + 1.0) / (zero * (ud - j.toDouble))
+        }
+        j -= 1
+      }
+      total
+    }
+
+    // UNWIND (mutating): remove path element `i`, recomputing weights
+    // for the shorter path — used when a feature repeats on the path.
+    def unwind(off: Int, ud: Int, i: Int): Unit = {
+      val one = wsO(off + i); val zero = wsZ(off + i)
+      var n = wsW(off + ud)
+      var j = ud - 1
+      while (j >= 0) {
+        if (one != 0.0) {
+          val t = wsW(off + j)
+          wsW(off + j) = n * (ud + 1.0) / ((j + 1.0) * one)
+          n = t - wsW(off + j) * zero * (ud - j.toDouble) / (ud + 1.0)
+        } else {
+          wsW(off + j) = wsW(off + j) * (ud + 1.0) /
+            (zero * (ud - j.toDouble))
+        }
+        j -= 1
+      }
+      var k = i
+      while (k < ud) {
+        wsD(off + k) = wsD(off + k + 1)
+        wsZ(off + k) = wsZ(off + k + 1)
+        wsO(off + k) = wsO(off + k + 1)
+        k += 1
+      }
+    }
+
+    // caller has copied the parent path (ud elements) to `off`; extend
+    // with this node's (pz, po, pf) and recurse
+    def recurse(node: Int, off: Int, ud: Int, pz: Double, po: Double,
+        pf: Int): Unit = {
+      extend(off, ud, pz, po, pf)
+      val last = ud // path now has ud+1 elements, relative 0..last
+      if (feature(node) < 0) {
+        var i = 1
+        while (i <= last) {
+          val s = unwoundSum(off, last, i)
+          phi(wsD(off + i)) +=
+            s * (wsO(off + i) - wsZ(off + i)) * value(node).toDouble
+          i += 1
+        }
+      } else {
+        val f = feature(node)
+        val v = x(f)
+        val goLeft =
+          if (v.isNaN) defaultLeft(node) else v <= threshold(node)
+        val hot = if (goLeft) left(node) else right(node)
+        val cold = if (goLeft) right(node) else left(node)
+        var iz = 1.0; var io = 1.0
+        var newUd = last + 1
+        // repeated split feature on the path: fold the previous
+        // occurrence out before extending with this one
+        var k = 1; var found = -1
+        while (k <= last && found < 0) {
+          if (wsD(off + k) == f) found = k
+          k += 1
+        }
+        if (found >= 0) {
+          iz = wsZ(off + found); io = wsO(off + found)
+          unwind(off, last, found)
+          newUd = last
+        }
+        val childOff = off + newUd
+        var c = 0
+        while (c < newUd) {
+          wsD(childOff + c) = wsD(off + c); wsZ(childOff + c) = wsZ(off + c)
+          wsO(childOff + c) = wsO(off + c); wsW(childOff + c) = wsW(off + c)
+          c += 1
+        }
+        recurse(hot, childOff, newUd,
+          iz * (cover(hot).toDouble / cover(node).toDouble), io, f)
+        c = 0
+        while (c < newUd) {
+          wsD(childOff + c) = wsD(off + c); wsZ(childOff + c) = wsZ(off + c)
+          wsO(childOff + c) = wsO(off + c); wsW(childOff + c) = wsW(off + c)
+          c += 1
+        }
+        recurse(cold, childOff, newUd,
+          iz * (cover(cold).toDouble / cover(node).toDouble), 0.0, f)
+      }
+    }
+
+    recurse(0, 0, 0, 1.0, 1.0, -1)
+    expectedValue
+  }
+
+  /** Exact TreeSHAP walk with a self-allocated workspace (convenience;
+    * batch paths share one workspace via [[shapInto]]). */
+  def shapWalk(x: Array[Float], phi: Array[Double]): Double = {
+    val s = shapWorkspaceSize
+    shapInto(x, phi, new Array[Int](s), new Array[Double](s),
+      new Array[Double](s), new Array[Double](s))
+  }
+
   /** xgboost-style text dump (for golden-equality tree comparison). */
   def dump(treeIdx: Int): String = {
     val sb = new StringBuilder
@@ -258,6 +448,42 @@ final class GraftModel(
     var t = 0
     while (t < trees.length) {
       biasAcc(t % k) += trees(t).contribWalk(x, acc(t % k))
+      t += 1
+    }
+    val out = new Array[Float](k * w)
+    var c = 0
+    while (c < k) {
+      var f = 0
+      while (f < numFeatures) { out(c * w + f) = acc(c)(f).toFloat; f += 1 }
+      out(c * w + numFeatures) = (biasAcc(c) + bias).toFloat
+      c += 1
+    }
+    out
+  }
+
+  /** Deepest tree's SHAP workspace requirement (shared across walks). */
+  @transient private lazy val shapWsSize: Int =
+    if (trees.isEmpty) 3 else trees.map(_.shapWorkspaceSize).max
+
+  /** EXACT per-feature SHAP margin contributions — the xgboost
+    * `pred_contribs=True` DEFAULT (no `approx_contribs`), computed with
+    * Lundberg's polynomial TreeSHAP per tree ([[RegTree.shapInto]]) over
+    * the trained cover statistics. Same layout as [[contribs]]: per
+    * output class, numFeatures Shapley values followed by the bias
+    * (cover-weighted tree expectations + the objective's init margin);
+    * each class block sums EXACTLY to that class's raw margin — the
+    * local-accuracy property Saabas only satisfies telescopically. */
+  def shapContribs(x: Array[Float]): Array[Float] = {
+    val k = numOutputs
+    val w = numFeatures + 1
+    val acc = Array.ofDim[Double](k, numFeatures)
+    val biasAcc = new Array[Double](k)
+    val s = shapWsSize
+    val wsD = new Array[Int](s); val wsZ = new Array[Double](s)
+    val wsO = new Array[Double](s); val wsW = new Array[Double](s)
+    var t = 0
+    while (t < trees.length) {
+      biasAcc(t % k) += trees(t).shapInto(x, acc(t % k), wsD, wsZ, wsO, wsW)
       t += 1
     }
     val out = new Array[Float](k * w)

@@ -576,7 +576,8 @@ class EndToEndSpec extends SparkTestBase {
     val margins = GraftBoost.predict(m, df, DMatrixSpec("y"),
       outputMargin = true).select("a", "prediction").collect()
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
-    val got = GraftBoost.predictContrib(m, df, DMatrixSpec("y"))
+    val got = GraftBoost.predictContrib(m, df, DMatrixSpec("y"),
+      approxContribs = true)
       .select("a", "contribs").collect()
     assert(got.length === 500)
     var massA = 0.0; var massB = 0.0
@@ -608,7 +609,8 @@ class EndToEndSpec extends SparkTestBase {
       TrainParams(objective = "reg:squarederror", numRounds = 5,
         maxDepth = 4, seed = 7))
     val m = res.model
-    val contribs = GraftBoost.predictContrib(m, df, DMatrixSpec("y"))
+    val contribs = GraftBoost.predictContrib(m, df, DMatrixSpec("y"),
+      approxContribs = true) // row sums reproduce SAABAS contribs
       .select("a", "contribs").collect()
       .map(r => r.getDouble(0) -> r.getSeq[Float](1)).toMap
     val got = GraftBoost.predictInteractions(m, df, DMatrixSpec("y"))

@@ -1,0 +1,209 @@
+package graft.learner
+
+import graft.SparkTestBase
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+
+/**
+ * Exact-TreeSHAP conformance: the polynomial walk must reproduce the
+ * brute-force Shapley values of the tree's conditional-expectation
+ * game (the definition xgboost's default `pred_contribs=True`
+ * computes — reference forwards the kwarg at main.py:1750-1806).
+ */
+class ShapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Cover-weighted conditional expectation E[f(x) | x_S] — the game
+    * TreeSHAP plays: features in S follow x, others average by cover. */
+  private def condExp(t: RegTree, x: Array[Float], s: Set[Int]): Double = {
+    def rec(i: Int): Double =
+      if (t.feature(i) < 0) t.value(i).toDouble
+      else if (s.contains(t.feature(i))) {
+        val v = x(t.feature(i))
+        val go = if (v.isNaN) {
+          if (t.defaultLeft(i)) t.left(i) else t.right(i)
+        } else if (v <= t.threshold(i)) t.left(i) else t.right(i)
+        rec(go)
+      } else (t.cover(t.left(i)) * rec(t.left(i)) +
+        t.cover(t.right(i)) * rec(t.right(i))) / t.cover(i)
+    rec(0)
+  }
+
+  /** Brute-force Shapley value per feature (2^F subset enumeration). */
+  private def bruteShap(t: RegTree, x: Array[Float], nf: Int)
+      : Array[Double] = {
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    val all = (0 until nf).toSet
+    Array.tabulate(nf) { i =>
+      val others = (all - i).subsets().toSeq
+      others.map { s =>
+        val w = fact(s.size) * fact(nf - s.size - 1) / fact(nf)
+        w * (condExp(t, x, s + i) - condExp(t, x, s))
+      }.sum
+    }
+  }
+
+  /** Hand-built tree: flat arrays + uniform cover bookkeeping. */
+  private def tree(feature: Array[Int], threshold: Array[Float],
+      left: Array[Int], right: Array[Int], value: Array[Float],
+      cover: Array[Float]): RegTree =
+    new RegTree(feature, feature.map(_ => 0), threshold,
+      feature.map(_ => false), left, right, value,
+      feature.map(_ => 0f), cover)
+
+  // XOR over two binary features: the canonical interaction-bearing
+  // tree where Saabas and SHAP disagree
+  private val xorTree = tree(
+    feature = Array(0, 1, 1, -1, -1, -1, -1),
+    threshold = Array(0.5f, 0.5f, 0.5f, 0f, 0f, 0f, 0f),
+    left = Array(1, 3, 5, -1, -1, -1, -1),
+    right = Array(2, 4, 6, -1, -1, -1, -1),
+    value = Array(0.5f, 0.5f, 0.5f, 0f, 1f, 1f, 0f),
+    cover = Array(4f, 2f, 2f, 1f, 1f, 1f, 1f))
+
+  test("shapWalk matches brute-force Shapley on the XOR tree and " +
+      "diverges from Saabas there") {
+    for ((a, b) <- Seq((0f, 0f), (0f, 1f), (1f, 0f), (1f, 1f))) {
+      val x = Array(a, b)
+      val phi = new Array[Double](2)
+      val exp = xorTree.shapWalk(x, phi)
+      assert(math.abs(exp - 0.5) < 1e-12) // E[f] = 0.5 by symmetry
+      val brute = bruteShap(xorTree, x, 2)
+      for (f <- 0 until 2)
+        assert(math.abs(phi(f) - brute(f)) < 1e-12,
+          s"x=($a,$b) f=$f shap=${phi(f)} brute=${brute(f)}")
+      // local accuracy: Σφ + E == f(x) exactly (double rounding only)
+      assert(math.abs(phi.sum + exp - xorTree.predictRaw(x)) < 1e-12)
+      // XOR splits credit evenly between the two features…
+      assert(math.abs(phi(0) - phi(1)) < 1e-12)
+      // …while Saabas puts ALL of it on the second split (x1)
+      val saabas = new Array[Double](2)
+      xorTree.contribWalk(x, saabas)
+      assert(math.abs(saabas(0)) < 1e-12 && math.abs(saabas(1)) === 0.5,
+        s"Saabas on XOR should be (0, ±0.5), got ${saabas.toSeq}")
+      assert(math.abs(phi(1) - saabas(1)) > 0.2,
+        "SHAP must diverge from Saabas on an interaction-bearing tree")
+    }
+  }
+
+  test("shapWalk handles a feature repeated on one path (UNWIND)") {
+    // f0 at the root AND again inside the left child; uneven covers
+    val t = tree(
+      feature = Array(0, 0, 1, -1, -1, -1, -1),
+      threshold = Array(4f, 2f, 1f, 0f, 0f, 0f, 0f),
+      left = Array(1, 3, 5, -1, -1, -1, -1),
+      right = Array(2, 4, 6, -1, -1, -1, -1),
+      value = Array(0f, 0f, 0f, -3f, 7f, 2f, 11f),
+      cover = Array(10f, 6f, 4f, 5f, 1f, 3f, 1f))
+    for (x <- Seq(Array(1f, 0f), Array(3f, 2f), Array(5f, 0f),
+        Array(5f, 2f), Array(Float.NaN, 2f))) {
+      val phi = new Array[Double](2)
+      val exp = t.shapWalk(x, phi)
+      val brute = bruteShap(t, x, 2)
+      for (f <- 0 until 2)
+        assert(math.abs(phi(f) - brute(f)) < 1e-10,
+          s"x=${x.toSeq} f=$f shap=${phi(f)} brute=${brute(f)}")
+      assert(math.abs(phi.sum + exp - t.predictRaw(x)) < 1e-10)
+    }
+  }
+
+  test("shapWalk matches brute-force Shapley on TRAINED trees " +
+      "(randomized rows, NaN included)") {
+    val rng = new scala.util.Random(53)
+    val rows = (1 to 400).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      val c = rng.nextDouble()
+      (a, b, c, 3 * a + 2 * a * b - c)
+    }
+    val df = rows.toDF("a", "b", "c", "y").repartition(3)
+    val m = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 3,
+        maxDepth = 4, seed = 11)).model
+    assert(m.trees.forall(_.hasStats))
+    val probes = (1 to 12).map(_ => Array(
+      rng.nextFloat(), rng.nextFloat(), rng.nextFloat())) :+
+      Array(Float.NaN, 0.5f, 0.5f)
+    for (t <- m.trees; x <- probes) {
+      val phi = new Array[Double](3)
+      val exp = t.shapWalk(x, phi)
+      val brute = bruteShap(t, x, 3)
+      for (f <- 0 until 3)
+        assert(math.abs(phi(f) - brute(f)) < 1e-9,
+          s"f=$f shap=${phi(f)} brute=${brute(f)}")
+      assert(math.abs(phi.sum + exp - t.predictRaw(x)) < 1e-9)
+    }
+  }
+
+  test("GraftModel.shapContribs: class blocks sum exactly to margins " +
+      "(multi-class local accuracy)") {
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 300).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, if (a > 0.6) 2.0 else if (b > 0.5) 1.0 else 0.0)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(2)
+    val m = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "multi:softprob", numClass = 3,
+        numRounds = 3, maxDepth = 3, seed = 5)).model
+    val w = m.numFeatures + 1
+    for (_ <- 1 to 20) {
+      val x = Array(rng.nextFloat(), rng.nextFloat())
+      val phi = m.shapContribs(x)
+      val margins = m.margins(x)
+      for (c <- 0 until 3) {
+        val blockSum = (0 until w).map(i => phi(c * w + i).toDouble).sum
+        assert(math.abs(blockSum - margins(c)) < 1e-4,
+          s"class $c block sum $blockSum vs margin ${margins(c)}")
+      }
+    }
+  }
+
+  test("predictContrib defaults to exact SHAP and runs under " +
+      "codegen-only mode; approxContribs=true selects Saabas") {
+    val rng = new scala.util.Random(29)
+    val rows = (1 to 200).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 2 * a * b + a) // interaction term forces divergence
+    }
+    val df = rows.toDF("a", "b", "y").repartition(2)
+    val m = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 4,
+        maxDepth = 4, seed = 3)).model
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val shap = GraftBoost.predictContrib(m, df, DMatrixSpec("y"))
+        .select("a", "b", "contribs").collect()
+      val saabas = GraftBoost.predictContrib(m, df, DMatrixSpec("y"),
+        approxContribs = true)
+        .select("a", "b", "contribs").collect()
+      var diverged = false
+      shap.zip(saabas).foreach { case (rs, ra) =>
+        val cs = rs.getSeq[Float](2); val ca = ra.getSeq[Float](2)
+        // both satisfy the sum contract…
+        assert(math.abs(cs.map(_.toDouble).sum -
+          ca.map(_.toDouble).sum) < 1e-4)
+        // …and the DataFrame path reproduces the direct model call
+        val x = Array(rs.getDouble(0).toFloat, rs.getDouble(1).toFloat)
+        val direct = m.shapContribs(x)
+        cs.indices.foreach(i => assert(cs(i) === direct(i)))
+        if (math.abs(cs(0) - ca(0)) > 1e-3) diverged = true
+      }
+      assert(diverged,
+        "SHAP and Saabas must differ on an interaction-bearing model")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("shapWalk without cover stats fails fast with guidance") {
+    val bare = new RegTree(Array(0, -1, -1), Array(0, 0, 0),
+      Array(1f, 0f, 0f), Array(false, false, false),
+      Array(1, -1, -1), Array(2, -1, -1), Array(0f, 1f, 2f))
+    val e = intercept[IllegalStateException] {
+      bare.shapWalk(Array(0.5f), new Array[Double](1))
+    }
+    assert(e.getMessage.contains("cover"))
+  }
+}
