@@ -688,6 +688,36 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: closed-form CATEGORICAL stump (enable_categorical
+    //      analog) — a declared category-code column gets one-hot
+    //      `== code` splits; with 3 categories and a planted +50
+    //      offset on code 1, the best candidate, both leaves, and the
+    //      argmax selection itself are closed-form: G_c = 0.5·n_c −
+    //      Σy_c, H_c = n_c, gain_c = ½(G_c²/(H_c+1) +
+    //      (G−G_c)²/(H−H_c+1) − G²/(H+1)) — all exact double sums
+    //      DuckDB replays, leaves via the ml_stump REAL formula ----
+    "ml_stump_cat" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(
+          when(col("l_returnflag") === "R", 1.0)
+            .when(col("l_returnflag") === "A", 2.0).otherwise(0.0)
+            .as("cat"),
+          (col("l_quantity") +
+            when(col("l_returnflag") === "R", lit(50.0))
+              .otherwise(lit(0.0))).cast("double").as("y"))
+      val spec = DMatrixSpec(labelCol = Seq("y"),
+        categoricalCols = Seq("cat"))
+      val res = GraftBoost.train(df, spec,
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      GraftBoost.predict(res.model, df, spec)
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("cat").cast("long").as("cat"), col("n"),
+          col("prediction"))
+        .orderBy("cat")
+    }),
+
     // ---- ML: closed-form EXACT-SHAP contributions on the stump — for
     //      a depth-1 tree, TreeSHAP's Shapley value is φ = (1−z_h)·v_h
     //      − z_c·v_c with z = leaf cover / root cover, and the bias is
@@ -1633,6 +1663,35 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,
+    // categorical stump: replay the one-hot split search (gain per
+    // candidate code, argmax), then the winning partition's two leaves
+    // with the same REAL-cast arithmetic as ml_stump
+    "ml_stump_cat" ->
+      """WITH t AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1
+        |     WHEN l_returnflag = 'A' THEN 2 ELSE 0 END AS cat,
+        |   l_quantity + CASE WHEN l_returnflag = 'R' THEN 50 ELSE 0 END
+        |     AS y FROM lineitem),
+        |s AS (SELECT cat, count(*) AS n, sum(y) AS sy FROM t
+        | GROUP BY cat),
+        |tot AS (SELECT sum(n) AS nt, sum(0.5 * n - sy) AS gt FROM s),
+        |g AS (SELECT s.cat, s.n, s.sy,
+        |   0.5 * (power(0.5 * s.n - s.sy, 2) / (s.n + 1.0)
+        |     + power(tot.gt - (0.5 * s.n - s.sy), 2)
+        |       / (tot.nt - s.n + 1.0)
+        |     - power(tot.gt, 2) / (tot.nt + 1.0)) AS gain
+        | FROM s, tot),
+        |b AS (SELECT cat AS bc, n AS nb_, sy AS syb FROM g
+        | ORDER BY gain DESC, cat ASC LIMIT 1),
+        |l AS (SELECT b.bc,
+        |   CAST((-0.3 * (0.5 * b.nb_ - b.syb)) / (b.nb_ + 1.0) AS REAL)
+        |     AS leafL,
+        |   CAST((-0.3 * (tot.gt - (0.5 * b.nb_ - b.syb)))
+        |     / (tot.nt - b.nb_ + 1.0) AS REAL) AS leafR
+        | FROM b, tot)
+        |SELECT CAST(s.cat AS BIGINT) AS cat, s.n,
+        | CAST(CAST(0.5 AS REAL) + CASE WHEN s.cat = l.bc THEN l.leafL
+        |   ELSE l.leafR END AS DOUBLE) AS prediction
+        | FROM s, l ORDER BY cat""".stripMargin,
     // exact TreeSHAP on the depth-1 stump: unwound Shapley-kernel
     // weights are exactly 1.0, so φ(group) = (1 − n_g/n)·v_g +
     // (0 − n_o/n)·v_o and bias = (n0·v0 + n1·v1)/n + 0.5, every op in

@@ -51,7 +51,7 @@ object GraftBoost {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totalRows = prepared.count()
     val bins = Binner.fit(prepared.map(_._1), totalRows, params.maxBins,
-      seed = params.seed + 42)
+      seed = params.seed + 42, catFeatures = spec.categoricalFlags(df))
     val p2 = params.copy(featureWeights =
       params.featureWeights.orElse(spec.featureWeights))
 

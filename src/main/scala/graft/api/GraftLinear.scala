@@ -149,6 +149,12 @@ object GraftLinear {
     val obj = Objectives.resolve(params)
     require(!obj.needsGroups && !obj.needsBounds,
       s"gblinear supports pointwise objectives; got ${obj.name}")
+    // a linear model has no partition splits — treating category codes
+    // as ordered magnitudes would silently learn nonsense coefficients
+    require(spec.categoricalCols.isEmpty,
+      "gblinear has no categorical-split mode; one-hot encode " +
+        s"categorical columns (${spec.categoricalCols.mkString(", ")}) " +
+        "upstream, or use the tree booster")
     spec.validate(df, requireLabel = true)
     val k = math.max(obj.numOutputs, 1)
     val customByName = params.customMetrics.map(m => m.name -> m).toMap

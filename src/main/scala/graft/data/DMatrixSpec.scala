@@ -33,6 +33,13 @@ import org.apache.spark.sql.types._
  * @param featureWeights  per-feature sampling weight for colsample
  *                        (matrix.py:319-323)
  * @param missing         value treated as NA (matrix.py:794); NaN always is
+ * @param categoricalCols feature columns holding CATEGORY CODES
+ *                        (non-negative integers) — the
+ *                        `enable_categorical` analog
+ *                        (matrix.py:142,159,800): the tree grower uses
+ *                        one-hot `== code` partition splits on them
+ *                        instead of ordered thresholds. String columns
+ *                        must be indexed upstream (e.g. StringIndexer).
  */
 final case class DMatrixSpec(
     labelCol: Seq[String] = Nil,
@@ -44,7 +51,8 @@ final case class DMatrixSpec(
     ignore: Seq[String] = Nil,
     featureCols: Option[Seq[String]] = None,
     featureWeights: Option[Array[Double]] = None,
-    missing: Option[Double] = None) {
+    missing: Option[Double] = None,
+    categoricalCols: Seq[String] = Nil) {
 
   def hasLabel: Boolean = labelCol.nonEmpty
 
@@ -138,6 +146,17 @@ final case class DMatrixSpec(
       array(fcols: _*)
   }
 
+  /** Per-feature categorical flags aligned with [[resolveFeatures]]
+    * order — what the binner/grower consume. Empty when no categorical
+    * columns are declared. */
+  def categoricalFlags(df: DataFrame): Array[Boolean] =
+    if (categoricalCols.isEmpty) Array.empty
+    else {
+      val feats = resolveFeatures(df)
+      val catSet = categoricalCols.toSet
+      feats.map(catSet.contains).toArray
+    }
+
   /** Feature-vector width when statically known (per-column assembly);
     * None for a pre-assembled Vector/array column, whose width is a
     * runtime property. */
@@ -190,6 +209,31 @@ final case class DMatrixSpec(
           s"feature_weights length ${fw.length} != num features $n")
       }
     } // pre-assembled width is only known at runtime; the binner checks it
+    if (categoricalCols.nonEmpty) {
+      // categorical columns must be resolvable BY NAME to feature
+      // positions — impossible through a pre-assembled Vector/array
+      require(preAssembledCol(df).isEmpty,
+        "categoricalCols cannot be used with a pre-assembled feature " +
+          "column (Vector/array) — pass per-column features so the " +
+          "categorical positions are known")
+      val feats = resolveFeatures(df).toSet
+      val notFeature = categoricalCols.filterNot(feats.contains)
+      require(notFeature.isEmpty,
+        s"categoricalCols not among the resolved feature columns: " +
+          s"${notFeature.mkString(", ")}")
+      // string/categorical dtypes need indexing upstream — the feature
+      // pipeline is float-typed end to end (codes ride as floats)
+      val strTyped = categoricalCols.filter { c =>
+        df.schema(c).dataType match {
+          case _: NumericType => false
+          case _ => true
+        }
+      }
+      require(strTyped.isEmpty,
+        s"categorical columns must hold numeric category CODES; " +
+          s"non-numeric: ${strTyped.mkString(", ")} (index them first, " +
+          "e.g. StringIndexer)")
+    }
   }
 }
 

@@ -27,8 +27,11 @@ object Binner {
   val MissingBin: Int = 255
   val MaxCuts: Int = 254
 
-  final case class Bins(cuts: Array[Array[Float]]) extends Serializable {
+  final case class Bins(cuts: Array[Array[Float]],
+      cat: Array[Boolean] = Array.empty) extends Serializable {
     def numFeatures: Int = cuts.length
+    /** Declared-categorical feature (identity-binned category codes)? */
+    def isCat(f: Int): Boolean = cat.nonEmpty && cat(f)
     /** Real bins per feature (excluding the missing bin). */
     def numBins(f: Int): Int = cuts(f).length + 1
     def maxRealBins: Int = {
@@ -37,9 +40,19 @@ object Binner {
       m
     }
 
-    /** bin(x) = #{cuts < x} via binary search (first cut >= x). */
+    /** bin(x) = #{cuts < x} via binary search (first cut >= x). For a
+      * categorical feature the cuts are the integers 0..max−1, making
+      * the bin the category code itself — but a non-integral or
+      * out-of-range value would silently land in a neighbouring code's
+      * bin, so those fail fast instead (enable_categorical contract:
+      * codes are non-negative integers, matrix.py:142,159,800). */
     def bin(f: Int, x: Float): Int = {
       if (x.isNaN) return MissingBin
+      if (isCat(f) && (x != math.floor(x) || x < 0 || x > cuts(f).length))
+        throw new IllegalArgumentException(
+          s"graft: categorical feature $f got value $x; expected an " +
+            s"integer category code in [0, ${cuts(f).length}] (encode " +
+            "categories as non-negative integer codes, e.g. StringIndexer)")
       val c = cuts(f)
       var lo = 0; var hi = c.length
       while (lo < hi) {
@@ -71,10 +84,18 @@ object Binner {
    * @param totalRows exact or estimated row count (drives sample fraction)
    */
   def fit(rows: RDD[Array[Float]], totalRows: Long, maxBins: Int = 256,
-      maxSampleRows: Int = 200000, seed: Long = 42L): Bins = {
+      maxSampleRows: Int = 200000, seed: Long = 42L,
+      catFeatures: Array[Boolean] = Array.empty): Bins = {
     require(maxBins >= 2 && maxBins <= 256, s"maxBins in [2,256]: $maxBins")
     val nCuts = math.min(maxBins - 1, MaxCuts)
-    if (totalRows <= maxSampleRows) fitExact(rows.collect(), nCuts)
+    if (totalRows <= maxSampleRows)
+      fitExact(rows.collect(), nCuts, catFeatures)
+    else if (catFeatures.contains(true))
+      // identity binning must observe the TRUE max code and validate
+      // every value — a row sample can miss rare categories, which
+      // would then fail (or mis-bin) at binning time. The sketch path
+      // scans all rows once; its cat accumulator is exact.
+      fitSketch(rows, nCuts, catFeatures)
     else {
       val nf = rows.first().length
       // collect a seeded sample only while its cell volume stays small
@@ -86,14 +107,36 @@ object Binner {
         val sample = rows.sample(withReplacement = false,
           math.min(1.0, targetRows.toDouble / totalRows * 1.1), seed)
           .collect()
-        if (sample.nonEmpty) fitExact(sample, nCuts)
-        else fitSketch(rows, nCuts)
-      } else fitSketch(rows, nCuts)
+        if (sample.nonEmpty) fitExact(sample, nCuts, catFeatures)
+        else fitSketch(rows, nCuts, catFeatures)
+      } else fitSketch(rows, nCuts, catFeatures)
     }
   }
 
+  private def isCatF(catFeatures: Array[Boolean], f: Int): Boolean =
+    catFeatures.nonEmpty && catFeatures(f)
+
+  /** Identity cuts for a categorical feature: cuts = 0..max−1, so
+    * bin(code) = code. Codes must be non-negative integers with max ≤
+    * MaxCuts (the byte-bin layout caps one feature at 255 categories;
+    * bigger cardinalities should be hashed/target-encoded upstream). */
+  private def catCuts(f: Int, maxCode: Double, anyBad: Boolean): Array[Float] = {
+    if (anyBad) throw new IllegalArgumentException(
+      s"graft: categorical feature $f has non-integral or negative " +
+        "values; encode categories as integer codes in [0, 254] " +
+        "(e.g. StringIndexer)")
+    if (maxCode > MaxCuts) throw new IllegalArgumentException(
+      s"graft: categorical feature $f has ${maxCode.toInt + 1} " +
+        s"categories; the byte-binned layout supports at most " +
+        s"${MaxCuts + 1} — hash or group rare categories upstream")
+    // a feature with the single code 0 (or none) still gets zero cuts
+    if (maxCode < 1) Array.empty[Float]
+    else Array.tabulate(maxCode.toInt)(_.toFloat)
+  }
+
   /** Exact quantiles on collected rows (small data / tests). */
-  private def fitExact(sample: Array[Array[Float]], nCuts: Int): Bins = {
+  private def fitExact(sample: Array[Array[Float]], nCuts: Int,
+      catFeatures: Array[Boolean] = Array.empty): Bins = {
     require(sample.nonEmpty, "cannot fit bins on an empty dataset")
     val numFeatures = sample.head.length
     sample.foreach(r => if (r.length != numFeatures)
@@ -102,7 +145,10 @@ object Binner {
           s"has $numFeatures (inconsistent pre-assembled feature widths?)"))
     val cuts = Array.tabulate(numFeatures) { f =>
       val vals = sample.iterator.map(_(f)).filterNot(_.isNaN).toArray
-      if (vals.isEmpty) Array.empty[Float]
+      if (isCatF(catFeatures, f)) {
+        val bad = vals.exists(v => v != math.floor(v) || v < 0)
+        catCuts(f, if (vals.isEmpty) 0 else vals.max.toDouble, bad)
+      } else if (vals.isEmpty) Array.empty[Float]
       else {
         java.util.Arrays.sort(vals)
         // quantile cut at rank i/(nCuts+1); dedupe keeps cuts strict-mono
@@ -112,17 +158,27 @@ object Binner {
         dedupeSorted(raw)
       }
     }
-    Bins(cuts)
+    Bins(cuts, normalizedCat(catFeatures, numFeatures))
   }
 
   /** Distributed Greenwald-Khanna sketch per feature (one data pass,
-    * tree-merged; the engine approxQuantile machinery). */
-  private def fitSketch(rows: RDD[Array[Float]], nCuts: Int): Bins = {
+    * tree-merged; the engine approxQuantile machinery). Categorical
+    * features ride the same pass with a (max, any-bad) accumulator
+    * instead of a quantile sketch — identity binning needs only the
+    * top code plus the integrality check. */
+  private def fitSketch(rows: RDD[Array[Float]], nCuts: Int,
+      catFeatures: Array[Boolean] = Array.empty): Bins = {
     import org.apache.spark.sql.catalyst.util.QuantileSummaries
     val numFeatures = rows.first().length
     val relErr = math.min(0.25 / (nCuts + 1), 0.001)
-    val zero = Array.fill(numFeatures)(new QuantileSummaries(
-      QuantileSummaries.defaultCompressThreshold, relErr))
+    val catF = catFeatures
+    val zero = (
+      Array.tabulate(numFeatures)(f =>
+        if (isCatF(catF, f)) null
+        else new QuantileSummaries(
+          QuantileSummaries.defaultCompressThreshold, relErr)),
+      Array.fill(numFeatures)(-1.0),      // per-feature max (cat only)
+      Array.fill(numFeatures)(false))     // non-integral/negative seen
     val merged = rows.treeAggregate(zero)(
       seqOp = { (acc, row) =>
         if (row.length != numFeatures) throw new IllegalArgumentException(
@@ -131,7 +187,13 @@ object Binner {
             "widths?)")
         var f = 0
         while (f < numFeatures) {
-          if (!row(f).isNaN) acc(f) = acc(f).insert(row(f).toDouble)
+          val v = row(f)
+          if (!v.isNaN) {
+            if (isCatF(catF, f)) {
+              if (v != math.floor(v) || v < 0) acc._3(f) = true
+              else if (v > acc._2(f)) acc._2(f) = v.toDouble
+            } else acc._1(f) = acc._1(f).insert(v.toDouble)
+          }
           f += 1
         }
         acc
@@ -139,24 +201,40 @@ object Binner {
       combOp = { (a, b) =>
         var f = 0
         while (f < numFeatures) {
-          a(f) = a(f).compress().merge(b(f).compress())
+          if (isCatF(catF, f)) {
+            a._2(f) = math.max(a._2(f), b._2(f))
+            a._3(f) = a._3(f) || b._3(f)
+          } else a._1(f) = a._1(f).compress().merge(b._1(f).compress())
           f += 1
         }
         a
       },
       depth = 2)
     val cuts = Array.tabulate(numFeatures) { f =>
-      val s = merged(f).compress()
-      if (s.count == 0) Array.empty[Float]
+      if (isCatF(catF, f))
+        catCuts(f, math.max(merged._2(f), 0.0), merged._3(f))
       else {
-        val raw = (1 to nCuts).iterator
-          .flatMap(i => s.query(i.toDouble / (nCuts + 1)))
-          .map(_.toFloat).toArray
-        dedupeSorted(raw)
+        val s = merged._1(f).compress()
+        if (s.count == 0) Array.empty[Float]
+        else {
+          val raw = (1 to nCuts).iterator
+            .flatMap(i => s.query(i.toDouble / (nCuts + 1)))
+            .map(_.toFloat).toArray
+          dedupeSorted(raw)
+        }
       }
     }
-    Bins(cuts)
+    Bins(cuts, normalizedCat(catFeatures, numFeatures))
   }
+
+  private def normalizedCat(catFeatures: Array[Boolean], nf: Int)
+      : Array[Boolean] =
+    if (catFeatures.isEmpty || !catFeatures.contains(true)) Array.empty
+    else {
+      require(catFeatures.length == nf,
+        s"categorical flags length ${catFeatures.length} != features $nf")
+      catFeatures
+    }
 
   private def dedupeSorted(a: Array[Float]): Array[Float] = {
     if (a.isEmpty) return a

@@ -166,6 +166,7 @@ object Trainer {
   private final case class PartialTree(
       feature: Array[Int],        // -1 leaf, -2 pending (active frontier)
       thresholdBin: Array[Int],
+      catSplit: Array[Boolean],   // one-hot categorical node (== routing)
       defaultLeft: Array[Boolean],
       left: Array[Int],
       right: Array[Int],
@@ -185,7 +186,8 @@ object Trainer {
     while (pt.feature(i) >= 0) {
       val b = bins(pt.feature(i)) & 0xFF
       i = if (b == MissingBin) { if (pt.defaultLeft(i)) pt.left(i) else pt.right(i) }
-      else if (b <= pt.thresholdBin(i)) pt.left(i)
+      else if (if (pt.catSplit(i)) b == pt.thresholdBin(i)
+        else b <= pt.thresholdBin(i)) pt.left(i)
       else pt.right(i)
     }
     i
@@ -196,6 +198,7 @@ object Trainer {
     val feature = ArrayBuffer[Int]()
     val thresholdBin = ArrayBuffer[Int]()
     val threshold = ArrayBuffer[Float]()
+    val catSplit = ArrayBuffer[Boolean]()
     val defaultLeft = ArrayBuffer[Boolean]()
     val left = ArrayBuffer[Int]()
     val right = ArrayBuffer[Int]()
@@ -215,6 +218,7 @@ object Trainer {
         up: Double = Double.PositiveInfinity,
         pf: List[Int] = Nil): Int = {
       feature += -2; thresholdBin += -1; threshold += 0f
+      catSplit += false
       defaultLeft += false; left += -1; right += -1; value += 0f
       sumG += g; sumH += h; gain += 0.0
       lower += lo; upper += up; path += pf
@@ -245,7 +249,8 @@ object Trainer {
       new RegTree(feature.toArray, thresholdBin.toArray,
         threshold.toArray, defaultLeft.toArray, left.toArray,
         right.toArray, value.toArray, gain.toArray.map(_.toFloat),
-        sumH.toArray.map(_.toFloat)) // cover = hessian sum through node
+        sumH.toArray.map(_.toFloat), // cover = hessian sum through node
+        if (catSplit.contains(true)) catSplit.toArray else Array.empty)
     }
   }
 
@@ -465,6 +470,7 @@ object Trainer {
           if (chunk.exists(_._1 == t)) {
             val tb = states(t).tb
             PartialTree(tb.feature.toArray, tb.thresholdBin.toArray,
+              tb.catSplit.toArray,
               tb.defaultLeft.toArray, tb.left.toArray, tb.right.toArray,
               slotOf(t))
           } else null
@@ -534,7 +540,7 @@ object Trainer {
           val parentScore = score(gTot, hTot, p)
           var bestGain = 0.0
           var bestF = -1; var bestBin = -1; var bestDefLeft = false
-          var bestGL = 0.0; var bestHL = 0.0
+          var bestGL = 0.0; var bestHL = 0.0; var bestCat = false
           val mc = p.monotoneConstraints
           // a candidate split on a constrained feature must order its
           // child weights in the constraint's direction
@@ -554,6 +560,39 @@ object Trainer {
             val gMiss = hist(base + (b - 1) * 2)
             val hMiss = hist(base + (b - 1) * 2 + 1)
             val nb = bins.numBins(f)
+            if (bins.isCat(f)) {
+              // one-hot categorical candidates: left = {code c}
+              // (matrix.py:142,159,800 enable_categorical), missing
+              // riding left or right like the numeric scan. Same
+              // O(bins) cost — gl/hl read one bin instead of a prefix.
+              var c = 0
+              while (c < nb) {
+                val gl = hist(base + c * 2)
+                val hl = hist(base + c * 2 + 1)
+                // missing → left
+                val glA = gl + gMiss; val hlA = hl + hMiss
+                if (hlA >= p.minChildWeight &&
+                    hTot - hlA >= p.minChildWeight) {
+                  val gain = 0.5 * (score(glA, hlA, p) +
+                    score(gTot - glA, hTot - hlA, p) - parentScore) - p.gamma
+                  if (gain > bestGain + 1e-12 && monotoneOk(f, glA, hlA)) {
+                    bestGain = gain; bestF = f; bestBin = c; bestCat = true
+                    bestDefLeft = true; bestGL = glA; bestHL = hlA
+                  }
+                }
+                // missing → right
+                if (hl >= p.minChildWeight &&
+                    hTot - hl >= p.minChildWeight) {
+                  val gain = 0.5 * (score(gl, hl, p) +
+                    score(gTot - gl, hTot - hl, p) - parentScore) - p.gamma
+                  if (gain > bestGain + 1e-12 && monotoneOk(f, gl, hl)) {
+                    bestGain = gain; bestF = f; bestBin = c; bestCat = true
+                    bestDefLeft = false; bestGL = gl; bestHL = hl
+                  }
+                }
+                c += 1
+              }
+            } else {
             var gl = 0.0; var hl = 0.0
             var bi = 0
             while (bi < nb - 1) {
@@ -567,6 +606,7 @@ object Trainer {
                 if (gain > bestGain + 1e-12 && monotoneOk(f, glA, hlA)) {
                   bestGain = gain; bestF = f; bestBin = bi
                   bestDefLeft = true; bestGL = glA; bestHL = hlA
+                  bestCat = false
                 }
               }
               // missing → right
@@ -576,9 +616,11 @@ object Trainer {
                 if (gain > bestGain + 1e-12 && monotoneOk(f, gl, hl)) {
                   bestGain = gain; bestF = f; bestBin = bi
                   bestDefLeft = false; bestGL = gl; bestHL = hl
+                  bestCat = false
                 }
               }
               bi += 1
+            }
             }
             j += 1
           }
@@ -612,7 +654,11 @@ object Trainer {
             tb.gain(nid) = bestGain
             tb.feature(nid) = bestF
             tb.thresholdBin(nid) = bestBin
-            tb.threshold(nid) = bins.cuts(bestF)(bestBin)
+            // categorical: threshold IS the category code (== routing);
+            // numeric: the bin's upper cut, as before
+            tb.catSplit(nid) = bestCat
+            tb.threshold(nid) =
+              if (bestCat) bestBin.toFloat else bins.cuts(bestF)(bestBin)
             tb.defaultLeft(nid) = bestDefLeft
             tb.left(nid) = l; tb.right(nid) = r
             nextActive(t) += l; nextActive(t) += r

@@ -26,7 +26,14 @@ final class RegTree(
       * gain/total_gain importances need it. */
     val gain: Array[Float] = Array.empty,
     /** Hessian sum routed through each node (xgboost "cover"). */
-    val cover: Array[Float] = Array.empty)
+    val cover: Array[Float] = Array.empty,
+    /** One-hot CATEGORICAL split marker per node (empty = all numeric,
+      * the pre-categorical save format). A marked node routes left iff
+      * the feature EQUALS the stored category code (thresholdBin holds
+      * the code in bin space, threshold the same code as float) — the
+      * `enable_categorical` one-hot partition split
+      * (matrix.py:142,159,800 forwards the flag into DMatrix). */
+    val catSplit: Array[Boolean] = Array.empty)
     extends Serializable {
 
   def numNodes: Int = feature.length
@@ -35,13 +42,22 @@ final class RegTree(
     * (models saved before they existed load without them). */
   def hasStats: Boolean = gain.length == numNodes
 
+  /** Is node `i` a one-hot categorical split? */
+  @inline def isCatNode(i: Int): Boolean =
+    catSplit.length > 0 && catSplit(i)
+
+  /** Left-branch predicate on a raw feature value (non-NaN). */
+  @inline private def goesLeftRaw(i: Int, v: Float): Boolean =
+    if (isCatNode(i)) v == threshold(i) else v <= threshold(i)
+
   /** Traverse with pre-binned features; bin `missingBin` = NaN. */
   def predictBinned(bins: Array[Byte], missingBin: Int): Float = {
     var i = 0
     while (feature(i) >= 0) {
       val b = bins(feature(i)) & 0xFF
       i = if (b == missingBin) { if (defaultLeft(i)) left(i) else right(i) }
-      else if (b <= thresholdBin(i)) left(i)
+      else if (if (isCatNode(i)) b == thresholdBin(i)
+        else b <= thresholdBin(i)) left(i)
       else right(i)
     }
     value(i)
@@ -53,7 +69,7 @@ final class RegTree(
     while (feature(i) >= 0) {
       val v = x(feature(i))
       i = if (v.isNaN) { if (defaultLeft(i)) left(i) else right(i) }
-      else if (v <= threshold(i)) left(i)
+      else if (goesLeftRaw(i, v)) left(i)
       else right(i)
     }
     value(i)
@@ -65,7 +81,7 @@ final class RegTree(
     while (feature(i) >= 0) {
       val v = x(feature(i))
       i = if (v.isNaN) { if (defaultLeft(i)) left(i) else right(i) }
-      else if (v <= threshold(i)) left(i)
+      else if (goesLeftRaw(i, v)) left(i)
       else right(i)
     }
     i
@@ -82,7 +98,7 @@ final class RegTree(
     while (feature(i) >= 0) {
       val v = x(feature(i))
       val nxt = if (v.isNaN) { if (defaultLeft(i)) left(i) else right(i) }
-        else if (v <= threshold(i)) left(i)
+        else if (goesLeftRaw(i, v)) left(i)
         else right(i)
       acc(feature(i)) += value(nxt).toDouble - value(i).toDouble
       i = nxt
@@ -125,7 +141,7 @@ final class RegTree(
       val f = feature(i)
       val v = x(f)
       val nxt = if (v.isNaN) { if (defaultLeft(i)) left(i) else right(i) }
-        else if (v <= threshold(i)) left(i)
+        else if (goesLeftRaw(i, v)) left(i)
         else right(i)
       val delta = value(nxt).toDouble - value(i).toDouble
       // distinct ancestors excluding f (depth ≤ 64 ⇒ linear scan wins)
@@ -297,7 +313,7 @@ final class RegTree(
         val f = feature(node)
         val v = x(f)
         val goLeft =
-          if (v.isNaN) defaultLeft(node) else v <= threshold(node)
+          if (v.isNaN) defaultLeft(node) else goesLeftRaw(node, v)
         val hot = if (goLeft) left(node) else right(node)
         val cold = if (goLeft) right(node) else left(node)
         var iz = 1.0; var io = 1.0
@@ -353,7 +369,8 @@ final class RegTree(
       sb.append("\t" * depth)
       if (feature(i) < 0) sb.append(s"$i:leaf=${value(i)}\n")
       else {
-        sb.append(s"$i:[f${feature(i)}<=${threshold(i)}] " +
+        val op = if (isCatNode(i)) "==" else "<="
+        sb.append(s"$i:[f${feature(i)}$op${threshold(i)}] " +
           s"yes=${left(i)},no=${right(i)},missing=" +
           s"${if (defaultLeft(i)) left(i) else right(i)}\n")
         rec(left(i), depth + 1)
@@ -610,10 +627,12 @@ final class GraftModel(
         (ti, i, t.feature(i), t.thresholdBin(i), t.threshold(i),
           t.defaultLeft(i), t.left(i), t.right(i), t.value(i),
           if (t.hasStats) t.gain(i) else 0f,
-          if (t.hasStats) t.cover(i) else 0f)
+          if (t.hasStats) t.cover(i) else 0f,
+          t.isCatNode(i))
       }
     }.toSeq.toDF("tree", "node", "feature", "thresholdBin", "threshold",
-      "defaultLeft", "left", "right", "value", "gain", "cover")
+      "defaultLeft", "left", "right", "value", "gain", "cover",
+      "catSplit")
     nodes.repartition(1).write.mode("overwrite").parquet(s"$path/nodes")
     Seq((objective, numClass, baseScore, missingBin, numFeatures,
         numParallelTree))
@@ -629,16 +648,20 @@ object GraftModel {
     val nodeRows = spark.read.parquet(s"$path/nodes")
       .orderBy("tree", "node").collect()
     val byTree = nodeRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-    // gain/cover columns absent in pre-r3 saved models → stat-less trees
+    // gain/cover columns absent in pre-r3 saved models → stat-less
+    // trees; catSplit absent in pre-r8 saved models → all-numeric
     val hasStats = nodeRows.headOption
       .exists(_.schema.fieldNames.contains("gain"))
+    val hasCat = nodeRows.headOption
+      .exists(_.schema.fieldNames.contains("catSplit"))
     val trees = byTree.map { case (_, rows) =>
       val n = rows.length
       val t = new RegTree(new Array[Int](n), new Array[Int](n),
         new Array[Float](n), new Array[Boolean](n), new Array[Int](n),
         new Array[Int](n), new Array[Float](n),
         if (hasStats) new Array[Float](n) else Array.empty,
-        if (hasStats) new Array[Float](n) else Array.empty)
+        if (hasStats) new Array[Float](n) else Array.empty,
+        if (hasCat) new Array[Boolean](n) else Array.empty)
       rows.foreach { r: Row =>
         val i = r.getInt(1)
         t.feature(i) = r.getInt(2); t.thresholdBin(i) = r.getInt(3)
@@ -649,6 +672,7 @@ object GraftModel {
           t.gain(i) = r.getAs[Float]("gain")
           t.cover(i) = r.getAs[Float]("cover")
         }
+        if (hasCat) t.catSplit(i) = r.getAs[Boolean]("catSplit")
       }
       t
     }.toArray
