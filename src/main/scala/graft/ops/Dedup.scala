@@ -425,11 +425,13 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     // cached: the fused bucket aggregate and the oversized block-pair
     // branch both read the signatures, and the per-token MD5 simhash is
-    // the expensive part (16 bytes per row cached; LRU-evicted under
-    // pressure — like the gram cache, repeated pipeline runs can
-    // spark.catalog.clearCache() between passes). The eager agg.count()
-    // below materializes this cache before the consumer branches read
-    // it, so they never race the blocks.
+    // the expensive part (16 bytes per row cached). Both caches are
+    // RELEASED deterministically before return (the ngramJaccard
+    // pattern): the verified pair set is checkpointed eagerly, then the
+    // persists are dropped — repeated pipeline calls accumulate no
+    // cache entries. The eager agg.count() below materializes this
+    // cache before the consumer branches read it, so they never race
+    // the blocks.
     val sig = df.select(col(idCol).cast("long").as("id"),
       simhash(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -521,10 +523,19 @@ object Dedup {
           struct(col("id"), col("sig")))).as("mb"))
       .select(explode(
         pairUdf(col("bi"), col("bj"), col("ma"), col("mb"))).as("p"))
-    smallPairs.unionByName(bigPairs)
+    val verified = smallPairs.unionByName(bigPairs)
       .select(col("p._1").as("keep_id"), col("p._2").as("dup_id"),
         col("p._3").cast("long").as("hamming"))
       .dropDuplicates("keep_id", "dup_id")
+    // Deterministic cache release (same recipe as ngramJaccard, closing
+    // the last LRU-reliant op in the dedup family): the verified pairs
+    // are tiny — true near-dups only — so checkpoint them eagerly and
+    // drop both MEMORY_AND_DISK entries NOW. Callers read the
+    // checkpointed result; nothing re-executes the dedup.
+    val out = verified.localCheckpoint(true)
+    sig.unpersist(blocking = false)
+    agg.unpersist(blocking = false)
+    out
   }
 
   // ---------------- n-gram Jaccard ----------------

@@ -414,6 +414,8 @@ class OpsSpec extends SparkTestBase {
       assertReleased("minhashLsh(exactVerify)")(
         Dedup.minhashLsh(corpus, "doc_id", "text",
           threshold = 0.9, exactVerify = true))
+      assertReleased("simhashDups")(
+        Dedup.simhashDups(corpus, "doc_id", "text", maxHamming = 3))
     }
   }
 
