@@ -67,7 +67,13 @@ object Bench {
         dropState()
         (t, err)
       }
-      val sortedT = runs.map(_._1).sorted
+      // median over SUCCESSFUL runs only (advisor r7): a query failing
+      // fast in 2 of 3 reps would otherwise report the failure path's
+      // small duration as its timing while status carries the error.
+      // All-failed queries keep the all-runs median (of failure paths)
+      // so the row stays present and loudly marked by status.
+      val okT = runs.collect { case (t, None) => t }
+      val sortedT = (if (okT.nonEmpty) okT else runs.map(_._1)).sorted
       val median = sortedT(sortedT.length / 2)
       (name, median, runs.map(_._1), runs.flatMap(_._2).headOption)
     }

@@ -290,7 +290,7 @@ object SparkEntry {
         ld(s, dir, "documents"), "doc_id", "text")),
 
     // ---- streaming: watermark + tumbling-window aggregation replay
-    //      (X16) — append-mode window finals over a 5-micro-batch
+    //      (X16) — append-mode window finals over a 3-micro-batch
     //      memory-stream replay must equal the batch group-by on the
     //      same synthetic event times. The per-window quality mean is
     //      compared as an integer micro-unit SUM (recovered exactly

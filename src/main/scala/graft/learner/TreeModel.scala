@@ -404,6 +404,16 @@ final class GraftModel(
   /** Trees appended per boosting round (the Trainer.boost layout). */
   def treesPerRound: Int = numOutputs * math.max(numParallelTree, 1)
 
+  // round-layout invariant (advisor r7): slice/truncate/numRounds all
+  // divide by treesPerRound, so a hand-assembled model with a trailing
+  // partial round would silently lose it — reject it at construction
+  // (the trainer only ever produces whole rounds, incl. hard-stop trim)
+  require(trees.length % treesPerRound == 0,
+    s"GraftModel holds ${trees.length} trees, not a multiple of " +
+      s"treesPerRound = $treesPerRound (numOutputs $numOutputs × " +
+      s"numParallelTree $numParallelTree) — forests and class groups " +
+      "must stay whole")
+
   /** Completed boosting rounds stored in this model. */
   def numRounds: Int = trees.length / treesPerRound
 

@@ -409,6 +409,14 @@ class EndToEndSpec extends SparkTestBase {
     // out-of-range bounds clamp instead of throwing
     assert(m.slice(-3, 99).dump() === m.dump())
     assert(m.slice(4, 2).numRounds === 0)
+    // a hand-assembled model with a trailing PARTIAL round is rejected
+    // at construction — slice/numRounds would silently drop it
+    // (advisor r7)
+    val e = intercept[IllegalArgumentException] {
+      new GraftModel(m.trees.take(3), m.objective, numClass = 2,
+        m.baseScore, m.missingBin, m.numFeatures)
+    }
+    assert(e.getMessage.contains("treesPerRound"))
     // multi-class: each round appends numClass trees; a mid-model slice
     // must keep whole class groups
     val mc = (1 to 150).map { i =>
