@@ -625,6 +625,105 @@ final class GraftModel(
   }
 
   /**
+   * xgboost-JSON export — the reference's model sink IS
+   * `bst.save_model(path)` (tune.py:130-156), whose `.json` form is
+   * xgboost's documented public schema; this writes that schema so a
+   * model trained here loads and scores in STOCK xgboost
+   * (`xgb.Booster(model_file=...)`).
+   *
+   * Field mapping (documented divergences are fail-fast):
+   *  - `split_conditions`: xgboost routes left on STRICT
+   *    `x < split_condition`; this engine routes left on
+   *    `x <= threshold`. The export stores `nextUp(threshold)` —
+   *    the smallest float above the threshold — which makes the two
+   *    predicates decide identically for every float input.
+   *  - leaves carry their value in `split_conditions` (xgboost
+   *    convention); `base_weights` mirrors node values, `loss_changes`
+   *    = gain, `sum_hessian` = cover, root parent = 2147483647.
+   *  - `base_score` is stored in the objective's output space (the
+   *    xgboost learner_model_param convention, transformed at load).
+   *  - categorical (one-hot `==`) trees and `custom:*` objectives are
+   *    rejected: xgboost's categorical encoding (split_type 1 +
+   *    category-set bitfields) is not emitted here, and a custom
+   *    objective has no xgboost-side name.
+   */
+  def toXgbJson: String = {
+    require(!objective.startsWith("custom:"),
+      "custom objectives have no xgboost-side name; export the margins " +
+        "model with objective overridden, or keep the parquet sink")
+    require(!trees.exists(t => (0 until t.numNodes).exists(t.isCatNode)),
+      "xgboost-JSON export covers numeric trees; categorical (one-hot) " +
+        "splits use xgboost's category-set encoding, which this sink " +
+        "does not emit — keep the parquet sink for categorical models")
+    val k = numOutputs
+    def jArr[T](xs: Seq[T]): String = xs.mkString("[", ",", "]")
+    val treesJson = trees.zipWithIndex.map { case (t, ti) =>
+      val n = t.numNodes
+      val parents = Array.fill(n)(2147483647)
+      for (i <- 0 until n; if t.feature(i) >= 0) {
+        parents(t.left(i)) = i; parents(t.right(i)) = i
+      }
+      val conds = (0 until n).map { i =>
+        if (t.feature(i) < 0) t.value(i)
+        else Math.nextUp(t.threshold(i))
+      }
+      s"""{"base_weights":${jArr((0 until n).map(t.value))},""" +
+        s""""categories":[],"categories_nodes":[],""" +
+        s""""categories_segments":[],"categories_sizes":[],""" +
+        s""""default_left":${jArr((0 until n).map(i =>
+          if (t.feature(i) >= 0 && t.defaultLeft(i)) 1 else 0))},""" +
+        s""""id":$ti,""" +
+        s""""left_children":${jArr((0 until n).map(i =>
+          if (t.feature(i) < 0) -1 else t.left(i)))},""" +
+        s""""right_children":${jArr((0 until n).map(i =>
+          if (t.feature(i) < 0) -1 else t.right(i)))},""" +
+        s""""loss_changes":${jArr((0 until n).map(i =>
+          if (t.hasStats) t.gain(i) else 0f))},""" +
+        s""""parents":${jArr(parents.toSeq)},""" +
+        s""""split_conditions":${jArr(conds)},""" +
+        s""""split_indices":${jArr((0 until n).map(i =>
+          math.max(t.feature(i), 0)))},""" +
+        s""""split_type":${jArr(Seq.fill(n)(0))},""" +
+        s""""sum_hessian":${jArr((0 until n).map(i =>
+          if (t.hasStats) t.cover(i) else 0f))},""" +
+        s""""tree_param":{"num_deleted":"0","num_feature":"$numFeatures",""" +
+        s""""num_nodes":"$n","size_leaf_vector":"1"}}"""
+    }
+    val nRounds = numRounds
+    val indptr = (0 to nRounds).map(_ * treesPerRound)
+    val treeInfo = trees.indices.map(_ % k)
+    val objParam = objective match {
+      case o if o.startsWith("multi:") =>
+        s""""softmax_multiclass_param":{"num_class":"$numClass"}"""
+      case o if o.startsWith("reg:") || o.startsWith("binary:") =>
+        """"reg_loss_param":{"scale_pos_weight":"1"}"""
+      case o if o.startsWith("rank:") =>
+        """"lambdarank_param":{"lambdarank_num_pair_per_sample":"1","lambdarank_pair_method":"mean"}"""
+      case o if o.startsWith("count:") =>
+        """"poisson_regression_param":{"max_delta_step":"0.7"}"""
+      case _ => """"objective_param":{}"""
+    }
+    s"""{"learner":{"attributes":{},"feature_names":[],""" +
+      s""""feature_types":[],"gradient_booster":{"model":{""" +
+      s""""gbtree_model_param":{"num_trees":"${trees.length}",""" +
+      s""""num_parallel_tree":"${math.max(numParallelTree, 1)}"},""" +
+      s""""iteration_indptr":${jArr(indptr)},""" +
+      s""""tree_info":${jArr(treeInfo)},""" +
+      s""""trees":[${treesJson.mkString(",")}]},"name":"gbtree"},""" +
+      s""""learner_model_param":{"base_score":"$baseScore",""" +
+      s""""boost_from_average":"1","num_class":"${math.max(numClass, 0)}",""" +
+      s""""num_feature":"$numFeatures","num_target":"1"},""" +
+      s""""objective":{"name":"$objective",$objParam}},""" +
+      s""""version":[2,0,0]}"""
+  }
+
+  /** Write [[toXgbJson]] to a local file (the `bst.save_model("m.json")`
+    * analog). */
+  def saveXgbJson(path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      toXgbJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /**
    * Persist as parquet (model sink S12 analog of tune.py:130-156
    * save_model/load_model): `path/nodes` one row per node, `path/meta`
    * one row of scalars. Parquet keeps the model engine-readable and
