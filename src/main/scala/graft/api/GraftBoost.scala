@@ -209,21 +209,31 @@ object GraftBoost {
   }
 
   /**
-   * Approximate pairwise interaction prediction — the xgboost
+   * Pairwise interaction prediction — the xgboost
    * `pred_interactions=True` kwarg the reference forwards through
    * `predict` (main.py:1750-1806): appends an `interactions`
-   * array<float> column laid out as documented on
-   * [[GraftModel.interactions]] (per class a flattened
-   * (numFeatures+1)² symmetric matrix; row sums reproduce
-   * [[predictContrib]]'s blocks, totals the raw margins).
+   * array<float> column (per class a flattened (numFeatures+1)²
+   * symmetric matrix; row sums reproduce [[predictContrib]]'s blocks,
+   * totals the raw margins).
+   *
+   * @param approxInteractions false (default, like xgboost): EXACT
+   *                           SHAP interaction values via conditioned
+   *                           TreeSHAP walks
+   *                           ([[GraftModel.shapInteractions]]); true:
+   *                           the Saabas-style path decomposition
+   *                           ([[GraftModel.interactions]]).
    */
   def predictInteractions(model: GraftModel, df: DataFrame,
-      spec: DMatrixSpec): DataFrame = {
+      spec: DMatrixSpec, approxInteractions: Boolean = false)
+      : DataFrame = {
     val featsArr = checkedFeatures(model, df, spec)
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
-    df.withColumn("interactions",
-      GraftColumnBridge.column(graft.functions.EnsembleInteractions(
-        GraftColumnBridge.expression(featsArr), model)))
+    val expr =
+      if (approxInteractions) graft.functions.EnsembleInteractions(
+        GraftColumnBridge.expression(featsArr), model)
+      else graft.functions.EnsembleShapInteractions(
+        GraftColumnBridge.expression(featsArr), model)
+    df.withColumn("interactions", GraftColumnBridge.column(expr))
   }
 
   // ---- internals ----

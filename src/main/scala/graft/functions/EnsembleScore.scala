@@ -223,6 +223,49 @@ case class EnsembleShapContribs(child: Expression, model: GraftModel)
 }
 
 /**
+ * EXACT SHAP interaction values — the xgboost `pred_interactions=True`
+ * semantics (conditioned TreeSHAP walks, Lundberg's construction; see
+ * [[graft.learner.GraftModel.shapInteractions]] for layout, contract,
+ * and cost). Same zero-boxing codegen shape as [[EnsembleScore]].
+ */
+case class EnsembleShapInteractions(child: Expression, model: GraftModel)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ensemble_shap_interactions needs array<float> input, got " +
+        s"${other.catalogString}")
+  }
+
+  def shapInteractions(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    EnsembleGuards.checkWidth(n, model)
+    val feats = new Array[Float](n)
+    var i = 0
+    while (i < n) { feats(i) = a.getFloat(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(model.shapInteractions(feats))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    shapInteractions(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftShapInteractions", this,
+        classOf[EnsembleShapInteractions].getName)
+      s"${ev.value} = $ref.shapInteractions($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : EnsembleShapInteractions = copy(child = newChild)
+}
+
+/**
  * Approximate (Saabas) pairwise feature-interaction values — the
  * xgboost `pred_interactions=True` kwarg the reference forwards through
  * `predict` (main.py:1750-1806), the last forwarded predict mode

@@ -230,7 +230,23 @@ final class RegTree(
    */
   private[learner] def shapInto(x: Array[Float], phi: Array[Double],
       wsD: Array[Int], wsZ: Array[Double], wsO: Array[Double],
-      wsW: Array[Double]): Double = {
+      wsW: Array[Double]): Double =
+    shapCondInto(x, phi, wsD, wsZ, wsO, wsW, 0, -1)
+
+  /**
+   * CONDITIONED TreeSHAP walk — the [[shapInto]] recursion with one
+   * feature pinned "present" (`condition = +1`: splits on it always
+   * follow x) or "absent" (`condition = -1`: splits on it marginalize
+   * by cover), the device Lundberg's method uses to compute SHAP
+   * INTERACTION values: Φ(i,j) = (φ_j|i present − φ_j|i absent) / 2.
+   * The condition feature never joins the unique path (it is not a
+   * player in the conditioned game); instead a `conditionFraction`
+   * multiplies every leaf contribution — 0-branches short-circuit.
+   * `condition = 0` is the plain unconditioned walk.
+   */
+  private[learner] def shapCondInto(x: Array[Float], phi: Array[Double],
+      wsD: Array[Int], wsZ: Array[Double], wsO: Array[Double],
+      wsW: Array[Double], condition: Int, condFeature: Int): Double = {
     if (!hasStats) throw new IllegalStateException(
       "exact SHAP contributions need per-node cover statistics; this " +
         "model was saved without them (pre-r3 format) — retrain, or use " +
@@ -296,17 +312,21 @@ final class RegTree(
     }
 
     // caller has copied the parent path (ud elements) to `off`; extend
-    // with this node's (pz, po, pf) and recurse
+    // with this node's (pz, po, pf) — unless pf IS the condition
+    // feature, which never becomes a path player — and recurse. `cf`
+    // scales every leaf contribution (1.0 when unconditioned).
     def recurse(node: Int, off: Int, ud: Int, pz: Double, po: Double,
-        pf: Int): Unit = {
-      extend(off, ud, pz, po, pf)
-      val last = ud // path now has ud+1 elements, relative 0..last
+        pf: Int, cf: Double): Unit = {
+      if (cf == 0.0) return // condition>0 prunes the non-x branch
+      val skipExtend = condition != 0 && pf == condFeature
+      if (!skipExtend) extend(off, ud, pz, po, pf)
+      val last = if (skipExtend) ud - 1 else ud // top path index
       if (feature(node) < 0) {
         var i = 1
         while (i <= last) {
           val s = unwoundSum(off, last, i)
           phi(wsD(off + i)) +=
-            s * (wsO(off + i) - wsZ(off + i)) * value(node).toDouble
+            s * (wsO(off + i) - wsZ(off + i)) * value(node).toDouble * cf
           i += 1
         }
       } else {
@@ -330,6 +350,18 @@ final class RegTree(
           unwind(off, last, found)
           newUd = last
         }
+        // conditioning on THIS node's feature: the hot/cold branches
+        // carry the condition fraction instead of path fractions —
+        // present ⇒ only x's branch flows; absent ⇒ both flow with
+        // cover weights (marginalization)
+        var hotCf = cf; var coldCf = cf
+        if (condition != 0 && f == condFeature) {
+          if (condition > 0) coldCf = 0.0
+          else {
+            hotCf = cf * (cover(hot).toDouble / cover(node).toDouble)
+            coldCf = cf * (cover(cold).toDouble / cover(node).toDouble)
+          }
+        }
         val childOff = off + newUd
         var c = 0
         while (c < newUd) {
@@ -338,7 +370,7 @@ final class RegTree(
           c += 1
         }
         recurse(hot, childOff, newUd,
-          iz * (cover(hot).toDouble / cover(node).toDouble), io, f)
+          iz * (cover(hot).toDouble / cover(node).toDouble), io, f, hotCf)
         c = 0
         while (c < newUd) {
           wsD(childOff + c) = wsD(off + c); wsZ(childOff + c) = wsZ(off + c)
@@ -346,12 +378,28 @@ final class RegTree(
           c += 1
         }
         recurse(cold, childOff, newUd,
-          iz * (cover(cold).toDouble / cover(node).toDouble), 0.0, f)
+          iz * (cover(cold).toDouble / cover(node).toDouble), 0.0, f,
+          coldCf)
       }
     }
 
-    recurse(0, 0, 0, 1.0, 1.0, -1)
+    recurse(0, 0, 0, 1.0, 1.0, -1, 1.0)
     expectedValue
+  }
+
+  /** Conditional expectation with feature `f` pinned to x's branches
+    * and every other feature cover-marginalized — the conditioned
+    * walk's bias share (E[f(x) | do(x_f)]). */
+  private[learner] def condExpect(x: Array[Float], f: Int): Double = {
+    def rec(i: Int): Double =
+      if (feature(i) < 0) value(i).toDouble
+      else if (feature(i) == f) {
+        val v = x(f)
+        val goLeft = if (v.isNaN) defaultLeft(i) else goesLeftRaw(i, v)
+        rec(if (goLeft) left(i) else right(i))
+      } else (cover(left(i)) * rec(left(i)) +
+        cover(right(i)) * rec(right(i))) / cover(i)
+    rec(0)
   }
 
   /** Exact TreeSHAP walk with a self-allocated workspace (convenience;
@@ -519,6 +567,116 @@ final class GraftModel(
       var f = 0
       while (f < numFeatures) { out(c * w + f) = acc(c)(f).toFloat; f += 1 }
       out(c * w + numFeatures) = (biasAcc(c) + bias).toFloat
+      c += 1
+    }
+    out
+  }
+
+  /**
+   * EXACT SHAP interaction values — what xgboost computes for
+   * `pred_interactions=True` (the reference forwards the kwarg,
+   * main.py:1750-1806). Off-diagonal entries use Lundberg's
+   * conditioned-walk construction, Φ(i,j) = (φ_j | i present −
+   * φ_j | i absent) / 2 (the Shapley interaction index of the tree's
+   * conditional-expectation game), symmetrized; each feature's
+   * diagonal absorbs its main effect so row sums equal the EXACT
+   * [[shapContribs]] values and each class block totals its raw
+   * margin — the same structural contract xgboost documents, now with
+   * xgboost's own semantics rather than the Saabas approximation
+   * ([[interactions]] remains as the `approx_contribs`-style analog).
+   *
+   * Layout matches [[interactions]]: per class a flattened
+   * (numFeatures+1)² row-major symmetric matrix, index numFeatures =
+   * bias row/column (bias diagonal = cover-weighted expectations +
+   * init margin minus its off-diagonal row mass). Cost is
+   * O(numFeatures × trees × depth²) per row — 2 conditioned walks per
+   * feature, the same asymptotics as xgboost's implementation;
+   * inherent to the kwarg.
+   */
+  def shapInteractions(x: Array[Float]): Array[Float] = {
+    val k = numOutputs
+    val nf = numFeatures
+    val w = nf + 1
+    val s = shapWsSize
+    val wsD = new Array[Int](s); val wsZ = new Array[Double](s)
+    val wsO = new Array[Double](s); val wsW = new Array[Double](s)
+    // unconditioned exact SHAP + expectations (double precision)
+    val phiU = Array.ofDim[Double](k, nf)
+    val eU = new Array[Double](k)
+    var t = 0
+    while (t < trees.length) {
+      eU(t % k) += trees(t).shapInto(x, phiU(t % k), wsD, wsZ, wsO, wsW)
+      t += 1
+    }
+    val m = Array.ofDim[Double](k, w * w)
+    val phiOn = Array.ofDim[Double](k, nf)
+    val phiOff = Array.ofDim[Double](k, nf)
+    val eOn = new Array[Double](k)
+    var i = 0
+    while (i < nf) {
+      var c = 0
+      while (c < k) {
+        java.util.Arrays.fill(phiOn(c), 0.0)
+        java.util.Arrays.fill(phiOff(c), 0.0)
+        c += 1
+      }
+      java.util.Arrays.fill(eOn, 0.0)
+      t = 0
+      while (t < trees.length) {
+        val cc = t % k
+        trees(t).shapCondInto(x, phiOn(cc), wsD, wsZ, wsO, wsW, 1, i)
+        trees(t).shapCondInto(x, phiOff(cc), wsD, wsZ, wsO, wsW, -1, i)
+        eOn(cc) += trees(t).condExpect(x, i)
+        t += 1
+      }
+      c = 0
+      while (c < k) {
+        var j = 0
+        while (j < nf) {
+          if (j != i)
+            m(c)(i * w + j) = (phiOn(c)(j) - phiOff(c)(j)) / 2.0
+          j += 1
+        }
+        m(c)(i * w + nf) = (eOn(c) - eU(c)) / 2.0
+        c += 1
+      }
+      i += 1
+    }
+    val out = new Array[Float](k * w * w)
+    var c = 0
+    while (c < k) {
+      val mc = m(c)
+      // symmetrize (theoretically symmetric; averaging kills float
+      // residue) and mirror the bias column
+      var a = 0
+      while (a < nf) {
+        var b = a + 1
+        while (b < nf) {
+          val avg = (mc(a * w + b) + mc(b * w + a)) / 2.0
+          mc(a * w + b) = avg; mc(b * w + a) = avg
+          b += 1
+        }
+        mc(nf * w + a) = mc(a * w + nf)
+        a += 1
+      }
+      // diagonals absorb main effects so rows sum to the exact SHAP
+      // contributions (and the bias row to its contrib slot)
+      a = 0
+      while (a < nf) {
+        var rowOff = 0.0
+        var j = 0
+        while (j < w) { if (j != a) rowOff += mc(a * w + j); j += 1 }
+        mc(a * w + a) = phiU(c)(a) - rowOff
+        a += 1
+      }
+      var bOff = 0.0
+      a = 0
+      while (a < nf) { bOff += mc(nf * w + a); a += 1 }
+      mc(nf * w + nf) = (eU(c) + bias) - bOff
+      var idx = 0
+      while (idx < w * w) {
+        out(c * w * w + idx) = mc(idx).toFloat; idx += 1
+      }
       c += 1
     }
     out

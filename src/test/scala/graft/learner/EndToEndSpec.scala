@@ -621,7 +621,8 @@ class EndToEndSpec extends SparkTestBase {
       approxContribs = true) // row sums reproduce SAABAS contribs
       .select("a", "contribs").collect()
       .map(r => r.getDouble(0) -> r.getSeq[Float](1)).toMap
-    val got = GraftBoost.predictInteractions(m, df, DMatrixSpec("y"))
+    val got = GraftBoost.predictInteractions(m, df, DMatrixSpec("y"),
+      approxInteractions = true) // the SAABAS variant under test here
       .select("a", "interactions").collect()
     assert(got.length === 600)
     val w = 3 // 2 features + bias

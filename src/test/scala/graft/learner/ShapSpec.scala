@@ -197,6 +197,120 @@ class ShapSpec extends SparkTestBase {
     }
   }
 
+  test("shapInteractions: XOR splits its effect onto the off-diagonal " +
+      "(closed form), Saabas puts it on one main effect") {
+    val m = new GraftModel(Array(xorTree), "reg:squarederror", 0, 0.5,
+      255, 2)
+    val w = 3
+    for ((a, b) <- Seq((0f, 0f), (0f, 1f), (1f, 0f), (1f, 1f))) {
+      val x = Array(a, b)
+      val v = m.shapInteractions(x).map(_.toDouble)
+      val fx = xorTree.predictRaw(x)
+      // closed form: Φ(0,1) = (f − E)/2 with zero main effects
+      val expOff = (fx - 0.5) / 2.0
+      assert(math.abs(v(0 * w + 1) - expOff) < 1e-6,
+        s"x=($a,$b) off-diag ${v(0 * w + 1)} vs $expOff")
+      assert(math.abs(v(0 * w + 0)) < 1e-6, "main effect must vanish")
+      assert(math.abs(v(1 * w + 1)) < 1e-6)
+      // symmetry + row sums reproduce the exact SHAP contribs
+      val contribs = m.shapContribs(x)
+      for (i <- 0 until w) {
+        assert(math.abs(v(i * w + 1) - v(1 * w + i)) < 1e-9)
+        val rowSum = (0 until w).map(j => v(i * w + j)).sum
+        assert(math.abs(rowSum - contribs(i)) < 1e-5,
+          s"row $i sum $rowSum vs contrib ${contribs(i)}")
+      }
+      // and the Saabas variant disagrees on the MAIN-EFFECT cells (on
+      // symmetric XOR its off-diagonals coincide with the Shapley
+      // interaction index, but its row sums are the Saabas contribs,
+      // so the diagonals carry spurious ±0.25 main effects where the
+      // exact decomposition has zero)
+      val sa = m.interactions(x).map(_.toDouble)
+      if (a == 1f && b == 1f)
+        assert(math.abs(sa(0 * w + 0) - v(0 * w + 0)) > 0.1,
+          s"Saabas diag ${sa(0 * w + 0)} should diverge from exact " +
+            s"${v(0 * w + 0)} on x=(1,1)")
+    }
+  }
+
+  test("shapInteractions matches the brute-force Shapley interaction " +
+      "index on trained trees") {
+    val rng = new scala.util.Random(67)
+    val rows = (1 to 400).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      val c = rng.nextDouble()
+      (a, b, c, 4 * a * b - 2 * b * c + a)
+    }
+    val df = rows.toDF("a", "b", "c", "y").repartition(3)
+    val m = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 2,
+        maxDepth = 4, seed = 19)).model
+    val nf = 3; val w = nf + 1
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    // Shapley interaction index over the ensemble's game (sum of the
+    // per-tree conditional-expectation games)
+    def vGame(x: Array[Float], s: Set[Int]): Double =
+      m.trees.map(t => condExp(t, x, s)).sum
+    for (_ <- 1 to 6) {
+      val x = Array(rng.nextFloat(), rng.nextFloat(), rng.nextFloat())
+      val got = m.shapInteractions(x).map(_.toDouble)
+      for (i <- 0 until nf; j <- (i + 1) until nf) {
+        val rest = ((0 until nf).toSet - i) - j
+        val brute = rest.subsets().toSeq.map { s =>
+          val wt = fact(s.size) * fact(nf - s.size - 2) /
+            (2.0 * fact(nf - 1))
+          wt * (vGame(x, s + i + j) - vGame(x, s + i) -
+            vGame(x, s + j) + vGame(x, s))
+        }.sum
+        assert(math.abs(got(i * w + j) - brute) < 1e-6,
+          s"($i,$j): got ${got(i * w + j)} brute $brute")
+      }
+      // row sums == exact SHAP contribs; total == margin
+      val contribs = m.shapContribs(x)
+      var total = 0.0
+      for (i <- 0 until w) {
+        val rowSum = (0 until w).map(j => got(i * w + j)).sum
+        total += rowSum
+        assert(math.abs(rowSum - contribs(i)) < 1e-4)
+      }
+      assert(math.abs(total - m.margins(x)(0)) < 1e-3)
+    }
+  }
+
+  test("predictInteractions defaults to exact SHAP under codegen and " +
+      "keeps Saabas behind approxInteractions=true") {
+    val rng = new scala.util.Random(83)
+    val rows = (1 to 200).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 3 * a * b)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(2)
+    val m = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 3,
+        maxDepth = 3, seed = 7)).model
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val shap = GraftBoost.predictInteractions(m, df, DMatrixSpec("y"))
+        .select("a", "b", "interactions").collect()
+      var diverged = false
+      shap.foreach { r =>
+        val v = r.getSeq[Float](2)
+        assert(v.size === 9)
+        val x = Array(r.getDouble(0).toFloat, r.getDouble(1).toFloat)
+        val direct = m.shapInteractions(x)
+        v.indices.foreach(i => assert(v(i) === direct(i)))
+        if (math.abs(v(1) - m.interactions(x)(1)) > 1e-4) diverged = true
+      }
+      assert(diverged,
+        "exact SHAP interactions must differ from Saabas on an " +
+          "interaction-bearing model")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("shapWalk without cover stats fails fast with guidance") {
     val bare = new RegTree(Array(0, -1, -1), Array(0, 0, 0),
       Array(1f, 0f, 0f), Array(false, false, false),
