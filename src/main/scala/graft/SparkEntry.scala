@@ -673,6 +673,35 @@ object SparkEntry {
         .toDF("term", "weight").orderBy("term")
     }),
 
+    // ---- ML: gblinear pred_contribs — the linear margin decomposes
+    //      EXACTLY as w_j·x_j per feature with the bias slot carrying
+    //      base margin + bias, so DuckDB replays the whole contribution
+    //      surface from the same closed-form one-round weights as
+    //      ml_linear (REAL casts operation for operation); grouped by
+    //      the integral quantity with max/min so the compare is
+    //      order-free ----
+    "ml_linear_contribs" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+            .as("label"))
+      val m = GraftLinear.train(df, DMatrixSpec("label"),
+        TrainParams(objective = "reg:squarederror", numRounds = 1,
+          seed = 1), numWorkers = 8)
+      GraftLinear.predictContrib(m, df, DMatrixSpec("label"))
+        .groupBy(col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("n"),
+          max(element_at(col("contribs"), 1).cast("double"))
+            .as("phi_qty"),
+          max(element_at(col("contribs"), 2).cast("double"))
+            .as("phi_price_max"),
+          min(element_at(col("contribs"), 2).cast("double"))
+            .as("phi_price_min"),
+          max(element_at(col("contribs"), 5).cast("double")).as("bias"))
+        .orderBy("q")
+    }),
+
     "ml_stump" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
         .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
@@ -1653,6 +1682,41 @@ object SparkEntry {
         | UNION ALL SELECT 'bias',
         |   CAST(CAST(-0.3 * gb / hb AS REAL) AS DOUBLE) FROM s)
         | ORDER BY term""".stripMargin,
+    // gblinear contribs: per-row w_j·x_j replayed with the ml_linear
+    // closed-form weights; REAL(DOUBLE(REAL(x)) * w) matches the Spark
+    // float-cast chain, bias slot = REAL(0.5 + wb)
+    "ml_linear_contribs" ->
+      """WITH f AS (SELECT
+        |   CAST(l_quantity AS REAL) AS x0,
+        |   CAST(l_extendedprice AS REAL) AS x1,
+        |   CAST(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+        |     AS REAL) AS y
+        | FROM lineitem),
+        |g AS (SELECT *, CAST(CAST(0.5 AS REAL) - y AS REAL) AS gr
+        | FROM f),
+        |s AS (SELECT
+        |   sum(CAST(gr AS DOUBLE) * CAST(x0 AS DOUBLE)) AS g0,
+        |   sum(CAST(x0 AS DOUBLE) * CAST(x0 AS DOUBLE)) AS h0,
+        |   sum(CAST(gr AS DOUBLE) * CAST(x1 AS DOUBLE)) AS g1,
+        |   sum(CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)) AS h1,
+        |   sum(CAST(gr AS DOUBLE)) AS gb,
+        |   CAST(count(*) AS DOUBLE) AS hb
+        | FROM g),
+        |w AS (SELECT
+        |   CAST(CAST(-0.3 * g0 / (h0 + 1.0) AS REAL) AS DOUBLE) AS w0,
+        |   CAST(CAST(-0.3 * g1 / (h1 + 1.0) AS REAL) AS DOUBLE) AS w1,
+        |   CAST(CAST(-0.3 * gb / hb AS REAL) AS DOUBLE) AS wb FROM s),
+        |c AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |   CAST(CAST(CAST(CAST(l_quantity AS REAL) AS DOUBLE) * w.w0
+        |     AS REAL) AS DOUBLE) AS c0,
+        |   CAST(CAST(CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)
+        |     * w.w1 AS REAL) AS DOUBLE) AS c1,
+        |   CAST(CAST(0.5 + w.wb AS REAL) AS DOUBLE) AS cb
+        | FROM lineitem, w)
+        |SELECT q, count(*) AS n, max(c0) AS phi_qty,
+        | max(c1) AS phi_price_max, min(c1) AS phi_price_min,
+        | max(cb) AS bias
+        |FROM c GROUP BY q ORDER BY q""".stripMargin,
     "ml_stump" ->
       """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
         |   AS x, l_quantity AS y FROM lineitem),

@@ -367,6 +367,44 @@ object GraftLinear {
     LinearModel(weights, bias, meta.getString(3), meta.getDouble(4))
   }
 
+  /**
+   * Feature-contribution prediction for the linear booster — xgboost's
+   * gblinear `pred_contribs=True` semantics (the reference forwards
+   * the kwarg regardless of booster, main.py:1750-1806): a linear
+   * margin decomposes EXACTLY as contribution w_cj · x_j per feature
+   * (missing ⇒ 0, the sparse-ignores-absent rule training uses) with
+   * the bias slot carrying bias_c + the init/base margin, so each
+   * class block sums to that class's margin — the linear model's
+   * Shapley values, no approximation. Layout mirrors the tree
+   * booster's `contribs` column: per class numFeatures entries + bias,
+   * flattened; pure codegen Column expressions, no UDF.
+   */
+  def predictContrib(model: LinearModel, df: DataFrame,
+      spec: DMatrixSpec): DataFrame = {
+    spec.featureWidth(df).foreach { n =>
+      require(n == model.numFeatures,
+        s"model expects ${model.numFeatures} features, got $n")
+    }
+    val featsArr = spec.featuresArray(df)
+    val bm = spec.baseMarginCol.filter(df.columns.contains)
+      .map(c => coalesce(col(c).cast("float"), lit(Float.NaN)))
+      .getOrElse(lit(Float.NaN))
+    val k = math.max(model.numClass, 1)
+    val initM = Objectives.resolve(TrainParams(
+      objective = model.objective, numClass = math.max(k, 2),
+      baseScore = model.baseScore)).initMargin(model.baseScore)
+    val entries: Seq[Column] = (0 until k).flatMap { c =>
+      (0 until model.numFeatures).map { j =>
+        (nanvl(coalesce(element_at(featsArr, j + 1), lit(0f)), lit(0f))
+          .cast("double") * model.weights(c)(j).toDouble)
+          .cast("float")
+      } :+ (when(isnan(bm), lit(initM.toDouble))
+        .otherwise(bm.cast("double")) + model.bias(c).toDouble)
+        .cast("float")
+    }
+    df.withColumn("contribs", array(entries: _*))
+  }
+
   /** Append prediction column(s) — pure codegen, no UDF, no shuffle.
     * Multiclass mirrors `GraftBoost.predict`'s softprob surface:
     * `probabilities` array + argmax `prediction`. Per-row base margins

@@ -29,6 +29,7 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   var labelLowerCol: Option[String] = None // survival bounds (AFT)
   var labelUpperCol: Option[String] = None
   var ignoreCols: Seq[String] = Nil
+  var categoricalCols: Seq[String] = Nil
   var params: TrainParams = TrainParams(objective = defaultObjective)
   var numWorkers: Int = 0
   var evalSets: Seq[(String, DataFrame)] = Nil
@@ -45,6 +46,11 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
     labelLowerCol = Some(lower); labelUpperCol = Some(upper); this
   }
   def setIgnoreCols(cs: Seq[String]): this.type = { ignoreCols = cs; this }
+  /** xgboost `enable_categorical` analog: named feature columns hold
+    * integer category codes and get one-hot `==` partition splits. */
+  def setCategoricalCols(cs: Seq[String]): this.type = {
+    categoricalCols = cs; this
+  }
   def setParams(p: TrainParams): this.type = { params = p; this }
   def setNumWorkers(n: Int): this.type = { numWorkers = n; this }
   def setEvalSets(es: Seq[(String, DataFrame)]): this.type = {
@@ -80,7 +86,8 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
     weightCol = weightCol,
     baseMarginCol = baseMarginCol,
     labelLowerCol = labelLowerCol, labelUpperCol = labelUpperCol,
-    ignore = ignoreCols, featureCols = featuresCols)
+    ignore = ignoreCols, featureCols = featuresCols,
+    categoricalCols = categoricalCols)
 
   protected def resolvedParams(df: DataFrame): TrainParams = params
 

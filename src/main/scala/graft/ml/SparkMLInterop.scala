@@ -74,11 +74,17 @@ trait GraftMLParams extends Params {
     "eval metric names recorded per round per eval set; empty = the " +
       "objective's default metric")
   final def getEvalMetric: Array[String] = $(evalMetric)
+  final val categoricalCols = new StringArrayParam(this,
+    "categoricalCols", "feature columns holding integer category " +
+      "codes — one-hot == splits in the tree grower " +
+      "(enable_categorical analog); empty = all numeric")
+  final def getCategoricalCols: Array[String] = $(categoricalCols)
 
   setDefault(labelCol -> "label", featuresCols -> Array.empty[String],
     numRounds -> 10, maxDepth -> 6, eta -> 0.3, lambda -> 1.0,
     subsample -> 1.0, seed -> 0L, numWorkers -> 0, numClass -> 0,
-    earlyStoppingRounds -> 0, evalMetric -> Array.empty[String])
+    earlyStoppingRounds -> 0, evalMetric -> Array.empty[String],
+    categoricalCols -> Array.empty[String])
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setFeaturesCols(v: Array[String]): this.type = set(featuresCols, v)
@@ -93,6 +99,8 @@ trait GraftMLParams extends Params {
   def setEarlyStoppingRounds(v: Int): this.type =
     set(earlyStoppingRounds, v)
   def setEvalMetric(v: Array[String]): this.type = set(evalMetric, v)
+  def setCategoricalCols(v: Array[String]): this.type =
+    set(categoricalCols, v)
 
   private[ml] def mkTrainParams(objective: String): TrainParams =
     TrainParams(objective = objective, numClass = $(numClass),
@@ -104,7 +112,8 @@ trait GraftMLParams extends Params {
   private[ml] def mkSpec: DMatrixSpec = DMatrixSpec(
     labelCol = Seq($(labelCol)),
     featureCols =
-      if ($(featuresCols).isEmpty) None else Some($(featuresCols).toSeq))
+      if ($(featuresCols).isEmpty) None else Some($(featuresCols).toSeq),
+    categoricalCols = $(categoricalCols).toSeq)
 
   protected def validateFitSchema(schema: StructType): Unit = {
     require(schema.fieldNames.contains($(labelCol)),
@@ -193,6 +202,8 @@ class GraftXGBClassifier(override val uid: String)
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) clf.setFeaturesCols($(featuresCols).toSeq)
+    if ($(categoricalCols).nonEmpty)
+      clf.setCategoricalCols($(categoricalCols).toSeq)
     if ($(numClass) > 0) clf.setNumClass($(numClass))
     val inner = clf.fit(ds.toDF)
     copyValues(new GraftXGBClassificationModel(uid, inner))
@@ -348,6 +359,8 @@ class GraftXGBRegressor(override val uid: String)
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) reg.setFeaturesCols($(featuresCols).toSeq)
+    if ($(categoricalCols).nonEmpty)
+      reg.setCategoricalCols($(categoricalCols).toSeq)
     val inner = reg.fit(ds.toDF)
     copyValues(new GraftXGBRegressionModel(uid, inner)).setParent(this)
   }
@@ -465,6 +478,8 @@ class GraftXGBRanker(override val uid: String)
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) rk.setFeaturesCols($(featuresCols).toSeq)
+    if ($(categoricalCols).nonEmpty)
+      rk.setCategoricalCols($(categoricalCols).toSeq)
     val inner = rk.fit(ds.toDF)
     copyValues(new GraftXGBRankerModel(uid, inner)).setParent(this)
   }
@@ -582,6 +597,8 @@ class GraftXGBRFClassifier(override val uid: String)
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) clf.setFeaturesCols($(featuresCols).toSeq)
+    if ($(categoricalCols).nonEmpty)
+      clf.setCategoricalCols($(categoricalCols).toSeq)
     if ($(numClass) > 0) clf.setNumClass($(numClass))
     val inner = clf.fit(ds.toDF)
     copyValues(new GraftXGBClassificationModel(uid, inner))
@@ -619,6 +636,8 @@ class GraftXGBRFRegressor(override val uid: String)
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) reg.setFeaturesCols($(featuresCols).toSeq)
+    if ($(categoricalCols).nonEmpty)
+      reg.setCategoricalCols($(categoricalCols).toSeq)
     val inner = reg.fit(ds.toDF)
     copyValues(new GraftXGBRegressionModel(uid, inner)).setParent(this)
   }
@@ -662,6 +681,9 @@ class GraftXGBLinear(override val uid: String)
 
   override def fit(ds: Dataset[_]): GraftXGBLinearModel = {
     transformSchema(ds.schema)
+    require($(categoricalCols).isEmpty,
+      "graft: gblinear has no categorical split mode — one-hot encode " +
+        "upstream or use a tree booster facade")
     val lr = new GraftLinearRegressor()
       .setLabelCol($(labelCol))
       .setParams(mkTrainParams($(objective)).copy(alpha = $(alpha),

@@ -224,4 +224,49 @@ class LinearSpec extends SparkTestBase {
       .select(avg(pow(col("prediction") - col("y"), 2))).head.getDouble(0)
     assert(pred < 0.5, s"mse=$pred")
   }
+
+  test("predictContrib: gblinear contributions are exactly w_j*x_j " +
+      "with the bias slot closing each block to the margin") {
+    val df = linearDf(800).repartition(3)
+    val m = GraftLinear.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 20,
+        seed = 3))
+    val rows = GraftLinear.predictContrib(m, df, DMatrixSpec("y"))
+      .withColumn("margin",
+        m.predictExpr(DMatrixSpec("y").featuresArray(df)))
+      .select("x0", "x1", "contribs", "margin").collect()
+    assert(rows.length === 800)
+    rows.foreach { r =>
+      val c = r.getSeq[Float](2)
+      assert(c.size === 3) // 2 features + bias
+      // exact decomposition: entry j is w_j * x_j
+      assert(math.abs(c(0) - m.weights(0)(0) * r.getDouble(0)) < 1e-5)
+      assert(math.abs(c(1) - m.weights(0)(1) * r.getDouble(1)) < 1e-5)
+      // block sums to the margin (float association tolerance)
+      assert(math.abs(c.map(_.toDouble).sum - r.getDouble(3)) < 1e-4,
+        s"contrib sum ${c.map(_.toDouble).sum} vs margin " +
+          s"${r.getDouble(3)}")
+    }
+  }
+
+  test("predictContrib: missing features contribute zero (sparse " +
+      "semantics), base margin rides the bias slot") {
+    val df = Seq(
+      (1.0, Double.NaN, 0.0, 2.5f),
+      (Double.NaN, 2.0, 0.0, Float.NaN)).toDF("x0", "x1", "y", "bm")
+    val m = GraftLinear.LinearModel(
+      Array(Array(2f, -3f)), Array(0.25f), "reg:squarederror", 0.5)
+    val spec = DMatrixSpec(labelCol = Seq("y"),
+      baseMarginCol = Some("bm"))
+    val rows = GraftLinear.predictContrib(m, df, spec)
+      .select("contribs").collect().map(_.getSeq[Float](0))
+    // row 0: x1 missing -> 0; bias slot = bm(2.5) + 0.25
+    assert(math.abs(rows(0)(0) - 2f) < 1e-6)
+    assert(rows(0)(1) === 0f)
+    assert(math.abs(rows(0)(2) - 2.75f) < 1e-6)
+    // row 1: x0 missing; bias falls back to init margin 0.5 + 0.25
+    assert(rows(1)(0) === 0f)
+    assert(math.abs(rows(1)(1) - (-6f)) < 1e-6)
+    assert(math.abs(rows(1)(2) - 0.75f) < 1e-6)
+  }
 }

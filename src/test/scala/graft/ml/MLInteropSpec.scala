@@ -176,6 +176,34 @@ class MLInteropSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("categoricalCols flows through the facade into one-hot splits " +
+      "and survives save/load") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val catDf = (1 to 800).map { _ =>
+      val c = rng.nextInt(10)
+      (c.toDouble, rng.nextDouble(), if (c == 5) 10.0 else 0.0)
+    }.toDF("cat", "noise", "qty").repartition(3)
+    val est = new GraftXGBRegressor().setLabelCol("qty")
+      .setFeaturesCols(Array("cat", "noise"))
+      .setCategoricalCols(Array("cat"))
+      .setNumRounds(1).setMaxDepth(1).setSeed(1L)
+    val model = est.fit(catDf)
+    val t = model.graftModel.trees.head
+    assert(t.isCatNode(0) && t.threshold(0) === 5f,
+      "facade-declared categorical column should yield a == 5 split")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-fac")
+      .toString
+    model.write.overwrite().save(dir)
+    val loaded = GraftXGBRegressionModel.load(dir)
+    assert(loaded.getCategoricalCols.toSeq === Seq("cat"))
+    val a = model.transform(catDf).agg(sum("prediction")).head()
+      .getDouble(0)
+    val b = loaded.transform(catDf).agg(sum("prediction")).head()
+      .getDouble(0)
+    assert(a === b)
+  }
+
   test("ranker facade fits in a Pipeline, ranks positives above " +
       "negatives, and save/loads") {
     val rng = new scala.util.Random(19)
