@@ -426,6 +426,20 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // ---- pipeline: DSIR importance resampling — target LM fit on the
+    //      English slice, source LM on the full pool; Gumbel-top-k on
+    //      exact integer micro-log keys, so DuckDB replays both LM
+    //      fits, the fused two-LM scoring, the salted-md5 Gumbel
+    //      noise, and the selection itself bit for bit ----
+    "pp_dsir" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val lmT = TextOps.fitUnigramLM(
+        docs.filter(col("lang") === "en"), "text", vocabSize = 30)
+      val lmS = TextOps.fitUnigramLM(docs, "text", vocabSize = 30)
+      CorpusPipeline.dsirResample(docs, "doc_id", "text", lmT, lmS,
+        k = 200)
+    }),
+
     // ---- similarity: exact cosine top-k (brute force baseline) ----
     "sim_topk" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
@@ -1554,6 +1568,58 @@ object SparkEntry {
         |     WHEN source IN ('src8','src9','src10','src11') THEN 0.25
         |     ELSE 0.1 END * 4294967296
         | ORDER BY doc_id""".stripMargin,
+    // DSIR replay: both unigram-LM fits (micro-unit log-probs, top-30
+    // vocab), the fused two-LM per-doc scoring, the salted-md5 Gumbel
+    // noise, and the integer-key top-k selection
+    "pp_dsir" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END)
+        |     AS tok
+        | FROM documents),
+        |tokt AS (SELECT doc_id,
+        |   unnest(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END)
+        |     AS tok
+        | FROM documents WHERE lang = 'en'),
+        |cs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |ct AS (SELECT tok, count(*) AS cnt FROM tokt GROUP BY tok),
+        |tots AS (SELECT greatest(CAST(sum(cnt) AS BIGINT), 1) AS t FROM cs),
+        |tott AS (SELECT greatest(CAST(sum(cnt) AS BIGINT), 1) AS t FROM ct),
+        |vs AS (SELECT tok,
+        |   CAST(round(ln(CAST(cnt AS DOUBLE)
+        |     / CAST((SELECT t FROM tots) AS DOUBLE)) * 1000000) AS BIGINT)
+        |     AS lp_s
+        | FROM cs ORDER BY cnt DESC, tok ASC LIMIT 30),
+        |vt AS (SELECT tok,
+        |   CAST(round(ln(CAST(cnt AS DOUBLE)
+        |     / CAST((SELECT t FROM tott) AS DOUBLE)) * 1000000) AS BIGINT)
+        |     AS lp_t
+        | FROM ct ORDER BY cnt DESC, tok ASC LIMIT 30),
+        |d AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |   CAST(sum(coalesce(vt.lp_t,
+        |     CAST(round(ln(0.5 / CAST((SELECT t FROM tott) AS DOUBLE))
+        |       * 1000000) AS BIGINT))) AS BIGINT) AS lp_t_micro,
+        |   CAST(sum(coalesce(vs.lp_s,
+        |     CAST(round(ln(0.5 / CAST((SELECT t FROM tots) AS DOUBLE))
+        |       * 1000000) AS BIGINT))) AS BIGINT) AS lp_s_micro
+        | FROM toks tk LEFT JOIN vt USING (tok) LEFT JOIN vs USING (tok)
+        | GROUP BY tk.doc_id),
+        |f AS (SELECT dd.doc_id,
+        |   coalesce(d.n_tokens, 0) AS n_tokens,
+        |   coalesce(d.lp_t_micro, 0) - coalesce(d.lp_s_micro, 0)
+        |     AS logw_micro
+        | FROM documents dd LEFT JOIN d USING (doc_id)),
+        |kx AS (SELECT doc_id, n_tokens, logw_micro,
+        |   logw_micro + CAST(round(-ln(-ln(
+        |     (CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':dsir')
+        |       % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0))
+        |     * 1000000) AS BIGINT) AS key_micro
+        | FROM f)
+        |SELECT doc_id, n_tokens, logw_micro, key_micro FROM kx
+        | ORDER BY key_micro DESC, doc_id ASC LIMIT 200""".stripMargin,
     "dd_ngram" ->
       """WITH tok AS (SELECT doc_id AS id,
         |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),

@@ -148,6 +148,72 @@ object CorpusPipeline {
   }
 
   /**
+   * DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): keep the `k`
+   * source documents whose token distribution is most TARGET-like. The
+   * per-doc importance log-weight is log p_target(doc) −
+   * log p_source(doc) under two fitted [[TextOps.UnigramLM]]s (fit the
+   * target LM on the clean reference corpus, the source LM on the raw
+   * pool); selection is Gumbel-top-k over `logw + g`, with the Gumbel
+   * noise derived from the salted-md5 row hash — equivalent to
+   * sampling-without-replacement proportional to the softmax of the
+   * importance weights, yet fully deterministic across runs,
+   * partitionings, and task retries.
+   *
+   * Integer exactness: the LMs store log-probs in BIGINT micro-units,
+   * so `logw_micro` is an exact integer difference of the two fused
+   * per-doc micro-sums, the Gumbel noise micro-rounds HALF_UP, and the
+   * ranking key is their exact BIGINT sum — SQL-replayable to the bit.
+   *
+   * Scale shape: both vocabularies broadcast (≤ vocabSize rows each);
+   * ONE token-explode scan of the source feeds BOTH LM lookups and a
+   * single per-doc aggregation (one shuffle); the top-k is TakeOrdered
+   * — bounded per-partition heaps, no global sort. A 100 TB source
+   * costs one scan, one keyed shuffle, and a k-bounded reduction.
+   *
+   * @return (idCol, n_tokens, logw_micro, key_micro) for the k
+   *         selected documents, highest key first
+   */
+  def dsirResample(source: DataFrame, idCol: String, textCol: String,
+      targetLM: TextOps.UnigramLM, sourceLM: TextOps.UnigramLM,
+      k: Int, salt: String = ":dsir"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = source.sparkSession
+    import spark.implicits._
+    // explode_outer keeps empty docs (NULL token) so every source row
+    // competes for selection — logw 0, key = Gumbel noise alone
+    val tok = source.select(col(idCol),
+      explode_outer(TextOps.tokens(lower(col(textCol)))).as("tok"))
+    val vt = targetLM.vocab.toDF("tok", "lp_t")
+    val vs = sourceLM.vocab.toDF("tok", "lp_s")
+    val scored = tok
+      .join(broadcast(vt), Seq("tok"), "left")
+      .join(broadcast(vs), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("tok")).as("n_tokens"),
+        coalesce(sum(when(col("tok").isNotNull,
+            coalesce(col("lp_t"), lit(targetLM.oovMicro)))), lit(0L))
+          .as("lp_t_micro"),
+        coalesce(sum(when(col("tok").isNotNull,
+            coalesce(col("lp_s"), lit(sourceLM.oovMicro)))), lit(0L))
+          .as("lp_s_micro"))
+    // u ∈ (0,1) exactly representable: (hash + 0.5) / 2³² — both the
+    // sum and the power-of-two division are exact in double
+    val u = (hashU32(col(idCol), salt).cast("double") + lit(0.5)) /
+      4294967296.0
+    val gumbelMicro =
+      round(-log(-log(u)) * 1e6, 0).cast("long")
+    scored
+      .withColumn("logw_micro", col("lp_t_micro") - col("lp_s_micro"))
+      .withColumn("key_micro", col("logw_micro") + gumbelMicro)
+      .select(col(idCol), col("n_tokens"), col("logw_micro"),
+        col("key_micro"))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Per-source cap — bound any one source's (domain's) contribution to
    * the corpus, the standard over-representation lever of web-corpus
    * prep: a source with `n > maxPerSource` rows keeps each row with

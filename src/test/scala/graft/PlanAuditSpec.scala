@@ -181,6 +181,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"unigramLogProbs leaked persisted RDDs: $leaked")
   }
 
+  test("pp_dsir: both LM vocabs broadcast as literals, ONE keyed " +
+      "exchange (doc group-by), and the top-k is TakeOrdered — no " +
+      "global sort") {
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+    val lmT = graft.ops.TextOps.fitUnigramLM(
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+      "text", vocabSize = 30)
+    val lmS = graft.ops.TextOps.fitUnigramLM(docs, "text",
+      vocabSize = 30)
+    val df = graft.ops.CorpusPipeline.dsirResample(
+      docs, "doc_id", "text", lmT, lmS, k = 200)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"a vocab join fell back to a shuffle join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k is not a bounded TakeOrdered:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"selection planned a global sort:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected 1 keyed exchange (doc group-by), saw $hashEx:\n$p")
+  }
+
   test("aggregations keep map-side partial combining") {
     val p = plan("a2_metric_agg")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
