@@ -111,6 +111,25 @@ abstract class GraftPredictionModel(
   def transform(df: DataFrame): DataFrame =
     GraftBoost.predict(model, df, spec)
 
+  /** `predict(X, pred_leaf=True)` (sklearn.py:357-390 forwards the
+    * kwarg): appends `leaf_indices` — one leaf node id per tree. */
+  def transformLeaf(df: DataFrame): DataFrame =
+    GraftBoost.predictLeaf(model, df, spec)
+
+  /** `predict(X, pred_contribs=True)`: appends `contribs` — EXACT
+    * TreeSHAP by default, Saabas with `approxContribs = true`
+    * (xgboost's `approx_contribs`). */
+  def transformContrib(df: DataFrame,
+      approxContribs: Boolean = false): DataFrame =
+    GraftBoost.predictContrib(model, df, spec, approxContribs)
+
+  /** `predict(X, pred_interactions=True)`: appends `interactions` —
+    * EXACT SHAP interaction values by default, Saabas-style with
+    * `approxInteractions = true`. */
+  def transformInteractions(df: DataFrame,
+      approxInteractions: Boolean = false): DataFrame =
+    GraftBoost.predictInteractions(model, df, spec, approxInteractions)
+
   /** sklearn `feature_importances_` with `importance_type`
     * (reference sklearn.py wrapper surface): weight | gain |
     * total_gain | cover | total_cover, normalized to sum 1. */
@@ -160,6 +179,11 @@ final class GraftLinearModel(
     val bestIteration: Int = -1) extends Serializable {
   def transform(df: DataFrame): DataFrame =
     graft.api.GraftLinear.predict(model, df, spec)
+  /** `predict(X, pred_contribs=True)` for gblinear: exact per-feature
+    * `w_j·x_j` contributions + bias slot (see
+    * [[graft.api.GraftLinear.predictContrib]]). */
+  def transformContrib(df: DataFrame): DataFrame =
+    graft.api.GraftLinear.predictContrib(model, df, spec)
   def save(spark: SparkSession, path: String): Unit =
     graft.api.GraftLinear.save(model, spark, path)
 }

@@ -286,6 +286,18 @@ class GraftXGBClassificationModel(
     }
   }
 
+  /** Forwarded predict kwargs (`pred_leaf` / `pred_contribs` /
+    * `pred_interactions`) on the MLlib surface — same columns as the
+    * native API (`leaf_indices` / `contribs` / `interactions`). */
+  def transformLeaf(ds: Dataset[_]): DataFrame =
+    inner.transformLeaf(ds.toDF)
+  def transformContrib(ds: Dataset[_],
+      approxContribs: Boolean = false): DataFrame =
+    inner.transformContrib(ds.toDF, approxContribs)
+  def transformInteractions(ds: Dataset[_],
+      approxInteractions: Boolean = false): DataFrame =
+    inner.transformInteractions(ds.toDF, approxInteractions)
+
   override def transformSchema(schema: StructType): StructType = {
     val base = schema.add("prediction", DoubleType)
     val withProb = base.add("probability",
@@ -403,6 +415,18 @@ class GraftXGBRegressionModel(
 
   override def transform(ds: Dataset[_]): DataFrame =
     inner.transform(ds.toDF)
+
+  /** Forwarded predict kwargs on the MLlib surface (`pred_leaf` /
+    * `pred_contribs` / `pred_interactions`) — same columns as the
+    * native API (`leaf_indices` / `contribs` / `interactions`). */
+  def transformLeaf(ds: Dataset[_]): DataFrame =
+    inner.transformLeaf(ds.toDF)
+  def transformContrib(ds: Dataset[_],
+      approxContribs: Boolean = false): DataFrame =
+    inner.transformContrib(ds.toDF, approxContribs)
+  def transformInteractions(ds: Dataset[_],
+      approxInteractions: Boolean = false): DataFrame =
+    inner.transformInteractions(ds.toDF, approxInteractions)
 
   override def transformSchema(schema: StructType): StructType =
     schema.add("prediction", DoubleType)
@@ -523,6 +547,18 @@ class GraftXGBRankerModel(
 
   override def transform(ds: Dataset[_]): DataFrame =
     inner.transform(ds.toDF)
+
+  /** Forwarded predict kwargs on the MLlib surface (`pred_leaf` /
+    * `pred_contribs` / `pred_interactions`) — same columns as the
+    * native API (`leaf_indices` / `contribs` / `interactions`). */
+  def transformLeaf(ds: Dataset[_]): DataFrame =
+    inner.transformLeaf(ds.toDF)
+  def transformContrib(ds: Dataset[_],
+      approxContribs: Boolean = false): DataFrame =
+    inner.transformContrib(ds.toDF, approxContribs)
+  def transformInteractions(ds: Dataset[_],
+      approxInteractions: Boolean = false): DataFrame =
+    inner.transformInteractions(ds.toDF, approxInteractions)
 
   override def transformSchema(schema: StructType): StructType =
     schema.add("prediction", DoubleType)
@@ -733,6 +769,10 @@ class GraftXGBLinearModel(
 
   override def transform(ds: Dataset[_]): DataFrame =
     inner.transform(ds.toDF)
+
+  /** gblinear `pred_contribs`: exact per-feature w_j*x_j + bias slot. */
+  def transformContrib(ds: Dataset[_]): DataFrame =
+    inner.transformContrib(ds.toDF)
 
   override def transformSchema(schema: StructType): StructType =
     schema.add("prediction", DoubleType)

@@ -49,6 +49,30 @@ class EstimatorSpec extends SparkTestBase {
     assert(rmse < 0.1, s"rmse=$rmse")
   }
 
+  test("forwarded predict kwargs on the estimator model: leaf / " +
+      "contribs / interactions columns with margin-closing sums") {
+    val df = binaryDf.withColumn("y", $"a" * 2 + $"b").drop("label")
+    val m = new GraftRegressor().setLabelCol("y")
+      .setNumRounds(5).setMaxDepth(3).setSeed(2).fit(df)
+    val rows = m.transformContrib(df)
+      .join(m.transform(df).select($"a", $"b", $"prediction"),
+        Seq("a", "b"))
+      .select("contribs", "prediction").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getSeq[Float](0)
+      assert(c.size === 3) // 2 features + bias
+      assert(math.abs(c.map(_.toDouble).sum - r.getDouble(1)) < 1e-3,
+        s"SHAP contribs must close to the margin: $c vs ${r.getDouble(1)}")
+    }
+    val leaf = m.transformLeaf(df).select("leaf_indices").head()
+      .getSeq[Int](0)
+    assert(leaf.size === m.model.trees.length)
+    val inter = m.transformInteractions(df).select("interactions")
+      .head().getSeq[Float](0)
+    assert(inter.size === 9) // (2 features + bias)^2
+  }
+
   test("GraftRFClassifier: one round, many parallel trees") {
     val m = new GraftRFClassifier().setNumTrees(20).setSeed(3)
       .setMaxDepth(4).fit(binaryDf)

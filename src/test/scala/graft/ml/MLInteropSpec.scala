@@ -204,6 +204,28 @@ class MLInteropSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("forwarded predict kwargs reach the MLlib facade models " +
+      "(tree contribs/leaves/interactions + gblinear contribs)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (1 to 300).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, a * 2 + b)
+    }.toDF("a", "b", "qty").repartition(3)
+    val m = new GraftXGBRegressor().setLabelCol("qty")
+      .setNumRounds(4).setMaxDepth(3).setSeed(1L).fit(df)
+    val c = m.transformContrib(df).select("contribs").head().getSeq[Float](0)
+    assert(c.size === 3)
+    assert(m.transformLeaf(df).select("leaf_indices").head()
+      .getSeq[Int](0).size === m.graftModel.trees.length)
+    assert(m.transformInteractions(df).select("interactions").head()
+      .getSeq[Float](0).size === 9)
+    val lin = new GraftXGBLinear().setLabelCol("qty")
+      .setNumRounds(10).fit(df)
+    assert(lin.transformContrib(df).select("contribs").head()
+      .getSeq[Float](0).size === 3)
+  }
+
   test("ranker facade fits in a Pipeline, ranks positives above " +
       "negatives, and save/loads") {
     val rng = new scala.util.Random(19)
