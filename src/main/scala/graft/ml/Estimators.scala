@@ -111,6 +111,16 @@ abstract class GraftPredictionModel(
   def transform(df: DataFrame): DataFrame =
     GraftBoost.predict(model, df, spec)
 
+  /** `predict(X, iteration_range=(a, b))` — scores with rounds
+    * [a, b) only. NOTE the reference ACCEPTS this kwarg but silently
+    * drops it before predicting (sklearn.py:357-390 takes
+    * `iteration_range` and forwards everything except it); here it is
+    * honored via [[GraftModel.slice]]. Early-stopping users: pass
+    * `(0, bestIteration + 1)`. */
+  def transform(df: DataFrame, iterationRange: (Int, Int)): DataFrame =
+    GraftBoost.predict(
+      model.slice(iterationRange._1, iterationRange._2), df, spec)
+
   /** `predict(X, pred_leaf=True)` (sklearn.py:357-390 forwards the
     * kwarg): appends `leaf_indices` — one leaf node id per tree. */
   def transformLeaf(df: DataFrame): DataFrame =

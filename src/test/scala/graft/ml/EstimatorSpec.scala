@@ -71,6 +71,13 @@ class EstimatorSpec extends SparkTestBase {
     val inter = m.transformInteractions(df).select("interactions")
       .head().getSeq[Float](0)
     assert(inter.size === 9) // (2 features + bias)^2
+    // iteration_range is HONORED (the reference accepts-and-drops it):
+    // scoring rounds [0, 2) equals the truncated model's full scoring
+    val a = m.transform(df, (0, 2))
+      .selectExpr("sum(prediction)").head().getDouble(0)
+    val b = graft.api.GraftBoost.predict(m.model.truncate(2), df, m.spec)
+      .selectExpr("sum(prediction)").head().getDouble(0)
+    assert(a === b)
   }
 
   test("GraftRFClassifier: one round, many parallel trees") {
