@@ -47,6 +47,21 @@ object GraftBoost {
       "trainer supports a single label column (multi-label loading is a " +
         "data-layer feature; see DMatrixSpec)")
 
+    // monotonicity has no meaning for an unordered one-hot partition —
+    // a constraint on a declared-categorical feature would silently
+    // veto/admit candidates by which code sits left, so reject it
+    val catFlagsEarly = spec.categoricalFlags(df)
+    if (params.monotoneConstraints.nonEmpty && catFlagsEarly.nonEmpty) {
+      val bad = params.monotoneConstraints.zipWithIndex.collect {
+        case (c, f) if c != 0 && f < catFlagsEarly.length &&
+          catFlagsEarly(f) => f
+      }
+      require(bad.isEmpty,
+        s"graft: monotone constraints are not defined for categorical " +
+          s"features (one-hot == splits have no order); remove the " +
+          s"constraint on feature index(es) ${bad.mkString(", ")}")
+    }
+
     val prepared = prepare(df, spec, obj, numWorkers, distributedCallbacks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totalRows = prepared.count()
@@ -60,8 +75,11 @@ object GraftBoost {
     train.foreachPartition(_ => ()) // materialize bytes, then drop floats
     prepared.unpersist(blocking = false)
     val evalRdds = evals.map { case (n, e) =>
+      // eval rows tolerate unseen category codes (they bin to the
+      // spare non-matching bin and route like predict); train rows
+      // keep the fail-fast
       (n, toBinned(prepare(e, spec, obj, numWorkers), bins, obj,
-        params.baseScore))
+        params.baseScore, tolerateUnseenCats = true))
     }
     Trainer.boost(train, evalRdds, bins, p2, callbacks, initModel,
       Some(spark), distributedCallbacks)
@@ -205,8 +223,28 @@ object GraftBoost {
         GraftColumnBridge.expression(featsArr), model)
       else graft.functions.EnsembleShapContribs(
         GraftColumnBridge.expression(featsArr), model)
-    df.withColumn("contribs", GraftColumnBridge.column(expr))
+    val out = df.withColumn("contribs", GraftColumnBridge.column(expr))
+    // per-row base margin rides the bias slot (DMatrix base_margin
+    // predict semantics, matrix.py:329-331) so each class block still
+    // sums to the margin `predict` reports on the same spec
+    baseMarginAdj(model, df, spec).fold(out) { adj =>
+      val w = model.numFeatures + 1
+      out.withColumn("contribs", transform(col("contribs"), (x, i) =>
+        when(i % w === w - 1, (x.cast("double") + adj).cast("float"))
+          .otherwise(x)))
+    }
   }
+
+  /** Bias-slot correction for a per-row base margin: bm − initMargin
+    * (0 for NaN/absent rows). None when the spec declares no margin
+    * column or `df` lacks it — the common path stays adjustment-free. */
+  private def baseMarginAdj(model: GraftModel, df: DataFrame,
+      spec: DMatrixSpec): Option[org.apache.spark.sql.Column] =
+    spec.baseMarginCol.filter(df.columns.contains).map { c =>
+      val bm = coalesce(col(c).cast("float"), lit(Float.NaN))
+      when(isnan(bm), lit(0d))
+        .otherwise(bm.cast("double") - model.initMargin.toDouble)
+    }
 
   /**
    * Pairwise interaction prediction — the xgboost
@@ -233,7 +271,20 @@ object GraftBoost {
         GraftColumnBridge.expression(featsArr), model)
       else graft.functions.EnsembleShapInteractions(
         GraftColumnBridge.expression(featsArr), model)
-    df.withColumn("interactions", GraftColumnBridge.column(expr))
+    val out =
+      df.withColumn("interactions", GraftColumnBridge.column(expr))
+    // base margin lands on the (bias, bias) diagonal cell of each
+    // class block, keeping row sums aligned with the adjusted contribs
+    // and the total equal to the margin
+    baseMarginAdj(model, df, spec).fold(out) { adj =>
+      val side = model.numFeatures + 1
+      val block = side * side
+      val biasCell = (side - 1) * side + (side - 1)
+      out.withColumn("interactions",
+        transform(col("interactions"), (x, i) =>
+          when(i % block === biasCell,
+            (x.cast("double") + adj).cast("float")).otherwise(x)))
+    }
   }
 
   // ---- internals ----
@@ -297,7 +348,8 @@ object GraftBoost {
   }
 
   private def toBinned(rows: Prepared, bins: Binner.Bins, obj: Objective,
-      baseScore: Double): RDD[(TrainInstance, Array[Float])] = {
+      baseScore: Double, tolerateUnseenCats: Boolean = false)
+      : RDD[(TrainInstance, Array[Float])] = {
     val k = obj.numOutputs
     val init = obj.initMargin(baseScore)
     rows.mapPartitions({ it =>
@@ -305,7 +357,8 @@ object GraftBoost {
         val margins = new Array[Float](k)
         val m0 = if (m.isNaN) init else m
         java.util.Arrays.fill(margins, m0)
-        (TrainInstance(bins.binRow(f), y, w, q, u), margins)
+        (TrainInstance(bins.binRow(f, tolerateUnseenCats), y, w, q, u),
+          margins)
       }
     }, preservesPartitioning = true)
   }

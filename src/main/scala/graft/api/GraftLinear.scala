@@ -58,16 +58,25 @@ object GraftLinear {
      */
     def marginExpr(features: Column, cls: Int = 0,
         baseMargin: Column = lit(Float.NaN)): Column = {
-      val terms = weights(cls).iterator.zipWithIndex.collect {
-        case (w, j) if w != 0f =>
-          nanvl(coalesce(element_at(features, j + 1), lit(0f)), lit(0f))
-            .cast("double") * w.toDouble
-      }.toSeq
-      val base = when(isnan(baseMargin),
-        lit(initMargin.toDouble)).otherwise(baseMargin.cast("double")) +
-        bias(cls).toDouble
-      terms.foldLeft(base)(_ + _)
+      val terms = weights(cls).indices.collect {
+        case j if weights(cls)(j) != 0f => termExpr(features, cls, j)
+      }
+      terms.foldLeft(baseExpr(cls, baseMargin))(_ + _)
     }
+
+    /** Per-feature margin term w_cj·x_j (missing ⇒ 0) — shared by
+      * [[marginExpr]] and [[GraftLinear.predictContrib]] so the margin
+      * and its decomposition cannot drift apart. */
+    private[api] def termExpr(features: Column, cls: Int,
+        j: Int): Column =
+      nanvl(coalesce(element_at(features, j + 1), lit(0f)), lit(0f))
+        .cast("double") * weights(cls)(j).toDouble
+
+    /** Init-or-per-row base margin + class bias — the margin's
+      * constant part, and the contribs bias slot. */
+    private[api] def baseExpr(cls: Int, baseMargin: Column): Column =
+      when(isnan(baseMargin), lit(initMargin.toDouble))
+        .otherwise(baseMargin.cast("double")) + bias(cls).toDouble
 
     /** Transformed prediction for the single-output objectives: prob
       * for logistic, identity margin otherwise. Multiclass goes
@@ -381,28 +390,35 @@ object GraftLinear {
    */
   def predictContrib(model: LinearModel, df: DataFrame,
       spec: DMatrixSpec): DataFrame = {
+    val featsArr = checkedFeatures(model, df, spec)
+    val bm = spec.baseMarginCol.filter(df.columns.contains)
+      .map(c => coalesce(col(c).cast("float"), lit(Float.NaN)))
+      .getOrElse(lit(Float.NaN))
+    val entries: Seq[Column] = (0 until model.numClass).flatMap { c =>
+      (0 until model.numFeatures)
+        .map(j => model.termExpr(featsArr, c, j).cast("float")) :+
+        model.baseExpr(c, bm).cast("float")
+    }
+    df.withColumn("contribs", array(entries: _*))
+  }
+
+  /** Feature assembly + the width fail-fasts both predict surfaces
+    * share: per-column width is checked statically; pre-assembled rows
+    * get a runtime guard (element_at + coalesce would otherwise read a
+    * silent 0 past a short row). */
+  private def checkedFeatures(model: LinearModel, df: DataFrame,
+      spec: DMatrixSpec): Column = {
     spec.featureWidth(df).foreach { n =>
       require(n == model.numFeatures,
         s"model expects ${model.numFeatures} features, got $n")
     }
-    val featsArr = spec.featuresArray(df)
-    val bm = spec.baseMarginCol.filter(df.columns.contains)
-      .map(c => coalesce(col(c).cast("float"), lit(Float.NaN)))
-      .getOrElse(lit(Float.NaN))
-    val k = math.max(model.numClass, 1)
-    val initM = Objectives.resolve(TrainParams(
-      objective = model.objective, numClass = math.max(k, 2),
-      baseScore = model.baseScore)).initMargin(model.baseScore)
-    val entries: Seq[Column] = (0 until k).flatMap { c =>
-      (0 until model.numFeatures).map { j =>
-        (nanvl(coalesce(element_at(featsArr, j + 1), lit(0f)), lit(0f))
-          .cast("double") * model.weights(c)(j).toDouble)
-          .cast("float")
-      } :+ (when(isnan(bm), lit(initM.toDouble))
-        .otherwise(bm.cast("double")) + model.bias(c).toDouble)
-        .cast("float")
-    }
-    df.withColumn("contribs", array(entries: _*))
+    val raw = spec.featuresArray(df)
+    if (spec.featureWidth(df).isDefined) raw
+    else when(size(raw) =!= model.numFeatures, raise_error(concat(
+      lit("graft: pre-assembled feature row has "),
+      size(raw).cast("string"),
+      lit(s" element(s); model expects ${model.numFeatures}"))))
+      .otherwise(raw)
   }
 
   /** Append prediction column(s) — pure codegen, no UDF, no shuffle.
@@ -414,22 +430,7 @@ object GraftLinear {
       outputCol: String = "prediction"): DataFrame = {
     // same assembly expression as training (per-column or pre-assembled
     // Vector/array, `missing` substitution included)
-    spec.featureWidth(df).foreach { n =>
-      require(n == model.numFeatures,
-        s"model expects ${model.numFeatures} features, got $n")
-    }
-    val raw = spec.featuresArray(df)
-    // pre-assembled width is a runtime property; marginExpr's
-    // element_at + coalesce would silently read 0 past a short row —
-    // fail the row with a clear message instead (per-column assembly is
-    // statically checked above, so the guard costs nothing there)
-    val featsArr =
-      if (spec.featureWidth(df).isDefined) raw
-      else when(size(raw) =!= model.numFeatures, raise_error(concat(
-        lit("graft: pre-assembled feature row has "),
-        size(raw).cast("string"),
-        lit(s" element(s); model expects ${model.numFeatures}"))))
-        .otherwise(raw)
+    val featsArr = checkedFeatures(model, df, spec)
     val bm = spec.baseMarginCol.filter(df.columns.contains)
       .map(c => coalesce(col(c).cast("float"), lit(Float.NaN)))
       .getOrElse(lit(Float.NaN))

@@ -45,14 +45,26 @@ object Binner {
       * the bin the category code itself — but a non-integral or
       * out-of-range value would silently land in a neighbouring code's
       * bin, so those fail fast instead (enable_categorical contract:
-      * codes are non-negative integers, matrix.py:142,159,800). */
-    def bin(f: Int, x: Float): Int = {
+      * codes are non-negative integers, matrix.py:142,159,800).
+      *
+      * `tolerateUnseenCats` (EVAL rows): an integral code above the
+      * trained max maps to the spare bin max+1 — it equals no trained
+      * split code, so every one-hot `==` split routes it right, exactly
+      * like the raw-float predict path routes unseen categories. TRAIN
+      * rows keep the fail-fast (an unseen code there means the binner
+      * never saw the data it is histogramming). Eval-only bins never
+      * index histograms, so the out-of-numBins value is safe. */
+    def bin(f: Int, x: Float, tolerateUnseenCats: Boolean = false): Int = {
       if (x.isNaN) return MissingBin
-      if (isCat(f) && (x != math.floor(x) || x < 0 || x > cuts(f).length))
+      if (isCat(f) && (x != math.floor(x) || x < 0 || x > cuts(f).length)) {
+        if (tolerateUnseenCats && x == math.floor(x) && x >= 0 &&
+            cuts(f).length + 1 < MissingBin)
+          return cuts(f).length + 1
         throw new IllegalArgumentException(
           s"graft: categorical feature $f got value $x; expected an " +
             s"integer category code in [0, ${cuts(f).length}] (encode " +
             "categories as non-negative integer codes, e.g. StringIndexer)")
+      }
       val c = cuts(f)
       var lo = 0; var hi = c.length
       while (lo < hi) {
@@ -62,7 +74,8 @@ object Binner {
       lo
     }
 
-    def binRow(x: Array[Float]): Array[Byte] = {
+    def binRow(x: Array[Float],
+        tolerateUnseenCats: Boolean = false): Array[Byte] = {
       // pre-assembled feature widths are a runtime property; a row that
       // disagrees with the fitted width would silently mis-bin (short
       // arrays truncate, long ones drop features) — fail it instead
@@ -72,7 +85,9 @@ object Binner {
           "feature widths?)")
       val out = new Array[Byte](x.length)
       var f = 0
-      while (f < x.length) { out(f) = bin(f, x(f)).toByte; f += 1 }
+      while (f < x.length) {
+        out(f) = bin(f, x(f), tolerateUnseenCats).toByte; f += 1
+      }
       out
     }
   }

@@ -471,6 +471,10 @@ final class GraftModel(
     Objectives.forName(objective, numClass)
   @transient private lazy val bias: Float = obj.initMargin(baseScore)
 
+  /** The objective's init margin (base_score transform) — the constant
+    * every class margin starts from absent a per-row base margin. */
+  def initMargin: Float = bias
+
   /** Raw margin(s) for one row (inference path, unbinned floats). */
   def margins(x: Array[Float]): Array[Float] = marginsFrom(x, bias)
 

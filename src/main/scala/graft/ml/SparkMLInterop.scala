@@ -136,6 +136,22 @@ trait GraftXGBEvalSets {
   }
 }
 
+/** Forwarded predict kwargs (`pred_leaf` / `pred_contribs` /
+  * `pred_interactions`) on the MLlib tree-model surface — same columns
+  * as the native API (`leaf_indices` / `contribs` / `interactions`),
+  * exact-SHAP defaults with the approx flags as escape hatches. */
+trait GraftXGBPredictKwargs {
+  protected def kwargsModel: GraftPredictionModel
+  def transformLeaf(ds: Dataset[_]): DataFrame =
+    kwargsModel.transformLeaf(ds.toDF)
+  def transformContrib(ds: Dataset[_],
+      approxContribs: Boolean = false): DataFrame =
+    kwargsModel.transformContrib(ds.toDF, approxContribs)
+  def transformInteractions(ds: Dataset[_],
+      approxInteractions: Boolean = false): DataFrame =
+    kwargsModel.transformInteractions(ds.toDF, approxInteractions)
+}
+
 private[ml] object GraftMLIO {
   /** Standard MLlib stage-metadata file — `Pipeline`'s shared reader
     * discovers a stage's class from `path/metadata` before invoking the
@@ -239,9 +255,11 @@ class GraftXGBClassificationModel(
     override val uid: String,
     private[ml] val inner: GraftClassificationModel)
     extends Model[GraftXGBClassificationModel] with GraftMLParams
+    with GraftXGBPredictKwargs
     with MLWritable {
 
   def graftModel: GraftModel = inner.model
+  protected def kwargsModel: GraftPredictionModel = inner
   def numClasses: Int = inner.numClasses
   def classLabels: Array[Double] = inner.classLabels
 
@@ -285,18 +303,6 @@ class GraftXGBClassificationModel(
           when(col("prediction") > 0.5, labels(1)).otherwise(labels(0)))
     }
   }
-
-  /** Forwarded predict kwargs (`pred_leaf` / `pred_contribs` /
-    * `pred_interactions`) on the MLlib surface — same columns as the
-    * native API (`leaf_indices` / `contribs` / `interactions`). */
-  def transformLeaf(ds: Dataset[_]): DataFrame =
-    inner.transformLeaf(ds.toDF)
-  def transformContrib(ds: Dataset[_],
-      approxContribs: Boolean = false): DataFrame =
-    inner.transformContrib(ds.toDF, approxContribs)
-  def transformInteractions(ds: Dataset[_],
-      approxInteractions: Boolean = false): DataFrame =
-    inner.transformInteractions(ds.toDF, approxInteractions)
 
   override def transformSchema(schema: StructType): StructType = {
     val base = schema.add("prediction", DoubleType)
@@ -394,9 +400,11 @@ class GraftXGBRegressionModel(
     override val uid: String,
     private[ml] val inner: GraftRegressionModel)
     extends Model[GraftXGBRegressionModel] with GraftMLParams
+    with GraftXGBPredictKwargs
     with MLWritable {
 
   def graftModel: GraftModel = inner.model
+  protected def kwargsModel: GraftPredictionModel = inner
 
   /** Per-round eval metric history (see
     * [[GraftXGBClassificationModel.evalsResult]]). */
@@ -415,18 +423,6 @@ class GraftXGBRegressionModel(
 
   override def transform(ds: Dataset[_]): DataFrame =
     inner.transform(ds.toDF)
-
-  /** Forwarded predict kwargs on the MLlib surface (`pred_leaf` /
-    * `pred_contribs` / `pred_interactions`) — same columns as the
-    * native API (`leaf_indices` / `contribs` / `interactions`). */
-  def transformLeaf(ds: Dataset[_]): DataFrame =
-    inner.transformLeaf(ds.toDF)
-  def transformContrib(ds: Dataset[_],
-      approxContribs: Boolean = false): DataFrame =
-    inner.transformContrib(ds.toDF, approxContribs)
-  def transformInteractions(ds: Dataset[_],
-      approxInteractions: Boolean = false): DataFrame =
-    inner.transformInteractions(ds.toDF, approxInteractions)
 
   override def transformSchema(schema: StructType): StructType =
     schema.add("prediction", DoubleType)
@@ -526,9 +522,11 @@ class GraftXGBRankerModel(
     override val uid: String,
     private[ml] val inner: GraftRankerModel)
     extends Model[GraftXGBRankerModel] with GraftXGBRankerParams
+    with GraftXGBPredictKwargs
     with MLWritable {
 
   def graftModel: GraftModel = inner.model
+  protected def kwargsModel: GraftPredictionModel = inner
 
   /** Per-round eval metric history (see
     * [[GraftXGBClassificationModel.evalsResult]]). */
@@ -547,18 +545,6 @@ class GraftXGBRankerModel(
 
   override def transform(ds: Dataset[_]): DataFrame =
     inner.transform(ds.toDF)
-
-  /** Forwarded predict kwargs on the MLlib surface (`pred_leaf` /
-    * `pred_contribs` / `pred_interactions`) — same columns as the
-    * native API (`leaf_indices` / `contribs` / `interactions`). */
-  def transformLeaf(ds: Dataset[_]): DataFrame =
-    inner.transformLeaf(ds.toDF)
-  def transformContrib(ds: Dataset[_],
-      approxContribs: Boolean = false): DataFrame =
-    inner.transformContrib(ds.toDF, approxContribs)
-  def transformInteractions(ds: Dataset[_],
-      approxInteractions: Boolean = false): DataFrame =
-    inner.transformInteractions(ds.toDF, approxInteractions)
 
   override def transformSchema(schema: StructType): StructType =
     schema.add("prediction", DoubleType)

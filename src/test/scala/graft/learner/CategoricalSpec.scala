@@ -121,6 +121,46 @@ class CategoricalSpec extends SparkTestBase {
     }
   }
 
+  test("eval sets tolerate unseen category codes (bin to the spare " +
+      "non-matching bin, route like predict) while train rows fail fast") {
+    val df = midCatDf().repartition(3)
+    val spec = DMatrixSpec(labelCol = Seq("y"),
+      categoricalCols = Seq("cat"))
+    // eval set contains code 12, never seen in training (max 9)
+    val evalDf = midCatDf(100)
+      .union(Seq((12.0, 0.5, 0.0)).toDF("cat", "noise", "y"))
+    val res = GraftBoost.train(df, spec,
+      TrainParams(objective = "reg:squarederror", numRounds = 2,
+        maxDepth = 2, seed = 1, evalMetric = Seq("rmse")),
+      evals = Seq(("val", evalDf)))
+    // training completed and the eval metric was computed every round
+    assert(res.evalsResult("val")("rmse").size === 2)
+    // the same unseen code scores through predict without error and
+    // routes off the cat==5 branch (prediction = the "other" leaf)
+    val p = GraftBoost.predict(res.model,
+      Seq((12.0, 0.5, 0.0)).toDF("cat", "noise", "y"), spec)
+      .select("prediction").head().getDouble(0)
+    val pOther = GraftBoost.predict(res.model,
+      Seq((3.0, 0.5, 0.0)).toDF("cat", "noise", "y"), spec)
+      .select("prediction").head().getDouble(0)
+    assert(math.abs(p - pOther) < 1e-6,
+      "unseen category must route like any non-matching code")
+  }
+
+  test("monotone constraint on a declared-categorical feature is " +
+      "rejected at validation (one-hot partitions have no order)") {
+    val df = midCatDf().repartition(2)
+    val spec = DMatrixSpec(labelCol = Seq("y"),
+      categoricalCols = Seq("cat"))
+    val e = intercept[IllegalArgumentException] {
+      GraftBoost.train(df, spec,
+        TrainParams(objective = "reg:squarederror", numRounds = 1,
+          maxDepth = 2, seed = 1,
+          monotoneConstraints = Seq(1, 0)))
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+  }
+
   test("fail-fast: non-integral categorical values") {
     val df = Seq((1.5, 1.0), (2.0, 2.0), (0.0, 0.0)).toDF("cat", "y")
     val e = intercept[Exception] {

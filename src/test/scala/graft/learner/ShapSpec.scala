@@ -197,6 +197,47 @@ class ShapSpec extends SparkTestBase {
     }
   }
 
+  test("predictContrib/predictInteractions honor a per-row base " +
+      "margin: bias slot carries it and blocks still close to the " +
+      "margin predict reports") {
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 150).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 2 * a * b + a, rng.nextDouble().toFloat)
+    }
+    val df = rows.toDF("a", "b", "y", "bm").repartition(2)
+    val spec = DMatrixSpec(labelCol = Seq("y"),
+      baseMarginCol = Some("bm"), ignore = Seq("bm"))
+    val m = GraftBoost.train(df.drop("bm"), DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", numRounds = 3,
+        maxDepth = 3, seed = 5)).model
+    val joined = GraftBoost.predictContrib(m, df, spec)
+      .join(GraftBoost.predict(m, df, spec, outputMargin = true)
+        .withColumnRenamed("prediction", "margin")
+        .select("a", "b", "margin"), Seq("a", "b"))
+      .select("a", "b", "contribs", "margin", "bm").collect()
+    joined.foreach { r =>
+      val c = r.getSeq[Float](2)
+      assert(math.abs(c.map(_.toDouble).sum - r.getDouble(3)) < 1e-3,
+        s"contribs ${c.mkString(",")} must sum to margin ${r.getDouble(3)}")
+      // the bias slot moved by exactly bm − initMargin vs the plain walk
+      val x = Array(r.getDouble(0).toFloat, r.getDouble(1).toFloat)
+      val expected = m.shapContribs(x).last +
+        (r.getFloat(4) - m.initMargin)
+      assert(math.abs(c.last - expected) < 1e-5)
+    }
+    val inter = GraftBoost.predictInteractions(m, df, spec)
+      .join(GraftBoost.predict(m, df, spec, outputMargin = true)
+        .withColumnRenamed("prediction", "margin")
+        .select("a", "b", "margin"), Seq("a", "b"))
+      .select("interactions", "margin").collect()
+    inter.foreach { r =>
+      val v = r.getSeq[Float](0)
+      assert(math.abs(v.map(_.toDouble).sum - r.getDouble(1)) < 1e-3,
+        "interaction total must equal the base-margin-adjusted margin")
+    }
+  }
+
   test("shapInteractions: XOR splits its effect onto the off-diagonal " +
       "(closed form), Saabas puts it on one main effect") {
     val m = new GraftModel(Array(xorTree), "reg:squarederror", 0, 0.5,
