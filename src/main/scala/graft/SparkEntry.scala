@@ -946,6 +946,56 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: closed-form PSEUDO-HUBER stump (reg:pseudohubererror,
+    //      δ = 1) — labels on the 10·discount ∈ [0,1] scale so z =
+    //      REAL(0.5 − y) ∈ [−0.5, 0.5] stays in the quadratic zone
+    //      (quantity-scale labels saturate every gradient at ±1 and
+    //      the stump would not split); grad = REAL(z/√(1+z²)), hess =
+    //      REAL(1/(1+z²)^{3/2}); DuckDB replays the per-row float
+    //      formulas (sqrt and division are IEEE-correctly-rounded, so
+    //      the REAL values are bit-identical) and the leaf REAL
+    //      rounding absorbs sum-order ulps, like the aft/gamma/
+    //      tweedie stumps ----
+    "ml_stump_phuber" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)
+          .as("x"),
+          (col("l_discount") * 10).cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "reg:pseudohubererror", numRounds = 1,
+          maxDepth = 1, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
+    // ---- ML: closed-form QUANTILE stump (reg:quantileerror,
+    //      α = 0.75) — the feature (discount ≥ 0.05) and the gradient
+    //      sign (y = 10·discount ≥ margin 0.5) are the SAME predicate,
+    //      so each leaf is gradient-pure: G₁ = −0.75·n₁, G₀ = 0.25·n₀,
+    //      H = n (unit hessians); grads are exact quarters, every sum
+    //      is exact in double, leaves replay via the ml_stump REAL
+    //      formula ----
+    "ml_stump_quantile" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)
+          .as("x"),
+          (col("l_discount") * 10).cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "reg:quantileerror",
+          quantileAlpha = 0.75, numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML: closed-form AFT stump (survival:aft, σ = 1, base_score
     //      0 ⇒ log-time margin exactly 0) — the last objective family
     //      to get a DuckDB oracle. Rows cycle through three censoring
@@ -1997,6 +2047,45 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CASE WHEN CAST(CAST(0.5 AS REAL) + leaf AS REAL) > 0
         |   THEN 1.0 ELSE 0.0 END AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // pseudo-Huber (δ=1) at margin 0.5: z = REAL(0.5 − q) per row,
+    // grad = REAL(z/√(1+z²)), hess = REAL(1/((1+z²)·√(1+z²))) — sqrt
+    // and division are IEEE-correctly-rounded in both engines, so the
+    // per-row REAL values are bit-identical; double sums then REAL
+    // leaf rounding as in the other irrational-gradient stumps
+    "ml_stump_phuber" ->
+      """WITH t AS (SELECT
+        |   CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS x,
+        |   CAST(l_discount * 10 AS REAL) AS y FROM lineitem),
+        |g AS (SELECT x,
+        |   CAST(CAST(CAST(0.5 AS REAL) - y AS REAL) AS DOUBLE) AS z
+        | FROM t),
+        |s AS (SELECT x, count(*) AS n,
+        |   sum(CAST(CAST(z / sqrt(1.0 + z * z) AS REAL) AS DOUBLE))
+        |     AS gs,
+        |   sum(CAST(CAST(1.0 / ((1.0 + z * z) * sqrt(1.0 + z * z))
+        |     AS REAL) AS DOUBLE)) AS hs
+        | FROM g GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * gs) / (hs + 1.0) AS REAL) AS leaf FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // quantile (α=0.75) at margin 0.5: the leaf predicate IS the
+    // gradient predicate (y = 10·discount ≥ 0.5 ⇔ discount ≥ 0.05),
+    // so G₁ = −0.75·n₁ and G₀ = 0.25·n₀ exactly, H = n; every sum is
+    // an exact quarter-integer
+    "ml_stump_quantile" ->
+      """WITH t AS (SELECT
+        |   CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS x
+        | FROM lineitem),
+        |s AS (SELECT x, count(*) AS n FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (CASE WHEN x = 1 THEN -0.75 * n
+        |     ELSE 0.25 * n END)) / (n + 1.0) AS REAL) AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,
     // AFT (σ=1) at margin 0: uncensored rows replay g = −ln(q), h = 1;
     // the censored shapes pin z at 0 or ±∞ so Φ is exactly 1/2 (or 0/1)

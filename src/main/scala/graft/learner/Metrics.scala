@@ -115,6 +115,32 @@ object Metrics {
         ((-a + b) * wt, wt.toDouble)
       }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
       ll / w
+    case t if t.startsWith("mphe") =>
+      // mean pseudo-Huber error δ²(√(1+(z/δ)²) − 1); δ from "mphe@0.5"
+      val d = t.split('@') match {
+        case Array(_, s) => s.toDouble
+        case _ => 1.0
+      }
+      require(d > 0, s"mphe slope must be positive: $d")
+      val (e, w) = rows.map { case (m, y, wt) =>
+        val z = (obj.transform(m)(0) - y).toDouble
+        (d * d * (math.sqrt(1.0 + (z / d) * (z / d)) - 1.0) * wt,
+          wt.toDouble)
+      }.treeReduce { case ((a, b), (c, dd)) => (a + c, b + dd) }
+      e / w
+    case t if t.startsWith("quantile") =>
+      // mean pinball loss: α·(y−p)⁺ + (1−α)·(p−y)⁺; α from "quantile@0.9"
+      val alpha = t.split('@') match {
+        case Array(_, a) => a.toDouble
+        case _ => 0.5
+      }
+      require(alpha > 0 && alpha < 1, s"quantile alpha out of (0,1): $alpha")
+      val (e, w) = rows.map { case (m, y, wt) =>
+        val err = (y - obj.transform(m)(0)).toDouble
+        val pin = if (err >= 0) alpha * err else (alpha - 1.0) * err
+        (pin * wt, wt.toDouble)
+      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      e / w
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 
@@ -129,6 +155,8 @@ object Metrics {
     case "count:poisson" => "poisson-nloglik"
     case "reg:gamma" => "gamma-nloglik"
     case "reg:tweedie" => "tweedie-nloglik@1.5"
+    case "reg:pseudohubererror" => "mphe"
+    case "reg:quantileerror" => "quantile@0.5"
     case _ => "rmse"
   }
 

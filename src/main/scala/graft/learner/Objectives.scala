@@ -189,6 +189,50 @@ object Objectives {
     }
   }
 
+  /** reg:pseudohubererror — smooth-Huber regression (xgboost
+    * PseudoHuberError with huber_slope δ): z = pred − label,
+    * grad = z/√(1+(z/δ)²), hess = 1/(1+(z/δ)²)^{3/2} — quadratic near
+    * zero, linear (bounded-gradient) in the tails, so label outliers
+    * cannot dominate a leaf the way squared error lets them.
+    * base_score is the initial margin directly. */
+  final class PseudoHuber(slope: Double = 1.0) extends Objective {
+    require(slope > 0, s"huber_slope must be positive: $slope")
+    val name = "reg:pseudohubererror"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = b.toFloat
+    def transform(m: Array[Float]): Array[Float] = m
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      val z = (m(0) - y).toDouble
+      val scale = 1.0 + (z / slope) * (z / slope)
+      val root = math.sqrt(scale)
+      g(0) = (z / root).toFloat
+      h(0) = (1.0 / (scale * root)).toFloat
+    }
+  }
+
+  /** reg:quantileerror — pinball (quantile) regression at α (xgboost
+    * 2.x QuantileRegression, quantile_alpha): residual err = label −
+    * pred; grad = −α when err ≥ 0 else (1−α); hess = 1 (the loss is
+    * piecewise linear; xgboost likewise substitutes a unit hessian).
+    * The fitted margin estimates the α-quantile of label | features.
+    * base_score is the initial margin directly (xgboost's automatic
+    * label-quantile base_score applies only when base_score is unset;
+    * pass your own for parity with a pinned xgboost run). */
+  final class QuantileError(alpha: Double = 0.5) extends Objective {
+    require(alpha > 0 && alpha < 1,
+      s"quantile_alpha must be in (0,1): $alpha")
+    val name = "reg:quantileerror"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = b.toFloat
+    def transform(m: Array[Float]): Array[Float] = m
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit = {
+      g(0) = if (y - m(0) >= 0f) (-alpha).toFloat else (1.0 - alpha).toFloat
+      h(0) = 1.0f
+    }
+  }
+
   /** binary:hinge — SVM-style hinge subgradient on y ∈ {0,1} mapped to
     * s ∈ {−1,+1}: rows inside the hinge (s·m < 1) get grad = −s, unit
     * hessian; SATISFIED rows (s·m ≥ 1) get grad = 0 and an epsilon
@@ -331,6 +375,8 @@ object Objectives {
         // xgboost forces max_delta_step to 0.7 for Poisson when unset
         new Poisson(if (p.maxDeltaStep > 0) p.maxDeltaStep else 0.7)
       case "reg:tweedie" => new Tweedie(p.tweedieVariancePower)
+      case "reg:pseudohubererror" => new PseudoHuber(p.huberSlope)
+      case "reg:quantileerror" => new QuantileError(p.quantileAlpha)
       case other => forName(other, p.numClass)
     })
 
@@ -347,6 +393,8 @@ object Objectives {
     case "reg:gamma" => new GammaDeviance
     case "reg:tweedie" => new Tweedie() // transform is ρ-free (exp)
     case "binary:hinge" => new Hinge
+    case "reg:pseudohubererror" => new PseudoHuber()
+    case "reg:quantileerror" => new QuantileError()
     case c if c.startsWith("custom:") => new RawIdentity(c, numClass)
     case other => throw new IllegalArgumentException(
       s"unknown objective '$other'")

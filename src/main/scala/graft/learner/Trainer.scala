@@ -38,6 +38,13 @@ final case class TrainParams(
     /** reg:tweedie variance power ρ ∈ (1,2) (xgboost
       * tweedie_variance_power): ρ→1 Poisson-like, ρ→2 gamma-like. */
     tweedieVariancePower: Double = 1.5,
+    /** reg:pseudohubererror slope δ (xgboost huber_slope): the
+      * quadratic-to-linear transition scale of the pseudo-Huber loss. */
+    huberSlope: Double = 1.0,
+    /** reg:quantileerror target quantile α ∈ (0,1) (xgboost
+      * quantile_alpha; single-quantile — train one model per α for the
+      * vector form). */
+    quantileAlpha: Double = 0.5,
     seed: Long = 0L,
     earlyStoppingRounds: Int = 0,
     evalMetric: Seq[String] = Nil,

@@ -365,15 +365,30 @@ class GraftXGBRegressor(override val uid: String)
 
   final val objective = new Param[String](this, "objective",
     "regression objective",
-    ParamValidators.inArray(Array("reg:squarederror", "reg:absoluteerror")))
+    ParamValidators.inArray(Array("reg:squarederror", "reg:absoluteerror",
+      "reg:pseudohubererror", "reg:quantileerror")))
   setDefault(objective -> "reg:squarederror")
   def setObjective(v: String): this.type = set(objective, v)
+
+  final val huberSlope = new DoubleParam(this, "huberSlope",
+    "reg:pseudohubererror transition slope (xgboost huber_slope)",
+    ParamValidators.gt(0.0))
+  setDefault(huberSlope -> 1.0)
+  def setHuberSlope(v: Double): this.type = set(huberSlope, v)
+
+  final val quantileAlpha = new DoubleParam(this, "quantileAlpha",
+    "reg:quantileerror target quantile (xgboost quantile_alpha)",
+    ParamValidators.inRange(0.0, 1.0, lowerInclusive = false,
+      upperInclusive = false))
+  setDefault(quantileAlpha -> 0.5)
+  def setQuantileAlpha(v: Double): this.type = set(quantileAlpha, v)
 
   override def fit(ds: Dataset[_]): GraftXGBRegressionModel = {
     transformSchema(ds.schema)
     val reg = new GraftRegressor()
       .setLabelCol($(labelCol))
-      .setParams(mkTrainParams($(objective)))
+      .setParams(mkTrainParams($(objective)).copy(
+        huberSlope = $(huberSlope), quantileAlpha = $(quantileAlpha)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) reg.setFeaturesCols($(featuresCols).toSeq)

@@ -171,6 +171,92 @@ class ObjectivesSpec extends SparkTestBase {
     assert(a.sameElements(b), "reloaded poisson model diverges")
   }
 
+  test("reg:quantileerror fits the declared quantile, not the mean") {
+    // y = x + U(0,1): the conditional α-quantile is x + α, while the
+    // mean is x + 0.5 — a fitted 0.9-quantile must sit clearly above it
+    val rng = new scala.util.Random(73)
+    val rows = (1 to 2000).map { _ =>
+      val x = rng.nextInt(4).toDouble
+      (x, x + rng.nextDouble())
+    }
+    val df = rows.toDF("x", "y").repartition(4)
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:quantileerror", quantileAlpha = 0.9,
+        numRounds = 60, maxDepth = 2, seed = 5,
+        evalMetric = Seq("quantile@0.9")),
+      evals = Seq(("train", df)))
+    val pin = res.evalsResult("train")("quantile@0.9")
+    assert(pin.last < pin.head, s"pinball loss did not improve: $pin")
+    // per x-group the prediction should approach x + 0.9
+    val errs = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .groupBy("x").agg(org.apache.spark.sql.functions.expr(
+        "avg(prediction)").as("p")).collect()
+      .map(r => math.abs(r.getDouble(1) - (r.getDouble(0) + 0.9)))
+    assert(errs.forall(_ < 0.08),
+      s"0.9-quantile fit off by ${errs.mkString(", ")}")
+    // coverage: ~90% of labels below the fitted quantile
+    val below = GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+      .selectExpr(
+        "avg(case when y <= prediction then 1.0D else 0.0D end)")
+      .head().getDouble(0)
+    assert(below > 0.85 && below < 0.95, s"coverage $below")
+  }
+
+  test("reg:pseudohubererror bounds outlier influence (vs squared " +
+      "error) and mphe decreases") {
+    // clean linear signal + 2% wild outliers: pseudo-Huber's bounded
+    // gradient keeps the fit near the clean surface where squared
+    // error gets dragged
+    val rng = new scala.util.Random(79)
+    val rows = (1 to 2000).map { i =>
+      val x = rng.nextInt(4).toDouble
+      val y = if (i % 50 == 0) 1000.0 else 2.0 * x
+      (x, y)
+    }
+    val df = rows.toDF("x", "y").repartition(4)
+    // slope sized to the clean residual scale (|z| ≤ ~6): tail rows
+    // keep usable hessians while the 1000-outliers' pull stays bounded
+    // by δ — slope far below the residual scale starves the hessian
+    // and oscillates (same behavior as stock xgboost pseudo-Huber)
+    def cleanMae(objective: String): Double = {
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = objective, numRounds = 60, maxDepth = 2,
+          seed = 5, huberSlope = 5.0))
+      GraftBoost.predict(res.model, df.filter("y < 100"), DMatrixSpec("y"))
+        .selectExpr("avg(abs(prediction - y))").head().getDouble(0)
+    }
+    val hub = cleanMae("reg:pseudohubererror")
+    val sq = cleanMae("reg:squarederror")
+    assert(hub < sq / 4,
+      s"pseudo-Huber clean-MAE $hub should be far below squared $sq")
+    val res = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:pseudohubererror", numRounds = 20,
+        maxDepth = 2, seed = 5, huberSlope = 5.0,
+        evalMetric = Seq("mphe@5.0")), evals = Seq(("train", df)))
+    val m = res.evalsResult("train")("mphe@5.0")
+    assert(m.last < m.head, s"mphe did not improve: $m")
+  }
+
+  test("golden equality: quantile + pseudo-Huber 1-partition == " +
+      "8-partition model") {
+    val rng = new scala.util.Random(83)
+    val rows = (1 to 800).map { _ =>
+      val x = rng.nextDouble()
+      (x, 3.0 * x + rng.nextDouble())
+    }
+    for (objective <- Seq("reg:quantileerror", "reg:pseudohubererror")) {
+      val p = TrainParams(objective = objective, numRounds = 5,
+        maxDepth = 3, seed = 11, quantileAlpha = 0.75)
+      val m1 = GraftBoost.train(rows.toDF("x", "y").repartition(1),
+        DMatrixSpec("y"), p).model
+      val m8 = GraftBoost.train(rows.toDF("x", "y").repartition(8),
+        DMatrixSpec("y"), p).model
+      m1.trees.zip(m8.trees).foreach { case (a, b) =>
+        assert(a.value.sameElements(b.value), s"$objective diverged")
+      }
+    }
+  }
+
   test("mape and nloglik metrics compute standalone values") {
     val obj = new Objectives.SquaredError
     val rows = spark.sparkContext.parallelize(Seq(

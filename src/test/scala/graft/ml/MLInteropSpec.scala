@@ -204,6 +204,27 @@ class MLInteropSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("regressor facade drives the quantile and pseudo-Huber " +
+      "objectives with their knobs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val df = (1 to 400).map { _ =>
+      val x = rng.nextInt(4).toDouble
+      (x, x + rng.nextDouble())
+    }.toDF("x", "y").repartition(3)
+    val q = new GraftXGBRegressor().setLabelCol("y")
+      .setObjective("reg:quantileerror").setQuantileAlpha(0.9)
+      .setNumRounds(30).setMaxDepth(2).setSeed(1L).fit(df)
+    val below = q.transform(df)
+      .selectExpr("avg(case when y <= prediction then 1.0D else 0.0D end)")
+      .head().getDouble(0)
+    assert(below > 0.75, s"0.9-quantile coverage $below")
+    val h = new GraftXGBRegressor().setLabelCol("y")
+      .setObjective("reg:pseudohubererror").setHuberSlope(2.0)
+      .setNumRounds(10).setMaxDepth(2).setSeed(1L).fit(df)
+    assert(h.transform(df).columns.contains("prediction"))
+  }
+
   test("forwarded predict kwargs reach the MLlib facade models " +
       "(tree contribs/leaves/interactions + gblinear contribs)") {
     import spark.implicits._
