@@ -152,6 +152,8 @@ object Metrics {
     case "multi:softprob" => "mlogloss"
     case "multi:softmax" => "merror"
     case "rank:pairwise" => "auc"
+    case "rank:ndcg" => "ndcg"
+    case "rank:map" => "map"
     case "count:poisson" => "poisson-nloglik"
     case "reg:gamma" => "gamma-nloglik"
     case "reg:tweedie" => "tweedie-nloglik@1.5"

@@ -351,6 +351,165 @@ object Objectives {
   }
 
   /**
+   * LambdaMART pair weighting (Burges, "From RankNet to LambdaRank to
+   * LambdaMART"): the classic rank:ndcg / rank:map semantics — every
+   * label-discordant pair (i, j) contributes the RankNet gradient
+   * scaled by |Δmetric| for swapping i and j in the CURRENT ranking.
+   * Shared machinery for the two listwise objectives below.
+   *
+   * Determinism: the current ranking sorts by (margin desc, position
+   * asc); position is the intra-group index, which
+   * [[graft.data.Sharding.sortByQid]] pins to a content-derived order,
+   * so gradients are identical on any partitioning and SQL-replayable.
+   * Per-row gradients accumulate in DOUBLE and round to float once,
+   * so pair-iteration order cannot leak float-association noise.
+   */
+  sealed abstract class LambdaRank extends Objective {
+    val numOutputs = 1
+    def initMargin(b: Double): Float = b.toFloat
+    def transform(m: Array[Float]): Array[Float] = m
+    override def needsGroups: Boolean = true
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit =
+      throw new UnsupportedOperationException(s"$name needs groups")
+
+    /** |Δmetric| for swapping ranked positions pi and pj (0-based)
+      * holding labels li, lj; `rank` gives the position of each group
+      * row. Implementations may precompute per-group state in
+      * `prepareGroup`. */
+    protected def swapDelta(li: Float, lj: Float, pi: Int,
+        pj: Int): Double
+    /** Per-group precomputation hook; returns false to skip the group
+      * (degenerate metric, e.g. IDCG = 0 → no gradient). */
+    protected def prepareGroup(labels: Array[Float],
+        order: Array[Int]): Boolean
+
+    override def groupGradients(margins: Array[Float],
+        labels: Array[Float], weights: Array[Float], grad: Array[Float],
+        hess: Array[Float], lo: Int, hi: Int): Unit = {
+      val n = hi - lo
+      if (n <= 1) return
+      // current ranking: margin desc, position asc (deterministic)
+      val order = Array.tabulate(n)(identity)
+      // insertion-stable sort by margin desc
+      val sorted = order.sortBy(i => (-margins(lo + i), i))
+      val rankOf = new Array[Int](n)
+      var p = 0
+      while (p < n) { rankOf(sorted(p)) = p; p += 1 }
+      val gLabels = Array.tabulate(n)(i => labels(lo + i))
+      if (!prepareGroup(gLabels, sorted)) return
+      val gd = new Array[Double](n)
+      val hd = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          if (labels(lo + i) > labels(lo + j)) {
+            val delta = swapDelta(labels(lo + i), labels(lo + j),
+              rankOf(i), rankOf(j))
+            if (delta > 0.0) {
+              val s = sigmoid(margins(lo + i) - margins(lo + j))
+              val w = weights(lo + i) * weights(lo + j) * delta
+              val gg = (s - 1.0) * w
+              val hh = math.max(s * (1.0 - s) * w, 1e-16)
+              gd(i) += gg; gd(j) -= gg
+              hd(i) += hh; hd(j) += hh
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        grad(lo + i) = gd(i).toFloat
+        hess(lo + i) = hd(i).toFloat
+        i += 1
+      }
+    }
+  }
+
+  /** rank:ndcg — |ΔNDCG| pair weights with the xgboost exponential
+    * gain 2^label − 1 and log2 position discounts, normalized by the
+    * group's IDCG. */
+  final class LambdaRankNdcg extends LambdaRank {
+    val name = "rank:ndcg"
+    private var invIdcg: Double = 0.0
+    @inline private def gain(l: Float): Double =
+      math.pow(2.0, l.toDouble) - 1.0
+    @inline private def disc(pos: Int): Double =
+      1.0 / (math.log(pos + 2.0) / math.log(2.0))
+    protected def prepareGroup(labels: Array[Float],
+        order: Array[Int]): Boolean = {
+      val ideal = labels.sortBy(-_)
+      var idcg = 0.0
+      var p = 0
+      while (p < ideal.length) { idcg += gain(ideal(p)) * disc(p); p += 1 }
+      invIdcg = if (idcg > 0.0) 1.0 / idcg else 0.0
+      invIdcg > 0.0
+    }
+    protected def swapDelta(li: Float, lj: Float, pi: Int,
+        pj: Int): Double =
+      math.abs((gain(li) - gain(lj)) * (disc(pi) - disc(pj))) * invIdcg
+  }
+
+  /** rank:map — |ΔMAP| pair weights on binary relevance: the exact
+    * average-precision change from swapping a relevant row at rank pi
+    * with an irrelevant one at rank pj, computed from the ranked
+    * relevance prefix sums. Non-binary labels are rejected (xgboost's
+    * map metric contract). */
+  final class LambdaRankMap extends LambdaRank {
+    val name = "rank:map"
+    private var nRel: Int = 0
+    private var relPrefix: Array[Int] = Array.empty // rels in ranks [0, p)
+    private var relAt: Array[Boolean] = Array.empty
+    private var invSum: Array[Double] = Array.empty // Σ 1/(q+1), rel q < p
+    protected def prepareGroup(labels: Array[Float],
+        order: Array[Int]): Boolean = {
+      require(labels.forall(l => l == 0f || l == 1f),
+        "rank:map needs binary relevance labels (0/1)")
+      val n = order.length
+      relAt = new Array[Boolean](n)
+      relPrefix = new Array[Int](n + 1)
+      invSum = new Array[Double](n + 1)
+      var p = 0
+      while (p < n) {
+        relAt(p) = labels(order(p)) > 0.5f
+        relPrefix(p + 1) = relPrefix(p) + (if (relAt(p)) 1 else 0)
+        invSum(p + 1) = invSum(p) + (if (relAt(p)) 1.0 / (p + 1.0) else 0.0)
+        p += 1
+      }
+      nRel = relPrefix(n)
+      nRel > 0
+    }
+    /** AP term at a relevant rank p is r(p)/(p+1) with r(p) = rels in
+      * [0, p]. Swapping the relevance bits at ranks a < b (one side
+      * relevant, the other not — guaranteed for a label-discordant
+      * pair) changes: the endpoint terms, and each relevant rank
+      * strictly inside (a, b) by ∓1/(p+1) — the interior total is an
+      * O(1) prefix-sum lookup. */
+    protected def swapDelta(li: Float, lj: Float, pi: Int,
+        pj: Int): Double = {
+      val (a, b) = if (pi < pj) (pi, pj) else (pj, pi)
+      var delta = 0.0
+      val interior = invSum(b) - invSum(a + 1)
+      if (relAt(a) && !relAt(b)) {
+        // relevant falls from a to b: its own term shifts, every
+        // interior relevant loses one prefix rel
+        delta -= (relPrefix(a) + 1.0) / (a + 1.0)
+        delta += relPrefix(b).toDouble / (b + 1.0)
+        delta -= interior
+      } else if (!relAt(a) && relAt(b)) {
+        // relevant rises from b to a: mirror image
+        delta += (relPrefix(a) + 1.0) / (a + 1.0)
+        delta -= (relPrefix(b) + 1.0) / (b + 1.0)
+        delta += interior
+      }
+      math.abs(delta) / nRel
+    }
+  }
+
+  /**
    * Inference-side stand-in for a user-supplied custom objective (E6):
    * margins pass through untransformed — the same contract as xgboost,
    * where predictions under a custom `obj` are raw margins. Lets a model
@@ -388,6 +547,8 @@ object Objectives {
     case "multi:softprob" => new Softmax(numClass, prob = true)
     case "multi:softmax" => new Softmax(numClass, prob = false)
     case "rank:pairwise" => new PairwiseRank
+    case "rank:ndcg" => new LambdaRankNdcg
+    case "rank:map" => new LambdaRankMap
     case "survival:aft" => new AftNormal()
     case "count:poisson" => new Poisson()
     case "reg:gamma" => new GammaDeviance

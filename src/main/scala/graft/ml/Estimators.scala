@@ -399,6 +399,11 @@ class GraftRanker extends GraftPredictor[GraftRankerModel](
     "rank:pairwise") {
   var qidCol: String = "qid"
   def setQidCol(c: String): this.type = { qidCol = c; this }
+  /** rank:pairwise (RankNet), rank:ndcg or rank:map (LambdaMART). */
+  def setObjective(o: String): this.type = {
+    require(o.startsWith("rank:"), s"ranker needs a rank:* objective: $o")
+    params = params.copy(objective = o); this
+  }
 
   override protected def spec: DMatrixSpec =
     super.spec.copy(qidCol = Some(qidCol))

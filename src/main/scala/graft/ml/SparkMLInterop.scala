@@ -504,12 +504,18 @@ class GraftXGBRanker(override val uid: String)
 
   def this() = this(Identifiable.randomUID("graftXGBRanker"))
 
+  final val objective = new Param[String](this, "objective",
+    "ranking objective", ParamValidators.inArray(
+      Array("rank:pairwise", "rank:ndcg", "rank:map")))
+  setDefault(objective -> "rank:pairwise")
+  def setObjective(v: String): this.type = set(objective, v)
+
   override def fit(ds: Dataset[_]): GraftXGBRankerModel = {
     transformSchema(ds.schema)
     val rk = new GraftRanker()
       .setLabelCol($(labelCol))
       .setQidCol($(qidCol))
-      .setParams(mkTrainParams("rank:pairwise"))
+      .setParams(mkTrainParams($(objective)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) rk.setFeaturesCols($(featuresCols).toSeq)
