@@ -318,7 +318,12 @@ object GraftBoost {
           "rank objective requires qidCol"))
         val parts = if (numWorkers > 0) numWorkers
           else df.rdd.getNumPartitions
-        Sharding.sortByQid(df, q, math.max(parts, 1))
+        // content-pinned intra-group order for listwise objectives:
+        // the sort key is what the trainer consumes, nothing else
+        val keyCols = (spec.resolveFeatures(df) ++ spec.labelCol ++
+          spec.weightCol ++ spec.baseMarginCol ++ spec.labelLowerCol ++
+          spec.labelUpperCol).filter(df.columns.contains)
+        Sharding.sortByQid(df, q, math.max(parts, 1), keyCols)
       } else if (numWorkers > 0) df.repartition(numWorkers)
       else df
 

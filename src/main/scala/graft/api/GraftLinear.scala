@@ -171,7 +171,7 @@ object GraftLinear {
       val base =
         if (params.evalMetric.nonEmpty) params.evalMetric
         else if (params.customMetrics.nonEmpty) Nil
-        else Seq(Metrics.defaultMetric(obj.name))
+        else Seq(Metrics.defaultMetric(obj.name, params))
       base ++ params.customMetrics.map(_.name).filterNot(base.contains)
     }
     metricNames.foreach(mn => require(

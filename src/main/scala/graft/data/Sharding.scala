@@ -93,17 +93,21 @@ object Sharding {
    * query group never straddles partitions, then sort within partitions —
    * the layout rank:pairwise gradients need (SURVEY §4.4).
    *
-   * Intra-group order is pinned by sorting on EVERY data column
-   * (name-sorted for stability), not just qid: listwise objectives
-   * (rank:ndcg / rank:map) break margin ties by position, so the
-   * position must be a pure function of row content — the same on 1 or
-   * 1000 partitions, under retries, and in a SQL replay. Remaining
-   * ties are full-row duplicates, whose gradients are interchangeable
-   * by construction. The internal [[RowIdCol]] is excluded: it is
-   * partition-dependent and would smuggle scan order back in.
+   * Intra-group order is pinned by sorting on the spec-relevant data
+   * columns (name-sorted for stability), not just qid: listwise
+   * objectives (rank:ndcg / rank:map) break margin ties by position,
+   * so the position must be a pure function of row content — the same
+   * on 1 or 1000 partitions, under retries, and in a SQL replay.
+   * Remaining ties are duplicates on every training-relevant column,
+   * whose gradients are interchangeable by construction. Only
+   * `keyCols` (features/label/weight/margin — what the trainer
+   * consumes) participate: ignored columns may be non-orderable
+   * (maps) or heavyweight, and the internal [[RowIdCol]] is
+   * partition-dependent scan order — none of them belong in the key.
    */
-  def sortByQid(df: DataFrame, qidCol: String, numPartitions: Int): DataFrame = {
-    val rest = df.columns.filter(c => c != qidCol && c != RowIdCol)
+  def sortByQid(df: DataFrame, qidCol: String, numPartitions: Int,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val rest = keyCols.distinct.filter(c => c != qidCol && c != RowIdCol)
       .sorted.map(col(_))
     df.repartitionByRange(numPartitions, col(qidCol))
       .sortWithinPartitions(col(qidCol) +: rest.toSeq: _*)

@@ -53,7 +53,12 @@ object Binner {
       * like the raw-float predict path routes unseen categories. TRAIN
       * rows keep the fail-fast (an unseen code there means the binner
       * never saw the data it is histogramming). Eval-only bins never
-      * index histograms, so the out-of-numBins value is safe. */
+      * index histograms, so the out-of-numBins value is safe.
+      * KNOWN LIMIT: at the full 255-category cardinality there is no
+      * spare byte value (max+1 would collide with [[MissingBin]]), so
+      * unseen eval codes fall back to the fail-fast there — group rare
+      * categories upstream if eval sets can carry novel codes at max
+      * cardinality. */
     def bin(f: Int, x: Float, tolerateUnseenCats: Boolean = false): Int = {
       if (x.isNaN) return MissingBin
       if (isCat(f) && (x != math.floor(x) || x < 0 || x > cuts(f).length)) {

@@ -162,6 +162,17 @@ object Metrics {
     case _ => "rmse"
   }
 
+  /** Parameter-aware default metric: the @-suffixed metrics must carry
+    * the TRAINED knob (quantile α, huber δ, tweedie ρ) or early
+    * stopping and grid search would optimize the wrong loss. */
+  def defaultMetric(objective: String, p: TrainParams): String =
+    objective match {
+      case "reg:quantileerror" => s"quantile@${p.quantileAlpha}"
+      case "reg:pseudohubererror" => s"mphe@${p.huberSlope}"
+      case "reg:tweedie" => s"tweedie-nloglik@${p.tweedieVariancePower}"
+      case o => defaultMetric(o)
+    }
+
   /** true ⇔ larger metric value is better (for early stopping). */
   def maximize(name: String,
       custom: Map[String, CustomMetric] = Map.empty): Boolean =

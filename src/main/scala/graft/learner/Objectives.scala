@@ -400,6 +400,10 @@ object Objectives {
       if (!prepareGroup(gLabels, sorted)) return
       val gd = new Array[Double](n)
       val hd = new Array[Double](n)
+      // ONE weight per query group (xgboost's ranking-weight model —
+      // a group weight, not per-pair row-weight products; the eval
+      // metrics use the same first-row convention)
+      val gw = weights(lo).toDouble
       var i = 0
       while (i < n) {
         var j = 0
@@ -409,7 +413,7 @@ object Objectives {
               rankOf(i), rankOf(j))
             if (delta > 0.0) {
               val s = sigmoid(margins(lo + i) - margins(lo + j))
-              val w = weights(lo + i) * weights(lo + j) * delta
+              val w = gw * delta
               val gg = (s - 1.0) * w
               val hh = math.max(s * (1.0 - s) * w, 1e-16)
               gd(i) += gg; gd(j) -= gg

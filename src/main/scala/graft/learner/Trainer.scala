@@ -760,7 +760,7 @@ object Trainer {
       val base =
         if (p.evalMetric.nonEmpty) p.evalMetric
         else if (p.customMetrics.nonEmpty) Nil
-        else Seq(Metrics.defaultMetric(obj.name))
+        else Seq(Metrics.defaultMetric(obj.name, p))
       base ++ p.customMetrics.map(_.name).filterNot(base.contains)
     }
     val evalsResult = scala.collection.mutable.LinkedHashMap[String,

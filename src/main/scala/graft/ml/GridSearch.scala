@@ -27,7 +27,7 @@ object GraftGridSearch {
     * the objective's default (the xgboost early-stopping rule). */
   private def rankingMetric(p: TrainParams): String =
     (p.evalMetric ++ p.customMetrics.map(_.name)).lastOption
-      .getOrElse(Metrics.defaultMetric(Objectives.resolve(p).name))
+      .getOrElse(Metrics.defaultMetric(Objectives.resolve(p).name, p))
 
   /** Cartesian expansion helper over the most-tuned knobs; any other
     * knob can be varied by passing explicit `TrainParams` copies. */

@@ -675,7 +675,8 @@ class GraftXGBRFRegressor(override val uid: String)
       .setLabelCol($(labelCol))
       .setParams(mkTrainParams($(objective)).copy(numRounds = 1,
         eta = 1.0, colsampleByNode = 0.8,
-        numParallelTree = $(numTrees)))
+        numParallelTree = $(numTrees),
+        huberSlope = $(huberSlope), quantileAlpha = $(quantileAlpha)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
     if ($(featuresCols).nonEmpty) reg.setFeaturesCols($(featuresCols).toSeq)

@@ -66,7 +66,13 @@ class LambdaRankSpec extends SparkTestBase {
       GraftBoost.train(graded, spec,
         TrainParams(objective = "rank:map", numRounds = 1, seed = 1))
     }
-    assert(e.getMessage != null)
+    // the root cause may arrive wrapped in a Spark task failure —
+    // assert the binary-label guard's message is what surfaced
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("binary relevance")),
+      s"expected the binary-label guard, got: ${messages(e)}")
   }
 
   test("golden equality: ndcg and map 1-partition == 8-partition " +
