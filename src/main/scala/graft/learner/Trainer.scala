@@ -88,7 +88,34 @@ final case class TrainParams(
       * feature already used on the path from the root (features in no
       * group form implicit singletons: once used, only they may be
       * reused below). Empty ⇒ unconstrained. */
-    interactionConstraints: Seq[Seq[Int]] = Nil)
+    interactionConstraints: Seq[Seq[Int]] = Nil,
+    /** Booster type (xgboost `booster`): "gbtree" (default) or "dart"
+      * (Rashmi & Gilad-Bachrach 2015, "DART: Dropouts meet Multiple
+      * Additive Regression Trees"). The reference forwards `booster`
+      * with the rest of the xgboost params (main.py:1341-1398).
+      * "gblinear" trains through [[graft.api.GraftLinear]], not here.
+      * DART caveats match xgboost's: early-stopping `bestIteration` /
+      * `modelAt` truncation are approximate because dropped trees are
+      * rescaled retroactively, and each round re-predicts the kept
+      * ensemble (the documented DART cost profile). */
+    booster: String = "gbtree",
+    /** DART dropout rate: each existing tree is dropped with this
+      * probability before a round's gradients are computed. */
+    rateDrop: Double = 0.0,
+    /** DART: force at least one dropped tree whenever the dropout was
+      * not skipped (xgboost `one_drop`). */
+    oneDrop: Boolean = false,
+    /** DART: probability of skipping the dropout entirely for a round;
+      * a skipped round adds its trees exactly like gbtree. */
+    skipDrop: Double = 0.0,
+    /** DART dropout sampling: "uniform" (each tree equally likely) or
+      * "weighted" (proportional to the tree's current DART weight). */
+    sampleType: String = "uniform",
+    /** DART normalization: "tree" — new trees weighted 1/(k+lr), the k
+      * dropped trees rescaled by k/(k+lr); "forest" — new trees
+      * weighted 1/(1+lr), dropped rescaled by 1/(1+lr). lr is
+      * eta/treesPerRound, the xgboost convention. */
+    normalizeType: String = "tree")
 
 /**
  * Custom eval metric (E7): `fn(margins, label, weight)` returns the
@@ -705,9 +732,29 @@ object Trainer {
     require(p.customObjective.forall(_.name.startsWith("custom:")),
       "customObjective.name must start with \"custom:\" (model save/load " +
         "round-trips through Objectives.forName)")
+    require(p.booster == "gbtree" || p.booster == "dart",
+      s"unknown booster '${p.booster}' (gbtree | dart; gblinear " +
+        "trains via GraftLinear)")
+    val dart = p.booster == "dart"
+    if (dart) {
+      require(p.rateDrop >= 0.0 && p.rateDrop <= 1.0,
+        s"rateDrop must be in [0,1], got ${p.rateDrop}")
+      require(p.skipDrop >= 0.0 && p.skipDrop <= 1.0,
+        s"skipDrop must be in [0,1], got ${p.skipDrop}")
+      require(p.sampleType == "uniform" || p.sampleType == "weighted",
+        s"sampleType must be uniform|weighted, got '${p.sampleType}'")
+      require(p.normalizeType == "tree" || p.normalizeType == "forest",
+        s"normalizeType must be tree|forest, got '${p.normalizeType}'")
+    }
     val k = obj.numOutputs
     val trees = ArrayBuffer[RegTree]()
     initModel.foreach(m => trees ++= m.trees)
+    // DART weight per tree — SAMPLING bookkeeping only ("weighted"
+    // sample_type probabilities): the weights themselves are baked into
+    // the stored leaf values at every rescale, so predict/save/SHAP see
+    // plain trees. A resumed model restarts at weight 1.0 (its values
+    // already carry all past rescales).
+    val dartWeights = ArrayBuffer.fill(trees.length)(1.0)
     val broadcasts = ArrayBuffer[org.apache.spark.broadcast.Broadcast[_]]()
 
     var data = train.persist(StorageLevel.MEMORY_AND_DISK)
@@ -725,7 +772,10 @@ object Trainer {
     // that ignore the init model while the final ensemble sums both
     // (advisor r1, Trainer.scala:404). Requires the same Binner cuts the
     // init model was trained with (deterministic for same data + seed).
-    initModel.filter(_.trees.nonEmpty).foreach { m =>
+    // DART skips the fold-in: its margins are rebuilt fresh each round
+    // over the whole tree buffer (init trees included), because dropped
+    // trees rescale retroactively.
+    initModel.filter(_.trees.nonEmpty).filter(_ => !dart).foreach { m =>
       require(m.trees.length % (k * p.numParallelTree) == 0,
         s"init model has ${m.trees.length} trees, not a multiple of " +
           s"numOutputs*numParallelTree = ${k * p.numParallelTree}")
@@ -799,8 +849,44 @@ object Trainer {
     // gradients — which buffer whole partitions to walk qid groups —
     // are worth caching across the round's level jobs.
     val cacheGrads = obj.needsGroups
+    // DART per-round state, visible to the hard-stop catch: snapshot of
+    // the tree buffer taken BEFORE this round's retroactive rescale so
+    // an aborted round can be rolled back (gbtree only appends, so its
+    // trim arithmetic suffices; dart also mutates earlier trees).
+    var dartPreRound: Array[RegTree] = null
+    var dartPreWeights: Array[Double] = null
     while (round < p.numRounds && !stop) try {
-      val gradsRaw = gradients(data, obj, startRound + round, p)
+      // DART: pick this round's dropped-tree set on the driver —
+      // deterministic in (seed, round), so partitioning/retries cannot
+      // change it (the xgboost DropTrees analog).
+      val dropIdx: Array[Int] =
+        if (dart && trees.nonEmpty)
+          chooseDropSet(dartWeights, p, startRound + round)
+        else Array.empty[Int]
+      if (dart) {
+        dartPreRound = trees.toArray
+        dartPreWeights = dartWeights.toArray
+      }
+      // DART gradient base: margins rebuilt FRESH over the kept trees,
+      // layered on the immutable init-margin RDD (`data` is never
+      // advanced in dart mode). Margins cannot be carried incrementally
+      // — dropped trees rescale retroactively — and a float carried sum
+      // minus the dropped predictions would not cancel exactly. xgboost
+      // DART re-predicts the ensemble every round too; this is the
+      // documented DART cost profile, one kept-ensemble pass per round.
+      val roundData =
+        if (!dart || trees.isEmpty) data
+        else {
+          val dropSet = dropIdx.toSet
+          val kept = Array.range(0, trees.length).filterNot(dropSet)
+          val bcKept = sc.broadcast(kept.map(i => (i % k, trees(i))))
+          broadcasts += bcKept
+          val rd = addTreePreds(data, bcKept)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          rd.foreachPartition(_ => ())
+          rd
+        }
+      val gradsRaw = gradients(roundData, obj, startRound + round, p)
       val grads =
         if (cacheGrads) {
           val g = gradsRaw.persist(StorageLevel.MEMORY_AND_DISK)
@@ -820,32 +906,76 @@ object Trainer {
       prevData.foreach(_.unpersist(blocking = false))
       prevData = None
       if (cacheGrads) { grads.unpersist(blocking = false); curGrads = None }
-      trees ++= roundTrees
 
-      val bcTrees = data.sparkContext.broadcast(roundTrees)
-      broadcasts += bcTrees
-      val newData = applyTrees(data, bcTrees, k)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if ((round + 1) % 50 == 0) {
-        newData.localCheckpoint()
-        newData.foreachPartition(_ => ()) // force the lineage truncation
-      }
-      prevData = Some(data)
-      data = newData
+      if (!dart) {
+        trees ++= roundTrees
 
-      val newEvals = evalData.map { case (n, r) =>
-        val updated = applyTrees(r, bcTrees, k)
+        val bcTrees = data.sparkContext.broadcast(roundTrees)
+        broadcasts += bcTrees
+        val newData = applyTrees(data, bcTrees, k)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        if ((round + 1) % 50 == 0) updated.localCheckpoint()
-        updated.foreachPartition(_ => ())
-        r.unpersist(blocking = false)
-        (n, updated)
+        if ((round + 1) % 50 == 0) {
+          newData.localCheckpoint()
+          newData.foreachPartition(_ => ()) // force the lineage truncation
+        }
+        prevData = Some(data)
+        data = newData
+
+        val newEvals = evalData.map { case (n, r) =>
+          val updated = applyTrees(r, bcTrees, k)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          if ((round + 1) % 50 == 0) updated.localCheckpoint()
+          updated.foreachPartition(_ => ())
+          r.unpersist(blocking = false)
+          (n, updated)
+        }
+        evalData = newEvals
+      } else {
+        // DART commit: normalize (xgboost NormalizeTrees) — "tree":
+        // new trees weighted 1/(k+lr), the k dropped rescaled by
+        // k/(k+lr); "forest": both scaled by 1/(1+lr); lr =
+        // eta/treesPerRound. Weights bake into stored values (one
+        // double multiply, one float rounding per node).
+        val kd = dropIdx.length
+        val (dropScale, newWeight) =
+          if (kd == 0) (1.0, 1.0)
+          else {
+            val lrNorm = p.eta / roundTrees.length
+            if (p.normalizeType == "forest") {
+              val d = 1.0 + lrNorm; (1.0 / d, 1.0 / d)
+            } else { val d = kd + lrNorm; (kd / d, 1.0 / d) }
+          }
+        if (kd > 0) dropIdx.foreach { i =>
+          trees(i) = scaleTreeValues(trees(i), dropScale)
+          dartWeights(i) *= dropScale
+        }
+        val finalNew =
+          if (kd == 0) roundTrees
+          else roundTrees.map(scaleTreeValues(_, newWeight))
+        trees ++= finalNew
+        var j = 0
+        while (j < finalNew.length) { dartWeights += newWeight; j += 1 }
+        if (roundData ne data) roundData.unpersist(blocking = false)
       }
-      evalData = newEvals
+
+      // DART: eval margins are also rebuilt fresh over the full
+      // (post-rescale) ensemble — the carried eval RDDs stay at their
+      // init margins. Persisted only for this round's metric jobs.
+      val evalView =
+        if (!dart || trees.isEmpty) evalData
+        else {
+          val bcAll = sc.broadcast(
+            Array.tabulate(trees.length)(i => (i % k, trees(i))))
+          broadcasts += bcAll
+          evalData.map { case (n, r) =>
+            (n, addTreePreds(r, bcAll)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+          }
+        }
 
       // eval-metric aggregation (A2 analog)
       val roundMetrics = scala.collection.mutable.LinkedHashMap[String, Double]()
-      evalData.foreach { case (n, r) =>
+      evalView.foreach { case (n, r) =>
         val rows = r.map { case (inst, m) => (m, inst.label, inst.weight) }
         metricNames.foreach { mn =>
           val v =
@@ -892,6 +1022,8 @@ object Trainer {
         }
         if (stopNow) stop = true
       }
+      if (dart && (evalView ne evalData))
+        evalView.foreach(_._2.unpersist(blocking = false))
       round += 1
     } catch {
       // a hard StopEvent cancelled the job group mid-round: drop the
@@ -902,6 +1034,13 @@ object Trainer {
       // length and roundsCompleted agree (advisor r2).
       case _: Throwable if stopEvents.exists(_.isSet) =>
         curGrads.foreach(_.unpersist(blocking = false))
+        // DART: the aborted round may have already RESCALED earlier
+        // trees (not just appended) — roll the buffer back to its
+        // start-of-round snapshot before the append-only trim below
+        if (dart && dartPreRound != null) {
+          trees.clear(); trees ++= dartPreRound
+          dartWeights.clear(); dartWeights ++= dartPreWeights
+        }
         val keep = initTreeCount + round * k * p.numParallelTree
         if (trees.length > keep) trees.takeInPlace(keep)
         stop = true
