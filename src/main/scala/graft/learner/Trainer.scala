@@ -855,6 +855,19 @@ object Trainer {
     // trim arithmetic suffices; dart also mutates earlier trees).
     var dartPreRound: Array[RegTree] = null
     var dartPreWeights: Array[Double] = null
+    // DART per-round resources, tracked in vars so BOTH the in-loop
+    // cleanup and the hard-stop catch can release them. Unlike gbtree
+    // (which broadcasts only the round's ~k new trees, O(R) total data),
+    // dart broadcasts the full kept/post-rescale ensemble every round —
+    // accumulating those to end-of-training would hold O(R²) tree
+    // copies, so each is destroyed as soon as its round's jobs finish
+    // (advisor r8). By then the margin/metric results are materialized
+    // and the backing RDDs unpersisted, so no live lineage can need the
+    // broadcast again.
+    var dartBcKept: org.apache.spark.broadcast.Broadcast[Array[(Int, RegTree)]] = null
+    var dartBcAll: org.apache.spark.broadcast.Broadcast[Array[(Int, RegTree)]] = null
+    var dartRoundData: RDD[(TrainInstance, Array[Float])] = null
+    var dartEvalView: Seq[RDD[(TrainInstance, Array[Float])]] = null
     while (round < p.numRounds && !stop) try {
       // DART: pick this round's dropped-tree set on the driver —
       // deterministic in (seed, round), so partitioning/retries cannot
@@ -879,10 +892,10 @@ object Trainer {
         else {
           val dropSet = dropIdx.toSet
           val kept = Array.range(0, trees.length).filterNot(dropSet)
-          val bcKept = sc.broadcast(kept.map(i => (i % k, trees(i))))
-          broadcasts += bcKept
-          val rd = addTreePreds(data, bcKept)
+          dartBcKept = sc.broadcast(kept.map(i => (i % k, trees(i))))
+          val rd = addTreePreds(data, dartBcKept)
             .persist(StorageLevel.MEMORY_AND_DISK)
+          dartRoundData = rd
           rd.foreachPartition(_ => ())
           rd
         }
@@ -955,7 +968,15 @@ object Trainer {
         trees ++= finalNew
         var j = 0
         while (j < finalNew.length) { dartWeights += newWeight; j += 1 }
-        if (roundData ne data) roundData.unpersist(blocking = false)
+        // the round's trees are built and committed — the per-round
+        // margin cache and the kept-ensemble broadcast behind it are
+        // dead (nothing downstream reads roundData; eval margins are
+        // rebuilt from evalData + the post-rescale ensemble below)
+        if (roundData ne data) {
+          roundData.unpersist(blocking = false)
+          dartRoundData = null
+        }
+        if (dartBcKept != null) { dartBcKept.destroy(); dartBcKept = null }
       }
 
       // DART: eval margins are also rebuilt fresh over the full
@@ -964,13 +985,14 @@ object Trainer {
       val evalView =
         if (!dart || trees.isEmpty) evalData
         else {
-          val bcAll = sc.broadcast(
+          dartBcAll = sc.broadcast(
             Array.tabulate(trees.length)(i => (i % k, trees(i))))
-          broadcasts += bcAll
-          evalData.map { case (n, r) =>
-            (n, addTreePreds(r, bcAll)
+          val v = evalData.map { case (n, r) =>
+            (n, addTreePreds(r, dartBcAll)
               .persist(StorageLevel.MEMORY_AND_DISK))
           }
+          dartEvalView = v.map(_._2)
+          v
         }
 
       // eval-metric aggregation (A2 analog)
@@ -1022,8 +1044,11 @@ object Trainer {
         }
         if (stopNow) stop = true
       }
-      if (dart && (evalView ne evalData))
+      if (dart && (evalView ne evalData)) {
         evalView.foreach(_._2.unpersist(blocking = false))
+        dartEvalView = null
+      }
+      if (dartBcAll != null) { dartBcAll.destroy(); dartBcAll = null }
       round += 1
     } catch {
       // a hard StopEvent cancelled the job group mid-round: drop the
@@ -1034,6 +1059,26 @@ object Trainer {
       // length and roundsCompleted agree (advisor r2).
       case _: Throwable if stopEvents.exists(_.isSet) =>
         curGrads.foreach(_.unpersist(blocking = false))
+        // DART: release whatever the aborted round had in flight — its
+        // per-round margin cache, eval views, and ensemble broadcasts
+        // are local vals inside the try, so the vars are the only
+        // handles left (advisor r8: roundData leaked one cached copy
+        // per hard stop). destroy() may race the in-flight cancelled
+        // jobs, so failures are swallowed — the JVM is reclaiming
+        // anyway.
+        if (dartRoundData != null) {
+          dartRoundData.unpersist(blocking = false); dartRoundData = null
+        }
+        if (dartEvalView != null) {
+          dartEvalView.foreach(_.unpersist(blocking = false))
+          dartEvalView = null
+        }
+        if (dartBcKept != null) {
+          scala.util.Try(dartBcKept.destroy()); dartBcKept = null
+        }
+        if (dartBcAll != null) {
+          scala.util.Try(dartBcAll.destroy()); dartBcAll = null
+        }
         // DART: the aborted round may have already RESCALED earlier
         // trees (not just appended) — roll the buffer back to its
         // start-of-round snapshot before the append-only trim below
@@ -1085,6 +1130,96 @@ object Trainer {
         (inst, m2)
       }
     }, preservesPartitioning = true)
+
+  /** DART variant of [[applyTrees]]: each pair is (classIdx, tree), so a
+    * kept-subset of the ensemble (with gaps) still routes every tree to
+    * its original class slot — `t % k` over a filtered array would not. */
+  private def addTreePreds(
+      rdd: RDD[(TrainInstance, Array[Float])],
+      bcTrees: org.apache.spark.broadcast.Broadcast[Array[(Int, RegTree)]])
+      : RDD[(TrainInstance, Array[Float])] =
+    rdd.mapPartitions({ it =>
+      val ts = bcTrees.value
+      it.map { case (inst, m) =>
+        val m2 = m.clone()
+        var t = 0
+        while (t < ts.length) {
+          m2(ts(t)._1) += ts(t)._2.predictBinned(inst.bins, MissingBin)
+          t += 1
+        }
+        (inst, m2)
+      }
+    }, preservesPartitioning = true)
+
+  /** Copy of `t` with every node value × `s` (leaf values are what
+    * predict reads; internal entries scale harmlessly). Split structure
+    * and gain/cover stats are shared unchanged — DART rescaling changes
+    * tree WEIGHT, not the splits that produced the stats. */
+  private def scaleTreeValues(t: RegTree, s: Double): RegTree =
+    if (s == 1.0) t
+    else {
+      val v = new Array[Float](t.value.length)
+      var i = 0
+      while (i < v.length) { v(i) = (t.value(i) * s).toFloat; i += 1 }
+      new RegTree(t.feature, t.thresholdBin, t.threshold, t.defaultLeft,
+        t.left, t.right, v, t.gain, t.cover, t.catSplit)
+    }
+
+  /** DART per-round dropped-tree selection (the xgboost DropTrees
+    * analog): deterministic in (p.seed, round) so task retries and
+    * repartitioning cannot change the drop set. Semantics follow
+    * xgboost's dart params:
+    *  - with prob `skipDrop` the whole dropout is skipped (round adds
+    *    its trees exactly like gbtree);
+    *  - "uniform": each tree dropped i.i.d. with prob `rateDrop`;
+    *  - "weighted": tree i dropped with prob rateDrop·n·wᵢ/Σw (same
+    *    expected drop count, mass-proportional selection);
+    *  - `oneDrop`: if nothing was dropped (and the round wasn't
+    *    skipped), force one tree — weighted draw under "weighted",
+    *    uniform otherwise. */
+  private def chooseDropSet(weights: ArrayBuffer[Double], p: TrainParams,
+      round: Int): Array[Int] = {
+    val n = weights.length
+    if (n == 0 || (p.rateDrop == 0.0 && !p.oneDrop)) return Array.empty
+    val rng = new java.util.Random(mix(p.seed, round, 104729))
+    if (p.skipDrop > 0.0 && rng.nextDouble() < p.skipDrop)
+      return Array.empty
+    val dropped = ArrayBuffer[Int]()
+    if (p.sampleType == "weighted") {
+      var total = 0.0
+      var i = 0
+      while (i < n) { total += weights(i); i += 1 }
+      i = 0
+      while (i < n) {
+        val pi =
+          if (total <= 0.0) p.rateDrop
+          else math.min(1.0, p.rateDrop * n * weights(i) / total)
+        if (rng.nextDouble() < pi) dropped += i
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        if (rng.nextDouble() < p.rateDrop) dropped += i
+        i += 1
+      }
+    }
+    if (dropped.isEmpty && p.oneDrop) {
+      if (p.sampleType == "weighted") {
+        var total = 0.0
+        var i = 0
+        while (i < n) { total += weights(i); i += 1 }
+        if (total <= 0.0) dropped += rng.nextInt(n)
+        else {
+          var r = rng.nextDouble() * total
+          i = 0
+          while (i < n - 1 && r >= weights(i)) { r -= weights(i); i += 1 }
+          dropped += i
+        }
+      } else dropped += rng.nextInt(n)
+    }
+    dropped.toArray
+  }
 
   private def currentModel(trees: ArrayBuffer[RegTree], obj: Objective,
       p: TrainParams, bins: Binner.Bins): GraftModel =
