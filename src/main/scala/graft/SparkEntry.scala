@@ -996,6 +996,30 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: DART booster two-round closed form (booster="dart",
+    //      rate_drop=1, eta=1, normalize_type="tree") — round 2 drops
+    //      the only tree and retrains from the base margins, so T1 ≡ T0
+    //      (identical exact-double gradient sums), then the commit
+    //      rescales BOTH by kd/(kd+lr) = 1/(1+1) = 0.5, a float-EXACT
+    //      halving; the oracle replays leaf = REAL(−G/(n+1)), w =
+    //      REAL(v·0.5) and the predict-order float sum 0.5 ⊕ w ⊕ w ----
+    "ml_stump_dart" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"),
+          col("l_quantity").cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "reg:squarederror", booster = "dart",
+          rateDrop = 1.0, numRounds = 2, maxDepth = 1, eta = 1.0,
+          seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML: closed-form AFT stump (survival:aft, σ = 1, base_score
     //      0 ⇒ log-time margin exactly 0) — the last objective family
     //      to get a DuckDB oracle. Rows cycle through three censoring
@@ -1041,6 +1065,28 @@ object SparkEntry {
       val res = GraftBoost.train(df, DMatrixSpec("label"),
         TrainParams(objective = "binary:logistic", numRounds = 10,
           maxDepth = 4, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("prediction"), 2)
+          .as("mean_pred"))
+        .orderBy("label")
+    }),
+    // DART twin of ml_train_predict (same data/rounds/depth): the bench
+    // delta between the two IS the per-round kept-ensemble margin
+    // rebuild — the first graft cost that grows with ensemble size
+    // (O(rounds × trees) predict work, xgboost's documented DART
+    // profile). Rows-only; dart semantics are oracle-checked by
+    // ml_stump_dart and golden-tested in DartSpec.
+    "ml_train_dart" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+            .as("label"))
+      val res = GraftBoost.train(df, DMatrixSpec("label"),
+        TrainParams(objective = "binary:logistic", booster = "dart",
+          rateDrop = 0.3, numRounds = 10, maxDepth = 4, seed = 1),
+        numWorkers = 8)
       GraftBoost.predict(res.model, df, DMatrixSpec("label"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"), round(avg("prediction"), 2)
@@ -2087,6 +2133,23 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,
+    // DART two-round closed form: grads 0.5−q are exact halves (exact
+    // double sums in any order), leaf v = REAL(−G/(n+1)) with eta=1,
+    // both stored trees end at w = REAL(v·0.5) (exact halving), and the
+    // model's float predict order is 0.5f ⊕ w ⊕ w, replayed with
+    // per-step REAL rounding
+    "ml_stump_dart" ->
+      """WITH t AS (SELECT
+        |   CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS x,
+        |   CAST(l_quantity AS DOUBLE) AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(0.5 - y) AS g
+        | FROM t GROUP BY x),
+        |l AS (SELECT x, n, CAST(-g / (n + 1.0) AS REAL) AS v FROM s),
+        |w AS (SELECT x, n, CAST(v * 0.5 AS REAL) AS w FROM l)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(CAST(CAST(0.5 AS REAL) + w AS REAL) + w AS REAL)
+        |   AS DOUBLE) AS prediction
+        | FROM w ORDER BY x""".stripMargin,
     // AFT (σ=1) at margin 0: uncensored rows replay g = −ln(q), h = 1;
     // the censored shapes pin z at 0 or ±∞ so Φ is exactly 1/2 (or 0/1)
     // and the whole grad/hess pair collapses to ±2φ(0) and 4φ(0)² with

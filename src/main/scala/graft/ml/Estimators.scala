@@ -80,6 +80,31 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   def setInteractionConstraints(groups: Seq[Seq[Int]]): this.type = {
     params = params.copy(interactionConstraints = groups); this
   }
+  /** xgboost `booster`: "gbtree" (default) or "dart"
+    * ("gblinear" trains through [[GraftLinearRegressor]]). */
+  def setBooster(b: String): this.type = {
+    params = params.copy(booster = b); this
+  }
+  /** DART `rate_drop`. */
+  def setRateDrop(r: Double): this.type = {
+    params = params.copy(rateDrop = r); this
+  }
+  /** DART `skip_drop`. */
+  def setSkipDrop(s: Double): this.type = {
+    params = params.copy(skipDrop = s); this
+  }
+  /** DART `one_drop`. */
+  def setOneDrop(b: Boolean): this.type = {
+    params = params.copy(oneDrop = b); this
+  }
+  /** DART `sample_type`: "uniform" | "weighted". */
+  def setSampleType(t: String): this.type = {
+    params = params.copy(sampleType = t); this
+  }
+  /** DART `normalize_type`: "tree" | "forest". */
+  def setNormalizeType(t: String): this.type = {
+    params = params.copy(normalizeType = t); this
+  }
 
   protected def spec: DMatrixSpec = DMatrixSpec(
     labelCol = if (labelLowerCol.isDefined) Nil else Seq(labelCol),

@@ -79,12 +79,37 @@ trait GraftMLParams extends Params {
       "codes — one-hot == splits in the tree grower " +
       "(enable_categorical analog); empty = all numeric")
   final def getCategoricalCols: Array[String] = $(categoricalCols)
+  final val booster = new Param[String](this, "booster",
+    "xgboost booster: gbtree (default) or dart (gblinear has its own " +
+      "facade)", ParamValidators.inArray(Array("gbtree", "dart")))
+  final def getBooster: String = $(booster)
+  final val rateDrop = new DoubleParam(this, "rateDrop",
+    "dart dropout rate per existing tree per round",
+    ParamValidators.inRange(0.0, 1.0))
+  final def getRateDrop: Double = $(rateDrop)
+  final val skipDrop = new DoubleParam(this, "skipDrop",
+    "dart probability of skipping dropout for a round",
+    ParamValidators.inRange(0.0, 1.0))
+  final def getSkipDrop: Double = $(skipDrop)
+  final val oneDrop = new BooleanParam(this, "oneDrop",
+    "dart: force at least one dropped tree when dropout is not skipped")
+  final def getOneDrop: Boolean = $(oneDrop)
+  final val sampleType = new Param[String](this, "sampleType",
+    "dart dropout sampling: uniform or weighted",
+    ParamValidators.inArray(Array("uniform", "weighted")))
+  final def getSampleType: String = $(sampleType)
+  final val normalizeType = new Param[String](this, "normalizeType",
+    "dart normalization: tree or forest",
+    ParamValidators.inArray(Array("tree", "forest")))
+  final def getNormalizeType: String = $(normalizeType)
 
   setDefault(labelCol -> "label", featuresCols -> Array.empty[String],
     numRounds -> 10, maxDepth -> 6, eta -> 0.3, lambda -> 1.0,
     subsample -> 1.0, seed -> 0L, numWorkers -> 0, numClass -> 0,
     earlyStoppingRounds -> 0, evalMetric -> Array.empty[String],
-    categoricalCols -> Array.empty[String])
+    categoricalCols -> Array.empty[String], booster -> "gbtree",
+    rateDrop -> 0.0, skipDrop -> 0.0, oneDrop -> false,
+    sampleType -> "uniform", normalizeType -> "tree")
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setFeaturesCols(v: Array[String]): this.type = set(featuresCols, v)
@@ -101,13 +126,22 @@ trait GraftMLParams extends Params {
   def setEvalMetric(v: Array[String]): this.type = set(evalMetric, v)
   def setCategoricalCols(v: Array[String]): this.type =
     set(categoricalCols, v)
+  def setBooster(v: String): this.type = set(booster, v)
+  def setRateDrop(v: Double): this.type = set(rateDrop, v)
+  def setSkipDrop(v: Double): this.type = set(skipDrop, v)
+  def setOneDrop(v: Boolean): this.type = set(oneDrop, v)
+  def setSampleType(v: String): this.type = set(sampleType, v)
+  def setNormalizeType(v: String): this.type = set(normalizeType, v)
 
   private[ml] def mkTrainParams(objective: String): TrainParams =
     TrainParams(objective = objective, numClass = $(numClass),
       numRounds = $(numRounds), maxDepth = $(maxDepth), eta = $(eta),
       lambda = $(lambda), subsample = $(subsample), seed = $(seed),
       earlyStoppingRounds = $(earlyStoppingRounds),
-      evalMetric = $(evalMetric).toSeq)
+      evalMetric = $(evalMetric).toSeq,
+      booster = $(booster), rateDrop = $(rateDrop),
+      skipDrop = $(skipDrop), oneDrop = $(oneDrop),
+      sampleType = $(sampleType), normalizeType = $(normalizeType))
 
   private[ml] def mkSpec: DMatrixSpec = DMatrixSpec(
     labelCol = Seq($(labelCol)),

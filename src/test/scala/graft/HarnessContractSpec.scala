@@ -12,6 +12,9 @@ class HarnessContractSpec extends SparkTestBase {
   /** Queries that are rows-only BY NATURE, each with the reason. */
   private val rowsOnly: Map[String, String] = Map(
     "ml_train_predict" -> "learned multi-round model output",
+    "ml_train_dart" -> ("learned multi-round model output (dart bench " +
+      "twin of ml_train_predict; dart arithmetic oracle-checked by " +
+      "ml_stump_dart)"),
     "ml_softprob" -> "learned multi-round model output",
     "ml_rank" -> "learned multi-round model output",
     "sim_lsh_topk" -> "approximate ANN (recall gated by sim_recall_check)",
