@@ -808,6 +808,10 @@ final class GraftModel(
    *    rejected: xgboost's categorical encoding (split_type 1 +
    *    category-set bitfields) is not emitted here, and a custom
    *    objective has no xgboost-side name.
+   *  - dart-trained models export under the gbtree schema and predict
+   *    identically: graft bakes every dart normalization into the
+   *    stored leaf values, so the ensemble is a plain additive sum and
+   *    only the dart-ness (xgboost's weight_drop vector) is absent.
    */
   def toXgbJson: String = {
     require(!objective.startsWith("custom:"),

@@ -137,4 +137,25 @@ class XgbJsonSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] { mc.toXgbJson }
     assert(e.getMessage.contains("categorical"))
   }
+
+  test("dart-trained models export as gbtree JSON that predicts " +
+      "identically (normalization weights are baked into the leaves)") {
+    // graft's dart rescales STORED leaf values at every drop, so the
+    // final ensemble is a plain additive tree sum — exporting it under
+    // the gbtree schema is prediction-exact; only the dart-ness
+    // (weight_drop vector) is absent, by design (Trainer.scala dart
+    // commit). Stock traversal of the JSON must reproduce the margins.
+    val rng = new scala.util.Random(47)
+    val rows = (1 to 500).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 2 * a - b + 0.2 * rng.nextGaussian())
+    }
+    val df = rows.toDF("a", "b", "y").repartition(3)
+    val m = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:squarederror", booster = "dart",
+        rateDrop = 0.5, numRounds = 5, maxDepth = 3, seed = 29)).model
+    val probes = (1 to 25).map(_ =>
+      Array(rng.nextFloat(), rng.nextFloat()))
+    conformance(m, probes)
+  }
 }
