@@ -775,10 +775,16 @@ object Trainer {
     // DART skips the fold-in: its margins are rebuilt fresh each round
     // over the whole tree buffer (init trees included), because dropped
     // trees rescale retroactively.
-    initModel.filter(_.trees.nonEmpty).filter(_ => !dart).foreach { m =>
+    // round-count arithmetic (startRound below) floor-divides the tree
+    // count for BOTH boosters — a mismatched init model must fail fast
+    // in dart mode too, where a miscounted startRound would silently
+    // shift the (seed, round)-deterministic drop-set sequence
+    initModel.filter(_.trees.nonEmpty).foreach { m =>
       require(m.trees.length % (k * p.numParallelTree) == 0,
         s"init model has ${m.trees.length} trees, not a multiple of " +
           s"numOutputs*numParallelTree = ${k * p.numParallelTree}")
+    }
+    initModel.filter(_.trees.nonEmpty).filter(_ => !dart).foreach { m =>
       val bcInit = data.sparkContext.broadcast(m.trees)
       broadcasts += bcInit
       val upd = applyTrees(data, bcInit, k)
@@ -892,12 +898,16 @@ object Trainer {
         else {
           val dropSet = dropIdx.toSet
           val kept = Array.range(0, trees.length).filterNot(dropSet)
-          dartBcKept = sc.broadcast(kept.map(i => (i % k, trees(i))))
-          val rd = addTreePreds(data, dartBcKept)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          dartRoundData = rd
-          rd.foreachPartition(_ => ())
-          rd
+          if (kept.isEmpty) data // whole ensemble dropped: margins ARE
+                                 // the init margins — no copy needed
+          else {
+            dartBcKept = sc.broadcast(kept.map(i => (i % k, trees(i))))
+            val rd = addTreePreds(data, dartBcKept)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            dartRoundData = rd
+            rd.foreachPartition(_ => ())
+            rd
+          }
         }
       val gradsRaw = gradients(roundData, obj, startRound + round, p)
       val grads =
@@ -983,7 +993,7 @@ object Trainer {
       // (post-rescale) ensemble — the carried eval RDDs stay at their
       // init margins. Persisted only for this round's metric jobs.
       val evalView =
-        if (!dart || trees.isEmpty) evalData
+        if (!dart || trees.isEmpty || evalData.isEmpty) evalData
         else {
           dartBcAll = sc.broadcast(
             Array.tabulate(trees.length)(i => (i % k, trees(i))))

@@ -26,6 +26,6 @@ if [[ "${1:-}" == "--test" ]]; then
     grep -E "\*\*\* FAILED|\[error\]" /tmp/precommit-test.log | head -30
     exit 1
   fi
-  grep -E "Tests: succeeded" /tmp/precommit-test.log | tail -1
+  grep -E "Tests: succeeded" /tmp/precommit-test.log | tail -1 || true
   echo "[precommit] tests green."
 fi
