@@ -176,6 +176,27 @@ class MLInteropSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("dart params survive estimator save/load (shared Param JSON " +
+      "writer)") {
+    val est = new GraftXGBRegressor().setLabelCol("qty")
+      .setFeaturesCols(Array("price", "disc"))
+      .setBooster("dart").setRateDrop(0.35).setSkipDrop(0.1)
+      .setOneDrop(true).setSampleType("weighted")
+      .setNormalizeType("forest")
+      .setNumRounds(3).setMaxDepth(2).setSeed(7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dart-est")
+      .toString
+    est.write.overwrite().save(dir)
+    val loaded = GraftXGBRegressor.load(dir)
+    assert(loaded.getBooster === "dart")
+    assert(loaded.getRateDrop === 0.35 && loaded.getSkipDrop === 0.1)
+    assert(loaded.getOneDrop && loaded.getSampleType === "weighted")
+    assert(loaded.getNormalizeType === "forest")
+    // the loaded estimator trains the same model as the original
+    assert(loaded.fit(df).graftModel.dump() ===
+      est.fit(df).graftModel.dump())
+  }
+
   test("categoricalCols flows through the facade into one-hot splits " +
       "and survives save/load") {
     import spark.implicits._
