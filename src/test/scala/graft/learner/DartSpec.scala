@@ -205,6 +205,52 @@ class DartSpec extends SparkTestBase {
       "MLlib facade must forward every dart knob")
   }
 
+  test("multiclass dart with rateDrop=0 matches gbtree bit-exactly " +
+      "INCLUDING eval histories (class-slot routing through the " +
+      "(classIdx, tree)-paired margin rebuild)") {
+    // the dart rebuild walks a (possibly gappy) kept SUBSET of the
+    // ensemble — routing by `t % k` over the filtered array would
+    // misroute classes; with rateDrop=0 the kept set is the full
+    // ensemble every round, so any routing defect shows up as a
+    // divergence from gbtree's carried margins
+    val rng = new scala.util.Random(53)
+    val rows = (1 to 1500).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, if (a > 0.6) 2.0 else if (b > 0.5) 1.0 else 0.0)
+    }
+    val df = rows.toDF("a", "b", "y").repartition(4)
+    val base = TrainParams(objective = "multi:softprob", numClass = 3,
+      numRounds = 4, maxDepth = 3, seed = 7)
+    val ev = Seq(("val", df))
+    val gb = GraftBoost.train(df, spec, base, ev)
+    val da = GraftBoost.train(df, spec, base.copy(booster = "dart"), ev)
+    assert(gb.model.dump() === da.model.dump())
+    // eval margins go through the OTHER dart rebuild (full post-rescale
+    // ensemble); the per-row margins are float-identical, but the
+    // metric's treeReduce double sum can merge partition partials in a
+    // different order, so the history is compared at ulp tolerance —
+    // a real class-routing defect is orders of magnitude larger
+    val g = gb.evalsResult("val")("mlogloss")
+    val d = da.evalsResult("val")("mlogloss")
+    assert(g.length === d.length)
+    g.zip(d).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 4 * math.ulp(a),
+        s"mlogloss history diverged: $a vs $b")
+    }
+  }
+
+  test("dart composes with numParallelTree (RF forests): golden " +
+      "1-vs-8 partitions and per-round tree accounting") {
+    val df = regDf(2000)
+    val p = TrainParams(objective = "reg:squarederror", booster = "dart",
+      numRounds = 4, maxDepth = 2, rateDrop = 0.5,
+      numParallelTree = 2, seed = 41)
+    val m1 = GraftBoost.train(df.repartition(1), spec, p).model
+    val m8 = GraftBoost.train(df.repartition(8), spec, p).model
+    assert(m1.dump() === m8.dump())
+    assert(m1.trees.length === 8, "4 rounds x 2 parallel trees")
+  }
+
   test("dart checkpoint-resume (C4): uniform-sampling resume is " +
       "bit-golden; 'weighted' restarts sampling weights at 1.0 " +
       "(documented divergence — values already carry past rescales)") {
