@@ -16,6 +16,31 @@ import org.apache.spark.rdd.RDD
  */
 object Metrics {
 
+  /** Deterministic (loss, weight) pair-sum. `treeReduce` merges
+    * partition partials in task-COMPLETION order, so repeated runs of
+    * the same plan can differ in the last ulp — enough to flake golden
+    * metric-history comparisons and, pathologically, flip an
+    * early-stopping tie. Per-partition partials are already
+    * deterministic (sequential in-partition fold); summing them on the
+    * driver in PARTITION-INDEX order makes the whole metric
+    * bit-reproducible. The collect is two doubles per partition —
+    * O(partitions) bytes, smaller than treeReduce's own driver
+    * traffic. */
+  private implicit final class DetSum(private val rdd: RDD[(Double, Double)]) {
+    def detSum2: (Double, Double) = {
+      val parts = rdd.mapPartitionsWithIndex({ (i, it) =>
+        var a = 0.0; var b = 0.0
+        while (it.hasNext) { val p = it.next(); a += p._1; b += p._2 }
+        Iterator.single((i, a, b))
+      }, preservesPartitioning = true).collect()
+      java.util.Arrays.sort(parts, Ordering.by((t: (Int, Double, Double)) => t._1))
+      var a = 0.0; var b = 0.0
+      var i = 0
+      while (i < parts.length) { a += parts(i)._2; b += parts(i)._3; i += 1 }
+      (a, b)
+    }
+  }
+
   /** rows: (raw margins, label, weight). Custom metrics (E7) win over
     * built-in names. */
   def compute(name: String, obj: Objective,
@@ -25,7 +50,7 @@ object Metrics {
       case Some(cm) =>
         val fn = cm.fn
         val (loss, w) = rows.map { case (m, y, wt) => fn(m, y, wt) }
-          .treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+          .detSum2
         loss / w
       case None => computeBuiltin(name, obj, rows)
     }
@@ -35,18 +60,18 @@ object Metrics {
     case "rmse" =>
       val (se, w) = rows.map { case (m, y, wt) =>
         val d = obj.transform(m)(0) - y; (d.toDouble * d * wt, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       math.sqrt(se / w)
     case "mae" =>
       val (ae, w) = rows.map { case (m, y, wt) =>
         (math.abs(obj.transform(m)(0) - y).toDouble * wt, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       ae / w
     case "logloss" =>
       val (ll, w) = rows.map { case (m, y, wt) =>
         val p = clamp(obj.transform(m)(0))
         (-(y * math.log(p) + (1 - y) * math.log(1 - p)) * wt, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       ll / w
     case "mlogloss" =>
       // softmax over RAW margins — obj.transform would argmax to a
@@ -61,14 +86,14 @@ object Metrics {
         while (i < m.length) { e(i) = math.exp(m(i) - mx); s += e(i); i += 1 }
         val p = math.min(math.max(e(y.toInt) / s, 1e-15), 1.0 - 1e-15)
         (-math.log(p) * wt, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       ll / w
     case "error" => // binary misclassification at p=0.5
       val (e, w) = rows.map { case (m, y, wt) =>
         val p = obj.transform(m)(0)
         (if ((if (p > 0.5f) 1f else 0f) != y) wt.toDouble else 0.0,
           wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       e / w
     case "merror" => // multiclass: argmax != label
       val (e, w) = rows.map { case (m, y, wt) =>
@@ -78,7 +103,7 @@ object Metrics {
         // softmax objective already argmaxes to length-1
         val cls = if (p.length == 1) p(0) else best.toFloat
         (if (cls != y) wt.toDouble else 0.0, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       e / w
     case "auc" => auc(rows, obj)
     case "mape" => // mean absolute percentage error (zero-safe floor)
@@ -86,20 +111,20 @@ object Metrics {
         val d = math.abs(obj.transform(m)(0) - y).toDouble /
           math.max(math.abs(y.toDouble), 1e-10)
         (d * wt, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       ape / w
     case "poisson-nloglik" => // lnΓ(y+1) + p − y·ln p (p = predicted rate)
       val (ll, w) = rows.map { case (m, y, wt) =>
         val p = math.max(obj.transform(m)(0).toDouble, 1e-16)
         ((org.apache.commons.math3.special.Gamma.logGamma(y + 1.0)
           + p - math.log(p) * y) * wt, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       ll / w
     case "gamma-nloglik" => // unit-shape gamma NLL: y/p + ln p
       val (ll, w) = rows.map { case (m, y, wt) =>
         val p = math.max(obj.transform(m)(0).toDouble, 1e-16)
         ((y / p + math.log(p)) * wt, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       ll / w
     case t if t.startsWith("tweedie-nloglik") =>
       // −y·p^{1−ρ}/(1−ρ) + p^{2−ρ}/(2−ρ); ρ from "tweedie-nloglik@1.5"
@@ -113,7 +138,7 @@ object Metrics {
         val a = y * math.exp((1.0 - rho) * math.log(p)) / (1.0 - rho)
         val b = math.exp((2.0 - rho) * math.log(p)) / (2.0 - rho)
         ((-a + b) * wt, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       ll / w
     case t if t.startsWith("mphe") =>
       // mean pseudo-Huber error δ²(√(1+(z/δ)²) − 1); δ from "mphe@0.5"
@@ -126,7 +151,7 @@ object Metrics {
         val z = (obj.transform(m)(0) - y).toDouble
         (d * d * (math.sqrt(1.0 + (z / d) * (z / d)) - 1.0) * wt,
           wt.toDouble)
-      }.treeReduce { case ((a, b), (c, dd)) => (a + c, b + dd) }
+      }.detSum2
       e / w
     case t if t.startsWith("quantile") =>
       // mean pinball loss: α·(y−p)⁺ + (1−α)·(p−y)⁺; α from "quantile@0.9"
@@ -139,7 +164,7 @@ object Metrics {
         val err = (y - obj.transform(m)(0)).toDouble
         val pin = if (err >= 0) alpha * err else (alpha - 1.0) * err
         (pin * wt, wt.toDouble)
-      }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      }.detSum2
       e / w
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
@@ -232,7 +257,7 @@ object Metrics {
       }
       flush()
       Iterator((sum, wsum))
-    }.treeReduce { case ((a, b), (c, d)) => (a + c, b + d) }
+    }.detSum2
     if (w == 0) 0.0 else s / w
   }
 
