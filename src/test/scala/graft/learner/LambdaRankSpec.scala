@@ -96,4 +96,33 @@ class LambdaRankSpec extends SparkTestBase {
         s"$objective diverged across partitionings")
     }
   }
+
+  test("dart composes with listwise ranking: rateDrop=0 == gbtree and " +
+      "dropout stays partition-invariant (qid-contiguous layout " +
+      "preserved through the per-round margin rebuild)") {
+    val rng = new scala.util.Random(57)
+    val rows = (0 until 40).flatMap { q =>
+      (0 until 6).map { _ =>
+        val x = rng.nextDouble()
+        (x, rng.nextDouble(),
+          math.min(1.0, math.floor(x * 2)), q.toLong)
+      }
+    }
+    val df = rows.toDF("a", "b", "rel", "group")
+    val spec = DMatrixSpec(labelCol = Seq("rel"), qidCol = Some("group"))
+    val p = TrainParams(objective = "rank:ndcg", numRounds = 4,
+      maxDepth = 3, seed = 9)
+    // ranking gradients are cached per round (needsGroups) — the dart
+    // rebuild must feed them the same qid-contiguous partitions
+    val gb = GraftBoost.train(df, spec, p, numWorkers = 4)
+    val da = GraftBoost.train(df, spec,
+      p.copy(booster = "dart", rateDrop = 0.0), numWorkers = 4)
+    assert(gb.model.dump() === da.model.dump())
+    val d1 = GraftBoost.train(df, spec,
+      p.copy(booster = "dart", rateDrop = 0.5), numWorkers = 1)
+    val d8 = GraftBoost.train(df, spec,
+      p.copy(booster = "dart", rateDrop = 0.5), numWorkers = 8)
+    assert(d1.model.dump() === d8.model.dump(),
+      "dart ranking diverged across partitionings")
+  }
 }
