@@ -731,6 +731,30 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: xgboost-JSON model IMPORT (the reference's predict()
+    //      takes an EXISTING xgb.Booster, main.py:1810) — same stump
+    //      and closed-form oracle as ml_stump, but the model takes a
+    //      full round trip through the xgboost 2.x JSON schema
+    //      (export → parse → import) before predicting; the nextUp/
+    //      nextDown threshold inversion and leaf-value transport must
+    //      be bit-exact for the hash to match ----
+    "ml_xgbjson_roundtrip" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      val imported =
+        graft.learner.GraftModel.fromXgbJson(res.model.toXgbJson)
+      GraftBoost.predict(imported, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML: closed-form CATEGORICAL stump (enable_categorical
     //      analog) — a declared category-code column gets one-hot
     //      `== code` splits; with 3 categories and a planted +50
@@ -1880,6 +1904,18 @@ object SparkEntry {
         | max(cb) AS bias
         |FROM c GROUP BY q ORDER BY q""".stripMargin,
     "ml_stump" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - sy)) / (n + 1.0) AS REAL) AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // identical oracle to ml_stump: the JSON round trip must be
+    // prediction-invariant bit-for-bit
+    "ml_xgbjson_roundtrip" ->
       """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
         |   AS x, l_quantity AS y FROM lineitem),
         |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),

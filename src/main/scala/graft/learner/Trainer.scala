@@ -783,6 +783,16 @@ object Trainer {
       require(m.trees.length % (k * p.numParallelTree) == 0,
         s"init model has ${m.trees.length} trees, not a multiple of " +
           s"numOutputs*numParallelTree = ${k * p.numParallelTree}")
+      // xgboost-JSON imports carry a -1 sentinel in thresholdBin (the
+      // JSON has no bin-space thresholds); continued training folds the
+      // init model in via BINNED traversal, which would misroute — an
+      // imported model is inference-only
+      require(m.trees.forall(t => (0 until t.numNodes)
+          .forall(i => t.feature(i) < 0 || t.thresholdBin(i) >= 0)),
+        "init model was imported from xgboost JSON and has no bin-space " +
+          "thresholds — imported models are inference-only (predict/" +
+          "contribs/leaves); train a fresh model or resume from a " +
+          "parquet-saved graft model")
     }
     initModel.filter(_.trees.nonEmpty).filter(_ => !dart).foreach { m =>
       val bcInit = data.sparkContext.broadcast(m.trees)

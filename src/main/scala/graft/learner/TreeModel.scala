@@ -959,4 +959,197 @@ object GraftModel {
     new GraftModel(trees, meta.getString(0), meta.getInt(1),
       meta.getDouble(2), meta.getInt(3), meta.getInt(4), npt)
   }
+
+  /**
+   * xgboost-JSON model IMPORT — the inverse of [[GraftModel.toXgbJson]]
+   * and the missing half of the reference's drop-in story: the
+   * reference's `predict(model, data)` takes an EXISTING `xgb.Booster`
+   * (main.py:1810), so a user switching engines arrives with model
+   * artifacts trained by stock xgboost. This parses xgboost's
+   * documented 2.x JSON schema (`save_model("m.json")`) into a
+   * [[GraftModel]] that scores bit-identically to stock traversal.
+   *
+   * Field mapping (inverts the export's documented divergences):
+   *  - xgboost routes left on STRICT `x < split_condition`; this engine
+   *    on `x <= threshold`. Import stores `nextDown(split_condition)` —
+   *    the largest float below the condition — so the predicates decide
+   *    identically for every float input (exact inverse of the export's
+   *    `nextUp`, so export→import round-trips bit-for-bit).
+   *  - leaves carry their value in `split_conditions` (stock predict
+   *    reads it there); internal-node values come from `base_weights`
+   *    (exact for models this engine exported; for stock-trained models
+   *    they are xgboost's raw node weights, which only the Saabas
+   *    APPROX contrib walk reads — exact TreeSHAP uses `sum_hessian`
+   *    cover stats, imported exactly).
+   *  - multi-class / forest tree order: xgboost groups an iteration's
+   *    trees class-major (`tree_info` = class per tree); this engine
+   *    routes tree t to class `t % k`. Import reorders each
+   *    `iteration_indptr` block round-robin by `tree_info`, which is
+   *    the identity permutation on this engine's own exports.
+   *  - `booster: "dart"` imports by folding `weight_drop` into every
+   *    stored node value (leaf AND internal, so contrib walks stay
+   *    telescoping) — the same baked representation dart training uses
+   *    here, keeping predict/save/SHAP booster-agnostic.
+   *  - bin-space thresholds don't exist in the JSON, so imported trees
+   *    carry a `-1` sentinel in `thresholdBin`: inference-only.
+   *    Continued training needs binned traversal and fails fast in
+   *    `Trainer.boost`.
+   *  - rejected fail-fast: `gblinear` boosters (no trees), categorical
+   *    splits (`split_type` 1: category-set bitfields ≠ this engine's
+   *    one-hot codes), vector leaves (`size_leaf_vector` > 1),
+   *    multi-target learners, objectives with no engine analog.
+   *    `reg:logistic` aliases to `binary:logistic` (identical math).
+   */
+  def fromXgbJson(json: String): GraftModel = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root = new ObjectMapper().readTree(json)
+    val learner = root.get("learner")
+    require(learner != null, "not an xgboost JSON model: no 'learner'")
+    val gbooster = learner.get("gradient_booster")
+    val boosterName = gbooster.get("name").asText()
+    require(boosterName != "gblinear",
+      "gblinear models carry coefficients, not trees — import is " +
+        "tree-booster only (gbtree | dart)")
+    require(boosterName == "gbtree" || boosterName == "dart",
+      s"unknown booster '$boosterName' in xgboost JSON")
+    // dart wraps a full gbtree model one level down plus weight_drop;
+    // accept both observed layouts ({"gbtree":{"model":...}} and
+    // {"model":{"gbtree":{...}}}) since the schema moved across 1.x/2.x
+    def descendToTrees(n: JsonNode): JsonNode =
+      if (n == null || n.has("trees")) n
+      else if (n.has("gbtree")) descendToTrees(n.get("gbtree"))
+      else if (n.has("model")) descendToTrees(n.get("model"))
+      else null
+    val (model: JsonNode, weightDrop: Option[JsonNode]) =
+      if (boosterName == "dart") {
+        val wd =
+          if (gbooster.has("weight_drop")) gbooster.get("weight_drop")
+          else if (gbooster.has("model") &&
+            gbooster.get("model").has("weight_drop"))
+            gbooster.get("model").get("weight_drop")
+          else null
+        (descendToTrees(gbooster), Option(wd))
+      } else (descendToTrees(gbooster.get("model")), None)
+    require(model != null, "no tree model found in xgboost JSON")
+    val lmp = learner.get("learner_model_param")
+    require(!lmp.has("num_target") ||
+      lmp.get("num_target").asText().toInt <= 1,
+      "multi-target learners are not supported")
+    val numFeatures = lmp.get("num_feature").asText().toInt
+    val numClass = lmp.get("num_class").asText().toInt
+    val baseScore = lmp.get("base_score").asText().toDouble
+    val objective0 = learner.get("objective").get("name").asText()
+    val objective =
+      if (objective0 == "reg:logistic") "binary:logistic" else objective0
+    // fail at import, not first predict, if the objective has no analog
+    Objectives.forName(objective, numClass)
+    val npt = model.get("gbtree_model_param")
+      .get("num_parallel_tree").asText().toInt
+    val treesJson = model.get("trees")
+    val weights: Array[Double] = weightDrop match {
+      case Some(wd) => Array.tabulate(wd.size())(wd.get(_).asDouble())
+      case None => Array.fill(treesJson.size())(1.0)
+    }
+    require(weights.length == treesJson.size(),
+      s"weight_drop length ${weights.length} != num_trees " +
+        s"${treesJson.size()}")
+    val parsed = Array.tabulate(treesJson.size()) { ti =>
+      val t = treesJson.get(ti)
+      require(t.get("tree_param").get("size_leaf_vector").asText()
+        .toInt <= 1, s"tree $ti: vector leaves are not supported")
+      val n = t.get("tree_param").get("num_nodes").asText().toInt
+      val lc = t.get("left_children"); val rc = t.get("right_children")
+      val si = t.get("split_indices"); val sc = t.get("split_conditions")
+      val dl = t.get("default_left"); val st = t.get("split_type")
+      val bw = t.get("base_weights")
+      val gainJ = t.get("loss_changes"); val covJ = t.get("sum_hessian")
+      val hasStats = gainJ != null && gainJ.size() == n &&
+        covJ != null && covJ.size() == n
+      val w = weights(ti).toFloat
+      val tree = new RegTree(
+        new Array[Int](n), Array.fill(n)(-1), new Array[Float](n),
+        new Array[Boolean](n), new Array[Int](n), new Array[Int](n),
+        new Array[Float](n),
+        if (hasStats) new Array[Float](n) else Array.empty,
+        if (hasStats) new Array[Float](n) else Array.empty)
+      var i = 0
+      while (i < n) {
+        require(st == null || st.get(i).asInt() == 0,
+          s"tree $ti node $i: categorical split_type (category-set " +
+            "bitfields) is not supported by import")
+        val leaf = lc.get(i).asInt() == -1
+        if (leaf) {
+          tree.feature(i) = -1
+          tree.value(i) = sc.get(i).floatValue() * w
+        } else {
+          tree.feature(i) = si.get(i).asInt()
+          require(tree.feature(i) < numFeatures,
+            s"tree $ti node $i: split_index ${tree.feature(i)} >= " +
+              s"num_feature $numFeatures")
+          tree.threshold(i) = Math.nextDown(sc.get(i).floatValue())
+          tree.left(i) = lc.get(i).asInt()
+          tree.right(i) = rc.get(i).asInt()
+          tree.defaultLeft(i) = dl.get(i).asInt() == 1
+          tree.value(i) =
+            (if (bw != null && bw.size() == n) bw.get(i).floatValue()
+             else 0f) * w
+        }
+        if (hasStats) {
+          tree.gain(i) = gainJ.get(i).floatValue()
+          tree.cover(i) = covJ.get(i).floatValue()
+        }
+        i += 1
+      }
+      tree
+    }
+    // reorder each iteration block so class = position % k (this
+    // engine's routing); stock xgboost groups class-major within an
+    // iteration, this engine's own export is already round-robin
+    val k = math.max(numClass, 1)
+    val info = model.get("tree_info")
+    val indptrJ = model.get("iteration_indptr")
+    val indptr: Array[Int] =
+      if (indptrJ != null && indptrJ.size() > 0)
+        Array.tabulate(indptrJ.size())(indptrJ.get(_).asInt())
+      else Array.tabulate(parsed.length / (k * npt) + 1)(_ * k * npt)
+    val ordered = new Array[RegTree](parsed.length)
+    var b = 0
+    while (b < indptr.length - 1) {
+      val from = indptr(b); val until = indptr(b + 1)
+      require(until - from == k * npt,
+        s"iteration $b holds ${until - from} trees, expected " +
+          s"num_class×num_parallel_tree = ${k * npt}")
+      val perClass = Array.fill(k)(List.newBuilder[Int])
+      var t = from
+      while (t < until) {
+        val cls = if (info != null && info.size() > t) info.get(t).asInt()
+          else t % k
+        require(cls >= 0 && cls < k,
+          s"tree $t: tree_info class $cls out of range [0, $k)")
+        perClass(cls) += t
+        t += 1
+      }
+      val queues = perClass.map(_.result().iterator)
+      var j = 0
+      while (j < until - from) {
+        val q = queues(j % k)
+        require(q.hasNext,
+          s"iteration $b: tree_info classes are unbalanced")
+        ordered(from + j) = parsed(q.next())
+        j += 1
+      }
+      b += 1
+    }
+    require(indptr.last == parsed.length,
+      s"iteration_indptr ends at ${indptr.last}, not ${parsed.length}")
+    new GraftModel(ordered, objective, numClass, baseScore,
+      Binner.MissingBin, numFeatures, npt)
+  }
+
+  /** Read [[fromXgbJson]] from a local file (the
+    * `xgb.Booster(model_file="m.json")` analog). */
+  def loadXgbJson(path: String): GraftModel =
+    fromXgbJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
 }
