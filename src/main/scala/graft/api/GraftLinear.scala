@@ -109,8 +109,9 @@ object GraftLinear {
    * survival bounds remain tree-booster territory.
    */
   def train(df: DataFrame, spec: DMatrixSpec, params: TrainParams,
-      numWorkers: Int = 0): LinearModel =
-    trainWithEvals(df, spec, params, Nil, numWorkers).model
+      numWorkers: Int = 0,
+      initModel: Option[LinearModel] = None): LinearModel =
+    trainWithEvals(df, spec, params, Nil, numWorkers, initModel).model
 
   /** Eval-row margins from the broadcast round weights — the same
     * double-accumulated dot product the training seqOp computes. */
@@ -154,7 +155,13 @@ object GraftLinear {
    */
   def trainWithEvals(df: DataFrame, spec: DMatrixSpec,
       params: TrainParams, evals: Seq[(String, DataFrame)],
-      numWorkers: Int = 0): LinearTrainResult = {
+      numWorkers: Int = 0,
+      /** Warm start — the `xgb_model=` continued-training kwarg the
+        * reference forwards (main.py:688-691, checkpoint resume
+        * main.py:1212): coordinate descent continues from this model's
+        * weights instead of zeros. Works for xgboost-JSON imports too
+        * (a linear model is fully described by its weights). */
+      initModel: Option[LinearModel] = None): LinearTrainResult = {
     val obj = Objectives.resolve(params)
     require(!obj.needsGroups && !obj.needsBounds,
       s"gblinear supports pointwise objectives; got ${obj.name}")
@@ -206,8 +213,17 @@ object GraftLinear {
         if (params.scalePosWeight != 1.0 &&
           obj.name.startsWith("binary:")) params.scalePosWeight.toFloat
         else 1.0f
-      val weights = Array.fill(k)(new Array[Float](d))
-      val bias = new Array[Float](k)
+      initModel.foreach { m =>
+        require(m.numFeatures == d,
+          s"init model has ${m.numFeatures} features, data has $d")
+        require(m.numClass == k,
+          s"init model has ${m.numClass} output group(s), objective " +
+            s"${obj.name} needs $k")
+      }
+      val weights = initModel.map(_.weights.map(_.clone()))
+        .getOrElse(Array.fill(k)(new Array[Float](d)))
+      val bias = initModel.map(_.bias.clone())
+        .getOrElse(new Array[Float](k))
       val stride = 2 * d + 2 // per-class accumulator block
       var bestScore = Double.NaN
       var bestRound = -1
@@ -375,6 +391,96 @@ object GraftLinear {
     }.toArray
     LinearModel(weights, bias, meta.getString(3), meta.getDouble(4))
   }
+
+  /**
+   * xgboost-JSON export for the linear booster — the `booster=
+   * "gblinear"` half of the model-interchange story (the tree half is
+   * [[graft.learner.GraftModel.toXgbJson]]): emits xgboost's 2.x
+   * gblinear schema so a model trained here loads and scores in stock
+   * xgboost. Stock layout is ONE flat weight vector of
+   * (num_feature + 1) × num_groups floats, feature-major with the
+   * group index inner (`w[j*k + c]`) and the per-group biases in the
+   * trailing block (`w[d*k + c]`) — gblinear_model.h's accessor
+   * convention. Weights transport verbatim (shortest-round-trip float
+   * strings reparse bit-exactly), so export→import round-trips
+   * bit-for-bit.
+   */
+  def toXgbJson(model: LinearModel): String = {
+    require(!model.objective.startsWith("custom:"),
+      "custom objectives have no xgboost-side name; keep the parquet " +
+        "sink or export with objective overridden")
+    val k = model.numClass; val d = model.numFeatures
+    val flat = new Array[Float]((d + 1) * k)
+    for (c <- 0 until k) {
+      for (j <- 0 until d) flat(j * k + c) = model.weights(c)(j)
+      flat(d * k + c) = model.bias(c)
+    }
+    val numClass = if (k <= 1) 0 else k
+    val objParam = model.objective match {
+      case o if o.startsWith("multi:") =>
+        s""""softmax_multiclass_param":{"num_class":"$numClass"}"""
+      case _ => """"reg_loss_param":{"scale_pos_weight":"1"}"""
+    }
+    s"""{"learner":{"attributes":{},"feature_names":[],""" +
+      s""""feature_types":[],"gradient_booster":{"model":{""" +
+      s""""weights":${flat.mkString("[", ",", "]")}},""" +
+      s""""name":"gblinear"},""" +
+      s""""learner_model_param":{"base_score":"${model.baseScore}",""" +
+      s""""boost_from_average":"1","num_class":"$numClass",""" +
+      s""""num_feature":"$d","num_target":"1"},""" +
+      s""""objective":{"name":"${model.objective}",$objParam}},""" +
+      s""""version":[2,0,0]}"""
+  }
+
+  /**
+   * xgboost-JSON import for the linear booster — inverse of
+   * [[toXgbJson]], accepting stock `save_model("m.json")` gblinear
+   * artifacts (the reference's arriving-user path: `predict(model,
+   * data)` takes an existing `xgb.Booster`, main.py:1810). Unlike tree
+   * imports, a linear model is fully described by its weights, so
+   * imported models support every surface including continued
+   * training. Tree boosters fail fast toward
+   * [[graft.learner.GraftModel.fromXgbJson]]; `reg:logistic` aliases
+   * to `binary:logistic`.
+   */
+  def fromXgbJson(json: String): LinearModel = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    val learner = root.get("learner")
+    require(learner != null, "not an xgboost JSON model: no 'learner'")
+    val gbooster = learner.get("gradient_booster")
+    val name = gbooster.get("name").asText()
+    require(name == "gblinear",
+      s"booster '$name' carries trees — import it with " +
+        "GraftModel.fromXgbJson (this is the gblinear importer)")
+    val lmp = learner.get("learner_model_param")
+    val d = lmp.get("num_feature").asText().toInt
+    val numClass = lmp.get("num_class").asText().toInt
+    val k = math.max(numClass, 1)
+    val baseScore = lmp.get("base_score").asText().toDouble
+    val objective0 = learner.get("objective").get("name").asText()
+    val objective =
+      if (objective0 == "reg:logistic") "binary:logistic" else objective0
+    Objectives.forName(objective, numClass) // fail at import if unknown
+    val wj = gbooster.get("model").get("weights")
+    require(wj != null && wj.size() == (d + 1) * k,
+      s"gblinear weights length ${if (wj == null) 0 else wj.size()} " +
+        s"!= (num_feature+1)×num_groups = ${(d + 1) * k}")
+    val weights = Array.tabulate(k, d)((c, j) => wj.get(j * k + c).floatValue())
+    val bias = Array.tabulate(k)(c => wj.get(d * k + c).floatValue())
+    LinearModel(weights, bias, objective, baseScore)
+  }
+
+  /** Write [[toXgbJson]] to a local file. */
+  def saveXgbJson(model: LinearModel, path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      toXgbJson(model).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Read [[fromXgbJson]] from a local file. */
+  def loadXgbJson(path: String): LinearModel =
+    fromXgbJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
 
   /**
    * Feature-contribution prediction for the linear booster — xgboost's
