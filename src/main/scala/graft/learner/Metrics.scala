@@ -106,6 +106,17 @@ object Metrics {
       }.detSum2
       e / w
     case "auc" => auc(rows, obj)
+    case "aucpr" => aucpr(rows, obj)
+    case "rmsle" => // √(Σw·(ln1p(ŷ)−ln1p(y))²/Σw); preds below −1
+      // floor just above it (xgboost validates labels ≥ −1 but lets an
+      // unbounded regressor's prediction produce NaN — floor instead)
+      val (se, w) = rows.map { case (m, y, wt) =>
+        require(y >= -1f, s"rmsle needs labels >= -1, got $y")
+        val p = math.max(obj.transform(m)(0).toDouble, -1.0 + 1e-15)
+        val d = math.log1p(p) - math.log1p(y.toDouble)
+        (d * d * wt, wt.toDouble)
+      }.detSum2
+      math.sqrt(se / w)
     case "mape" => // mean absolute percentage error (zero-safe floor)
       val (ape, w) = rows.map { case (m, y, wt) =>
         val d = math.abs(obj.transform(m)(0) - y).toDouble /
@@ -202,7 +213,7 @@ object Metrics {
   def maximize(name: String,
       custom: Map[String, CustomMetric] = Map.empty): Boolean =
     custom.get(name).map(_.isMaximize)
-      .getOrElse(name == "auc" || isGroupMetric(name))
+      .getOrElse(name == "auc" || name == "aucpr" || isGroupMetric(name))
 
   /** True for per-query-group ranking metrics: ndcg[@k], map[@k]
     * (NOT mape, which is pointwise). */
@@ -336,6 +347,50 @@ object Metrics {
       i += 1
     }
     if (p == 0 || n == 0) 0.5 else rankSum / (p * n)
+  }
+
+  /** Area under the precision-recall curve (xgboost `aucpr`), on the
+    * SAME one-pass bucketed score histogram as [[auc]]: scan buckets
+    * from the highest score down, trapezoid between successive
+    * (recall, precision) points, starting at (0, 1) by the usual
+    * convention. Histogram resolution (Buckets) bounds the
+    * interpolation error identically to auc's tie handling. */
+  private def aucpr(rows: RDD[(Array[Float], Float, Float)],
+      obj: Objective): Double = {
+    val hist = rows.treeAggregate(
+      (new Array[Double](Buckets), new Array[Double](Buckets)))(
+      seqOp = { case ((pos, neg), (m, y, wt)) =>
+        val t = obj.transform(m)
+        val s = if (t.length > 1) t(t.length - 1) else t(0)
+        val p = if (s >= 0f && s <= 1f) s.toDouble
+          else 1.0 / (1.0 + math.exp(-s))
+        val b = math.min((p * Buckets).toInt, Buckets - 1)
+        if (y > 0.5f) pos(b) += wt else neg(b) += wt
+        (pos, neg)
+      },
+      combOp = { case ((p1, n1), (p2, n2)) =>
+        var i = 0
+        while (i < Buckets) { p1(i) += p2(i); n1(i) += n2(i); i += 1 }
+        (p1, n1)
+      })
+    val (pos, neg) = hist
+    val totalPos = pos.sum
+    if (totalPos == 0) return 0.0
+    var tp = 0.0; var fp = 0.0
+    var prevRecall = 0.0; var prevPrec = 1.0
+    var area = 0.0
+    var b = Buckets - 1
+    while (b >= 0) {
+      if (pos(b) != 0 || neg(b) != 0) {
+        tp += pos(b); fp += neg(b)
+        val recall = tp / totalPos
+        val prec = tp / (tp + fp)
+        area += (recall - prevRecall) * 0.5 * (prec + prevPrec)
+        prevRecall = recall; prevPrec = prec
+      }
+      b -= 1
+    }
+    area
   }
 
   private def clamp(p: Float): Double =

@@ -274,4 +274,38 @@ class ObjectivesSpec extends SparkTestBase {
       spark.sparkContext.parallelize(Seq((Array(0.0f), 3.0f, 1.0f))))
     assert(math.abs(gNll - 3.0) < 1e-9, s"gamma y/p + ln p = 3, got $gNll")
   }
+
+  test("rmsle computes √(mean (ln1p d)²) and rejects labels < -1") {
+    val obj = new Objectives.SquaredError
+    // p = e−1, y = 0 → d = 1; p = 0, y = 0 → d = 0 → rmsle = √0.5
+    val rows = spark.sparkContext.parallelize(Seq(
+      (Array((math.E - 1).toFloat), 0.0f, 1.0f),
+      (Array(0.0f), 0.0f, 1.0f)))
+    val v = Metrics.compute("rmsle", obj, rows)
+    assert(math.abs(v - math.sqrt(0.5)) < 1e-6, s"rmsle $v")
+    val bad = spark.sparkContext.parallelize(Seq(
+      (Array(0.0f), -2.0f, 1.0f)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Metrics.compute("rmsle", obj, bad)
+    }
+    assert(e.getMessage.contains("rmsle") ||
+      Option(e.getCause).exists(_.getMessage.contains("rmsle")))
+  }
+
+  test("aucpr: trapezoid PR area on the bucketed histogram; " +
+      "perfect separation = 1; maximize flag set") {
+    val obj = new Objectives.SquaredError // identity transform: feed probs
+    def pr(rows: Seq[(Float, Float)]): Double =
+      Metrics.compute("aucpr", obj, spark.sparkContext.parallelize(
+        rows.map { case (p, y) => (Array(p), y, 1.0f) }, 2))
+    assert(math.abs(pr(Seq((0.9f, 1f), (0.1f, 0f))) - 1.0) < 1e-12)
+    // pos@0.9, neg@0.8, pos@0.3: (0.5, 1) then (1, 2/3) →
+    // 0.5·1 + 0.5·(0.5+2/3)/2 = 0.7916667
+    val v = pr(Seq((0.9f, 1f), (0.8f, 0f), (0.3f, 1f)))
+    assert(math.abs(v - (0.5 + 0.25 * (0.5 + 2.0 / 3.0))) < 1e-12,
+      s"aucpr $v")
+    assert(pr(Seq((0.9f, 0f), (0.1f, 0f))) === 0.0) // no positives
+    assert(Metrics.maximize("aucpr"))
+    assert(!Metrics.maximize("rmsle"))
+  }
 }
