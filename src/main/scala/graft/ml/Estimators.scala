@@ -33,6 +33,7 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   var params: TrainParams = TrainParams(objective = defaultObjective)
   var numWorkers: Int = 0
   var evalSets: Seq[(String, DataFrame)] = Nil
+  var initModel: Option[GraftModel] = None
 
   def setLabelCol(c: String): this.type = { labelCol = c; this }
   def setFeaturesCols(cs: Seq[String]): this.type = {
@@ -55,6 +56,13 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   def setNumWorkers(n: Int): this.type = { numWorkers = n; this }
   def setEvalSets(es: Seq[(String, DataFrame)]): this.type = {
     evalSets = es; this
+  }
+  /** Warm start — the sklearn `fit(..., xgb_model=...)` kwarg the
+    * reference forwards (sklearn.py:466,518): boosting continues from
+    * this model's trees (works with a parquet-loaded model; xgboost-
+    * JSON imports are inference-only and fail fast in the trainer). */
+  def setInitModel(m: GraftModel): this.type = {
+    initModel = Some(m); this
   }
   def setNumRounds(n: Int): this.type = {
     params = params.copy(numRounds = n); this
@@ -121,7 +129,7 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   def fit(df: DataFrame): M = {
     val s = spec
     val res = GraftBoost.train(df, s, resolvedParams(df), evalSets,
-      numWorkers)
+      numWorkers, initModel = initModel)
     buildModel(res, s)
   }
 }
@@ -235,6 +243,13 @@ class GraftLinearRegressor {
   var params: TrainParams = TrainParams(objective = "reg:squarederror")
   var numWorkers: Int = 0
   var evalSets: Seq[(String, DataFrame)] = Nil
+  var initModel: Option[graft.api.GraftLinear.LinearModel] = None
+
+  /** Warm start (`xgb_model=` analog): coordinate descent continues
+    * from this model's weights — including xgboost-JSON imports. */
+  def setInitModel(m: graft.api.GraftLinear.LinearModel): this.type = {
+    initModel = Some(m); this
+  }
 
   def setEvalSets(es: Seq[(String, DataFrame)]): this.type = {
     evalSets = es; this
@@ -266,7 +281,7 @@ class GraftLinearRegressor {
   def fit(df: DataFrame): GraftLinearModel = {
     val s = spec
     val res = graft.api.GraftLinear.trainWithEvals(df, s, params,
-      evalSets, numWorkers)
+      evalSets, numWorkers, initModel)
     new GraftLinearModel(res.model, s, res.evalsResult, res.bestIteration)
   }
 }
@@ -393,7 +408,8 @@ class GraftClassifier extends GraftPredictor[GraftClassificationModel](
         baseSpec.copy(labelCol = Seq(EncCol),
           ignore = baseSpec.ignore :+ labelCol),
         evalSets.map { case (n, e) => (n, encode(e)) })
-    val res = GraftBoost.train(tdf, tSpec, p, tEvals, numWorkers)
+    val res = GraftBoost.train(tdf, tSpec, p, tEvals, numWorkers,
+      initModel = initModel)
     new GraftClassificationModel(res.model, baseSpec, res.evalsResult,
       math.max(res.model.numClass, 2),
       if (identity) Array.empty else labels)

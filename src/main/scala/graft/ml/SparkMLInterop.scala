@@ -170,6 +170,18 @@ trait GraftXGBEvalSets {
   }
 }
 
+/** Fit-time warm start (xgboost sklearn's `xgb_model=` kwarg in `fit`,
+  * reference sklearn.py:466,518): boosting continues from the given
+  * model's trees. DATA, not a Param — like eval sets, not persisted by
+  * save/load and not carried by `copy()`. xgboost-JSON imports are
+  * inference-only and fail fast in the trainer. */
+trait GraftXGBInitModel {
+  protected var initBooster: Option[graft.learner.GraftModel] = None
+  def setInitModel(m: graft.learner.GraftModel): this.type = {
+    initBooster = Some(m); this
+  }
+}
+
 /** Forwarded predict kwargs (`pred_leaf` / `pred_contribs` /
   * `pred_interactions`) on the MLlib tree-model surface — same columns
   * as the native API (`leaf_indices` / `contribs` / `interactions`),
@@ -240,7 +252,7 @@ private[ml] object GraftMLIO {
   * compatible, `save`/`load` round-trip. */
 class GraftXGBClassifier(override val uid: String)
     extends Estimator[GraftXGBClassificationModel] with GraftMLParams
-    with GraftXGBEvalSets with DefaultParamsWritable {
+    with GraftXGBEvalSets with GraftXGBInitModel with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("graftXGBClassifier"))
 
@@ -251,6 +263,7 @@ class GraftXGBClassifier(override val uid: String)
       .setParams(mkTrainParams("binary:logistic"))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
+    initBooster.foreach(b => clf.setInitModel(b))
     if ($(featuresCols).nonEmpty) clf.setFeaturesCols($(featuresCols).toSeq)
     if ($(categoricalCols).nonEmpty)
       clf.setCategoricalCols($(categoricalCols).toSeq)
@@ -393,7 +406,7 @@ object GraftXGBClassificationModel
 /** MLlib Estimator facade over [[GraftRegressor]]. */
 class GraftXGBRegressor(override val uid: String)
     extends Estimator[GraftXGBRegressionModel] with GraftMLParams
-    with GraftXGBEvalSets with DefaultParamsWritable {
+    with GraftXGBEvalSets with GraftXGBInitModel with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("graftXGBRegressor"))
 
@@ -425,6 +438,7 @@ class GraftXGBRegressor(override val uid: String)
         huberSlope = $(huberSlope), quantileAlpha = $(quantileAlpha)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
+    initBooster.foreach(b => reg.setInitModel(b))
     if ($(featuresCols).nonEmpty) reg.setFeaturesCols($(featuresCols).toSeq)
     if ($(categoricalCols).nonEmpty)
       reg.setCategoricalCols($(categoricalCols).toSeq)
@@ -534,7 +548,7 @@ trait GraftXGBRankerParams extends GraftMLParams {
   * ranked earlier within a query), the xgboost ranker convention. */
 class GraftXGBRanker(override val uid: String)
     extends Estimator[GraftXGBRankerModel] with GraftXGBRankerParams
-    with GraftXGBEvalSets with DefaultParamsWritable {
+    with GraftXGBEvalSets with GraftXGBInitModel with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("graftXGBRanker"))
 
@@ -552,6 +566,7 @@ class GraftXGBRanker(override val uid: String)
       .setParams(mkTrainParams($(objective)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
+    initBooster.foreach(b => rk.setInitModel(b))
     if ($(featuresCols).nonEmpty) rk.setFeaturesCols($(featuresCols).toSeq)
     if ($(categoricalCols).nonEmpty)
       rk.setCategoricalCols($(categoricalCols).toSeq)
@@ -673,6 +688,7 @@ class GraftXGBRFClassifier(override val uid: String)
         numParallelTree = $(numTrees)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
+    initBooster.foreach(b => clf.setInitModel(b))
     if ($(featuresCols).nonEmpty) clf.setFeaturesCols($(featuresCols).toSeq)
     if ($(categoricalCols).nonEmpty)
       clf.setCategoricalCols($(categoricalCols).toSeq)
@@ -713,6 +729,7 @@ class GraftXGBRFRegressor(override val uid: String)
         huberSlope = $(huberSlope), quantileAlpha = $(quantileAlpha)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
+    initBooster.foreach(b => reg.setInitModel(b))
     if ($(featuresCols).nonEmpty) reg.setFeaturesCols($(featuresCols).toSeq)
     if ($(categoricalCols).nonEmpty)
       reg.setCategoricalCols($(categoricalCols).toSeq)
@@ -757,6 +774,16 @@ class GraftXGBLinear(override val uid: String)
 
   def this() = this(Identifiable.randomUID("graftXGBLinear"))
 
+  /** Fit-time warm start (`xgb_model=` analog) for the linear booster:
+    * coordinate descent continues from this model's weights — works
+    * with xgboost-JSON imports too. DATA, not a Param (like eval
+    * sets): not persisted, not carried by `copy()`. */
+  protected var initLinear: Option[graft.api.GraftLinear.LinearModel] =
+    None
+  def setInitModel(m: graft.api.GraftLinear.LinearModel): this.type = {
+    initLinear = Some(m); this
+  }
+
   override def fit(ds: Dataset[_]): GraftXGBLinearModel = {
     transformSchema(ds.schema)
     require($(categoricalCols).isEmpty,
@@ -768,6 +795,7 @@ class GraftXGBLinear(override val uid: String)
         numClass = 0))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
+    initLinear.foreach(m => lr.setInitModel(m))
     if ($(featuresCols).nonEmpty) lr.setFeaturesCols($(featuresCols).toSeq)
     val inner = lr.fit(ds.toDF)
     copyValues(new GraftXGBLinearModel(uid, inner)).setParent(this)

@@ -483,4 +483,33 @@ class MLInteropSpec extends SparkTestBase {
       .map(_.getDouble(0))
     assert(pa.sameElements(pb))
   }
+
+  test("setInitModel warm start through the tree facade: fit 2 then " +
+      "resume 2 == fit 4 in one go (xgb_model= kwarg analog)") {
+    def mk(rounds: Int) = new GraftXGBRegressor()
+      .setLabelCol("y").setNumRounds(rounds).setMaxDepth(3).setSeed(11L)
+    val full = mk(4).fit(df)
+    val first = mk(2).fit(df)
+    val resumed = mk(2).setInitModel(first.inner.model).fit(df)
+    assert(resumed.inner.model.trees.length ===
+      full.inner.model.trees.length)
+    val pf = full.transform(df).select("prediction").collect()
+      .map(_.getDouble(0))
+    val pr = resumed.transform(df).select("prediction").collect()
+      .map(_.getDouble(0))
+    assert(pf.sameElements(pr),
+      "resumed facade model must equal the one-shot model bit-for-bit")
+  }
+
+  test("setInitModel warm start through the gblinear facade " +
+      "continues from the given weights") {
+    def mk(rounds: Int) = new GraftXGBLinear()
+      .setLabelCol("y").setNumRounds(rounds).setSeed(11L)
+    val full = mk(6).fit(df)
+    val first = mk(3).fit(df)
+    val resumed = mk(3).setInitModel(first.inner.model).fit(df)
+    assert(resumed.inner.model.weights.head.toSeq ===
+      full.inner.model.weights.head.toSeq)
+    assert(resumed.inner.model.bias.toSeq === full.inner.model.bias.toSeq)
+  }
 }
