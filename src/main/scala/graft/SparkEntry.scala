@@ -352,6 +352,21 @@ object SparkEntry {
       TextOps.unigramLogProbs(ld(s, dir, "documents"), "doc_id", "text",
         vocabSize = 30).orderBy("doc_id")),
 
+    // ---- text analysis: BPE tokenizer training (Sennrich 2016) +
+    //      corpus encoding — rows-only (the merge loop is inherently
+    //      sequential; no SQL replay), pinned instead by BpeSpec's
+    //      worked-example goldens and partition-invariance. One corpus
+    //      scan trains (word-count shuffle + bounded top-K), one
+    //      encodes (broadcast merges, zero shuffle) ----
+    "tx_bpe" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val model = TextOps.trainBpe(docs, "text", numMerges = 200,
+        maxWords = 20000)
+      TextOps.bpeTokenCounts(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: repetition metrics (Gopher-style filters) ----
     "tx_repetition" -> ((s, dir) => {
       val rep = TextOps.repetitionStats(col("text"))

@@ -572,6 +572,191 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /**
+   * A trained byte-pair-encoding tokenizer: the ranked merge table
+   * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+   * with Subword Units"). Driver-sized (numMerges entries),
+   * serializable — train once, encode many.
+   */
+  final case class BpeModel(merges: Seq[(String, String)])
+      extends Serializable {
+    @transient private lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    /** Greedy BPE encode of one word: start from characters plus the
+      * `</w>` end mark, repeatedly apply the LOWEST-ranked adjacent
+      * merge (all its occurrences, left to right) until none applies —
+      * the standard encode loop matching how the merges were learned. */
+    def encode(word: String): Array[String] = {
+      var syms: Array[String] =
+        word.map(_.toString).toArray :+ BpeEndMark
+      var continue = syms.length > 1 && ranks.nonEmpty
+      while (continue) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < bestRank) bestRank = r
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) continue = false
+        else {
+          val (a, b) = merges(bestRank)
+          val out = new scala.collection.mutable.ArrayBuffer[String](
+            syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.toArray
+          if (syms.length < 2) continue = false
+        }
+      }
+      syms
+    }
+  }
+
+  /** End-of-word marker (Sennrich's `</w>`): distinguishes "est" the
+    * suffix from "est" mid-word, and lets decode rejoin words. */
+  val BpeEndMark = "</w>"
+
+  /**
+   * Train a BPE merge table on a corpus — tokenizer training as a
+   * pipeline operator.
+   *
+   * Scale shape (the part that must survive 100 TB): the corpus is
+   * scanned ONCE — one token explode into one map-side-combined
+   * `groupBy(word).count()` shuffle — and cut to the top `maxWords`
+   * word types by (count DESC, word ASC) through a bounded
+   * orderBy+limit. Merge learning then runs on the DRIVER over that
+   * word-FREQUENCY table (≤ maxWords rows), which is exactly how
+   * production BPE trainers work (Sennrich 2016 operates on the word
+   * frequency dict, not the corpus): `numMerges` iterations of
+   * pair-count + merge over ≤ maxWords short symbol arrays, no
+   * re-scan per merge. Zipf means the top-64k word types cover the
+   * overwhelming mass of any natural corpus, so the frequency cut
+   * changes merges only in the noise tail.
+   *
+   * Determinism: counts are exact longs; the best pair ties break
+   * lexicographically on the pair, so the merge table replays
+   * bit-for-bit across runs/partitionings. Learning stops early when
+   * the best pair occurs < 2 times (merging singletons memorizes
+   * hapaxes). Tokenization matches [[tokens]] + lower-case (the
+   * unigram-LM convention).
+   */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int = 1000,
+      maxWords: Int = 65536): BpeModel = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    require(maxWords > 0, s"maxWords must be positive: $maxWords")
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] = counts.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ BpeEndMark, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, c) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pc(p) = pc.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        // max count, ties broken lexicographically on the pair — an
+        // arbitrary-but-fixed rule so the table is partition-invariant
+        val best = pc.foldLeft(("", "") -> -1L) {
+          case (acc @ (bp, bc), (p, c)) =>
+            if (c > bc || (c == bc && (p._1 < bp._1 ||
+              (p._1 == bp._1 && p._2 < bp._2)))) p -> c
+            else acc
+        }
+        if (best._2 < 2) done = true
+        else {
+          val (a, b) = best._1
+          merges += best._1
+          words = words.map { case (syms, c) =>
+            if (syms.length < 2) (syms, c)
+            else {
+              val out = new scala.collection.mutable.ArrayBuffer[String](
+                syms.length)
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == a &&
+                  syms(j + 1) == b) { out += a + b; j += 2 }
+                else { out += syms(j); j += 1 }
+              }
+              (out.toArray, c)
+            }
+          }
+        }
+      }
+      m += 1
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  /**
+   * Encode a corpus under a trained [[BpeModel]] and append
+   * `bpe_tokens` (BIGINT subword count per document) — the real-vocab
+   * replacement for the [[subwordCount]] regex estimate, and the
+   * pre-training cost signal sequence packing / mixture weighting
+   * consume.
+   *
+   * Scale shape: the merge table broadcasts inside the UDF closure;
+   * encoding is per-row local (zero shuffle, one scan) with a per-task
+   * word→length memo (Zipf again: a few thousand distinct words cover
+   * most tokens, so amortized cost per word is a hash probe).
+   */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    // the memo lives in the udf CLOSURE (serialized empty, fresh per
+    // task after deserialization, single-threaded within a task)
+    val cache = scala.collection.mutable.HashMap[String, Int]()
+    val enc = udf { s: String =>
+      if (s == null) 0L
+      else {
+        val t = s.replaceAll("^\\s+|\\s+$", "")
+        if (t.isEmpty) 0L
+        else {
+          var n = 0L
+          for (w <- t.split("\\s+")) {
+            val lw = w.toLowerCase
+            n += (if (cache.size < 100000)
+              cache.getOrElseUpdate(lw, model.encode(lw).length)
+            else model.encode(lw).length)
+          }
+          n
+        }
+      }
+    }
+    df.withColumn("bpe_tokens", enc(col(textCol)))
+  }
+
+  /** Persist a [[BpeModel]] as parquet (rank-ordered merge rows) —
+    * the same engine-readable sink convention as [[saveUnigramLM]]. */
+  def saveBpe(spark: SparkSession, model: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[BpeModel]] written by [[saveBpe]]. */
+  def loadBpe(spark: SparkSession, path: String): BpeModel =
+    BpeModel(spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
   /** Convenience: append the standard text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
