@@ -95,4 +95,138 @@ object GraftGridSearch {
     }
     Result(best._2, best._1, scored.map(_._1))
   }
+
+  /**
+   * Random search-space sampling — the `tune.run(config, num_samples=)`
+   * analog over the spaces the reference's Tune examples use
+   * (examples/simple_tune.py:45-47: `eta` loguniform, `subsample`
+   * uniform, `max_depth` randint). Deterministic in `seed`: the same
+   * call yields the same candidate list across runs, so a search is
+   * replayable. Ranges follow Tune's conventions: loguniform samples
+   * `exp(U(ln lo, ln hi))`, randint's upper bound is EXCLUSIVE.
+   */
+  def sample(base: TrainParams, numSamples: Int, seed: Long = 0L,
+      etaLogUniform: Option[(Double, Double)] = None,
+      subsampleUniform: Option[(Double, Double)] = None,
+      maxDepthRandInt: Option[(Int, Int)] = None,
+      lambdaLogUniform: Option[(Double, Double)] = None,
+      numRoundsRandInt: Option[(Int, Int)] = None): Seq[TrainParams] = {
+    require(numSamples > 0, s"numSamples must be positive: $numSamples")
+    etaLogUniform.foreach { case (lo, hi) => require(0 < lo && lo <= hi,
+      s"loguniform needs 0 < lo <= hi, got ($lo, $hi)") }
+    lambdaLogUniform.foreach { case (lo, hi) => require(0 < lo && lo <= hi,
+      s"loguniform needs 0 < lo <= hi, got ($lo, $hi)") }
+    subsampleUniform.foreach { case (lo, hi) => require(lo <= hi,
+      s"uniform needs lo <= hi, got ($lo, $hi)") }
+    maxDepthRandInt.foreach { case (lo, hi) => require(lo < hi,
+      s"randint needs lo < hi (exclusive upper), got ($lo, $hi)") }
+    numRoundsRandInt.foreach { case (lo, hi) => require(0 < lo && lo < hi,
+      s"randint needs 0 < lo < hi (exclusive upper), got ($lo, $hi)") }
+    val rng = new scala.util.Random(seed)
+    def logU(lo: Double, hi: Double): Double =
+      math.exp(math.log(lo) + rng.nextDouble() * (math.log(hi) - math.log(lo)))
+    (1 to numSamples).map { _ =>
+      // fixed draw order per sample keeps the stream stable when a
+      // space is added: each sample consumes the same number of draws
+      var p = base
+      etaLogUniform.foreach { case (lo, hi) => p = p.copy(eta = logU(lo, hi)) }
+      subsampleUniform.foreach { case (lo, hi) =>
+        p = p.copy(subsample = lo + rng.nextDouble() * (hi - lo)) }
+      maxDepthRandInt.foreach { case (lo, hi) =>
+        p = p.copy(maxDepth = lo + rng.nextInt(hi - lo)) }
+      lambdaLogUniform.foreach { case (lo, hi) =>
+        p = p.copy(lambda = logU(lo, hi)) }
+      numRoundsRandInt.foreach { case (lo, hi) =>
+        p = p.copy(numRounds = lo + rng.nextInt(hi - lo)) }
+      p
+    }
+  }
+
+  /**
+   * Successive halving — the ASHAScheduler-style early-stopping search
+   * the reference gets from Tune (tune.py's per-round `tune.report`
+   * stream exists exactly so a scheduler can kill bad trials early).
+   *
+   * Rung k trains every surviving candidate to `minRounds·reduction^k`
+   * total boosting rounds, scores on `valDf`, and keeps the best
+   * `ceil(m/reduction)`; the budget doubles (by `reduction`) until it
+   * reaches each candidate's own `numRounds`, which caps its training.
+   * Crucially, rungs CONTINUE training via the warm start
+   * (`initModel`) rather than retraining from scratch — resumed
+   * boosting is bit-identical to one-shot here (golden-tested), so a
+   * candidate that survives to its cap produces EXACTLY the model
+   * `fit` would have trained, while losers cost only their early
+   * rungs. Total work for n candidates is O(n·minRounds·reduction/
+   * (reduction−1)) instead of grid search's O(n·numRounds).
+   *
+   * Early stopping inside candidates is rejected (the rung schedule IS
+   * the early stopping); `evalsResult` histories concatenate across
+   * rungs on the returned winner.
+   */
+  def fitHalving(df: DataFrame, spec: DMatrixSpec,
+      grid: Seq[TrainParams], valDf: DataFrame, numWorkers: Int = 0,
+      minRounds: Int = 4, reduction: Int = 2,
+      onRound: (TrainParams, Int, Map[String, Double]) => Unit =
+        (_, _, _) => ()): Result = {
+    require(grid.nonEmpty, "empty parameter grid")
+    require(minRounds > 0, s"minRounds must be positive: $minRounds")
+    require(reduction > 1, s"reduction must be > 1: $reduction")
+    require(grid.forall(_.earlyStoppingRounds == 0),
+      "halving owns the stopping schedule — candidates must have " +
+        "earlyStoppingRounds == 0")
+    val customByName = grid.head.customMetrics.map(m => m.name -> m).toMap
+    // state per survivor: (params, rounds trained so far, last result)
+    final case class St(p: TrainParams, trained: Int,
+        res: TrainResult, score: Double)
+    def rank(metric: String, s: Double): Double =
+      if (Metrics.maximize(metric, customByName)) -s else s
+    def advance(p: TrainParams, prev: Option[St], upTo: Int): St = {
+      val metric = rankingMetric(p)
+      val add = upTo - prev.map(_.trained).getOrElse(0)
+      val res = GraftBoost.train(df, spec, p.copy(numRounds = add),
+        evals = Seq(("val", valDf)), numWorkers = numWorkers,
+        // the trainer reports GLOBAL round indices under a warm start
+        // (startRound offset from the init model's tree count), so the
+        // stream needs no re-offsetting here
+        callbacks = Seq(new TuneReportCallback((r, m) =>
+          onRound(p, r, m))),
+        initModel = prev.map(_.res.model))
+      val merged = prev match {
+        case Some(st) => res.copy(
+          roundsCompleted = st.res.roundsCompleted + res.roundsCompleted,
+          evalsResult = st.res.evalsResult.map { case (set, ms) =>
+            set -> ms.map { case (m, h) =>
+              m -> (h ++ res.evalsResult(set)(m))
+            }
+          })
+        case None => res
+      }
+      St(p, upTo, merged, merged.evalsResult("val")(metric).last)
+    }
+    var budget = minRounds
+    var survivors: Seq[St] =
+      grid.map(p => advance(p, None, math.min(budget, p.numRounds)))
+    val history = scala.collection.mutable.ArrayBuffer[Trial]()
+    def trialOf(s: St) = Trial(s.p, rankingMetric(s.p), s.score)
+    while (survivors.size > 1 &&
+      survivors.exists(s => s.trained < s.p.numRounds)) {
+      val keep = math.max(1,
+        (survivors.size + reduction - 1) / reduction)
+      val ranked = survivors.sortBy(s => rank(rankingMetric(s.p), s.score))
+      history ++= ranked.drop(keep).map(trialOf) // eliminated this rung
+      budget *= reduction
+      survivors = ranked.take(keep).map { s =>
+        val cap = math.min(budget, s.p.numRounds)
+        if (cap > s.trained) advance(s.p, Some(s), cap) else s
+      }
+    }
+    // train any remaining survivor out to its full budget
+    survivors = survivors.map { s =>
+      if (s.trained < s.p.numRounds) advance(s.p, Some(s), s.p.numRounds)
+      else s
+    }
+    val best = survivors.minBy(s => rank(rankingMetric(s.p), s.score))
+    history ++= survivors.map(trialOf)
+    Result(best.res, trialOf(best), history.toSeq)
+  }
 }

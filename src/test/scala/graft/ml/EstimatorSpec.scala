@@ -175,6 +175,65 @@ class EstimatorSpec extends SparkTestBase {
       bestTrialRes.evalsResult("val")("rmse").last + 1e-12)
   }
 
+  test("GraftGridSearch.sample draws deterministic Tune-style spaces " +
+      "(loguniform eta, uniform subsample, randint maxDepth)") {
+    import graft.learner.TrainParams
+    val base = TrainParams(objective = "reg:squarederror", numRounds = 5)
+    def draw() = GraftGridSearch.sample(base, 20, seed = 42,
+      etaLogUniform = Some((1e-4, 1e-1)),
+      subsampleUniform = Some((0.5, 1.0)),
+      maxDepthRandInt = Some((1, 9)))
+    val a = draw(); val b = draw()
+    assert(a.map(_.eta) === b.map(_.eta), "same seed, same candidates")
+    assert(a.map(_.maxDepth) === b.map(_.maxDepth))
+    assert(a.forall(p => p.eta >= 1e-4 && p.eta <= 1e-1))
+    assert(a.forall(p => p.subsample >= 0.5 && p.subsample <= 1.0))
+    assert(a.forall(p => p.maxDepth >= 1 && p.maxDepth <= 8),
+      "randint upper bound is exclusive")
+    assert(a.map(_.maxDepth).distinct.size > 1, "spaces actually vary")
+    // log-uniform: spread covers more than one decade across 20 draws
+    assert(a.map(_.eta).max / a.map(_.eta).min > 10.0)
+    val e = intercept[IllegalArgumentException] {
+      GraftGridSearch.sample(base, 3, etaLogUniform = Some((0.0, 0.1)))
+    }
+    assert(e.getMessage.contains("loguniform"))
+  }
+
+  test("fitHalving keeps the strong candidate, stops losers early, " +
+      "and the winner's model equals one-shot training bit-for-bit") {
+    import graft.data.DMatrixSpec
+    import graft.learner.TrainParams
+    val df = binaryDf.withColumn("y", $"a" * 3 + $"b").drop("label")
+    val Array(tr, va) = df.randomSplit(Array(0.7, 0.3), seed = 11)
+    val good = TrainParams(objective = "reg:squarederror",
+      numRounds = 16, maxDepth = 3, eta = 0.3, seed = 1)
+    val bad = good.copy(eta = 1e-4)
+    var maxRoundSeen = Map[Double, Int]()
+    val res = GraftGridSearch.fitHalving(tr, DMatrixSpec("y"),
+      Seq(bad, good), va, minRounds = 4, reduction = 2,
+      onRound = (p, r, _) => maxRoundSeen = maxRoundSeen.updated(
+        p.eta, math.max(maxRoundSeen.getOrElse(p.eta, 0), r)))
+    assert(res.bestParams.eta === 0.3)
+    // the loser was eliminated after the first rung (rounds 0..3);
+    // round indices are global (warm-started rungs continue counting)
+    assert(maxRoundSeen(1e-4) === 3, maxRoundSeen.toString)
+    assert(maxRoundSeen(0.3) === 15)
+    // warm-started rungs reproduce one-shot training exactly
+    val oneShot = graft.api.GraftBoost.train(tr, DMatrixSpec("y"),
+      good, evals = Seq(("val", va)))
+    assert(res.bestResult.model.trees.length ===
+      oneShot.model.trees.length)
+    val probe = Array(0.3f, 0.7f)
+    assert(res.bestResult.model.margins(probe).toSeq ===
+      oneShot.model.margins(probe).toSeq)
+    // metric history concatenates across rungs to the full budget
+    assert(res.bestResult.evalsResult("val")("rmse").size === 16)
+    assert(res.bestResult.evalsResult("val")("rmse").toSeq ===
+      oneShot.evalsResult("val")("rmse").toSeq)
+    // both candidates appear in the trial history
+    assert(res.trials.map(_.params.eta).toSet === Set(1e-4, 0.3))
+  }
+
   test("TuneReportCallback streams per-round metrics and checkpoints " +
       "mid-trial (tune.py TuneReportCheckpointCallback analog)") {
     import graft.api.GraftBoost
