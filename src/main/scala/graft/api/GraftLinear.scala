@@ -416,9 +416,19 @@ object GraftLinear {
       flat(d * k + c) = model.bias(c)
     }
     val numClass = if (k <= 1) 0 else k
+    // per-objective param block names follow xgboost's LoadConfig
+    // lookups (same table as the tree exporter): count:poisson reads
+    // poisson_regression_param, reg:tweedie tweedie_regression_param —
+    // values are xgboost's defaults since the fitted model does not
+    // carry them (review r9: reg_loss_param for count:* failed stock
+    // load)
     val objParam = model.objective match {
       case o if o.startsWith("multi:") =>
         s""""softmax_multiclass_param":{"num_class":"$numClass"}"""
+      case o if o.startsWith("count:") =>
+        """"poisson_regression_param":{"max_delta_step":"0.7"}"""
+      case "reg:tweedie" =>
+        """"tweedie_regression_param":{"tweedie_variance_power":"1.5"}"""
       case _ => """"reg_loss_param":{"scale_pos_weight":"1"}"""
     }
     s"""{"learner":{"attributes":{},"feature_names":[],""" +
@@ -446,14 +456,23 @@ object GraftLinear {
   def fromXgbJson(json: String): LinearModel = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(json)
-    val learner = root.get("learner")
-    require(learner != null, "not an xgboost JSON model: no 'learner'")
-    val gbooster = learner.get("gradient_booster")
-    val name = gbooster.get("name").asText()
+    def reqNode(n: com.fasterxml.jackson.databind.JsonNode,
+        what: String): com.fasterxml.jackson.databind.JsonNode = {
+      require(n != null, s"not an xgboost JSON model: missing '$what'")
+      n
+    }
+    val learner = reqNode(root.get("learner"), "learner")
+    val gbooster =
+      reqNode(learner.get("gradient_booster"), "gradient_booster")
+    val name =
+      reqNode(gbooster.get("name"), "gradient_booster.name").asText()
     require(name == "gblinear",
       s"booster '$name' carries trees — import it with " +
         "GraftModel.fromXgbJson (this is the gblinear importer)")
-    val lmp = learner.get("learner_model_param")
+    val lmp =
+      reqNode(learner.get("learner_model_param"), "learner_model_param")
+    reqNode(learner.get("objective"), "objective")
+    reqNode(gbooster.get("model"), "model")
     val d = lmp.get("num_feature").asText().toInt
     val numClass = lmp.get("num_class").asText().toInt
     val k = math.max(numClass, 1)

@@ -318,16 +318,28 @@ object Metrics {
   private val Buckets = 4096
 
   /** Bucketed rank-sum AUC: one treeAggregate over (score, label, w). */
-  private def auc(rows: RDD[(Array[Float], Float, Float)],
-      obj: Objective): Double = {
-    // score = probability of / margin for the positive class
-    val hist = rows.treeAggregate(
+  /** True when `obj.transform`'s positive-class score is ALREADY a
+    * probability in [0,1]. The score→bucket mapping must be a single
+    * MONOTONE function decided per OBJECTIVE, not per row — a per-row
+    * "identity inside [0,1], sigmoid outside" rule (review r9) is
+    * non-monotone across the boundary (sigmoid(1.2)=0.77 < 0.9) and
+    * mis-ranks pairs that straddle it. Unbounded scores (raw margins,
+    * regression outputs, rank scores) all sigmoid-squash instead:
+    * monotone, so ranking metrics are unaffected by the squash. */
+  private def probOutput(obj: Objective): Boolean =
+    obj.name == "binary:logistic" || obj.name == "multi:softprob"
+
+  /** One-pass bucketed (positive, negative) score histogram shared by
+    * [[auc]] and [[aucpr]]. */
+  private def scoreHistogram(rows: RDD[(Array[Float], Float, Float)],
+      obj: Objective): (Array[Double], Array[Double]) = {
+    val isProb = probOutput(obj)
+    rows.treeAggregate(
       (new Array[Double](Buckets), new Array[Double](Buckets)))(
       seqOp = { case ((pos, neg), (m, y, wt)) =>
         val t = obj.transform(m)
         val s = if (t.length > 1) t(t.length - 1) else t(0)
-        // margins are unbounded for rank objectives — squash to (0,1)
-        val p = if (s >= 0f && s <= 1f) s.toDouble
+        val p = if (isProb) math.min(math.max(s.toDouble, 0.0), 1.0)
           else 1.0 / (1.0 + math.exp(-s))
         val b = math.min((p * Buckets).toInt, Buckets - 1)
         if (y > 0.5f) pos(b) += wt else neg(b) += wt
@@ -338,7 +350,11 @@ object Metrics {
         while (i < Buckets) { p1(i) += p2(i); n1(i) += n2(i); i += 1 }
         (p1, n1)
       })
-    val (pos, neg) = hist
+  }
+
+  private def auc(rows: RDD[(Array[Float], Float, Float)],
+      obj: Objective): Double = {
+    val (pos, neg) = scoreHistogram(rows, obj)
     var negBelow = 0.0; var rankSum = 0.0; var p = 0.0; var n = 0.0
     var i = 0
     while (i < Buckets) {
@@ -357,23 +373,7 @@ object Metrics {
     * interpolation error identically to auc's tie handling. */
   private def aucpr(rows: RDD[(Array[Float], Float, Float)],
       obj: Objective): Double = {
-    val hist = rows.treeAggregate(
-      (new Array[Double](Buckets), new Array[Double](Buckets)))(
-      seqOp = { case ((pos, neg), (m, y, wt)) =>
-        val t = obj.transform(m)
-        val s = if (t.length > 1) t(t.length - 1) else t(0)
-        val p = if (s >= 0f && s <= 1f) s.toDouble
-          else 1.0 / (1.0 + math.exp(-s))
-        val b = math.min((p * Buckets).toInt, Buckets - 1)
-        if (y > 0.5f) pos(b) += wt else neg(b) += wt
-        (pos, neg)
-      },
-      combOp = { case ((p1, n1), (p2, n2)) =>
-        var i = 0
-        while (i < Buckets) { p1(i) += p2(i); n1(i) += n2(i); i += 1 }
-        (p1, n1)
-      })
-    val (pos, neg) = hist
+    val (pos, neg) = scoreHistogram(rows, obj)
     val totalPos = pos.sum
     if (totalPos == 0) return 0.0
     var tp = 0.0; var fp = 0.0

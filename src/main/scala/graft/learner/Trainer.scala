@@ -783,6 +783,20 @@ object Trainer {
       require(m.trees.length % (k * p.numParallelTree) == 0,
         s"init model has ${m.trees.length} trees, not a multiple of " +
           s"numOutputs*numParallelTree = ${k * p.numParallelTree}")
+      // shape compatibility (review r9): a single-output objective makes
+      // the multiple-of check above vacuous (k = 1 divides everything),
+      // so a multiclass init model would silently fold every class tree
+      // into one margin, and a wider init model would AIOOBE on the
+      // executor at bins(feature(i)). Objective NAME is deliberately
+      // not compared — xgboost's xgb_model semantics allow continuing
+      // raw margins under a different objective.
+      require(m.numOutputs == k,
+        s"init model has ${m.numOutputs} output(s) per round, the " +
+          s"objective ${obj.name} trains $k — resume with a matching " +
+          "objective/numClass")
+      require(m.numFeatures == bins.numFeatures,
+        s"init model was trained on ${m.numFeatures} feature(s), this " +
+          s"data has ${bins.numFeatures}")
       // xgboost-JSON imports carry a -1 sentinel in thresholdBin (the
       // JSON has no bin-space thresholds); continued training folds the
       // init model in via BINNED traversal, which would misroute — an

@@ -861,6 +861,11 @@ final class GraftModel(
     val objParam = objective match {
       case o if o.startsWith("multi:") =>
         s""""softmax_multiclass_param":{"num_class":"$numClass"}"""
+      // tweedie before the generic reg:* arm — its LoadConfig reads
+      // tweedie_regression_param (value is xgboost's default; the
+      // fitted model does not carry the training-time ρ)
+      case "reg:tweedie" =>
+        """"tweedie_regression_param":{"tweedie_variance_power":"1.5"}"""
       case o if o.startsWith("reg:") || o.startsWith("binary:") =>
         """"reg_loss_param":{"scale_pos_weight":"1"}"""
       case o if o.startsWith("rank:") =>
@@ -1002,11 +1007,18 @@ object GraftModel {
    */
   def fromXgbJson(json: String): GraftModel = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    // structural fail-fast: a truncated / UBJSON-mislabeled file must
+    // produce a diagnosable error, not an NPE mid-parse
+    def reqNode(n: JsonNode, what: String): JsonNode = {
+      require(n != null, s"not an xgboost JSON model: missing '$what'")
+      n
+    }
     val root = new ObjectMapper().readTree(json)
-    val learner = root.get("learner")
-    require(learner != null, "not an xgboost JSON model: no 'learner'")
-    val gbooster = learner.get("gradient_booster")
-    val boosterName = gbooster.get("name").asText()
+    val learner = reqNode(root.get("learner"), "learner")
+    val gbooster =
+      reqNode(learner.get("gradient_booster"), "gradient_booster")
+    val boosterName = reqNode(gbooster.get("name"),
+      "gradient_booster.name").asText()
     require(boosterName != "gblinear",
       "gblinear models carry coefficients, not trees — import is " +
         "tree-booster only (gbtree | dart)")
@@ -1031,7 +1043,11 @@ object GraftModel {
         (descendToTrees(gbooster), Option(wd))
       } else (descendToTrees(gbooster.get("model")), None)
     require(model != null, "no tree model found in xgboost JSON")
-    val lmp = learner.get("learner_model_param")
+    reqNode(model.get("gbtree_model_param"), "gbtree_model_param")
+    reqNode(model.get("trees"), "trees")
+    val lmp =
+      reqNode(learner.get("learner_model_param"), "learner_model_param")
+    reqNode(learner.get("objective"), "objective")
     require(!lmp.has("num_target") ||
       lmp.get("num_target").asText().toInt <= 1,
       "multi-target learners are not supported")

@@ -123,21 +123,28 @@ object GraftGridSearch {
     numRoundsRandInt.foreach { case (lo, hi) => require(0 < lo && lo < hi,
       s"randint needs 0 < lo < hi (exclusive upper), got ($lo, $hi)") }
     val rng = new scala.util.Random(seed)
-    def logU(lo: Double, hi: Double): Double =
-      math.exp(math.log(lo) + rng.nextDouble() * (math.log(hi) - math.log(lo)))
+    def logU(lo: Double, hi: Double, u: Double): Double =
+      math.exp(math.log(lo) + u * (math.log(hi) - math.log(lo)))
     (1 to numSamples).map { _ =>
-      // fixed draw order per sample keeps the stream stable when a
-      // space is added: each sample consumes the same number of draws
+      // every sample consumes ONE uniform draw per space SLOT,
+      // unconditionally — adding or removing a space changes only that
+      // space's values, never the draws (and thus the candidates) of
+      // the others (review r9: conditional draws shifted the whole
+      // stream when a space was added, breaking seeded replay)
+      val uEta = rng.nextDouble(); val uSub = rng.nextDouble()
+      val uDepth = rng.nextDouble(); val uLambda = rng.nextDouble()
+      val uRounds = rng.nextDouble()
       var p = base
-      etaLogUniform.foreach { case (lo, hi) => p = p.copy(eta = logU(lo, hi)) }
+      etaLogUniform.foreach { case (lo, hi) =>
+        p = p.copy(eta = logU(lo, hi, uEta)) }
       subsampleUniform.foreach { case (lo, hi) =>
-        p = p.copy(subsample = lo + rng.nextDouble() * (hi - lo)) }
+        p = p.copy(subsample = lo + uSub * (hi - lo)) }
       maxDepthRandInt.foreach { case (lo, hi) =>
-        p = p.copy(maxDepth = lo + rng.nextInt(hi - lo)) }
+        p = p.copy(maxDepth = lo + (uDepth * (hi - lo)).toInt) }
       lambdaLogUniform.foreach { case (lo, hi) =>
-        p = p.copy(lambda = logU(lo, hi)) }
+        p = p.copy(lambda = logU(lo, hi, uLambda)) }
       numRoundsRandInt.foreach { case (lo, hi) =>
-        p = p.copy(numRounds = lo + rng.nextInt(hi - lo)) }
+        p = p.copy(numRounds = lo + (uRounds * (hi - lo)).toInt) }
       p
     }
   }

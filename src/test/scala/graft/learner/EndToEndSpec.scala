@@ -185,6 +185,31 @@ class EndToEndSpec extends SparkTestBase {
     assert(resumed.model.trees.length === 10)
     assert(resumed.model.dump() === full.model.dump(),
       "resumed model diverged from uninterrupted training")
+
+    // shape fail-fasts (review r9): a single-output objective makes the
+    // trees-multiple check vacuous, so class/feature mismatches need
+    // their own guards instead of silent margin corruption / AIOOBE
+    val rng2 = new scala.util.Random(31)
+    val tri = (1 to 150).map { _ =>
+      val a = rng2.nextDouble(); (a, rng2.nextDouble(),
+        if (a > 0.6) 2.0 else if (a > 0.3) 1.0 else 0.0)
+    }.toDF("x0", "x1", "y")
+    val multi = GraftBoost.train(tri, DMatrixSpec("y"),
+      TrainParams(objective = "multi:softprob", numClass = 3,
+        numRounds = 2, maxDepth = 2, seed = 1)).model
+    val eClass = intercept[IllegalArgumentException] {
+      GraftBoost.train(df, DMatrixSpec("y"),
+        p.copy(numRounds = 2), initModel = Some(multi))
+    }
+    assert(eClass.getMessage.contains("output"))
+    val wide = df.withColumn("x2", $"x0" * 2)
+    val wideModel = GraftBoost.train(wide, DMatrixSpec("y"),
+      p.copy(numRounds = 2)).model
+    val eWidth = intercept[IllegalArgumentException] {
+      GraftBoost.train(df, DMatrixSpec("y"),
+        p.copy(numRounds = 2), initModel = Some(wideModel))
+    }
+    assert(eWidth.getMessage.contains("feature"))
   }
 
   test("custom objective parity: custom squared-error == builtin (E6, " +

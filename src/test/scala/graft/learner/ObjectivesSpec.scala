@@ -307,5 +307,12 @@ class ObjectivesSpec extends SparkTestBase {
     assert(pr(Seq((0.9f, 0f), (0.1f, 0f))) === 0.0) // no positives
     assert(Metrics.maximize("aucpr"))
     assert(!Metrics.maximize("rmsle"))
+    // monotone score mapping across the [0,1] boundary (review r9): a
+    // correctly-ranked pair straddling 1.0 must score a perfect area —
+    // the old per-row identity-inside/sigmoid-outside rule inverted it
+    assert(math.abs(pr(Seq((1.2f, 1f), (0.9f, 0f))) - 1.0) < 1e-12,
+      "pos margin 1.2 must outrank neg margin 0.9")
+    assert(math.abs(pr(Seq((0.3f, 1f), (-0.2f, 0f))) - 1.0) < 1e-12,
+      "pos margin 0.3 must outrank neg margin -0.2")
   }
 }

@@ -221,6 +221,16 @@ class XgbJsonImportSpec extends SparkTestBase {
       GraftModel.fromXgbJson(handJson(objective = "survival:cox"))
     }
     assert(e4.getMessage.contains("survival:cox"))
+    // structurally malformed JSON fails with a diagnosable message,
+    // not an NPE (review r9)
+    val e5 = intercept[IllegalArgumentException] {
+      GraftModel.fromXgbJson("""{"learner":{}}""")
+    }
+    assert(e5.getMessage.contains("gradient_booster"))
+    val e6 = intercept[IllegalArgumentException] {
+      graft.api.GraftLinear.fromXgbJson("""{"learner":{}}""")
+    }
+    assert(e6.getMessage.contains("gradient_booster"))
   }
 
   test("continued training from an imported model fails fast " +

@@ -197,6 +197,16 @@ class EstimatorSpec extends SparkTestBase {
       GraftGridSearch.sample(base, 3, etaLogUniform = Some((0.0, 0.1)))
     }
     assert(e.getMessage.contains("loguniform"))
+    // stream stability (review r9): adding a space must not change the
+    // draws of the existing spaces — one draw per slot, unconditionally
+    val withLambda = GraftGridSearch.sample(base, 20, seed = 42,
+      etaLogUniform = Some((1e-4, 1e-1)),
+      subsampleUniform = Some((0.5, 1.0)),
+      maxDepthRandInt = Some((1, 9)),
+      lambdaLogUniform = Some((0.1, 10.0)))
+    assert(withLambda.map(_.eta) === a.map(_.eta),
+      "adding the lambda space must not shift eta draws")
+    assert(withLambda.map(_.maxDepth) === a.map(_.maxDepth))
   }
 
   test("fitHalving keeps the strong candidate, stops losers early, " +
