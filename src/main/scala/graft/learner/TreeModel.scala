@@ -1168,4 +1168,24 @@ object GraftModel {
     fromXgbJson(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
+
+  /**
+   * Feature names recorded in an xgboost JSON model (`feature_names`),
+   * empty when the model was trained on unnamed arrays. An imported
+   * model addresses features by INDEX, so when names are present the
+   * caller should order the scoring columns to match:
+   * `DMatrixSpec(featureCols = Some(GraftModel.xgbFeatureNames(json)))`
+   * — otherwise a DataFrame whose column order differs from the
+   * training frame mis-scores silently (the same hazard stock
+   * xgboost's validate_features guards).
+   */
+  def xgbFeatureNames(json: String): Seq[String] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    val learner = root.get("learner")
+    require(learner != null, "not an xgboost JSON model: missing 'learner'")
+    val names = learner.get("feature_names")
+    if (names == null) Nil
+    else (0 until names.size()).map(names.get(_).asText())
+  }
 }

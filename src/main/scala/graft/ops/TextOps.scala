@@ -622,6 +622,17 @@ object TextOps {
     * suffix from "est" mid-word, and lets decode rejoin words. */
   val BpeEndMark = "</w>"
 
+  /** Inverse of per-word [[BpeModel.encode]] over a token stream:
+    * concatenate subwords and split words on the end mark. Lossless up
+    * to the encoder's normalization (trim/lower/whitespace collapse):
+    * `decodeBpe(words.flatMap(encode))` == `words.mkString(" ")`. */
+  def decodeBpe(tokens: Seq[String]): String = {
+    val joined = tokens.mkString("")
+    // a trailing end mark yields a trailing empty split — drop it
+    joined.split(java.util.regex.Pattern.quote(BpeEndMark), -1)
+      .iterator.filter(_.nonEmpty).mkString(" ")
+  }
+
   /**
    * Train a BPE merge table on a corpus — tokenizer training as a
    * pipeline operator.
@@ -741,6 +752,33 @@ object TextOps {
       }
     }
     df.withColumn("bpe_tokens", enc(col(textCol)))
+  }
+
+  /**
+   * Encode a corpus to its BPE subword sequences — like
+   * [[bpeTokenCounts]] but appending the `bpe_seq` array<string>
+   * column itself (the input sequence packing / n-gram analysis over
+   * SUBWORDS consumes). Same scale shape: broadcast merges, per-task
+   * memo, zero shuffle; prefer [[bpeTokenCounts]] when only the count
+   * matters (the array column is corpus-sized).
+   */
+  def bpeTokens(df: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val cache = scala.collection.mutable.HashMap[String, Array[String]]()
+    val enc = udf { s: String =>
+      if (s == null) Array.empty[String]
+      else {
+        val t = s.replaceAll("^\\s+|\\s+$", "")
+        if (t.isEmpty) Array.empty[String]
+        else t.split("\\s+").flatMap { w =>
+          val lw = w.toLowerCase
+          if (cache.size < 100000)
+            cache.getOrElseUpdate(lw, model.encode(lw))
+          else model.encode(lw)
+        }
+      }
+    }
+    df.withColumn("bpe_seq", enc(col(textCol)))
   }
 
   /** Persist a [[BpeModel]] as parquet (rank-ordered merge rows) —

@@ -249,6 +249,18 @@ class XgbJsonImportSpec extends SparkTestBase {
     assert(e.getMessage.contains("inference-only"))
   }
 
+  test("xgbFeatureNames parses recorded names (empty when unnamed) " +
+      "so callers can order scoring columns by model index") {
+    val m = trainModel("reg:squarederror", rounds = 2, depth = 2)
+    // this engine's export records no names (unnamed-array training)
+    assert(GraftModel.xgbFeatureNames(m.toXgbJson) === Nil)
+    // stock models trained on named frames carry them
+    val named = m.toXgbJson.replaceFirst(
+      """"feature_names":\[\]""",
+      """"feature_names":["price","qty"]""")
+    assert(GraftModel.xgbFeatureNames(named) === Seq("price", "qty"))
+  }
+
   test("file round-trip: saveXgbJson -> loadXgbJson") {
     val m = trainModel("binary:logistic", rounds = 3, depth = 3)
     val dir = java.nio.file.Files.createTempDirectory("xgbimp")

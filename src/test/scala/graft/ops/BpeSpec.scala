@@ -84,6 +84,20 @@ class BpeSpec extends SparkTestBase {
     assert(m.merges.head === ("e", "s"))
   }
 
+  test("bpeTokens emits the subword sequence and decodeBpe inverts " +
+      "it up to normalization") {
+    val m = TextOps.trainBpe(sennrichCorpus(2), "text", numMerges = 5)
+    val docs = Seq((1L, "  Low  lowest "), (2L, ""))
+      .toDF("id", "text")
+    val rows = TextOps.bpeTokens(docs, "id", "text", m)
+      .select("id", "bpe_seq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) === Seq("low", "</w>", "low", "est</w>"))
+    assert(rows(2L) === Seq.empty)
+    assert(TextOps.decodeBpe(rows(1L)) === "low lowest")
+    assert(TextOps.decodeBpe(Nil) === "")
+  }
+
   test("save/load round-trips the ranked merge table") {
     val m = TextOps.trainBpe(sennrichCorpus(2), "text", numMerges = 5)
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
