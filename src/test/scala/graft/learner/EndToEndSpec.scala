@@ -212,6 +212,48 @@ class EndToEndSpec extends SparkTestBase {
     assert(eWidth.getMessage.contains("feature"))
   }
 
+  test("boost from prediction: training on the first model's margins " +
+      "as base_margin grows the SAME trees as continued training " +
+      "(test_sklearn.py test_boost_from_prediction_* semantics)") {
+    val rng = new scala.util.Random(41)
+    val rows = (1 to 400).map { _ =>
+      val x0 = rng.nextDouble() * 10; val x1 = rng.nextDouble() * 10
+      (x0, x1, if (x0 + x1 > 10) 1 else 0)
+    }
+    val df = rows.toDF("x0", "x1", "y").repartition(4)
+    val p = TrainParams(objective = "binary:logistic", numRounds = 4,
+      maxDepth = 3, seed = 9)
+    val first = GraftBoost.train(df, DMatrixSpec("y"), p).model
+
+    // path A: continued training (warm start folds margins in)
+    val contA = GraftBoost.train(df, DMatrixSpec("y"), p,
+      initModel = Some(first)).model
+
+    // path B: the first model's raw margins ride as base_margin
+    val withMargin = GraftBoost.predict(first, df, DMatrixSpec("y"),
+      outputMargin = true)
+      .withColumnRenamed("prediction", "bm")
+    val specB = DMatrixSpec(labelCol = Seq("y"),
+      baseMarginCol = Some("bm"), ignore = Seq("bm"))
+    val contB = GraftBoost.train(withMargin, specB, p).model
+
+    // the gradients agree, so the NEW trees must be identical
+    val newA = contA.trees.drop(first.trees.length)
+    assert(newA.length === contB.trees.length)
+    for ((ta, tb) <- newA.zip(contB.trees); i <- 0 until ta.numNodes) {
+      assert(ta.feature(i) === tb.feature(i))
+      assert(ta.value(i) === tb.value(i), s"node $i value")
+      if (ta.feature(i) >= 0)
+        assert(ta.threshold(i) === tb.threshold(i), s"node $i threshold")
+    }
+    // and composed scoring agrees: (A+B trees) == A margins + B@bm
+    val probe = Array(5.0f, 5.0f)
+    // marginsFrom(_, 0) = the B trees' sum alone (no init margin)
+    val composed = first.margins(probe).head +
+      contB.marginsFrom(probe, 0f).head
+    assert(math.abs(contA.margins(probe).head - composed) < 1e-5)
+  }
+
   test("custom objective parity: custom squared-error == builtin (E6, " +
       "test_xgboost_api.py:77-103 semantics)") {
     val rng = new scala.util.Random(29)

@@ -484,6 +484,35 @@ class MLInteropSpec extends SparkTestBase {
     assert(pa.sameElements(pb))
   }
 
+  test("stacking: a fitted facade model feeds its prediction as a " +
+      "feature to a meta-learner in one Pipeline " +
+      "(test_sklearn.py test_stacking_* semantics)") {
+    // a label the base features actually predict
+    val sdf = df.withColumn("yr", $"qty" * 3 + $"price" / 1000)
+    val base = new GraftXGBRegressor().setLabelCol("yr")
+      .setFeaturesCols(Array("qty", "price", "disc"))
+      .setNumRounds(4).setMaxDepth(3).setSeed(5L)
+    val baseModel = base.fit(sdf)
+    val withBase = baseModel.transform(sdf)
+      .withColumnRenamed("prediction", "base_pred")
+    // meta learner stacks the base prediction alongside one raw column
+    val meta = new GraftXGBRegressor().setLabelCol("yr")
+      .setFeaturesCols(Array("base_pred", "disc"))
+      .setNumRounds(4).setMaxDepth(2).setSeed(6L)
+    val metaModel = meta.fit(withBase)
+    val out = metaModel.transform(withBase)
+    assert(out.columns.count(_ == "prediction") === 1)
+    // the stack must beat the trivial constant predictor
+    val sse = out.select(
+      sum(pow($"yr" - $"prediction", 2))).collect()(0).getDouble(0)
+    val mean = out.agg(avg("yr")).collect()(0).getDouble(0)
+    val sst = out.select(sum(pow($"yr" - lit(mean), 2)))
+      .collect()(0).getDouble(0)
+    assert(sse < sst * 0.8, s"stacked R2 too low: sse=$sse sst=$sst")
+    // and the meta model consumed the declared columns, not residuals
+    assert(metaModel.inner.spec.featureCols === Some(Seq("base_pred", "disc")))
+  }
+
   test("setInitModel warm start through the tree facade: fit 2 then " +
       "resume 2 == fit 4 in one go (xgb_model= kwarg analog)") {
     def mk(rounds: Int) = new GraftXGBRegressor()
