@@ -19,7 +19,10 @@ class HarnessContractSpec extends SparkTestBase {
     "ml_rank" -> "learned multi-round model output",
     "sim_lsh_topk" -> "approximate ANN (recall gated by sim_recall_check)",
     "sim_ivf_topk" -> "approximate ANN (recall gated by sim_recall_check)",
-    "sim_recall_check" -> "the recall gate itself (self-referential)")
+    "sim_recall_check" -> "the recall gate itself (self-referential)",
+    "tx_bpe" -> ("iterative BPE merge learning has no SQL replay " +
+      "(inherently sequential); pinned by BpeSpec's worked-example " +
+      "merge-sequence goldens + partition invariance"))
 
   test("every query is oracle-paired or on the declared rows-only list") {
     val queries = SparkEntry.queries.keySet
