@@ -102,6 +102,42 @@ trait GraftMLParams extends Params {
     "dart normalization: tree or forest",
     ParamValidators.inArray(Array("tree", "forest")))
   final def getNormalizeType: String = $(normalizeType)
+  final val alpha = new DoubleParam(this, "alpha",
+    "L1 regularization on leaf weights (xgboost alpha)",
+    ParamValidators.gtEq(0.0))
+  final def getAlpha: Double = $(alpha)
+  final val gamma = new DoubleParam(this, "gamma",
+    "minimum split gain (xgboost gamma / min_split_loss)",
+    ParamValidators.gtEq(0.0))
+  final def getGamma: Double = $(gamma)
+  final val minChildWeight = new DoubleParam(this, "minChildWeight",
+    "minimum child hessian sum (xgboost min_child_weight)",
+    ParamValidators.gtEq(0.0))
+  final def getMinChildWeight: Double = $(minChildWeight)
+  final val colsampleBytree = new DoubleParam(this, "colsampleBytree",
+    "feature subsample per tree", ParamValidators.inRange(0.0, 1.0,
+      lowerInclusive = false, upperInclusive = true))
+  final def getColsampleBytree: Double = $(colsampleBytree)
+  final val colsampleBylevel = new DoubleParam(this, "colsampleBylevel",
+    "feature subsample per depth level", ParamValidators.inRange(0.0,
+      1.0, lowerInclusive = false, upperInclusive = true))
+  final def getColsampleBylevel: Double = $(colsampleBylevel)
+  final val colsampleBynode = new DoubleParam(this, "colsampleBynode",
+    "feature subsample per split", ParamValidators.inRange(0.0, 1.0,
+      lowerInclusive = false, upperInclusive = true))
+  final def getColsampleBynode: Double = $(colsampleBynode)
+  final val scalePosWeight = new DoubleParam(this, "scalePosWeight",
+    "positive-class gradient scale (xgboost scale_pos_weight)",
+    ParamValidators.gt(0.0))
+  final def getScalePosWeight: Double = $(scalePosWeight)
+  final val maxDeltaStep = new DoubleParam(this, "maxDeltaStep",
+    "cap on raw leaf weight, 0 = off (xgboost max_delta_step)",
+    ParamValidators.gtEq(0.0))
+  final def getMaxDeltaStep: Double = $(maxDeltaStep)
+  final val monotoneConstraints = new IntArrayParam(this,
+    "monotoneConstraints", "per-feature monotonicity (+1/0/-1), " +
+      "empty = unconstrained (xgboost monotone_constraints)")
+  final def getMonotoneConstraints: Array[Int] = $(monotoneConstraints)
 
   setDefault(labelCol -> "label", featuresCols -> Array.empty[String],
     numRounds -> 10, maxDepth -> 6, eta -> 0.3, lambda -> 1.0,
@@ -109,7 +145,11 @@ trait GraftMLParams extends Params {
     earlyStoppingRounds -> 0, evalMetric -> Array.empty[String],
     categoricalCols -> Array.empty[String], booster -> "gbtree",
     rateDrop -> 0.0, skipDrop -> 0.0, oneDrop -> false,
-    sampleType -> "uniform", normalizeType -> "tree")
+    sampleType -> "uniform", normalizeType -> "tree",
+    alpha -> 0.0, gamma -> 0.0, minChildWeight -> 1.0,
+    colsampleBytree -> 1.0, colsampleBylevel -> 1.0,
+    colsampleBynode -> 1.0, scalePosWeight -> 1.0,
+    maxDeltaStep -> 0.0, monotoneConstraints -> Array.empty[Int])
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setFeaturesCols(v: Array[String]): this.type = set(featuresCols, v)
@@ -132,6 +172,17 @@ trait GraftMLParams extends Params {
   def setOneDrop(v: Boolean): this.type = set(oneDrop, v)
   def setSampleType(v: String): this.type = set(sampleType, v)
   def setNormalizeType(v: String): this.type = set(normalizeType, v)
+  def setAlpha(v: Double): this.type = set(alpha, v)
+  def setGamma(v: Double): this.type = set(gamma, v)
+  def setMinChildWeight(v: Double): this.type = set(minChildWeight, v)
+  def setColsampleBytree(v: Double): this.type = set(colsampleBytree, v)
+  def setColsampleBylevel(v: Double): this.type =
+    set(colsampleBylevel, v)
+  def setColsampleBynode(v: Double): this.type = set(colsampleBynode, v)
+  def setScalePosWeight(v: Double): this.type = set(scalePosWeight, v)
+  def setMaxDeltaStep(v: Double): this.type = set(maxDeltaStep, v)
+  def setMonotoneConstraints(v: Array[Int]): this.type =
+    set(monotoneConstraints, v)
 
   private[ml] def mkTrainParams(objective: String): TrainParams =
     TrainParams(objective = objective, numClass = $(numClass),
@@ -141,7 +192,15 @@ trait GraftMLParams extends Params {
       evalMetric = $(evalMetric).toSeq,
       booster = $(booster), rateDrop = $(rateDrop),
       skipDrop = $(skipDrop), oneDrop = $(oneDrop),
-      sampleType = $(sampleType), normalizeType = $(normalizeType))
+      sampleType = $(sampleType), normalizeType = $(normalizeType),
+      alpha = $(alpha), gamma = $(gamma),
+      minChildWeight = $(minChildWeight),
+      colsampleByTree = $(colsampleBytree),
+      colsampleByLevel = $(colsampleBylevel),
+      colsampleByNode = $(colsampleBynode),
+      scalePosWeight = $(scalePosWeight),
+      maxDeltaStep = $(maxDeltaStep),
+      monotoneConstraints = $(monotoneConstraints).toSeq)
 
   private[ml] def mkSpec: DMatrixSpec = DMatrixSpec(
     labelCol = Seq($(labelCol)),
@@ -759,13 +818,8 @@ trait GraftXGBLinearParams extends GraftMLParams {
   final def getObjective: String = $(objective)
   setDefault(objective -> "reg:squarederror")
   def setObjective(v: String): this.type = set(objective, v)
-
-  final val alpha = new DoubleParam(this, "alpha",
-    "L1 regularization (gblinear soft-threshold)",
-    ParamValidators.gtEq(0.0))
-  final def getAlpha: Double = $(alpha)
-  setDefault(alpha -> 0.0)
-  def setAlpha(v: Double): this.type = set(alpha, v)
+  // `alpha` (L1) now lives on GraftMLParams — same TrainParams field,
+  // identical soft-threshold semantics for gblinear
 }
 
 class GraftXGBLinear(override val uid: String)

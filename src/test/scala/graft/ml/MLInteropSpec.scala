@@ -484,6 +484,43 @@ class MLInteropSpec extends SparkTestBase {
     assert(pa.sameElements(pb))
   }
 
+  test("full regularization Param surface reaches training and " +
+      "persists (alpha/gamma/minChildWeight/colsample*/" +
+      "scalePosWeight/maxDeltaStep/monotoneConstraints)") {
+    val est = new GraftXGBRegressor().setLabelCol("y")
+      .setNumRounds(3).setMaxDepth(3).setSeed(3L)
+      .setAlpha(0.5).setGamma(1.0).setMinChildWeight(2.0)
+      .setColsampleBytree(0.9).setColsampleBylevel(0.8)
+      .setColsampleBynode(0.7).setScalePosWeight(2.0)
+      .setMaxDeltaStep(0.7)
+      .setMonotoneConstraints(Array(1, 0, -1))
+    val p = est.mkTrainParams("reg:squarederror")
+    assert(p.alpha === 0.5 && p.gamma === 1.0 &&
+      p.minChildWeight === 2.0)
+    assert(p.colsampleByTree === 0.9 && p.colsampleByLevel === 0.8 &&
+      p.colsampleByNode === 0.7)
+    assert(p.scalePosWeight === 2.0 && p.maxDeltaStep === 0.7)
+    assert(p.monotoneConstraints === Seq(1, 0, -1))
+    // the constrained model fits and the constraint holds: prediction
+    // must be non-decreasing in qty (constraint +1 on feature 0)
+    val m = est.setMonotoneConstraints(Array(1, 0, 0)).fit(df)
+    val probe = spark.range(2).toDF("i")
+      .selectExpr("cast(10 + i * 30 as double) as qty",
+        "1000.0 as price", "0.05 as disc", "0.0 as y")
+    val preds = m.transform(probe).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(preds(0) <= preds(1) + 1e-9,
+      s"monotone +1 on qty violated: ${preds.toSeq}")
+    // params persist through the MLlib save/load path
+    val dir = java.nio.file.Files.createTempDirectory("mlparams")
+      .toString + "/m"
+    m.save(dir)
+    val loaded = GraftXGBRegressionModel.load(dir)
+    assert(loaded.getGamma === 1.0)
+    assert(loaded.getMonotoneConstraints.toSeq === Seq(1, 0, 0))
+    assert(loaded.getColsampleBynode === 0.7)
+  }
+
   test("stacking: a fitted facade model feeds its prediction as a " +
       "feature to a meta-learner in one Pipeline " +
       "(test_sklearn.py test_stacking_* semantics)") {
