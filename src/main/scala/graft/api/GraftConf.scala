@@ -43,6 +43,7 @@ object GraftConf {
     get("baseScore").foreach(v => p = p.copy(baseScore = v.toDouble))
     get("numParallelTree").foreach(v => p = p.copy(numParallelTree = v.toInt))
     get("aftSigma").foreach(v => p = p.copy(aftSigma = v.toDouble))
+    get("aftDistribution").foreach(v => p = p.copy(aftDistribution = v))
     get("tweedieVariancePower").foreach(v =>
       p = p.copy(tweedieVariancePower = v.toDouble))
     get("seed").foreach(v => p = p.copy(seed = v.toLong))

@@ -256,20 +256,32 @@ object Objectives {
   }
 
   /**
-   * survival:aft — accelerated-failure-time objective with a normal
-   * error distribution (the xgboost AFT default), consuming
-   * (label_lower_bound, label_upper_bound) interval labels
+   * survival:aft — accelerated-failure-time objective over the FULL
+   * xgboost distribution family (`aft_loss_distribution` = normal |
+   * logistic | extreme, with `aft_loss_distribution_scale` = sigma),
+   * consuming (label_lower_bound, label_upper_bound) interval labels
    * (reference: matrix.py:333-343 carries the bounds to xgb.DMatrix;
-   * the loss itself is the published AFT-in-XGBoost formulation).
+   * the loss itself is the published AFT-in-XGBoost formulation,
+   * Barnwal/Cho/Hocking 2020).
    *
    * Margin is in LOG-time; predictions are exp(margin) (time domain).
    * base_score is interpreted directly in the margin (log-time) domain.
-   * Uncensored rows (lower == upper == y) reduce at sigma=1 exactly to
-   * squared error on ln(y): z = ln(y) − m, grad = −z, hess = 1.
-   * Interval/right/left-censored rows use −ln(Φ(z_u) − Φ(z_l)).
+   * With z = (ln y − m)/σ and error density f:
+   *  - uncensored: loss = −ln f(z); grad = (f′/f)(z)/σ, hess =
+   *    −(f′/f)′(z)/σ² — normal reduces to the squared-error-on-ln(y)
+   *    pair (−z/σ, 1/σ²), logistic to ((1−2s)/σ, 2s(1−s)/σ²) with
+   *    s = sigmoid(z), extreme (Gumbel) to ((1−eᶻ)/σ, eᶻ/σ²).
+   *  - censored: loss = −ln(F(z_u) − F(z_l)); grad = (f(z_u) −
+   *    f(z_l))/(σ·d), hess = −(f′(z_u) − f′(z_l))/(σ²·d) + grad²
+   *    with d = F(z_u) − F(z_l).
+   * Extreme's eᶻ is evaluated with z capped at 30 so a wildly
+   * mis-predicted row yields a huge-but-finite hessian, not Inf/NaN.
    */
-  final class AftNormal(sigma: Double = 1.0) extends Objective {
+  final class Aft(dist: String = "normal", sigma: Double = 1.0)
+      extends Objective {
     require(sigma > 0, "aft sigma must be positive")
+    require(dist == "normal" || dist == "logistic" || dist == "extreme",
+      s"aft distribution must be normal|logistic|extreme, got '$dist'")
     val name = "survival:aft"
     val numOutputs = 1
     def initMargin(b: Double): Float = b.toFloat
@@ -279,14 +291,34 @@ object Objectives {
     def gradHess(m: Array[Float], y: Float, g: Array[Float],
         h: Array[Float]): Unit = gradHessBounds(m, y, y, g, h)
 
+    // z capped before exp so extreme's eᶻ stays finite
+    @inline private def ez(z: Double): Double = math.exp(math.min(z, 30.0))
+
     @inline private def pdf(z: Double): Double =
       if (z.isInfinite) 0.0
-      else math.exp(-0.5 * z * z) / math.sqrt(2.0 * math.Pi)
+      else dist match {
+        case "normal" => math.exp(-0.5 * z * z) / math.sqrt(2.0 * math.Pi)
+        case "logistic" => val s = 1.0 / (1.0 + math.exp(-z)); s * (1.0 - s)
+        case _ => val e = ez(z); e * math.exp(-e) // extreme (Gumbel)
+      }
     @inline private def cdf(z: Double): Double =
       if (z == Double.PositiveInfinity) 1.0
       else if (z == Double.NegativeInfinity) 0.0
-      else 0.5 * (1.0 + org.apache.commons.math3.special.Erf.erf(
-        z / math.sqrt(2.0)))
+      else dist match {
+        case "normal" => 0.5 * (1.0 +
+          org.apache.commons.math3.special.Erf.erf(z / math.sqrt(2.0)))
+        case "logistic" => 1.0 / (1.0 + math.exp(-z))
+        case _ => 1.0 - math.exp(-ez(z))
+      }
+    /** f′(z) (pdf derivative), 0 at ±∞ for all three families. */
+    @inline private def dpdf(z: Double): Double =
+      if (z.isInfinite) 0.0
+      else dist match {
+        case "normal" => -z * pdf(z)
+        case "logistic" =>
+          val s = 1.0 / (1.0 + math.exp(-z)); s * (1.0 - s) * (1.0 - 2.0 * s)
+        case _ => pdf(z) * (1.0 - ez(z))
+      }
 
     override def gradHessBounds(m: Array[Float], lower: Float,
         upper: Float, g: Array[Float], h: Array[Float]): Unit = {
@@ -295,19 +327,29 @@ object Objectives {
       val lnU = if (upper.isNaN || upper.isInfinite) Double.PositiveInfinity
         else if (upper > 0) math.log(upper.toDouble)
         else Double.NegativeInfinity
-      if (lnL == lnU) { // uncensored: −ln pdf(z), normal ⇒ 0.5 z²
+      if (lnL == lnU) { // uncensored: −ln f(z)
         val z = (lnL - m(0)) / sigma
-        g(0) = (-z / sigma).toFloat
-        h(0) = (1.0 / (sigma * sigma)).toFloat
-      } else {          // censored: −ln(Φ(z_u) − Φ(z_l))
+        dist match {
+          case "normal" =>
+            g(0) = (-z / sigma).toFloat
+            h(0) = (1.0 / (sigma * sigma)).toFloat
+          case "logistic" =>
+            val s = 1.0 / (1.0 + math.exp(-z))
+            g(0) = ((1.0 - 2.0 * s) / sigma).toFloat
+            h(0) = math.max(2.0 * s * (1.0 - s) / (sigma * sigma),
+              1e-16).toFloat
+          case _ =>
+            val e = ez(z)
+            g(0) = ((1.0 - e) / sigma).toFloat
+            h(0) = math.max(e / (sigma * sigma), 1e-16).toFloat
+        }
+      } else {          // censored: −ln(F(z_u) − F(z_l))
         val zU = (lnU - m(0)) / sigma
         val zL = (lnL - m(0)) / sigma
         val d = math.max(cdf(zU) - cdf(zL), 1e-15)
-        val pU = pdf(zU); val pL = pdf(zL)
-        val grad = (pU - pL) / (sigma * d)
-        val zpU = if (zU.isInfinite) 0.0 else zU * pU
-        val zpL = if (zL.isInfinite) 0.0 else zL * pL
-        val hess = (zpU - zpL) / (sigma * sigma * d) + grad * grad
+        val grad = (pdf(zU) - pdf(zL)) / (sigma * d)
+        val hess = -(dpdf(zU) - dpdf(zL)) / (sigma * sigma * d) +
+          grad * grad
         g(0) = grad.toFloat
         h(0) = math.max(hess, 1e-16).toFloat
       }
@@ -533,7 +575,7 @@ object Objectives {
     * (reference sklearn.py:511-515 `obj=` passthrough). */
   def resolve(p: TrainParams): Objective =
     p.customObjective.getOrElse(p.objective match {
-      case "survival:aft" => new AftNormal(p.aftSigma)
+      case "survival:aft" => new Aft(p.aftDistribution, p.aftSigma)
       case "count:poisson" =>
         // xgboost forces max_delta_step to 0.7 for Poisson when unset
         new Poisson(if (p.maxDeltaStep > 0) p.maxDeltaStep else 0.7)
@@ -553,7 +595,7 @@ object Objectives {
     case "rank:pairwise" => new PairwiseRank
     case "rank:ndcg" => new LambdaRankNdcg
     case "rank:map" => new LambdaRankMap
-    case "survival:aft" => new AftNormal()
+    case "survival:aft" => new Aft()
     case "count:poisson" => new Poisson()
     case "reg:gamma" => new GammaDeviance
     case "reg:tweedie" => new Tweedie() // transform is ρ-free (exp)

@@ -35,6 +35,9 @@ final case class TrainParams(
     /** survival:aft error-distribution scale (xgboost
       * aft_loss_distribution_scale). */
     aftSigma: Double = 1.0,
+    /** survival:aft error distribution (xgboost aft_loss_distribution):
+      * normal | logistic | extreme. */
+    aftDistribution: String = "normal",
     /** reg:tweedie variance power ρ ∈ (1,2) (xgboost
       * tweedie_variance_power): ρ→1 Poisson-like, ρ→2 gamma-like. */
     tweedieVariancePower: Double = 1.5,

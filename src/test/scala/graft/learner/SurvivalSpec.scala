@@ -105,6 +105,62 @@ class SurvivalSpec extends SparkTestBase {
       s"only $inLogBand/${pred.length} predictions near the interval")
   }
 
+  test("AFT logistic/extreme distributions: closed-form grad/hess " +
+      "(aft_loss_distribution analog)") {
+    import graft.learner.Objectives.Aft
+    val g = new Array[Float](1); val h = new Array[Float](1)
+    // logistic, uncensored, z = 0 (m = ln y): grad = 1−2s = 0,
+    // hess = 2·s(1−s)/σ² = 0.5
+    val lo = new Aft("logistic", 1.0)
+    lo.gradHessBounds(Array(0f), 1f, 1f, g, h)
+    assert(math.abs(g(0)) < 1e-7 && math.abs(h(0) - 0.5) < 1e-6)
+    // logistic, RIGHT-censored (upper = ∞): grad = −s(zL)/σ exactly
+    lo.gradHessBounds(Array(0f), math.E.toFloat, Float.NaN, g, h)
+    val s1 = 1.0 / (1.0 + math.exp(-1.0)) // zL = ln(e) − 0 = 1
+    assert(math.abs(g(0) + s1) < 1e-6, s"logistic right-censored ${g(0)}")
+    // extreme, uncensored, z = 0: grad = (1−e⁰)/σ = 0, hess = 1/σ²
+    val ex = new Aft("extreme", 1.0)
+    ex.gradHessBounds(Array(0f), 1f, 1f, g, h)
+    assert(math.abs(g(0)) < 1e-7 && math.abs(h(0) - 1.0) < 1e-6)
+    // extreme, RIGHT-censored: grad = −e^{zL}/σ exactly
+    ex.gradHessBounds(Array(0f), math.E.toFloat, Float.NaN, g, h)
+    assert(math.abs(g(0) + math.E) < 1e-5, s"extreme right-censored ${g(0)}")
+    // hessians stay positive/finite even for wildly mispredicted rows
+    ex.gradHessBounds(Array(-50f), 100f, 100f, g, h)
+    assert(h(0) > 0 && !h(0).isInfinite && !g(0).isNaN)
+    // unknown distribution fails fast
+    val e = intercept[IllegalArgumentException] { new Aft("weibull") }
+    assert(e.getMessage.contains("normal|logistic|extreme"))
+  }
+
+  test("AFT trains under each distribution and converges on " +
+      "uncensored data (aftDistribution param)") {
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 300).map { _ =>
+      val x = rng.nextDouble() * 5
+      val t = math.exp(0.5 * x + 0.1 * rng.nextGaussian())
+      (x, t, t)
+    }
+    val df = rows.toDF("x", "lo", "hi").repartition(3)
+    val spec = DMatrixSpec(labelCol = Nil, labelLowerCol = Some("lo"),
+      labelUpperCol = Some("hi"))
+    for (dist <- Seq("normal", "logistic", "extreme")) {
+      val res = GraftBoost.train(df, spec,
+        TrainParams(objective = "survival:aft", numRounds = 20,
+          maxDepth = 3, seed = 4, aftDistribution = dist,
+          evalMetric = Seq("rmse")))
+      // margins are log-time; compare exp(margin) to true median time
+      val preds = GraftBoost.predict(res.model, df, spec)
+        .select("x", "prediction").collect()
+      val sse = preds.map { r =>
+        val want = math.exp(0.5 * r.getDouble(0))
+        val got = r.getDouble(1)
+        val d = math.log(got) - math.log(want); d * d
+      }.sum / preds.length
+      assert(sse < 0.1, s"$dist: mean sq log error $sse")
+    }
+  }
+
   test("spark.graft.* conf overlays TrainParams (C13)") {
     val keys = Seq("numRounds" -> "17", "eta" -> "0.05",
       "objective" -> "binary:logistic", "evalMetric" -> "auc,logloss",
