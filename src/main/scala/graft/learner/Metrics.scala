@@ -195,6 +195,7 @@ object Metrics {
     case "reg:tweedie" => "tweedie-nloglik@1.5"
     case "reg:pseudohubererror" => "mphe"
     case "reg:quantileerror" => "quantile@0.5"
+    case "survival:aft" => "aft-nloglik"
     case _ => "rmse"
   }
 
@@ -213,13 +214,54 @@ object Metrics {
   def maximize(name: String,
       custom: Map[String, CustomMetric] = Map.empty): Boolean =
     custom.get(name).map(_.isMaximize)
-      .getOrElse(name == "auc" || name == "aucpr" || isGroupMetric(name))
+      .getOrElse(name == "auc" || name == "aucpr" ||
+        name == "interval-regression-accuracy" || isGroupMetric(name))
 
   /** True for per-query-group ranking metrics: ndcg[@k], map[@k]
     * (NOT mape, which is pointwise). */
   def isGroupMetric(name: String): Boolean =
     name == "ndcg" || name.startsWith("ndcg@") ||
       name == "map" || name.startsWith("map@")
+
+  /** True for metrics consuming (lower, upper) survival bounds instead
+    * of a point label (xgboost's survival eval surface). */
+  def isBoundsMetric(name: String): Boolean =
+    name == "aft-nloglik" || name == "interval-regression-accuracy"
+
+  /**
+   * Survival metrics over (margins, lower, upper, weight) rows:
+   *  - `aft-nloglik` (the survival:aft default): weighted mean NLL
+   *    under the TRAINED distribution/sigma ([[Objectives.Aft.nloglik]]).
+   *  - `interval-regression-accuracy`: weighted fraction of rows whose
+   *    predicted time exp(margin) lands inside [lower, upper]
+   *    (NaN/missing upper = +∞).
+   * Same deterministic partition-ordered summation as every pointwise
+   * metric.
+   */
+  def computeBounds(name: String, obj: Objective,
+      rows: RDD[(Array[Float], Float, Float, Float)]): Double =
+    name match {
+      case "aft-nloglik" =>
+        val aft = obj match {
+          case a: Objectives.Aft => a
+          case other => throw new IllegalArgumentException(
+            s"aft-nloglik needs the survival:aft objective, got " +
+              other.name)
+        }
+        val (ll, w) = rows.map { case (m, lo, up, wt) =>
+          (aft.nloglik(m(0), lo, up) * wt, wt.toDouble)
+        }.detSum2
+        ll / w
+      case "interval-regression-accuracy" =>
+        val (hit, w) = rows.map { case (m, lo, up, wt) =>
+          val t = math.exp(m(0).toDouble)
+          val hi = if (up.isNaN) Double.PositiveInfinity else up.toDouble
+          (if (t >= lo && t <= hi) wt.toDouble else 0.0, wt.toDouble)
+        }.detSum2
+        hit / w
+      case other => throw new IllegalArgumentException(
+        s"unknown bounds metric $other")
+    }
 
   /**
    * ndcg[@k] / map[@k] over qid groups (the xgboost ranking metrics the

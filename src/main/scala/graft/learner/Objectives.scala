@@ -320,6 +320,29 @@ object Objectives {
         case _ => pdf(z) * (1.0 - ez(z))
       }
 
+    /**
+     * Negative log likelihood of one row — the `aft-nloglik` eval
+     * metric (xgboost's default for survival:aft). Uncensored rows use
+     * the proper time-domain density −ln(f(z)/(σ·t)) (the 1/(σt)
+     * Jacobian of z = (ln t − m)/σ); censored rows −ln(F(z_u) − F(z_l)).
+     * Probabilities floor at 1e-12 like xgboost's kMinLogLik guard.
+     */
+    def nloglik(m: Float, lower: Float, upper: Float): Double = {
+      val lnL = if (lower > 0 && !lower.isInfinite) math.log(lower.toDouble)
+        else Double.NegativeInfinity
+      val lnU = if (upper.isNaN || upper.isInfinite) Double.PositiveInfinity
+        else if (upper > 0) math.log(upper.toDouble)
+        else Double.NegativeInfinity
+      if (lnL == lnU) {
+        val z = (lnL - m) / sigma
+        -math.log(math.max(pdf(z), 1e-12)) + math.log(sigma) + lnL
+      } else {
+        val zU = (lnU - m) / sigma
+        val zL = (lnL - m) / sigma
+        -math.log(math.max(cdf(zU) - cdf(zL), 1e-12))
+      }
+    }
+
     override def gradHessBounds(m: Array[Float], lower: Float,
         upper: Float, g: Array[Float], h: Array[Float]): Unit = {
       val lnL = if (lower > 0 && !lower.isInfinite) math.log(lower.toDouble)

@@ -1045,6 +1045,12 @@ object Trainer {
                 "(qid-contiguous evaluation partitions)")
               Metrics.computeGroup(mn, r.map { case (inst, m) =>
                 (m(0), inst.label, inst.weight, inst.qid) })
+            } else if (!customByName.contains(mn) &&
+              Metrics.isBoundsMetric(mn)) {
+              // survival metrics read (lower, upper) off the instance
+              // (label doubles as the lower bound)
+              Metrics.computeBounds(mn, obj, r.map { case (inst, m) =>
+                (m, inst.label, inst.upper, inst.weight) })
             } else Metrics.compute(mn, obj, rows, customByName)
           evalsResult(n)(mn) += v
           roundMetrics(s"$n-$mn") = v

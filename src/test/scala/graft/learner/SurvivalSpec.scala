@@ -161,6 +161,43 @@ class SurvivalSpec extends SparkTestBase {
     }
   }
 
+  test("aft-nloglik and interval-regression-accuracy survival " +
+      "metrics (xgboost's survival eval surface)") {
+    import graft.learner.Objectives.Aft
+    // closed form: uncensored z=0, sigma=1, t=1 -> 0.5·ln(2π)
+    val aft = new Aft()
+    assert(math.abs(aft.nloglik(0f, 1f, 1f) -
+      0.5 * math.log(2 * math.Pi)) < 1e-9)
+    // right-censored: -ln(1 - Phi(zL)); zL = 0 -> ln 2
+    assert(math.abs(aft.nloglik(0f, 1f, Float.NaN) - math.log(2.0)) < 1e-9)
+    assert(Metrics.isBoundsMetric("aft-nloglik"))
+    assert(Metrics.defaultMetric("survival:aft") === "aft-nloglik")
+    assert(Metrics.maximize("interval-regression-accuracy"))
+    assert(!Metrics.maximize("aft-nloglik"))
+
+    // end-to-end: the default metric records per round and improves,
+    // and interval accuracy lands in (0, 1]
+    val rng = new scala.util.Random(71)
+    val rows = (1 to 300).map { _ =>
+      val x = rng.nextDouble() * 5
+      val t = math.exp(0.5 * x + 0.1 * rng.nextGaussian())
+      (x, t * 0.8, t * 1.25) // interval-censored around the true time
+    }
+    val df = rows.toDF("x", "lo", "hi").repartition(3)
+    val spec = DMatrixSpec(labelCol = Nil, labelLowerCol = Some("lo"),
+      labelUpperCol = Some("hi"))
+    val res = GraftBoost.train(df, spec,
+      TrainParams(objective = "survival:aft", numRounds = 15,
+        maxDepth = 3, seed = 6,
+        evalMetric = Seq("aft-nloglik", "interval-regression-accuracy")),
+      evals = Seq(("train", df)))
+    val nll = res.evalsResult("train")("aft-nloglik")
+    assert(nll.last < nll.head, s"nll ${nll.head} -> ${nll.last}")
+    val acc = res.evalsResult("train")("interval-regression-accuracy")
+    assert(acc.last > 0.5 && acc.last <= 1.0, s"acc ${acc.last}")
+    assert(acc.last >= acc.head, s"acc ${acc.head} -> ${acc.last}")
+  }
+
   test("spark.graft.* conf overlays TrainParams (C13)") {
     val keys = Seq("numRounds" -> "17", "eta" -> "0.05",
       "objective" -> "binary:logistic", "evalMetric" -> "auc,logloss",
