@@ -352,6 +352,28 @@ object SparkEntry {
       TextOps.unigramLogProbs(ld(s, dir, "documents"), "doc_id", "text",
         vocabSize = 30).orderBy("doc_id")),
 
+    // ---- text analysis: corpus-wide LINE dedup (RefinedWeb-style
+    //      boilerplate removal) — the synthetic docs are single-line,
+    //      so the query first folds each doc's tokens into 6-word
+    //      "lines", then removes every line occurring >= 2 times
+    //      across the corpus and rebuilds the text in order; DuckDB
+    //      replays the construction, the frequency cut, and the
+    //      ordered string_agg rebuild exactly ----
+    "tx_linededup" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      // Column `/` is double division — truncate back to a line index
+      val lineArr = transform(
+        sequence(lit(0L), ((size(toks) - lit(1)) / lit(6)).cast("long")),
+        i => concat_ws(" ", slice(toks, (i * lit(6) + lit(1)).cast("int"),
+          lit(6))))
+      val lined = ld(s, dir, "documents")
+        .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+      TextOps.dedupLines(lined, "doc_id", "text", minRepeats = 2)
+        .select(col("doc_id"), length(col("text")).cast("long")
+          .as("clean_len"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: BPE tokenizer training (Sennrich 2016) +
     //      corpus encoding — rows-only (the merge loop is inherently
     //      sequential; no SQL replay), pinned instead by BpeSpec's
@@ -1453,6 +1475,41 @@ object SparkEntry {
         |SELECT doc_id FROM inc
         | WHERE k NOT IN (SELECT k FROM seen)
         | ORDER BY doc_id""".stripMargin,
+    // line dedup: rebuild the 6-word line construction, the corpus
+    // frequency cut (>= 2, lines of length >= 1), and the ordered
+    // newline rebuild; docs losing every line come back as ''
+    "tx_linededup" ->
+      """WITH splits AS (
+        |  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+        |  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+        |),
+        |words AS (
+        |  SELECT doc_id, unnest(ws) AS word,
+        |    generate_subscripts(ws, 1) AS wi
+        |  FROM splits
+        |),
+        |lines AS (
+        |  SELECT doc_id, CAST((wi - 1) // 6 AS BIGINT) AS ln,
+        |    string_agg(word, ' ' ORDER BY wi) AS line
+        |  FROM words GROUP BY doc_id, CAST((wi - 1) // 6 AS BIGINT)
+        |),
+        |boiler AS (
+        |  SELECT line FROM lines WHERE length(line) >= 1
+        |  GROUP BY line HAVING count(*) >= 2
+        |),
+        |kept AS (
+        |  SELECT doc_id, ln, line FROM lines
+        |  WHERE line NOT IN (SELECT line FROM boiler)
+        |),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(length(coalesce(r.text, '')) AS BIGINT) AS clean_len,
+        |  coalesce(r.text, '') AS text
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "tx_tokens" ->
       """SELECT doc_id,
         | CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0

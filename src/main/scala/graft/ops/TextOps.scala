@@ -781,6 +781,54 @@ object TextOps {
     df.withColumn("bpe_seq", enc(col(textCol)))
   }
 
+  /**
+   * Corpus-wide exact LINE dedup — the RefinedWeb/CCNet boilerplate
+   * remover: every occurrence of any line appearing at least
+   * `minRepeats` times ACROSS THE CORPUS (nav bars, cookie banners,
+   * footers) is removed from every document; remaining lines rejoin in
+   * their original order. Complements [[graft.ops.Dedup.duplicateSpans]]
+   * (positional k-gram substring spans) at the line granularity, where
+   * web boilerplate actually repeats.
+   *
+   * Lines shorter than `minLineLen` characters are EXEMPT (kept):
+   * empty/near-empty lines are legitimately frequent and removing them
+   * would reflow every document.
+   *
+   * Scale shape: one posexplode scan → one map-side-combined
+   * `groupBy(line).count` shuffle (the boilerplate set) → one anti
+   * join (sort-merge on the line key — the boilerplate set is NOT
+   * assumed broadcastable: at web scale it can be millions of lines)
+   * → one per-doc rebuild group-by. No collect, no all-pairs; skew on
+   * a hyper-frequent line is bounded because the COUNT side combines
+   * map-side and the anti-join PROBE side is the corpus's natural line
+   * distribution.
+   *
+   * Returns (idCol, text) for EVERY input document — a fully-
+   * boilerplate document comes back as the empty string, preserving
+   * corpus cardinality for downstream joins.
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minRepeats: Int = 2, minLineLen: Int = 1): DataFrame = {
+    require(minRepeats >= 2, s"minRepeats must be >= 2: $minRepeats")
+    require(minLineLen >= 0, s"minLineLen must be >= 0: $minLineLen")
+    val lines = df.select(col(idCol),
+      posexplode(split(nz(col(textCol)), "\n")).as(Seq("idx", "line")))
+    val boiler = lines
+      .filter(length(col("line")) >= minLineLen)
+      .groupBy("line").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minRepeats)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("line")))),
+        x => x("line")), "\n").as("__graft_clean"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__graft_clean"), lit("")).as(textCol))
+  }
+
   /** Persist a [[BpeModel]] as parquet (rank-ordered merge rows) —
     * the same engine-readable sink convention as [[saveUnigramLM]]. */
   def saveBpe(spark: SparkSession, model: BpeModel, path: String): Unit = {
