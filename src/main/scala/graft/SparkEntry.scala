@@ -352,6 +352,26 @@ object SparkEntry {
       TextOps.unigramLogProbs(ld(s, dir, "documents"), "doc_id", "text",
         vocabSize = 30).orderBy("doc_id")),
 
+    // ---- text analysis: URL canonicalization (web-corpus dedup key)
+    //      — synthetic-but-adversarial URLs constructed per doc
+    //      (mixed-case scheme/host, www, :443, tracking params,
+    //      fragment, trailing slash); the canonical form, host,
+    //      registrable domain, and path depth must match DuckDB
+    //      replaying the same regex chain ----
+    "tx_url" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.COM:443/a/b/"), col("doc_id"),
+        lit("/?utm_source=x&fbclid=9&q="), col("doc_id"), lit("#frag"))
+      val host = TextOps.urlHost(TextOps.canonicalUrl(url))
+      ld(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.canonicalUrl(url).as("canonical"),
+          host.as("host"),
+          TextOps.registeredDomain(host).as("domain"),
+          TextOps.urlPathDepth(TextOps.canonicalUrl(url)).as("depth"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: corpus-wide LINE dedup (RefinedWeb-style
     //      boilerplate removal) — the synthetic docs are single-line,
     //      so the query first folds each doc's tokens into 6-word
@@ -1475,6 +1495,53 @@ object SparkEntry {
         |SELECT doc_id FROM inc
         | WHERE k NOT IN (SELECT k FROM seen)
         | ORDER BY doc_id""".stripMargin,
+    // url canonicalization: replay the exact regex chain (fragment →
+    // lowercase scheme+host → www → default port → tracking params →
+    // separator cleanup → trailing slash), then host / heuristic
+    // registrable domain / path depth off the canonical form
+    "tx_url" ->
+      """WITH u0 AS (SELECT doc_id,
+        |  'HTTPS://WWW.' || source || '.Example.COM:443/a/b/' || doc_id
+        |    || '/?utm_source=x&fbclid=9&q=' || doc_id || '#frag' AS u
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(trim(u), '#.*$', '', 'g')
+        |  AS t FROM u0),
+        |s2 AS (SELECT doc_id, CASE
+        |  WHEN regexp_extract(t,
+        |    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) = '' THEN t
+        |  ELSE lower(regexp_extract(t,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+        |    || regexp_replace(t,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+        |  END AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(t, '://www\.', '://', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(t, ':(80|443)(/|\?|$)', '\2', 'g') AS t
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t,
+        |  '([?&])(utm_[^&=]*|fbclid|gclid|ref)=[^&]*', '\1', 'g') AS t
+        |  FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |  regexp_replace(t, '\?&+', '?', 'g'), '&&+', '&', 'g'),
+        |  '[?&]+$', '', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+        |  '/+\?', '?', 'g'), '/+$', '', 'g') AS canonical FROM s6),
+        |h AS (SELECT doc_id, canonical, lower(regexp_extract(canonical,
+        |  '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+        |  AS host FROM s7)
+        |SELECT doc_id, canonical, host,
+        |  CASE WHEN regexp_extract(host,
+        |    '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[a-z][a-z])$', 1)
+        |    <> '' THEN regexp_extract(host,
+        |    '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[a-z][a-z])$', 1)
+        |  WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+        |    THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |  ELSE host END AS domain,
+        |  CAST(len(regexp_extract_all(regexp_extract(canonical,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+        |    '/[^/]')) AS BIGINT) AS depth
+        |FROM h ORDER BY doc_id""".stripMargin,
     // line dedup: rebuild the 6-word line construction, the corpus
     // frequency cut (>= 2, lines of length >= 1), and the ordered
     // newline rebuild; docs losing every line come back as ''

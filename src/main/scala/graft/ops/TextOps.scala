@@ -829,6 +829,59 @@ object TextOps {
         coalesce(col("__graft_clean"), lit("")).as(textCol))
   }
 
+  /**
+   * URL canonicalization — the web-corpus URL-dedup key (two crawls of
+   * `HTTPS://WWW.Site.com:443/a/?utm_source=x` and
+   * `https://site.com/a` must collide). Pure codegen regex chain (no
+   * UDF), patterns chosen — like [[piiCounts]] — to mean the same
+   * thing in Java regex and RE2 so the DuckDB oracle can replay them:
+   * fragment strip → scheme+host lowercase → `www.` strip → default
+   * :80/:443 port strip → tracking-param removal
+   * (`utm_*`/`fbclid`/`gclid`/`ref`) → separator cleanup → trailing
+   * slash strip. Non-URL strings (no `scheme://` prefix) pass through
+   * with only the fragment strip.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val t0 = regexp_replace(trim(nz(url)), "#.*$", "")
+    val prefix =
+      regexp_extract(t0, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest =
+      regexp_replace(t0, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val t1 = when(prefix === "", t0)
+      .otherwise(concat(lower(prefix), rest))
+    val t2 = regexp_replace(t1, "://www\\.", "://")
+    val t3 = regexp_replace(t2, ":(80|443)(/|\\?|$)", "$2")
+    val t4 = regexp_replace(t3,
+      "([?&])(utm_[^&=]*|fbclid|gclid|ref)=[^&]*", "$1")
+    val t5 = regexp_replace(regexp_replace(regexp_replace(t4,
+      "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    regexp_replace(regexp_replace(t5, "/+\\?", "?"), "/+$", "")
+  }
+
+  /** Lower-cased host of a URL ('' for non-URLs); userinfo skipped. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(trim(nz(url)),
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+
+  /** Registrable-domain HEURISTIC from a host: last two labels, or
+    * three when the second level is a common cc-SLD (co.uk-style).
+    * A true answer needs the Public Suffix List (not available
+    * offline); this covers the bulk and is deterministic — the
+    * per-domain grouping lever [[graft.ops.CorpusPipeline.sourceCap]]
+    * consumes. */
+  def registeredDomain(host: Column): Column = {
+    val cc = regexp_extract(host,
+      "([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z])$", 1)
+    val twoLabel = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(cc =!= "", cc).when(twoLabel =!= "", twoLabel).otherwise(host)
+  }
+
+  /** Non-empty path-segment count of a URL (0 for bare hosts). */
+  def urlPathDepth(url: Column): Column =
+    regexp_count(regexp_extract(trim(nz(url)),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1),
+      lit("/[^/]")).cast("long")
+
   /** Persist a [[BpeModel]] as parquet (rank-ordered merge rows) —
     * the same engine-readable sink convention as [[saveUnigramLM]]. */
   def saveBpe(spark: SparkSession, model: BpeModel, path: String): Unit = {
