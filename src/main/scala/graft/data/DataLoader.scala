@@ -25,12 +25,18 @@ object DataLoader {
   sealed trait FileType
   case object CsvFile extends FileType
   case object ParquetFile extends FileType
+  case object JsonFile extends FileType
 
-  /** Extension-based detection (csv.py:20-23, parquet.py:20-23). */
+  /** Extension-based detection (csv.py:20-23, parquet.py:20-23);
+    * JSONL — the de-facto web-corpus interchange format (one JSON
+    * object per line, often gzipped) — is an r9 addition beyond the
+    * reference's registry. */
   def sniffFiletype(path: String): Option[FileType] = {
     val p = path.toLowerCase
     if (p.endsWith(".csv") || p.endsWith(".csv.gz")) Some(CsvFile)
     else if (p.endsWith(".parquet") || p.endsWith(".pq")) Some(ParquetFile)
+    else if (p.endsWith(".json") || p.endsWith(".jsonl") ||
+      p.endsWith(".json.gz") || p.endsWith(".jsonl.gz")) Some(JsonFile)
     else None
   }
 
@@ -60,6 +66,9 @@ object DataLoader {
         val r = spark.read.option("header", csvHeader.toString)
         val r2 = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
         r2.csv(sorted: _*)
+      case Some(JsonFile) => // JSONL: one object per line (Spark default)
+        val r = spark.read
+        schema.map(r.schema).getOrElse(r).json(sorted: _*)
       case _ => // parquet is the default for dirs / unknown extensions
         val r = spark.read
         schema.map(r.schema).getOrElse(r).parquet(sorted: _*)

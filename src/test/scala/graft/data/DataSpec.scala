@@ -111,11 +111,46 @@ class DataSpec extends SparkTestBase {
     assert(sniffFiletype("a/b.CSV.GZ").contains(CsvFile))
     assert(sniffFiletype("x.parquet").contains(ParquetFile))
     assert(sniffFiletype("x.pq").contains(ParquetFile))
-    assert(sniffFiletype("x.json").isEmpty)
+    assert(sniffFiletype("x.json").contains(JsonFile))
+    assert(sniffFiletype("x.jsonl").contains(JsonFile))
+    assert(sniffFiletype("x.JSONL.gz").contains(JsonFile))
+    assert(sniffFiletype("x.unknown").isEmpty)
     val e = intercept[IllegalArgumentException] {
       DataLoader.load(spark, Seq("a.csv", "b.parquet"))
     }
     assert(e.getMessage.contains("mixed"))
+  }
+
+  test("JSONL loads (plain + gzip), multi-file, with column pruning " +
+      "(the web-corpus interchange format)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val lines1 = (1 to 5).map(i =>
+      s"""{"id": $i, "text": "doc $i", "score": ${i * 0.5}}""")
+    Files.write(Paths.get(s"$dir/part1.jsonl"),
+      lines1.mkString("\n").getBytes("UTF-8"))
+    val lines2 = (6 to 8).map(i =>
+      s"""{"id": $i, "text": "doc $i", "score": ${i * 0.5}}""")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/part2.jsonl.gz"))
+    gz.write(lines2.mkString("\n").getBytes("UTF-8")); gz.close()
+    val df = DataLoader.load(spark,
+      Seq(s"$dir/part2.jsonl.gz", s"$dir/part1.jsonl"),
+      columns = Some(Seq("id", "score")))
+    assert(df.columns.toSeq === Seq("id", "score"))
+    val rows = df.collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        r.getAs[Number](1).doubleValue())
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 8L))
+    assert(rows(3) === ((4L, 2.0)))
+    // a JSONL corpus flows straight into the text ops
+    val full = DataLoader.load(spark, Seq(s"$dir/part1.jsonl"))
+    val counts = graft.ops.TextOps.analyze(full, "text")
+      .select("id", "token_count").collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        r.getAs[Number](1).longValue()).toMap
+    assert(counts(1L) === 2L)
   }
 
   test("Binner sample and sketch paths track exact quantiles") {
