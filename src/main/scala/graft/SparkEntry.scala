@@ -1136,6 +1136,30 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: closed-form COX stump — at baseScore = 1 the init
+    //      margin is ln(1) = 0, so every row's hazard term r = e^m is
+    //      exactly 1 and the Breslow risk tables are pure counting:
+    //      S(t) = #rows with time >= t, A(t) = Σ_{t'<=t} ev(t')/S(t'),
+    //      B(t) the squared variant; per-row g = A(t) − δ,
+    //      h = A(t) − B(t), then the ml_stump leaf arithmetic and an
+    //      exp transform — all replayable in SQL with window sums ----
+    "ml_stump_cox" -> ((s, dir) => {
+      val q = col("l_quantity")
+      val df = ld(s, dir, "lineitem").select(
+        when(q >= 25, 1.0).otherwise(0.0).as("x"),
+        when(q.cast("long") % 3 === 0, -q.cast("double"))
+          .otherwise(q.cast("double")).as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "survival:cox", numRounds = 1,
+          maxDepth = 1, baseScore = 1.0, seed = 1), numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML surface (rows-only; semantics tested in ScalaTest) ----
     "ml_train_predict" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
@@ -2356,6 +2380,34 @@ object SparkEntry {
         | FROM g GROUP BY x),
         |l AS (SELECT x, n,
         |   CAST((-0.3 * sg)/(sh + 1.0) AS REAL) AS leaf FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(exp(CAST(leaf AS DOUBLE)) AS REAL) AS DOUBLE)
+        |   AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // cox stump: Breslow tables as pure counting at r = 1, per-row
+    // REAL-cast grads, the shared leaf arithmetic, exp transform
+    "ml_stump_cox" ->
+      """WITH t AS (SELECT
+        |   CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS x,
+        |   CAST(l_quantity AS DOUBLE) AS q,
+        |   CASE WHEN CAST(l_quantity AS BIGINT) % 3 = 0 THEN 0
+        |     ELSE 1 END AS ev
+        | FROM lineitem),
+        |times AS (SELECT q, count(*) AS n, sum(ev) AS evn
+        | FROM t GROUP BY q),
+        |risk AS (SELECT q, evn,
+        |   sum(n) OVER (ORDER BY q DESC) AS s FROM times),
+        |ab AS (SELECT q,
+        |   sum(evn / s) OVER (ORDER BY q ASC) AS a,
+        |   sum(evn / (s * s)) OVER (ORDER BY q ASC) AS b FROM risk),
+        |g AS (SELECT t.x,
+        |   CAST(CAST(ab.a - t.ev AS REAL) AS DOUBLE) AS gr,
+        |   CAST(CAST(ab.a - ab.b AS REAL) AS DOUBLE) AS hr
+        | FROM t JOIN ab USING (q)),
+        |s2 AS (SELECT x, count(*) AS n, sum(gr) AS sg, sum(hr) AS sh
+        | FROM g GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * sg) / (sh + 1.0) AS REAL) AS leaf FROM s2)
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(exp(CAST(leaf AS DOUBLE)) AS REAL) AS DOUBLE)
         |   AS prediction

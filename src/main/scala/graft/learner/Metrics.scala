@@ -107,6 +107,13 @@ object Metrics {
       e / w
     case "auc" => auc(rows, obj)
     case "aucpr" => aucpr(rows, obj)
+    case "cox-nloglik" => // Breslow partial NLL (survival:cox default)
+      obj match {
+        case cox: Objectives.CoxPh => cox.nloglik(rows)
+        case other => throw new IllegalArgumentException(
+          s"cox-nloglik needs the survival:cox objective, got " +
+            other.name)
+      }
     case "rmsle" => // √(Σw·(ln1p(ŷ)−ln1p(y))²/Σw); preds below −1
       // floor just above it (xgboost validates labels ≥ −1 but lets an
       // unbounded regressor's prediction produce NaN — floor instead)
@@ -196,6 +203,7 @@ object Metrics {
     case "reg:pseudohubererror" => "mphe"
     case "reg:quantileerror" => "quantile@0.5"
     case "survival:aft" => "aft-nloglik"
+    case "survival:cox" => "cox-nloglik"
     case _ => "rmse"
   }
 

@@ -40,6 +40,23 @@ trait Objective extends Serializable {
       weights: Array[Float], grad: Array[Float], hess: Array[Float],
       lo: Int, hi: Int): Unit =
     throw new UnsupportedOperationException(s"$name is pointwise")
+  /** Whether gradients need a per-round GLOBAL pre-pass over the whole
+    * dataset (Cox partial likelihood: risk-set sums couple every row).
+    * When true the trainer runs [[globalPass]] once per round and
+    * feeds its result to [[gradHessGlobal]]. */
+  def needsGlobalPass: Boolean = false
+  /** The per-round pre-pass: reduce whatever global state gradients
+    * need into one DRIVER value. Must stay small — it ships to
+    * executors inside the stage closure (which Spark torrent-broadcasts
+    * per stage and cleans up with it). */
+  def globalPass(
+      rows: org.apache.spark.rdd.RDD[(Array[Float], Float, Float)])
+      : Serializable =
+    throw new UnsupportedOperationException(s"$name has no global pass")
+  /** Per-row gradient consuming the [[globalPass]] result. */
+  def gradHessGlobal(aux: Serializable, margin: Array[Float],
+      label: Float, grad: Array[Float], hess: Array[Float]): Unit =
+    gradHess(margin, label, grad, hess)
 }
 
 object Objectives {
@@ -379,6 +396,154 @@ object Objectives {
     }
   }
 
+  /** [[CoxPh]]'s per-round risk tables: distinct event/censoring times
+    * ascending, with Breslow prefix sums A(t) = Σ_{events i: t_i ≤ t}
+    * w_i/S(t_i) and B(t) = Σ w_i/S(t_i)² over the weighted risk-set
+    * sums S(t) = Σ_{t_j ≥ t} w_j·e^{m_j}. Driver-sized: 3 doubles per
+    * DISTINCT time. */
+  final case class CoxTables(times: Array[Double], a: Array[Double],
+      b: Array[Double]) extends Serializable {
+    /** Index of the largest time ≤ t (−1 when t precedes them all). */
+    def lookup(t: Double): Int = {
+      var lo = 0; var hi = times.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans
+    }
+  }
+
+  /**
+   * survival:cox — Cox proportional-hazards regression via the Breslow
+   * partial likelihood (the remaining xgboost survival objective next
+   * to [[Aft]]). Label convention is xgboost's: y > 0 is an EVENT at
+   * time y; y < 0 is right-CENSORED at |y|; y == 0 is invalid. Margin
+   * is the log hazard ratio; predictions are exp(margin) (the hazard
+   * ratio, xgboost's cox output).
+   *
+   * The partial likelihood couples every row through risk-set sums
+   * S(t) — a per-row gradient cannot be computed locally. Instead of
+   * xgboost's single-node time-sorted scan, the distributed shape is:
+   * one map-side-combined `reduceByKey` over DISTINCT times per round
+   * (collecting 3 doubles per distinct time to the driver, where the
+   * suffix/prefix tables are exact sequential double sums), then a
+   * per-row binary-search lookup inside the normal gradient map. With
+   * T distinct times the driver state is O(T) — capped at 2M (48 MB;
+   * genuinely continuous time columns at larger scale should be
+   * quantized, which is standard practice for Cox at scale and changes
+   * only tie granularity). Per-time sums combine in partition order,
+   * so tables are partitioning-stable to ulps — the same documented
+   * float-order caveat as the gradient-histogram treeAggregate.
+   * Gradients: with r = e^m,
+   *   g = −δ + r·A(t),   h = r·A(t) − r²·B(t)  (floored at 1e-16);
+   * the trainer multiplies by the ROW weight afterwards, while the
+   * weights inside S/A/B enter through the pre-pass.
+   */
+  final class CoxPh extends Objective {
+    val name = "survival:cox"
+    val numOutputs = 1
+    def initMargin(b: Double): Float = math.log(b).toFloat
+    def transform(m: Array[Float]): Array[Float] =
+      Array(math.exp(m(0)).toFloat)
+    override def needsGlobalPass: Boolean = true
+    def gradHess(m: Array[Float], y: Float, g: Array[Float],
+        h: Array[Float]): Unit =
+      throw new UnsupportedOperationException(
+        "survival:cox gradients need the per-round global pass")
+
+    /** Bounded e^m — a wildly mispredicted row must not overflow the
+      * shared risk sums. */
+    @inline private def expm(m: Double): Double =
+      math.exp(math.min(m, 30.0))
+
+    val MaxDistinctTimes = 2000000
+
+    override def globalPass(
+        rows: org.apache.spark.rdd.RDD[(Array[Float], Float, Float)])
+        : Serializable = riskTables(rows)
+
+    def riskTables(
+        rows: org.apache.spark.rdd.RDD[(Array[Float], Float, Float)])
+        : CoxTables = {
+      val byTime = rows.map { case (m, y, w) =>
+        require(y != 0f, "survival:cox labels must be non-zero " +
+          "(y > 0 event at y; y < 0 right-censored at |y|)")
+        val t = math.abs(y).toDouble
+        val r = w.toDouble * expm(m(0).toDouble)
+        val ev = if (y > 0) w.toDouble else 0.0
+        (t, (r, ev))
+      }.reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
+        .collect()
+      require(byTime.length <= MaxDistinctTimes,
+        s"survival:cox saw ${byTime.length} distinct times (cap " +
+          s"$MaxDistinctTimes) — quantize the time column")
+      val sorted = byTime.sortBy(_._1)
+      val n = sorted.length
+      val times = sorted.map(_._1)
+      // suffix risk sums S(t_i) = Σ_{j >= i} r_j
+      val s = new Array[Double](n)
+      var acc = 0.0
+      var i = n - 1
+      while (i >= 0) { acc += sorted(i)._2._1; s(i) = acc; i -= 1 }
+      // prefix Breslow terms over event times
+      val a = new Array[Double](n)
+      val b = new Array[Double](n)
+      var aAcc = 0.0; var bAcc = 0.0
+      i = 0
+      while (i < n) {
+        val ev = sorted(i)._2._2
+        if (ev > 0 && s(i) > 0) {
+          aAcc += ev / s(i); bAcc += ev / (s(i) * s(i))
+        }
+        a(i) = aAcc; b(i) = bAcc
+        i += 1
+      }
+      CoxTables(times, a, b)
+    }
+
+    override def gradHessGlobal(aux: Serializable, m: Array[Float],
+        y: Float, g: Array[Float], h: Array[Float]): Unit = {
+      val tab = aux.asInstanceOf[CoxTables]
+      val t = math.abs(y).toDouble
+      val idx = tab.lookup(t)
+      val aT = if (idx >= 0) tab.a(idx) else 0.0
+      val bT = if (idx >= 0) tab.b(idx) else 0.0
+      val r = expm(m(0).toDouble)
+      val delta = if (y > 0) 1.0 else 0.0
+      g(0) = (r * aT - delta).toFloat
+      h(0) = math.max(r * aT - r * r * bT, 1e-16).toFloat
+    }
+
+    /** Mean Breslow partial NLL over event weight — the `cox-nloglik`
+      * eval metric: Σ_{events} w·(ln S(t_i) − m_i) / Σ_{events} w,
+      * with S from the SAME weighted risk tables gradients use. */
+    def nloglik(
+        rows: org.apache.spark.rdd.RDD[(Array[Float], Float, Float)])
+        : Double = {
+      // rebuild ln S(t) per distinct time (suffix of the same sums)
+      val byTime = rows.map { case (m, y, w) =>
+        (math.abs(y).toDouble,
+          (w.toDouble * expm(m(0).toDouble), 0.0))
+      }.reduceByKey((a, b) => (a._1 + b._1, 0.0))
+        .collect().sortBy(_._1)
+      val n = byTime.length
+      val times = byTime.map(_._1)
+      val lnS = new Array[Double](n)
+      var acc = 0.0
+      var i = n - 1
+      while (i >= 0) { acc += byTime(i)._2._1; lnS(i) = math.log(acc); i -= 1 }
+      val tab = CoxTables(times, lnS, new Array[Double](n))
+      val (nll, w) = rows.map { case (m, y, wt) =>
+        if (y > 0) {
+          val idx = tab.lookup(y.toDouble)
+          ((tab.a(idx) - m(0).toDouble) * wt, wt.toDouble)
+        } else (0.0, 0.0)
+      }.reduce { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) }
+      if (w == 0) 0.0 else nll / w
+    }
+  }
+
   /**
    * rank:pairwise — LambdaRank-style pairwise logistic loss over each qid
    * group (all (winner, loser) pairs). Needs qid-contiguous partitions
@@ -599,6 +764,7 @@ object Objectives {
   def resolve(p: TrainParams): Objective =
     p.customObjective.getOrElse(p.objective match {
       case "survival:aft" => new Aft(p.aftDistribution, p.aftSigma)
+      case "survival:cox" => new CoxPh
       case "count:poisson" =>
         // xgboost forces max_delta_step to 0.7 for Poisson when unset
         new Poisson(if (p.maxDeltaStep > 0) p.maxDeltaStep else 0.7)
@@ -619,6 +785,7 @@ object Objectives {
     case "rank:ndcg" => new LambdaRankNdcg
     case "rank:map" => new LambdaRankMap
     case "survival:aft" => new Aft()
+    case "survival:cox" => new CoxPh
     case "count:poisson" => new Poisson()
     case "reg:gamma" => new GammaDeviance
     case "reg:tweedie" => new Tweedie() // transform is ρ-free (exp)

@@ -344,12 +344,22 @@ object Trainer {
         p.scalePosWeight.toFloat
       else 1.0f
     if (!obj.needsGroups) {
+      // global-pass objectives (Cox): one driver-reduced pre-pass per
+      // round; the result rides the stage closure (Spark torrent-
+      // broadcasts task binaries per stage and cleans them with it)
+      val aux: Serializable =
+        if (obj.needsGlobalPass)
+          obj.globalPass(data.map { case (inst, m) =>
+            (m, inst.label, inst.weight)
+          })
+        else null
       data.mapPartitionsWithIndex({ (pid, it) =>
         val rng = new java.util.Random(mix(seed, round, pid))
         it.map { case (inst, m) =>
           val gh = new Array[Float](2 * k)
           val g = new Array[Float](k); val h = new Array[Float](k)
-          if (obj.needsBounds)
+          if (aux != null) obj.gradHessGlobal(aux, m, inst.label, g, h)
+          else if (obj.needsBounds)
             obj.gradHessBounds(m, inst.label, inst.upper, g, h)
           else obj.gradHess(m, inst.label, g, h)
           val w =

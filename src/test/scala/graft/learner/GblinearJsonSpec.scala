@@ -114,9 +114,9 @@ class GblinearJsonSpec extends SparkTestBase {
     assert(e2.getMessage.contains("weights length"))
     val e3 = intercept[IllegalArgumentException] {
       GraftLinear.fromXgbJson(
-        handJson(0, 2, "[0.5,-1.0,2.0]", "survival:cox"))
+        handJson(0, 2, "[0.5,-1.0,2.0]", "reg:squaredlogerror"))
     }
-    assert(e3.getMessage.contains("survival:cox"))
+    assert(e3.getMessage.contains("reg:squaredlogerror"))
   }
 
   test("imported linear models support continued training (unlike " +

@@ -218,9 +218,9 @@ class XgbJsonImportSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("vector leaves"))
     val e4 = intercept[IllegalArgumentException] {
-      GraftModel.fromXgbJson(handJson(objective = "survival:cox"))
+      GraftModel.fromXgbJson(handJson(objective = "reg:squaredlogerror"))
     }
-    assert(e4.getMessage.contains("survival:cox"))
+    assert(e4.getMessage.contains("reg:squaredlogerror"))
     // structurally malformed JSON fails with a diagnosable message,
     // not an NPE (review r9)
     val e5 = intercept[IllegalArgumentException] {
