@@ -470,9 +470,12 @@ class GraftXGBRegressor(override val uid: String)
   def this() = this(Identifiable.randomUID("graftXGBRegressor"))
 
   final val objective = new Param[String](this, "objective",
-    "regression objective",
+    "regression objective (pointwise, label-column based; survival:cox " +
+      "uses the signed-label convention — survival:aft needs bounds " +
+      "columns and stays on the GraftRegressor estimator)",
     ParamValidators.inArray(Array("reg:squarederror", "reg:absoluteerror",
-      "reg:pseudohubererror", "reg:quantileerror")))
+      "reg:pseudohubererror", "reg:quantileerror", "count:poisson",
+      "reg:gamma", "reg:tweedie", "survival:cox")))
   setDefault(objective -> "reg:squarederror")
   def setObjective(v: String): this.type = set(objective, v)
 

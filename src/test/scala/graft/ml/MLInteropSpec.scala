@@ -521,6 +521,35 @@ class MLInteropSpec extends SparkTestBase {
     assert(loaded.getColsampleBynode === 0.7)
   }
 
+  test("regressor facade drives count/severity/survival objectives " +
+      "(count:poisson, survival:cox via signed labels)") {
+    val rng = new scala.util.Random(3)
+    val counts = (1 to 200).map { _ =>
+      val a = rng.nextDouble()
+      (a, 0.5, math.max(0, (3 * a + rng.nextGaussian() * 0.3).round)
+        .toDouble)
+    }.toDF("a", "b", "y")
+    val pm = new GraftXGBRegressor().setLabelCol("y")
+      .setObjective("count:poisson").setNumRounds(5).setMaxDepth(3)
+      .setSeed(1L).fit(counts)
+    assert(pm.transform(counts).select(min("prediction"))
+      .collect()(0).getDouble(0) >= 0, "poisson rates are positive")
+    val surv = (1 to 200).map { _ =>
+      val x = rng.nextDouble()
+      val t = 0.2 + 5 * math.exp(-2 * x) * (0.5 + rng.nextDouble())
+      (x, 1.0 - x, if (rng.nextDouble() < 0.2) -t else t)
+    }.toDF("x", "z", "y")
+    val cm = new GraftXGBRegressor().setLabelCol("y")
+      .setObjective("survival:cox").setNumRounds(8).setMaxDepth(3)
+      .setEta(0.1).setSeed(2L).fit(surv)
+    val hz = cm.transform(surv).select("x", "prediction").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val hi = hz.filter(_._1 > 0.7).map(_._2)
+    val lo = hz.filter(_._1 < 0.3).map(_._2)
+    assert(hi.sum / hi.length > lo.sum / lo.length,
+      "higher-risk rows must carry higher hazard ratios")
+  }
+
   test("stacking: a fitted facade model feeds its prediction as a " +
       "feature to a meta-learner in one Pipeline " +
       "(test_sklearn.py test_stacking_* semantics)") {
