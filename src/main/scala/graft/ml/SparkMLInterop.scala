@@ -492,14 +492,52 @@ class GraftXGBRegressor(override val uid: String)
   setDefault(quantileAlpha -> 0.5)
   def setQuantileAlpha(v: Double): this.type = set(quantileAlpha, v)
 
+  /** survival:aft through the facade: set BOTH bound columns and the
+    * objective switches to interval labels (labelCol is ignored; a
+    * right-censored row holds NULL/NaN in the upper column) — the
+    * RayDMatrix label_lower_bound/label_upper_bound roles
+    * (matrix.py:333-343) on the MLlib surface. */
+  final val labelLowerBoundCol = new Param[String](this,
+    "labelLowerBoundCol", "survival lower-bound column ('' = unused)")
+  final val labelUpperBoundCol = new Param[String](this,
+    "labelUpperBoundCol", "survival upper-bound column ('' = unused)")
+  setDefault(labelLowerBoundCol -> "", labelUpperBoundCol -> "")
+  def setLabelBoundsCols(lower: String, upper: String): this.type = {
+    set(labelLowerBoundCol, lower); set(labelUpperBoundCol, upper)
+  }
+  final val aftDistribution = new Param[String](this, "aftDistribution",
+    "survival:aft error distribution (xgboost aft_loss_distribution)",
+    ParamValidators.inArray(Array("normal", "logistic", "extreme")))
+  final val aftSigma = new DoubleParam(this, "aftSigma",
+    "survival:aft distribution scale (aft_loss_distribution_scale)",
+    ParamValidators.gt(0.0))
+  setDefault(aftDistribution -> "normal", aftSigma -> 1.0)
+  def setAftDistribution(v: String): this.type = set(aftDistribution, v)
+  def setAftSigma(v: Double): this.type = set(aftSigma, v)
+
   override def fit(ds: Dataset[_]): GraftXGBRegressionModel = {
     transformSchema(ds.schema)
+    val bounds = $(labelLowerBoundCol).nonEmpty ||
+      $(labelUpperBoundCol).nonEmpty
+    if (bounds) {
+      require($(labelLowerBoundCol).nonEmpty &&
+        $(labelUpperBoundCol).nonEmpty,
+        "survival bounds need BOTH labelLowerBoundCol and " +
+          "labelUpperBoundCol")
+    }
+    val obj = if (bounds) "survival:aft" else $(objective)
+    if (bounds) require($(objective) == "reg:squarederror" ||
+      $(objective) == "survival:aft",
+      s"bound columns train survival:aft, not ${$(objective)}")
     val reg = new GraftRegressor()
       .setLabelCol($(labelCol))
-      .setParams(mkTrainParams($(objective)).copy(
-        huberSlope = $(huberSlope), quantileAlpha = $(quantileAlpha)))
+      .setParams(mkTrainParams(obj).copy(
+        huberSlope = $(huberSlope), quantileAlpha = $(quantileAlpha),
+        aftDistribution = $(aftDistribution), aftSigma = $(aftSigma)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
+    if (bounds)
+      reg.setLabelBoundsCols($(labelLowerBoundCol), $(labelUpperBoundCol))
     initBooster.foreach(b => reg.setInitModel(b))
     if ($(featuresCols).nonEmpty) reg.setFeaturesCols($(featuresCols).toSeq)
     if ($(categoricalCols).nonEmpty)
@@ -512,7 +550,16 @@ class GraftXGBRegressor(override val uid: String)
     defaultCopy(extra)
 
   override def transformSchema(schema: StructType): StructType = {
-    validateFitSchema(schema)
+    // bounds mode replaces the label column with the two bound columns
+    if ($(labelLowerBoundCol).nonEmpty || $(labelUpperBoundCol).nonEmpty) {
+      Seq($(labelLowerBoundCol), $(labelUpperBoundCol))
+        .filter(_.nonEmpty).foreach(c =>
+          require(schema.fieldNames.contains(c),
+            s"bound column $c missing from ${schema.fieldNames.toSeq}"))
+      $(featuresCols).foreach(f => require(
+        schema.fieldNames.contains(f),
+        s"feature column $f missing from ${schema.fieldNames.toSeq}"))
+    } else validateFitSchema(schema)
     schema.add("prediction", DoubleType)
   }
 }

@@ -550,6 +550,33 @@ class MLInteropSpec extends SparkTestBase {
       "higher-risk rows must carry higher hazard ratios")
   }
 
+  test("survival:aft through the facade: bound columns switch to " +
+      "interval labels, aftDistribution/aftSigma Params forward") {
+    val rng = new scala.util.Random(17)
+    val surv = (1 to 300).map { _ =>
+      val x = rng.nextDouble() * 5
+      val t = math.exp(0.5 * x + 0.1 * rng.nextGaussian())
+      (x, t * 0.8, t * 1.25)
+    }.toDF("x", "lo", "hi")
+    val m = new GraftXGBRegressor()
+      .setLabelBoundsCols("lo", "hi")
+      .setAftDistribution("logistic").setAftSigma(0.8)
+      .setNumRounds(15).setMaxDepth(3).setSeed(4L)
+      .fit(surv)
+    val preds = m.transform(surv).select("x", "prediction").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val sse = preds.map { case (x, got) =>
+      val d = math.log(got) - 0.5 * x; d * d
+    }.sum / preds.length
+    assert(sse < 0.15, s"facade AFT mean sq log error $sse")
+    // half-configured bounds fail fast
+    val e = intercept[IllegalArgumentException] {
+      new GraftXGBRegressor().setLabelBoundsCols("lo", "")
+        .setNumRounds(2).fit(surv)
+    }
+    assert(e.getMessage.contains("BOTH"))
+  }
+
   test("stacking: a fitted facade model feeds its prediction as a " +
       "feature to a meta-learner in one Pipeline " +
       "(test_sklearn.py test_stacking_* semantics)") {
