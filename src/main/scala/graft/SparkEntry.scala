@@ -788,6 +788,28 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: grow_policy=lossguide through the full best-first path
+    //      (driver queue, per-split fused child evaluation, leaf cap,
+    //      UNBOUNDED depth) — maxLeaves=2 makes the best-first tree a
+    //      stump, so the existing closed-form ml_stump SQL replays it
+    //      bit-for-bit; any divergence in the queue/apply plumbing
+    //      breaks the hash ----
+    "ml_stump_lossguide" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(numRounds = 1, maxDepth = 0, seed = 1,
+          growPolicy = "lossguide", maxLeaves = 2),
+        numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML: xgboost-JSON model IMPORT (the reference's predict()
     //      takes an EXISTING xgb.Booster, main.py:1810) — same stump
     //      and closed-form oracle as ml_stump, but the model takes a
@@ -2067,6 +2089,18 @@ object SparkEntry {
         | max(cb) AS bias
         |FROM c GROUP BY q ORDER BY q""".stripMargin,
     "ml_stump" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - sy)) / (n + 1.0) AS REAL) AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // identical oracle to ml_stump: best-first growth capped at 2
+    // leaves must pick the same argmax split and leaves as depthwise
+    "ml_stump_lossguide" ->
       """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
         |   AS x, l_quantity AS y FROM lineitem),
         |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),

@@ -59,6 +59,17 @@ object GraftConf {
       p = p.copy(scalePosWeight = v.toDouble))
     get("maxDeltaStep").foreach(v =>
       p = p.copy(maxDeltaStep = v.toDouble))
+    get("huberSlope").foreach(v => p = p.copy(huberSlope = v.toDouble))
+    get("quantileAlpha").foreach(v =>
+      p = p.copy(quantileAlpha = v.toDouble))
+    get("booster").foreach(v => p = p.copy(booster = v))
+    get("rateDrop").foreach(v => p = p.copy(rateDrop = v.toDouble))
+    get("oneDrop").foreach(v => p = p.copy(oneDrop = v.toBoolean))
+    get("skipDrop").foreach(v => p = p.copy(skipDrop = v.toDouble))
+    get("sampleType").foreach(v => p = p.copy(sampleType = v))
+    get("normalizeType").foreach(v => p = p.copy(normalizeType = v))
+    get("growPolicy").foreach(v => p = p.copy(growPolicy = v))
+    get("maxLeaves").foreach(v => p = p.copy(maxLeaves = v.toInt))
     // xgboost string forms: "(1,0,-1)" and "[[0,1],[2,3]]"
     get("monotoneConstraints").foreach(v => p = p.copy(
       monotoneConstraints = v.replaceAll("[()\\[\\]\\s]", "")

@@ -118,7 +118,23 @@ final case class TrainParams(
       * dropped trees rescaled by k/(k+lr); "forest" — new trees
       * weighted 1/(1+lr), dropped rescaled by 1/(1+lr). lr is
       * eta/treesPerRound, the xgboost convention. */
-    normalizeType: String = "tree")
+    normalizeType: String = "tree",
+    /** Tree growth policy (xgboost grow_policy): "depthwise" (default)
+      * expands the whole frontier level by level; "lossguide" expands
+      * the highest-gain leaf first (best-first, LightGBM-style).
+      * Distributed cost: depthwise scans the data once per LEVEL for
+      * the whole frontier; lossguide scans once per applied SPLIT (the
+      * two children of the last split evaluate per scan — the honest
+      * leaf-wise histogram cost; LightGBM's data-parallel mode pays the
+      * same per-split allreduce), so pair lossguide with maxLeaves.
+      * With lossguide, maxDepth=0 means unbounded depth (xgboost
+      * convention) and maxLeaves must then bound the tree. */
+    growPolicy: String = "depthwise",
+    /** Max leaves per tree (xgboost max_leaves; 0 = unbounded).
+      * lossguide: the leaf budget of best-first growth. depthwise:
+      * each level's splits apply best-gain-first until the budget is
+      * spent, the rest of the frontier finalizes. */
+    maxLeaves: Int = 0)
 
 /**
  * Custom eval metric (E7): `fn(margins, label, weight)` returns the
@@ -474,39 +490,27 @@ object Trainer {
       interSets.isEmpty || path.isEmpty || path.contains(f) ||
         interSets.exists(s => s.contains(f) && path.forall(s.contains))
 
-    var depth = 0
-    while (depth < p.maxDepth && states.exists(_.active.nonEmpty)) {
-      // (treeIdx, nodeId, sampled features); per-tree RNG draw order is
-      // identical to growing each tree separately. The interaction
-      // filter runs AFTER sampling so the RNG sequence — and with it
-      // the unconstrained model — is unchanged by the feature.
-      val work = ArrayBuffer[(Int, Int, Array[Int])]()
-      states.zipWithIndex.foreach { case (st, t) =>
-        if (st.active.nonEmpty) {
-          val levelFeats = sampleFeatures(st.treeFeats, p.colsampleByLevel,
-            p.featureWeights, st.rng)
-          st.active.foreach { nid =>
-            val sampled = sampleFeatures(levelFeats,
-              p.colsampleByNode, p.featureWeights, st.rng)
-            val feats =
-              if (interSets.isEmpty) sampled
-              else sampled.filter(interOk(st.tb.path(nid), _))
-            // no admissible feature: the node's stats are already known
-            // (children get G/H at split time; only a root can be
-            // stat-less, and a root has an empty path ⇒ never filtered)
-            if (feats.isEmpty) st.tb.finalizeLeaf(nid, p)
-            else work += ((t, nid, feats))
-          }
-        }
-      }
-      if (work.isEmpty) {
-        states.foreach(_.active = Array.empty)
-      } else {
-      val nextActive = Array.fill(states.length)(ArrayBuffer[Int]())
+    // ---- shared split machinery (both grow policies) ----
+
+    /** Best split found for one frontier node; application is deferred
+      * so each grow policy can order expansions its own way. */
+    case class SplitDesc(gain: Double, f: Int, bin: Int, cat: Boolean,
+        defLeft: Boolean, gL: Double, hL: Double)
+
+    /** Evaluate a batch of frontier nodes — (tree, nid, sampled feats) —
+      * with fused chunked histogram jobs; sets node stats; returns the
+      * best split per item (null = no admissible split). Deferring the
+      * application is arithmetic-identical to the old apply-mid-batch
+      * flow: items of one batch are never ancestors of each other, so
+      * splitting one cannot change a sibling's routing or histogram. */
+    def evaluateWork(work: ArrayBuffer[(Int, Int, Array[Int])])
+        : Array[SplitDesc] = {
+      val out = new Array[SplitDesc](work.length)
+      if (work.isEmpty) return out
       val fPerNode = work.map(_._3.length).max
       val bytesPerNode = fPerNode.toLong * b * 2 * 8
       val chunkSize = math.max(1, (p.maxHistBytes / bytesPerNode).toInt)
-
+      var done = 0
       work.grouped(chunkSize).foreach { chunk =>
         // per-tree node→global-slot maps for this chunk
         val slotOf = states.map(st => Array.fill(st.tb.feature.length)(-1))
@@ -671,55 +675,226 @@ object Trainer {
             }
             j += 1
           }
-          if (bestF < 0) tb.finalizeLeaf(nid, p)
-          else {
-            // child bounds: inherit the parent's; a split on a
-            // constrained feature additionally pins the children on
-            // either side of the clamped child-weight midpoint, which
-            // makes every left-subtree value ≤ mid ≤ every
-            // right-subtree value (for +1) — monotone by construction
-            var lLo = tb.lower(nid); var lUp = tb.upper(nid)
-            var rLo = lLo; var rUp = lUp
-            val cBest =
-              if (bestF < mc.length) mc(bestF) else 0
-            if (cBest != 0) {
-              val wl = tb.clamp(leafWeight(bestGL, bestHL, p), nid)
-              val wr = tb.clamp(
-                leafWeight(gTot - bestGL, hTot - bestHL, p), nid)
-              val mid = (wl + wr) / 2
-              if (cBest > 0) { lUp = math.min(lUp, mid)
-                rLo = math.max(rLo, mid) }
-              else { lLo = math.max(lLo, mid)
-                rUp = math.min(rUp, mid) }
+          if (bestF >= 0)
+            out(done + s) = SplitDesc(bestGain, bestF, bestBin, bestCat,
+              bestDefLeft, bestGL, bestHL)
+        }
+        done += chunk.length
+      }
+      out
+    }
+
+    /** Apply a chosen split: create the children (stats exact from the
+      * descriptor), propagate constraint bounds/paths, return (l, r). */
+    def applySplit(t: Int, nid: Int, d: SplitDesc): (Int, Int) = {
+      val tb = states(t).tb
+      val gTot = tb.sumG(nid); val hTot = tb.sumH(nid)
+      // child bounds: inherit the parent's; a split on a
+      // constrained feature additionally pins the children on
+      // either side of the clamped child-weight midpoint, which
+      // makes every left-subtree value ≤ mid ≤ every
+      // right-subtree value (for +1) — monotone by construction
+      var lLo = tb.lower(nid); var lUp = tb.upper(nid)
+      var rLo = lLo; var rUp = lUp
+      val mc = p.monotoneConstraints
+      val cBest = if (d.f < mc.length) mc(d.f) else 0
+      if (cBest != 0) {
+        val wl = tb.clamp(leafWeight(d.gL, d.hL, p), nid)
+        val wr = tb.clamp(
+          leafWeight(gTot - d.gL, hTot - d.hL, p), nid)
+        val mid = (wl + wr) / 2
+        if (cBest > 0) { lUp = math.min(lUp, mid)
+          rLo = math.max(rLo, mid) }
+        else { lLo = math.max(lLo, mid)
+          rUp = math.min(rUp, mid) }
+      }
+      val childPath =
+        if (p.interactionConstraints.isEmpty) Nil
+        else d.f :: tb.path(nid)
+      val l = tb.newNode(d.gL, d.hL, lLo, lUp, childPath)
+      val r = tb.newNode(gTot - d.gL, hTot - d.hL, rLo, rUp, childPath)
+      tb.gain(nid) = d.gain
+      tb.feature(nid) = d.f
+      tb.thresholdBin(nid) = d.bin
+      // categorical: threshold IS the category code (== routing);
+      // numeric: the bin's upper cut, as before
+      tb.catSplit(nid) = d.cat
+      tb.threshold(nid) =
+        if (d.cat) d.bin.toFloat else bins.cuts(d.f)(d.bin)
+      tb.defaultLeft(nid) = d.defLeft
+      tb.left(nid) = l; tb.right(nid) = r
+      (l, r)
+    }
+
+    if (p.growPolicy != "lossguide") {
+      // ---- depthwise (default): expand the whole frontier per level —
+      // ONE fused job per level regardless of class count / forest size.
+      // maxLeaves > 0 spends the per-tree leaf budget best-gain-first
+      // within each level (xgboost hist's depthwise behavior); the
+      // budget-free path applies in scan order, bit-identical to the
+      // pre-maxLeaves trainer.
+      val leaves = Array.fill(states.length)(1)
+      var depth = 0
+      while (depth < p.maxDepth && states.exists(_.active.nonEmpty)) {
+        // (treeIdx, nodeId, sampled features); per-tree RNG draw order is
+        // identical to growing each tree separately. The interaction
+        // filter runs AFTER sampling so the RNG sequence — and with it
+        // the unconstrained model — is unchanged by the feature.
+        val work = ArrayBuffer[(Int, Int, Array[Int])]()
+        states.zipWithIndex.foreach { case (st, t) =>
+          if (st.active.nonEmpty) {
+            val levelFeats = sampleFeatures(st.treeFeats, p.colsampleByLevel,
+              p.featureWeights, st.rng)
+            st.active.foreach { nid =>
+              val sampled = sampleFeatures(levelFeats,
+                p.colsampleByNode, p.featureWeights, st.rng)
+              val feats =
+                if (interSets.isEmpty) sampled
+                else sampled.filter(interOk(st.tb.path(nid), _))
+              // no admissible feature: the node's stats are already known
+              // (children get G/H at split time; only a root can be
+              // stat-less, and a root has an empty path ⇒ never filtered)
+              if (feats.isEmpty) st.tb.finalizeLeaf(nid, p)
+              else work += ((t, nid, feats))
             }
-            val childPath =
-              if (p.interactionConstraints.isEmpty) Nil
-              else bestF :: tb.path(nid)
-            val l = tb.newNode(bestGL, bestHL, lLo, lUp, childPath)
-            val r = tb.newNode(tb.sumG(nid) - bestGL,
-              tb.sumH(nid) - bestHL, rLo, rUp, childPath)
-            tb.gain(nid) = bestGain
-            tb.feature(nid) = bestF
-            tb.thresholdBin(nid) = bestBin
-            // categorical: threshold IS the category code (== routing);
-            // numeric: the bin's upper cut, as before
-            tb.catSplit(nid) = bestCat
-            tb.threshold(nid) =
-              if (bestCat) bestBin.toFloat else bins.cuts(bestF)(bestBin)
-            tb.defaultLeft(nid) = bestDefLeft
-            tb.left(nid) = l; tb.right(nid) = r
-            nextActive(t) += l; nextActive(t) += r
           }
         }
+        if (work.isEmpty) {
+          states.foreach(_.active = Array.empty)
+        } else {
+          val descs = evaluateWork(work)
+          val nextActive = Array.fill(states.length)(ArrayBuffer[Int]())
+          if (p.maxLeaves == 0) {
+            var i = 0
+            while (i < work.length) {
+              val (t, nid, _) = work(i)
+              if (descs(i) == null) states(t).tb.finalizeLeaf(nid, p)
+              else {
+                val (l, r) = applySplit(t, nid, descs(i))
+                nextActive(t) += l; nextActive(t) += r
+              }
+              i += 1
+            }
+          } else {
+            // leaf-budgeted level: apply best-gain-first (ties: scan
+            // order), finalize what the budget can't afford
+            val order = descs.indices
+              .filter(descs(_) != null)
+              .sortBy(i => (-descs(i).gain, i))
+            val applied = Array.fill(work.length)(false)
+            order.foreach { i =>
+              val (t, nid, _) = work(i)
+              if (leaves(t) < p.maxLeaves) {
+                val (l, r) = applySplit(t, nid, descs(i))
+                leaves(t) += 1
+                nextActive(t) += l; nextActive(t) += r
+                applied(i) = true
+              }
+            }
+            descs.indices.foreach { i =>
+              if (!applied(i)) {
+                val (t, nid, _) = work(i)
+                states(t).tb.finalizeLeaf(nid, p)
+              }
+            }
+          }
+          states.zipWithIndex.foreach { case (st, t) =>
+            st.active = nextActive(t).toArray
+          }
+        }
+        depth += 1
       }
-      states.zipWithIndex.foreach { case (st, t) =>
-        st.active = nextActive(t).toArray
+      // frontier nodes at maxDepth become leaves (stats already known)
+      states.foreach(st => st.active.foreach(st.tb.finalizeLeaf(_, p)))
+    } else {
+      // ---- grow_policy=lossguide: best-first (leaf-wise) growth.
+      // A per-tree priority queue holds evaluated candidate splits; each
+      // iteration pops the highest-gain candidate per tree, applies it,
+      // and evaluates the two children in ONE fused job across all trees
+      // of the round. Distributed cost: one data scan per applied split
+      // (children evaluated pairwise) — the honest leaf-wise histogram
+      // cost (LightGBM's data-parallel mode pays the same per-split
+      // allreduce), so cap it with maxLeaves. Candidate gains depend
+      // only on the node's own rows, so popping in gain order yields
+      // exactly the best-first tree; with no caps the split SET equals
+      // depthwise's (expansion order can't change per-node decisions).
+      val maxD = if (p.maxDepth > 0) p.maxDepth else Int.MaxValue
+      val cap = if (p.maxLeaves > 0) p.maxLeaves else Int.MaxValue
+      val leaves = Array.fill(states.length)(1)
+      // node depth per tree (root = 0), parallel to the TreeBuilder
+      // arrays — applySplit appends exactly two nodes per call
+      val depthOf = states.map(_ => ArrayBuffer(0))
+      // colsample_bylevel draw per (tree, depth), memoized on first
+      // visit — leaf-wise revisits depths out of order, but the driver
+      // expansion order is deterministic in seed, so the RNG sequence is
+      val levelFeatsOf =
+        states.map(_ => scala.collection.mutable.HashMap[Int, Array[Int]]())
+      // max-gain queue; ties broken toward the earlier-evaluated node
+      val queues = Array.fill(states.length)(
+        scala.collection.mutable.PriorityQueue
+          .empty[(Double, Int, Int, SplitDesc)](
+            Ordering.by((c: (Double, Int, Int, SplitDesc)) => (c._1, -c._2))))
+      var seqNo = 0
+
+      def evalBatch(nodes: Seq[(Int, Int)]): Unit = {
+        if (nodes.isEmpty) return
+        val work = ArrayBuffer[(Int, Int, Array[Int])]()
+        nodes.foreach { case (t, nid) =>
+          val st = states(t)
+          val lf = levelFeatsOf(t).getOrElseUpdate(depthOf(t)(nid),
+            sampleFeatures(st.treeFeats, p.colsampleByLevel,
+              p.featureWeights, st.rng))
+          val sampled = sampleFeatures(lf, p.colsampleByNode,
+            p.featureWeights, st.rng)
+          val feats =
+            if (interSets.isEmpty) sampled
+            else sampled.filter(interOk(st.tb.path(nid), _))
+          if (feats.isEmpty) st.tb.finalizeLeaf(nid, p)
+          else work += ((t, nid, feats))
+        }
+        val descs = evaluateWork(work)
+        var i = 0
+        while (i < work.length) {
+          val (t, nid, _) = work(i)
+          if (descs(i) == null) states(t).tb.finalizeLeaf(nid, p)
+          else {
+            queues(t).enqueue((descs(i).gain, seqNo, nid, descs(i)))
+            seqNo += 1
+          }
+          i += 1
+        }
       }
-      } // work.nonEmpty
-      depth += 1
+
+      evalBatch(states.indices.map(t => (t, 0)))
+      while (queues.exists(_.nonEmpty)) {
+        val toEval = ArrayBuffer[(Int, Int)]()
+        states.indices.foreach { t =>
+          if (queues(t).nonEmpty) {
+            if (leaves(t) >= cap) {
+              // leaf budget exhausted: every queued candidate is a leaf
+              queues(t).foreach(c => states(t).tb.finalizeLeaf(c._3, p))
+              queues(t).clear()
+            } else {
+              val (_, _, nid, d) = queues(t).dequeue()
+              val (l, r) = applySplit(t, nid, d)
+              leaves(t) += 1
+              val cd = depthOf(t)(nid) + 1
+              depthOf(t) += cd; depthOf(t) += cd
+              // depth-capped or budget-exhausted children are leaves
+              // outright — no wasted histogram job on them
+              if (cd >= maxD || leaves(t) >= cap) {
+                states(t).tb.finalizeLeaf(l, p)
+                states(t).tb.finalizeLeaf(r, p)
+              } else { toEval += ((t, l)); toEval += ((t, r)) }
+            }
+          }
+        }
+        evalBatch(toEval.toSeq)
+      }
+      // lossguide leaves st.active at the root sentinel — nothing to
+      // finalize here (every materialized node was closed above)
+      states.foreach(_.active = Array.empty)
     }
-    // frontier nodes at maxDepth become leaves (stats already known)
-    states.foreach(st => st.active.foreach(st.tb.finalizeLeaf(_, p)))
     states.map(_.tb.result(p))
   }
 
@@ -748,6 +923,14 @@ object Trainer {
     require(p.booster == "gbtree" || p.booster == "dart",
       s"unknown booster '${p.booster}' (gbtree | dart; gblinear " +
         "trains via GraftLinear)")
+    require(p.growPolicy == "depthwise" || p.growPolicy == "lossguide",
+      s"unknown growPolicy '${p.growPolicy}' (depthwise | lossguide)")
+    require(p.maxLeaves >= 0,
+      s"maxLeaves must be >= 0 (0 = unbounded), got ${p.maxLeaves}")
+    require(p.maxDepth > 0 ||
+        (p.growPolicy == "lossguide" && p.maxLeaves > 0),
+      "maxDepth=0 (unbounded) requires growPolicy=lossguide with " +
+        "maxLeaves > 0 to bound the tree")
     val dart = p.booster == "dart"
     if (dart) {
       require(p.rateDrop >= 0.0 && p.rateDrop <= 1.0,

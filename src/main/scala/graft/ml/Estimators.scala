@@ -113,6 +113,15 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   def setNormalizeType(t: String): this.type = {
     params = params.copy(normalizeType = t); this
   }
+  /** xgboost `grow_policy`: "depthwise" (default) | "lossguide"
+    * (best-first growth — pair with [[setMaxLeaves]]). */
+  def setGrowPolicy(g: String): this.type = {
+    params = params.copy(growPolicy = g); this
+  }
+  /** xgboost `max_leaves` (0 = unbounded). */
+  def setMaxLeaves(n: Int): this.type = {
+    params = params.copy(maxLeaves = n); this
+  }
 
   protected def spec: DMatrixSpec = DMatrixSpec(
     labelCol = if (labelLowerCol.isDefined) Nil else Seq(labelCol),

@@ -43,7 +43,8 @@ trait GraftMLParams extends Params {
     "boosting rounds", ParamValidators.gtEq(1))
   final def getNumRounds: Int = $(numRounds)
   final val maxDepth = new IntParam(this, "maxDepth",
-    "maximum tree depth", ParamValidators.gtEq(1))
+    "maximum tree depth; 0 = unbounded (lossguide with maxLeaves only)",
+    ParamValidators.gtEq(0))
   final def getMaxDepth: Int = $(maxDepth)
   final val eta = new DoubleParam(this, "eta", "learning rate",
     ParamValidators.gt(0.0))
@@ -138,6 +139,15 @@ trait GraftMLParams extends Params {
     "monotoneConstraints", "per-feature monotonicity (+1/0/-1), " +
       "empty = unconstrained (xgboost monotone_constraints)")
   final def getMonotoneConstraints: Array[Int] = $(monotoneConstraints)
+  final val growPolicy = new Param[String](this, "growPolicy",
+    "tree growth policy: depthwise (level order) or lossguide " +
+      "(best-first, xgboost grow_policy)",
+    ParamValidators.inArray(Array("depthwise", "lossguide")))
+  final def getGrowPolicy: String = $(growPolicy)
+  final val maxLeaves = new IntParam(this, "maxLeaves",
+    "max leaves per tree, 0 = unbounded (xgboost max_leaves)",
+    ParamValidators.gtEq(0))
+  final def getMaxLeaves: Int = $(maxLeaves)
 
   setDefault(labelCol -> "label", featuresCols -> Array.empty[String],
     numRounds -> 10, maxDepth -> 6, eta -> 0.3, lambda -> 1.0,
@@ -149,7 +159,8 @@ trait GraftMLParams extends Params {
     alpha -> 0.0, gamma -> 0.0, minChildWeight -> 1.0,
     colsampleBytree -> 1.0, colsampleBylevel -> 1.0,
     colsampleBynode -> 1.0, scalePosWeight -> 1.0,
-    maxDeltaStep -> 0.0, monotoneConstraints -> Array.empty[Int])
+    maxDeltaStep -> 0.0, monotoneConstraints -> Array.empty[Int],
+    growPolicy -> "depthwise", maxLeaves -> 0)
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setFeaturesCols(v: Array[String]): this.type = set(featuresCols, v)
@@ -183,6 +194,8 @@ trait GraftMLParams extends Params {
   def setMaxDeltaStep(v: Double): this.type = set(maxDeltaStep, v)
   def setMonotoneConstraints(v: Array[Int]): this.type =
     set(monotoneConstraints, v)
+  def setGrowPolicy(v: String): this.type = set(growPolicy, v)
+  def setMaxLeaves(v: Int): this.type = set(maxLeaves, v)
 
   private[ml] def mkTrainParams(objective: String): TrainParams =
     TrainParams(objective = objective, numClass = $(numClass),
@@ -200,7 +213,8 @@ trait GraftMLParams extends Params {
       colsampleByNode = $(colsampleBynode),
       scalePosWeight = $(scalePosWeight),
       maxDeltaStep = $(maxDeltaStep),
-      monotoneConstraints = $(monotoneConstraints).toSeq)
+      monotoneConstraints = $(monotoneConstraints).toSeq,
+      growPolicy = $(growPolicy), maxLeaves = $(maxLeaves))
 
   private[ml] def mkSpec: DMatrixSpec = DMatrixSpec(
     labelCol = Seq($(labelCol)),
