@@ -810,6 +810,29 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: trees_to_dataframe introspection — the stump's WHOLE
+    //      tree row set (ids, child pointers, split gain, cover, leaf
+    //      values) replays closed-form in SQL: G_x = 0.5·n_x − Σy_x,
+    //      H_x = n_x, gain = ½(G_L²/(H_L+1) + G_R²/(H_R+1) − G²/(H+1)),
+    //      leaves via the ml_stump REAL formula; this is the ONLY
+    //      oracle that checks the stored gain/cover statistics (the
+    //      get_score importance inputs) directly ----
+    "ml_treedump" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      res.model.treesToDataFrame(s)
+        .select(col("tree"), col("node"), col("id"), col("feature"),
+          coalesce(col("yes"), lit("-")).as("yes"),
+          coalesce(col("no"), lit("-")).as("no"),
+          coalesce(col("missing"), lit("-")).as("missing"),
+          col("gain"), col("cover"))
+        .orderBy("node")
+    }),
+
     // ---- ML: xgboost-JSON model IMPORT (the reference's predict()
     //      takes an EXISTING xgb.Booster, main.py:1810) — same stump
     //      and closed-form oracle as ml_stump, but the model takes a
@@ -2098,6 +2121,35 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,
+    // trees_to_dataframe: replay the stump's full node table — split
+    // gain, per-node cover (hessian = row counts), child/missing id
+    // strings, and leaf values via the ml_stump REAL formula; mirrors
+    // the trainer's arithmetic (right child stats = totals − left)
+    "ml_treedump" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |a AS (SELECT
+        |   sum(CASE WHEN x = 0 THEN 0.5 * n - sy ELSE 0 END) AS gl,
+        |   sum(CASE WHEN x = 0 THEN n ELSE 0 END) AS hl,
+        |   sum(0.5 * n - sy) AS g, sum(n) AS h FROM s)
+        |SELECT * FROM (
+        | SELECT 0 AS tree, 0 AS node, '0-0' AS id, 'f0' AS feature,
+        |   '0-1' AS yes, '0-2' AS no, '0-1' AS missing,
+        |   CAST(CAST(0.5 * ((gl*gl/(hl+1.0)
+        |     + (g-gl)*(g-gl)/((h-hl)+1.0)) - g*g/(h+1.0))
+        |     AS REAL) AS DOUBLE) AS gain,
+        |   CAST(CAST(h AS REAL) AS DOUBLE) AS cover FROM a
+        | UNION ALL
+        | SELECT 0, 1, '0-1', 'Leaf', '-', '-', '-',
+        |   CAST(CAST((-0.3 * gl) / (hl + 1.0) AS REAL) AS DOUBLE),
+        |   CAST(CAST(hl AS REAL) AS DOUBLE) FROM a
+        | UNION ALL
+        | SELECT 0, 2, '0-2', 'Leaf', '-', '-', '-',
+        |   CAST(CAST((-0.3 * (g - gl)) / ((h - hl) + 1.0) AS REAL)
+        |     AS DOUBLE),
+        |   CAST(CAST(h - hl AS REAL) AS DOUBLE) FROM a
+        |) ORDER BY node""".stripMargin,
     // identical oracle to ml_stump: best-first growth capped at 2
     // leaves must pick the same argmax split and leaves as depthwise
     "ml_stump_lossguide" ->

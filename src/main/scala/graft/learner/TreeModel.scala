@@ -722,6 +722,58 @@ final class GraftModel(
   def dump(): String =
     trees.zipWithIndex.map { case (t, i) => t.dump(i) }.mkString
 
+  /** Tree structure as a DataFrame — the xgboost
+    * `Booster.trees_to_dataframe` introspection surface (stock users
+    * inspect split structure / gain / cover with it; the reference
+    * returns the stock booster, main.py:1747). Column conventions match
+    * xgboost: one row per node, `feature` = "Leaf" for leaves, leaves
+    * carry their value in `gain`, `yes`/`no`/`missing` are "tree-node"
+    * id strings, `split` is the numeric threshold (null for leaves and
+    * one-hot categorical nodes, whose category code is in `category`).
+    * Driver-side construction — a model is KBs, not data-scale. */
+  def treesToDataFrame(spark: SparkSession,
+      featureNames: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (featureNames.nonEmpty) require(featureNames.length == numFeatures,
+      s"${featureNames.length} feature names for $numFeatures features")
+    def fname(f: Int): String =
+      if (featureNames.nonEmpty) featureNames(f) else s"f$f"
+    val rows = new java.util.ArrayList[Row]()
+    trees.zipWithIndex.foreach { case (t, ti) =>
+      var n = 0
+      while (n < t.numNodes) {
+        val leaf = t.feature(n) < 0
+        rows.add(Row(
+          ti, n, s"$ti-$n",
+          if (leaf) "Leaf" else fname(t.feature(n)),
+          if (leaf || t.isCatNode(n)) null else t.threshold(n).toDouble,
+          if (leaf) null else s"$ti-${t.left(n)}",
+          if (leaf) null else s"$ti-${t.right(n)}",
+          if (leaf) null
+          else s"$ti-${if (t.defaultLeft(n)) t.left(n) else t.right(n)}",
+          if (leaf) t.value(n).toDouble
+          else if (t.hasStats) t.gain(n).toDouble else null,
+          if (t.hasStats) t.cover(n).toDouble else null,
+          if (!leaf && t.isCatNode(n)) t.threshold(n).toInt.toString
+          else null))
+        n += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("tree", IntegerType, nullable = false),
+      StructField("node", IntegerType, nullable = false),
+      StructField("id", StringType, nullable = false),
+      StructField("feature", StringType, nullable = false),
+      StructField("split", DoubleType, nullable = true),
+      StructField("yes", StringType, nullable = true),
+      StructField("no", StringType, nullable = true),
+      StructField("missing", StringType, nullable = true),
+      StructField("gain", DoubleType, nullable = true),
+      StructField("cover", DoubleType, nullable = true),
+      StructField("category", StringType, nullable = true)))
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Feature importances, normalized to sum 1 (the sklearn wrapper's
     * feature_importances_ convention; reference exposes the xgboost
     * booster's get_score importance_type surface):
