@@ -530,6 +530,21 @@ object SparkEntry {
         "vec_id", "embedding", minCosine = 0.999)
         .orderBy("keep_id", "dup_id")),
 
+    // ---- dedup: SemDeDup (Abbas et al. 2023) — deterministic k-means
+    //      (salted-md5 init, exact fixed-point Lloyd sums) then an
+    //      exact within-cluster pair join; the ENTIRE construction
+    //      (init order, two unrolled Lloyd rounds, argmax assignment,
+    //      pair join) replays in DuckDB ----
+    "dd_semdedup" -> ((s, dir) =>
+      Dedup.semDedup(
+        ld(s, dir, "embeddings").unionByName(
+          ld(s, dir, "embeddings").filter(col("vec_id") < 20)
+            .withColumn("vec_id", col("vec_id") + 10000000)),
+        "vec_id", "embedding", minCosine = 0.999, k = 8)
+        .select(col("cluster").cast("long").as("cluster"),
+          col("keep_id"), col("dup_id"), col("cosine"))
+        .orderBy("dup_id")),
+
     // ---- dedup: SimHash (md5-bit signatures reproducible in SQL;
     //      pigeonhole chunking is candidate-complete ⇒ oracle =
     //      exhaustive hamming-pair set) ----
@@ -1099,12 +1114,13 @@ object SparkEntry {
     }),
 
     // ---- ML: closed-form QUANTILE stump (reg:quantileerror,
-    //      α = 0.75) — the feature (discount ≥ 0.05) and the gradient
-    //      sign (y = 10·discount ≥ margin 0.5) are the SAME predicate,
-    //      so each leaf is gradient-pure: G₁ = −0.75·n₁, G₀ = 0.25·n₀,
-    //      H = n (unit hessians); grads are exact quarters, every sum
-    //      is exact in double, leaves replay via the ml_stump REAL
-    //      formula ----
+    //      α = 0.75) — exercises the ADAPTIVE LEAF REFRESH (xgboost
+    //      UpdateTreeLeaf): each leaf ends at η·Q_α of its float
+    //      residuals r = REAL(10·discount) − 0.5f, where Q_α is the
+    //      lower weighted quantile (smallest r with count(≤r) ≥ α·n).
+    //      DuckDB replays the split (the argmax is unchanged — grads
+    //      are exact quarters), the per-leaf running-count quantile
+    //      selection, and the REAL leaf arithmetic bit-for-bit ----
     "ml_stump_quantile" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
         .select(when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)
@@ -1114,6 +1130,29 @@ object SparkEntry {
         TrainParams(objective = "reg:quantileerror",
           quantileAlpha = 0.75, numRounds = 1, maxDepth = 1, seed = 1),
         numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
+    // ---- ML: closed-form MAE stump (reg:absoluteerror) — the
+    //      adaptive leaf refresh at α = 0.5: each leaf ends at
+    //      η·(lower median of its float residuals 10·discount − 0.5f).
+    //      The split predicate (discount ≥ 0.05) matches the residual
+    //      sign, so the sign gradients make its gain positive and it is
+    //      the only candidate cut of the binary feature; DuckDB replays
+    //      split, median selection, and REAL leaf arithmetic exactly ----
+    "ml_stump_mae" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)
+          .as("x"),
+          (col("l_discount") * 10).cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "reg:absoluteerror", numRounds = 1,
+          maxDepth = 1, seed = 1), numWorkers = 8)
       GraftBoost.predict(res.model, df, DMatrixSpec("y"))
         .groupBy("x")
         .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
@@ -2005,6 +2044,63 @@ object SparkEntry {
         | FROM p WHERE cos >= 0.999)
         |SELECT keep_id, dup_id, cosine FROM f WHERE rn = 1
         | ORDER BY keep_id, dup_id""".stripMargin,
+    // SemDeDup: unrolled deterministic k-means replay — init = 8
+    // smallest md5("7:"||id) rows, two Lloyd rounds with exact
+    // fixed-point BIGINT component sums (floor(v·2^20 + 0.5)), argmax
+    // cosine assignment (ties → lower cluster), exact within-cluster
+    // pair join at the same threshold
+    "dd_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 20),
+        |init AS (SELECT row_number() OVER (
+        |   ORDER BY md5(concat('7:', CAST(id AS VARCHAR)))) - 1 AS ci,
+        |   v AS c FROM base
+        | ORDER BY md5(concat('7:', CAST(id AS VARCHAR))) LIMIT 8),
+        |a1 AS (SELECT id, v, ci FROM (
+        |  SELECT b.id, b.v, i.ci, row_number() OVER (PARTITION BY b.id
+        |    ORDER BY list_cosine_similarity(b.v, i.c) DESC, i.ci) AS rn
+        |  FROM base b CROSS JOIN init i) WHERE rn = 1),
+        |s1 AS (SELECT ci, j, count(*) AS cnt,
+        |   sum(CAST(floor(e * 1048576 + 0.5) AS BIGINT)) AS qs
+        | FROM (SELECT ci, UNNEST(v) AS e,
+        |    UNNEST(range(1, len(v) + 1)) AS j FROM a1)
+        | GROUP BY ci, j),
+        |u1 AS (SELECT ci,
+        |   list((CAST(qs AS DOUBLE) / cnt) / 1048576.0 ORDER BY j) AS c
+        | FROM s1 GROUP BY ci),
+        |c1 AS (SELECT i.ci, COALESCE(u1.c, i.c) AS c FROM init i
+        | LEFT JOIN u1 ON i.ci = u1.ci),
+        |a2 AS (SELECT id, v, ci FROM (
+        |  SELECT b.id, b.v, i.ci, row_number() OVER (PARTITION BY b.id
+        |    ORDER BY list_cosine_similarity(b.v, i.c) DESC, i.ci) AS rn
+        |  FROM base b CROSS JOIN c1 i) WHERE rn = 1),
+        |s2 AS (SELECT ci, j, count(*) AS cnt,
+        |   sum(CAST(floor(e * 1048576 + 0.5) AS BIGINT)) AS qs
+        | FROM (SELECT ci, UNNEST(v) AS e,
+        |    UNNEST(range(1, len(v) + 1)) AS j FROM a2)
+        | GROUP BY ci, j),
+        |u2 AS (SELECT ci,
+        |   list((CAST(qs AS DOUBLE) / cnt) / 1048576.0 ORDER BY j) AS c
+        | FROM s2 GROUP BY ci),
+        |c2 AS (SELECT i.ci, COALESCE(u2.c, i.c) AS c FROM c1 i
+        | LEFT JOIN u2 ON i.ci = u2.ci),
+        |a3 AS (SELECT id, v, ci FROM (
+        |  SELECT b.id, b.v, i.ci, row_number() OVER (PARTITION BY b.id
+        |    ORDER BY list_cosine_similarity(b.v, i.c) DESC, i.ci) AS rn
+        |  FROM base b CROSS JOIN c2 i) WHERE rn = 1),
+        |p AS (SELECT x.ci AS cluster, x.id AS keep_id, y.id AS dup_id,
+        |   list_cosine_similarity(x.v, y.v) AS cos
+        | FROM a3 x JOIN a3 y ON x.ci = y.ci AND x.id < y.id),
+        |f AS (SELECT cluster, keep_id, dup_id, round(cos, 6) AS cosine,
+        |   row_number() OVER (PARTITION BY dup_id ORDER BY keep_id)
+        |     AS rn
+        | FROM p WHERE cos >= 0.999)
+        |SELECT cluster, keep_id, dup_id, cosine FROM f WHERE rn = 1
+        | ORDER BY dup_id""".stripMargin,
     // transitive closure by recursive reachability over the (symmetric)
     // pair edges; component label = min reachable id
     "dd_components" ->
@@ -2402,19 +2498,49 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,
-    // quantile (α=0.75) at margin 0.5: the leaf predicate IS the
-    // gradient predicate (y = 10·discount ≥ 0.5 ⇔ discount ≥ 0.05),
-    // so G₁ = −0.75·n₁ and G₀ = 0.25·n₀ exactly, H = n; every sum is
-    // an exact quarter-integer
+    // quantile (α=0.75) with the adaptive leaf refresh: the split is
+    // unchanged (grads are exact quarters; the leaf predicate IS the
+    // gradient predicate), then every leaf is RESET to η·Q_α of its
+    // float residuals — replayed with an inclusive running-count
+    // window (count of r' ≤ r per leaf) picking the smallest r whose
+    // cumulative count reaches α·n, the engine's lower quantile
     "ml_stump_quantile" ->
       """WITH t AS (SELECT
-        |   CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS x
+        |   CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS x,
+        |   CAST(CAST(l_discount * 10 AS REAL) - CAST(0.5 AS REAL)
+        |     AS REAL) AS r
         | FROM lineitem),
         |s AS (SELECT x, count(*) AS n FROM t GROUP BY x),
-        |l AS (SELECT x, n,
-        |   CAST((-0.3 * (CASE WHEN x = 1 THEN -0.75 * n
-        |     ELSE 0.25 * n END)) / (n + 1.0) AS REAL) AS leaf
-        | FROM s)
+        |c AS (SELECT x, r,
+        |   count(*) OVER (PARTITION BY x ORDER BY r
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |   count(*) OVER (PARTITION BY x) AS nt FROM t),
+        |q AS (SELECT x, min(r) AS q FROM c
+        | WHERE cw >= 0.75 * nt GROUP BY x),
+        |l AS (SELECT s.x, s.n, CAST(0.3 * q.q AS REAL) AS leaf
+        | FROM s JOIN q ON s.x = q.x)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // MAE with the adaptive leaf refresh: leaves are η × the lower
+    // median of per-leaf float residuals REAL(10·discount) − 0.5f,
+    // selected by the same inclusive running-count window as the
+    // quantile stump, at α = 0.5
+    "ml_stump_mae" ->
+      """WITH t AS (SELECT
+        |   CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS x,
+        |   CAST(CAST(l_discount * 10 AS REAL) - CAST(0.5 AS REAL)
+        |     AS REAL) AS r
+        | FROM lineitem),
+        |s AS (SELECT x, count(*) AS n FROM t GROUP BY x),
+        |c AS (SELECT x, r,
+        |   count(*) OVER (PARTITION BY x ORDER BY r
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |   count(*) OVER (PARTITION BY x) AS nt FROM t),
+        |q AS (SELECT x, min(r) AS q FROM c
+        | WHERE cw >= 0.5 * nt GROUP BY x),
+        |l AS (SELECT s.x, s.n, CAST(0.3 * q.q AS REAL) AS leaf
+        | FROM s JOIN q ON s.x = q.x)
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,

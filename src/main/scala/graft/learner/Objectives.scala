@@ -57,6 +57,13 @@ trait Objective extends Serializable {
   def gradHessGlobal(aux: Serializable, margin: Array[Float],
       label: Float, grad: Array[Float], hess: Array[Float]): Unit =
     gradHess(margin, label, grad, hess)
+  /** xgboost UpdateTreeLeaf (adaptive trees): when Some(α), every new
+    * tree's leaves are RESET after construction to η·Q_α of the leaf's
+    * (label − margin) residuals — reg:absoluteerror (α = 0.5) and
+    * reg:quantileerror (α = quantile_alpha), exactly the objectives
+    * xgboost refreshes. Without the refresh, constant-hessian L1-family
+    * leaves are −η·ΣG/(n+λ) ∈ [−η, η] and barely move the margin. */
+  def leafRefreshAlpha: Option[Double] = None
 }
 
 object Objectives {
@@ -84,6 +91,7 @@ object Objectives {
         h: Array[Float]): Unit = {
       g(0) = math.signum(m(0) - y); h(0) = 1.0f // constant-hessian MAE
     }
+    override def leafRefreshAlpha: Option[Double] = Some(0.5)
   }
 
   /** binary:logistic — prob output; margin space is the logit. */
@@ -248,6 +256,7 @@ object Objectives {
       g(0) = if (y - m(0) >= 0f) (-alpha).toFloat else (1.0 - alpha).toFloat
       h(0) = 1.0f
     }
+    override def leafRefreshAlpha: Option[Double] = Some(alpha)
   }
 
   /** binary:hinge — SVM-style hinge subgradient on y ∈ {0,1} mapped to

@@ -233,6 +233,22 @@ object Trainer {
       treeSalts: Array[Int],      // tree → subsample salt
       featLists: Array[Array[Int]]) // global slot → sampled feature ids
 
+  /** Route a binned row through a FINISHED tree; returns the leaf's
+    * slot from the given node→slot map (leaf-refresh traversal). */
+  private def routeSlot(t: RegTree, slots: Array[Int],
+      bins: Array[Byte]): Int = {
+    var i = 0
+    while (t.feature(i) >= 0) {
+      val b = bins(t.feature(i)) & 0xFF
+      i = if (b == MissingBin) {
+        if (t.defaultLeft(i)) t.left(i) else t.right(i)
+      } else if (if (t.isCatNode(i)) b == t.thresholdBin(i)
+        else b <= t.thresholdBin(i)) t.left(i)
+      else t.right(i)
+    }
+    slots(i)
+  }
+
   /** Traverse the partial tree; returns nodeId (pending or leaf). */
   private def route(pt: PartialTree, bins: Array[Byte]): Int = {
     var i = 0
@@ -899,6 +915,213 @@ object Trainer {
   }
 
   /**
+   * xgboost UpdateTreeLeaf (adaptive trees) for the L1 family: reset
+   * every leaf of the round's freshly built trees to
+   * η · Q_α(label − margin) over the rows routed to the leaf, where Q_α
+   * is the LOWER weighted quantile — the smallest value v with
+   * W(≤ v) ≥ α·W. reg:absoluteerror refreshes at α = 0.5 and
+   * reg:quantileerror at α = quantile_alpha, matching the objectives
+   * xgboost refreshes (without it, constant-hessian L1 leaves are
+   * −η·ΣG/(n+λ) ∈ [−η, η] and barely move the margin).
+   *
+   * Distributed and EXACT without shuffling a single row: a driver loop
+   * of batched histogram refinement over the cached round data. Pass 0
+   * aggregates per-leaf (Σw, min, max) of the float residuals; each
+   * refinement pass aggregates one 1024-bin weight histogram per
+   * UNRESOLVED leaf over its current interval (lo, hi] plus the
+   * interval's min/max, and the driver narrows each leaf to the bin
+   * containing the target rank. Bin membership is decided by plain
+   * </> comparisons against broadcast double edges, so the running
+   * W(≤ lo) bookkeeping is exact; a leaf resolves when its interval
+   * holds one distinct float residual (1024⁴ = 2⁴⁰ subdivisions beats
+   * a float's 2²⁴-ulp range, so ~4 passes). ALL leaves of ALL round
+   * trees share each pass's single aggregate — a round costs ~5 cheap
+   * narrow scans regardless of tree/leaf count, and nothing shuffles.
+   *
+   * Documented divergences from xgboost: the lower quantile (xgboost
+   * interpolates adjacent order statistics), and the refresh sees all
+   * rows (xgboost restricts to the row subsample).
+   */
+  private def refreshLeaves(
+      data: RDD[(TrainInstance, Array[Float])],
+      roundTrees: Array[RegTree],
+      alpha: Double, eta: Double): Array[RegTree] = {
+    val B = 1024
+    // (tree, node) → global leaf slot
+    var nSlots = 0
+    val leafSlot: Array[Array[Int]] = roundTrees.map { t =>
+      val m = Array.fill(t.numNodes)(-1)
+      var i = 0
+      while (i < t.numNodes) {
+        if (t.feature(i) < 0) { m(i) = nSlots; nSlots += 1 }
+        i += 1
+      }
+      m
+    }
+    val sc = data.sparkContext
+    val bcTrees = sc.broadcast(roundTrees)
+    val bcSlots = sc.broadcast(leafSlot)
+
+    // ---- pass 0: per-slot (Σw, min, max) of residuals ----
+    val z0 = new Array[Double](nSlots * 3)
+    var s = 0
+    while (s < nSlots) {
+      z0(s * 3 + 1) = Double.PositiveInfinity
+      z0(s * 3 + 2) = Double.NegativeInfinity
+      s += 1
+    }
+    val stats = data.aggregate(z0)(
+      (acc, row) => {
+        val (inst, m) = row
+        val r: Double = (inst.label - m(0)).toDouble // float residual
+        val w = inst.weight.toDouble
+        val ts = bcTrees.value; val ls = bcSlots.value
+        var t = 0
+        while (t < ts.length) {
+          val slot = routeSlot(ts(t), ls(t), inst.bins)
+          acc(slot * 3) += w
+          if (r < acc(slot * 3 + 1)) acc(slot * 3 + 1) = r
+          if (r > acc(slot * 3 + 2)) acc(slot * 3 + 2) = r
+          t += 1
+        }
+        acc
+      },
+      (a, c) => {
+        var i = 0
+        while (i < nSlots) {
+          a(i * 3) += c(i * 3)
+          if (c(i * 3 + 1) < a(i * 3 + 1)) a(i * 3 + 1) = c(i * 3 + 1)
+          if (c(i * 3 + 2) > a(i * 3 + 2)) a(i * 3 + 2) = c(i * 3 + 2)
+          i += 1
+        }
+        a
+      })
+
+    val target = new Array[Double](nSlots)
+    val lo = new Array[Double](nSlots)
+    val hi = new Array[Double](nSlots)
+    val wBelow = new Array[Double](nSlots)
+    val value = Array.fill(nSlots)(Double.NaN) // resolved quantile
+    val keepOld = new Array[Boolean](nSlots)
+    s = 0
+    while (s < nSlots) {
+      val w = stats(s * 3)
+      val mn = stats(s * 3 + 1); val mx = stats(s * 3 + 2)
+      if (w <= 0) keepOld(s) = true // unroutable leaf: keep as trained
+      else if (mn == mx) value(s) = mn
+      else {
+        target(s) = alpha * w
+        lo(s) = Double.NegativeInfinity; hi(s) = mx; wBelow(s) = 0.0
+      }
+      s += 1
+    }
+
+    // ---- refinement passes ----
+    var guard = 0
+    var unresolved = (0 until nSlots)
+      .filter(i => !keepOld(i) && value(i).isNaN).toArray
+    while (unresolved.nonEmpty && guard < 64) {
+      guard += 1
+      val act = unresolved
+      val slotPos = Array.fill(nSlots)(-1)
+      act.zipWithIndex.foreach { case (sl, i) => slotPos(sl) = i }
+      // edges: interior points of the slot's finite span; pass 1 spans
+      // [min, max] (lo is −∞), later passes span (lo, hi]
+      val edges: Array[Array[Double]] = act.map { sl =>
+        val a = if (lo(sl).isNegInfinity) stats(sl * 3 + 1) else lo(sl)
+        val b = hi(sl)
+        Array.tabulate(B - 1)(i => a + (i + 1) * (b - a) / B)
+      }
+      val bcEdges = sc.broadcast(edges)
+      val bcLo = sc.broadcast(act.map(lo))
+      val bcHi = sc.broadcast(act.map(hi))
+      val bcPos = sc.broadcast(slotPos)
+      val width = B + 2 // hist + interval min + interval max
+      val z = new Array[Double](act.length * width)
+      var i = 0
+      while (i < act.length) {
+        z(i * width + B) = Double.PositiveInfinity
+        z(i * width + B + 1) = Double.NegativeInfinity
+        i += 1
+      }
+      val h = data.aggregate(z)(
+        (acc, row) => {
+          val (inst, m) = row
+          val r: Double = (inst.label - m(0)).toDouble
+          val w = inst.weight.toDouble
+          val ts = bcTrees.value; val ls = bcSlots.value
+          val pos = bcPos.value
+          var t = 0
+          while (t < ts.length) {
+            val slot = routeSlot(ts(t), ls(t), inst.bins)
+            val pi = pos(slot)
+            if (pi >= 0 && r > bcLo.value(pi) && r <= bcHi.value(pi)) {
+              val e = bcEdges.value(pi)
+              // j = #(edges < r): first index with e(idx) >= r
+              var l = 0; var u = e.length
+              while (l < u) {
+                val mid = (l + u) >>> 1
+                if (e(mid) < r) l = mid + 1 else u = mid
+              }
+              val base = pi * width
+              acc(base + l) += w
+              if (r < acc(base + B)) acc(base + B) = r
+              if (r > acc(base + B + 1)) acc(base + B + 1) = r
+            }
+            t += 1
+          }
+          acc
+        },
+        (a, c) => {
+          var i = 0
+          while (i < a.length) {
+            val off = i % width
+            if (off == B) { if (c(i) < a(i)) a(i) = c(i) }
+            else if (off == B + 1) { if (c(i) > a(i)) a(i) = c(i) }
+            else a(i) += c(i)
+            i += 1
+          }
+          a
+        })
+      bcEdges.destroy(); bcLo.destroy(); bcHi.destroy(); bcPos.destroy()
+      act.zipWithIndex.foreach { case (sl, pi) =>
+        val base = pi * width
+        val mnI = h(base + B); val mxI = h(base + B + 1)
+        if (mnI == mxI) value(sl) = mnI // single float left: the answer
+        else {
+          var cum = wBelow(sl)
+          var j = 0
+          while (j < B && cum + h(base + j) < target(sl)) {
+            cum += h(base + j); j += 1
+          }
+          if (j >= B) value(sl) = mxI // numeric guard; cannot happen
+          else {
+            val e = edges(pi)
+            lo(sl) = if (j == 0) lo(sl) else e(j - 1)
+            hi(sl) = if (j == B - 1) hi(sl) else e(j)
+            wBelow(sl) = cum
+          }
+        }
+      }
+      unresolved = unresolved.filter(i => value(i).isNaN)
+    }
+    unresolved.foreach(sl => value(sl) = hi(sl)) // guard exhausted
+    bcTrees.destroy(); bcSlots.destroy()
+
+    roundTrees.zipWithIndex.map { case (t, ti) =>
+      val v = t.value.clone()
+      var i = 0
+      while (i < t.numNodes) {
+        val sl = leafSlot(ti)(i)
+        if (sl >= 0 && !keepOld(sl)) v(i) = (eta * value(sl)).toFloat
+        i += 1
+      }
+      new RegTree(t.feature, t.thresholdBin, t.threshold, t.defaultLeft,
+        t.left, t.right, v, t.gain, t.cover, t.catSplit)
+    }
+  }
+
+  /**
    * The boosting loop — analog of the reference's `_train` round loop
    * (main.py:1061-1337), with the driver playing the tracker role.
    *
@@ -1141,9 +1364,15 @@ object Trainer {
       // All trees of the round grow in ONE fused job per level.
       val pTree = p.copy(eta = p.eta / p.numParallelTree)
       val nTrees = p.numParallelTree * k
-      val roundTrees = buildTrees(grads, bins, pTree,
+      val builtTrees = buildTrees(grads, bins, pTree,
         Array.tabulate(nTrees)(i => mix(p.seed, startRound + round, 7919 + i)),
         Array.tabulate(nTrees)(_ % k))
+      // adaptive leaf refresh (xgboost UpdateTreeLeaf): the L1 family
+      // resets each leaf to η·Q_α of its residuals before the commit
+      val roundTrees = obj.leafRefreshAlpha match {
+        case Some(a) => refreshLeaves(roundData, builtTrees, a, pTree.eta)
+        case None => builtTrees
+      }
       // the tree builds above materialized `data` (via the gradient
       // map) — the previous round's cache is now safe to drop
       prevData.foreach(_.unpersist(blocking = false))
