@@ -923,4 +923,122 @@ object Dedup {
       .select(col("keep_id"), col("id").as("dup_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---------------- SemDeDup: cluster-then-dedup ----------------
+
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): k-means cluster the
+   * embedding space, then search for near-duplicate pairs ONLY within
+   * each cluster — the pair search drops from all-pairs O(n²) to
+   * Σ|cluster|² ≈ n²/k, and k grows with the corpus so cluster sizes
+   * stay bounded (the paper's recipe at web scale).
+   *
+   * Deterministic BY CONSTRUCTION across runs/partitionings/retries —
+   * unlike `ivfTopK`'s `takeSample` centroids:
+   *  - initial centroids = the k rows with the smallest
+   *    md5(seed ":" id) (the salted-md5 idiom every pp_* op uses);
+   *  - Lloyd accumulates component sums in EXACT fixed-point longs
+   *    (floor(v·2²⁰ + 0.5)), so the reduce order cannot perturb a
+   *    centroid and assignments replay bit-for-bit;
+   *  - cosine assignment ties break toward the lower cluster index.
+   * The whole construction (init, two Lloyd rounds, assignment, pair
+   * join) replays in SQL — dd_semdedup carries a full DuckDB oracle.
+   *
+   * Within-cluster pairing is an exact self-join on the cluster id
+   * (one sort-merge shuffle each side); each duplicate reports its
+   * smallest-id partner, like [[embeddingDups]].
+   */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, k: Int = 8, lloydIters: Int = 2,
+      seed: Long = 7L): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    // ---- deterministic init: k smallest salted-md5 rows ----
+    var centroids: Array[Array[Double]] = base
+      .withColumn("h", md5(concat_ws(":", lit(seed.toString),
+        col("id").cast("string"))))
+      .orderBy("h").limit(k)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty, "semDedup: empty input")
+    val dim = centroids.head.length
+
+    def assignIdx(v: Seq[Float], cs: Array[Array[Double]]): Int = {
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
+      nv = math.sqrt(nv)
+      var best = 0; var bestCos = -2.0
+      var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)
+        var dot = 0.0; var nc = 0.0; var j = 0
+        val len = math.min(v.length, c.length)
+        while (j < len) {
+          dot += v(j).toDouble * c(j); nc += c(j) * c(j); j += 1
+        }
+        nc = math.sqrt(nc)
+        val cos = if (nv == 0 || nc == 0) -2.0 else dot / (nv * nc)
+        if (cos > bestCos) { bestCos = cos; best = ci }
+        ci += 1
+      }
+      best
+    }
+
+    // ---- Lloyd rounds with exact fixed-point component sums ----
+    val vecs = base.select("vec").rdd.map(_.getSeq[Float](0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    while (iter < lloydIters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val kk = centroids.length
+      val sums = vecs.aggregate(new Array[Long](kk * (dim + 1)))(
+        (acc, v) => {
+          val ci = assignIdx(v, bc.value)
+          val baseI = ci * (dim + 1)
+          acc(baseI) += 1L
+          var j = 0
+          val len = math.min(v.length, dim)
+          while (j < len) {
+            acc(baseI + 1 + j) +=
+              math.floor(v(j).toDouble * 1048576.0 + 0.5).toLong
+            j += 1
+          }
+          acc
+        },
+        (a, c) => { var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a })
+      bc.destroy()
+      centroids = centroids.indices.map { ci =>
+        val baseI = ci * (dim + 1)
+        val cnt = sums(baseI)
+        if (cnt == 0) centroids(ci) // empty cluster keeps its centroid
+        else Array.tabulate(dim)(j =>
+          (sums(baseI + 1 + j).toDouble / cnt) / 1048576.0)
+      }.toArray
+      iter += 1
+    }
+    vecs.unpersist(blocking = false)
+
+    // ---- final assignment + within-cluster exact pair join ----
+    val bcFinal = spark.sparkContext.broadcast(centroids)
+    val clusterOf = udf((v: Seq[Float]) => assignIdx(v, bcFinal.value))
+    val assigned = base.withColumn("cluster", clusterOf(col("vec")))
+    val a = assigned.select(col("cluster"), col("id").as("keep_id"),
+      col("vec").as("keep_vec"))
+    val b = assigned.select(col("cluster"), col("id").as("dup_id"),
+      col("vec").as("dup_vec"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("keep_id") < col("dup_id"))
+      .withColumn("cosine",
+        Similarity.cosineNative(spark, col("keep_vec"), col("dup_vec")))
+      .filter(col("cosine") >= minCosine)
+    val w = Window.partitionBy("dup_id").orderBy("keep_id")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("keep_id"), col("dup_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 }
