@@ -95,6 +95,23 @@ object Metrics {
           wt.toDouble)
       }.detSum2
       e / w
+    case t if t.startsWith("error@") => // binary error at threshold t
+      // (xgboost error@t: classify positive when prediction > t)
+      val th = t.stripPrefix("error@").toDouble
+      val (e, w) = rows.map { case (m, y, wt) =>
+        val p = obj.transform(m)(0)
+        (if ((if (p > th) 1f else 0f) != y) wt.toDouble else 0.0,
+          wt.toDouble)
+      }.detSum2
+      e / w
+    case "gamma-deviance" => // 2·mean(ln(p/y) + y/p − 1), xgboost's
+      // epsilon-guarded form (labels and predictions floored at 1e-16)
+      val (d, w) = rows.map { case (m, y, wt) =>
+        val p = obj.transform(m)(0).toDouble + 1e-16
+        val yy = y.toDouble + 1e-16
+        ((math.log(p / yy) + yy / p - 1.0) * wt, wt.toDouble)
+      }.detSum2
+      2.0 * d / w
     case "merror" => // multiclass: argmax != label
       val (e, w) = rows.map { case (m, y, wt) =>
         val p = obj.transform(m)

@@ -134,7 +134,14 @@ final case class TrainParams(
       * lossguide: the leaf budget of best-first growth. depthwise:
       * each level's splits apply best-gain-first until the budget is
       * spent, the rest of the frontier finalizes. */
-    maxLeaves: Int = 0)
+    maxLeaves: Int = 0,
+    /** Per-round learning rate (the xgboost LearningRateScheduler
+      * callback / `learning_rates`): round index → η, overriding `eta`
+      * for that round's trees (and DART normalization). Indexed by the
+      * GLOBAL round, so checkpoint resume continues the schedule where
+      * the init model left off. Native API only — a function cannot
+      * ride an MLlib Param. */
+    etaSchedule: Option[Int => Double] = None)
 
 /**
  * Custom eval metric (E7): `fn(margins, label, weight)` returns the
@@ -1362,7 +1369,13 @@ object Trainer {
       // layout: class-inner so GraftModel's (t % k) class mapping holds
       // for any numParallelTree: [pt0·c0, pt0·c1, …, pt1·c0, …].
       // All trees of the round grow in ONE fused job per level.
-      val pTree = p.copy(eta = p.eta / p.numParallelTree)
+      // per-round learning rate (LearningRateScheduler analog); global
+      // round index keeps a resumed schedule aligned with the full run
+      val etaRound = p.etaSchedule
+        .map(f => f(startRound + round)).getOrElse(p.eta)
+      require(etaRound > 0, s"etaSchedule returned $etaRound for " +
+        s"round ${startRound + round}; learning rates must be positive")
+      val pTree = p.copy(eta = etaRound / p.numParallelTree)
       val nTrees = p.numParallelTree * k
       val builtTrees = buildTrees(grads, bins, pTree,
         Array.tabulate(nTrees)(i => mix(p.seed, startRound + round, 7919 + i)),
@@ -1412,7 +1425,7 @@ object Trainer {
         val (dropScale, newWeight) =
           if (kd == 0) (1.0, 1.0)
           else {
-            val lrNorm = p.eta / roundTrees.length
+            val lrNorm = etaRound / roundTrees.length
             if (p.normalizeType == "forest") {
               val d = 1.0 + lrNorm; (1.0 / d, 1.0 / d)
             } else { val d = kd + lrNorm; (kd / d, 1.0 / d) }

@@ -122,6 +122,11 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   def setMaxLeaves(n: Int): this.type = {
     params = params.copy(maxLeaves = n); this
   }
+  /** Per-round learning rate (xgboost LearningRateScheduler /
+    * `learning_rates`): global round index → η. */
+  def setEtaSchedule(f: Int => Double): this.type = {
+    params = params.copy(etaSchedule = Some(f)); this
+  }
 
   protected def spec: DMatrixSpec = DMatrixSpec(
     labelCol = if (labelLowerCol.isDefined) Nil else Seq(labelCol),
