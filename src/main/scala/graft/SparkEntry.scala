@@ -803,6 +803,32 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: closed-form PARTITION-categorical stump (the xgboost
+    //      max_cat_to_onehot overflow path) — 6 category codes from
+    //      l_quantity mod 6 with +50 planted on codes {1,2,5}; the
+    //      engine sorts categories by gradient ratio G_c/H_c and
+    //      prefix-scans for the optimal many-vs-many grouping; grads
+    //      0.5−y are exact halves so every sum/ratio is exact in
+    //      double and DuckDB replays the sort, the prefix argmax, and
+    //      the REAL leaf arithmetic bit-for-bit ----
+    "ml_stump_catpart" -> ((s, dir) => {
+      val catCol = (col("l_quantity").cast("int") % 6).cast("double")
+      val df = ld(s, dir, "lineitem")
+        .select(catCol.as("cat"),
+          (col("l_quantity") +
+            when((col("l_quantity").cast("int") % 6).isin(1, 2, 5),
+              50.0).otherwise(0.0)).cast("double").as("y"))
+      val res = GraftBoost.train(df,
+        DMatrixSpec(labelCol = Seq("y"), categoricalCols = Seq("cat")),
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      GraftBoost.predict(res.model, df,
+        DMatrixSpec(labelCol = Seq("y"), categoricalCols = Seq("cat")))
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .orderBy("cat")
+    }),
+
     // ---- ML: grow_policy=lossguide through the full best-first path
     //      (driver queue, per-split fused child evaluation, leaf cap,
     //      UNBOUNDED depth) — maxLeaves=2 makes the best-first tree a
@@ -2246,6 +2272,42 @@ object SparkEntry {
         |     AS DOUBLE),
         |   CAST(CAST(h - hl AS REAL) AS DOUBLE) FROM a
         |) ORDER BY node""".stripMargin,
+    // partition-categorical stump: replay the gradient-ratio sort
+    // (G_c/H_c asc, code tiebreak), the prefix-candidate gain argmax
+    // (ties -> smallest prefix, the scan's strict-improvement order),
+    // and the winning prefix's two REAL leaves
+    "ml_stump_catpart" ->
+      """WITH t AS (SELECT CAST(l_quantity AS INT) % 6 AS cat,
+        |   l_quantity + CASE WHEN CAST(l_quantity AS INT) % 6
+        |     IN (1,2,5) THEN 50 ELSE 0 END AS y
+        | FROM lineitem),
+        |s AS (SELECT cat, count(*) AS n, sum(0.5 - y) AS g
+        | FROM t GROUP BY cat),
+        |o AS (SELECT cat, n, g, row_number() OVER (
+        |   ORDER BY g / greatest(CAST(n AS DOUBLE), 1e-16), cat) AS rk
+        | FROM s),
+        |tot AS (SELECT sum(g) AS gt, sum(CAST(n AS DOUBLE)) AS ht,
+        |   count(*) AS m FROM s),
+        |pre AS (SELECT rk, sum(g) OVER (ORDER BY rk) AS gl,
+        |   sum(CAST(n AS DOUBLE)) OVER (ORDER BY rk) AS hl FROM o),
+        |cand AS (SELECT pre.rk, pre.gl, pre.hl,
+        |   0.5 * ((gl*gl/(hl+1.0)
+        |     + (tot.gt-gl)*(tot.gt-gl)/((tot.ht-hl)+1.0))
+        |     - tot.gt*tot.gt/(tot.ht+1.0)) AS gain
+        | FROM pre, tot
+        | WHERE pre.rk < tot.m AND pre.hl >= 1
+        |   AND tot.ht - pre.hl >= 1),
+        |best AS (SELECT rk, gl, hl FROM cand
+        | ORDER BY gain DESC, rk LIMIT 1),
+        |leaves AS (SELECT b.rk,
+        |   CAST((-0.3 * b.gl) / (b.hl + 1.0) AS REAL) AS lleaf,
+        |   CAST((-0.3 * (tot.gt - b.gl)) / ((tot.ht - b.hl) + 1.0)
+        |     AS REAL) AS rleaf
+        | FROM best b, tot)
+        |SELECT CAST(o.cat AS DOUBLE) AS cat, o.n,
+        | CAST(CAST(0.5 AS REAL) + CASE WHEN o.rk <= l.rk THEN l.lleaf
+        |   ELSE l.rleaf END AS DOUBLE) AS prediction
+        |FROM o, leaves l ORDER BY cat""".stripMargin,
     // identical oracle to ml_stump: best-first growth capped at 2
     // leaves must pick the same argmax split and leaves as depthwise
     "ml_stump_lossguide" ->

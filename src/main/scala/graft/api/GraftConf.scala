@@ -70,6 +70,8 @@ object GraftConf {
     get("normalizeType").foreach(v => p = p.copy(normalizeType = v))
     get("growPolicy").foreach(v => p = p.copy(growPolicy = v))
     get("maxLeaves").foreach(v => p = p.copy(maxLeaves = v.toInt))
+    get("maxCatToOnehot").foreach(v =>
+      p = p.copy(maxCatToOnehot = v.toInt))
     // xgboost string forms: "(1,0,-1)" and "[[0,1],[2,3]]"
     get("monotoneConstraints").foreach(v => p = p.copy(
       monotoneConstraints = v.replaceAll("[()\\[\\]\\s]", "")

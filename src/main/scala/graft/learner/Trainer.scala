@@ -135,6 +135,14 @@ final case class TrainParams(
       * each level's splits apply best-gain-first until the budget is
       * spent, the rest of the frontier finalizes. */
     maxLeaves: Int = 0,
+    /** xgboost `max_cat_to_onehot`: a categorical node uses one-hot
+      * `== code` splits while its category count is BELOW this
+      * threshold, and optimal-partition splits (categories sorted by
+      * gradient ratio G/H, prefix-scanned — the Fisher-optimal
+      * many-vs-many grouping for second-order losses) at or above it.
+      * xgboost's default is 4. Same O(bins log bins) driver cost;
+      * codes unseen at training time route right. */
+    maxCatToOnehot: Int = 4,
     /** Per-round learning rate (the xgboost LearningRateScheduler
       * callback / `learning_rates`): round index → η, overriding `eta`
       * for that round's trees (and DART normalization). Indexed by the
@@ -226,7 +234,8 @@ object Trainer {
   private final case class PartialTree(
       feature: Array[Int],        // -1 leaf, -2 pending (active frontier)
       thresholdBin: Array[Int],
-      catSplit: Array[Boolean],   // one-hot categorical node (== routing)
+      catSplit: Array[Boolean],   // categorical node marker
+      catBits: Array[Array[Long]], // partition node bitmap (null=one-hot)
       defaultLeft: Array[Boolean],
       left: Array[Int],
       right: Array[Int],
@@ -249,7 +258,9 @@ object Trainer {
       val b = bins(t.feature(i)) & 0xFF
       i = if (b == MissingBin) {
         if (t.defaultLeft(i)) t.left(i) else t.right(i)
-      } else if (if (t.isCatNode(i)) b == t.thresholdBin(i)
+      } else if (if (t.isPartitionNode(i))
+          ((t.catBits(i)(b >> 6) >>> (b & 63)) & 1L) == 1L
+        else if (t.isCatNode(i)) b == t.thresholdBin(i)
         else b <= t.thresholdBin(i)) t.left(i)
       else t.right(i)
     }
@@ -262,8 +273,11 @@ object Trainer {
     while (pt.feature(i) >= 0) {
       val b = bins(pt.feature(i)) & 0xFF
       i = if (b == MissingBin) { if (pt.defaultLeft(i)) pt.left(i) else pt.right(i) }
-      else if (if (pt.catSplit(i)) b == pt.thresholdBin(i)
-        else b <= pt.thresholdBin(i)) pt.left(i)
+      else if (if (pt.catSplit(i)) {
+          val bits = pt.catBits(i)
+          if (bits != null) ((bits(b >> 6) >>> (b & 63)) & 1L) == 1L
+          else b == pt.thresholdBin(i)
+        } else b <= pt.thresholdBin(i)) pt.left(i)
       else pt.right(i)
     }
     i
@@ -275,6 +289,7 @@ object Trainer {
     val thresholdBin = ArrayBuffer[Int]()
     val threshold = ArrayBuffer[Float]()
     val catSplit = ArrayBuffer[Boolean]()
+    val catBits = ArrayBuffer[Array[Long]]() // partition bitmap or null
     val defaultLeft = ArrayBuffer[Boolean]()
     val left = ArrayBuffer[Int]()
     val right = ArrayBuffer[Int]()
@@ -294,7 +309,7 @@ object Trainer {
         up: Double = Double.PositiveInfinity,
         pf: List[Int] = Nil): Int = {
       feature += -2; thresholdBin += -1; threshold += 0f
-      catSplit += false
+      catSplit += false; catBits += null
       defaultLeft += false; left += -1; right += -1; value += 0f
       sumG += g; sumH += h; gain += 0.0
       lower += lo; upper += up; path += pf
@@ -326,7 +341,8 @@ object Trainer {
         threshold.toArray, defaultLeft.toArray, left.toArray,
         right.toArray, value.toArray, gain.toArray.map(_.toFloat),
         sumH.toArray.map(_.toFloat), // cover = hessian sum through node
-        if (catSplit.contains(true)) catSplit.toArray else Array.empty)
+        if (catSplit.contains(true)) catSplit.toArray else Array.empty,
+        if (catBits.exists(_ != null)) catBits.toArray else Array.empty)
     }
   }
 
@@ -516,9 +532,12 @@ object Trainer {
     // ---- shared split machinery (both grow policies) ----
 
     /** Best split found for one frontier node; application is deferred
-      * so each grow policy can order expansions its own way. */
+      * so each grow policy can order expansions its own way. `catSet`
+      * is non-null for optimal-partition categorical splits: the codes
+      * routing left, sorted ascending. */
     case class SplitDesc(gain: Double, f: Int, bin: Int, cat: Boolean,
-        defLeft: Boolean, gL: Double, hL: Double)
+        defLeft: Boolean, gL: Double, hL: Double,
+        catSet: Array[Int] = null)
 
     /** Evaluate a batch of frontier nodes — (tree, nid, sampled feats) —
       * with fused chunked histogram jobs; sets node stats; returns the
@@ -544,7 +563,7 @@ object Trainer {
           if (chunk.exists(_._1 == t)) {
             val tb = states(t).tb
             PartialTree(tb.feature.toArray, tb.thresholdBin.toArray,
-              tb.catSplit.toArray,
+              tb.catSplit.toArray, tb.catBits.toArray,
               tb.defaultLeft.toArray, tb.left.toArray, tb.right.toArray,
               slotOf(t))
           } else null
@@ -615,6 +634,7 @@ object Trainer {
           var bestGain = 0.0
           var bestF = -1; var bestBin = -1; var bestDefLeft = false
           var bestGL = 0.0; var bestHL = 0.0; var bestCat = false
+          var bestCatSet: Array[Int] = null
           val mc = p.monotoneConstraints
           // a candidate split on a constrained feature must order its
           // child weights in the constraint's direction
@@ -634,7 +654,7 @@ object Trainer {
             val gMiss = hist(base + (b - 1) * 2)
             val hMiss = hist(base + (b - 1) * 2 + 1)
             val nb = bins.numBins(f)
-            if (bins.isCat(f)) {
+            if (bins.isCat(f) && nb < p.maxCatToOnehot) {
               // one-hot categorical candidates: left = {code c}
               // (matrix.py:142,159,800 enable_categorical), missing
               // riding left or right like the numeric scan. Same
@@ -652,6 +672,7 @@ object Trainer {
                   if (gain > bestGain + 1e-12 && monotoneOk(f, glA, hlA)) {
                     bestGain = gain; bestF = f; bestBin = c; bestCat = true
                     bestDefLeft = true; bestGL = glA; bestHL = hlA
+                    bestCatSet = null
                   }
                 }
                 // missing → right
@@ -662,9 +683,65 @@ object Trainer {
                   if (gain > bestGain + 1e-12 && monotoneOk(f, gl, hl)) {
                     bestGain = gain; bestF = f; bestBin = c; bestCat = true
                     bestDefLeft = false; bestGL = gl; bestHL = hl
+                    bestCatSet = null
                   }
                 }
                 c += 1
+              }
+            } else if (bins.isCat(f)) {
+              // optimal-partition categorical (xgboost max_cat_to_onehot
+              // overflow): categories present at this node sorted by
+              // gradient ratio G_c/H_c (Fisher's exact grouping for
+              // second-order losses), then a prefix scan identical in
+              // shape to the numeric one — candidate left set = first
+              // j sorted categories, missing rides left or right.
+              // Deterministic: ties sort by code. Codes absent here
+              // (empty bins) join NEITHER side and route right at
+              // inference, like unseen categories.
+              val codes = (0 until nb).filter { c =>
+                hist(base + c * 2) != 0.0 || hist(base + c * 2 + 1) != 0.0
+              }.toArray
+              if (codes.length >= 2) {
+                val sorted = codes.sortBy { c =>
+                  val g = hist(base + c * 2)
+                  val h = hist(base + c * 2 + 1)
+                  (g / math.max(h, 1e-16), c)
+                }
+                var gl = 0.0; var hl = 0.0
+                var ci = 0
+                while (ci < sorted.length - 1) {
+                  val c = sorted(ci)
+                  gl += hist(base + c * 2); hl += hist(base + c * 2 + 1)
+                  // missing → left
+                  val glA = gl + gMiss; val hlA = hl + hMiss
+                  if (hlA >= p.minChildWeight &&
+                      hTot - hlA >= p.minChildWeight) {
+                    val gain = 0.5 * (score(glA, hlA, p) +
+                      score(gTot - glA, hTot - hlA, p) - parentScore) -
+                      p.gamma
+                    if (gain > bestGain + 1e-12 &&
+                        monotoneOk(f, glA, hlA)) {
+                      bestGain = gain; bestF = f; bestBin = -1
+                      bestCat = true; bestDefLeft = true
+                      bestGL = glA; bestHL = hlA
+                      bestCatSet = sorted.take(ci + 1).sorted
+                    }
+                  }
+                  // missing → right
+                  if (hl >= p.minChildWeight &&
+                      hTot - hl >= p.minChildWeight) {
+                    val gain = 0.5 * (score(gl, hl, p) +
+                      score(gTot - gl, hTot - hl, p) - parentScore) -
+                      p.gamma
+                    if (gain > bestGain + 1e-12 && monotoneOk(f, gl, hl)) {
+                      bestGain = gain; bestF = f; bestBin = -1
+                      bestCat = true; bestDefLeft = false
+                      bestGL = gl; bestHL = hl
+                      bestCatSet = sorted.take(ci + 1).sorted
+                    }
+                  }
+                  ci += 1
+                }
               }
             } else {
             var gl = 0.0; var hl = 0.0
@@ -680,7 +757,7 @@ object Trainer {
                 if (gain > bestGain + 1e-12 && monotoneOk(f, glA, hlA)) {
                   bestGain = gain; bestF = f; bestBin = bi
                   bestDefLeft = true; bestGL = glA; bestHL = hlA
-                  bestCat = false
+                  bestCat = false; bestCatSet = null
                 }
               }
               // missing → right
@@ -690,7 +767,7 @@ object Trainer {
                 if (gain > bestGain + 1e-12 && monotoneOk(f, gl, hl)) {
                   bestGain = gain; bestF = f; bestBin = bi
                   bestDefLeft = false; bestGL = gl; bestHL = hl
-                  bestCat = false
+                  bestCat = false; bestCatSet = null
                 }
               }
               bi += 1
@@ -700,7 +777,7 @@ object Trainer {
           }
           if (bestF >= 0)
             out(done + s) = SplitDesc(bestGain, bestF, bestBin, bestCat,
-              bestDefLeft, bestGL, bestHL)
+              bestDefLeft, bestGL, bestHL, bestCatSet)
         }
         done += chunk.length
       }
@@ -739,11 +816,20 @@ object Trainer {
       tb.gain(nid) = d.gain
       tb.feature(nid) = d.f
       tb.thresholdBin(nid) = d.bin
-      // categorical: threshold IS the category code (== routing);
-      // numeric: the bin's upper cut, as before
+      // one-hot categorical: threshold IS the category code
+      // (== routing); partition categorical: a 256-bit bitmap of the
+      // left-routing codes (bin/threshold stay -1); numeric: the bin's
+      // upper cut, as before
       tb.catSplit(nid) = d.cat
-      tb.threshold(nid) =
-        if (d.cat) d.bin.toFloat else bins.cuts(d.f)(d.bin)
+      if (d.catSet != null) {
+        val bits = new Array[Long](4)
+        d.catSet.foreach(c => bits(c >> 6) |= 1L << (c & 63))
+        tb.catBits(nid) = bits
+        tb.threshold(nid) = -1f
+      } else {
+        tb.threshold(nid) =
+          if (d.cat) d.bin.toFloat else bins.cuts(d.f)(d.bin)
+      }
       tb.defaultLeft(nid) = d.defLeft
       tb.left(nid) = l; tb.right(nid) = r
       (l, r)
@@ -1124,7 +1210,7 @@ object Trainer {
         i += 1
       }
       new RegTree(t.feature, t.thresholdBin, t.threshold, t.defaultLeft,
-        t.left, t.right, v, t.gain, t.cover, t.catSplit)
+        t.left, t.right, v, t.gain, t.cover, t.catSplit, t.catBits)
     }
   }
 
@@ -1157,6 +1243,8 @@ object Trainer {
       s"unknown growPolicy '${p.growPolicy}' (depthwise | lossguide)")
     require(p.maxLeaves >= 0,
       s"maxLeaves must be >= 0 (0 = unbounded), got ${p.maxLeaves}")
+    require(p.maxCatToOnehot >= 1,
+      s"maxCatToOnehot must be >= 1, got ${p.maxCatToOnehot}")
     require(p.maxDepth > 0 ||
         (p.growPolicy == "lossguide" && p.maxLeaves > 0),
       "maxDepth=0 (unbounded) requires growPolicy=lossguide with " +
@@ -1640,7 +1728,7 @@ object Trainer {
       var i = 0
       while (i < v.length) { v(i) = (t.value(i) * s).toFloat; i += 1 }
       new RegTree(t.feature, t.thresholdBin, t.threshold, t.defaultLeft,
-        t.left, t.right, v, t.gain, t.cover, t.catSplit)
+        t.left, t.right, v, t.gain, t.cover, t.catSplit, t.catBits)
     }
 
   /** DART per-round dropped-tree selection (the xgboost DropTrees

@@ -27,13 +27,23 @@ final class RegTree(
     val gain: Array[Float] = Array.empty,
     /** Hessian sum routed through each node (xgboost "cover"). */
     val cover: Array[Float] = Array.empty,
-    /** One-hot CATEGORICAL split marker per node (empty = all numeric,
-      * the pre-categorical save format). A marked node routes left iff
-      * the feature EQUALS the stored category code (thresholdBin holds
-      * the code in bin space, threshold the same code as float) — the
-      * `enable_categorical` one-hot partition split
-      * (matrix.py:142,159,800 forwards the flag into DMatrix). */
-    val catSplit: Array[Boolean] = Array.empty)
+    /** CATEGORICAL split marker per node (empty = all numeric, the
+      * pre-categorical save format). A marked node is either a one-hot
+      * split — routes left iff the feature EQUALS the stored category
+      * code (thresholdBin holds the code in bin space, threshold the
+      * same code as float) — or, when [[catBits]] carries a bitmap for
+      * the node, an optimal-partition split (see below). The
+      * `enable_categorical` analog (matrix.py:142,159,800 forwards the
+      * flag into DMatrix). */
+    val catSplit: Array[Boolean] = Array.empty,
+    /** Optimal-partition categorical splits (xgboost `max_cat_to_onehot`
+      * overflow path): per node, a 256-bit bitmap (4 longs) of the
+      * category codes routing LEFT, or null for one-hot/numeric nodes.
+      * Empty array = no partition splits in this tree (the pre-r9 save
+      * format). Codes are bounded at 255 by the binner's categorical
+      * fail-fast, so the bitmap is fixed-size; codes unseen at training
+      * time (and non-integral values) route RIGHT. */
+    val catBits: Array[Array[Long]] = Array.empty)
     extends Serializable {
 
   def numNodes: Int = feature.length
@@ -42,13 +52,28 @@ final class RegTree(
     * (models saved before they existed load without them). */
   def hasStats: Boolean = gain.length == numNodes
 
-  /** Is node `i` a one-hot categorical split? */
+  /** Is node `i` a categorical split (one-hot or partition)? */
   @inline def isCatNode(i: Int): Boolean =
     catSplit.length > 0 && catSplit(i)
 
+  /** Is node `i` an optimal-partition categorical split? */
+  @inline def isPartitionNode(i: Int): Boolean =
+    catBits.length > 0 && catBits(i) != null
+
+  /** Left-branch predicate on a category code (identity bin). */
+  @inline private def codeGoesLeft(i: Int, c: Int): Boolean =
+    if (isPartitionNode(i))
+      c < 256 && ((catBits(i)(c >> 6) >>> (c & 63)) & 1L) == 1L
+    else c == thresholdBin(i)
+
   /** Left-branch predicate on a raw feature value (non-NaN). */
   @inline private def goesLeftRaw(i: Int, v: Float): Boolean =
-    if (isCatNode(i)) v == threshold(i) else v <= threshold(i)
+    if (isPartitionNode(i)) {
+      val c = v.toInt
+      v == c && c >= 0 && c < 256 &&
+        ((catBits(i)(c >> 6) >>> (c & 63)) & 1L) == 1L
+    } else if (isCatNode(i)) v == threshold(i)
+    else v <= threshold(i)
 
   /** Traverse with pre-binned features; bin `missingBin` = NaN. */
   def predictBinned(bins: Array[Byte], missingBin: Int): Float = {
@@ -56,7 +81,7 @@ final class RegTree(
     while (feature(i) >= 0) {
       val b = bins(feature(i)) & 0xFF
       i = if (b == missingBin) { if (defaultLeft(i)) left(i) else right(i) }
-      else if (if (isCatNode(i)) b == thresholdBin(i)
+      else if (if (isCatNode(i)) codeGoesLeft(i, b)
         else b <= thresholdBin(i)) left(i)
       else right(i)
     }
@@ -417,8 +442,14 @@ final class RegTree(
       sb.append("\t" * depth)
       if (feature(i) < 0) sb.append(s"$i:leaf=${value(i)}\n")
       else {
-        val op = if (isCatNode(i)) "==" else "<="
-        sb.append(s"$i:[f${feature(i)}$op${threshold(i)}] " +
+        val cond =
+          if (isPartitionNode(i)) {
+            val cs = (0 until 256)
+              .filter(c => ((catBits(i)(c >> 6) >>> (c & 63)) & 1L) == 1L)
+            s"in{${cs.mkString(",")}}"
+          } else if (isCatNode(i)) s"==${threshold(i)}"
+          else s"<=${threshold(i)}"
+        sb.append(s"$i:[f${feature(i)}$cond] " +
           s"yes=${left(i)},no=${right(i)},missing=" +
           s"${if (defaultLeft(i)) left(i) else right(i)}\n")
         rec(left(i), depth + 1)
@@ -754,7 +785,11 @@ final class GraftModel(
           if (leaf) t.value(n).toDouble
           else if (t.hasStats) t.gain(n).toDouble else null,
           if (t.hasStats) t.cover(n).toDouble else null,
-          if (!leaf && t.isCatNode(n)) t.threshold(n).toInt.toString
+          if (!leaf && t.isPartitionNode(n))
+            (0 until 256).filter(c =>
+              ((t.catBits(n)(c >> 6) >>> (c & 63)) & 1L) == 1L)
+              .mkString(",")
+          else if (!leaf && t.isCatNode(n)) t.threshold(n).toInt.toString
           else null))
         n += 1
       }
@@ -960,11 +995,12 @@ final class GraftModel(
           t.defaultLeft(i), t.left(i), t.right(i), t.value(i),
           if (t.hasStats) t.gain(i) else 0f,
           if (t.hasStats) t.cover(i) else 0f,
-          t.isCatNode(i))
+          t.isCatNode(i),
+          if (t.isPartitionNode(i)) Some(t.catBits(i).toSeq) else None)
       }
     }.toSeq.toDF("tree", "node", "feature", "thresholdBin", "threshold",
       "defaultLeft", "left", "right", "value", "gain", "cover",
-      "catSplit")
+      "catSplit", "catBits")
     nodes.repartition(1).write.mode("overwrite").parquet(s"$path/nodes")
     Seq((objective, numClass, baseScore, missingBin, numFeatures,
         numParallelTree))
@@ -986,14 +1022,20 @@ object GraftModel {
       .exists(_.schema.fieldNames.contains("gain"))
     val hasCat = nodeRows.headOption
       .exists(_.schema.fieldNames.contains("catSplit"))
+    // catBits absent in pre-r9 saved models → no partition splits
+    val hasBits = nodeRows.headOption
+      .exists(_.schema.fieldNames.contains("catBits"))
     val trees = byTree.map { case (_, rows) =>
       val n = rows.length
+      val anyBits = hasBits &&
+        rows.exists(r => r.getAs[scala.collection.Seq[Long]]("catBits") != null)
       val t = new RegTree(new Array[Int](n), new Array[Int](n),
         new Array[Float](n), new Array[Boolean](n), new Array[Int](n),
         new Array[Int](n), new Array[Float](n),
         if (hasStats) new Array[Float](n) else Array.empty,
         if (hasStats) new Array[Float](n) else Array.empty,
-        if (hasCat) new Array[Boolean](n) else Array.empty)
+        if (hasCat) new Array[Boolean](n) else Array.empty,
+        if (anyBits) new Array[Array[Long]](n) else Array.empty)
       rows.foreach { r: Row =>
         val i = r.getInt(1)
         t.feature(i) = r.getInt(2); t.thresholdBin(i) = r.getInt(3)
@@ -1005,6 +1047,10 @@ object GraftModel {
           t.cover(i) = r.getAs[Float]("cover")
         }
         if (hasCat) t.catSplit(i) = r.getAs[Boolean]("catSplit")
+        if (anyBits) {
+          val bits = r.getAs[scala.collection.Seq[Long]]("catBits")
+          if (bits != null) t.catBits(i) = bits.toArray
+        }
       }
       t
     }.toArray

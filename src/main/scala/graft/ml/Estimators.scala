@@ -127,6 +127,11 @@ abstract class GraftPredictor[M <: GraftPredictionModel](
   def setEtaSchedule(f: Int => Double): this.type = {
     params = params.copy(etaSchedule = Some(f)); this
   }
+  /** xgboost `max_cat_to_onehot`: one-hot below, optimal-partition
+    * categorical splits at or above this category count. */
+  def setMaxCatToOnehot(n: Int): this.type = {
+    params = params.copy(maxCatToOnehot = n); this
+  }
 
   protected def spec: DMatrixSpec = DMatrixSpec(
     labelCol = if (labelLowerCol.isDefined) Nil else Seq(labelCol),

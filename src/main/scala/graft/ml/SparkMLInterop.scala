@@ -148,6 +148,11 @@ trait GraftMLParams extends Params {
     "max leaves per tree, 0 = unbounded (xgboost max_leaves)",
     ParamValidators.gtEq(0))
   final def getMaxLeaves: Int = $(maxLeaves)
+  final val maxCatToOnehot = new IntParam(this, "maxCatToOnehot",
+    "one-hot below, optimal-partition categorical splits at or above " +
+      "this category count (xgboost max_cat_to_onehot)",
+    ParamValidators.gtEq(1))
+  final def getMaxCatToOnehot: Int = $(maxCatToOnehot)
 
   setDefault(labelCol -> "label", featuresCols -> Array.empty[String],
     numRounds -> 10, maxDepth -> 6, eta -> 0.3, lambda -> 1.0,
@@ -160,7 +165,7 @@ trait GraftMLParams extends Params {
     colsampleBytree -> 1.0, colsampleBylevel -> 1.0,
     colsampleBynode -> 1.0, scalePosWeight -> 1.0,
     maxDeltaStep -> 0.0, monotoneConstraints -> Array.empty[Int],
-    growPolicy -> "depthwise", maxLeaves -> 0)
+    growPolicy -> "depthwise", maxLeaves -> 0, maxCatToOnehot -> 4)
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setFeaturesCols(v: Array[String]): this.type = set(featuresCols, v)
@@ -196,6 +201,7 @@ trait GraftMLParams extends Params {
     set(monotoneConstraints, v)
   def setGrowPolicy(v: String): this.type = set(growPolicy, v)
   def setMaxLeaves(v: Int): this.type = set(maxLeaves, v)
+  def setMaxCatToOnehot(v: Int): this.type = set(maxCatToOnehot, v)
 
   private[ml] def mkTrainParams(objective: String): TrainParams =
     TrainParams(objective = objective, numClass = $(numClass),
@@ -214,7 +220,8 @@ trait GraftMLParams extends Params {
       scalePosWeight = $(scalePosWeight),
       maxDeltaStep = $(maxDeltaStep),
       monotoneConstraints = $(monotoneConstraints).toSeq,
-      growPolicy = $(growPolicy), maxLeaves = $(maxLeaves))
+      growPolicy = $(growPolicy), maxLeaves = $(maxLeaves),
+      maxCatToOnehot = $(maxCatToOnehot))
 
   private[ml] def mkSpec: DMatrixSpec = DMatrixSpec(
     labelCol = Seq($(labelCol)),

@@ -35,8 +35,11 @@ class CategoricalSpec extends SparkTestBase {
   test("one-hot categorical split isolates a middle category a " +
       "depth-1 numeric threshold cannot") {
     val df = midCatDf().repartition(3)
+    // pin the ONE-HOT path: 10 codes would otherwise take the r9
+    // optimal-partition path (maxCatToOnehot default 4), which
+    // CatPartitionSpec covers
     val params = TrainParams(objective = "reg:squarederror",
-      numRounds = 1, maxDepth = 1, seed = 1)
+      numRounds = 1, maxDepth = 1, seed = 1, maxCatToOnehot = 256)
     val (mCat, rmseCat) = trainRmse(df,
       DMatrixSpec(labelCol = Seq("y"), categoricalCols = Seq("cat")),
       params)
@@ -87,8 +90,9 @@ class CategoricalSpec extends SparkTestBase {
     val df = midCatDf(400).repartition(2)
     val spec = DMatrixSpec(labelCol = Seq("y"),
       categoricalCols = Seq("cat"))
+    // one-hot pinned: the brute-force helper below uses == routing
     val m = GraftBoost.train(df, spec, TrainParams(numRounds = 2,
-      maxDepth = 3, seed = 9)).model
+      maxDepth = 3, seed = 9, maxCatToOnehot = 256)).model
 
     // brute-force Shapley with == routing for categorical nodes
     def condExp(t: RegTree, x: Array[Float], s: Set[Int]): Double = {

@@ -208,6 +208,7 @@ class MLInteropSpec extends SparkTestBase {
     val est = new GraftXGBRegressor().setLabelCol("qty")
       .setFeaturesCols(Array("cat", "noise"))
       .setCategoricalCols(Array("cat"))
+      .setMaxCatToOnehot(256) // pin one-hot; partition path has its own spec
       .setNumRounds(1).setMaxDepth(1).setSeed(1L)
     val model = est.fit(catDf)
     val t = model.graftModel.trees.head
