@@ -57,13 +57,14 @@ trait Objective extends Serializable {
   def gradHessGlobal(aux: Serializable, margin: Array[Float],
       label: Float, grad: Array[Float], hess: Array[Float]): Unit =
     gradHess(margin, label, grad, hess)
-  /** xgboost UpdateTreeLeaf (adaptive trees): when Some(α), every new
+  /** xgboost UpdateTreeLeaf (adaptive trees): when Some(αs), every new
     * tree's leaves are RESET after construction to η·Q_α of the leaf's
-    * (label − margin) residuals — reg:absoluteerror (α = 0.5) and
-    * reg:quantileerror (α = quantile_alpha), exactly the objectives
-    * xgboost refreshes. Without the refresh, constant-hessian L1-family
-    * leaves are −η·ΣG/(n+λ) ∈ [−η, η] and barely move the margin. */
-  def leafRefreshAlpha: Option[Double] = None
+    * (label − margin-of-its-output) residuals, α indexed by the tree's
+    * output slot — reg:absoluteerror (α = 0.5) and reg:quantileerror
+    * (one α per output), exactly the objectives xgboost refreshes.
+    * Without the refresh, constant-hessian L1-family leaves are
+    * −η·ΣG/(n+λ) ∈ [−η, η] and barely move the margin. */
+  def leafRefreshAlphas: Option[Array[Double]] = None
 }
 
 object Objectives {
@@ -91,7 +92,8 @@ object Objectives {
         h: Array[Float]): Unit = {
       g(0) = math.signum(m(0) - y); h(0) = 1.0f // constant-hessian MAE
     }
-    override def leafRefreshAlpha: Option[Double] = Some(0.5)
+    override def leafRefreshAlphas: Option[Array[Double]] =
+      Some(Array(0.5))
   }
 
   /** binary:logistic — prob output; margin space is the logit. */
@@ -244,19 +246,36 @@ object Objectives {
     * base_score is the initial margin directly (xgboost's automatic
     * label-quantile base_score applies only when base_score is unset;
     * pass your own for parity with a pinned xgboost run). */
-  final class QuantileError(alpha: Double = 0.5) extends Objective {
-    require(alpha > 0 && alpha < 1,
-      s"quantile_alpha must be in (0,1): $alpha")
-    val name = "reg:quantileerror"
-    val numOutputs = 1
+  /** Single- or MULTI-quantile pinball regression (xgboost 2.x
+    * `quantile_alpha` accepts a list): one tree per α per round (the
+    * one-output-per-tree multi-target strategy), each output fitting
+    * its own pinball gradient and refreshing its leaves to its own
+    * residual quantile. The multi form encodes its αs in the objective
+    * name (`reg:quantileerror@0.1,0.5,0.9`) so save/load round-trips. */
+  final class QuantileError(val alphas: Seq[Double]) extends Objective {
+    def this(alpha: Double = 0.5) = this(Seq(alpha))
+    require(alphas.nonEmpty && alphas.forall(a => a > 0 && a < 1),
+      s"quantile_alpha values must be in (0,1): ${alphas.mkString(",")}")
+    require(alphas.distinct.length == alphas.length,
+      s"duplicate quantile_alpha values: ${alphas.mkString(",")}")
+    val name =
+      if (alphas.length == 1) "reg:quantileerror"
+      else s"reg:quantileerror@${alphas.mkString(",")}"
+    val numOutputs = alphas.length
+    private val aArr = alphas.toArray
     def initMargin(b: Double): Float = b.toFloat
     def transform(m: Array[Float]): Array[Float] = m
     def gradHess(m: Array[Float], y: Float, g: Array[Float],
         h: Array[Float]): Unit = {
-      g(0) = if (y - m(0) >= 0f) (-alpha).toFloat else (1.0 - alpha).toFloat
-      h(0) = 1.0f
+      var c = 0
+      while (c < aArr.length) {
+        g(c) = if (y - m(c) >= 0f) (-aArr(c)).toFloat
+          else (1.0 - aArr(c)).toFloat
+        h(c) = 1.0f
+        c += 1
+      }
     }
-    override def leafRefreshAlpha: Option[Double] = Some(alpha)
+    override def leafRefreshAlphas: Option[Array[Double]] = Some(aArr)
   }
 
   /** binary:hinge — SVM-style hinge subgradient on y ∈ {0,1} mapped to
@@ -779,7 +798,9 @@ object Objectives {
         new Poisson(if (p.maxDeltaStep > 0) p.maxDeltaStep else 0.7)
       case "reg:tweedie" => new Tweedie(p.tweedieVariancePower)
       case "reg:pseudohubererror" => new PseudoHuber(p.huberSlope)
-      case "reg:quantileerror" => new QuantileError(p.quantileAlpha)
+      case "reg:quantileerror" =>
+        if (p.quantileAlphas.nonEmpty) new QuantileError(p.quantileAlphas)
+        else new QuantileError(p.quantileAlpha)
       case other => forName(other, p.numClass)
     })
 
@@ -801,6 +822,10 @@ object Objectives {
     case "binary:hinge" => new Hinge
     case "reg:pseudohubererror" => new PseudoHuber()
     case "reg:quantileerror" => new QuantileError()
+    // multi-quantile models carry their αs in the name (save/load)
+    case q if q.startsWith("reg:quantileerror@") =>
+      new QuantileError(q.stripPrefix("reg:quantileerror@")
+        .split(',').map(_.toDouble).toSeq)
     case c if c.startsWith("custom:") => new RawIdentity(c, numClass)
     case other => throw new IllegalArgumentException(
       s"unknown objective '$other'")

@@ -45,9 +45,15 @@ final case class TrainParams(
       * quadratic-to-linear transition scale of the pseudo-Huber loss. */
     huberSlope: Double = 1.0,
     /** reg:quantileerror target quantile α ∈ (0,1) (xgboost
-      * quantile_alpha; single-quantile — train one model per α for the
-      * vector form). */
+      * quantile_alpha, scalar form). */
     quantileAlpha: Double = 0.5,
+    /** reg:quantileerror VECTOR form (xgboost 2.x quantile_alpha
+      * list): one tree per α per round (one-output-per-tree
+      * multi-target strategy), each output fitting and
+      * leaf-refreshing its own pinball quantile; predict returns the
+      * full vector in `predictions`. Non-empty wins over
+      * `quantileAlpha`. */
+    quantileAlphas: Seq[Double] = Nil,
     seed: Long = 0L,
     earlyStoppingRounds: Int = 0,
     evalMetric: Seq[String] = Nil,
@@ -1038,18 +1044,22 @@ object Trainer {
   private def refreshLeaves(
       data: RDD[(TrainInstance, Array[Float])],
       roundTrees: Array[RegTree],
-      alpha: Double, eta: Double): Array[RegTree] = {
+      alphas: Array[Double], treeCls: Array[Int],
+      eta: Double): Array[RegTree] = {
     val B = 1024
-    // (tree, node) → global leaf slot
+    // (tree, node) → global leaf slot; slot → owning tree (its output
+    // slot selects the margin AND the target quantile α)
     var nSlots = 0
-    val leafSlot: Array[Array[Int]] = roundTrees.map { t =>
-      val m = Array.fill(t.numNodes)(-1)
-      var i = 0
-      while (i < t.numNodes) {
-        if (t.feature(i) < 0) { m(i) = nSlots; nSlots += 1 }
-        i += 1
-      }
-      m
+    val slotTree = ArrayBuffer[Int]()
+    val leafSlot: Array[Array[Int]] = roundTrees.zipWithIndex.map {
+      case (t, ti) =>
+        val m = Array.fill(t.numNodes)(-1)
+        var i = 0
+        while (i < t.numNodes) {
+          if (t.feature(i) < 0) { m(i) = nSlots; nSlots += 1; slotTree += ti }
+          i += 1
+        }
+        m
     }
     val sc = data.sparkContext
     val bcTrees = sc.broadcast(roundTrees)
@@ -1470,8 +1480,10 @@ object Trainer {
         Array.tabulate(nTrees)(_ % k))
       // adaptive leaf refresh (xgboost UpdateTreeLeaf): the L1 family
       // resets each leaf to η·Q_α of its residuals before the commit
-      val roundTrees = obj.leafRefreshAlpha match {
-        case Some(a) => refreshLeaves(roundData, builtTrees, a, pTree.eta)
+      // (α per output slot — multi-quantile trains one tree per α)
+      val roundTrees = obj.leafRefreshAlphas match {
+        case Some(as) => refreshLeaves(roundData, builtTrees, as,
+          Array.tabulate(nTrees)(_ % k), pTree.eta)
         case None => builtTrees
       }
       // the tree builds above materialized `data` (via the gradient
