@@ -803,6 +803,30 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: MULTI-LABEL training (matrix.py:410-425 list-of-names
+    //      labels) — one ensemble per label column over the SAME
+    //      feature set; labels y1 = quantity and y2 = 50 − quantity are
+    //      integral so every gradient 0.5 − y is an exact half and the
+    //      ml_stump closed form replays per label bit-for-bit ----
+    "ml_multilabel" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y1"),
+          (lit(50.0) - col("l_quantity")).cast("double").as("y2"))
+      val spec = DMatrixSpec(labelCol = Seq("y1", "y2"))
+      val res = GraftBoost.trainMultiLabel(df, spec,
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      GraftBoost.predictMultiLabel(res, df, spec)
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"),
+          max("prediction_y1").as("prediction_y1"),
+          max("prediction_y2").as("prediction_y2"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction_y1"), col("prediction_y2"))
+        .orderBy("x")
+    }),
+
     // ---- ML: closed-form PARTITION-categorical stump (the xgboost
     //      max_cat_to_onehot overflow path) — 6 category codes from
     //      l_quantity mod 6 with +50 planted on codes {1,2,5}; the
@@ -1161,6 +1185,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
         .select(col("x").cast("long").as("x"), col("n"),
           col("prediction"))
+        .orderBy("x")
+    }),
+
+    // ---- ML: VECTOR quantile_alpha stump (xgboost 2.x list form,
+    //      one tree per α per round) — same closed form as
+    //      ml_stump_quantile but both αs at once: round-1 margins are
+    //      the shared 0.5 base, so each tree's adaptive refresh picks
+    //      η·Q_α of the SAME residual set with ITS OWN α. DuckDB
+    //      replays both running-count quantile selections ----
+    "ml_stump_quantile_multi" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)
+          .as("x"),
+          (col("l_discount") * 10).cast("double").as("y"))
+      val res = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(objective = "reg:quantileerror",
+          quantileAlphas = Seq(0.25, 0.75), numRounds = 1, maxDepth = 1,
+          seed = 1),
+        numWorkers = 8)
+      GraftBoost.predict(res.model, df, DMatrixSpec("y"))
+        .select(col("x"),
+          element_at(col("predictions"), 1).cast("double").as("p25"),
+          element_at(col("predictions"), 2).cast("double").as("p75"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("p25").as("p25"),
+          max("p75").as("p75"))
+        .select(col("x").cast("long").as("x"), col("n"), col("p25"),
+          col("p75"))
         .orderBy("x")
     }),
 
@@ -2243,6 +2295,21 @@ object SparkEntry {
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
         | FROM l ORDER BY x""".stripMargin,
+    // multi-label: the ml_stump closed form once per label column
+    // (each label trains its own stump over the same binary feature)
+    "ml_multilabel" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y1, 50 - l_quantity AS y2 FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y1) AS s1, sum(y2) AS s2
+        | FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - s1)) / (n + 1.0) AS REAL) AS leaf1,
+        |   CAST((-0.3 * (0.5 * n - s2)) / (n + 1.0) AS REAL) AS leaf2
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf1 AS DOUBLE) AS prediction_y1,
+        | CAST(CAST(0.5 AS REAL) + leaf2 AS DOUBLE) AS prediction_y2
+        | FROM l ORDER BY x""".stripMargin,
     // trees_to_dataframe: replay the stump's full node table — split
     // gain, per-node cover (hessian = row counts), child/missing id
     // strings, and leaf values via the ml_stump REAL formula; mirrors
@@ -2583,6 +2650,32 @@ object SparkEntry {
         | FROM s JOIN q ON s.x = q.x)
         |SELECT CAST(x AS BIGINT) AS x, n,
         | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // vector quantile_alpha = [0.25, 0.75]: round 1 margins are the
+    // shared 0.5 base for BOTH outputs, so each tree's refresh is the
+    // same running-count selection at its own α over one residual set
+    "ml_stump_quantile_multi" ->
+      """WITH t AS (SELECT
+        |   CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS x,
+        |   CAST(CAST(l_discount * 10 AS REAL) - CAST(0.5 AS REAL)
+        |     AS REAL) AS r
+        | FROM lineitem),
+        |s AS (SELECT x, count(*) AS n FROM t GROUP BY x),
+        |c AS (SELECT x, r,
+        |   count(*) OVER (PARTITION BY x ORDER BY r
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |   count(*) OVER (PARTITION BY x) AS nt FROM t),
+        |qa AS (SELECT x, min(r) AS q FROM c
+        | WHERE cw >= 0.25 * nt GROUP BY x),
+        |qb AS (SELECT x, min(r) AS q FROM c
+        | WHERE cw >= 0.75 * nt GROUP BY x),
+        |l AS (SELECT s.x, s.n,
+        |   CAST(0.3 * qa.q AS REAL) AS leafa,
+        |   CAST(0.3 * qb.q AS REAL) AS leafb
+        | FROM s JOIN qa ON s.x = qa.x JOIN qb ON s.x = qb.x)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leafa AS DOUBLE) AS p25,
+        | CAST(CAST(0.5 AS REAL) + leafb AS DOUBLE) AS p75
         | FROM l ORDER BY x""".stripMargin,
     // MAE with the adaptive leaf refresh: leaves are η × the lower
     // median of per-leaf float residuals REAL(10·discount) − 0.5f,

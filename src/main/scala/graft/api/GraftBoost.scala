@@ -171,6 +171,14 @@ object GraftBoost {
       withP.withColumn("prediction",
         (array_position(col("probabilities"),
           array_max(col("probabilities"))) - 1).cast("double"))
+    } else if (model.numClass >= 2 &&
+        model.objective.startsWith("reg:quantileerror")) {
+      // multi-quantile: the full per-α vector in `predictions` (xgboost
+      // returns shape (n, k) for a quantile_alpha list); `prediction`
+      // keeps the first α for the scalar-column consumers
+      val withP = df.withColumn("predictions", scores)
+      withP.withColumn("prediction",
+        element_at(col("predictions"), 1).cast("double"))
     } else {
       df.withColumn("prediction", element_at(scores, 1).cast("double"))
     }

@@ -62,6 +62,10 @@ object GraftConf {
     get("huberSlope").foreach(v => p = p.copy(huberSlope = v.toDouble))
     get("quantileAlpha").foreach(v =>
       p = p.copy(quantileAlpha = v.toDouble))
+    // xgboost 2.x list form: "0.1,0.5,0.9" or "[0.1, 0.5, 0.9]"
+    get("quantileAlphas").foreach(v =>
+      p = p.copy(quantileAlphas = v.replaceAll("[\\[\\]()\\s]", "")
+        .split(",").filter(_.nonEmpty).map(_.toDouble).toSeq))
     get("booster").foreach(v => p = p.copy(booster = v))
     get("rateDrop").foreach(v => p = p.copy(rateDrop = v.toDouble))
     get("oneDrop").foreach(v => p = p.copy(oneDrop = v.toBoolean))

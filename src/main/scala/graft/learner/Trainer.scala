@@ -1061,6 +1061,7 @@ object Trainer {
         }
         m
     }
+    val slotTreeArr = slotTree.toArray
     val sc = data.sparkContext
     val bcTrees = sc.broadcast(roundTrees)
     val bcSlots = sc.broadcast(leafSlot)
@@ -1076,11 +1077,13 @@ object Trainer {
     val stats = data.aggregate(z0)(
       (acc, row) => {
         val (inst, m) = row
-        val r: Double = (inst.label - m(0)).toDouble // float residual
         val w = inst.weight.toDouble
         val ts = bcTrees.value; val ls = bcSlots.value
         var t = 0
         while (t < ts.length) {
+          // each tree refreshes against ITS OWN output's margin — for
+          // multi-quantile (one tree per α) slot t%k trees see m(cls)
+          val r: Double = (inst.label - m(treeCls(t))).toDouble
           val slot = routeSlot(ts(t), ls(t), inst.bins)
           acc(slot * 3) += w
           if (r < acc(slot * 3 + 1)) acc(slot * 3 + 1) = r
@@ -1113,7 +1116,7 @@ object Trainer {
       if (w <= 0) keepOld(s) = true // unroutable leaf: keep as trained
       else if (mn == mx) value(s) = mn
       else {
-        target(s) = alpha * w
+        target(s) = alphas(treeCls(slotTreeArr(s))) * w
         lo(s) = Double.NegativeInfinity; hi(s) = mx; wBelow(s) = 0.0
       }
       s += 1
@@ -1150,12 +1153,12 @@ object Trainer {
       val h = data.aggregate(z)(
         (acc, row) => {
           val (inst, m) = row
-          val r: Double = (inst.label - m(0)).toDouble
           val w = inst.weight.toDouble
           val ts = bcTrees.value; val ls = bcSlots.value
           val pos = bcPos.value
           var t = 0
           while (t < ts.length) {
+            val r: Double = (inst.label - m(treeCls(t))).toDouble
             val slot = routeSlot(ts(t), ls(t), inst.bins)
             val pi = pos(slot)
             if (pi >= 0 && r > bcLo.value(pi) && r <= bcHi.value(pi)) {
@@ -1324,9 +1327,12 @@ object Trainer {
       // xgboost-JSON imports carry a -1 sentinel in thresholdBin (the
       // JSON has no bin-space thresholds); continued training folds the
       // init model in via BINNED traversal, which would misroute — an
-      // imported model is inference-only
+      // imported model is inference-only. Optimal-partition categorical
+      // nodes ALSO store thresholdBin = -1 but route via catBits over
+      // bin codes (routeSlot above), so they are resumable and exempt.
       require(m.trees.forall(t => (0 until t.numNodes)
-          .forall(i => t.feature(i) < 0 || t.thresholdBin(i) >= 0)),
+          .forall(i => t.feature(i) < 0 || t.isPartitionNode(i) ||
+            t.thresholdBin(i) >= 0)),
         "init model was imported from xgboost JSON and has no bin-space " +
           "thresholds — imported models are inference-only (predict/" +
           "contribs/leaves); train a fresh model or resume from a " +
@@ -1806,7 +1812,9 @@ object Trainer {
     // (binary logistic trains one tree per round) must not produce a
     // model that thinks it has two outputs and routes alternate trees
     // to a phantom class
+    // numOutputs, not p.numClass: softmax has numOutputs == numClass,
+    // but multi-quantile is a k-output REGRESSION with numClass unset
     new GraftModel(trees.toArray, obj.name,
-      if (obj.numOutputs <= 1) 0 else p.numClass, p.baseScore,
+      if (obj.numOutputs <= 1) 0 else obj.numOutputs, p.baseScore,
       MissingBin, bins.numFeatures, p.numParallelTree)
 }

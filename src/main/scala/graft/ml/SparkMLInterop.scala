@@ -513,6 +513,16 @@ class GraftXGBRegressor(override val uid: String)
   setDefault(quantileAlpha -> 0.5)
   def setQuantileAlpha(v: Double): this.type = set(quantileAlpha, v)
 
+  /** xgboost 2.x `quantile_alpha` LIST form: one tree per α per round;
+    * transform's `prediction` carries the FIRST α (the underlying
+    * predict exposes the full vector as `predictions`). Non-empty wins
+    * over [[quantileAlpha]]. */
+  final val quantileAlphas = new DoubleArrayParam(this, "quantileAlphas",
+    "reg:quantileerror vector form (xgboost quantile_alpha list)",
+    (v: Array[Double]) => v.forall(a => a > 0.0 && a < 1.0))
+  setDefault(quantileAlphas -> Array.empty[Double])
+  def setQuantileAlphas(v: Array[Double]): this.type = set(quantileAlphas, v)
+
   /** survival:aft through the facade: set BOTH bound columns and the
     * objective switches to interval labels (labelCol is ignored; a
     * right-censored row holds NULL/NaN in the upper column) — the
@@ -554,6 +564,7 @@ class GraftXGBRegressor(override val uid: String)
       .setLabelCol($(labelCol))
       .setParams(mkTrainParams(obj).copy(
         huberSlope = $(huberSlope), quantileAlpha = $(quantileAlpha),
+        quantileAlphas = $(quantileAlphas).toSeq,
         aftDistribution = $(aftDistribution), aftSigma = $(aftSigma)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)

@@ -965,22 +965,25 @@ object Dedup {
     require(centroids.nonEmpty, "semDedup: empty input")
     val dim = centroids.head.length
 
+    // cosine computed as dot / sqrt(|v|² · |c|²) — the SAME expression
+    // shape DuckDB's list_cosine_similarity uses, so the oracle's
+    // cluster assignments agree to the last ulp even for rows nearly
+    // equidistant between two centroids (advice r9)
     def assignIdx(v: Seq[Float], cs: Array[Array[Double]]): Int = {
-      var nv = 0.0
+      var nv2 = 0.0
       var i = 0
-      while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
-      nv = math.sqrt(nv)
+      while (i < v.length) { nv2 += v(i).toDouble * v(i); i += 1 }
       var best = 0; var bestCos = -2.0
       var ci = 0
       while (ci < cs.length) {
         val c = cs(ci)
-        var dot = 0.0; var nc = 0.0; var j = 0
+        var dot = 0.0; var nc2 = 0.0; var j = 0
         val len = math.min(v.length, c.length)
         while (j < len) {
-          dot += v(j).toDouble * c(j); nc += c(j) * c(j); j += 1
+          dot += v(j).toDouble * c(j); nc2 += c(j) * c(j); j += 1
         }
-        nc = math.sqrt(nc)
-        val cos = if (nv == 0 || nc == 0) -2.0 else dot / (nv * nc)
+        val cos = if (nv2 == 0 || nc2 == 0) -2.0
+          else dot / math.sqrt(nv2 * nc2)
         if (cos > bestCos) { bestCos = cos; best = ci }
         ci += 1
       }
