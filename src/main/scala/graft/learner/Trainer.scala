@@ -1279,9 +1279,15 @@ object Trainer {
     // DART weight per tree — SAMPLING bookkeeping only ("weighted"
     // sample_type probabilities): the weights themselves are baked into
     // the stored leaf values at every rescale, so predict/save/SHAP see
-    // plain trees. A resumed model restarts at weight 1.0 (its values
-    // already carry all past rescales).
-    val dartWeights = ArrayBuffer.fill(trees.length)(1.0)
+    // plain trees. A resumed dart model SEEDS its stored cumulative
+    // weights (r10) so weighted drop probabilities continue where
+    // training left off (xgboost's DART resume semantics); models
+    // without stored weights (gbtree init, pre-r10 saves) start at 1.0
+    // — their values already carry all past rescales either way.
+    val dartWeights = ArrayBuffer[Double]()
+    initModel.filter(_.dartWeights.length == trees.length)
+      .foreach(m => dartWeights ++= m.dartWeights)
+    while (dartWeights.length < trees.length) dartWeights += 1.0
     val broadcasts = ArrayBuffer[org.apache.spark.broadcast.Broadcast[_]]()
 
     var data = train.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1614,7 +1620,7 @@ object Trainer {
       if (p.checkpointEvery > 0 && p.checkpointPath.isDefined &&
           (round + 1) % p.checkpointEvery == 0) {
         spark.foreach { s =>
-          currentModel(trees, obj, p, bins).save(s, p.checkpointPath.get)
+          currentModel(trees, obj, p, bins, dartWeights).save(s, p.checkpointPath.get)
         }
       }
 
@@ -1622,7 +1628,7 @@ object Trainer {
         val stopNow = cb match {
           case m: ModelAwareCallback => m.afterIterationWithModel(
             startRound + round, roundMetrics.toMap,
-            () => currentModel(trees, obj, p, bins))
+            () => currentModel(trees, obj, p, bins, dartWeights))
           case _ =>
             cb.afterIteration(startRound + round, roundMetrics.toMap)
         }
@@ -1691,7 +1697,7 @@ object Trainer {
     // all per-round results are materialized — the round broadcasts are
     // no longer reachable from any live lineage (advisor r1: leak)
     broadcasts.foreach(_.destroy())
-    TrainResult(currentModel(trees, obj, p, bins),
+    TrainResult(currentModel(trees, obj, p, bins, dartWeights),
       evalsResult.map { case (n, m) => (n, m) }.toMap, totalN, round,
       bestIteration = if (p.earlyStoppingRounds > 0) bestRound else -1,
       bestScore = if (p.earlyStoppingRounds > 0) bestScore else Double.NaN)
@@ -1806,7 +1812,8 @@ object Trainer {
   }
 
   private def currentModel(trees: ArrayBuffer[RegTree], obj: Objective,
-      p: TrainParams, bins: Binner.Bins): GraftModel =
+      p: TrainParams, bins: Binner.Bins,
+      dartWeights: ArrayBuffer[Double] = ArrayBuffer.empty): GraftModel =
     // the stored class count follows the OBJECTIVE, not the raw param:
     // a caller passing numClass = 2 with a single-output objective
     // (binary logistic trains one tree per round) must not produce a
@@ -1816,5 +1823,9 @@ object Trainer {
     // but multi-quantile is a k-output REGRESSION with numClass unset
     new GraftModel(trees.toArray, obj.name,
       if (obj.numOutputs <= 1) 0 else obj.numOutputs, p.baseScore,
-      MissingBin, bins.numFeatures, p.numParallelTree)
+      MissingBin, bins.numFeatures, p.numParallelTree,
+      // hard-stop rollback may leave more weights than kept trees —
+      // the weight buffer is append-ordered, so truncate to match
+      if (p.booster == "dart") dartWeights.take(trees.length).toArray
+      else Array.empty)
 }

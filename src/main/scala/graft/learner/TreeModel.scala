@@ -476,7 +476,20 @@ final class GraftModel(
     /** Forest width (xgboost num_parallel_tree): each boosting round
       * appends numOutputs*numParallelTree trees, class-inner. Needed so
       * `truncate` cuts on round boundaries, not mid-forest. */
-    val numParallelTree: Int = 1) extends Serializable {
+    val numParallelTree: Int = 1,
+    /** Cumulative DART weight per tree (xgboost's `weight_drop`
+      * vector). BOOKKEEPING, not a predict input: this engine bakes
+      * every DART rescale into the stored leaf values, so predict/
+      * SHAP/save stay booster-agnostic and `value(i) ≈ raw · weight`.
+      * Carried so (a) checkpoint RESUME continues `sample_type =
+      * "weighted"` drop probabilities where training left off
+      * (xgboost's DART resume semantics) and (b) the xgboost-JSON sink
+      * can emit the `booster: "dart"` schema. Empty ⇒ non-DART model
+      * or a pre-r10 save (treated as all-1.0). */
+    val dartWeights: Array[Double] = Array.empty) extends Serializable {
+
+  require(dartWeights.isEmpty || dartWeights.length == trees.length,
+    s"dartWeights length ${dartWeights.length} != trees ${trees.length}")
 
   def numOutputs: Int = math.max(numClass, 1)
 
@@ -870,7 +883,9 @@ final class GraftModel(
     new GraftModel(
       trees.slice(from * treesPerRound, until * treesPerRound),
       objective, numClass, baseScore, missingBin, numFeatures,
-      numParallelTree)
+      numParallelTree,
+      if (dartWeights.isEmpty) dartWeights
+      else dartWeights.slice(from * treesPerRound, until * treesPerRound))
   }
 
   /**
@@ -895,10 +910,15 @@ final class GraftModel(
    *    rejected: xgboost's categorical encoding (split_type 1 +
    *    category-set bitfields) is not emitted here, and a custom
    *    objective has no xgboost-side name.
-   *  - dart-trained models export under the gbtree schema and predict
-   *    identically: graft bakes every dart normalization into the
-   *    stored leaf values, so the ensemble is a plain additive sum and
-   *    only the dart-ness (xgboost's weight_drop vector) is absent.
+   *  - dart-trained models (r10) export under xgboost's DART schema —
+   *    `{"name":"dart","gbtree":{...},"weight_drop":[...]}` — so stock
+   *    xgboost loads them as DART boosters and continued training keeps
+   *    dropout semantics. `weight_drop` is emitted as ALL-1.0: graft
+   *    bakes every dart rescale into the stored leaf values, so the
+   *    ensemble is a plain additive sum and any non-1 weight would
+   *    double-apply (the true cumulative weights live in
+   *    [[dartWeights]] for bookkeeping; import folds weight_drop back
+   *    into values, so export→import round-trips bit-for-bit).
    */
   def toXgbJson: String = {
     require(!objective.startsWith("custom:"),
@@ -961,13 +981,20 @@ final class GraftModel(
         """"poisson_regression_param":{"max_delta_step":"0.7"}"""
       case _ => """"objective_param":{}"""
     }
-    s"""{"learner":{"attributes":{},"feature_names":[],""" +
-      s""""feature_types":[],"gradient_booster":{"model":{""" +
+    val gbtree = s"""{"model":{""" +
       s""""gbtree_model_param":{"num_trees":"${trees.length}",""" +
       s""""num_parallel_tree":"${math.max(numParallelTree, 1)}"},""" +
       s""""iteration_indptr":${jArr(indptr)},""" +
       s""""tree_info":${jArr(treeInfo)},""" +
-      s""""trees":[${treesJson.mkString(",")}]},"name":"gbtree"},""" +
+      s""""trees":[${treesJson.mkString(",")}]},"name":"gbtree"}"""
+    // dart wraps the whole gbtree model plus weight_drop (the xgboost
+    // Dart::SaveModel layout); weights are 1.0 — see the scaladoc
+    val booster =
+      if (dartWeights.isEmpty) gbtree
+      else s"""{"name":"dart","gbtree":$gbtree,""" +
+        s""""weight_drop":${jArr(Seq.fill(trees.length)(1.0))}}"""
+    s"""{"learner":{"attributes":{},"feature_names":[],""" +
+      s""""feature_types":[],"gradient_booster":$booster,""" +
       s""""learner_model_param":{"base_score":"$baseScore",""" +
       s""""boost_from_average":"1","num_class":"${math.max(numClass, 0)}",""" +
       s""""num_feature":"$numFeatures","num_target":"1"},""" +
@@ -1007,6 +1034,13 @@ final class GraftModel(
       .toDF("objective", "numClass", "baseScore", "missingBin",
         "numFeatures", "numParallelTree")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // DART weight bookkeeping (absent for non-dart models and ignored
+    // by pre-r10 readers — the nodes/meta contract is unchanged)
+    if (dartWeights.nonEmpty)
+      dartWeights.zipWithIndex.map { case (w, t) => (t, w) }.toSeq
+        .toDF("tree", "weight")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$path/dartWeights")
   }
 }
 
@@ -1059,8 +1093,16 @@ object GraftModel {
       if (meta.schema.fieldNames.contains("numParallelTree"))
         meta.getAs[Int]("numParallelTree")
       else 1
+    // dartWeights dir absent in pre-r10 / non-dart saves → empty
+    val wPath = new org.apache.hadoop.fs.Path(s"$path/dartWeights")
+    val dw =
+      if (wPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(wPath))
+        spark.read.parquet(s"$path/dartWeights").orderBy("tree")
+          .collect().map(_.getAs[Double]("weight"))
+      else Array.empty[Double]
     new GraftModel(trees, meta.getString(0), meta.getInt(1),
-      meta.getDouble(2), meta.getInt(3), meta.getInt(4), npt)
+      meta.getDouble(2), meta.getInt(3), meta.getInt(4), npt, dw)
   }
 
   /**
@@ -1227,6 +1269,7 @@ object GraftModel {
         Array.tabulate(indptrJ.size())(indptrJ.get(_).asInt())
       else Array.tabulate(parsed.length / (k * npt) + 1)(_ * k * npt)
     val ordered = new Array[RegTree](parsed.length)
+    val orderedW = new Array[Double](parsed.length)
     var b = 0
     while (b < indptr.length - 1) {
       val from = indptr(b); val until = indptr(b + 1)
@@ -1249,7 +1292,9 @@ object GraftModel {
         val q = queues(j % k)
         require(q.hasNext,
           s"iteration $b: tree_info classes are unbalanced")
-        ordered(from + j) = parsed(q.next())
+        val src = q.next()
+        ordered(from + j) = parsed(src)
+        orderedW(from + j) = weights(src)
         j += 1
       }
       b += 1
@@ -1257,7 +1302,10 @@ object GraftModel {
     require(indptr.last == parsed.length,
       s"iteration_indptr ends at ${indptr.last}, not ${parsed.length}")
     new GraftModel(ordered, objective, numClass, baseScore,
-      Binner.MissingBin, numFeatures, npt)
+      Binner.MissingBin, numFeatures, npt,
+      // dart imports keep the folded weights as bookkeeping so the
+      // model stays marked dart (export round-trips the booster name)
+      if (weightDrop.isDefined) orderedW else Array.empty)
   }
 
   /** Read [[fromXgbJson]] from a local file (the

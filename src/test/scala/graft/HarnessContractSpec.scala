@@ -15,8 +15,10 @@ class HarnessContractSpec extends SparkTestBase {
     "ml_train_dart" -> ("learned multi-round model output (dart bench " +
       "twin of ml_train_predict; dart arithmetic oracle-checked by " +
       "ml_stump_dart)"),
-    "ml_softprob" -> "learned multi-round model output",
-    "ml_rank" -> "learned multi-round model output",
+    "ml_softprob" -> ("learned multi-round model output; r10: argmax " +
+      "train accuracy pinned >= majority-class baseline in-query"),
+    "ml_rank" -> ("learned multi-round model output; r10: mean " +
+      "per-group pairwise AUC pinned >= 0.95 in-query"),
     "sim_lsh_topk" -> "approximate ANN (recall gated by sim_recall_check)",
     "sim_ivf_topk" -> "approximate ANN (recall gated by sim_recall_check)",
     "sim_recall_check" -> "the recall gate itself (self-referential)",

@@ -248,8 +248,8 @@ class DartSpec extends SparkTestBase {
   }
 
   test("dart checkpoint-resume (C4): uniform-sampling resume is " +
-      "bit-golden; 'weighted' restarts sampling weights at 1.0 " +
-      "(documented divergence — values already carry past rescales)") {
+      "bit-golden; 'weighted' resume seeds the stored cumulative " +
+      "weights (r10 — xgboost's DART resume semantics)") {
     val df = regDf(1500).repartition(3)
     val p = TrainParams(objective = "reg:squarederror", booster = "dart",
       numRounds = 6, maxDepth = 3, rateDrop = 0.4, seed = 31)
@@ -262,17 +262,23 @@ class DartSpec extends SparkTestBase {
       initModel = Some(first)).model
     assert(resumed.dump() === full.dump(),
       "uniform dart resume must be bit-identical to uninterrupted")
-    // weighted: the resumed run re-enters with every init tree at
-    // sampling weight 1.0 (the true weights are not persisted — they
-    // are baked into the values), so the SAMPLING distribution may
-    // differ from the uninterrupted run. The model must still be
-    // well-formed and complete.
+    // weighted: the resumed run seeds the init model's STORED weight
+    // vector (values still carry the rescales; the weights drive only
+    // the drop-probability distribution), so the resumed weights must
+    // continue the cumulative product, not restart at 1.0
     val pw = p.copy(sampleType = "weighted")
     val fw = GraftBoost.train(df, spec,
       pw.copy(numRounds = 3)).model
     val rw = GraftBoost.train(df, spec, pw.copy(numRounds = 3),
       initModel = Some(fw)).model
     assert(rw.trees.length === 6)
+    assert(rw.dartWeights.length === 6)
+    // every seeded tree's weight can only shrink or hold from its
+    // stored value (rescales multiply by factors <= 1)
+    fw.dartWeights.zip(rw.dartWeights.take(3)).foreach { case (w0, w1) =>
+      assert(w1 <= w0 + 1e-15,
+        s"resumed weight $w1 must continue from stored $w0")
+    }
   }
 
   test("dart validation fail-fasts: bad rateDrop / sampleType / " +

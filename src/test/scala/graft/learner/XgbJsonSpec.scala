@@ -40,7 +40,19 @@ class XgbJsonSpec extends SparkTestBase {
       : Unit = {
     val root = mapper.readTree(m.toXgbJson)
     val learner = root.get("learner")
-    val gb = learner.get("gradient_booster").get("model")
+    val booster = learner.get("gradient_booster")
+    // dart wraps the gbtree model one level down (Dart::SaveModel);
+    // stock dart predict is sum(weight_drop[t] * leaf) — the export
+    // emits all-1.0 weights (values are baked), so the plain tree sum
+    // below IS the stock dart score
+    val gb =
+      if (booster.get("name").asText() == "dart") {
+        val wd = booster.get("weight_drop")
+        assert(wd != null && wd.size() == m.trees.length)
+        for (t <- 0 until wd.size())
+          assert(wd.get(t).asDouble() === 1.0)
+        booster.get("gbtree").get("model")
+      } else booster.get("model")
     val trees = gb.get("trees")
     assert(trees.size() === m.trees.length)
     assert(gb.get("gbtree_model_param").get("num_trees").asText()
@@ -138,13 +150,13 @@ class XgbJsonSpec extends SparkTestBase {
     assert(e.getMessage.contains("categorical"))
   }
 
-  test("dart-trained models export as gbtree JSON that predicts " +
-      "identically (normalization weights are baked into the leaves)") {
+  test("dart-trained models export under the DART schema (r10) and " +
+      "stock traversal predicts identically") {
     // graft's dart rescales STORED leaf values at every drop, so the
-    // final ensemble is a plain additive tree sum — exporting it under
-    // the gbtree schema is prediction-exact; only the dart-ness
-    // (weight_drop vector) is absent, by design (Trainer.scala dart
-    // commit). Stock traversal of the JSON must reproduce the margins.
+    // final ensemble is a plain additive tree sum; the export wraps it
+    // in xgboost's dart layout ({"name":"dart","gbtree":...,
+    // "weight_drop":[1.0,...]}) so stock xgboost loads a DART booster
+    // — all-1.0 weights keep stock's sum(w_t·leaf) prediction-exact.
     val rng = new scala.util.Random(47)
     val rows = (1 to 500).map { _ =>
       val a = rng.nextDouble(); val b = rng.nextDouble()
