@@ -189,16 +189,28 @@ object Metrics {
       }.detSum2
       e / w
     case t if t.startsWith("quantile") =>
-      // mean pinball loss: α·(y−p)⁺ + (1−α)·(p−y)⁺; α from "quantile@0.9"
-      val alpha = t.split('@') match {
-        case Array(_, a) => a.toDouble
-        case _ => 0.5
+      // mean pinball loss: α·(y−p)⁺ + (1−α)·(p−y)⁺; α from "quantile@0.9".
+      // VECTOR form "quantile@0.1,0.9" (xgboost 2.x quantile_alpha list):
+      // output slot c scores against its own α_c, averaged across slots
+      // — the multi-quantile training loss, so early stopping / cv / grid
+      // search optimize what the booster actually fits
+      val alphas: Array[Double] = t.split('@') match {
+        case Array(_, a) => a.split(',').map(_.toDouble)
+        case _ => Array(0.5)
       }
-      require(alpha > 0 && alpha < 1, s"quantile alpha out of (0,1): $alpha")
+      require(alphas.forall(a => a > 0 && a < 1),
+        s"quantile alpha out of (0,1): ${alphas.mkString(",")}")
       val (e, w) = rows.map { case (m, y, wt) =>
-        val err = (y - obj.transform(m)(0)).toDouble
-        val pin = if (err >= 0) alpha * err else (alpha - 1.0) * err
-        (pin * wt, wt.toDouble)
+        val p = obj.transform(m)
+        var pin = 0.0
+        var c = 0
+        val k = math.min(alphas.length, p.length)
+        while (c < k) {
+          val err = (y - p(c)).toDouble
+          pin += (if (err >= 0) alphas(c) * err else (alphas(c) - 1.0) * err)
+          c += 1
+        }
+        (pin / k * wt, wt.toDouble)
       }.detSum2
       e / w
     case other => throw new IllegalArgumentException(s"unknown metric $other")
@@ -219,6 +231,9 @@ object Metrics {
     case "reg:tweedie" => "tweedie-nloglik@1.5"
     case "reg:pseudohubererror" => "mphe"
     case "reg:quantileerror" => "quantile@0.5"
+    // vector form carries its αs in the objective name (save/load)
+    case q if q.startsWith("reg:quantileerror@") =>
+      "quantile@" + q.stripPrefix("reg:quantileerror@")
     case "survival:aft" => "aft-nloglik"
     case "survival:cox" => "cox-nloglik"
     case _ => "rmse"
@@ -229,7 +244,10 @@ object Metrics {
     * stopping and grid search would optimize the wrong loss. */
   def defaultMetric(objective: String, p: TrainParams): String =
     objective match {
-      case "reg:quantileerror" => s"quantile@${p.quantileAlpha}"
+      case "reg:quantileerror" =>
+        if (p.quantileAlphas.nonEmpty)
+          s"quantile@${p.quantileAlphas.mkString(",")}"
+        else s"quantile@${p.quantileAlpha}"
       case "reg:pseudohubererror" => s"mphe@${p.huberSlope}"
       case "reg:tweedie" => s"tweedie-nloglik@${p.tweedieVariancePower}"
       case o => defaultMetric(o)
@@ -312,7 +330,7 @@ object Metrics {
       case Array(b, kk) => (b, Some(kk.toInt))
       case _ => (name, None)
     }
-    require(base == "ndcg" || base == "map",
+    require(base == "ndcg" || base == "map" || name == "auc",
       s"unknown group metric $name")
     val (s, w) = rows.mapPartitions { it =>
       var sum = 0.0
@@ -324,9 +342,17 @@ object Metrics {
       def flush(): Unit = if (buf.nonEmpty) {
         val arr = buf.toArray
         val k = kOpt.getOrElse(arr.length)
-        val v = if (base == "ndcg") ndcgOf(arr, k) else apOf(arr, k)
-        sum += v * gw
-        wsum += gw
+        if (base == "auc") {
+          // groups that are all-positive or all-negative have no
+          // rankable pairs — excluded from the mean (xgboost likewise
+          // skips groups whose AUC is undefined)
+          val v = aucOf(arr)
+          if (v >= 0) { sum += v * gw; wsum += gw }
+        } else {
+          val v = if (base == "ndcg") ndcgOf(arr, k) else apOf(arr, k)
+          sum += v * gw
+          wsum += gw
+        }
         buf.clear()
       }
       it.foreach { case (score, rel, wt, q) =>
@@ -337,6 +363,30 @@ object Metrics {
       Iterator((sum, wsum))
     }.detSum2
     if (w == 0) 0.0 else s / w
+  }
+
+  /** Exact one-group Mann-Whitney AUC with midrank tie handling over
+    * (score, rel) rows, binary relevance rel > 0; −1 when undefined
+    * (no positive or no negative row). */
+  private def aucOf(arr: Array[(Float, Float)]): Double = {
+    val sorted = arr.sortBy(_._1)
+    val n = sorted.length
+    var i = 0
+    var rankSumPos = 0.0; var npos = 0.0; var nneg = 0.0
+    while (i < n) {
+      var j = i
+      while (j < n && sorted(j)._1 == sorted(i)._1) j += 1
+      val midrank = (i + 1 + j).toDouble / 2.0 // mean of ranks i+1..j
+      var t = i
+      while (t < j) {
+        if (sorted(t)._2 > 0f) { rankSumPos += midrank; npos += 1 }
+        else nneg += 1
+        t += 1
+      }
+      i = j
+    }
+    if (npos == 0 || nneg == 0) -1.0
+    else (rankSumPos - npos * (npos + 1) / 2.0) / (npos * nneg)
   }
 
   /** Relevances in ranked order: stable sort by score descending. */

@@ -1584,10 +1584,15 @@ object Trainer {
       evalView.foreach { case (n, r) =>
         val rows = r.map { case (inst, m) => (m, inst.label, inst.weight) }
         metricNames.foreach { mn =>
+          // rank:* objectives evaluate auc PER QID GROUP (weighted mean
+          // of per-group Mann-Whitney, xgboost's ranking-auc semantics);
+          // binary objectives keep the global histogram auc
+          val groupish = Metrics.isGroupMetric(mn) ||
+            (mn == "auc" && obj.needsGroups)
           val v =
-            if (!customByName.contains(mn) && Metrics.isGroupMetric(mn)) {
-              // ndcg/map walk qid groups — the rank layout keeps groups
-              // partition-contiguous, so this is one shuffle-free pass
+            if (!customByName.contains(mn) && groupish) {
+              // ndcg/map/auc walk qid groups — the rank layout keeps
+              // groups partition-contiguous: one shuffle-free pass
               require(obj.needsGroups, s"$mn needs a rank:* objective " +
                 "(qid-contiguous evaluation partitions)")
               Metrics.computeGroup(mn, r.map { case (inst, m) =>

@@ -98,6 +98,25 @@ class MultiQuantileSpec extends SparkTestBase {
     assert(out1.toSeq === out2.toSeq)
   }
 
+  test("default eval metric is the multi-alpha pinball mean " +
+      "(quantile@a1,a2) and it improves over rounds") {
+    val rng = new scala.util.Random(41)
+    val df = (1 to 2000).map { _ =>
+      (rng.nextDouble(), 5.0 + (-math.log(1.0 - rng.nextDouble())))
+    }.toDF("a", "y").repartition(3)
+    val p = TrainParams(objective = "reg:quantileerror",
+      quantileAlphas = Seq(0.1, 0.9), numRounds = 15, maxDepth = 2,
+      eta = 0.3, seed = 43)
+    val res = GraftBoost.train(df, DMatrixSpec("y"), p,
+      evals = Seq(("train", df)))
+    val hist = res.evalsResult("train")
+    assert(hist.contains("quantile@0.1,0.9"),
+      s"default metric must carry both alphas, got ${hist.keySet}")
+    val curve = hist("quantile@0.1,0.9")
+    assert(curve.last < curve.head * 0.8,
+      s"multi-alpha pinball must improve: ${curve.head} -> ${curve.last}")
+  }
+
   test("facade: GraftXGBRegressor.setQuantileAlphas trains the vector " +
       "form through the MLlib surface") {
     val df = noisyDf(600, 31).repartition(2)

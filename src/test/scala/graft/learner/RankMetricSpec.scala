@@ -105,6 +105,54 @@ class RankMetricSpec extends SparkTestBase {
     assert(ndcg.last > 0.9, s"final ndcg@10 ${ndcg.last}")
   }
 
+  test("per-group auc (r10): hand computation with midrank ties and " +
+      "an undefined group excluded from the mean") {
+    val rows = Seq(
+      // g1: pos scores {0.9, 0.7}, neg {0.8}: ranks asc 0.7,0.8,0.9 →
+      // rankSumPos = 1 + 3 = 4, auc = (4 − 2·3/2)/(2·1) = 0.5
+      (0.9f, 1f, 1f, 1L), (0.8f, 0f, 1f, 1L), (0.7f, 1f, 1f, 1L),
+      // g2: tie at 0.5 between one pos and one neg → midrank 1.5,
+      // auc = (1.5 − 1)/(1·1) = 0.5; plus a neg below → ranks:
+      // 0.2(neg)=1, ties 0.5 at midrank 2.5 → auc = (2.5 − 1)/2 = 0.75
+      (0.5f, 1f, 1f, 2L), (0.5f, 0f, 1f, 2L), (0.2f, 0f, 1f, 2L),
+      // g3: all negative → undefined, EXCLUDED from the mean
+      (0.4f, 0f, 1f, 3L), (0.3f, 0f, 1f, 3L))
+    val got = Metrics.computeGroup("auc", groupRows(rows))
+    assert(math.abs(got - (0.5 + 0.75) / 2.0) < 1e-12, s"auc $got")
+  }
+
+  test("rank:pairwise default auc is the per-group mean, not global " +
+      "(groups with inverted scales agree per-group)") {
+    // two groups whose score SCALES are inverted: globally pooled, g2's
+    // positives (scores ~0.1) rank below g1's negatives (~0.4) and the
+    // pooled auc is pulled toward 0.5; per-group both are perfect 1.0
+    val rows = Seq(
+      (0.9f, 1f, 1f, 1L), (0.4f, 0f, 1f, 1L),
+      (0.1f, 1f, 1f, 2L), (0.05f, 0f, 1f, 2L))
+    val got = Metrics.computeGroup("auc", groupRows(rows))
+    assert(got === 1.0, s"per-group auc must be 1.0, got $got")
+  }
+
+  test("rank training reports per-group auc in the eval history and " +
+      "it improves (the rank:pairwise default metric)") {
+    val rng = new scala.util.Random(89)
+    val rows = (1 to 1500).map { i =>
+      val q = i / 15
+      val x = rng.nextDouble()
+      val rel = if (x + 0.1 * rng.nextDouble() > 0.7) 1.0 else 0.0
+      (x, rel, q.toLong)
+    }
+    val df = rows.toDF("x", "rel", "qid").repartition(3)
+    val res = GraftBoost.train(df,
+      DMatrixSpec(labelCol = Seq("rel"), qidCol = Some("qid")),
+      TrainParams(objective = "rank:pairwise", numRounds = 10,
+        maxDepth = 3, seed = 7),
+      evals = Seq(("train", df)))
+    val auc = res.evalsResult("train")("auc")
+    assert(auc.last >= auc.head, s"auc did not improve: $auc")
+    assert(auc.last > 0.9, s"final per-group auc ${auc.last}")
+  }
+
   test("group metrics on a pointwise objective fail fast") {
     val df = (1 to 50).map(i => (i.toDouble, i % 2)).toDF("x", "y")
     val e = intercept[IllegalArgumentException] {
