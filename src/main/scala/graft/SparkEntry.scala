@@ -803,6 +803,31 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: process_type=update / updater=refresh (xgboost's
+    //      structure-preserving re-fit) — train the ml_stump on y,
+    //      refresh it on y+100: the split is untouched and each leaf
+    //      becomes the ml_stump closed form over the SHIFTED labels,
+    //      replayed exactly (integral labels ⇒ exact half-gradients) ----
+    "ml_refresh" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val m = GraftBoost.train(df, DMatrixSpec("y"),
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8).model
+      val shifted = df.withColumn("y", col("y") + 100.0)
+      val r = GraftBoost.train(shifted, DMatrixSpec("y"),
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1,
+          processType = "update"),
+        initModel = Some(m), numWorkers = 8)
+      GraftBoost.predict(r.model, shifted, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- ML: MULTI-LABEL training (matrix.py:410-425 list-of-names
     //      labels) — one ensemble per label column over the SAME
     //      feature set; labels y1 = quantity and y2 = 50 − quantity are
@@ -2329,6 +2354,18 @@ object SparkEntry {
     "ml_stump" ->
       """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
         |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - sy)) / (n + 1.0) AS REAL) AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // refresh: the split came from the ORIGINAL labels, the leaves are
+    // the ml_stump closed form over the +100-shifted labels
+    "ml_refresh" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity + 100 AS y FROM lineitem),
         |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
         |l AS (SELECT x, n,
         |   CAST((-0.3 * (0.5 * n - sy)) / (n + 1.0) AS REAL) AS leaf

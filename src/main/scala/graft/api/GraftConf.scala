@@ -73,6 +73,8 @@ object GraftConf {
     get("sampleType").foreach(v => p = p.copy(sampleType = v))
     get("normalizeType").foreach(v => p = p.copy(normalizeType = v))
     get("growPolicy").foreach(v => p = p.copy(growPolicy = v))
+    get("processType").foreach(v => p = p.copy(processType = v))
+    get("refreshLeaf").foreach(v => p = p.copy(refreshLeaf = v.toBoolean))
     get("maxLeaves").foreach(v => p = p.copy(maxLeaves = v.toInt))
     get("maxCatToOnehot").foreach(v =>
       p = p.copy(maxCatToOnehot = v.toInt))

@@ -141,6 +141,18 @@ final case class TrainParams(
       * each level's splits apply best-gain-first until the budget is
       * spent, the rest of the frontier finalizes. */
     maxLeaves: Int = 0,
+    /** xgboost `process_type`: "default" grows new trees; "update"
+      * runs the `refresh` updater over an EXISTING model's trees
+      * (initModel required) — per round, the corresponding round's
+      * trees keep their structure while per-node cover/gain stats are
+      * recomputed from the CURRENT data's gradients and (with
+      * [[refreshLeaf]]) leaf values are re-fit as −η·T(G)/(H+λ). The
+      * standard "re-fit an old model's leaves on fresh data" workflow;
+      * numRounds must not exceed the init model's rounds. */
+    processType: String = "default",
+    /** xgboost `refresh_leaf`: when process_type=update, also refresh
+      * leaf VALUES (true, xgboost's default) or stats only (false). */
+    refreshLeaf: Boolean = true,
     /** xgboost `max_cat_to_onehot`: a categorical node uses one-hot
       * `== code` splits while its category count is BELOW this
       * threshold, and optimal-partition splits (categories sorted by
@@ -1262,6 +1274,10 @@ object Trainer {
         (p.growPolicy == "lossguide" && p.maxLeaves > 0),
       "maxDepth=0 (unbounded) requires growPolicy=lossguide with " +
         "maxLeaves > 0 to bound the tree")
+    require(p.processType == "default" || p.processType == "update",
+      s"unknown processType '${p.processType}' (default | update)")
+    if (p.processType == "update")
+      return refreshModel(train, evals, bins, p, obj, initModel)
     val dart = p.booster == "dart"
     if (dart) {
       require(p.rateDrop >= 0.0 && p.rateDrop <= 1.0,
@@ -1814,6 +1830,179 @@ object Trainer {
       } else dropped += rng.nextInt(n)
     }
     dropped.toArray
+  }
+
+  /**
+   * xgboost `process_type=update` + `updater=refresh`: keep every
+   * tree's STRUCTURE and re-fit its statistics (and, with
+   * `refresh_leaf`, its leaf values) against the CURRENT data — the
+   * standard "recalibrate an old model on fresh data" workflow the
+   * reference reaches by forwarding these params verbatim
+   * (main.py:1341-1398).
+   *
+   * Semantics (xgboost's): round r re-fits the init model's round-r
+   * trees from gradients at the current margin, then margins advance
+   * with the REFRESHED trees — so later rounds see the updated fit.
+   * Per-node cover (Σ hessian) and internal-node gain are recomputed;
+   * leaves become −η·T(G)/(H+λ); nodes no row routes to keep their
+   * trained values/stats.
+   *
+   * Scale shape: one [[gradients]] map + ONE flat-array `aggregate`
+   * per round (per-node G/H accumulated along each row's root→leaf
+   * path — histogram-free, array size = Σ nodes × 2), then a narrow
+   * margin-advance map. No shuffles anywhere; driver state is
+   * tree-sized.
+   */
+  private def refreshModel(
+      train: RDD[(TrainInstance, Array[Float])],
+      evals: Seq[(String, RDD[(TrainInstance, Array[Float])])],
+      bins: Binner.Bins,
+      p: TrainParams,
+      obj: Objective,
+      initModel: Option[GraftModel]): TrainResult = {
+    val k = obj.numOutputs
+    val m = initModel.filter(_.trees.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        "process_type=update re-fits an EXISTING model: pass a " +
+          "non-empty initModel (xgboost requires xgb_model here too)"))
+    require(evals.isEmpty,
+      "process_type=update takes no eval sets — score the refreshed " +
+        "model with predict")
+    require(p.monotoneConstraints.isEmpty,
+      "process_type=update does not re-apply monotone clamps; " +
+        "refresh an unconstrained model")
+    require(m.dartWeights.isEmpty,
+      "refresh re-fits raw leaf values; a dart model's stored leaves " +
+        "carry dropout rescales — refresh gbtree models only")
+    require(m.numOutputs == k,
+      s"init model has ${m.numOutputs} output(s), objective " +
+        s"${obj.name} expects $k")
+    require(m.numFeatures == bins.numFeatures,
+      s"init model was trained on ${m.numFeatures} feature(s), this " +
+        s"data has ${bins.numFeatures}")
+    require(m.trees.forall(t => (0 until t.numNodes).forall(i =>
+        t.feature(i) < 0 || t.isPartitionNode(i) ||
+          t.thresholdBin(i) >= 0)),
+      "init model was imported from xgboost JSON (no bin-space " +
+        "thresholds) — imported models are inference-only")
+    require(p.numRounds <= m.numRounds,
+      s"process_type=update refreshes existing rounds only: " +
+        s"numRounds ${p.numRounds} > model rounds ${m.numRounds}")
+    val tpr = m.treesPerRound
+    val sc = train.sparkContext
+    var data = train.persist(StorageLevel.MEMORY_AND_DISK)
+    val totalN = data.count()
+    val outTrees = m.trees.clone()
+    var prevData: Option[RDD[(TrainInstance, Array[Float])]] = None
+    // margin-advance broadcasts stay referenced by every LATER round's
+    // lineage (task closures serialize the full DAG) — destroy only
+    // after the last job has run
+    val liveBc = ArrayBuffer[org.apache.spark.broadcast.Broadcast[_]]()
+    var round = 0
+    while (round < p.numRounds) {
+      val etaRound = p.etaSchedule.map(f => f(round)).getOrElse(p.eta)
+      // same per-tree shrinkage the original training applied
+      val pLeaf = p.copy(eta = etaRound / math.max(m.numParallelTree, 1))
+      val grads = gradients(data, obj, round, p)
+      val roundTrees = outTrees.slice(round * tpr, round * tpr + tpr)
+      val offsets = new Array[Int](roundTrees.length + 1)
+      var ti = 0
+      while (ti < roundTrees.length) {
+        offsets(ti + 1) = offsets(ti) + roundTrees(ti).numNodes
+        ti += 1
+      }
+      val bcTrees = sc.broadcast(roundTrees)
+      val agg = grads.aggregate(new Array[Double](offsets.last * 2))(
+        (acc, row) => {
+          val (rowBins, gh, _) = row
+          val ts = bcTrees.value
+          var t = 0
+          while (t < ts.length) {
+            val tree = ts(t)
+            // class-inner layout: tree j of a round owns output j % k
+            val g = gh(2 * (t % k)).toDouble
+            val h = gh(2 * (t % k) + 1).toDouble
+            var i = 0
+            var walking = true
+            while (walking) {
+              val base = (offsets(t) + i) * 2
+              acc(base) += g; acc(base + 1) += h
+              if (tree.feature(i) < 0) walking = false
+              else {
+                val b = rowBins(tree.feature(i)) & 0xFF
+                i = if (b == MissingBin) {
+                  if (tree.defaultLeft(i)) tree.left(i) else tree.right(i)
+                } else if (if (tree.isPartitionNode(i))
+                    ((tree.catBits(i)(b >> 6) >>> (b & 63)) & 1L) == 1L
+                  else if (tree.isCatNode(i)) b == tree.thresholdBin(i)
+                  else b <= tree.thresholdBin(i)) tree.left(i)
+                else tree.right(i)
+              }
+            }
+            t += 1
+          }
+          acc
+        },
+        (a, c) => {
+          var i = 0
+          while (i < a.length) { a(i) += c(i); i += 1 }
+          a
+        })
+      bcTrees.destroy()
+      ti = 0
+      while (ti < roundTrees.length) {
+        val tree = roundTrees(ti)
+        val n = tree.numNodes
+        val value = tree.value.clone()
+        val gain =
+          if (tree.hasStats) tree.gain.clone() else new Array[Float](n)
+        val cover =
+          if (tree.hasStats) tree.cover.clone() else new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          val base = (offsets(ti) + i) * 2
+          val sumG = agg(base); val sumH = agg(base + 1)
+          if (sumH > 0) {
+            cover(i) = sumH.toFloat
+            if (tree.feature(i) < 0) {
+              if (p.refreshLeaf)
+                value(i) = leafWeight(sumG, sumH, pLeaf).toFloat
+            } else {
+              val lb = (offsets(ti) + tree.left(i)) * 2
+              val rb = (offsets(ti) + tree.right(i)) * 2
+              gain(i) = (score(agg(lb), agg(lb + 1), pLeaf) +
+                score(agg(rb), agg(rb + 1), pLeaf) -
+                score(sumG, sumH, pLeaf)).toFloat
+            }
+          } // no routed rows: keep the trained value/stats
+          i += 1
+        }
+        outTrees(round * tpr + ti) = new RegTree(tree.feature,
+          tree.thresholdBin, tree.threshold, tree.defaultLeft,
+          tree.left, tree.right, value, gain, cover, tree.catSplit,
+          tree.catBits)
+        ti += 1
+      }
+      // margins advance with the REFRESHED trees (xgboost update order)
+      val bcNew =
+        sc.broadcast(outTrees.slice(round * tpr, round * tpr + tpr))
+      liveBc += bcNew
+      val nd = applyTrees(data, bcNew, k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nd.foreachPartition(_ => ())
+      prevData.foreach(_.unpersist(blocking = false))
+      prevData = Some(data)
+      data = nd
+      round += 1
+    }
+    prevData.foreach(_.unpersist(blocking = false))
+    data.unpersist(blocking = false)
+    liveBc.foreach(_.destroy())
+    TrainResult(
+      new GraftModel(outTrees, obj.name,
+        if (obj.numOutputs <= 1) 0 else obj.numOutputs, p.baseScore,
+        MissingBin, bins.numFeatures, m.numParallelTree),
+      Map.empty, totalN, p.numRounds)
   }
 
   private def currentModel(trees: ArrayBuffer[RegTree], obj: Objective,

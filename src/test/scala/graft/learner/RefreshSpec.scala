@@ -1,0 +1,134 @@
+package graft.learner
+
+import graft.SparkTestBase
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+
+/**
+ * xgboost `process_type=update` + `updater=refresh`: structure-
+ * preserving re-fit of an existing model's leaf values and node stats
+ * against the current data (the reference forwards both params
+ * verbatim, main.py:1341-1398).
+ */
+class RefreshSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def regDf(n: Int = 1500, seed: Int = 7, shift: Double = 0.0) = {
+    val rng = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 3 * a - 2 * b + 0.3 * rng.nextGaussian() + shift)
+    }.toDF("a", "b", "y")
+  }
+
+  private val spec = DMatrixSpec("y")
+
+  test("golden idempotence: refreshing on the SAME data reproduces " +
+      "the trained model bit-for-bit (squared error)") {
+    val df = regDf().repartition(3)
+    val p = TrainParams(objective = "reg:squarederror", numRounds = 4,
+      maxDepth = 3, seed = 11)
+    val m = GraftBoost.train(df, spec, p).model
+    val r = GraftBoost.train(df, spec,
+      p.copy(processType = "update"), initModel = Some(m)).model
+    // identical data → identical gradients at each round's margin →
+    // identical −η·G/(H+λ) leaves; structure is shared by construction
+    assert(r.dump() === m.dump())
+    assert(r.trees.length === m.trees.length)
+  }
+
+  test("closed form: refreshing a stump on shifted labels moves each " +
+      "leaf by exactly the shifted-gradient weight") {
+    // depth-1 stump on a binary feature, squared error, base 0.5:
+    // leaf = −η(0.5n − Σy)/(n + 1). Refresh on y+10 replays the same
+    // formula with Σy' = Σy + 10n — exact double arithmetic both sides
+    val rows = Seq((0.0, 1.0), (0.0, 3.0), (1.0, 10.0), (1.0, 14.0))
+    val df = rows.toDF("x", "y").repartition(2)
+    val p = TrainParams(numRounds = 1, maxDepth = 1, seed = 1,
+      minChildWeight = 0.0)
+    val m = GraftBoost.train(df, spec.copy(labelCol = Seq("y")), p).model
+    val shifted = rows.map { case (x, y) => (x, y + 10.0) }
+      .toDF("x", "y").repartition(2)
+    val r = GraftBoost.train(shifted, spec.copy(labelCol = Seq("y")),
+      p.copy(processType = "update"), initModel = Some(m)).model
+    val t0 = m.trees.head; val t1 = r.trees.head
+    assert(t1.feature.sameElements(t0.feature), "structure preserved")
+    assert(t1.threshold.sameElements(t0.threshold))
+    // left leaf (x=0): y {1,3} → refreshed on {11,13}:
+    // −0.3·(0.5·2 − 24)/(2+1); right (x=1): {20,24} → −0.3·(1 − 44)/3
+    val lv = (-0.3 * (0.5 * 2 - 24.0) / 3.0).toFloat
+    val rv = (-0.3 * (0.5 * 2 - 44.0) / 3.0).toFloat
+    assert(t1.value(t0.left(0)) === lv,
+      s"left leaf ${t1.value(t0.left(0))} != $lv")
+    assert(t1.value(t0.right(0)) === rv,
+      s"right leaf ${t1.value(t0.right(0))} != $rv")
+    // stats refreshed too: root cover = 4 rows (unit hessian)
+    assert(t1.cover(0) === 4f)
+  }
+
+  test("refresh_leaf=false recomputes stats but keeps trained leaf " +
+      "values") {
+    val df = regDf().repartition(2)
+    val p = TrainParams(numRounds = 3, maxDepth = 3, seed = 13)
+    val m = GraftBoost.train(df, spec, p).model
+    val shifted = regDf(seed = 7, shift = 5.0).repartition(2)
+    val r = GraftBoost.train(shifted, spec,
+      p.copy(processType = "update", refreshLeaf = false),
+      initModel = Some(m)).model
+    r.trees.zip(m.trees).foreach { case (t1, t0) =>
+      assert(t1.value.sameElements(t0.value), "leaf values untouched")
+    }
+  }
+
+  test("refresh is partition-invariant and reduces error on shifted " +
+      "data (the recalibration use case)") {
+    val df = regDf(3000).repartition(3)
+    val p = TrainParams(numRounds = 5, maxDepth = 3, seed = 17)
+    val m = GraftBoost.train(df, spec, p).model
+    val shifted = regDf(3000, seed = 7, shift = 4.0)
+    def rmse(model: GraftModel): Double = {
+      val errs = GraftBoost.predict(model, shifted, spec)
+        .select((org.apache.spark.sql.functions.col("prediction") -
+          org.apache.spark.sql.functions.col("y")) *
+          (org.apache.spark.sql.functions.col("prediction") -
+            org.apache.spark.sql.functions.col("y")))
+        .as[Double].collect()
+      math.sqrt(errs.sum / errs.length)
+    }
+    val before = rmse(m)
+    val r1 = GraftBoost.train(shifted.repartition(1), spec,
+      p.copy(processType = "update"), initModel = Some(m)).model
+    val r8 = GraftBoost.train(shifted.repartition(8), spec,
+      p.copy(processType = "update"), initModel = Some(m)).model
+    assert(r1.dump() === r8.dump(),
+      "refresh must be partition-count invariant")
+    val after = rmse(r1)
+    assert(after < before * 0.5,
+      s"refresh must recalibrate to the shifted data: $before -> $after")
+  }
+
+  test("fail-fasts: no init model, too many rounds, dart model, " +
+      "eval sets, unknown processType") {
+    val df = regDf(200)
+    val p = TrainParams(numRounds = 2, maxDepth = 2, seed = 1)
+    val m = GraftBoost.train(df, spec, p).model
+    def msg(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(msg(GraftBoost.train(df, spec,
+      p.copy(processType = "update"))).contains("initModel"))
+    assert(msg(GraftBoost.train(df, spec,
+      p.copy(processType = "update", numRounds = 5),
+      initModel = Some(m))).contains("rounds"))
+    assert(msg(GraftBoost.train(df, spec,
+      p.copy(processType = "update"), initModel = Some(m),
+      evals = Seq(("e", df)))).contains("eval"))
+    assert(msg(GraftBoost.train(df, spec,
+      p.copy(processType = "bogus")))
+      .contains("processType"))
+    val dartM = GraftBoost.train(df, spec, p.copy(booster = "dart",
+      rateDrop = 1.0)).model
+    assert(msg(GraftBoost.train(df, spec,
+      p.copy(processType = "update"), initModel = Some(dartM)))
+      .contains("dart"))
+  }
+}

@@ -204,10 +204,12 @@ class SurvivalSpec extends SparkTestBase {
       "checkpointPath" -> "/tmp/ck",
       "tweedieVariancePower" -> "1.2",
       "monotoneConstraints" -> "(1,0,-1)",
+      "quantileAlphas" -> "[0.1, 0.5, 0.9]",
       "interactionConstraints" -> "[[0,1],[2,3,4]]")
     try {
       keys.foreach { case (k, v) => spark.conf.set(s"spark.graft.$k", v) }
       val p = GraftConf.overlay(spark, TrainParams(maxDepth = 9))
+      assert(p.quantileAlphas === Seq(0.1, 0.5, 0.9))
       assert(p.tweedieVariancePower === 1.2)
       assert(p.monotoneConstraints === Seq(1, 0, -1))
       assert(p.interactionConstraints === Seq(Seq(0, 1), Seq(2, 3, 4)))

@@ -197,6 +197,32 @@ class MLInteropSpec extends SparkTestBase {
       est.fit(df).graftModel.dump())
   }
 
+  test("quantileAlphas survives estimator save/load and the loaded " +
+      "estimator trains the identical vector-quantile model") {
+    val est = new GraftXGBRegressor().setLabelCol("qty")
+      .setFeaturesCols(Array("price", "disc"))
+      .setObjective("reg:quantileerror")
+      .setQuantileAlphas(Array(0.25, 0.75))
+      .setNumRounds(2).setMaxDepth(2).setSeed(11L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mq-est")
+      .toString
+    est.write.overwrite().save(dir)
+    val loaded = GraftXGBRegressor.load(dir)
+    assert(loaded.getOrDefault(loaded.quantileAlphas).toSeq ===
+      Seq(0.25, 0.75))
+    val m1 = est.fit(df)
+    val m2 = loaded.fit(df)
+    assert(m1.graftModel.objective === "reg:quantileerror@0.25,0.75")
+    assert(m1.graftModel.dump() === m2.graftModel.dump())
+    // fitted-model persistence keeps the multi-output objective intact
+    val mdir = java.nio.file.Files.createTempDirectory("graft-mq-model")
+      .toString
+    m1.write.overwrite().save(mdir)
+    val lm = GraftXGBRegressionModel.load(mdir)
+    assert(lm.graftModel.objective === "reg:quantileerror@0.25,0.75")
+    assert(lm.graftModel.dump() === m1.graftModel.dump())
+  }
+
   test("categoricalCols flows through the facade into one-hot splits " +
       "and survives save/load") {
     import spark.implicits._
