@@ -153,6 +153,17 @@ trait GraftMLParams extends Params {
       "this category count (xgboost max_cat_to_onehot)",
     ParamValidators.gtEq(1))
   final def getMaxCatToOnehot: Int = $(maxCatToOnehot)
+  /** xgboost process_type: "update" re-fits the `initModel`'s trees
+    * on the fit data instead of growing new ones (updater=refresh). */
+  final val processType = new Param[String](this, "processType",
+    "xgboost process_type: default (grow trees) or update (refresh an " +
+      "initModel's leaf values/stats on the fit data)",
+    ParamValidators.inArray(Array("default", "update")))
+  final def getProcessType: String = $(processType)
+  final val refreshLeaf = new BooleanParam(this, "refreshLeaf",
+    "process_type=update: also refresh leaf VALUES (xgboost " +
+      "refresh_leaf; false = stats only)")
+  final def getRefreshLeaf: Boolean = $(refreshLeaf)
 
   setDefault(labelCol -> "label", featuresCols -> Array.empty[String],
     numRounds -> 10, maxDepth -> 6, eta -> 0.3, lambda -> 1.0,
@@ -165,7 +176,8 @@ trait GraftMLParams extends Params {
     colsampleBytree -> 1.0, colsampleBylevel -> 1.0,
     colsampleBynode -> 1.0, scalePosWeight -> 1.0,
     maxDeltaStep -> 0.0, monotoneConstraints -> Array.empty[Int],
-    growPolicy -> "depthwise", maxLeaves -> 0, maxCatToOnehot -> 4)
+    growPolicy -> "depthwise", maxLeaves -> 0, maxCatToOnehot -> 4,
+    processType -> "default", refreshLeaf -> true)
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setFeaturesCols(v: Array[String]): this.type = set(featuresCols, v)
@@ -202,6 +214,8 @@ trait GraftMLParams extends Params {
   def setGrowPolicy(v: String): this.type = set(growPolicy, v)
   def setMaxLeaves(v: Int): this.type = set(maxLeaves, v)
   def setMaxCatToOnehot(v: Int): this.type = set(maxCatToOnehot, v)
+  def setProcessType(v: String): this.type = set(processType, v)
+  def setRefreshLeaf(v: Boolean): this.type = set(refreshLeaf, v)
 
   private[ml] def mkTrainParams(objective: String): TrainParams =
     TrainParams(objective = objective, numClass = $(numClass),
@@ -221,7 +235,8 @@ trait GraftMLParams extends Params {
       maxDeltaStep = $(maxDeltaStep),
       monotoneConstraints = $(monotoneConstraints).toSeq,
       growPolicy = $(growPolicy), maxLeaves = $(maxLeaves),
-      maxCatToOnehot = $(maxCatToOnehot))
+      maxCatToOnehot = $(maxCatToOnehot),
+      processType = $(processType), refreshLeaf = $(refreshLeaf))
 
   private[ml] def mkSpec: DMatrixSpec = DMatrixSpec(
     labelCol = Seq($(labelCol)),

@@ -633,6 +633,24 @@ class MLInteropSpec extends SparkTestBase {
     assert(metaModel.inner.spec.featureCols === Some(Seq("base_pred", "disc")))
   }
 
+  test("processType=update through the facade: refreshing on the fit " +
+      "data reproduces the trained model bit-for-bit") {
+    def mk = new GraftXGBRegressor()
+      .setLabelCol("y").setNumRounds(3).setMaxDepth(3).setSeed(19L)
+    val m = mk.fit(df)
+    val refreshed = mk.setProcessType("update")
+      .setInitModel(m.inner.model).fit(df)
+    assert(refreshed.inner.model.dump() === m.inner.model.dump())
+    // Param round-trips through estimator persistence
+    val dir = java.nio.file.Files.createTempDirectory("graft-upd-est")
+      .toString
+    val est = new GraftXGBRegressor().setProcessType("update")
+      .setRefreshLeaf(false)
+    est.write.overwrite().save(dir)
+    val loaded = GraftXGBRegressor.load(dir)
+    assert(loaded.getProcessType === "update" && !loaded.getRefreshLeaf)
+  }
+
   test("setInitModel warm start through the tree facade: fit 2 then " +
       "resume 2 == fit 4 in one go (xgb_model= kwarg analog)") {
     def mk(rounds: Int) = new GraftXGBRegressor()
