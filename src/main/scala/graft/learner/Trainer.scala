@@ -1983,6 +1983,20 @@ object Trainer {
           tree.catBits)
         ti += 1
       }
+      // L1-family parity: xgboost invokes the objective's
+      // UpdateTreeLeaf hook after EVERY updater pass, refresh included
+      // — MAE/quantile leaves reset to η·Q_α of the CURRENT residuals
+      // (same adaptive machinery training uses), overriding the
+      // generic −η·G/(H+λ) re-fit above
+      if (p.refreshLeaf) obj.leafRefreshAlphas.foreach { as =>
+        val adapted = refreshLeaves(data,
+          outTrees.slice(round * tpr, round * tpr + tpr), as,
+          Array.tabulate(tpr)(_ % k), pLeaf.eta)
+        var j = 0
+        while (j < adapted.length) {
+          outTrees(round * tpr + j) = adapted(j); j += 1
+        }
+      }
       // margins advance with the REFRESHED trees (xgboost update order)
       val bcNew =
         sc.broadcast(outTrees.slice(round * tpr, round * tpr + tpr))

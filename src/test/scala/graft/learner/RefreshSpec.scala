@@ -66,6 +66,28 @@ class RefreshSpec extends SparkTestBase {
     assert(t1.cover(0) === 4f)
   }
 
+  test("L1-family parity: same-data refresh of an MAE model is " +
+      "bit-identical (the adaptive quantile UpdateTreeLeaf hook runs " +
+      "in update mode too)") {
+    val df = regDf(2000, seed = 23).repartition(3)
+    val p = TrainParams(objective = "reg:absoluteerror", numRounds = 3,
+      maxDepth = 3, seed = 29)
+    val m = GraftBoost.train(df, spec, p).model
+    val r = GraftBoost.train(df, spec,
+      p.copy(processType = "update"), initModel = Some(m)).model
+    // MAE leaves are η·Q_0.5 of per-leaf residuals — refresh replays
+    // the exact distributed-quantile machinery at identical margins
+    assert(r.dump() === m.dump())
+    // and the vector-quantile form refreshes per-output
+    val pq = TrainParams(objective = "reg:quantileerror",
+      quantileAlphas = Seq(0.25, 0.75), numRounds = 2, maxDepth = 2,
+      seed = 31)
+    val mq = GraftBoost.train(df, spec, pq).model
+    val rq = GraftBoost.train(df, spec,
+      pq.copy(processType = "update"), initModel = Some(mq)).model
+    assert(rq.dump() === mq.dump())
+  }
+
   test("refresh_leaf=false recomputes stats but keeps trained leaf " +
       "values") {
     val df = regDf().repartition(2)
