@@ -75,6 +75,7 @@ object GraftConf {
     get("growPolicy").foreach(v => p = p.copy(growPolicy = v))
     get("processType").foreach(v => p = p.copy(processType = v))
     get("refreshLeaf").foreach(v => p = p.copy(refreshLeaf = v.toBoolean))
+    get("updater").foreach(v => p = p.copy(updater = v))
     get("maxLeaves").foreach(v => p = p.copy(maxLeaves = v.toInt))
     get("maxCatToOnehot").foreach(v =>
       p = p.copy(maxCatToOnehot = v.toInt))

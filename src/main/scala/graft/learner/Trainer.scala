@@ -153,6 +153,14 @@ final case class TrainParams(
     /** xgboost `refresh_leaf`: when process_type=update, also refresh
       * leaf VALUES (true, xgboost's default) or stats only (false). */
     refreshLeaf: Boolean = true,
+    /** xgboost `updater` for process_type=update: comma-separated
+      * passes run in order each round — "refresh" (re-fit stats/leaves
+      * on current data) and/or "prune" (collapse split nodes whose
+      * gain < `gamma` into leaves, recursively bottom-up — xgboost's
+      * TreePruner). Empty ⇒ "refresh" (xgboost's update default).
+      * "refresh,prune" prunes by the RE-FIT gains — the "prune an
+      * overfit model using fresh data" workflow. */
+    updater: String = "",
     /** xgboost `max_cat_to_onehot`: a categorical node uses one-hot
       * `== code` splits while its category count is BELOW this
       * threshold, and optimal-partition splits (categories sorted by
@@ -1888,6 +1896,15 @@ object Trainer {
     require(p.numRounds <= m.numRounds,
       s"process_type=update refreshes existing rounds only: " +
         s"numRounds ${p.numRounds} > model rounds ${m.numRounds}")
+    val updaters =
+      if (p.updater.trim.isEmpty) Seq("refresh")
+      else p.updater.split(',').map(_.trim).toSeq
+    updaters.foreach(u => require(u == "refresh" || u == "prune",
+      s"unknown updater '$u' (refresh | prune)"))
+    if (updaters.contains("prune"))
+      require(m.trees.forall(_.hasStats),
+        "updater=prune needs per-node gain stats; this model was " +
+          "saved without them (pre-r3 save)")
     val tpr = m.treesPerRound
     val sc = train.sparkContext
     var data = train.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1903,6 +1920,19 @@ object Trainer {
       val etaRound = p.etaSchedule.map(f => f(round)).getOrElse(p.eta)
       // same per-tree shrinkage the original training applied
       val pLeaf = p.copy(eta = etaRound / math.max(m.numParallelTree, 1))
+      updaters.foreach {
+        case "prune" =>
+          // driver-only structure transform on the CURRENT stats (the
+          // trained gains, or the re-fit gains if refresh ran first)
+          var j = 0
+          while (j < tpr) {
+            outTrees(round * tpr + j) =
+              pruneTree(outTrees(round * tpr + j), p.gamma)
+            j += 1
+          }
+        case "refresh" => refreshPass()
+      }
+      def refreshPass(): Unit = {
       val grads = gradients(data, obj, round, p)
       val roundTrees = outTrees.slice(round * tpr, round * tpr + tpr)
       val offsets = new Array[Int](roundTrees.length + 1)
@@ -1964,10 +1994,12 @@ object Trainer {
           val sumG = agg(base); val sumH = agg(base + 1)
           if (sumH > 0) {
             cover(i) = sumH.toFloat
-            if (tree.feature(i) < 0) {
-              if (p.refreshLeaf)
-                value(i) = leafWeight(sumG, sumH, pLeaf).toFloat
-            } else {
+            // internal nodes carry their would-be-leaf weight (the
+            // trainer stores the same), so a later prune pass
+            // collapses onto a CURRENT-data weight
+            if (p.refreshLeaf)
+              value(i) = leafWeight(sumG, sumH, pLeaf).toFloat
+            if (tree.feature(i) >= 0) {
               val lb = (offsets(ti) + tree.left(i)) * 2
               val rb = (offsets(ti) + tree.right(i)) * 2
               gain(i) = (score(agg(lb), agg(lb + 1), pLeaf) +
@@ -1997,6 +2029,7 @@ object Trainer {
           outTrees(round * tpr + j) = adapted(j); j += 1
         }
       }
+      } // refreshPass
       // margins advance with the REFRESHED trees (xgboost update order)
       val bcNew =
         sc.broadcast(outTrees.slice(round * tpr, round * tpr + tpr))
@@ -2017,6 +2050,72 @@ object Trainer {
         if (obj.numOutputs <= 1) 0 else obj.numOutputs, p.baseScore,
         MissingBin, bins.numFeatures, m.numParallelTree),
       Map.empty, totalN, p.numRounds)
+  }
+
+  /**
+   * xgboost TreePruner: recursively collapse split nodes whose gain
+   * is below `gamma` (min_split_loss) AND whose children are (possibly
+   * just-collapsed) leaves, bottom-up, then compact the node arrays to
+   * the reachable set. The collapsed node keeps its stored node weight
+   * (its would-be-leaf value — what the trainer stores at internal
+   * nodes and what a refresh pass re-fits), so predictions after the
+   * prune are the weights the stats justify. Pure driver transform.
+   */
+  private def pruneTree(t: RegTree, gamma: Double): RegTree = {
+    val leafified = new Array[Boolean](t.numNodes)
+    def collapse(i: Int): Boolean = // returns "i is (now) a leaf"
+      if (t.feature(i) < 0) true
+      else {
+        val l = collapse(t.left(i)); val r = collapse(t.right(i))
+        if (l && r && t.gain(i) < gamma) { leafified(i) = true; true }
+        else false
+      }
+    collapse(0)
+    if (!leafified.exists(identity)) return t
+    // compact to the reachable prefix-order node set
+    val order = ArrayBuffer[Int]()
+    val map = Array.fill(t.numNodes)(-1)
+    def visit(i: Int): Unit = {
+      map(i) = order.length; order += i
+      if (t.feature(i) >= 0 && !leafified(i)) {
+        visit(t.left(i)); visit(t.right(i))
+      }
+    }
+    visit(0)
+    val n = order.length
+    val feature = new Array[Int](n)
+    val thresholdBin = new Array[Int](n)
+    val threshold = new Array[Float](n)
+    val defaultLeft = new Array[Boolean](n)
+    val left = new Array[Int](n); val right = new Array[Int](n)
+    val value = new Array[Float](n)
+    val gain = new Array[Float](n); val cover = new Array[Float](n)
+    val anyCat = t.catSplit.nonEmpty
+    val anyBits = t.catBits.nonEmpty
+    val catSplit = if (anyCat) new Array[Boolean](n) else Array.empty[Boolean]
+    val catBits =
+      if (anyBits) new Array[Array[Long]](n) else Array.empty[Array[Long]]
+    var j = 0
+    while (j < n) {
+      val old = order(j)
+      val leaf = t.feature(old) < 0 || leafified(old)
+      feature(j) = if (leaf) -1 else t.feature(old)
+      thresholdBin(j) = if (leaf) -1 else t.thresholdBin(old)
+      threshold(j) = if (leaf) 0f else t.threshold(old)
+      defaultLeft(j) = !leaf && t.defaultLeft(old)
+      left(j) = if (leaf) -1 else map(t.left(old))
+      right(j) = if (leaf) -1 else map(t.right(old))
+      value(j) = t.value(old)
+      gain(j) = if (leaf) 0f else t.gain(old)
+      cover(j) = t.cover(old)
+      if (anyCat) catSplit(j) = !leaf && t.catSplit(old)
+      if (anyBits) catBits(j) = if (leaf) null else t.catBits(old)
+      j += 1
+    }
+    new RegTree(feature, thresholdBin, threshold, defaultLeft, left,
+      right, value, gain, cover,
+      if (anyCat && catSplit.contains(true)) catSplit else Array.empty,
+      if (anyBits && catBits.exists(_ != null)) catBits else Array.empty)
   }
 
   private def currentModel(trees: ArrayBuffer[RegTree], obj: Objective,

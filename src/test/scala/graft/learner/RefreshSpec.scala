@@ -129,6 +129,57 @@ class RefreshSpec extends SparkTestBase {
       s"refresh must recalibrate to the shifted data: $before -> $after")
   }
 
+  test("updater=prune: a huge gamma collapses every tree to its root " +
+      "weight; gamma=0 is a no-op; unknown updater fails fast") {
+    val df = regDf(1000, seed = 37).repartition(2)
+    val p = TrainParams(numRounds = 3, maxDepth = 3, seed = 41)
+    val m = GraftBoost.train(df, spec, p).model
+    // no-op prune: every kept split's gain cleared gamma=0 at training
+    val same = GraftBoost.train(df, spec, p.copy(processType = "update",
+      updater = "prune"), initModel = Some(m)).model
+    assert(same.dump() === m.dump())
+    // total prune: root-only trees predicting base + sum(root weights)
+    val stumped = GraftBoost.train(df, spec,
+      p.copy(processType = "update", updater = "prune", gamma = 1e18),
+      initModel = Some(m)).model
+    assert(stumped.trees.forall(_.numNodes === 1),
+      "every tree must collapse to its root")
+    val expected = (0.5f +: m.trees.map(_.value(0)))
+      .reduce((a, b) => a + b) // float left-fold, the predict order
+    val got = GraftBoost.predict(stumped, df.limit(1), spec)
+      .select("prediction").as[Double].head()
+    assert(got === expected.toDouble,
+      s"root-collapsed prediction $got != $expected")
+    val e = intercept[IllegalArgumentException] {
+      GraftBoost.train(df, spec, p.copy(processType = "update",
+        updater = "bogus"), initModel = Some(m))
+    }
+    assert(e.getMessage.contains("updater"))
+  }
+
+  test("updater=refresh,prune: re-fit gains on shifted data drive the " +
+      "prune (recursive collapse keeps a consistent compact tree)") {
+    // labels become CONSTANT on the shifted data → every split's
+    // re-fit gain is ~0 < gamma → full collapse onto refreshed
+    // root weights (prune consumes the refresh pass's stats)
+    val df = regDf(800, seed = 43).repartition(2)
+    val p = TrainParams(numRounds = 2, maxDepth = 3, seed = 47)
+    val m = GraftBoost.train(df, spec, p).model
+    assert(m.trees.exists(_.numNodes > 1))
+    val const = df.withColumn("y", org.apache.spark.sql.functions.lit(5.0))
+    val r = GraftBoost.train(const, spec, p.copy(processType = "update",
+      updater = "refresh,prune", gamma = 1e-6), initModel = Some(m)).model
+    assert(r.trees.forall(_.numNodes === 1),
+      s"constant labels must prune to roots, got " +
+        s"${r.trees.map(_.numNodes).toSeq}")
+    // round-1 root weight: squared error on constant 5.0 at base 0.5:
+    // -0.3 * (0.5 - 5.0) * n / (n + 1)
+    val n = 800.0
+    val w0 = (-0.3 * ((0.5 - 5.0) * n) / (n + 1.0)).toFloat
+    assert(r.trees.head.value(0) === w0,
+      s"refreshed root weight ${r.trees.head.value(0)} != $w0")
+  }
+
   test("fail-fasts: no init model, too many rounds, dart model, " +
       "eval sets, unknown processType") {
     val df = regDf(200)
