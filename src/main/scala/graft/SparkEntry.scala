@@ -304,6 +304,28 @@ object SparkEntry {
             .cast("long").as("q_sum_micro"))
         .orderBy("win_start", "lang_id")),
 
+    // ---- streaming: MODEL SCORING replay — the broadcast codegen
+    //      ensemble expression applied inside a micro-batch stream;
+    //      stateless, so the emitted predictions equal batch predict
+    //      bit-for-bit and the row shares the ml_stump closed form ----
+    "st_score" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("long")
+            .as("rid"))
+      val res = GraftBoost.train(df.select("x", "y"), DMatrixSpec("y"),
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      graft.streaming.StreamPipeline.replayScore(res.model, df,
+          "rid", "x")
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
+    }),
+
     // ---- streaming: flatMapGroupsWithState near-dup replay (X16) —
     //      the custom-state path's distinct emitted pairs must equal
     //      the BATCH simhash pair set (banding pigeonhole + uncapped
@@ -2352,6 +2374,18 @@ object SparkEntry {
         | max(cb) AS bias
         |FROM c GROUP BY q ORDER BY q""".stripMargin,
     "ml_stump" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - sy)) / (n + 1.0) AS REAL) AS leaf
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf AS DOUBLE) AS prediction
+        | FROM l ORDER BY x""".stripMargin,
+    // streaming model scoring is stateless — micro-batch predictions
+    // equal batch predict, so the row replays the ml_stump closed form
+    "st_score" ->
       """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
         |   AS x, l_quantity AS y FROM lineitem),
         |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),

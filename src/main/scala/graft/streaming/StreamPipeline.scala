@@ -36,6 +36,43 @@ object StreamPipeline {
     GraftBoost.predict(model, stream, spec)
 
   /**
+   * Bounded REPLAY of [[scoreModel]] for the correctness harness (the
+   * `st_score` query): feeds (id, feature) rows through a memory
+   * stream in micro-batches and scores each with the broadcast codegen
+   * ensemble expression. Scoring is STATELESS — the micro-batch plan
+   * is the batch plan — so the emitted rows must equal batch `predict`
+   * bit-for-bit, which lets the streaming-inference path share the
+   * trained stump's closed-form DuckDB oracle.
+   *
+   * Verification device, not a production operator (same caveat as
+   * [[replayDedup]]): a real deployment points [[scoreModel]] at
+   * `readStream` and never routes data through the driver.
+   */
+  def replayScore(model: GraftModel, df: DataFrame, idCol: String,
+      featureCol: String, numBatches: Int = 4): DataFrame = {
+    val spark = replaySession(df)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = df.select(col(idCol).cast("long"),
+        col(featureCol).cast("double"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Double)]
+    val scored = scoreModel(model,
+      in.toDF().toDF("rid", featureCol),
+      DMatrixSpec(featureCols = Some(Seq(featureCol))))
+      .select(col("rid"), col(featureCol), col("prediction"))
+    withReplaySink(spark, "st_score_", scored) { q =>
+      feedBatches(rows, numBatches) { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+    } { sink =>
+      spark.table(sink).orderBy("rid").localCheckpoint(true)
+    }
+  }
+
+  /**
    * Streaming exact dedup: drop rows whose normalized-text fingerprint
    * was already seen within the watermark horizon. State is bounded by
    * the horizon (`delayThreshold`), the streaming analog of

@@ -184,6 +184,26 @@ class StreamPipelineSpec extends SparkTestBase {
     assert(batch.nonEmpty, "fixture has no near-dup pairs to verify")
   }
 
+  test("replayScore: streaming model scoring equals batch predict " +
+      "bit-for-bit (stateless codegen expression in a micro-batch)") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      val x = (i % 7).toDouble
+      (i.toLong, x, 2.0 * x + 1.0)
+    }.toDF("rid", "x", "y").repartition(3)
+    val res = graft.api.GraftBoost.train(df.select("x", "y"),
+      graft.data.DMatrixSpec("y"),
+      graft.learner.TrainParams(numRounds = 3, maxDepth = 2, seed = 3))
+    val streamed = StreamPipeline.replayScore(res.model, df, "rid", "x")
+      .select("rid", "prediction").as[(Long, Double)].collect().toMap
+    val batch = graft.api.GraftBoost.predict(res.model, df,
+      graft.data.DMatrixSpec(featureCols = Some(Seq("x"))))
+      .select("rid", "prediction").as[(Long, Double)].collect().toMap
+    assert(streamed.size === 200)
+    assert(streamed === batch,
+      "micro-batch scoring must equal batch scoring exactly")
+  }
+
   test("qualityByWindow aggregates per window and language") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
