@@ -129,6 +129,51 @@ class RefreshSpec extends SparkTestBase {
       s"refresh must recalibrate to the shifted data: $before -> $after")
   }
 
+  test("refresh idempotence across layouts: multiclass softprob " +
+      "(per-class margins), forests (numParallelTree shrinkage), and " +
+      "categorical partition splits (catBits path-walk routing)") {
+    val rng = new scala.util.Random(61)
+    // multiclass: 3 classes, k trees per round
+    val mc = (1 to 900).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, if (a > 0.6) 2.0 else if (b > 0.5) 1.0 else 0.0)
+    }.toDF("a", "b", "y").repartition(3)
+    val pm = TrainParams(objective = "multi:softprob", numClass = 3,
+      numRounds = 2, maxDepth = 2, seed = 67)
+    val m1 = GraftBoost.train(mc, spec, pm).model
+    val r1 = GraftBoost.train(mc, spec, pm.copy(processType = "update"),
+      initModel = Some(m1)).model
+    assert(r1.dump() === m1.dump(), "multiclass refresh idempotence")
+
+    // forest: numParallelTree = 2 divides eta per tree
+    val pf = TrainParams(numRounds = 2, maxDepth = 2, seed = 71,
+      numParallelTree = 2, subsample = 1.0)
+    val df2 = regDf(1200, seed = 73).repartition(2)
+    val m2 = GraftBoost.train(df2, spec, pf).model
+    val r2 = GraftBoost.train(df2, spec, pf.copy(processType = "update"),
+      initModel = Some(m2)).model
+    assert(r2.dump() === m2.dump(), "forest refresh idempotence")
+
+    // categorical: 6 codes with planted lift forces an
+    // optimal-partition (catBits) split; the refresh path-walk must
+    // route through the bitmap identically
+    val cat = (1 to 1200).map { _ =>
+      val c = rng.nextInt(6)
+      (c.toDouble, (if (Set(1, 2, 5)(c)) 50.0 else 0.0) +
+        rng.nextDouble())
+    }.toDF("cat", "y").repartition(2)
+    val cspec = DMatrixSpec(labelCol = Seq("y"),
+      categoricalCols = Seq("cat"))
+    val pc = TrainParams(numRounds = 2, maxDepth = 2, seed = 79,
+      maxCatToOnehot = 4)
+    val m3 = GraftBoost.train(cat, cspec, pc).model
+    assert(m3.trees.exists(t => (0 until t.numNodes)
+      .exists(t.isPartitionNode)), "fixture must produce a partition split")
+    val r3 = GraftBoost.train(cat, cspec, pc.copy(processType = "update"),
+      initModel = Some(m3)).model
+    assert(r3.dump() === m3.dump(), "categorical refresh idempotence")
+  }
+
   test("updater=prune: a huge gamma collapses every tree to its root " +
       "weight; gamma=0 is a no-op; unknown updater fails fast") {
     val df = regDf(1000, seed = 37).repartition(2)
@@ -178,6 +223,45 @@ class RefreshSpec extends SparkTestBase {
     val w0 = (-0.3 * ((0.5 - 5.0) * n) / (n + 1.0)).toFloat
     assert(r.trees.head.value(0) === w0,
       s"refreshed root weight ${r.trees.head.value(0)} != $w0")
+  }
+
+  test("pruned and refreshed models keep exact-TreeSHAP local " +
+      "accuracy (compacted covers stay walk-consistent)") {
+    val df = regDf(900, seed = 83).repartition(2)
+    val p = TrainParams(numRounds = 3, maxDepth = 3, seed = 89)
+    val m = GraftBoost.train(df, spec, p).model
+    // refresh on shifted data, then prune: pick gamma just above the
+    // smallest RE-FIT gain among leaf-parent nodes, so the prune is
+    // guaranteed partial and deterministic
+    val shifted = regDf(900, seed = 91, shift = 2.0).repartition(2)
+    val r0 = GraftBoost.train(shifted, spec, p.copy(
+      processType = "update"), initModel = Some(m)).model
+    val prunableGains = r0.trees.flatMap(t =>
+      (0 until t.numNodes).filter { i =>
+        t.feature(i) >= 0 && t.feature(t.left(i)) < 0 &&
+          t.feature(t.right(i)) < 0
+      }.map(t.gain(_).toDouble))
+    val gamma = prunableGains.min + 1e-6
+    val r = GraftBoost.train(shifted, spec, p.copy(
+      processType = "update", updater = "refresh,prune", gamma = gamma),
+      initModel = Some(m)).model
+    assert(r.trees.map(_.numNodes).sum < m.trees.map(_.numNodes).sum,
+      s"gamma=$gamma sits above the min prunable re-fit gain and " +
+        "must prune at least one node")
+    val rng = new scala.util.Random(97)
+    (1 to 20).foreach { _ =>
+      val x = Array(rng.nextFloat(), rng.nextFloat())
+      val margin = r.margins(x)(0).toDouble
+      var sum = r.initMargin.toDouble
+      r.trees.foreach { t =>
+        val phi = new Array[Double](2)
+        sum += t.shapWalk(x, phi) + phi.sum
+        // shapWalk returns the expected value E[f]; contributions sum
+        // with it to the tree's raw output
+      }
+      assert(math.abs(sum - margin) < 1e-4,
+        s"SHAP local accuracy broke on the pruned model: $sum vs $margin")
+    }
   }
 
   test("fail-fasts: no init model, too many rounds, dart model, " +
