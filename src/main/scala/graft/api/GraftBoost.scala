@@ -81,8 +81,19 @@ object GraftBoost {
       (n, toBinned(prepare(e, spec, obj, numWorkers), bins, obj,
         params.baseScore, tolerateUnseenCats = true))
     }
-    Trainer.boost(train, evalRdds, bins, p2, callbacks, initModel,
-      Some(spark), distributedCallbacks)
+    val res = Trainer.boost(train, evalRdds, bins, p2, callbacks,
+      initModel, Some(spark), distributedCallbacks)
+    // carry the resolved feature-column names on the model (the
+    // reference forwards RayDMatrix feature_names to the booster,
+    // matrix.py:797-798) — not for a pre-assembled vector column,
+    // whose inner slots are unnamed
+    if (spec.preAssembledCol(df).isDefined) res
+    else {
+      val names = spec.resolveFeatures(df)
+      if (names.length == res.model.numFeatures)
+        res.copy(model = res.model.withFeatureNames(names))
+      else res
+    }
   }
 
   /** Per-label results of a multi-label run. */

@@ -200,6 +200,14 @@ object Metrics {
       }
       require(alphas.forall(a => a > 0 && a < 1),
         s"quantile alpha out of (0,1): ${alphas.mkString(",")}")
+      // strict arity: slot c of the prediction vector scores against
+      // α_c, so a mismatched list would silently pair the wrong α with
+      // a slot (or drop slots). Fail loudly instead.
+      require(alphas.length == math.max(obj.numOutputs, 1),
+        s"metric '$t' carries ${alphas.length} alpha(s) but the " +
+          s"objective ${obj.name} produces " +
+          s"${math.max(obj.numOutputs, 1)} output(s) — list one alpha " +
+          "per output, in output order")
       val (e, w) = rows.map { case (m, y, wt) =>
         val p = obj.transform(m)
         var pin = 0.0

@@ -1879,9 +1879,13 @@ object Trainer {
     require(p.monotoneConstraints.isEmpty,
       "process_type=update does not re-apply monotone clamps; " +
         "refresh an unconstrained model")
-    require(m.dartWeights.isEmpty,
-      "refresh re-fits raw leaf values; a dart model's stored leaves " +
-        "carry dropout rescales — refresh gbtree models only")
+    // dart models refresh like gbtree (xgboost refreshes dart trees
+    // identically, weight applied at predict): re-fit the RAW leaf
+    // −η·T(G)/(H+λ), then re-apply the stored cumulative weight w_t so
+    // the baked-leaf convention (value ≈ raw · weight) is preserved.
+    // Uses the r10+ dartWeights bookkeeping; a pre-r10 dart save has
+    // empty weights and is indistinguishable from gbtree (treated as
+    // all-1.0, same as predict/export do).
     require(m.numOutputs == k,
       s"init model has ${m.numOutputs} output(s), objective " +
         s"${obj.name} expects $k")
@@ -1982,6 +1986,10 @@ object Trainer {
       ti = 0
       while (ti < roundTrees.length) {
         val tree = roundTrees(ti)
+        // dart: bake the stored cumulative weight back into the re-fit
+        // value (the trainer's baked-leaf convention); 1.0 for gbtree
+        val wT = if (m.dartWeights.isEmpty) 1.0
+          else m.dartWeights(round * tpr + ti)
         val n = tree.numNodes
         val value = tree.value.clone()
         val gain =
@@ -1998,7 +2006,7 @@ object Trainer {
             // trainer stores the same), so a later prune pass
             // collapses onto a CURRENT-data weight
             if (p.refreshLeaf)
-              value(i) = leafWeight(sumG, sumH, pLeaf).toFloat
+              value(i) = (leafWeight(sumG, sumH, pLeaf) * wT).toFloat
             if (tree.feature(i) >= 0) {
               val lb = (offsets(ti) + tree.left(i)) * 2
               val rb = (offsets(ti) + tree.right(i)) * 2
@@ -2026,7 +2034,19 @@ object Trainer {
           Array.tabulate(tpr)(_ % k), pLeaf.eta)
         var j = 0
         while (j < adapted.length) {
-          outTrees(round * tpr + j) = adapted(j); j += 1
+          val t = adapted(j)
+          // dart: the adaptive hook sets RAW leaves (η·Q_α); re-apply
+          // the stored weight like xgboost's predict-time weight_drop
+          val wT = if (m.dartWeights.isEmpty) 1.0
+            else m.dartWeights(round * tpr + j)
+          if (wT != 1.0) {
+            var i = 0
+            while (i < t.numNodes) {
+              if (t.feature(i) < 0) t.value(i) = (t.value(i) * wT).toFloat
+              i += 1
+            }
+          }
+          outTrees(round * tpr + j) = t; j += 1
         }
       }
       } // refreshPass
@@ -2045,10 +2065,16 @@ object Trainer {
     prevData.foreach(_.unpersist(blocking = false))
     data.unpersist(blocking = false)
     liveBc.foreach(_.destroy())
+    // xgboost process_type=update COMMITS only the num_boost_round
+    // updated rounds (all trees move to trees_to_update; the
+    // un-refreshed tail is dropped) — a prefix refresh must not return
+    // stale tail trees that would shift predictions
+    val kept = p.numRounds * tpr
     TrainResult(
-      new GraftModel(outTrees, obj.name,
+      new GraftModel(outTrees.take(kept), obj.name,
         if (obj.numOutputs <= 1) 0 else obj.numOutputs, p.baseScore,
-        MissingBin, bins.numFeatures, m.numParallelTree),
+        MissingBin, bins.numFeatures, m.numParallelTree,
+        m.dartWeights.take(kept), m.featureNames),
       Map.empty, totalN, p.numRounds)
   }
 

@@ -486,10 +486,26 @@ final class GraftModel(
       * (xgboost's DART resume semantics) and (b) the xgboost-JSON sink
       * can emit the `booster: "dart"` schema. Empty ⇒ non-DART model
       * or a pre-r10 save (treated as all-1.0). */
-    val dartWeights: Array[Double] = Array.empty) extends Serializable {
+    val dartWeights: Array[Double] = Array.empty,
+    /** Feature column names in feature-index order (the reference
+      * carries RayDMatrix feature_names through to the booster,
+      * matrix.py:797-798). Cosmetic for scoring — predict routes by
+      * index — but emitted in the xgboost-JSON sink so exported models
+      * carry names stock xgboost displays. Empty ⇒ unnamed (pre-r11
+      * save or vector-assembled features). */
+    val featureNames: Seq[String] = Nil) extends Serializable {
 
   require(dartWeights.isEmpty || dartWeights.length == trees.length,
     s"dartWeights length ${dartWeights.length} != trees ${trees.length}")
+  require(featureNames.isEmpty || featureNames.length == numFeatures,
+    s"featureNames length ${featureNames.length} != numFeatures " +
+      s"$numFeatures")
+
+  /** Copy with feature names attached (length must equal
+    * [[numFeatures]]; empty detaches). */
+  def withFeatureNames(names: Seq[String]): GraftModel =
+    new GraftModel(trees, objective, numClass, baseScore, missingBin,
+      numFeatures, numParallelTree, dartWeights, names)
 
   def numOutputs: Int = math.max(numClass, 1)
 
@@ -885,7 +901,8 @@ final class GraftModel(
       objective, numClass, baseScore, missingBin, numFeatures,
       numParallelTree,
       if (dartWeights.isEmpty) dartWeights
-      else dartWeights.slice(from * treesPerRound, until * treesPerRound))
+      else dartWeights.slice(from * treesPerRound, until * treesPerRound),
+      featureNames)
   }
 
   /**
@@ -924,6 +941,15 @@ final class GraftModel(
     require(!objective.startsWith("custom:"),
       "custom objectives have no xgboost-side name; export the margins " +
         "model with objective overridden, or keep the parquet sink")
+    // multi-quantile models store the alpha list in the objective name
+    // ("reg:quantileerror@a1,a2") and route alternate trees to alpha
+    // slots via num_class — stock xgboost parses neither (unknown
+    // objective name; num_class > 0 on a regression objective), so an
+    // export would produce a file no xgboost loads
+    require(!objective.contains("@"),
+      "multi-quantile models (vector alpha) have no stock-xgboost " +
+        "encoding — export each alpha as its own single-quantile " +
+        "model via slice(), or keep the parquet sink")
     require(!trees.exists(t => (0 until t.numNodes).exists(t.isCatNode)),
       "xgboost-JSON export covers numeric trees; categorical (one-hot) " +
         "splits use xgboost's category-set encoding, which this sink " +
@@ -993,8 +1019,20 @@ final class GraftModel(
       if (dartWeights.isEmpty) gbtree
       else s"""{"name":"dart","gbtree":$gbtree,""" +
         s""""weight_drop":${jArr(Seq.fill(trees.length)(1.0))}}"""
-    s"""{"learner":{"attributes":{},"feature_names":[],""" +
-      s""""feature_types":[],"gradient_booster":$booster,""" +
+    // feature names/types travel when the model carries them (the
+    // reference surface forwards RayDMatrix feature_names the same
+    // way, matrix.py:797-798); "float" matches the numeric-only trees
+    // this sink exports
+    val namesJson =
+      if (featureNames.isEmpty) "[]"
+      else featureNames.map(n =>
+        "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+    val typesJson =
+      if (featureNames.isEmpty) "[]"
+      else Seq.fill(featureNames.length)("\"float\"").mkString("[", ",", "]")
+    s"""{"learner":{"attributes":{},"feature_names":$namesJson,""" +
+      s""""feature_types":$typesJson,"gradient_booster":$booster,""" +
       s""""learner_model_param":{"base_score":"$baseScore",""" +
       s""""boost_from_average":"1","num_class":"${math.max(numClass, 0)}",""" +
       s""""num_feature":"$numFeatures","num_target":"1"},""" +
@@ -1030,9 +1068,9 @@ final class GraftModel(
       "catSplit", "catBits")
     nodes.repartition(1).write.mode("overwrite").parquet(s"$path/nodes")
     Seq((objective, numClass, baseScore, missingBin, numFeatures,
-        numParallelTree))
+        numParallelTree, featureNames))
       .toDF("objective", "numClass", "baseScore", "missingBin",
-        "numFeatures", "numParallelTree")
+        "numFeatures", "numParallelTree", "featureNames")
       .write.mode("overwrite").parquet(s"$path/meta")
     // DART weight bookkeeping (absent for non-dart models and ignored
     // by pre-r10 readers — the nodes/meta contract is unchanged)
@@ -1101,8 +1139,15 @@ object GraftModel {
         spark.read.parquet(s"$path/dartWeights").orderBy("tree")
           .collect().map(_.getAs[Double]("weight"))
       else Array.empty[Double]
+    // featureNames column absent in pre-r11 saved models → unnamed
+    val fNames =
+      if (meta.schema.fieldNames.contains("featureNames"))
+        Option(meta.getAs[scala.collection.Seq[String]]("featureNames"))
+          .map(_.toSeq).getOrElse(Nil)
+      else Nil
     new GraftModel(trees, meta.getString(0), meta.getInt(1),
-      meta.getDouble(2), meta.getInt(3), meta.getInt(4), npt, dw)
+      meta.getDouble(2), meta.getInt(3), meta.getInt(4), npt, dw,
+      fNames)
   }
 
   /**
@@ -1301,11 +1346,20 @@ object GraftModel {
     }
     require(indptr.last == parsed.length,
       s"iteration_indptr ends at ${indptr.last}, not ${parsed.length}")
+    // names ride along when present AND consistent; a malformed file
+    // whose name list disagrees with num_feature degrades to unnamed
+    // rather than failing an otherwise-loadable model
+    val fNames = {
+      val ns = learner.get("feature_names")
+      if (ns == null || ns.size() != numFeatures) Nil
+      else (0 until numFeatures).map(ns.get(_).asText())
+    }
     new GraftModel(ordered, objective, numClass, baseScore,
       Binner.MissingBin, numFeatures, npt,
       // dart imports keep the folded weights as bookkeeping so the
       // model stays marked dart (export round-trips the booster name)
-      if (weightDrop.isDefined) orderedW else Array.empty)
+      if (weightDrop.isDefined) orderedW else Array.empty,
+      fNames)
   }
 
   /** Read [[fromXgbJson]] from a local file (the

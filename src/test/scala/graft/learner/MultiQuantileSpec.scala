@@ -115,6 +115,15 @@ class MultiQuantileSpec extends SparkTestBase {
     val curve = hist("quantile@0.1,0.9")
     assert(curve.last < curve.head * 0.8,
       s"multi-alpha pinball must improve: ${curve.head} -> ${curve.last}")
+    // strict arity (r11): an alpha list that mismatches the model's
+    // output count must fail loudly, not silently pair wrong slots
+    val bad = intercept[IllegalArgumentException] {
+      GraftBoost.train(df, DMatrixSpec("y"),
+        p.copy(numRounds = 1, evalMetric = Seq("quantile@0.1,0.5,0.9")),
+        evals = Seq(("train", df)))
+    }
+    assert(bad.getMessage.contains("alpha"),
+      s"expected the alpha-arity message, got: ${bad.getMessage}")
   }
 
   test("facade: GraftXGBRegressor.setQuantileAlphas trains the vector " +

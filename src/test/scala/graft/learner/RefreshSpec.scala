@@ -264,7 +264,71 @@ class RefreshSpec extends SparkTestBase {
     }
   }
 
-  test("fail-fasts: no init model, too many rounds, dart model, " +
+  test("prefix refresh commits ONLY the refreshed rounds (xgboost " +
+      "moves all trees to trees_to_update and keeps num_boost_round " +
+      "of them): same-data prefix == truncate, bit-for-bit") {
+    val df = regDf(1200, seed = 101).repartition(2)
+    val p = TrainParams(numRounds = 4, maxDepth = 3, seed = 103)
+    val m = GraftBoost.train(df, spec, p).model
+    val r = GraftBoost.train(df, spec,
+      p.copy(processType = "update", numRounds = 2),
+      initModel = Some(m)).model
+    assert(r.numRounds === 2,
+      "the un-refreshed tail must be dropped, not returned stale")
+    assert(r.dump() === m.truncate(2).dump(),
+      "same-data prefix refresh == truncated original")
+  }
+
+  test("dart refresh: rateDrop=0 dart refreshes bit-identically to " +
+      "gbtree and the result stays a dart model (weights carried)") {
+    val df = regDf(1000, seed = 107).repartition(2)
+    val p = TrainParams(numRounds = 3, maxDepth = 3, seed = 109)
+    val mG = GraftBoost.train(df, spec, p).model
+    val mD = GraftBoost.train(df, spec,
+      p.copy(booster = "dart", rateDrop = 0.0)).model
+    val shifted = regDf(1000, seed = 113, shift = 3.0).repartition(2)
+    val rG = GraftBoost.train(shifted, spec,
+      p.copy(processType = "update"), initModel = Some(mG)).model
+    val rD = GraftBoost.train(shifted, spec,
+      p.copy(processType = "update", booster = "dart"),
+      initModel = Some(mD)).model
+    assert(rD.dump() === rG.dump(),
+      "all-1.0 weights must make dart refresh == gbtree refresh")
+    assert(rD.dartWeights.length === rD.trees.length &&
+      rD.dartWeights.forall(_ == 1.0),
+      "refresh must keep the dart bookkeeping on the output model")
+  }
+
+  test("dart refresh re-applies the stored cumulative weight: the " +
+      "round-0 re-fit scales by w_0 vs a weight-stripped clone") {
+    val df = regDf(1000, seed = 127).repartition(2)
+    val p = TrainParams(numRounds = 3, maxDepth = 2, seed = 131)
+    // rateDrop=1 drops every prior tree each round → non-unit weights
+    val mD = GraftBoost.train(df, spec, p.copy(booster = "dart",
+      rateDrop = 1.0, skipDrop = 0.0)).model
+    val w0 = mD.dartWeights(0)
+    assert(math.abs(w0 - 1.0) > 1e-9,
+      "fixture must produce a non-unit weight on tree 0")
+    // same trees, no dart bookkeeping → the refresh refits RAW values
+    val stripped = new GraftModel(mD.trees, mD.objective, mD.numClass,
+      mD.baseScore, mD.missingBin, mD.numFeatures, mD.numParallelTree)
+    def prefix1(init: GraftModel) = GraftBoost.train(df, spec,
+      p.copy(processType = "update", numRounds = 1,
+        booster = if (init.dartWeights.nonEmpty) "dart" else "gbtree"),
+      initModel = Some(init)).model
+    val rD = prefix1(mD); val rS = prefix1(stripped)
+    assert(rD.dartWeights.toSeq === Seq(w0),
+      "prefix refresh must truncate the weight vector with the trees")
+    val t1 = rD.trees.head; val t0 = rS.trees.head
+    (0 until t0.numNodes).foreach { i =>
+      val want = t0.value(i) * w0
+      assert(math.abs(t1.value(i) - want) <=
+        1e-6 * math.max(1.0, math.abs(want)),
+        s"node $i: ${t1.value(i)} != ${t0.value(i)} * $w0")
+    }
+  }
+
+  test("fail-fasts: no init model, too many rounds, " +
       "eval sets, unknown processType") {
     val df = regDf(200)
     val p = TrainParams(numRounds = 2, maxDepth = 2, seed = 1)
@@ -282,10 +346,5 @@ class RefreshSpec extends SparkTestBase {
     assert(msg(GraftBoost.train(df, spec,
       p.copy(processType = "bogus")))
       .contains("processType"))
-    val dartM = GraftBoost.train(df, spec, p.copy(booster = "dart",
-      rateDrop = 1.0)).model
-    assert(msg(GraftBoost.train(df, spec,
-      p.copy(processType = "update"), initModel = Some(dartM)))
-      .contains("dart"))
   }
 }

@@ -252,13 +252,36 @@ class XgbJsonImportSpec extends SparkTestBase {
   test("xgbFeatureNames parses recorded names (empty when unnamed) " +
       "so callers can order scoring columns by model index") {
     val m = trainModel("reg:squarederror", rounds = 2, depth = 2)
-    // this engine's export records no names (unnamed-array training)
-    assert(GraftModel.xgbFeatureNames(m.toXgbJson) === Nil)
-    // stock models trained on named frames carry them
-    val named = m.toXgbJson.replaceFirst(
+    // r11: training on a DataFrame records the resolved column names
+    // and the export emits them (reference surface matrix.py:797-798)
+    assert(m.featureNames === Seq("a", "b"))
+    assert(GraftModel.xgbFeatureNames(m.toXgbJson) === Seq("a", "b"))
+    // an unnamed model (hand-assembled / pre-r11) emits empty lists
+    val bare = m.withFeatureNames(Nil)
+    assert(GraftModel.xgbFeatureNames(bare.toXgbJson) === Nil)
+    // stock models trained on other named frames carry their names
+    val named = bare.toXgbJson.replaceFirst(
       """"feature_names":\[\]""",
       """"feature_names":["price","qty"]""")
     assert(GraftModel.xgbFeatureNames(named) === Seq("price", "qty"))
+  }
+
+  test("feature names round-trip export -> import and parquet " +
+      "save -> load; types emit one 'float' per named feature") {
+    val m = trainModel("binary:logistic", rounds = 2, depth = 2)
+    assert(m.featureNames === Seq("a", "b"))
+    val root = mapper.readTree(m.toXgbJson)
+    val types = root.get("learner").get("feature_types")
+    assert(types.size() === 2 &&
+      (0 until 2).forall(types.get(_).asText() == "float"))
+    val im = GraftModel.fromXgbJson(m.toXgbJson)
+    assert(im.featureNames === Seq("a", "b"),
+      "import must re-attach recorded names")
+    // parquet model sink carries them too
+    val dir = java.nio.file.Files.createTempDirectory("fnames")
+    m.save(spark, dir.toString)
+    assert(GraftModel.load(spark, dir.toString).featureNames ===
+      Seq("a", "b"))
   }
 
   test("file round-trip: saveXgbJson -> loadXgbJson") {

@@ -148,6 +148,21 @@ class XgbJsonSpec extends SparkTestBase {
       TrainParams(numRounds = 1, maxDepth = 1, seed = 1)).model
     val e = intercept[IllegalArgumentException] { mc.toXgbJson }
     assert(e.getMessage.contains("categorical"))
+
+    // multi-quantile model → fail-fast: the "@a1,a2" objective name
+    // and num_class routing have no stock-xgboost encoding (r11)
+    val mq = GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:quantileerror",
+        quantileAlphas = Seq(0.25, 0.75), numRounds = 1, maxDepth = 2,
+        seed = 3)).model
+    val eq = intercept[IllegalArgumentException] { mq.toXgbJson }
+    assert(eq.getMessage.contains("multi-quantile"))
+    // the escape hatch it suggests works: a single-alpha slice...
+    // (the scalar objective name is parseable; slice() keeps rounds)
+    assert(GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "reg:quantileerror", quantileAlpha = 0.25,
+        numRounds = 1, maxDepth = 2, seed = 3)).model
+      .toXgbJson.contains("reg:quantileerror"))
   }
 
   test("dart-trained models export under the DART schema (r10) and " +
