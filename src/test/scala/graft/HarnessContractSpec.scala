@@ -24,7 +24,10 @@ class HarnessContractSpec extends SparkTestBase {
     "sim_ivf_topk" -> "approximate ANN (recall gated by sim_recall_check)",
     "sim_recall_check" -> "the recall gate itself (self-referential)",
     "tx_bpe" -> ("iterative BPE merge learning has no SQL replay " +
-      "(inherently sequential); pinned by BpeSpec's worked-example " +
+      "(inherently sequential); r11: decode∘encode lossless " +
+      "round-trip over ALL docs pinned in-query (query fails on any " +
+      "lossy doc) and the merge-table size + order-sensitive checksum " +
+      "emitted as output columns; plus BpeSpec's worked-example " +
       "merge-sequence goldens + partition invariance"))
 
   test("every query is oracle-paired or on the declared rows-only list") {
