@@ -1,0 +1,151 @@
+package graft
+
+import graft.api.GraftBoost
+import graft.data.DMatrixSpec
+import graft.learner.{TrainParams, TrainingCallback}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Trainer stress bench at the REFERENCE'S canonical benchmark shape —
+ * `tests/release/create_test_data.py:16-41`: N rows × 4 float32
+ * features uniform(0,10), `labels` = randint(0,2) int32, a `partition`
+ * int column (declared via `ignore=`, exactly like
+ * `benchmark_cpu_gpu.py:55-63`), 100 parquet part-files — trained
+ * `binary:logistic` with `eval_metric=["logloss","error"]` on the
+ * training matrix itself (`benchmark_cpu_gpu.py:66-100`).
+ *
+ * Reports the reference's res.csv timing split
+ * (`benchmark_cpu_gpu.py:155-199`): `init` (session bring-up = the
+ * ray.init analog), `train` (the train() call), `full` (load + spec +
+ * train), plus what the reference cannot see per-round: the per-round
+ * wall times (round-time FLATNESS is the point — an accumulating
+ * broadcast/lineage cost shows up as round R >> round 1) and peak JVM
+ * heap.
+ *
+ *   SPARK_DRIVER_MEM=32g sbt "runMain graft.BenchLarge 10000000 10"
+ *
+ * Emits ONE JSON line on stdout (marker: BENCHLARGE_JSON).
+ */
+object BenchLarge {
+  def main(args: Array[String]): Unit = {
+    val rows = args.lift(0).map(_.toLong).getOrElse(10000000L)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(10)
+    val baseDir = args.lift(2).getOrElse("/tmp/graft-benchlarge")
+    val threads = args.lift(3).map(_.toInt).getOrElse(32)
+
+    val initStart = System.nanoTime()
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName("graft-benchlarge")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val initTaken = (System.nanoTime() - initStart) / 1e9
+
+    val path = s"$baseDir/parted_$rows.parquet"
+    if (!new java.io.File(path).exists()) {
+      val g0 = System.nanoTime()
+      generate(spark, path, rows)
+      println(f"[benchlarge] generated $rows rows in " +
+        f"${(System.nanoTime() - g0) / 1e9}%.1f s -> $path")
+    }
+
+    // peak-heap sampler (10 Hz) — heap only grows in the sample view,
+    // so the max over samples bounds the true peak from below
+    @volatile var peakHeap = 0L
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      val rt = Runtime.getRuntime
+      while (sampling) {
+        val used = rt.totalMemory() - rt.freeMemory()
+        if (used > peakHeap) peakHeap = used
+        Thread.sleep(100)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
+    val roundTimes = ArrayBuffer[Double]()
+    @volatile var lastMark = 0L
+    val timer = new TrainingCallback {
+      override def afterIteration(round: Int,
+          metrics: Map[String, Double]): Boolean = {
+        val now = System.nanoTime()
+        roundTimes += (now - lastMark) / 1e9
+        lastMark = now
+        false
+      }
+    }
+
+    val fullStart = System.nanoTime()
+    val df = spark.read.parquet(path)
+    val spec = DMatrixSpec(labelCol = Seq("labels"),
+      ignore = Seq("partition"))
+    val trainStart = System.nanoTime()
+    lastMark = trainStart
+    val res = GraftBoost.train(df, spec,
+      TrainParams(objective = "binary:logistic", numRounds = rounds,
+        maxDepth = 6, eta = 0.3, evalMetric = Seq("logloss", "error"),
+        seed = 1234),
+      evals = Seq(("train", df)), numWorkers = threads,
+      callbacks = Seq(timer))
+    val end = System.nanoTime()
+    val trainTaken = (end - trainStart) / 1e9
+    val fullTaken = (end - fullStart) / 1e9
+    sampling = false
+
+    val err = res.evalsResult("train")("error")
+    val ll = res.evalsResult("train")("logloss")
+    val rts = roundTimes.toSeq
+    val sortedRts = rts.sorted
+    def j(d: Double) = f"$d%.3f"
+    // first round pays binning+materialization warmup inside the timer
+    // window only if rounds deferred it; flatness compares the LAST
+    // round to the first few completed steady-state rounds
+    val steady = if (rts.length > 2) rts.drop(1) else rts
+    println("BENCHLARGE_JSON " +
+      s"""{"rows":$rows,"rounds":$rounds,"threads":$threads,""" +
+      s""""total_n":${res.totalN},""" +
+      s""""init_sec":${j(initTaken)},"full_sec":${j(fullTaken)},""" +
+      s""""train_sec":${j(trainTaken)},""" +
+      s""""round_first_sec":${j(rts.head)},""" +
+      s""""round_median_sec":${j(sortedRts(sortedRts.length / 2))},""" +
+      s""""round_last_sec":${j(rts.last)},""" +
+      s""""round_max_sec":${j(rts.max)},""" +
+      s""""flatness_last_over_steadyfirst":${
+        j(rts.last / steady.head)},""" +
+      s""""peak_heap_gb":${j(peakHeap / 1e9)},""" +
+      s""""logloss_first":${j(ll.head)},"logloss_last":${j(ll.last)},""" +
+      s""""error_last":${j(err.last)}}""")
+    spark.stop()
+  }
+
+  /** Distributed deterministic generator for the reference shape:
+    * 100 part-files, each task seeding its own RNG from the partition
+    * id (create_test_data.py seeds numpy globally; per-partition
+    * seeding is the distributed-correct equivalent). */
+  private def generate(spark: SparkSession, path: String,
+      rows: Long): Unit = {
+    import spark.implicits._
+    val parts = 100
+    val perPart = rows / parts
+    require(perPart * parts == rows,
+      s"rows $rows must divide evenly into $parts partitions")
+    spark.range(0, parts, 1, parts)
+      .as[Long]
+      .flatMap { pid =>
+        val rng = new java.util.Random(1234L + pid)
+        Iterator.tabulate(perPart.toInt) { _ =>
+          (rng.nextFloat() * 10f, rng.nextFloat() * 10f,
+            rng.nextFloat() * 10f, rng.nextFloat() * 10f,
+            rng.nextInt(2), pid.toInt)
+        }
+      }
+      .toDF("feature_0", "feature_1", "feature_2", "feature_3",
+        "labels", "partition")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -75,10 +75,17 @@ object GraftBoost {
     train.foreachPartition(_ => ()) // materialize bytes, then drop floats
     prepared.unpersist(blocking = false)
     val evalRdds = evals.map { case (n, e) =>
-      // eval rows tolerate unseen category codes (they bin to the
-      // spare non-matching bin and route like predict); train rows
+      // the xgboost evals=[(dtrain, "train")] idiom: when an eval set
+      // IS the training frame (same object), reuse the binned train
+      // RDD instead of preparing+binning a duplicate copy — halves the
+      // cached footprint and the prep passes for the most common eval
+      // config (the reference benchmark trains exactly this way,
+      // benchmark_cpu_gpu.py:96-100)
+      if (e eq df) (n, train)
+      // other eval rows tolerate unseen category codes (they bin to
+      // the spare non-matching bin and route like predict); train rows
       // keep the fail-fast
-      (n, toBinned(prepare(e, spec, obj, numWorkers), bins, obj,
+      else (n, toBinned(prepare(e, spec, obj, numWorkers), bins, obj,
         params.baseScore, tolerateUnseenCats = true))
     }
     val res = Trainer.boost(train, evalRdds, bins, p2, callbacks,

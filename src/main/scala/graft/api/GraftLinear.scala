@@ -39,10 +39,17 @@ object GraftLinear {
 
   /** Linear model: margin_c = bias_c + w_c·x (+ init/base margin). */
   final case class LinearModel(weights: Array[Array[Float]],
-      bias: Array[Float], objective: String, baseScore: Double) {
+      bias: Array[Float], objective: String, baseScore: Double,
+      /** Feature-column names in index order (r11, matrix.py:797-798
+        * surface parity with the tree booster); empty = unnamed. */
+      featureNames: Seq[String] = Nil) {
 
     def numClass: Int = weights.length
     def numFeatures: Int = weights.headOption.map(_.length).getOrElse(0)
+
+    require(featureNames.isEmpty || featureNames.length == numFeatures,
+      s"featureNames length ${featureNames.length} != numFeatures " +
+        s"$numFeatures")
 
     private def initMargin: Float = Objectives.resolve(
       TrainParams(objective = objective,
@@ -347,8 +354,19 @@ object GraftLinear {
         }
         round += 1
       }
+      // carry the resolved feature names when they map 1:1 to weight
+      // slots (not for a pre-assembled vector column, whose inner
+      // slots are unnamed) — same convention as the tree booster
+      val fNames = {
+        val d = weights.headOption.map(_.length).getOrElse(0)
+        if (spec.preAssembledCol(df).isDefined) Nil
+        else {
+          val ns = spec.resolveFeatures(df)
+          if (ns.length == d) ns else Nil
+        }
+      }
       LinearTrainResult(
-        LinearModel(weights, bias, obj.name, params.baseScore),
+        LinearModel(weights, bias, obj.name, params.baseScore, fNames),
         evalsResult.toMap,
         bestIteration =
           if (params.earlyStoppingRounds > 0) bestRound else -1,
@@ -368,17 +386,23 @@ object GraftLinear {
     import spark.implicits._
     val rows = model.weights.zipWithIndex.flatMap { case (wc, c) =>
       wc.toSeq.zipWithIndex.map { case (w, i) =>
-        (c, i, w.toDouble, "", 0.0)
+        (c, i, w.toDouble, "", 0.0,
+          // feature names ride the class-0 weight rows (r11)
+          if (c == 0 && model.featureNames.nonEmpty)
+            model.featureNames(i)
+          else "")
       } :+ ((c, -1, model.bias(c).toDouble, model.objective,
-        model.baseScore))
+        model.baseScore, ""))
     }.toSeq
-    rows.toDF("cls", "idx", "weight", "objective", "base_score")
+    rows.toDF("cls", "idx", "weight", "objective", "base_score",
+        "fname")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   def load(spark: org.apache.spark.sql.SparkSession,
       path: String): LinearModel = {
-    val rows = spark.read.parquet(path).collect()
+    val df = spark.read.parquet(path)
+    val rows = df.collect()
     val k = rows.map(_.getInt(0)).max + 1
     val meta = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == -1).get
     val weights = (0 until k).map { c =>
@@ -389,7 +413,16 @@ object GraftLinear {
       rows.find(r => r.getInt(0) == c && r.getInt(1) == -1).get
         .getDouble(2).toFloat
     }.toArray
-    LinearModel(weights, bias, meta.getString(3), meta.getDouble(4))
+    // fname column absent in pre-r11 saves → unnamed
+    val fNames =
+      if (!df.schema.fieldNames.contains("fname")) Nil
+      else {
+        val ns = rows.filter(r => r.getInt(0) == 0 && r.getInt(1) >= 0)
+          .sortBy(_.getInt(1)).map(_.getAs[String]("fname")).toSeq
+        if (ns.nonEmpty && ns.forall(_.nonEmpty)) ns else Nil
+      }
+    LinearModel(weights, bias, meta.getString(3), meta.getDouble(4),
+      fNames)
   }
 
   /**
@@ -431,8 +464,17 @@ object GraftLinear {
         """"tweedie_regression_param":{"tweedie_variance_power":"1.5"}"""
       case _ => """"reg_loss_param":{"scale_pos_weight":"1"}"""
     }
-    s"""{"learner":{"attributes":{},"feature_names":[],""" +
-      s""""feature_types":[],"gradient_booster":{"model":{""" +
+    val namesJson =
+      if (model.featureNames.isEmpty) "[]"
+      else model.featureNames.map(n =>
+        "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+    val typesJson =
+      if (model.featureNames.isEmpty) "[]"
+      else Seq.fill(model.featureNames.length)("\"float\"")
+        .mkString("[", ",", "]")
+    s"""{"learner":{"attributes":{},"feature_names":$namesJson,""" +
+      s""""feature_types":$typesJson,"gradient_booster":{"model":{""" +
       s""""weights":${flat.mkString("[", ",", "]")}},""" +
       s""""name":"gblinear"},""" +
       s""""learner_model_param":{"base_score":"${model.baseScore}",""" +
@@ -487,7 +529,13 @@ object GraftLinear {
         s"!= (num_feature+1)×num_groups = ${(d + 1) * k}")
     val weights = Array.tabulate(k, d)((c, j) => wj.get(j * k + c).floatValue())
     val bias = Array.tabulate(k)(c => wj.get(d * k + c).floatValue())
-    LinearModel(weights, bias, objective, baseScore)
+    // names ride along when present and consistent with num_feature
+    val fNames = {
+      val ns = learner.get("feature_names")
+      if (ns == null || ns.size() != d) Nil
+      else (0 until d).map(ns.get(_).asText())
+    }
+    LinearModel(weights, bias, objective, baseScore, fNames)
   }
 
   /** Write [[toXgbJson]] to a local file. */

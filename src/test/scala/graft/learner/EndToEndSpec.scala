@@ -60,6 +60,27 @@ class EndToEndSpec extends SparkTestBase {
     assert(e.getMessage.contains("duplicate eval set names"))
   }
 
+  test("eval set that IS the training frame reuses the binned train " +
+      "RDD (r11) and matches a logically-equal copy bit-for-bit") {
+    val rng = new scala.util.Random(211)
+    val df = (1 to 800).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, if (2 * a + b > 1.4) 1.0 else 0.0)
+    }.toDF("a", "b", "y").repartition(3)
+    val p = TrainParams(objective = "binary:logistic", numRounds = 4,
+      maxDepth = 3, seed = 223, evalMetric = Seq("logloss", "error"))
+    // same OBJECT → the reuse path; fresh select → the prepare path
+    val reused = GraftBoost.train(df, DMatrixSpec("y"), p,
+      evals = Seq(("train", df)))
+    val copied = GraftBoost.train(df, DMatrixSpec("y"), p,
+      evals = Seq(("train",
+        df.select(df.columns.map(org.apache.spark.sql.functions.col): _*))))
+    assert(reused.model.dump() === copied.model.dump())
+    for (m <- Seq("logloss", "error"))
+      assert(reused.evalsResult("train")(m) ===
+        copied.evalsResult("train")(m), s"metric $m history diverged")
+  }
+
   test("binary:logistic learns a separable function") {
     val rng = new scala.util.Random(11)
     val rows = (1 to 500).map { _ =>

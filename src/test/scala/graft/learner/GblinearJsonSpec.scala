@@ -48,6 +48,23 @@ class GblinearJsonSpec extends SparkTestBase {
     assert(im.baseScore === m.baseScore)
   }
 
+  test("feature names (r11) ride training, the JSON export/import, " +
+      "and the parquet sink") {
+    val m = trainLinear("reg:squarederror")
+    assert(m.featureNames === Seq("a", "b"))
+    val json = GraftLinear.toXgbJson(m)
+    assert(json.contains(""""feature_names":["a","b"]"""))
+    assert(json.contains(""""feature_types":["float","float"]"""))
+    assert(GraftLinear.fromXgbJson(json).featureNames === Seq("a", "b"))
+    val dir = java.nio.file.Files.createTempDirectory("linfn")
+    GraftLinear.save(m, spark, dir.toString)
+    assert(GraftLinear.load(spark, dir.toString).featureNames ===
+      Seq("a", "b"))
+    // unnamed models still emit the empty lists
+    assert(GraftLinear.toXgbJson(m.copy(featureNames = Nil))
+      .contains(""""feature_names":[]"""))
+  }
+
   test("multi-class model round-trips (feature-major/group-inner " +
       "flat layout inverts exactly)") {
     val m = trainLinear("multi:softprob", numClass = 3)
