@@ -34,6 +34,15 @@ object BenchLarge {
     val rounds = args.lift(1).map(_.toInt).getOrElse(10)
     val baseDir = args.lift(2).getOrElse("/tmp/graft-benchlarge")
     val threads = args.lift(3).map(_.toInt).getOrElse(32)
+    // "random" = create_test_data.py (throughput shape, random labels);
+    // "learnable" = create_learnable_data.py's make_classification
+    // analog — 2 informative features, flip_y = 0.2 ⇒ 0.8 achievable
+    // accuracy (`--target` default, create_learnable_data.py:39-45),
+    // so the bench also witnesses LEARNING at this scale, not just
+    // histogram throughput
+    val mode = args.lift(4).getOrElse("random")
+    require(mode == "random" || mode == "learnable",
+      s"mode must be random|learnable: $mode")
 
     val initStart = System.nanoTime()
     val spark = SparkSession.builder()
@@ -45,10 +54,12 @@ object BenchLarge {
     spark.sparkContext.setLogLevel("WARN")
     val initTaken = (System.nanoTime() - initStart) / 1e9
 
-    val path = s"$baseDir/parted_$rows.parquet"
+    val path =
+      if (mode == "random") s"$baseDir/parted_$rows.parquet"
+      else s"$baseDir/parted_learnable_$rows.parquet"
     if (!new java.io.File(path).exists()) {
       val g0 = System.nanoTime()
-      generate(spark, path, rows)
+      generate(spark, path, rows, mode)
       println(f"[benchlarge] generated $rows rows in " +
         f"${(System.nanoTime() - g0) / 1e9}%.1f s -> $path")
     }
@@ -108,6 +119,7 @@ object BenchLarge {
     val steady = if (rts.length > 2) rts.drop(1) else rts
     println("BENCHLARGE_JSON " +
       s"""{"rows":$rows,"rounds":$rounds,"threads":$threads,""" +
+      s""""mode":"$mode",""" +
       s""""total_n":${res.totalN},""" +
       s""""init_sec":${j(initTaken)},"full_sec":${j(fullTaken)},""" +
       s""""train_sec":${j(trainTaken)},""" +
@@ -128,7 +140,7 @@ object BenchLarge {
     * id (create_test_data.py seeds numpy globally; per-partition
     * seeding is the distributed-correct equivalent). */
   private def generate(spark: SparkSession, path: String,
-      rows: Long): Unit = {
+      rows: Long, mode: String): Unit = {
     import spark.implicits._
     val parts = 100
     val perPart = rows / parts
@@ -139,9 +151,21 @@ object BenchLarge {
       .flatMap { pid =>
         val rng = new java.util.Random(1234L + pid)
         Iterator.tabulate(perPart.toInt) { _ =>
-          (rng.nextFloat() * 10f, rng.nextFloat() * 10f,
-            rng.nextFloat() * 10f, rng.nextFloat() * 10f,
-            rng.nextInt(2), pid.toInt)
+          if (mode == "random")
+            (rng.nextFloat() * 10f, rng.nextFloat() * 10f,
+              rng.nextFloat() * 10f, rng.nextFloat() * 10f,
+              rng.nextInt(2), pid.toInt)
+          else {
+            // make_classification analog: num_cols/2 = 2 informative
+            // gaussian features carry a linear class signal; flip_y
+            // mislabels 20% ⇒ the Bayes ceiling is the 0.8 target
+            val x0 = rng.nextGaussian().toFloat
+            val x1 = rng.nextGaussian().toFloat
+            val clean = if (1.5 * x0 - x1 > 0) 1 else 0
+            val y = if (rng.nextFloat() < 0.2f) 1 - clean else clean
+            (x0, x1, rng.nextGaussian().toFloat,
+              rng.nextGaussian().toFloat, y, pid.toInt)
+          }
         }
       }
       .toDF("feature_0", "feature_1", "feature_2", "feature_3",

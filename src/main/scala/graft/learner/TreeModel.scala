@@ -881,6 +881,17 @@ final class GraftModel(
   /** Split-count importances (back-compat overload). */
   def featureImportances: Array[Double] = featureImportances("weight")
 
+  /** [[featureImportances]] keyed by feature name — the xgboost
+    * `get_score()` dict shape (r11, rides [[featureNames]]; unnamed
+    * models key by the import convention `f0..fN`). */
+  def featureImportancesNamed(importanceType: String = "weight")
+      : Map[String, Double] = {
+    val imp = featureImportances(importanceType)
+    imp.indices.map { f =>
+      (if (featureNames.nonEmpty) featureNames(f) else s"f$f") -> imp(f)
+    }.toMap
+  }
+
   /** First `rounds` boosting rounds only (treesPerRound trees per round,
     * so forests stay whole — advisor r2) — the xgboost
     * `iteration_range` predict idiom for early stopping. */

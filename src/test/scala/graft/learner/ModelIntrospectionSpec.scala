@@ -24,6 +24,18 @@ class ModelIntrospectionSpec extends SparkTestBase {
     }.toDF("a", "b", "y")
   }
 
+  test("featureImportancesNamed keys by training column names (r11), " +
+      "f0..fN when unnamed, and matches the positional vector") {
+    val m = GraftBoost.train(regDf(), DMatrixSpec("y"),
+      TrainParams(numRounds = 3, maxDepth = 3, seed = 11)).model
+    val named = m.featureImportancesNamed("gain")
+    val pos = m.featureImportances("gain")
+    assert(named.keySet === Set("a", "b"))
+    assert(named("a") === pos(0) && named("b") === pos(1))
+    val bare = m.withFeatureNames(Nil).featureImportancesNamed()
+    assert(bare.keySet === Set("f0", "f1"))
+  }
+
   test("node table is complete and structurally consistent: one row " +
       "per node, child/missing ids resolve, leaf rows carry values") {
     val m = GraftBoost.train(regDf().repartition(4), DMatrixSpec("y"),
