@@ -43,6 +43,9 @@ object BenchLarge {
     val mode = args.lift(4).getOrElse("random")
     require(mode == "random" || mode == "learnable",
       s"mode must be random|learnable: $mode")
+    // 6th arg: StorageLevel name for the cached training rows —
+    // measures the TrainParams.cacheLevel memory/CPU trade at scale
+    val cacheLevel = args.lift(5).getOrElse("MEMORY_AND_DISK")
 
     val initStart = System.nanoTime()
     val spark = SparkSession.builder()
@@ -100,7 +103,7 @@ object BenchLarge {
     val res = GraftBoost.train(df, spec,
       TrainParams(objective = "binary:logistic", numRounds = rounds,
         maxDepth = 6, eta = 0.3, evalMetric = Seq("logloss", "error"),
-        seed = 1234),
+        seed = 1234, cacheLevel = cacheLevel),
       evals = Seq(("train", df)), numWorkers = threads,
       callbacks = Seq(timer))
     val end = System.nanoTime()
@@ -119,7 +122,7 @@ object BenchLarge {
     val steady = if (rts.length > 2) rts.drop(1) else rts
     println("BENCHLARGE_JSON " +
       s"""{"rows":$rows,"rounds":$rounds,"threads":$threads,""" +
-      s""""mode":"$mode",""" +
+      s""""mode":"$mode","cache":"$cacheLevel",""" +
       s""""total_n":${res.totalN},""" +
       s""""init_sec":${j(initTaken)},"full_sec":${j(fullTaken)},""" +
       s""""train_sec":${j(trainTaken)},""" +

@@ -63,7 +63,7 @@ object GraftBoost {
     }
 
     val prepared = prepare(df, spec, obj, numWorkers, distributedCallbacks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(params.storageLevel)
     val totalRows = prepared.count()
     val bins = Binner.fit(prepared.map(_._1), totalRows, params.maxBins,
       seed = params.seed + 42, catFeatures = spec.categoricalFlags(df))
@@ -71,7 +71,7 @@ object GraftBoost {
       params.featureWeights.orElse(spec.featureWeights))
 
     val train = toBinned(prepared, bins, obj, params.baseScore)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(params.storageLevel)
     train.foreachPartition(_ => ()) // materialize bytes, then drop floats
     prepared.unpersist(blocking = false)
     val evalRdds = evals.map { case (n, e) =>

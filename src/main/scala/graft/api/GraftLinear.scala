@@ -199,7 +199,7 @@ object GraftLinear {
     val evalRows = evals.map { case (n, e) =>
       spec.validate(e, requireLabel = true)
       (n, GraftBoost.prepare(e, spec, obj, numWorkers)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(params.storageLevel))
     }
     val evalsResult = scala.collection.mutable.LinkedHashMap[String,
       Map[String, scala.collection.mutable.ArrayBuffer[Double]]]()
@@ -208,7 +208,7 @@ object GraftLinear {
         m -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     }
     val rows = GraftBoost.prepare(df, spec, obj, numWorkers)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(params.storageLevel)
     try {
       val head = rows.take(1)
       require(head.nonEmpty, "gblinear training data is empty")
@@ -328,7 +328,7 @@ object GraftLinear {
             // the persist entirely)
             val cached =
               if (metricNames.size > 1)
-                Some(scored.persist(StorageLevel.MEMORY_AND_DISK))
+                Some(scored.persist(params.storageLevel))
               else None
             try {
               val src = cached.getOrElse(scored)

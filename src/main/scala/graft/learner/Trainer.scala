@@ -175,7 +175,20 @@ final case class TrainParams(
       * GLOBAL round, so checkpoint resume continues the schedule where
       * the init model left off. Native API only — a function cannot
       * ride an MLlib Param. */
-    etaSchedule: Option[Int => Double] = None)
+    etaSchedule: Option[Int => Double] = None,
+    /** StorageLevel name for the cached training representation
+      * ("MEMORY_AND_DISK" default). Memory-bound executors can pick
+      * "MEMORY_AND_DISK_SER": JVM object headers dominate the
+      * deserialized per-row cost at narrow feature counts (~130 B/row
+      * at 4 features vs ~25 B serialized — see BENCHLARGE.md), so the
+      * serialized cache trades per-round deserialization CPU for a
+      * several-× smaller cached footprint. The reference exposes the
+      * same lever as Ray object-store spilling. */
+    cacheLevel: String = "MEMORY_AND_DISK") {
+  /** Parsed [[cacheLevel]] (validated at param construction, so a typo
+    * fails before any training work starts). */
+  val storageLevel: StorageLevel = StorageLevel.fromString(cacheLevel)
+}
 
 /**
  * Custom eval metric (E7): `fn(margins, label, weight)` returns the
@@ -1314,7 +1327,7 @@ object Trainer {
     while (dartWeights.length < trees.length) dartWeights += 1.0
     val broadcasts = ArrayBuffer[org.apache.spark.broadcast.Broadcast[_]]()
 
-    var data = train.persist(StorageLevel.MEMORY_AND_DISK)
+    var data = train.persist(p.storageLevel)
     // duplicate names would collapse into one history entry and
     // interleave two metric series — early stopping (which reads the
     // last set's last value) would then compare alternating datasets
@@ -1322,7 +1335,7 @@ object Trainer {
     require(evals.map(_._1).distinct.size == evals.size,
       s"duplicate eval set names: ${evals.map(_._1).mkString(", ")}")
     var evalData = evals.map { case (n, r) =>
-      (n, r.persist(StorageLevel.MEMORY_AND_DISK))
+      (n, r.persist(p.storageLevel))
     }
     // Continued training (C4): fold the init model's trees into the
     // margins BEFORE the round loop — otherwise new trees fit gradients
@@ -1372,13 +1385,13 @@ object Trainer {
       val bcInit = data.sparkContext.broadcast(m.trees)
       broadcasts += bcInit
       val upd = applyTrees(data, bcInit, k)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(p.storageLevel)
       upd.foreachPartition(_ => ())
       data.unpersist(blocking = false)
       data = upd
       evalData = evalData.map { case (n, r) =>
         val u = applyTrees(r, bcInit, k)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(p.storageLevel)
         u.foreachPartition(_ => ())
         r.unpersist(blocking = false)
         (n, u)
@@ -1487,7 +1500,7 @@ object Trainer {
           else {
             dartBcKept = sc.broadcast(kept.map(i => (i % k, trees(i))))
             val rd = addTreePreds(data, dartBcKept)
-              .persist(StorageLevel.MEMORY_AND_DISK)
+              .persist(p.storageLevel)
             dartRoundData = rd
             rd.foreachPartition(_ => ())
             rd
@@ -1496,7 +1509,7 @@ object Trainer {
       val gradsRaw = gradients(roundData, obj, startRound + round, p)
       val grads =
         if (cacheGrads) {
-          val g = gradsRaw.persist(StorageLevel.MEMORY_AND_DISK)
+          val g = gradsRaw.persist(p.storageLevel)
           curGrads = Some(g)
           g
         } else gradsRaw
@@ -1534,7 +1547,7 @@ object Trainer {
         val bcTrees = data.sparkContext.broadcast(roundTrees)
         broadcasts += bcTrees
         val newData = applyTrees(data, bcTrees, k)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(p.storageLevel)
         if ((round + 1) % 50 == 0) {
           newData.localCheckpoint()
           newData.foreachPartition(_ => ()) // force the lineage truncation
@@ -1544,7 +1557,7 @@ object Trainer {
 
         val newEvals = evalData.map { case (n, r) =>
           val updated = applyTrees(r, bcTrees, k)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(p.storageLevel)
           if ((round + 1) % 50 == 0) updated.localCheckpoint()
           updated.foreachPartition(_ => ())
           r.unpersist(blocking = false)
@@ -1597,7 +1610,7 @@ object Trainer {
             Array.tabulate(trees.length)(i => (i % k, trees(i))))
           val v = evalData.map { case (n, r) =>
             (n, addTreePreds(r, dartBcAll)
-              .persist(StorageLevel.MEMORY_AND_DISK))
+              .persist(p.storageLevel))
           }
           dartEvalView = v.map(_._2)
           v
@@ -1911,7 +1924,7 @@ object Trainer {
           "saved without them (pre-r3 save)")
     val tpr = m.treesPerRound
     val sc = train.sparkContext
-    var data = train.persist(StorageLevel.MEMORY_AND_DISK)
+    var data = train.persist(p.storageLevel)
     val totalN = data.count()
     val outTrees = m.trees.clone()
     var prevData: Option[RDD[(TrainInstance, Array[Float])]] = None
@@ -2055,7 +2068,7 @@ object Trainer {
         sc.broadcast(outTrees.slice(round * tpr, round * tpr + tpr))
       liveBc += bcNew
       val nd = applyTrees(data, bcNew, k)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(p.storageLevel)
       nd.foreachPartition(_ => ())
       prevData.foreach(_.unpersist(blocking = false))
       prevData = Some(data)

@@ -60,6 +60,24 @@ class EndToEndSpec extends SparkTestBase {
     assert(e.getMessage.contains("duplicate eval set names"))
   }
 
+  test("cacheLevel knob (r11): a serialized cache trains the " +
+      "bit-identical model; a typo fails at param construction") {
+    val rng = new scala.util.Random(307)
+    val df = (1 to 600).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 2 * a - b + 0.1 * rng.nextGaussian())
+    }.toDF("a", "b", "y").repartition(3)
+    val p = TrainParams(numRounds = 3, maxDepth = 3, seed = 311)
+    val m1 = GraftBoost.train(df, DMatrixSpec("y"), p).model
+    val m2 = GraftBoost.train(df, DMatrixSpec("y"),
+      p.copy(cacheLevel = "MEMORY_AND_DISK_SER")).model
+    assert(m1.dump() === m2.dump(),
+      "storage level must not change the trained model")
+    intercept[IllegalArgumentException] {
+      TrainParams(cacheLevel = "MEMORY_AND_DISC")
+    }
+  }
+
   test("eval set that IS the training frame reuses the binned train " +
       "RDD (r11) and matches a logically-equal copy bit-for-bit") {
     val rng = new scala.util.Random(211)
