@@ -77,6 +77,7 @@ object GraftConf {
     get("refreshLeaf").foreach(v => p = p.copy(refreshLeaf = v.toBoolean))
     get("updater").foreach(v => p = p.copy(updater = v))
     get("maxLeaves").foreach(v => p = p.copy(maxLeaves = v.toInt))
+    get("cacheLevel").foreach(v => p = p.copy(cacheLevel = v))
     get("maxCatToOnehot").foreach(v =>
       p = p.copy(maxCatToOnehot = v.toInt))
     // xgboost string forms: "(1,0,-1)" and "[[0,1],[2,3]]"

@@ -205,6 +205,7 @@ class SurvivalSpec extends SparkTestBase {
       "tweedieVariancePower" -> "1.2",
       "monotoneConstraints" -> "(1,0,-1)",
       "quantileAlphas" -> "[0.1, 0.5, 0.9]",
+      "cacheLevel" -> "MEMORY_AND_DISK_SER",
       "interactionConstraints" -> "[[0,1],[2,3,4]]")
     try {
       keys.foreach { case (k, v) => spark.conf.set(s"spark.graft.$k", v) }
@@ -218,6 +219,9 @@ class SurvivalSpec extends SparkTestBase {
       assert(p.objective === "binary:logistic")
       assert(p.evalMetric === Seq("auc", "logloss"))
       assert(p.checkpointPath === Some("/tmp/ck"))
+      assert(p.cacheLevel === "MEMORY_AND_DISK_SER" &&
+        p.storageLevel === org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK_SER)
       assert(p.maxDepth === 9) // base value survives
     } finally {
       keys.foreach { case (k, _) => spark.conf.unset(s"spark.graft.$k") }
