@@ -959,8 +959,9 @@ final class GraftModel(
     // export would produce a file no xgboost loads
     require(!objective.contains("@"),
       "multi-quantile models (vector alpha) have no stock-xgboost " +
-        "encoding — export each alpha as its own single-quantile " +
-        "model via slice(), or keep the parquet sink")
+        "encoding — train one single-alpha model per quantile to " +
+        "export, or keep the parquet sink (save/load round-trips the " +
+        "vector form)")
     require(!trees.exists(t => (0 until t.numNodes).exists(t.isCatNode)),
       "xgboost-JSON export covers numeric trees; categorical (one-hot) " +
         "splits use xgboost's category-set encoding, which this sink " +
