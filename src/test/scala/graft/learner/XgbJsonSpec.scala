@@ -157,8 +157,8 @@ class XgbJsonSpec extends SparkTestBase {
         seed = 3)).model
     val eq = intercept[IllegalArgumentException] { mq.toXgbJson }
     assert(eq.getMessage.contains("multi-quantile"))
-    // the escape hatch it suggests works: a single-alpha slice...
-    // (the scalar objective name is parseable; slice() keeps rounds)
+    // the escape hatch the message suggests works: a model trained at
+    // a single alpha exports fine (scalar objective name is parseable)
     assert(GraftBoost.train(df, DMatrixSpec("y"),
       TrainParams(objective = "reg:quantileerror", quantileAlpha = 0.25,
         numRounds = 1, maxDepth = 2, seed = 3)).model
