@@ -35,6 +35,24 @@ class TextPropertySpec extends SparkTestBase {
     if (t.isEmpty) Array.empty else t.split("\\s+")
   }
 
+  test("BPE decode∘encode is lossless on random corpora (r11 — the " +
+      "property the tx_bpe in-query pin enforces per document)") {
+    // train on the random corpus itself, then every doc must round-trip
+    val df = docs.toDF("doc_id", "text").repartition(3)
+    val model = TextOps.trainBpe(df, "text", numMerges = 50,
+      maxWords = 1000)
+    docs.foreach { case (id, text) =>
+      val ws = toks(text.toLowerCase).toSeq
+      val enc = ws.flatMap(w => model.encode(w).toSeq)
+      assert(TextOps.decodeBpe(enc) === ws.mkString(" "),
+        s"doc $id lost content through encode/decode: '$text'")
+    }
+    // and an UNSEEN-vocabulary stress: words the merge table never saw
+    val unseen = Seq("zzzyx", "q", "aaaaaaaaaa", "xyzzyplugh")
+    val enc = unseen.flatMap(w => model.encode(w).toSeq)
+    assert(TextOps.decodeBpe(enc) === unseen.mkString(" "))
+  }
+
   test("tokenCount and tokenEntropy match the naive model on random " +
       "documents") {
     val out = docs.toDF("doc_id", "text")
