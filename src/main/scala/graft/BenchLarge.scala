@@ -43,6 +43,8 @@ object BenchLarge {
     val mode = args.lift(4).getOrElse("random")
     require(mode == "random" || mode == "learnable",
       s"mode must be random|learnable: $mode")
+    require(rounds > 0, s"rounds must be positive: $rounds (the " +
+      "report reads per-round metric/time histories)")
     // 6th arg: StorageLevel name for the cached training rows —
     // measures the TrainParams.cacheLevel memory/CPU trade at scale
     val cacheLevel = args.lift(5).getOrElse("MEMORY_AND_DISK")

@@ -465,16 +465,24 @@ object SparkEntry {
       require(model.merges.nonEmpty, "tx_bpe: learned no merges")
       // order-sensitive driver-side checksum of the ranked merge
       // table (String.hashCode is spec-fixed, so this replays across
-      // runs/JVMs); a reordered or truncated table shifts it
-      val checksum = model.merges.zipWithIndex.map { case ((a, b), i) =>
-        31L * i + (a + " " + b).hashCode.toLong
-      }.sum
+      // runs/JVMs): a polynomial FOLD, so swapping two merges shifts
+      // it (a plain sum of per-index terms would be permutation-
+      // invariant, review r11) and truncation shifts it too
+      val checksum = model.merges.foldLeft(17L) { case (acc, (a, b)) =>
+        31L * acc + (a + " " + b).hashCode.toLong
+      }
       // pin (a): every document must round-trip decode(encode(w*))
       // == normalized text — a broken merge table or encoder loses
       // or reorders subwords and cannot hold this
+      // words containing the reserved "</w>" end mark are exempt:
+      // decode splits on the literal mark, so the round-trip property
+      // is undefined for them (the corpus has none, but the pin must
+      // not hard-fail the whole query on adversarial text, review r11)
       val rtOk = udf { ws: Seq[String] =>
-        val enc = ws.flatMap(w => model.encode(w).toSeq)
-        TextOps.decodeBpe(enc) == ws.mkString(" ")
+        ws.exists(_.contains(TextOps.BpeEndMark)) || {
+          val enc = ws.flatMap(w => model.encode(w).toSeq)
+          TextOps.decodeBpe(enc) == ws.mkString(" ")
+        }
       }
       val lossy = docs
         .select(TextOps.tokens(lower(col("text"))).as("ws"))

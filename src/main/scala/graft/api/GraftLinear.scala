@@ -465,14 +465,9 @@ object GraftLinear {
       case _ => """"reg_loss_param":{"scale_pos_weight":"1"}"""
     }
     val namesJson =
-      if (model.featureNames.isEmpty) "[]"
-      else model.featureNames.map(n =>
-        "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]")
+      graft.learner.XgbJsonStrings.stringArray(model.featureNames)
     val typesJson =
-      if (model.featureNames.isEmpty) "[]"
-      else Seq.fill(model.featureNames.length)("\"float\"")
-        .mkString("[", ",", "]")
+      graft.learner.XgbJsonStrings.floatTypes(model.featureNames.length)
     s"""{"learner":{"attributes":{},"feature_names":$namesJson,""" +
       s""""feature_types":$typesJson,"gradient_booster":{"model":{""" +
       s""""weights":${flat.mkString("[", ",", "]")}},""" +

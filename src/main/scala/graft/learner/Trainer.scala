@@ -1384,18 +1384,25 @@ object Trainer {
     initModel.filter(_.trees.nonEmpty).filter(_ => !dart).foreach { m =>
       val bcInit = data.sparkContext.broadcast(m.trees)
       broadcasts += bcInit
-      val upd = applyTrees(data, bcInit, k)
+      val base = data
+      val upd = applyTrees(base, bcInit, k)
         .persist(p.storageLevel)
       upd.foreachPartition(_ => ())
-      data.unpersist(blocking = false)
-      data = upd
       evalData = evalData.map { case (n, r) =>
-        val u = applyTrees(r, bcInit, k)
-          .persist(p.storageLevel)
-        u.foreachPartition(_ => ())
-        r.unpersist(blocking = false)
-        (n, u)
+        // shared eval (the dtrain idiom): same fold, same RDD — alias
+        // the folded train RDD rather than recomputing the just-
+        // unpersisted base through a duplicate chain
+        if (r eq base) (n, upd)
+        else {
+          val u = applyTrees(r, bcInit, k)
+            .persist(p.storageLevel)
+          u.foreachPartition(_ => ())
+          r.unpersist(blocking = false)
+          (n, u)
+        }
       }
+      base.unpersist(blocking = false)
+      data = upd
     }
     val totalN = data.count() // A3 total_n (main.py:1333-1335)
 
@@ -1556,12 +1563,23 @@ object Trainer {
         data = newData
 
         val newEvals = evalData.map { case (n, r) =>
-          val updated = applyTrees(r, bcTrees, k)
-            .persist(p.storageLevel)
-          if ((round + 1) % 50 == 0) updated.localCheckpoint()
-          updated.foreachPartition(_ => ())
-          r.unpersist(blocking = false)
-          (n, updated)
+          // an eval set that IS the training RDD (the GraftBoost
+          // evals=[(dtrain,...)] reuse): the advanced TRAIN RDD is
+          // bit-identical to the advanced eval (same trees, same
+          // margins) — alias it instead of computing and caching a
+          // duplicate chain. The train side owns its lifecycle
+          // (prevData unpersists AFTER the next round materializes the
+          // child; unpersisting the shared base here would force a
+          // full lineage recompute of the training data at round+1).
+          if (prevData.exists(_ eq r)) (n, data)
+          else {
+            val updated = applyTrees(r, bcTrees, k)
+              .persist(p.storageLevel)
+            if ((round + 1) % 50 == 0) updated.localCheckpoint()
+            updated.foreachPartition(_ => ())
+            r.unpersist(blocking = false)
+            (n, updated)
+          }
         }
         evalData = newEvals
       } else {

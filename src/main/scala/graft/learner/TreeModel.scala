@@ -1035,14 +1035,8 @@ final class GraftModel(
     // reference surface forwards RayDMatrix feature_names the same
     // way, matrix.py:797-798); "float" matches the numeric-only trees
     // this sink exports
-    val namesJson =
-      if (featureNames.isEmpty) "[]"
-      else featureNames.map(n =>
-        "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]")
-    val typesJson =
-      if (featureNames.isEmpty) "[]"
-      else Seq.fill(featureNames.length)("\"float\"").mkString("[", ",", "]")
+    val namesJson = XgbJsonStrings.stringArray(featureNames)
+    val typesJson = XgbJsonStrings.floatTypes(featureNames.length)
     s"""{"learner":{"attributes":{},"feature_names":$namesJson,""" +
       s""""feature_types":$typesJson,"gradient_booster":$booster,""" +
       s""""learner_model_param":{"base_score":"$baseScore",""" +
@@ -1092,6 +1086,27 @@ final class GraftModel(
         .repartition(1).write.mode("overwrite")
         .parquet(s"$path/dartWeights")
   }
+}
+
+/** JSON string-array emission shared by the tree and gblinear sinks:
+  * escapes quotes, backslashes AND control characters (a legal Spark
+  * column name may contain a newline/tab, which embedded raw would
+  * make the written file unloadable by any JSON parser — review r11;
+  * the same escaping discipline graft.Verify uses for the oracle
+  * dump). */
+private[graft] object XgbJsonStrings {
+  def escape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  def stringArray(xs: Seq[String]): String =
+    if (xs.isEmpty) "[]"
+    else xs.map(x => "\"" + escape(x) + "\"").mkString("[", ",", "]")
+  /** One "float" per named feature (the numeric-only sinks). */
+  def floatTypes(n: Int): String =
+    if (n == 0) "[]" else Seq.fill(n)("\"float\"").mkString("[", ",", "]")
 }
 
 object GraftModel {

@@ -38,6 +38,23 @@ class CallbackSpec extends SparkTestBase {
     }.toDF("x0", "x1", "y")
   }
 
+  test("shared train-eval frame loads the data exactly ONCE (r11): " +
+      "the eval advance must not unpersist the shared base and force " +
+      "a full lineage recompute at round 1") {
+    HookLog.clear()
+    val cb = new RecordingCallback
+    val df = trainDf
+    GraftBoost.train(df, DMatrixSpec("y"),
+      TrainParams(objective = "binary:logistic", numRounds = 4,
+        maxDepth = 3, seed = 7, evalMetric = Seq("logloss")),
+      evals = Seq(("train", df)),
+      numWorkers = 4, distributedCallbacks = Seq(cb))
+    val loads = HookLog.list.count(_._2 == "beforeDataLoading")
+    assert(loads === 4,
+      s"expected one data-loading pass per partition (4), saw $loads " +
+        "— the shared train/eval base was recomputed")
+  }
+
   test("distributed callbacks fire in lifecycle order per rank (C8)") {
     HookLog.clear()
     val cb = new RecordingCallback

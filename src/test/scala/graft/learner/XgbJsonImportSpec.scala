@@ -266,6 +266,18 @@ class XgbJsonImportSpec extends SparkTestBase {
     assert(GraftModel.xgbFeatureNames(named) === Seq("price", "qty"))
   }
 
+  test("feature names with quotes/backslashes/control chars emit " +
+      "valid JSON that round-trips (r11 — a legal Spark column name " +
+      "may contain any of them)") {
+    val m = trainModel("reg:squarederror", rounds = 1, depth = 2)
+      .withFeatureNames(Seq("a\nb", "c\"\\d\te"))
+    val json = m.toXgbJson
+    // Jackson must parse the file the sink wrote, names intact
+    assert(mapper.readTree(json) != null)
+    assert(GraftModel.fromXgbJson(json).featureNames ===
+      Seq("a\nb", "c\"\\d\te"))
+  }
+
   test("feature names round-trip export -> import and parquet " +
       "save -> load; types emit one 'float' per named feature") {
     val m = trainModel("binary:logistic", rounds = 2, depth = 2)
