@@ -477,12 +477,13 @@ object SparkEntry {
       // words containing the reserved "</w>" end mark are exempt:
       // decode splits on the literal mark, so the round-trip property
       // is undefined for them (the corpus has none, but the pin must
-      // not hard-fail the whole query on adversarial text, review r11)
+      // not hard-fail the whole query on adversarial text, review
+      // r11). Exemption is per-WORD, not per-document — one reserved
+      // token must not waive the pin for the rest of its document.
       val rtOk = udf { ws: Seq[String] =>
-        ws.exists(_.contains(TextOps.BpeEndMark)) || {
-          val enc = ws.flatMap(w => model.encode(w).toSeq)
-          TextOps.decodeBpe(enc) == ws.mkString(" ")
-        }
+        val clean = ws.filterNot(_.contains(TextOps.BpeEndMark))
+        val enc = clean.flatMap(w => model.encode(w).toSeq)
+        TextOps.decodeBpe(enc) == clean.mkString(" ")
       }
       val lossy = docs
         .select(TextOps.tokens(lower(col("text"))).as("ws"))
