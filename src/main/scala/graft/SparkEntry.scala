@@ -2499,7 +2499,7 @@ object SparkEntry {
         |   sum(CASE WHEN x = 0 THEN n ELSE 0 END) AS hl,
         |   sum(0.5 * n - sy) AS g, sum(n) AS h FROM s)
         |SELECT * FROM (
-        | SELECT 0 AS tree, 0 AS node, '0-0' AS id, 'f0' AS feature,
+        | SELECT 0 AS tree, 0 AS node, '0-0' AS id, 'x' AS feature,
         |   '0-1' AS yes, '0-2' AS no, '0-1' AS missing,
         |   CAST(CAST(0.5 * ((gl*gl/(hl+1.0)
         |     + (g-gl)*(g-gl)/((h-hl)+1.0)) - g*g/(h+1.0))

@@ -790,14 +790,20 @@ final class GraftModel(
     * carry their value in `gain`, `yes`/`no`/`missing` are "tree-node"
     * id strings, `split` is the numeric threshold (null for leaves and
     * one-hot categorical nodes, whose category code is in `category`).
+    * `feature` prints the training column names when the model carries
+    * them (the xgboost contract: a booster with `feature_names` prints
+    * them; strip with `withFeatureNames(Nil)` for positional f0..fN);
+    * an explicit `featureNames` argument overrides the stored names.
     * Driver-side construction — a model is KBs, not data-scale. */
   def treesToDataFrame(spark: SparkSession,
       featureNames: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.types._
     if (featureNames.nonEmpty) require(featureNames.length == numFeatures,
       s"${featureNames.length} feature names for $numFeatures features")
+    val names =
+      if (featureNames.nonEmpty) featureNames else this.featureNames
     def fname(f: Int): String =
-      if (featureNames.nonEmpty) featureNames(f) else s"f$f"
+      if (names.nonEmpty) names(f) else s"f$f"
     val rows = new java.util.ArrayList[Row]()
     trees.zipWithIndex.foreach { case (t, ti) =>
       var n = 0

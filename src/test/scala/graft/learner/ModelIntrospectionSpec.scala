@@ -73,17 +73,21 @@ class ModelIntrospectionSpec extends SparkTestBase {
     }
   }
 
-  test("feature names map through; wrong arity fails fast; default " +
-      "is f<idx>") {
+  test("feature names: stored training names print by default (r11), " +
+      "explicit names override, unnamed models fall back to f<idx>, " +
+      "wrong arity fails fast") {
     val m = GraftBoost.train(regDf(), DMatrixSpec("y"),
       TrainParams(objective = "reg:squarederror", numRounds = 1,
         maxDepth = 2, seed = 3)).model
-    val defaults = m.treesToDataFrame(spark).select("feature")
+    val stored = m.treesToDataFrame(spark).select("feature")
       .as[String].collect().toSet
-    assert(defaults.subsetOf(Set("f0", "f1", "Leaf")))
+    assert(stored.subsetOf(Set("a", "b", "Leaf")))
     val named = m.treesToDataFrame(spark, Seq("alpha", "beta"))
       .select("feature").as[String].collect().toSet
     assert(named.subsetOf(Set("alpha", "beta", "Leaf")))
+    val bare = m.withFeatureNames(Nil).treesToDataFrame(spark)
+      .select("feature").as[String].collect().toSet
+    assert(bare.subsetOf(Set("f0", "f1", "Leaf")))
     intercept[IllegalArgumentException] {
       m.treesToDataFrame(spark, Seq("only_one"))
     }
@@ -103,7 +107,8 @@ class ModelIntrospectionSpec extends SparkTestBase {
         maxDepth = 1, seed = 1)).model
     val root = m.treesToDataFrame(spark).where(col("node") === 0)
       .collect().head
-    assert(root.getString(3) === "f0")
+    assert(root.getString(3) === "cat",
+      "stored training column name prints for the categorical split")
     assert(root.isNullAt(4), "categorical split has no numeric split")
     assert(root.getString(10) === "1",
       "the planted +50 offset makes code 1 the one-hot partition")
