@@ -121,7 +121,7 @@ object BenchLarge {
     // first round pays binning+materialization warmup inside the timer
     // window only if rounds deferred it; flatness compares the LAST
     // round to the first few completed steady-state rounds
-    val steady = if (rts.length > 2) rts.drop(1) else rts
+    val steady = if (rts.length > 1) rts.drop(1) else rts
     println("BENCHLARGE_JSON " +
       s"""{"rows":$rows,"rounds":$rounds,"threads":$threads,""" +
       s""""mode":"$mode","cache":"$cacheLevel",""" +

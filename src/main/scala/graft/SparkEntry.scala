@@ -480,11 +480,20 @@ object SparkEntry {
       // not hard-fail the whole query on adversarial text, review
       // r11). Exemption is per-WORD, not per-document — one reserved
       // token must not waive the pin for the rest of its document.
-      val rtOk = udf { ws: Seq[String] =>
-        val clean = ws.filterNot(_.contains(TextOps.BpeEndMark))
-        val enc = clean.flatMap(w => model.encode(w).toSeq)
-        TextOps.decodeBpe(enc) == clean.mkString(" ")
-      }
+      // closure-local per-task memo (the bpeTokenCounts pattern):
+      // encode cost is per DISTINCT word, not per occurrence — without
+      // it this pin pays full un-memoized encode on a second corpus
+      // scan (advisor r11)
+      val rtOk = udf(new (Seq[String] => Boolean) with Serializable {
+        @transient private lazy val memo =
+          new scala.collection.mutable.HashMap[String, Array[String]]()
+        def apply(ws: Seq[String]): Boolean = {
+          val clean = ws.filterNot(_.contains(TextOps.BpeEndMark))
+          val enc = clean.flatMap(w =>
+            memo.getOrElseUpdate(w, model.encode(w)).toSeq)
+          TextOps.decodeBpe(enc) == clean.mkString(" ")
+        }
+      })
       val lossy = docs
         .select(TextOps.tokens(lower(col("text"))).as("ws"))
         .where(!rtOk(col("ws"))).count()

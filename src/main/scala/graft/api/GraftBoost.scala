@@ -97,7 +97,13 @@ object GraftBoost {
     if (spec.preAssembledCol(df).isDefined) res
     else {
       val names = spec.resolveFeatures(df)
-      if (names.length == res.model.numFeatures)
+      // a post-join frame can carry DUPLICATE column names; attaching
+      // them would collapse featureImportancesNamed keys (silently
+      // dropping importance mass) and emit duplicate feature_names in
+      // toXgbJson, which stock xgboost rejects on load — such a model
+      // stays positional (f0..fN), like a pre-assembled vector
+      if (names.length == res.model.numFeatures &&
+          names.distinct.length == names.length)
         res.copy(model = res.model.withFeatureNames(names))
       else res
     }
