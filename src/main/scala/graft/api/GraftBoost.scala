@@ -384,18 +384,72 @@ object GraftBoost {
     }, preservesPartitioning = true)
   }
 
+  /** Bin prepared rows into packed primitive [[TrainBlock]]s (the r12
+    * cached representation — see TrainBlock.scala for the layout and
+    * the footprint rationale). Row order within each partition is the
+    * prepared order, so every downstream per-row pass (gradients,
+    * histograms, metrics) sees the exact sequence the r11 per-row
+    * tuples produced — the RepresentationGoldenSpec bit-identity
+    * contract. `keepGroups` (ranking) extends a block past its
+    * capacity until the current qid run ends, so qid groups never
+    * straddle blocks. */
   private def toBinned(rows: Prepared, bins: Binner.Bins, obj: Objective,
       baseScore: Double, tolerateUnseenCats: Boolean = false)
-      : RDD[(TrainInstance, Array[Float])] = {
+      : RDD[TrainBlock] = {
     val k = obj.numOutputs
     val init = obj.initMargin(baseScore)
-    rows.mapPartitions({ it =>
-      it.map { case (f, y, w, m, q, u) =>
-        val margins = new Array[Float](k)
-        val m0 = if (m.isNaN) init else m
-        java.util.Arrays.fill(margins, m0)
-        (TrainInstance(bins.binRow(f, tolerateUnseenCats), y, w, q, u),
-          margins)
+    val keepGroups = obj.needsGroups
+    rows.mapPartitions({ it0 =>
+      val it = it0.buffered
+      new Iterator[TrainBlock] {
+        def hasNext: Boolean = it.hasNext
+        def next(): TrainBlock = {
+          val nf = bins.numFeatures
+          val cap0 = TrainBlock.capacity(nf, k)
+          var cap = cap0
+          var binsArr = new Array[Byte](cap * nf)
+          var labels = new Array[Float](cap)
+          var weights = new Array[Float](cap)
+          var qids = new Array[Long](cap)
+          var uppers = new Array[Float](cap)
+          var margins = new Array[Float](cap * k)
+          var n = 0
+          var anyQid = false
+          var anyBound = false
+          def grow(): Unit = {
+            cap *= 2
+            binsArr = java.util.Arrays.copyOf(binsArr, cap * nf)
+            labels = java.util.Arrays.copyOf(labels, cap)
+            weights = java.util.Arrays.copyOf(weights, cap)
+            qids = java.util.Arrays.copyOf(qids, cap)
+            uppers = java.util.Arrays.copyOf(uppers, cap)
+            margins = java.util.Arrays.copyOf(margins, cap * k)
+          }
+          def add(): Unit = {
+            val (f, y, w, m, q, u) = it.next()
+            if (n == cap) grow()
+            val rb = bins.binRow(f, tolerateUnseenCats)
+            System.arraycopy(rb, 0, binsArr, n * nf, nf)
+            labels(n) = y; weights(n) = w; qids(n) = q; uppers(n) = u
+            if (q != 0L) anyQid = true
+            // NaN upper (right-censored) compares unequal to y, so the
+            // bounds column is kept exactly when some row needs it
+            if (u != y) anyBound = true
+            val m0 = if (m.isNaN) init else m
+            java.util.Arrays.fill(margins, n * k, n * k + k, m0)
+            n += 1
+          }
+          add()
+          while (it.hasNext && (n < cap0 ||
+              (keepGroups && it.head._5 == qids(n - 1)))) add()
+          new TrainBlock(n, nf, k,
+            java.util.Arrays.copyOf(binsArr, n * nf),
+            java.util.Arrays.copyOf(labels, n),
+            java.util.Arrays.copyOf(weights, n),
+            if (anyQid) java.util.Arrays.copyOf(qids, n) else null,
+            if (anyBound) java.util.Arrays.copyOf(uppers, n) else null,
+            java.util.Arrays.copyOf(margins, n * k))
+        }
       }
     }, preservesPartitioning = true)
   }

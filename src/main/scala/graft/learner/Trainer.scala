@@ -201,11 +201,10 @@ final case class CustomMetric(
     fn: (Array[Float], Float, Float) => (Double, Double),
     isMaximize: Boolean = false) extends Serializable
 
-/** One binned training row. bins(f) ∈ [0, numBins(f)) or 255=missing.
-  * `upper` is the survival upper bound (NaN unless the objective needs
-  * bounds; `label` doubles as the lower bound — matrix.py:333-343). */
-final case class TrainInstance(bins: Array[Byte], label: Float,
-    weight: Float, qid: Long, upper: Float = Float.NaN)
+// (r12) The per-row binned representation — bins(f) ∈ [0, numBins(f))
+// or 255=missing, label doubling as the survival lower bound
+// (matrix.py:333-343) — lives packed in [[TrainBlock]] primitive
+// columns; see TrainBlock.scala for layout and footprint rationale.
 
 /** Per-iteration callback (reference C9: compat/__init__.py:6-44). */
 trait TrainingCallback extends Serializable {
@@ -420,15 +419,30 @@ object Trainer {
     keyed.sortBy(-_._1).take(n).map(_._2).sorted
   }
 
+  /** Per-row (margins, label, weight) view of blocked data — the shape
+    * [[Metrics.compute]] and global-pass objectives consume. Lazy row
+    * tuples exist only inside the consuming job; the cache keeps blocks. */
+  private[learner] def rowsOf(data: RDD[TrainBlock])
+      : RDD[(Array[Float], Float, Float)] =
+    data.mapPartitions(_.flatMap { b =>
+      Iterator.tabulate(b.n)(i => (b.marginRow(i), b.labels(i), b.weights(i)))
+    }, preservesPartitioning = true)
+
+  /** Exact row count of blocked data (block `n` sums — no per-row work). */
+  private def countRows(data: RDD[TrainBlock]): Long =
+    data.mapPartitions(it =>
+      Iterator.single(it.foldLeft(0L)(_ + _.n))).fold(0L)(_ + _)
+
   /**
-   * Compute per-row gradients for one boosting round.
-   * Output: (bins, gh, salt) with gh = [g0,h0,...] interleaved and salt a
-   * deterministic per-row random used by per-TREE subsampling in
+   * Compute per-block gradients for one boosting round.
+   * Output blocks carry gh = [g0,h0,...] interleaved (stride 2k) and a
+   * deterministic per-row salt used by per-TREE subsampling in
    * buildTree (rows skip split voting but still get margin updates).
+   * Row order — and with it the per-partition RNG draw sequence — is
+   * the r11 per-row order exactly.
    */
-  private def gradients(data: RDD[(TrainInstance, Array[Float])],
-      obj: Objective, round: Int, p: TrainParams)
-      : RDD[(Array[Byte], Array[Float], Int)] = {
+  private def gradients(data: RDD[TrainBlock],
+      obj: Objective, round: Int, p: TrainParams): RDD[GradBlock] = {
     val k = obj.numOutputs
     val seed = p.seed
     // scale_pos_weight multiplies positive-row gradients in binary
@@ -442,70 +456,80 @@ object Trainer {
       // round; the result rides the stage closure (Spark torrent-
       // broadcasts task binaries per stage and cleans them with it)
       val aux: Serializable =
-        if (obj.needsGlobalPass)
-          obj.globalPass(data.map { case (inst, m) =>
-            (m, inst.label, inst.weight)
-          })
+        if (obj.needsGlobalPass) obj.globalPass(rowsOf(data))
         else null
       data.mapPartitionsWithIndex({ (pid, it) =>
         val rng = new java.util.Random(mix(seed, round, pid))
-        it.map { case (inst, m) =>
-          val gh = new Array[Float](2 * k)
+        it.map { b =>
+          val n = b.n
+          val gh = new Array[Float](n * 2 * k)
+          val salts = new Array[Int](n)
           val g = new Array[Float](k); val h = new Array[Float](k)
-          if (aux != null) obj.gradHessGlobal(aux, m, inst.label, g, h)
-          else if (obj.needsBounds)
-            obj.gradHessBounds(m, inst.label, inst.upper, g, h)
-          else obj.gradHess(m, inst.label, g, h)
-          val w =
-            if (spw != 1.0f && inst.label == 1.0f) inst.weight * spw
-            else inst.weight
-          var c = 0
-          while (c < k) {
-            gh(2 * c) = g(c) * w
-            gh(2 * c + 1) = h(c) * w
-            c += 1
+          val m = new Array[Float](k)
+          var i = 0
+          while (i < n) {
+            var c = 0
+            while (c < k) { m(c) = b.margins(i * k + c); c += 1 }
+            val y = b.labels(i)
+            if (aux != null) obj.gradHessGlobal(aux, m, y, g, h)
+            else if (obj.needsBounds)
+              obj.gradHessBounds(m, y, b.upper(i), g, h)
+            else obj.gradHess(m, y, g, h)
+            val w =
+              if (spw != 1.0f && y == 1.0f) b.weights(i) * spw
+              else b.weights(i)
+            c = 0
+            while (c < k) {
+              gh(i * 2 * k + 2 * c) = g(c) * w
+              gh(i * 2 * k + 2 * c + 1) = h(c) * w
+              c += 1
+            }
+            salts(i) = rng.nextInt()
+            i += 1
           }
-          (inst.bins, gh, rng.nextInt())
+          new GradBlock(n, b.nf, k, b.bins, gh, salts)
         }
       }, preservesPartitioning = true)
     } else {
-      // ranking: STREAM contiguous qid runs with a bounded buffer — the
-      // buffer holds one query group at a time, not the whole partition
-      // (judge r3 wrong #5), so memory is O(largest qid group) however
-      // big a partition grows at scale. Qid groups never straddle
-      // partitions (sortByQid), so run boundaries are partition-local.
-      data.mapPartitionsWithIndex({ (pid, it0) =>
+      // ranking: walk contiguous qid runs within each block (blocks
+      // never split a group — GraftBoost.toBinned keepGroups), so
+      // memory is O(one group's scratch) however big a partition grows
+      // at scale. Qid groups never straddle partitions (sortByQid).
+      data.mapPartitionsWithIndex({ (pid, it) =>
         val rng = new java.util.Random(mix(seed, round, pid))
-        val it = it0.buffered
-        new Iterator[(Array[Byte], Array[Float], Int)] {
-          private var out: Iterator[(Array[Byte], Array[Float], Int)] =
-            Iterator.empty
-          def hasNext: Boolean = out.hasNext || it.hasNext
-          def next(): (Array[Byte], Array[Float], Int) = {
-            if (!out.hasNext) {
-              val buf = ArrayBuffer[(TrainInstance, Array[Float])]()
-              val q = it.head._1.qid
-              while (it.hasNext && it.head._1.qid == q) buf += it.next()
-              val n = buf.length
-              val margins = new Array[Float](n)
-              val labels = new Array[Float](n)
-              val weights = new Array[Float](n)
-              var i = 0
-              while (i < n) {
-                margins(i) = buf(i)._2(0); labels(i) = buf(i)._1.label
-                weights(i) = buf(i)._1.weight; i += 1
-              }
-              val grad = new Array[Float](n)
-              val hess = new Array[Float](n)
-              obj.groupGradients(margins, labels, weights, grad, hess,
-                0, n)
-              // rng draw per emitted row in row order — identical to
-              // the buffered formulation's sequence
-              out = (0 until n).iterator.map(i =>
-                (buf(i)._1.bins, Array(grad(i), hess(i)), rng.nextInt()))
+        it.map { b =>
+          val n = b.n
+          val gh = new Array[Float](n * 2)
+          val salts = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val q = b.qid(i)
+            var j = i + 1
+            while (j < n && b.qid(j) == q) j += 1
+            val gn = j - i
+            val margins = new Array[Float](gn)
+            val labels = new Array[Float](gn)
+            val weights = new Array[Float](gn)
+            var x = 0
+            while (x < gn) {
+              margins(x) = b.margins(i + x); labels(x) = b.labels(i + x)
+              weights(x) = b.weights(i + x); x += 1
             }
-            out.next()
+            val grad = new Array[Float](gn)
+            val hess = new Array[Float](gn)
+            obj.groupGradients(margins, labels, weights, grad, hess,
+              0, gn)
+            // rng draw per row in row order — identical to the r11
+            // per-row emission sequence
+            x = 0
+            while (x < gn) {
+              gh((i + x) * 2) = grad(x); gh((i + x) * 2 + 1) = hess(x)
+              salts(i + x) = rng.nextInt()
+              x += 1
+            }
+            i = j
           }
+          new GradBlock(n, b.nf, 1, b.bins, gh, salts)
         }
       }, preservesPartitioning = true)
     }
@@ -544,7 +568,7 @@ object Trainer {
    * fewer passes for softmax / RF presets). Work is chunked so one
    * aggregation buffer stays under maxHistBytes.
    */
-  private def buildTrees(grads: RDD[(Array[Byte], Array[Float], Int)],
+  private def buildTrees(grads: RDD[GradBlock],
       bins: Binner.Bins, p: TrainParams, treeSeeds: Array[Long],
       classes: Array[Int]): Array[RegTree] = {
     // per-tree deterministic row subsample threshold on the row salt
@@ -610,33 +634,42 @@ object Trainer {
         val bc = sc.broadcast(LevelChunk(chunkTrees, treeCls, treeSalts,
           chunk.map(_._3).toArray))
         val histSize = chunk.length * fPerNode * b * 2
-        val seqOp = (acc: Array[Double],
-            row: (Array[Byte], Array[Float], Int)) => {
-          val (rb, gh, salt) = row
+        val seqOp = (acc: Array[Double], blk: GradBlock) => {
           val ch = bc.value
-          var t = 0
-          while (t < ch.trees.length) {
-            val pt = ch.trees(t)
-            if (pt != null) {
-              val keep = subsampleCut == Int.MaxValue ||
-                mixInt(salt, ch.treeSalts(t)) < subsampleCut
-              val node = if (keep) route(pt, rb) else -1
-              val slot = if (node >= 0) pt.slotOf(node) else -1
-              if (slot >= 0) {
-                val cls = ch.treeCls(t)
-                val g = gh(2 * cls); val h = gh(2 * cls + 1)
-                val fl = ch.featLists(slot)
-                var j = 0
-                while (j < fl.length) {
-                  val bi = rb(fl(j)) & 0xFF
-                  val slotBin = if (bi == MissingBin) b - 1 else bi
-                  val idx = ((slot * fPerNode + j) * b + slotBin) * 2
-                  acc(idx) += g; acc(idx + 1) += h
-                  j += 1
+          val nf2 = blk.nf
+          val k2 = blk.k
+          val rb = blk.bins
+          val gh = blk.gh
+          var i = 0
+          while (i < blk.n) {
+            val off = i * nf2
+            val salt = blk.salts(i)
+            var t = 0
+            while (t < ch.trees.length) {
+              val pt = ch.trees(t)
+              if (pt != null) {
+                val keep = subsampleCut == Int.MaxValue ||
+                  mixInt(salt, ch.treeSalts(t)) < subsampleCut
+                val node = if (keep) route(pt, rb, off) else -1
+                val slot = if (node >= 0) pt.slotOf(node) else -1
+                if (slot >= 0) {
+                  val cls = ch.treeCls(t)
+                  val g = gh(i * 2 * k2 + 2 * cls)
+                  val h = gh(i * 2 * k2 + 2 * cls + 1)
+                  val fl = ch.featLists(slot)
+                  var j = 0
+                  while (j < fl.length) {
+                    val bi = rb(off + fl(j)) & 0xFF
+                    val slotBin = if (bi == MissingBin) b - 1 else bi
+                    val idx = ((slot * fPerNode + j) * b + slotBin) * 2
+                    acc(idx) += g; acc(idx + 1) += h
+                    j += 1
+                  }
                 }
               }
+              t += 1
             }
-            t += 1
+            i += 1
           }
           acc
         }

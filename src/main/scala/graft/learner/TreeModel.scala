@@ -76,10 +76,15 @@ final class RegTree(
     else v <= threshold(i)
 
   /** Traverse with pre-binned features; bin `missingBin` = NaN. */
-  def predictBinned(bins: Array[Byte], missingBin: Int): Float = {
+  def predictBinned(bins: Array[Byte], missingBin: Int): Float =
+    predictBinned(bins, 0, missingBin)
+
+  /** [[predictBinned]] over one row of a packed row-major bin block
+    * (the r12 [[TrainBlock]] layout): the row's bins start at `off`. */
+  def predictBinned(bins: Array[Byte], off: Int, missingBin: Int): Float = {
     var i = 0
     while (feature(i) >= 0) {
-      val b = bins(feature(i)) & 0xFF
+      val b = bins(off + feature(i)) & 0xFF
       i = if (b == missingBin) { if (defaultLeft(i)) left(i) else right(i) }
       else if (if (isCatNode(i)) codeGoesLeft(i, b)
         else b <= thresholdBin(i)) left(i)
