@@ -287,13 +287,14 @@ object Trainer {
       treeSalts: Array[Int],      // tree → subsample salt
       featLists: Array[Array[Int]]) // global slot → sampled feature ids
 
-  /** Route a binned row through a FINISHED tree; returns the leaf's
-    * slot from the given node→slot map (leaf-refresh traversal). */
+  /** Route the binned row at byte offset `off` through a FINISHED
+    * tree; returns the leaf's slot from the given node→slot map
+    * (leaf-refresh traversal). */
   private def routeSlot(t: RegTree, slots: Array[Int],
-      bins: Array[Byte]): Int = {
+      bins: Array[Byte], off: Int): Int = {
     var i = 0
     while (t.feature(i) >= 0) {
-      val b = bins(t.feature(i)) & 0xFF
+      val b = bins(off + t.feature(i)) & 0xFF
       i = if (b == MissingBin) {
         if (t.defaultLeft(i)) t.left(i) else t.right(i)
       } else if (if (t.isPartitionNode(i))
@@ -305,11 +306,12 @@ object Trainer {
     slots(i)
   }
 
-  /** Traverse the partial tree; returns nodeId (pending or leaf). */
-  private def route(pt: PartialTree, bins: Array[Byte]): Int = {
+  /** Traverse the partial tree for the binned row at byte offset
+    * `off`; returns nodeId (pending or leaf). */
+  private def route(pt: PartialTree, bins: Array[Byte], off: Int): Int = {
     var i = 0
     while (pt.feature(i) >= 0) {
-      val b = bins(pt.feature(i)) & 0xFF
+      val b = bins(off + pt.feature(i)) & 0xFF
       i = if (b == MissingBin) { if (pt.defaultLeft(i)) pt.left(i) else pt.right(i) }
       else if (if (pt.catSplit(i)) {
           val bits = pt.catBits(i)
@@ -426,6 +428,25 @@ object Trainer {
       : RDD[(Array[Float], Float, Float)] =
     data.mapPartitions(_.flatMap { b =>
       Iterator.tabulate(b.n)(i => (b.marginRow(i), b.labels(i), b.weights(i)))
+    }, preservesPartitioning = true)
+
+  /** Per-row (score, label, weight, qid) view — the shape the ranking
+    * group metrics consume (k = 1 for rank objectives, so margin slot
+    * 0 IS the score). */
+  private def groupRowsOf(data: RDD[TrainBlock])
+      : RDD[(Float, Float, Float, Long)] =
+    data.mapPartitions(_.flatMap { b =>
+      Iterator.tabulate(b.n)(i =>
+        (b.margins(i * b.k), b.labels(i), b.weights(i), b.qid(i)))
+    }, preservesPartitioning = true)
+
+  /** Per-row (margins, lower, upper, weight) view — the survival-metric
+    * shape (label doubles as the lower bound). */
+  private def boundsRowsOf(data: RDD[TrainBlock])
+      : RDD[(Array[Float], Float, Float, Float)] =
+    data.mapPartitions(_.flatMap { b =>
+      Iterator.tabulate(b.n)(i =>
+        (b.marginRow(i), b.labels(i), b.upper(i), b.weights(i)))
     }, preservesPartitioning = true)
 
   /** Exact row count of blocked data (block `n` sums — no per-row work). */
@@ -1108,7 +1129,7 @@ object Trainer {
    * rows (xgboost restricts to the row subsample).
    */
   private def refreshLeaves(
-      data: RDD[(TrainInstance, Array[Float])],
+      data: RDD[TrainBlock],
       roundTrees: Array[RegTree],
       alphas: Array[Double], treeCls: Array[Int],
       eta: Double): Array[RegTree] = {
@@ -1141,20 +1162,26 @@ object Trainer {
       s += 1
     }
     val stats = data.aggregate(z0)(
-      (acc, row) => {
-        val (inst, m) = row
-        val w = inst.weight.toDouble
+      (acc, blk) => {
         val ts = bcTrees.value; val ls = bcSlots.value
-        var t = 0
-        while (t < ts.length) {
-          // each tree refreshes against ITS OWN output's margin — for
-          // multi-quantile (one tree per α) slot t%k trees see m(cls)
-          val r: Double = (inst.label - m(treeCls(t))).toDouble
-          val slot = routeSlot(ts(t), ls(t), inst.bins)
-          acc(slot * 3) += w
-          if (r < acc(slot * 3 + 1)) acc(slot * 3 + 1) = r
-          if (r > acc(slot * 3 + 2)) acc(slot * 3 + 2) = r
-          t += 1
+        val kb = blk.k
+        var i = 0
+        while (i < blk.n) {
+          val off = i * blk.nf
+          val w = blk.weights(i).toDouble
+          var t = 0
+          while (t < ts.length) {
+            // each tree refreshes against ITS OWN output's margin — for
+            // multi-quantile (one tree per α) slot t%k trees see m(cls)
+            val r: Double =
+              (blk.labels(i) - blk.margins(i * kb + treeCls(t))).toDouble
+            val slot = routeSlot(ts(t), ls(t), blk.bins, off)
+            acc(slot * 3) += w
+            if (r < acc(slot * 3 + 1)) acc(slot * 3 + 1) = r
+            if (r > acc(slot * 3 + 2)) acc(slot * 3 + 2) = r
+            t += 1
+          }
+          i += 1
         }
         acc
       },
@@ -1217,30 +1244,36 @@ object Trainer {
         i += 1
       }
       val h = data.aggregate(z)(
-        (acc, row) => {
-          val (inst, m) = row
-          val w = inst.weight.toDouble
+        (acc, blk) => {
           val ts = bcTrees.value; val ls = bcSlots.value
           val pos = bcPos.value
-          var t = 0
-          while (t < ts.length) {
-            val r: Double = (inst.label - m(treeCls(t))).toDouble
-            val slot = routeSlot(ts(t), ls(t), inst.bins)
-            val pi = pos(slot)
-            if (pi >= 0 && r > bcLo.value(pi) && r <= bcHi.value(pi)) {
-              val e = bcEdges.value(pi)
-              // j = #(edges < r): first index with e(idx) >= r
-              var l = 0; var u = e.length
-              while (l < u) {
-                val mid = (l + u) >>> 1
-                if (e(mid) < r) l = mid + 1 else u = mid
+          val kb = blk.k
+          var i = 0
+          while (i < blk.n) {
+            val off = i * blk.nf
+            val w = blk.weights(i).toDouble
+            var t = 0
+            while (t < ts.length) {
+              val r: Double =
+                (blk.labels(i) - blk.margins(i * kb + treeCls(t))).toDouble
+              val slot = routeSlot(ts(t), ls(t), blk.bins, off)
+              val pi = pos(slot)
+              if (pi >= 0 && r > bcLo.value(pi) && r <= bcHi.value(pi)) {
+                val e = bcEdges.value(pi)
+                // j = #(edges < r): first index with e(idx) >= r
+                var l = 0; var u = e.length
+                while (l < u) {
+                  val mid = (l + u) >>> 1
+                  if (e(mid) < r) l = mid + 1 else u = mid
+                }
+                val base = pi * width
+                acc(base + l) += w
+                if (r < acc(base + B)) acc(base + B) = r
+                if (r > acc(base + B + 1)) acc(base + B + 1) = r
               }
-              val base = pi * width
-              acc(base + l) += w
-              if (r < acc(base + B)) acc(base + B) = r
-              if (r > acc(base + B + 1)) acc(base + B + 1) = r
+              t += 1
             }
-            t += 1
+            i += 1
           }
           acc
         },
@@ -1297,13 +1330,13 @@ object Trainer {
    * The boosting loop — analog of the reference's `_train` round loop
    * (main.py:1061-1337), with the driver playing the tracker role.
    *
-   * @param train  binned rows zipped with current margins (will be
+   * @param train  binned row blocks carrying current margins (will be
    *               persisted/replaced per round)
    * @param evals  named eval sets in the same representation
    */
   def boost(
-      train: RDD[(TrainInstance, Array[Float])],
-      evals: Seq[(String, RDD[(TrainInstance, Array[Float])])],
+      train: RDD[TrainBlock],
+      evals: Seq[(String, RDD[TrainBlock])],
       bins: Binner.Bins,
       p: TrainParams,
       callbacks: Seq[TrainingCallback] = Nil,
@@ -1437,12 +1470,12 @@ object Trainer {
       base.unpersist(blocking = false)
       data = upd
     }
-    val totalN = data.count() // A3 total_n (main.py:1333-1335)
+    val totalN = countRows(data) // A3 total_n (main.py:1333-1335)
 
     // C8 beforeTrain: one lightweight job over the cached partitions
     if (distributedCallbacks.nonEmpty) {
       val dcbs = distributedCallbacks
-      data.foreachPartition { (_: Iterator[(TrainInstance, Array[Float])]) =>
+      data.foreachPartition { (_: Iterator[TrainBlock]) =>
         val r = DistributedCallback.rank()
         dcbs.foreach(_.beforeTrain(r))
       }
@@ -1478,12 +1511,12 @@ object Trainer {
     // margin-update RDD of the previous round, unpersisted lazily once
     // the current round's gradient pass has materialized on top of it
     // (saves one full data pass per round vs eager materialization)
-    var prevData: Option[RDD[(TrainInstance, Array[Float])]] = None
+    var prevData: Option[RDD[TrainBlock]] = None
     // checkpoint-resume arithmetic (C4): each completed round appended
     // numParallelTree*k trees (advisor r1: `/k` alone miscounted forests)
     val startRound = trees.length / (k * p.numParallelTree)
     val initTreeCount = trees.length // for partial-round trim on hard stop
-    var curGrads: Option[RDD[(Array[Byte], Array[Float], Int)]] = None
+    var curGrads: Option[RDD[GradBlock]] = None
     // Pointwise gradients are a cheap narrow map over the cached margin
     // RDD — recomputing them inside each level's histogram job costs a
     // few sigmoid/softmax evaluations per row, while PERSISTING them
@@ -1509,8 +1542,8 @@ object Trainer {
     // broadcast again.
     var dartBcKept: org.apache.spark.broadcast.Broadcast[Array[(Int, RegTree)]] = null
     var dartBcAll: org.apache.spark.broadcast.Broadcast[Array[(Int, RegTree)]] = null
-    var dartRoundData: RDD[(TrainInstance, Array[Float])] = null
-    var dartEvalView: Seq[RDD[(TrainInstance, Array[Float])]] = null
+    var dartRoundData: RDD[TrainBlock] = null
+    var dartEvalView: Seq[RDD[TrainBlock]] = null
     while (round < p.numRounds && !stop) try {
       // DART: pick this round's dropped-tree set on the driver —
       // deterministic in (seed, round), so partitioning/retries cannot
@@ -1670,7 +1703,7 @@ object Trainer {
       // eval-metric aggregation (A2 analog)
       val roundMetrics = scala.collection.mutable.LinkedHashMap[String, Double]()
       evalView.foreach { case (n, r) =>
-        val rows = r.map { case (inst, m) => (m, inst.label, inst.weight) }
+        val rows = rowsOf(r)
         metricNames.foreach { mn =>
           // rank:* objectives evaluate auc PER QID GROUP (weighted mean
           // of per-group Mann-Whitney, xgboost's ranking-auc semantics);
@@ -1683,14 +1716,12 @@ object Trainer {
               // groups partition-contiguous: one shuffle-free pass
               require(obj.needsGroups, s"$mn needs a rank:* objective " +
                 "(qid-contiguous evaluation partitions)")
-              Metrics.computeGroup(mn, r.map { case (inst, m) =>
-                (m(0), inst.label, inst.weight, inst.qid) })
+              Metrics.computeGroup(mn, groupRowsOf(r))
             } else if (!customByName.contains(mn) &&
               Metrics.isBoundsMetric(mn)) {
-              // survival metrics read (lower, upper) off the instance
+              // survival metrics read (lower, upper) off the block
               // (label doubles as the lower bound)
-              Metrics.computeBounds(mn, obj, r.map { case (inst, m) =>
-                (m, inst.label, inst.upper, inst.weight) })
+              Metrics.computeBounds(mn, obj, boundsRowsOf(r))
             } else Metrics.compute(mn, obj, rows, customByName)
           evalsResult(n)(mn) += v
           roundMetrics(s"$n-$mn") = v
@@ -1778,7 +1809,7 @@ object Trainer {
     // C8 afterTrain, before the caches go away
     if (distributedCallbacks.nonEmpty) {
       val dcbs = distributedCallbacks
-      data.foreachPartition { (_: Iterator[(TrainInstance, Array[Float])]) =>
+      data.foreachPartition { (_: Iterator[TrainBlock]) =>
         val r = DistributedCallback.rank()
         dcbs.foreach(_.afterTrain(r))
       }
@@ -1796,21 +1827,30 @@ object Trainer {
       bestScore = if (p.earlyStoppingRounds > 0) bestScore else Double.NaN)
   }
 
-  /** Add each tree's contribution to the carried margins (class = t % k). */
+  /** Add each tree's contribution to the carried margins (class =
+    * t % k). Emits a new margin generation per block; the static
+    * columns (bins/labels/weights/qids/uppers) are shared by reference
+    * with the input block ([[TrainBlock.withMargins]]). */
   private def applyTrees(
-      rdd: RDD[(TrainInstance, Array[Float])],
+      rdd: RDD[TrainBlock],
       bcTrees: org.apache.spark.broadcast.Broadcast[Array[RegTree]],
-      k: Int): RDD[(TrainInstance, Array[Float])] =
+      k: Int): RDD[TrainBlock] =
     rdd.mapPartitions({ it =>
       val ts = bcTrees.value
-      it.map { case (inst, m) =>
-        val m2 = m.clone()
-        var t = 0
-        while (t < ts.length) {
-          m2(t % k) += ts(t).predictBinned(inst.bins, MissingBin)
-          t += 1
+      it.map { b =>
+        val m2 = b.margins.clone()
+        val nf = b.nf
+        var i = 0
+        while (i < b.n) {
+          val off = i * nf
+          var t = 0
+          while (t < ts.length) {
+            m2(i * k + t % k) += ts(t).predictBinned(b.bins, off, MissingBin)
+            t += 1
+          }
+          i += 1
         }
-        (inst, m2)
+        b.withMargins(m2)
       }
     }, preservesPartitioning = true)
 
@@ -1818,19 +1858,26 @@ object Trainer {
     * kept-subset of the ensemble (with gaps) still routes every tree to
     * its original class slot — `t % k` over a filtered array would not. */
   private def addTreePreds(
-      rdd: RDD[(TrainInstance, Array[Float])],
+      rdd: RDD[TrainBlock],
       bcTrees: org.apache.spark.broadcast.Broadcast[Array[(Int, RegTree)]])
-      : RDD[(TrainInstance, Array[Float])] =
+      : RDD[TrainBlock] =
     rdd.mapPartitions({ it =>
       val ts = bcTrees.value
-      it.map { case (inst, m) =>
-        val m2 = m.clone()
-        var t = 0
-        while (t < ts.length) {
-          m2(ts(t)._1) += ts(t)._2.predictBinned(inst.bins, MissingBin)
-          t += 1
+      it.map { b =>
+        val m2 = b.margins.clone()
+        val nf = b.nf; val k = b.k
+        var i = 0
+        while (i < b.n) {
+          val off = i * nf
+          var t = 0
+          while (t < ts.length) {
+            m2(i * k + ts(t)._1) +=
+              ts(t)._2.predictBinned(b.bins, off, MissingBin)
+            t += 1
+          }
+          i += 1
         }
-        (inst, m2)
+        b.withMargins(m2)
       }
     }, preservesPartitioning = true)
 
@@ -1926,8 +1973,8 @@ object Trainer {
    * tree-sized.
    */
   private def refreshModel(
-      train: RDD[(TrainInstance, Array[Float])],
-      evals: Seq[(String, RDD[(TrainInstance, Array[Float])])],
+      train: RDD[TrainBlock],
+      evals: Seq[(String, RDD[TrainBlock])],
       bins: Binner.Bins,
       p: TrainParams,
       obj: Objective,
@@ -1976,9 +2023,9 @@ object Trainer {
     val tpr = m.treesPerRound
     val sc = train.sparkContext
     var data = train.persist(p.storageLevel)
-    val totalN = data.count()
+    val totalN = countRows(data)
     val outTrees = m.trees.clone()
-    var prevData: Option[RDD[(TrainInstance, Array[Float])]] = None
+    var prevData: Option[RDD[TrainBlock]] = None
     // margin-advance broadcasts stay referenced by every LATER round's
     // lineage (task closures serialize the full DAG) — destroy only
     // after the last job has run
@@ -2011,33 +2058,39 @@ object Trainer {
       }
       val bcTrees = sc.broadcast(roundTrees)
       val agg = grads.aggregate(new Array[Double](offsets.last * 2))(
-        (acc, row) => {
-          val (rowBins, gh, _) = row
+        (acc, blk) => {
           val ts = bcTrees.value
-          var t = 0
-          while (t < ts.length) {
-            val tree = ts(t)
-            // class-inner layout: tree j of a round owns output j % k
-            val g = gh(2 * (t % k)).toDouble
-            val h = gh(2 * (t % k) + 1).toDouble
-            var i = 0
-            var walking = true
-            while (walking) {
-              val base = (offsets(t) + i) * 2
-              acc(base) += g; acc(base + 1) += h
-              if (tree.feature(i) < 0) walking = false
-              else {
-                val b = rowBins(tree.feature(i)) & 0xFF
-                i = if (b == MissingBin) {
-                  if (tree.defaultLeft(i)) tree.left(i) else tree.right(i)
-                } else if (if (tree.isPartitionNode(i))
-                    ((tree.catBits(i)(b >> 6) >>> (b & 63)) & 1L) == 1L
-                  else if (tree.isCatNode(i)) b == tree.thresholdBin(i)
-                  else b <= tree.thresholdBin(i)) tree.left(i)
-                else tree.right(i)
+          val kb = blk.k; val nf = blk.nf
+          val rowBins = blk.bins; val gh = blk.gh
+          var r = 0
+          while (r < blk.n) {
+            val off = r * nf
+            var t = 0
+            while (t < ts.length) {
+              val tree = ts(t)
+              // class-inner layout: tree j of a round owns output j % k
+              val g = gh(r * 2 * kb + 2 * (t % k)).toDouble
+              val h = gh(r * 2 * kb + 2 * (t % k) + 1).toDouble
+              var i = 0
+              var walking = true
+              while (walking) {
+                val base = (offsets(t) + i) * 2
+                acc(base) += g; acc(base + 1) += h
+                if (tree.feature(i) < 0) walking = false
+                else {
+                  val b = rowBins(off + tree.feature(i)) & 0xFF
+                  i = if (b == MissingBin) {
+                    if (tree.defaultLeft(i)) tree.left(i) else tree.right(i)
+                  } else if (if (tree.isPartitionNode(i))
+                      ((tree.catBits(i)(b >> 6) >>> (b & 63)) & 1L) == 1L
+                    else if (tree.isCatNode(i)) b == tree.thresholdBin(i)
+                    else b <= tree.thresholdBin(i)) tree.left(i)
+                  else tree.right(i)
+                }
               }
+              t += 1
             }
-            t += 1
+            r += 1
           }
           acc
         },
