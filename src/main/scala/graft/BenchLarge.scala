@@ -120,8 +120,12 @@ object BenchLarge {
     def j(d: Double) = f"$d%.3f"
     // first round pays binning+materialization warmup inside the timer
     // window only if rounds deferred it; flatness compares the LAST
-    // round to the first few completed steady-state rounds
-    val steady = if (rts.length > 1) rts.drop(1) else rts
+    // round to the first steady-state round, which needs >= 2 samples
+    // AFTER the warmup drop (rounds >= 3) — fewer makes last/first a
+    // degenerate self-ratio, so the field reports null instead
+    val steady = if (rts.length > 2) rts.drop(1) else Nil
+    val flatness =
+      if (steady.length >= 2) j(rts.last / steady.head) else "null"
     println("BENCHLARGE_JSON " +
       s"""{"rows":$rows,"rounds":$rounds,"threads":$threads,""" +
       s""""mode":"$mode","cache":"$cacheLevel",""" +
@@ -132,8 +136,7 @@ object BenchLarge {
       s""""round_median_sec":${j(sortedRts(sortedRts.length / 2))},""" +
       s""""round_last_sec":${j(rts.last)},""" +
       s""""round_max_sec":${j(rts.max)},""" +
-      s""""flatness_last_over_steadyfirst":${
-        j(rts.last / steady.head)},""" +
+      s""""flatness_last_over_steadyfirst":$flatness,""" +
       s""""peak_heap_gb":${j(peakHeap / 1e9)},""" +
       s""""logloss_first":${j(ll.head)},"logloss_last":${j(ll.last)},""" +
       s""""error_last":${j(err.last)}}""")
