@@ -62,9 +62,24 @@ object GraftBoost {
           s"constraint on feature index(es) ${bad.mkString(", ")}")
     }
 
-    val prepared = prepare(df, spec, obj, numWorkers, distributedCallbacks)
-      .persist(params.storageLevel)
-    val totalRows = prepared.count()
+    // The fat per-row prepared tuples are NOT cached on the common path
+    // (r13): the only cached artifact is the packed TrainBlock RDD —
+    // Binner.fit and toBinned each evaluate the narrow prepare lineage
+    // straight off the columnar scan, which at 100 TB beats writing
+    // (and spilling) a ~20× intermediate copy of the dataset. Two
+    // cases keep the round-1 cache: distributed data-loading callbacks
+    // (their before/afterDataLoading contract fires once, not once per
+    // pass) and ranking (sortByQid's reduce-side sort would re-run per
+    // pass). Row count for the binner's sample fraction comes from the
+    // input frame — prepare is 1:1 (no filter anywhere in assemble/
+    // sort/repartition), and Catalyst answers count() from parquet
+    // row-group metadata instead of a data scan.
+    val cachePrepared = distributedCallbacks.nonEmpty || obj.needsGroups
+    val prepared0 = prepare(df, spec, obj, numWorkers, distributedCallbacks)
+    val prepared =
+      if (cachePrepared) prepared0.persist(params.storageLevel)
+      else prepared0
+    val totalRows = if (cachePrepared) prepared.count() else df.count()
     val bins = Binner.fit(prepared.map(_._1), totalRows, params.maxBins,
       seed = params.seed + 42, catFeatures = spec.categoricalFlags(df))
     val p2 = params.copy(featureWeights =
@@ -73,7 +88,7 @@ object GraftBoost {
     val train = toBinned(prepared, bins, obj, params.baseScore)
       .persist(params.storageLevel)
     train.foreachPartition(_ => ()) // materialize bytes, then drop floats
-    prepared.unpersist(blocking = false)
+    if (cachePrepared) prepared.unpersist(blocking = false)
     val evalRdds = evals.map { case (n, e) =>
       // the xgboost evals=[(dtrain, "train")] idiom: when an eval set
       // IS the training frame (same object), reuse the binned train

@@ -212,4 +212,53 @@ class RepresentationGoldenSpec extends SparkTestBase {
       initModel = Some(base.model))
     assert(fingerprint(res) === "b620fd5f3cb9de53367622329ed5037e")
   }
+
+  // ---- r13 forward pins: the TrainBlock NULL-column fast paths ----
+  // A block whose rows are all qid-0 stores qids = null, and one whose
+  // rows are all uncensored stores uppers = null (TrainBlock.scala) —
+  // these two tests force WHOLE partitions onto those paths while the
+  // trainer still runs the group/bounds machinery, exactly where a
+  // packing bug would hide. Captured from the r13 block trainer AFTER
+  // the 11 r11 pins above passed, so they extend the same contract.
+
+  test("rank:ndcg with an all-qid-0 partition (null-qids block path, " +
+      "r13 fingerprint)") {
+    val rng = new scala.util.Random(135)
+    // three groups with qids {0, 1, 2}; sortByQid over 3 workers puts
+    // the qid-0 group alone in partition 0 → its block stores qids=null
+    // while group walking and ndcg eval still run over b.qid(i)
+    val df = (0 to 2).flatMap { q =>
+      (1 to 24).map { _ =>
+        val a = rng.nextDouble(); val b = rng.nextDouble()
+        (q.toLong, a, b, (3 * a - b + 0.3 * rng.nextGaussian())
+          .floor.toInt.max(0).min(3).toDouble)
+      }
+    }.toDF("qid", "a", "b", "rel").repartition(2)
+    val res = GraftBoost.train(df,
+      DMatrixSpec(labelCol = Seq("rel"), qidCol = Some("qid")),
+      TrainParams(objective = "rank:ndcg", numRounds = 4, maxDepth = 3,
+        evalMetric = Seq("ndcg@8"), seed = 1313),
+      evals = Seq(("train", df)), numWorkers = 3)
+    assert(fingerprint(res) === "65b28e7b3dbf35f41b8bc89446ff0a8c")
+  }
+
+  test("survival:aft all-uncensored point labels (null-uppers block " +
+      "path, r13 fingerprint)") {
+    val rng = new scala.util.Random(145)
+    // labelLowerCol only, no upper column: every row is an uncensored
+    // point label (upper == label), so blocks store uppers = null and
+    // gradHessBounds + the aft-nloglik metric read b.upper(i) through
+    // the null fallback
+    val df = (1 to 300).map { _ =>
+      val a = rng.nextDouble() * 3
+      (a, rng.nextDouble(),
+        math.exp(0.8 * a + 0.3 * rng.nextGaussian()))
+    }.toDF("a", "b", "t").repartition(3)
+    val res = GraftBoost.train(df,
+      DMatrixSpec(labelLowerCol = Some("t")),
+      TrainParams(objective = "survival:aft", numRounds = 4,
+        maxDepth = 3, evalMetric = Seq("aft-nloglik"), seed = 1414),
+      evals = Seq(("train", df)))
+    assert(fingerprint(res) === "5955e1fb1fc8e9431d9055a7bdf1ca3a")
+  }
 }
