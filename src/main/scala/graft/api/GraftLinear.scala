@@ -18,9 +18,10 @@ import graft.learner.{Metrics, Objectives, TrainParams}
  * exactly ONE `treeAggregate` job computing per-class per-feature
  * [Σ gᵢ·xᵢⱼ, Σ hᵢ·xᵢⱼ²] (plus the bias pair [Σ gᵢ, Σ hᵢ]) with margins
  * recomputed on the fly from the broadcast weights. No cached margin
- * RDD, no shuffle, nothing persisted between rounds beyond the input
- * rows: at 100 TB each round is a single scan-and-reduce whose merge
- * volume is K·2(d+1) doubles per partition.
+ * RDD, no shuffle, nothing persisted between rounds beyond the packed
+ * input blocks ([[LinRows]] — primitive columns, near-raw footprint):
+ * at 100 TB each round is a single scan-and-reduce whose merge volume
+ * is K·2(d+1) doubles per partition.
  *
  * Update rule (xgboost's shotgun/parallel coordinate step with elastic
  * net, all coordinates updated from the same round's gradients):
@@ -120,18 +121,73 @@ object GraftLinear {
       initModel: Option[LinearModel] = None): LinearModel =
     trainWithEvals(df, spec, params, Nil, numWorkers, initModel).model
 
-  /** Eval-row margins from the broadcast round weights — the same
+  /**
+   * Packed per-partition chunk of prepared rows — the linear booster's
+   * analog of the tree path's [[graft.learner.TrainBlock]] (same
+   * footprint rationale: per-row tuple + boxed-array overhead is a
+   * multiple of the 4d-byte payload at narrow widths; a block
+   * amortizes every header over ~10⁵ rows). Row `i`'s features occupy
+   * `xs(i*d until (i+1)*d)`; `bms(i)` is NaN where the row had no base
+   * margin. qid/upper are dropped — gblinear is pointwise-only. Blocks
+   * are capacity-bounded so `xs` stays ≤ 8 MB however wide the table.
+   */
+  private final class LinRows(val n: Int, val d: Int,
+      val xs: Array[Float], val ys: Array[Float], val ws: Array[Float],
+      val bms: Array[Float]) extends Serializable
+
+  /** Pack prepared rows into [[LinRows]] blocks, preserving partition
+    * row order (the treeAggregate float-sum sequence — and with it the
+    * bit-exact `ml_linear` oracle replay — depends on it). Width
+    * mismatches fail here with the same message the per-row seqOp
+    * used. */
+  private def pack(rows: GraftBoost.Prepared)
+      : org.apache.spark.rdd.RDD[LinRows] =
+    rows.mapPartitions({ it0 =>
+      val it = it0.buffered
+      new Iterator[LinRows] {
+        def hasNext: Boolean = it.hasNext
+        def next(): LinRows = {
+          val d = it.head._1.length
+          val cap = math.max(1024,
+            math.min(1 << 18, (2 << 20) / math.max(d, 1)))
+          val xs = new Array[Float](cap * d)
+          val ys = new Array[Float](cap)
+          val ws = new Array[Float](cap)
+          val bms = new Array[Float](cap)
+          var n = 0
+          while (it.hasNext && n < cap) {
+            val (x, y, w, bm, _, _) = it.next()
+            if (x.length != d) throw new IllegalArgumentException(
+              s"graft: feature row has ${x.length} element(s); training " +
+                s"resolved $d features (inconsistent pre-assembled " +
+                "feature widths?)")
+            System.arraycopy(x, 0, xs, n * d, d)
+            ys(n) = y; ws(n) = w; bms(n) = bm
+            n += 1
+          }
+          new LinRows(n, d,
+            java.util.Arrays.copyOf(xs, n * d),
+            java.util.Arrays.copyOf(ys, n),
+            java.util.Arrays.copyOf(ws, n),
+            java.util.Arrays.copyOf(bms, n))
+        }
+      }
+    }, preservesPartitioning = true)
+
+  /** Row-`i` margins from the broadcast round weights — the same
     * double-accumulated dot product the training seqOp computes. */
-  @inline private def evalMargins(x: Array[Float], bm: Float,
+  @inline private def evalMargins(blk: LinRows, i: Int,
       init: Float, w: Array[Array[Float]], b: Array[Float],
       k: Int): Array[Float] = {
     // same fail-fast as the training seqOp: a wrong-width eval row
     // would otherwise read silently as all-missing past the end and
     // yield quietly wrong metrics (which can misdirect early stopping)
-    if (x.length != w(0).length) throw new IllegalArgumentException(
-      s"graft: eval feature row has ${x.length} element(s); the " +
+    if (blk.d != w(0).length) throw new IllegalArgumentException(
+      s"graft: eval feature row has ${blk.d} element(s); the " +
         s"trained model has ${w(0).length} features (inconsistent " +
         "pre-assembled feature widths?)")
+    val bm = blk.bms(i)
+    val off = i * blk.d
     val m = new Array[Float](k)
     var c = 0
     while (c < k) {
@@ -139,7 +195,7 @@ object GraftLinear {
       val wc = w(c)
       var j = 0
       while (j < wc.length) {
-        val xv = x(j)
+        val xv = blk.xs(off + j)
         if (!xv.isNaN) mc += wc(j).toDouble * xv
         j += 1
       }
@@ -198,7 +254,7 @@ object GraftLinear {
       s"duplicate eval set names: ${evals.map(_._1).mkString(", ")}")
     val evalRows = evals.map { case (n, e) =>
       spec.validate(e, requireLabel = true)
-      (n, GraftBoost.prepare(e, spec, obj, numWorkers)
+      (n, pack(GraftBoost.prepare(e, spec, obj, numWorkers))
         .persist(params.storageLevel))
     }
     val evalsResult = scala.collection.mutable.LinkedHashMap[String,
@@ -207,12 +263,12 @@ object GraftLinear {
       evalsResult(n) = metricNames.map(m =>
         m -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     }
-    val rows = GraftBoost.prepare(df, spec, obj, numWorkers)
+    val rows = pack(GraftBoost.prepare(df, spec, obj, numWorkers))
       .persist(params.storageLevel)
     try {
       val head = rows.take(1)
       require(head.nonEmpty, "gblinear training data is empty")
-      val d = head(0)._1.length
+      val d = head(0).d
       val sc = df.sparkSession.sparkContext
       val init = obj.initMargin(params.baseScore)
       // scale_pos_weight: same binary-objective gating as the tree path
@@ -239,46 +295,54 @@ object GraftLinear {
       while (round < params.numRounds && !stop) {
         val bcW = sc.broadcast((weights.map(_.clone()), bias.clone()))
         val acc = rows.treeAggregate(new Array[Double](k * stride))(
-          seqOp = (a, r) => {
-            val (x, y, wt, bm, _, _) = r
-            if (x.length != d) throw new IllegalArgumentException(
-              s"graft: feature row has ${x.length} element(s); training " +
+          seqOp = (a, blk) => {
+            if (blk.d != d) throw new IllegalArgumentException(
+              s"graft: feature row has ${blk.d} element(s); training " +
                 s"resolved $d features (inconsistent pre-assembled " +
                 "feature widths?)")
             val (w, b) = bcW.value
             val m = new Array[Float](k)
-            var c = 0
-            while (c < k) {
-              var mc = (if (bm.isNaN) init else bm).toDouble + b(c)
-              val wc = w(c)
-              var j = 0
-              while (j < d) {
-                val xv = x(j)
-                if (!xv.isNaN) mc += wc(j).toDouble * xv
-                j += 1
-              }
-              m(c) = mc.toFloat
-              c += 1
-            }
             val g = new Array[Float](k); val h = new Array[Float](k)
-            obj.gradHess(m, y, g, h)
-            val w2 = if (spw != 1.0f && y == 1.0f) wt * spw else wt
-            c = 0
-            while (c < k) {
-              val base = c * stride
-              val gw = g(c).toDouble * w2
-              val hw = h(c).toDouble * w2
-              var j = 0
-              while (j < d) {
-                val xv = x(j)
-                if (!xv.isNaN && xv != 0f) {
-                  a(base + 2 * j) += gw * xv
-                  a(base + 2 * j + 1) += hw * xv.toDouble * xv
+            var i = 0
+            while (i < blk.n) {
+              val off = i * d
+              val bm = blk.bms(i)
+              val y = blk.ys(i)
+              var c = 0
+              while (c < k) {
+                var mc = (if (bm.isNaN) init else bm).toDouble + b(c)
+                val wc = w(c)
+                var j = 0
+                while (j < d) {
+                  val xv = blk.xs(off + j)
+                  if (!xv.isNaN) mc += wc(j).toDouble * xv
+                  j += 1
                 }
-                j += 1
+                m(c) = mc.toFloat
+                c += 1
               }
-              a(base + 2 * d) += gw; a(base + 2 * d + 1) += hw
-              c += 1
+              obj.gradHess(m, y, g, h)
+              val w2 =
+                if (spw != 1.0f && y == 1.0f) blk.ws(i) * spw
+                else blk.ws(i)
+              c = 0
+              while (c < k) {
+                val base = c * stride
+                val gw = g(c).toDouble * w2
+                val hw = h(c).toDouble * w2
+                var j = 0
+                while (j < d) {
+                  val xv = blk.xs(off + j)
+                  if (!xv.isNaN && xv != 0f) {
+                    a(base + 2 * j) += gw * xv
+                    a(base + 2 * j + 1) += hw * xv.toDouble * xv
+                  }
+                  j += 1
+                }
+                a(base + 2 * d) += gw; a(base + 2 * d + 1) += hw
+                c += 1
+              }
+              i += 1
             }
             a
           },
@@ -317,10 +381,12 @@ object GraftLinear {
         if (evalRows.nonEmpty) {
           val bcE = sc.broadcast((weights.map(_.clone()), bias.clone()))
           evalRows.foreach { case (n, er) =>
-            val scored = er.map { case (x, y, wt, bm, _, _) =>
+            val scored = er.mapPartitions(_.flatMap { blk =>
               val (w, b) = bcE.value
-              (evalMargins(x, bm, init, w, b, k), y, wt)
-            }
+              Iterator.tabulate(blk.n)(i =>
+                (evalMargins(blk, i, init, w, b, k), blk.ys(i),
+                  blk.ws(i)))
+            }, preservesPartitioning = true)
             // each Metrics.compute is its own reduce job; with several
             // metrics, persist the scored margins for the round so the
             // margin map runs ONCE and the extra metrics pay only a
