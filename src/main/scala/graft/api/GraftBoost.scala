@@ -408,7 +408,7 @@ object GraftBoost {
     * contract. `keepGroups` (ranking) extends a block past its
     * capacity until the current qid run ends, so qid groups never
     * straddle blocks. */
-  private def toBinned(rows: Prepared, bins: Binner.Bins, obj: Objective,
+  private[api] def toBinned(rows: Prepared, bins: Binner.Bins, obj: Objective,
       baseScore: Double, tolerateUnseenCats: Boolean = false)
       : RDD[TrainBlock] = {
     val k = obj.numOutputs
