@@ -36,7 +36,94 @@ object GraftBoost {
       callbacks: Seq[TrainingCallback] = Nil,
       initModel: Option[GraftModel] = None,
       distributedCallbacks: Seq[DistributedCallback] = Nil): TrainResult = {
-    val spark = df.sparkSession
+    val obj = Objectives.resolve(params)
+    val data = materialize(df, spec, params, numWorkers,
+      distributedCallbacks)
+    val evalRdds = evals.map { case (n, e) =>
+      // the xgboost evals=[(dtrain, "train")] idiom: when an eval set
+      // IS the training frame (same object), reuse the binned train
+      // RDD instead of preparing+binning a duplicate copy — halves the
+      // cached footprint and the prep passes for the most common eval
+      // config (the reference benchmark trains exactly this way,
+      // benchmark_cpu_gpu.py:96-100)
+      if (e eq df) (n, data.blocks)
+      // other eval rows tolerate unseen category codes (they bin to
+      // the spare non-matching bin and route like predict); train rows
+      // keep the fail-fast
+      else (n, toBinned(prepare(e, spec, obj, numWorkers), data.bins,
+        obj, params.baseScore, tolerateUnseenCats = true))
+    }
+    val p2 = params.copy(featureWeights =
+      params.featureWeights.orElse(spec.featureWeights))
+    // one-shot training owns its caches: boost releases the blocks as
+    // the margin chain advances past them, exactly the pre-BinnedMatrix
+    // lifecycle
+    val res = Trainer.boost(data.blocks, evalRdds, data.bins, p2,
+      callbacks, initModel, Some(df.sparkSession), distributedCallbacks)
+    attachNames(res, data.featureNames)
+  }
+
+  /**
+   * A materialized binned training matrix — the RayDMatrix "load once,
+   * train many times" analog (the reference memoizes per-actor loading,
+   * matrix.py:703-716, main.py:654-670). `prepare → bin → pack` runs
+   * ONCE; every [[BinnedMatrix.train]] against the handle reuses the
+   * cached [[graft.learner.TrainBlock]] RDD, so a hyperparameter
+   * search / CV sweep pays the dominant load+bin cost once instead of
+   * once per trial — and each trial's margin generations share the
+   * static block columns with this cache by reference
+   * (TrainBlock.withMargins), so N concurrent trials cost N margin
+   * columns, not N dataset copies. The handle is tied to its binning
+   * inputs: train() requires the same resolved objective, baseScore,
+   * maxBins and seed it was materialized with (they shape the cuts,
+   * the init margins, the output width and the group layout) and fails
+   * fast otherwise. Release with [[BinnedMatrix.unpersist]].
+   */
+  final class BinnedMatrix private[api] (
+      private[api] val blocks: org.apache.spark.rdd.RDD[TrainBlock],
+      private[api] val bins: Binner.Bins,
+      private[api] val catFlags: Array[Boolean],
+      private[api] val featureNames: Seq[String],
+      private[api] val specFeatureWeights: Option[Array[Double]],
+      private[api] val session: SparkSession,
+      private[api] val objName: String,
+      private[api] val baseScore: Double,
+      private[api] val maxBins: Int,
+      private[api] val seed: Long,
+      private[api] val forTraining: Boolean) {
+
+    def numFeatures: Int = bins.numFeatures
+
+    /** Exact row count (cheap block-count sum over the cache). */
+    lazy val numRows: Long = blocks.mapPartitions(it =>
+      Iterator.single(it.foldLeft(0L)(_ + _.n))).fold(0L)(_ + _)
+
+    /** Train against the materialized blocks. Eval sets are other
+      * matrices bound to THIS matrix's bins ([[materializeEval]]); pass
+      * this object itself for the `evals=[(dtrain, "train")]` idiom. */
+    def train(params: TrainParams,
+        evals: Seq[(String, BinnedMatrix)] = Nil,
+        callbacks: Seq[TrainingCallback] = Nil,
+        initModel: Option[GraftModel] = None,
+        distributedCallbacks: Seq[DistributedCallback] = Nil)
+        : TrainResult =
+      GraftBoost.trainBinned(this, params, evals, callbacks, initModel,
+        distributedCallbacks)
+
+    /** Release the cached blocks (the handle is spent afterwards). */
+    def unpersist(): Unit = { blocks.unpersist(blocking = false); () }
+  }
+
+  /**
+   * Materialize `df` into a reusable [[BinnedMatrix]]: validate the
+   * spec, fit the binner, bin+pack into cached TrainBlocks. The
+   * binning-relevant params (objective, baseScore, maxBins, seed,
+   * storageLevel) are captured; later train() calls must match them.
+   */
+  def materialize(df: DataFrame, spec: DMatrixSpec, params: TrainParams,
+      numWorkers: Int = 0,
+      distributedCallbacks: Seq[DistributedCallback] = Nil)
+      : BinnedMatrix = {
     val obj = Objectives.resolve(params)
     // survival objectives may declare bounds instead of a point label
     // (matrix.py:333-343): label_lower_bound stands in as the label
@@ -46,21 +133,8 @@ object GraftBoost {
     require(spec.labelCol.size == 1 || boundsOnly,
       "trainer supports a single label column (multi-label loading is a " +
         "data-layer feature; see DMatrixSpec)")
-
-    // monotonicity has no meaning for an unordered one-hot partition —
-    // a constraint on a declared-categorical feature would silently
-    // veto/admit candidates by which code sits left, so reject it
-    val catFlagsEarly = spec.categoricalFlags(df)
-    if (params.monotoneConstraints.nonEmpty && catFlagsEarly.nonEmpty) {
-      val bad = params.monotoneConstraints.zipWithIndex.collect {
-        case (c, f) if c != 0 && f < catFlagsEarly.length &&
-          catFlagsEarly(f) => f
-      }
-      require(bad.isEmpty,
-        s"graft: monotone constraints are not defined for categorical " +
-          s"features (one-hot == splits have no order); remove the " +
-          s"constraint on feature index(es) ${bad.mkString(", ")}")
-    }
+    val catFlags = spec.categoricalFlags(df)
+    checkMonotoneCats(params, catFlags)
 
     // The fat per-row prepared tuples are NOT cached on the common path
     // (r13): the only cached artifact is the packed TrainBlock RDD —
@@ -81,48 +155,109 @@ object GraftBoost {
       else prepared0
     val totalRows = if (cachePrepared) prepared.count() else df.count()
     val bins = Binner.fit(prepared.map(_._1), totalRows, params.maxBins,
-      seed = params.seed + 42, catFeatures = spec.categoricalFlags(df))
-    val p2 = params.copy(featureWeights =
-      params.featureWeights.orElse(spec.featureWeights))
-
-    val train = toBinned(prepared, bins, obj, params.baseScore)
+      seed = params.seed + 42, catFeatures = catFlags)
+    val blocks = toBinned(prepared, bins, obj, params.baseScore)
       .persist(params.storageLevel)
-    train.foreachPartition(_ => ()) // materialize bytes, then drop floats
+    blocks.foreachPartition(_ => ()) // materialize bytes, drop floats
     if (cachePrepared) prepared.unpersist(blocking = false)
-    val evalRdds = evals.map { case (n, e) =>
-      // the xgboost evals=[(dtrain, "train")] idiom: when an eval set
-      // IS the training frame (same object), reuse the binned train
-      // RDD instead of preparing+binning a duplicate copy — halves the
-      // cached footprint and the prep passes for the most common eval
-      // config (the reference benchmark trains exactly this way,
-      // benchmark_cpu_gpu.py:96-100)
-      if (e eq df) (n, train)
-      // other eval rows tolerate unseen category codes (they bin to
-      // the spare non-matching bin and route like predict); train rows
-      // keep the fail-fast
-      else (n, toBinned(prepare(e, spec, obj, numWorkers), bins, obj,
-        params.baseScore, tolerateUnseenCats = true))
-    }
-    val res = Trainer.boost(train, evalRdds, bins, p2, callbacks,
-      initModel, Some(spark), distributedCallbacks)
-    // carry the resolved feature-column names on the model (the
-    // reference forwards RayDMatrix feature_names to the booster,
-    // matrix.py:797-798) — not for a pre-assembled vector column,
-    // whose inner slots are unnamed
-    if (spec.preAssembledCol(df).isDefined) res
-    else {
-      val names = spec.resolveFeatures(df)
-      // a post-join frame can carry DUPLICATE column names; attaching
-      // them would collapse featureImportancesNamed keys (silently
-      // dropping importance mass) and emit duplicate feature_names in
-      // toXgbJson, which stock xgboost rejects on load — such a model
-      // stays positional (f0..fN), like a pre-assembled vector
-      if (names.length == res.model.numFeatures &&
-          names.distinct.length == names.length)
-        res.copy(model = res.model.withFeatureNames(names))
-      else res
-    }
+    // resolved feature-column names ride the handle (the reference
+    // forwards RayDMatrix feature_names to the booster,
+    // matrix.py:797-798) — not for a pre-assembled vector column
+    // (unnamed slots) and not when a post-join frame carries DUPLICATE
+    // names (they would collapse featureImportancesNamed keys and emit
+    // xgboost-rejected duplicate feature_names on export)
+    val names =
+      if (spec.preAssembledCol(df).isDefined) Nil
+      else {
+        val ns = spec.resolveFeatures(df)
+        if (ns.length == bins.numFeatures &&
+          ns.distinct.length == ns.length) ns
+        else Nil
+      }
+    new BinnedMatrix(blocks, bins, catFlags, names, spec.featureWeights,
+      df.sparkSession, obj.name, params.baseScore, params.maxBins,
+      params.seed, forTraining = true)
   }
+
+  /** Materialize an EVAL set against an existing training matrix's
+    * bins (unseen category codes bin to the spare non-matching slot
+    * and route like predict, so a fresh eval frame cannot fail the
+    * trained cuts). The result can only be passed as an eval. */
+  def materializeEval(df: DataFrame, train: BinnedMatrix,
+      spec: DMatrixSpec, params: TrainParams, numWorkers: Int = 0)
+      : BinnedMatrix = {
+    val obj = Objectives.resolve(params)
+    require(obj.name == train.objName &&
+      params.baseScore == train.baseScore,
+      s"graft: eval matrix must bin under the training matrix's " +
+        s"objective/baseScore ('${train.objName}', ${train.baseScore}); " +
+        s"got '${obj.name}', ${params.baseScore}")
+    val ev = toBinned(prepare(df, spec, obj, numWorkers), train.bins,
+      obj, params.baseScore, tolerateUnseenCats = true)
+      .persist(params.storageLevel)
+    ev.foreachPartition(_ => ())
+    new BinnedMatrix(ev, train.bins, train.catFlags, Nil, None,
+      df.sparkSession, train.objName, train.baseScore, train.maxBins,
+      train.seed, forTraining = false)
+  }
+
+  private[api] def trainBinned(data: BinnedMatrix, params: TrainParams,
+      evals: Seq[(String, BinnedMatrix)],
+      callbacks: Seq[TrainingCallback],
+      initModel: Option[GraftModel],
+      distributedCallbacks: Seq[DistributedCallback]): TrainResult = {
+    val obj = Objectives.resolve(params)
+    require(data.forTraining,
+      "graft: this matrix was materialized as an EVAL set " +
+        "(unseen-category-tolerant binning); materialize(df, ...) the " +
+        "training data instead")
+    require(obj.name == data.objName &&
+      params.baseScore == data.baseScore &&
+      params.maxBins == data.maxBins && params.seed == data.seed,
+      s"graft: BinnedMatrix was materialized for objective " +
+        s"'${data.objName}' (baseScore ${data.baseScore}, maxBins " +
+        s"${data.maxBins}, seed ${data.seed}); train() got " +
+        s"'${obj.name}' (${params.baseScore}, ${params.maxBins}, " +
+        s"${params.seed}) — these shape the bin cuts, init margins and " +
+        "block layout; re-materialize to change them")
+    checkMonotoneCats(params, data.catFlags)
+    val evalRdds = evals.map { case (n, ev) =>
+      if (ev eq data) (n, data.blocks) // the dtrain idiom
+      else {
+        require(ev.bins eq data.bins,
+          s"graft: eval set '$n' was not materialized against this " +
+            "matrix's bins — use materializeEval(evalDf, trainMatrix, ...)")
+        (n, ev.blocks)
+      }
+    }
+    val p2 = params.copy(featureWeights =
+      params.featureWeights.orElse(data.specFeatureWeights))
+    val res = Trainer.boost(data.blocks, evalRdds, data.bins, p2,
+      callbacks, initModel, Some(data.session), distributedCallbacks,
+      releaseInputs = false)
+    attachNames(res, data.featureNames)
+  }
+
+  private def attachNames(res: TrainResult,
+      names: Seq[String]): TrainResult =
+    if (names.nonEmpty && names.length == res.model.numFeatures)
+      res.copy(model = res.model.withFeatureNames(names))
+    else res
+
+  /** Monotonicity has no meaning for an unordered one-hot partition —
+    * a constraint on a declared-categorical feature would silently
+    * veto/admit candidates by which code sits left, so reject it. */
+  private def checkMonotoneCats(params: TrainParams,
+      catFlags: Array[Boolean]): Unit =
+    if (params.monotoneConstraints.nonEmpty && catFlags.nonEmpty) {
+      val bad = params.monotoneConstraints.zipWithIndex.collect {
+        case (c, f) if c != 0 && f < catFlags.length && catFlags(f) => f
+      }
+      require(bad.isEmpty,
+        s"graft: monotone constraints are not defined for categorical " +
+          s"features (one-hot == splits have no order); remove the " +
+          s"constraint on feature index(es) ${bad.mkString(", ")}")
+    }
 
   /** Per-label results of a multi-label run. */
   final case class MultiLabelResult(results: Seq[(String, TrainResult)]) {

@@ -1333,6 +1333,10 @@ object Trainer {
    * @param train  binned row blocks carrying current margins (will be
    *               persisted/replaced per round)
    * @param evals  named eval sets in the same representation
+   * @param releaseInputs false when `train`/`evals` are caller-owned
+   *               caches (a reused [[graft.api.GraftBoost.BinnedMatrix]])
+   *               that must survive this run for the next one — every
+   *               unpersist is then guarded on input identity
    */
   def boost(
       train: RDD[TrainBlock],
@@ -1342,8 +1346,22 @@ object Trainer {
       callbacks: Seq[TrainingCallback] = Nil,
       initModel: Option[GraftModel] = None,
       spark: Option[org.apache.spark.sql.SparkSession] = None,
-      distributedCallbacks: Seq[DistributedCallback] = Nil)
+      distributedCallbacks: Seq[DistributedCallback] = Nil,
+      releaseInputs: Boolean = true)
       : TrainResult = {
+    val inputSet = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[RDD[TrainBlock], java.lang.Boolean]())
+    if (!releaseInputs) {
+      inputSet.add(train); evals.foreach(e => inputSet.add(e._2))
+    }
+    // intermediate (margin-advanced) RDDs always free; caller-owned
+    // input caches never do
+    def release(r: RDD[TrainBlock]): Unit =
+      if (!inputSet.contains(r)) r.unpersist(blocking = false)
+    def persistIfFresh(r: RDD[TrainBlock]): RDD[TrainBlock] =
+      if (r.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        r.persist(p.storageLevel)
+      else r
     val obj = Objectives.resolve(p)
     require(p.customObjective.forall(_.name.startsWith("custom:")),
       "customObjective.name must start with \"custom:\" (model save/load " +
@@ -1364,7 +1382,8 @@ object Trainer {
     require(p.processType == "default" || p.processType == "update",
       s"unknown processType '${p.processType}' (default | update)")
     if (p.processType == "update")
-      return refreshModel(train, evals, bins, p, obj, initModel)
+      return refreshModel(train, evals, bins, p, obj, initModel,
+        releaseInputs)
     val dart = p.booster == "dart"
     if (dart) {
       require(p.rateDrop >= 0.0 && p.rateDrop <= 1.0,
@@ -1393,7 +1412,7 @@ object Trainer {
     while (dartWeights.length < trees.length) dartWeights += 1.0
     val broadcasts = ArrayBuffer[org.apache.spark.broadcast.Broadcast[_]]()
 
-    var data = train.persist(p.storageLevel)
+    var data = persistIfFresh(train)
     // duplicate names would collapse into one history entry and
     // interleave two metric series — early stopping (which reads the
     // last set's last value) would then compare alternating datasets
@@ -1401,7 +1420,7 @@ object Trainer {
     require(evals.map(_._1).distinct.size == evals.size,
       s"duplicate eval set names: ${evals.map(_._1).mkString(", ")}")
     var evalData = evals.map { case (n, r) =>
-      (n, r.persist(p.storageLevel))
+      (n, persistIfFresh(r))
     }
     // Continued training (C4): fold the init model's trees into the
     // margins BEFORE the round loop — otherwise new trees fit gradients
@@ -1463,11 +1482,11 @@ object Trainer {
           val u = applyTrees(r, bcInit, k)
             .persist(p.storageLevel)
           u.foreachPartition(_ => ())
-          r.unpersist(blocking = false)
+          release(r)
           (n, u)
         }
       }
-      base.unpersist(blocking = false)
+      release(base)
       data = upd
     }
     val totalN = countRows(data) // A3 total_n (main.py:1333-1335)
@@ -1610,7 +1629,7 @@ object Trainer {
       }
       // the tree builds above materialized `data` (via the gradient
       // map) — the previous round's cache is now safe to drop
-      prevData.foreach(_.unpersist(blocking = false))
+      prevData.foreach(release)
       prevData = None
       if (cacheGrads) { grads.unpersist(blocking = false); curGrads = None }
 
@@ -1643,7 +1662,7 @@ object Trainer {
               .persist(p.storageLevel)
             if ((round + 1) % 50 == 0) updated.localCheckpoint()
             updated.foreachPartition(_ => ())
-            r.unpersist(blocking = false)
+            release(r)
             (n, updated)
           }
         }
@@ -1815,9 +1834,9 @@ object Trainer {
       }
     }
 
-    data.unpersist(blocking = false)
-    prevData.foreach(_.unpersist(blocking = false))
-    evalData.foreach(_._2.unpersist(blocking = false))
+    release(data)
+    prevData.foreach(release)
+    evalData.foreach(e => release(e._2))
     // all per-round results are materialized — the round broadcasts are
     // no longer reachable from any live lineage (advisor r1: leak)
     broadcasts.foreach(_.destroy())
@@ -1978,7 +1997,10 @@ object Trainer {
       bins: Binner.Bins,
       p: TrainParams,
       obj: Objective,
-      initModel: Option[GraftModel]): TrainResult = {
+      initModel: Option[GraftModel],
+      releaseInputs: Boolean = true): TrainResult = {
+    def release(r: RDD[TrainBlock]): Unit =
+      if (releaseInputs || !(r eq train)) r.unpersist(blocking = false)
     val k = obj.numOutputs
     val m = initModel.filter(_.trees.nonEmpty).getOrElse(
       throw new IllegalArgumentException(
@@ -2022,7 +2044,10 @@ object Trainer {
           "saved without them (pre-r3 save)")
     val tpr = m.treesPerRound
     val sc = train.sparkContext
-    var data = train.persist(p.storageLevel)
+    var data =
+      if (train.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        train.persist(p.storageLevel)
+      else train
     val totalN = countRows(data)
     val outTrees = m.trees.clone()
     var prevData: Option[RDD[TrainBlock]] = None
@@ -2174,13 +2199,13 @@ object Trainer {
       val nd = applyTrees(data, bcNew, k)
         .persist(p.storageLevel)
       nd.foreachPartition(_ => ())
-      prevData.foreach(_.unpersist(blocking = false))
+      prevData.foreach(release)
       prevData = Some(data)
       data = nd
       round += 1
     }
-    prevData.foreach(_.unpersist(blocking = false))
-    data.unpersist(blocking = false)
+    prevData.foreach(release)
+    release(data)
     liveBc.foreach(_.destroy())
     // xgboost process_type=update COMMITS only the num_boost_round
     // updated rounds (all trees move to trees_to_update; the

@@ -62,12 +62,25 @@ object GraftGridSearch {
       onRound: (TrainParams, Int, Map[String, Double]) => Unit =
         (_, _, _) => ()): Result = {
     require(grid.nonEmpty, "empty parameter grid")
+    // When every candidate shares the binning inputs (objective,
+    // baseScore, maxBins, seed — the usual eta/depth/subsample/rounds
+    // grid does), the whole search trains against ONE materialized
+    // BinnedMatrix + one val binding: the dominant prepare→bin→pack
+    // cost is paid once instead of once per trial, and each trial's
+    // margin generations share the static block columns with the cache
+    // by reference. A grid that varies binning inputs falls back to
+    // per-trial one-shot training.
+    val shared = sharedMatrix(df, valDf, spec, grid, numWorkers)
     def trial(p: TrainParams): (Trial, TrainResult) = {
       val metric = rankingMetric(p)
-      val res = GraftBoost.train(df, spec, p,
-        evals = Seq(("val", valDf)), numWorkers = numWorkers,
-        callbacks = Seq(new TuneReportCallback(
-          (r, m) => onRound(p, r, m))))
+      val cbs = Seq(new TuneReportCallback((r, m) => onRound(p, r, m)))
+      val res = shared match {
+        case Some((m, v)) =>
+          m.train(p, evals = Seq(("val", v)), callbacks = cbs)
+        case None => GraftBoost.train(df, spec, p,
+          evals = Seq(("val", valDf)), numWorkers = numWorkers,
+          callbacks = cbs)
+      }
       // with early stopping active, rank on the best iteration's score
       // (the xgboost/Tune convention), not the possibly-degraded final
       // round (advisor r2)
@@ -77,17 +90,21 @@ object GraftGridSearch {
       (Trial(p, metric, value), res)
     }
     val scored: Seq[(Trial, TrainResult)] =
-      if (parallelism <= 1) grid.map(trial)
-      else {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(math.min(parallelism, grid.size))
-        implicit val ec: ExecutionContext =
-          ExecutionContext.fromExecutor(pool)
-        try Await.result(Future.sequence(grid.map(p =>
-          Future(trial(p)))), Duration.Inf)
-        finally pool.shutdown()
+      try {
+        if (parallelism <= 1) grid.map(trial)
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(math.min(parallelism, grid.size))
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          try Await.result(Future.sequence(grid.map(p =>
+            Future(trial(p)))), Duration.Inf)
+          finally pool.shutdown()
+        }
+      } finally shared.foreach { case (m, v) =>
+        v.unpersist(); m.unpersist()
       }
     val customByName = grid.head.customMetrics.map(m => m.name -> m).toMap
     val best = scored.minBy { case (t, _) =>
@@ -95,6 +112,18 @@ object GraftGridSearch {
     }
     Result(best._2, best._1, scored.map(_._1))
   }
+
+  /** Materialize (train, val) once for the whole search iff every
+    * candidate shares the binning-relevant params. */
+  private def sharedMatrix(df: DataFrame, valDf: DataFrame,
+      spec: DMatrixSpec, grid: Seq[TrainParams], numWorkers: Int)
+      : Option[(GraftBoost.BinnedMatrix, GraftBoost.BinnedMatrix)] =
+    if (grid.map(p => (Objectives.resolve(p).name, p.baseScore,
+        p.maxBins, p.seed, p.storageLevel)).distinct.size == 1) {
+      val m = GraftBoost.materialize(df, spec, grid.head, numWorkers)
+      Some((m, GraftBoost.materializeEval(valDf, m, spec, grid.head,
+        numWorkers)))
+    } else None
 
   /**
    * Random search-space sampling — the `tune.run(config, num_samples=)`
@@ -181,6 +210,10 @@ object GraftGridSearch {
     require(grid.forall(_.earlyStoppingRounds == 0),
       "halving owns the stopping schedule — candidates must have " +
         "earlyStoppingRounds == 0")
+    // one materialized matrix serves every rung of every candidate
+    // (rungs warm-start against the SAME bins by construction); grids
+    // that vary binning inputs fall back to per-rung one-shot training
+    val shared = sharedMatrix(df, valDf, spec, grid, numWorkers)
     val customByName = grid.head.customMetrics.map(m => m.name -> m).toMap
     // state per survivor: (params, rounds trained so far, last result)
     final case class St(p: TrainParams, trained: Int,
@@ -190,14 +223,18 @@ object GraftGridSearch {
     def advance(p: TrainParams, prev: Option[St], upTo: Int): St = {
       val metric = rankingMetric(p)
       val add = upTo - prev.map(_.trained).getOrElse(0)
-      val res = GraftBoost.train(df, spec, p.copy(numRounds = add),
-        evals = Seq(("val", valDf)), numWorkers = numWorkers,
-        // the trainer reports GLOBAL round indices under a warm start
-        // (startRound offset from the init model's tree count), so the
-        // stream needs no re-offsetting here
-        callbacks = Seq(new TuneReportCallback((r, m) =>
-          onRound(p, r, m))),
-        initModel = prev.map(_.res.model))
+      // the trainer reports GLOBAL round indices under a warm start
+      // (startRound offset from the init model's tree count), so the
+      // stream needs no re-offsetting here
+      val cbs = Seq(new TuneReportCallback((r, m) => onRound(p, r, m)))
+      val res = shared match {
+        case Some((m, v)) => m.train(p.copy(numRounds = add),
+          evals = Seq(("val", v)), callbacks = cbs,
+          initModel = prev.map(_.res.model))
+        case None => GraftBoost.train(df, spec, p.copy(numRounds = add),
+          evals = Seq(("val", valDf)), numWorkers = numWorkers,
+          callbacks = cbs, initModel = prev.map(_.res.model))
+      }
       val merged = prev match {
         case Some(st) => res.copy(
           roundsCompleted = st.res.roundsCompleted + res.roundsCompleted,
@@ -210,6 +247,7 @@ object GraftGridSearch {
       }
       St(p, upTo, merged, merged.evalsResult("val")(metric).last)
     }
+    try {
     var budget = minRounds
     var survivors: Seq[St] =
       grid.map(p => advance(p, None, math.min(budget, p.numRounds)))
@@ -235,5 +273,8 @@ object GraftGridSearch {
     val best = survivors.minBy(s => rank(rankingMetric(s.p), s.score))
     history ++= survivors.map(trialOf)
     Result(best.res, trialOf(best), history.toSeq)
+    } finally shared.foreach { case (m, v) =>
+      v.unpersist(); m.unpersist()
+    }
   }
 }
