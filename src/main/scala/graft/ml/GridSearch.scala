@@ -121,8 +121,13 @@ object GraftGridSearch {
     if (grid.map(p => (Objectives.resolve(p).name, p.baseScore,
         p.maxBins, p.seed, p.storageLevel)).distinct.size == 1) {
       val m = GraftBoost.materialize(df, spec, grid.head, numWorkers)
-      Some((m, GraftBoost.materializeEval(valDf, m, spec, grid.head,
-        numWorkers)))
+      // scoring on the training frame itself (the dtrain idiom):
+      // alias the train matrix instead of binding a duplicate copy
+      val v =
+        if (valDf eq df) m
+        else GraftBoost.materializeEval(valDf, m, spec, grid.head,
+          numWorkers)
+      Some((m, v))
     } else None
 
   /**
