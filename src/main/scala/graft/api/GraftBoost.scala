@@ -288,9 +288,127 @@ object GraftBoost {
       numWorkers: Int = 0): MultiLabelResult = {
     require(spec.labelCol.size >= 2,
       s"multi-label needs >=2 label columns, got ${spec.labelCol}")
-    MultiLabelResult(spec.labelCol.map { l =>
-      (l, train(df, singleLabelSpec(spec, l), params, evals, numWorkers))
-    })
+    val obj = Objectives.resolve(params)
+    // ranking sorts rows by (qid, content incl. the label column) and
+    // survival reads the label as a bound — both entangle the label
+    // role with row layout, so those objectives keep the independent
+    // per-label pipeline
+    if (obj.needsGroups || obj.needsBounds)
+      return MultiLabelResult(spec.labelCol.map { l =>
+        (l, train(df, singleLabelSpec(spec, l), params, evals,
+          numWorkers))
+      })
+    // Every label trains over the SAME feature set (the other label
+    // columns are roles, never features), so the dominant
+    // prepare→bin→pack work is label-invariant. ONE pass assembles all
+    // L label columns alongside the features and packs them together
+    // (separate per-label plan evaluations CANNOT be zipped instead —
+    // an exchange in the plan redistributes rows by the projected
+    // bytes, which differ per label). Each label then trains against a
+    // cheap view that swaps in its labels column; the packed
+    // bins/weights/margins arrays are shared by reference and the
+    // per-label boost owns (and frees) only its view. Cuts are
+    // identical to the per-label pipeline (same features, same binner
+    // seed): L labels cost 2 data scans total instead of 2L.
+    spec.validate(df, requireLabel = true)
+    val catFlags = spec.categoricalFlags(df)
+    checkMonotoneCats(params, catFlags)
+    val k = obj.numOutputs
+    val init = obj.initMargin(params.baseScore)
+    val nLabels = spec.labelCol.size
+    val multiRows = prepareMulti(df, spec, numWorkers)
+    val totalRows = df.count()
+    val bins = Binner.fit(multiRows.map(_._1), totalRows, params.maxBins,
+      seed = params.seed + 42, catFeatures = catFlags)
+    val composite = multiRows.mapPartitions({ it0 =>
+      val it = it0.buffered
+      val nf = bins.numFeatures
+      val cap = graft.learner.TrainBlock.capacity(nf, k)
+      new Iterator[(TrainBlock, Array[Array[Float]])] {
+        def hasNext: Boolean = it.hasNext
+        def next(): (TrainBlock, Array[Array[Float]]) = {
+          val binsArr = new Array[Byte](cap * nf)
+          val labels = Array.fill(nLabels)(new Array[Float](cap))
+          val weights = new Array[Float](cap)
+          val margins = new Array[Float](cap * k)
+          var n = 0
+          while (it.hasNext && n < cap) {
+            val (f, ys, w, bm) = it.next()
+            val rb = bins.binRow(f)
+            System.arraycopy(rb, 0, binsArr, n * nf, nf)
+            var j = 0
+            while (j < nLabels) { labels(j)(n) = ys(j); j += 1 }
+            weights(n) = w
+            val m0 = if (bm.isNaN) init else bm
+            java.util.Arrays.fill(margins, n * k, n * k + k, m0)
+            n += 1
+          }
+          (new TrainBlock(n, nf, k,
+            java.util.Arrays.copyOf(binsArr, n * nf),
+            java.util.Arrays.copyOf(labels(0), n),
+            java.util.Arrays.copyOf(weights, n), null, null,
+            java.util.Arrays.copyOf(margins, n * k)),
+            Array.tabulate(nLabels - 1)(j =>
+              java.util.Arrays.copyOf(labels(j + 1), n)))
+        }
+      }
+    }, preservesPartitioning = true)
+      .persist(params.storageLevel)
+    composite.foreachPartition(_ => ())
+    val names =
+      if (spec.preAssembledCol(df).isDefined) Nil
+      else {
+        val ns = spec.resolveFeatures(df)
+        if (ns.length == bins.numFeatures &&
+          ns.distinct.length == ns.length) ns
+        else Nil
+      }
+    try {
+      MultiLabelResult(spec.labelCol.zipWithIndex.map { case (l, j) =>
+        val lSpec = singleLabelSpec(spec, l)
+        val blocks =
+          if (j == 0) composite.map(_._1)
+          else composite.map { case (b, others) =>
+            new TrainBlock(b.n, b.nf, b.k, b.bins, others(j - 1),
+              b.weights, null, null, b.margins)
+          }
+        val evalRdds = evals.map { case (n, e) =>
+          if (e eq df) (n, blocks)
+          else (n, toBinned(prepare(e, lSpec, obj, numWorkers), bins,
+            obj, params.baseScore, tolerateUnseenCats = true))
+        }
+        val p2 = params.copy(featureWeights =
+          params.featureWeights.orElse(spec.featureWeights))
+        val res = Trainer.boost(blocks, evalRdds, bins, p2,
+          Nil, None, Some(df.sparkSession), Nil)
+        (l, attachNames(res, names))
+      })
+    } finally composite.unpersist(blocking = false)
+  }
+
+  /** One-pass multi-label row view: (features, all L labels, weight,
+    * baseMargin) — the label-invariant twin of [[prepare]] for the
+    * pointwise [[trainMultiLabel]] fast path. */
+  private def prepareMulti(df: DataFrame, spec: DMatrixSpec,
+      numWorkers: Int)
+      : RDD[(Array[Float], Array[Float], Float, Float)] = {
+    val base = if (numWorkers > 0) df.repartition(numWorkers) else df
+    val assembled = spec.assemble(base)
+    val cols = assembled.columns
+    val lis = spec.labelCol.map(cols.indexOf(_)).toArray
+    val wi = spec.weightCol.map(cols.indexOf(_)).getOrElse(-1)
+    val mi = spec.baseMarginCol.map(cols.indexOf(_)).getOrElse(-1)
+    assembled.rdd.mapPartitions({ it =>
+      it.map { row: Row =>
+        val f = row.getSeq[Float](0).toArray
+        val ys = lis.map(li =>
+          if (li >= 0 && !row.isNullAt(li)) row.getFloat(li) else 0f)
+        val w = if (wi >= 0 && !row.isNullAt(wi)) row.getFloat(wi) else 1f
+        val m = if (mi >= 0 && !row.isNullAt(mi)) row.getFloat(mi)
+          else Float.NaN
+        (f, ys, w, m)
+      }
+    }, preservesPartitioning = true)
   }
 
   /** Append one `prediction_<label>` column per trained label. */
