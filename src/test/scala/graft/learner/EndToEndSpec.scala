@@ -399,6 +399,42 @@ class EndToEndSpec extends SparkTestBase {
     assert(e.getMessage.contains("single label"))
   }
 
+  test("multi-label shared pack == independent per-label training " +
+      "(weights + base margin), bit-for-bit on exchange-free input") {
+    // no repartition: both plans scan the local relation in input
+    // order, so the r13 one-pass shared pack must reproduce the
+    // per-label pipeline exactly, including the role columns
+    val rng = new scala.util.Random(63)
+    val df = (1 to 250).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 0.5 + rng.nextDouble(), rng.nextGaussian() * 0.05,
+        2.0 * a + 0.1 * rng.nextGaussian(),
+        3.0 * b - a + 0.1 * rng.nextGaussian())
+    }.toDF("a", "b", "w", "bm", "y1", "y2")
+    val spec = DMatrixSpec(labelCol = Seq("y1", "y2"),
+      weightCol = Some("w"), baseMarginCol = Some("bm"))
+    val p = TrainParams(numRounds = 3, maxDepth = 3, seed = 9,
+      subsample = 0.9)
+    val shared = GraftBoost.trainMultiLabel(df, spec, p)
+    def hash(m: GraftModel): Int = {
+      var h = m.trees.length
+      m.trees.foreach { t =>
+        h = 31 * h + java.util.Arrays.hashCode(t.feature)
+        h = 31 * h + java.util.Arrays.hashCode(t.thresholdBin)
+        h = 31 * h + java.util.Arrays.hashCode(t.value)
+      }
+      h
+    }
+    Seq("y1", "y2").foreach { l =>
+      val solo = GraftBoost.train(df,
+        spec.copy(labelCol = Seq(l),
+          ignore = spec.ignore ++ spec.labelCol.filterNot(_ == l)), p)
+      val sharedModel = shared.models.toMap.apply(l)
+      assert(hash(sharedModel) === hash(solo.model), s"label $l")
+      assert(sharedModel.featureNames === solo.model.featureNames)
+    }
+  }
+
   test("feature_weights steer node column sampling " +
       "(test_end_to_end.py:429-470 semantics)") {
     val rng = new scala.util.Random(37)
