@@ -484,17 +484,22 @@ object SparkEntry {
       // encode cost is per DISTINCT word, not per occurrence — without
       // it this pin pays full un-memoized encode on a second corpus
       // scan (advisor r11)
-      // capped like the TextOps memos: past 100k distinct words the
-      // tail (Zipf — rarely re-seen anyway) pays the encode instead of
-      // growing the map without bound on a large-vocabulary partition
+      // capped like the TextOps memos: past 100k distinct words only
+      // the INSERT stops (the Zipf tail re-encodes); cached head words
+      // keep hitting the map — gating the lookup on size would disable
+      // memoization exactly on the large-vocabulary partitions the cap
+      // exists for (review r13)
       val rtOk = udf(new (Seq[String] => Boolean) with Serializable {
         @transient private lazy val memo =
           new scala.collection.mutable.HashMap[String, Array[String]]()
         def apply(ws: Seq[String]): Boolean = {
           val clean = ws.filterNot(_.contains(TextOps.BpeEndMark))
           val enc = clean.flatMap { w =>
-            (if (memo.size < 100000) memo.getOrElseUpdate(w, model.encode(w))
-             else model.encode(w)).toSeq
+            memo.get(w).getOrElse {
+              val e = model.encode(w)
+              if (memo.size < 100000) memo.update(w, e)
+              e
+            }.toSeq
           }
           TextOps.decodeBpe(enc) == clean.mkString(" ")
         }

@@ -160,20 +160,7 @@ object GraftBoost {
       .persist(params.storageLevel)
     blocks.foreachPartition(_ => ()) // materialize bytes, drop floats
     if (cachePrepared) prepared.unpersist(blocking = false)
-    // resolved feature-column names ride the handle (the reference
-    // forwards RayDMatrix feature_names to the booster,
-    // matrix.py:797-798) — not for a pre-assembled vector column
-    // (unnamed slots) and not when a post-join frame carries DUPLICATE
-    // names (they would collapse featureImportancesNamed keys and emit
-    // xgboost-rejected duplicate feature_names on export)
-    val names =
-      if (spec.preAssembledCol(df).isDefined) Nil
-      else {
-        val ns = spec.resolveFeatures(df)
-        if (ns.length == bins.numFeatures &&
-          ns.distinct.length == ns.length) ns
-        else Nil
-      }
+    val names = attachableNames(spec, df, bins.numFeatures)
     new BinnedMatrix(blocks, bins, catFlags, names, spec.featureWeights,
       df.sparkSession, obj.name, params.baseScore, params.maxBins,
       params.seed, forTraining = true)
@@ -244,6 +231,21 @@ object GraftBoost {
       res.copy(model = res.model.withFeatureNames(names))
     else res
 
+  /** Resolved feature-column names worth carrying on a model (the
+    * reference forwards RayDMatrix feature_names to the booster,
+    * matrix.py:797-798) — none for a pre-assembled vector column
+    * (unnamed slots) and none when a post-join frame carries DUPLICATE
+    * names (they would collapse featureImportancesNamed keys and emit
+    * xgboost-rejected duplicate feature_names on export). */
+  private def attachableNames(spec: DMatrixSpec, df: DataFrame,
+      numFeatures: Int): Seq[String] =
+    if (spec.preAssembledCol(df).isDefined) Nil
+    else {
+      val ns = spec.resolveFeatures(df)
+      if (ns.length == numFeatures && ns.distinct.length == ns.length) ns
+      else Nil
+    }
+
   /** Monotonicity has no meaning for an unordered one-hot partition —
     * a constraint on a declared-categorical feature would silently
     * veto/admit candidates by which code sits left, so reject it. */
@@ -291,9 +293,13 @@ object GraftBoost {
     val obj = Objectives.resolve(params)
     // ranking sorts rows by (qid, content incl. the label column) and
     // survival reads the label as a bound — both entangle the label
-    // role with row layout, so those objectives keep the independent
-    // per-label pipeline
-    if (obj.needsGroups || obj.needsBounds)
+    // role with row layout. A spec DECLARING qid/bounds columns takes
+    // the fallback too, even under a pointwise objective: the fast
+    // path packs qids=null/uppers=null, which would silently degrade
+    // a bounds metric (review r13) — the per-label pipeline carries
+    // the declared columns through.
+    if (obj.needsGroups || obj.needsBounds || spec.qidCol.isDefined ||
+        spec.labelLowerCol.isDefined || spec.labelUpperCol.isDefined)
       return MultiLabelResult(spec.labelCol.map { l =>
         (l, train(df, singleLabelSpec(spec, l), params, evals,
           numWorkers))
@@ -355,14 +361,7 @@ object GraftBoost {
     }, preservesPartitioning = true)
       .persist(params.storageLevel)
     composite.foreachPartition(_ => ())
-    val names =
-      if (spec.preAssembledCol(df).isDefined) Nil
-      else {
-        val ns = spec.resolveFeatures(df)
-        if (ns.length == bins.numFeatures &&
-          ns.distinct.length == ns.length) ns
-        else Nil
-      }
+    val names = attachableNames(spec, df, bins.numFeatures)
     try {
       MultiLabelResult(spec.labelCol.zipWithIndex.map { case (l, j) =>
         val lSpec = singleLabelSpec(spec, l)

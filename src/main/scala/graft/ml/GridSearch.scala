@@ -122,11 +122,17 @@ object GraftGridSearch {
         p.maxBins, p.seed, p.storageLevel)).distinct.size == 1) {
       val m = GraftBoost.materialize(df, spec, grid.head, numWorkers)
       // scoring on the training frame itself (the dtrain idiom):
-      // alias the train matrix instead of binding a duplicate copy
+      // alias the train matrix instead of binding a duplicate copy.
+      // A failing val binding must not leak the (dataset-sized) train
+      // cache — the caller's try/finally is not reachable yet.
       val v =
-        if (valDf eq df) m
-        else GraftBoost.materializeEval(valDf, m, spec, grid.head,
-          numWorkers)
+        try {
+          if (valDf eq df) m
+          else GraftBoost.materializeEval(valDf, m, spec, grid.head,
+            numWorkers)
+        } catch {
+          case t: Throwable => m.unpersist(); throw t
+        }
       Some((m, v))
     } else None
 

@@ -743,9 +743,12 @@ object TextOps {
           var n = 0L
           for (w <- t.split("\\s+")) {
             val lw = w.toLowerCase
-            n += (if (cache.size < 100000)
-              cache.getOrElseUpdate(lw, model.encode(lw).length)
-            else model.encode(lw).length)
+            // cap stops INSERTS only — cached head words still hit
+            n += cache.get(lw).getOrElse {
+              val len = model.encode(lw).length
+              if (cache.size < 100000) cache.update(lw, len)
+              len
+            }
           }
           n
         }
@@ -772,9 +775,12 @@ object TextOps {
         if (t.isEmpty) Array.empty[String]
         else t.split("\\s+").flatMap { w =>
           val lw = w.toLowerCase
-          if (cache.size < 100000)
-            cache.getOrElseUpdate(lw, model.encode(lw))
-          else model.encode(lw)
+          // cap stops INSERTS only — cached head words still hit
+          cache.get(lw).getOrElse {
+            val e = model.encode(lw)
+            if (cache.size < 100000) cache.update(lw, e)
+            e
+          }
         }
       }
     }

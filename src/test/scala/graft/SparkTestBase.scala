@@ -8,6 +8,24 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
   def sf(dir: String): String = s"/root/testdata/$dir"
+
+  /** Structural hash over every model-defining tree array — the one
+    * bit-identity comparator for "these two trainings produced the
+    * same model" assertions (keep the field list exhaustive: a weaker
+    * variant can claim identity while e.g. left/right differ). */
+  def modelStructureHash(m: graft.learner.GraftModel): Int = {
+    var h = m.trees.length
+    m.trees.foreach { t =>
+      h = 31 * h + java.util.Arrays.hashCode(t.feature)
+      h = 31 * h + java.util.Arrays.hashCode(t.thresholdBin)
+      h = 31 * h + java.util.Arrays.hashCode(t.threshold)
+      h = 31 * h + java.util.Arrays.hashCode(t.defaultLeft)
+      h = 31 * h + java.util.Arrays.hashCode(t.left)
+      h = 31 * h + java.util.Arrays.hashCode(t.right)
+      h = 31 * h + java.util.Arrays.hashCode(t.value)
+    }
+    h
+  }
 }
 
 object SparkTestBase {

@@ -23,17 +23,7 @@ class BinnedMatrixSpec extends SparkTestBase {
     }.toDF("a", "b", "y").repartition(3)
   }
 
-  private def modelHash(m: GraftModel): Int = {
-    var h = m.trees.length
-    m.trees.foreach { t =>
-      h = 31 * h + java.util.Arrays.hashCode(t.feature)
-      h = 31 * h + java.util.Arrays.hashCode(t.thresholdBin)
-      h = 31 * h + java.util.Arrays.hashCode(t.value)
-      h = 31 * h + java.util.Arrays.hashCode(t.left)
-      h = 31 * h + java.util.Arrays.hashCode(t.right)
-    }
-    h
-  }
+  private def modelHash(m: GraftModel): Int = modelStructureHash(m)
 
   private val params = TrainParams(objective = "binary:logistic",
     numRounds = 4, maxDepth = 3, eta = 0.4, subsample = 0.8, seed = 77,

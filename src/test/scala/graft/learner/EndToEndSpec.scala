@@ -416,15 +416,7 @@ class EndToEndSpec extends SparkTestBase {
     val p = TrainParams(numRounds = 3, maxDepth = 3, seed = 9,
       subsample = 0.9)
     val shared = GraftBoost.trainMultiLabel(df, spec, p)
-    def hash(m: GraftModel): Int = {
-      var h = m.trees.length
-      m.trees.foreach { t =>
-        h = 31 * h + java.util.Arrays.hashCode(t.feature)
-        h = 31 * h + java.util.Arrays.hashCode(t.thresholdBin)
-        h = 31 * h + java.util.Arrays.hashCode(t.value)
-      }
-      h
-    }
+    def hash(m: GraftModel): Int = modelStructureHash(m)
     Seq("y1", "y2").foreach { l =>
       val solo = GraftBoost.train(df,
         spec.copy(labelCol = Seq(l),
