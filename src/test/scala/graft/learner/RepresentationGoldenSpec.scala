@@ -242,6 +242,29 @@ class RepresentationGoldenSpec extends SparkTestBase {
     assert(fingerprint(res) === "65b28e7b3dbf35f41b8bc89446ff0a8c")
   }
 
+  test("multi-label one-pass shared pack (r13 fingerprint)") {
+    // the composite prepareMulti→pack path is code distinct from
+    // toBinned; pin both per-label models absolutely (weights + base
+    // margin columns ride along)
+    val rng = new scala.util.Random(155)
+    val df = (1 to 300).map { _ =>
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      (a, b, 0.5 + rng.nextDouble(), rng.nextGaussian() * 0.05,
+        2.0 * a + 0.1 * rng.nextGaussian(),
+        3.0 * b - a + 0.1 * rng.nextGaussian())
+    }.toDF("a", "b", "w", "bm", "y1", "y2").repartition(3)
+    val res = GraftBoost.trainMultiLabel(df,
+      DMatrixSpec(labelCol = Seq("y1", "y2"), weightCol = Some("w"),
+        baseMarginCol = Some("bm")),
+      TrainParams(numRounds = 3, maxDepth = 3, seed = 1515,
+        subsample = 0.85))
+    val combined = res.results.map { case (l, r) =>
+      s"$l:${fingerprint(r)}"
+    }.mkString("|")
+    assert(combined === "y1:f6e1ceb936f183f47c6811c004a7d84b|" +
+      "y2:909f6c202a0cc42d154d914a69243ffe")
+  }
+
   test("survival:aft all-uncensored point labels (null-uppers block " +
       "path, r13 fingerprint)") {
     val rng = new scala.util.Random(145)
