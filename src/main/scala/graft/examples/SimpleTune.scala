@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
  * (CorpusPipeline.assignSplit's convention) so the search replays
  * bit-for-bit.
  *
+ * Because every sampled candidate shares the binning inputs, the
+ * search trains against ONE materialized [[GraftBoost.BinnedMatrix]]
+ * under the hood (r13): prepare→bin→pack runs once for the whole
+ * sweep, not once per trial — the RayDMatrix load-once-per-actor
+ * semantics (reference matrix.py:703-716).
+ *
  *   sbt "runMain graft.examples.SimpleTune /root/testdata/sf0.001 8"
  */
 object SimpleTune {
