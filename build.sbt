@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses Bench's one-line JSON from the run's stdout
+// tail; sbt's default forked-output strategy wraps every forked line
+// in "[info] " (stderr in "[error] "), which breaks any
+// line-anchored JSON parse. Inherit the sbt process streams instead
+// so the forked JVM's stdout reaches the driver byte-for-byte.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -77,8 +77,6 @@ object Bench {
       val median = sortedT(sortedT.length / 2)
       (name, median, runs.map(_._1), runs.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, m, _, _) => s"\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
     val raw = results.map { case (k, _, rs, _) =>
       s"\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -87,7 +85,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"runs":$raw,"status":$status,"sf":"$sfDir"}""")
+    // Full per-run detail (raw reps + status) goes to a side file for
+    // human/SCALING.md analysis — NOT to stdout: the driver keeps only
+    // the last 2000 bytes of the run's output and parses the bench JSON
+    // from there, so the one line printed below must be (a) the last
+    // stdout line and (b) small enough to fit that window alongside
+    // sbt's trailing "[success] ..." line (~80 bytes). 84 queries at
+    // 2-decimal seconds is ~1850 bytes; if future queries push past the
+    // budget, per-query precision degrades to 1 decimal automatically.
+    def line(prec: Int): String = {
+      val qs = results.map { case (k, m, _, _) =>
+        "\"" + k + "\":" + s"%.${prec}f".format(m)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"runs":$raw,"status":$status,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("/tmp/graft_bench_detail.json")
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val out = Seq(2, 1).map(line).find(_.length <= 1870).getOrElse(line(1))
     spark.stop()
+    println(out)
   }
 }
