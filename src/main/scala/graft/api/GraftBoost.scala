@@ -87,10 +87,12 @@ object GraftBoost {
       private[api] val specFeatureWeights: Option[Array[Double]],
       private[api] val session: SparkSession,
       private[api] val objName: String,
+      private[api] val numOutputs: Int,
       private[api] val baseScore: Double,
       private[api] val maxBins: Int,
       private[api] val seed: Long,
-      private[api] val forTraining: Boolean) {
+      private[api] val forTraining: Boolean,
+      private[api] val loadCallbacks: Seq[DistributedCallback]) {
 
     def numFeatures: Int = bins.numFeatures
 
@@ -119,6 +121,21 @@ object GraftBoost {
    * spec, fit the binner, bin+pack into cached TrainBlocks. The
    * binning-relevant params (objective, baseScore, maxBins, seed,
    * storageLevel) are captured; later train() calls must match them.
+   *
+   * The fast (uncached) path evaluates the input lineage more than
+   * once (count, binner fit, pack) and assumes those evaluations see
+   * the same rows; a plan containing non-deterministic expressions
+   * (rand(), unseeded shuffle-order dependence) is detected and takes
+   * the cached path instead. A table MUTATED between the scans is
+   * outside what any engine-side check can see — snapshot such inputs
+   * first.
+   *
+   * `distributedCallbacks` passed HERE get the full lifecycle: their
+   * before/afterDataLoading hooks fire as the matrix materializes
+   * (the reference fires them inside its memoized load_data,
+   * main.py). Callbacks first supplied to [[BinnedMatrix.train]] can
+   * only fire their training-phase hooks — the data is already
+   * loaded — and trainBinned warns when that happens.
    */
   def materialize(df: DataFrame, spec: DMatrixSpec, params: TrainParams,
       numWorkers: Int = 0,
@@ -148,7 +165,14 @@ object GraftBoost {
     // input frame — prepare is 1:1 (no filter anywhere in assemble/
     // sort/repartition), and Catalyst answers count() from parquet
     // row-group metadata instead of a data scan.
-    val cachePrepared = distributedCallbacks.nonEmpty || obj.needsGroups
+    // A non-deterministic input plan (rand() projections, sampling
+    // whose output order the optimizer may not pin) would make the
+    // count / binner-fit / pack scans disagree — cache the prepared
+    // rows once in that case so every pass reads the same snapshot.
+    val nondetPlan = df.queryExecution.analyzed.exists(
+      _.expressions.exists(!_.deterministic))
+    val cachePrepared = distributedCallbacks.nonEmpty ||
+      obj.needsGroups || nondetPlan
     val prepared0 = prepare(df, spec, obj, numWorkers, distributedCallbacks)
     val prepared =
       if (cachePrepared) prepared0.persist(params.storageLevel)
@@ -162,8 +186,9 @@ object GraftBoost {
     if (cachePrepared) prepared.unpersist(blocking = false)
     val names = attachableNames(spec, df, bins.numFeatures)
     new BinnedMatrix(blocks, bins, catFlags, names, spec.featureWeights,
-      df.sparkSession, obj.name, params.baseScore, params.maxBins,
-      params.seed, forTraining = true)
+      df.sparkSession, obj.name, obj.numOutputs, params.baseScore,
+      params.maxBins, params.seed, forTraining = true,
+      loadCallbacks = distributedCallbacks)
   }
 
   /** Materialize an EVAL set against an existing training matrix's
@@ -174,18 +199,24 @@ object GraftBoost {
       spec: DMatrixSpec, params: TrainParams, numWorkers: Int = 0)
       : BinnedMatrix = {
     val obj = Objectives.resolve(params)
+    // numOutputs is checked separately from the name: softmax/custom
+    // objective names don't encode numClass, and a width mismatch
+    // corrupts the packed margin stride rather than failing loudly.
     require(obj.name == train.objName &&
+      obj.numOutputs == train.numOutputs &&
       params.baseScore == train.baseScore,
       s"graft: eval matrix must bin under the training matrix's " +
-        s"objective/baseScore ('${train.objName}', ${train.baseScore}); " +
-        s"got '${obj.name}', ${params.baseScore}")
+        s"objective/baseScore ('${train.objName}' ×${train.numOutputs}, " +
+        s"${train.baseScore}); " +
+        s"got '${obj.name}' ×${obj.numOutputs}, ${params.baseScore}")
     val ev = toBinned(prepare(df, spec, obj, numWorkers), train.bins,
       obj, params.baseScore, tolerateUnseenCats = true)
       .persist(params.storageLevel)
     ev.foreachPartition(_ => ())
     new BinnedMatrix(ev, train.bins, train.catFlags, Nil, None,
-      df.sparkSession, train.objName, train.baseScore, train.maxBins,
-      train.seed, forTraining = false)
+      df.sparkSession, train.objName, train.numOutputs, train.baseScore,
+      train.maxBins, train.seed, forTraining = false,
+      loadCallbacks = Nil)
   }
 
   private[api] def trainBinned(data: BinnedMatrix, params: TrainParams,
@@ -198,16 +229,35 @@ object GraftBoost {
       "graft: this matrix was materialized as an EVAL set " +
         "(unseen-category-tolerant binning); materialize(df, ...) the " +
         "training data instead")
+    // obj.numOutputs is checked in addition to the name: the name
+    // alone doesn't pin numClass (multi:softmax with numClass=3 vs 5
+    // resolves to the same name), and the packed blocks carry margins
+    // at stride k — reading them at a different stride is an executor
+    // AIOOBE at best and silently corrupt gradients at worst.
     require(obj.name == data.objName &&
+      obj.numOutputs == data.numOutputs &&
       params.baseScore == data.baseScore &&
       params.maxBins == data.maxBins && params.seed == data.seed,
       s"graft: BinnedMatrix was materialized for objective " +
-        s"'${data.objName}' (baseScore ${data.baseScore}, maxBins " +
-        s"${data.maxBins}, seed ${data.seed}); train() got " +
-        s"'${obj.name}' (${params.baseScore}, ${params.maxBins}, " +
-        s"${params.seed}) — these shape the bin cuts, init margins and " +
-        "block layout; re-materialize to change them")
+        s"'${data.objName}' ×${data.numOutputs} (baseScore " +
+        s"${data.baseScore}, maxBins ${data.maxBins}, seed " +
+        s"${data.seed}); train() got '${obj.name}' ×${obj.numOutputs} " +
+        s"(${params.baseScore}, ${params.maxBins}, ${params.seed}) — " +
+        "these shape the bin cuts, init margins and block layout; " +
+        "re-materialize to change them")
     checkMonotoneCats(params, data.catFlags)
+    // Loading-phase hooks fire at materialize time (the reference
+    // fires them inside its memoized load_data); a callback instance
+    // first seen here can only get its training-phase hooks. Warn —
+    // silence would read as the hook contract being broken.
+    val lateCbs = distributedCallbacks.filterNot(cb =>
+      data.loadCallbacks.exists(_ eq cb))
+    if (lateCbs.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger("graft").warn(
+        s"train() received ${lateCbs.size} distributed callback(s) that " +
+          "materialize() never saw: their before/afterDataLoading hooks " +
+          "will NOT fire (the matrix is already loaded). Pass loading " +
+          "callbacks to materialize().")
     val evalRdds = evals.map { case (n, ev) =>
       if (ev eq data) (n, data.blocks) // the dtrain idiom
       else {
@@ -315,7 +365,13 @@ object GraftBoost {
     // bins/weights/margins arrays are shared by reference and the
     // per-label boost owns (and frees) only its view. Cuts are
     // identical to the per-label pipeline (same features, same binner
-    // seed): L labels cost 2 data scans total instead of 2L.
+    // seed): L labels cost 2 data scans total instead of 2L. The
+    // by-reference sharing holds for DESERIALIZED storage levels
+    // (boost's persist of the view then stores object refs into the
+    // composite's arrays); under a _SER level each view's persist
+    // serializes its own full byte copy for the duration of that
+    // label's training — the 2-scan saving stands, the memory
+    // saving does not.
     spec.validate(df, requireLabel = true)
     val catFlags = spec.categoricalFlags(df)
     checkMonotoneCats(params, catFlags)

@@ -118,8 +118,14 @@ object GraftGridSearch {
   private def sharedMatrix(df: DataFrame, valDf: DataFrame,
       spec: DMatrixSpec, grid: Seq[TrainParams], numWorkers: Int)
       : Option[(GraftBoost.BinnedMatrix, GraftBoost.BinnedMatrix)] =
-    if (grid.map(p => (Objectives.resolve(p).name, p.baseScore,
-        p.maxBins, p.seed, p.storageLevel)).distinct.size == 1) {
+    if (grid.map { p =>
+        val o = Objectives.resolve(p)
+        // numOutputs is part of the key: a grid sweeping numClass
+        // resolves to one objective NAME but different margin strides,
+        // which must not share one packed matrix.
+        (o.name, o.numOutputs, p.baseScore, p.maxBins, p.seed,
+          p.storageLevel)
+      }.distinct.size == 1) {
       val m = GraftBoost.materialize(df, spec, grid.head, numWorkers)
       // scoring on the training frame itself (the dtrain idiom):
       // alias the train matrix instead of binding a duplicate copy.

@@ -91,4 +91,51 @@ class BinnedMatrixSpec extends SparkTestBase {
     assert(e4.getMessage.contains("materializeEval"))
     mx.unpersist(); mx2.unpersist(); ev.unpersist()
   }
+
+  private def mcDf(n: Int, k: Int, seed: Int) = {
+    val rng = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      val a = rng.nextDouble() * 4; val b = rng.nextDouble() * 4
+      (a, b, ((a + b).toInt % k).toDouble)
+    }.toDF("a", "b", "y").repartition(3)
+  }
+
+  test("numClass drift fails fast: the objective NAME alone does not " +
+      "pin the packed margin stride") {
+    val spec = DMatrixSpec("y")
+    val p3 = params.copy(objective = "multi:softmax", numClass = 3,
+      evalMetric = Seq("merror"))
+    val mx = GraftBoost.materialize(mcDf(300, 3, 7), spec, p3)
+    // same objective name, wider stride: must be rejected up front,
+    // not read k=3 margins at stride 5 on the executors
+    val e = intercept[IllegalArgumentException] {
+      mx.train(p3.copy(numClass = 5))
+    }
+    assert(e.getMessage.contains("re-materialize"))
+    // an eval bound at a different numClass is rejected the same way
+    val e2 = intercept[IllegalArgumentException] {
+      GraftBoost.materializeEval(mcDf(100, 3, 8), mx, spec,
+        p3.copy(numClass = 5))
+    }
+    assert(e2.getMessage.contains("×3"))
+    mx.unpersist()
+  }
+
+  test("a grid sweeping numClass does not share one packed matrix") {
+    val spec = DMatrixSpec("y")
+    val base = params.copy(objective = "multi:softmax",
+      evalMetric = Seq("merror"), numRounds = 2)
+    val train = mcDf(300, 4, 9)
+    // k=3 folds label 3 into an out-of-range class; use labels <3 only
+    // for that candidate's data to keep both trials well-formed — the
+    // point is that the search must NOT bind both to one matrix.
+    val grid = Seq(base.copy(numClass = 4), base.copy(numClass = 5))
+    val res = graft.ml.GraftGridSearch.fit(train, spec, grid, train)
+    assert(res.trials.size === 2)
+    // each trial trained at its own stride: the models disagree on
+    // numClass and both carry finite scores (corrupt margins would
+    // blow up merror or the trees)
+    assert(res.trials.forall(t => !t.score.isNaN))
+    assert(res.bestResult.model.numClass >= 4)
+  }
 }
