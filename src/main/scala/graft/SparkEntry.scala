@@ -757,9 +757,41 @@ object SparkEntry {
         "query_id", k = 10, nCells = 16, nProbe = 10)
         .orderBy("query_id", "rank")
     }),
+    // ---- similarity: PQ codebook + codes (X46) — FULL oracle: the
+    //      whole train+encode pipeline (salted-md5 init, Lloyd rounds
+    //      with exact fixed-point BIGINT component sums, and — beyond
+    //      the dd_semdedup recipe — QUANTIZED-BIGINT distance argmin,
+    //      so assignments are bit-identical by construction, not by
+    //      matched float expression shapes) replays in DuckDB; the
+    //      packed code and the quantized reconstruction error are both
+    //      exact integers ----
+    "sim_pq_encode" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 8, ksub = 16, lloydIters = 2, seed = 11L)
+      Similarity.pqEncode(e, cb, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("pq_code"), col("recon_q"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- similarity: PQ ADC top-k with exact re-rank (X46) — the
+    //      compressed-domain ANN scale path (80-bit codes vs 256-byte
+    //      vectors); approximate, so rows-only with the recall floor
+    //      gated by sim_recall_check/RecallSpec like LSH/IVF ----
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      // m/ksub/rerank tuned for recall ≥ 0.8 at the gate SFs
+      // (16×32 codebooks + 8× shortlist scored 0.96 / 0.93)
+      Similarity.pqTopK(e, q, "vec_id", "embedding", "query_id",
+        k = 10, m = 16, ksub = 32, lloydIters = 3, rerank = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_recall_check" -> ((s, dir) => {
-      // per-query recall floor for BOTH ANN methods against one shared
-      // brute-force pass — the sampled-query-set self-check a
+      // per-query recall floor for ALL THREE ANN methods against one
+      // shared brute-force pass — the sampled-query-set self-check a
       // production ANN rollout runs at 100 TB, timed as its own row
       val e = ld(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -776,7 +808,11 @@ object SparkEntry {
         "embedding", "query_id", k = 10, planes = 6, tables = 8), "lsh")
       val ivf = recallRows(Similarity.ivfTopK(e, q, "vec_id",
         "embedding", "query_id", k = 10, nCells = 16, nProbe = 10), "ivf")
-      lsh.unionByName(ivf).orderBy("method", "query_id")
+      val pq = recallRows(Similarity.pqTopK(e, q, "vec_id",
+        "embedding", "query_id", k = 10, m = 16, ksub = 32,
+        lloydIters = 3, rerank = 8), "pq")
+      lsh.unionByName(ivf).unionByName(pq)
+        .orderBy("method", "query_id")
     }),
     "tx_winnow" -> ((s, dir) => {
       // scalar digests of the sketch (the driver harness can't sort
@@ -3091,6 +3127,69 @@ object SparkEntry {
         |SELECT doc_id, channel, n_px, round(mean, 6) AS mean,
         | round(sqrt(greatest(m2 - mean * mean, 0)), 6) AS std
         | FROM a ORDER BY doc_id, channel""".stripMargin,
+    // PQ train+encode: unrolled deterministic per-subspace k-means —
+    // init = 16 smallest md5("11:"||id) rows (subspace s takes slice
+    // [s·8+1, s·8+8] of the same seed rows), two Lloyd rounds with
+    // exact fixed-point BIGINT component sums (floor(v·2^20 + 0.5)),
+    // and assignment by QUANTIZED squared-L2 (Σ floor((v−c)²·2^20+0.5)
+    // as BIGINT, ties → lower centroid) — every comparison is an exact
+    // integer, so cluster membership cannot drift by a float ulp
+    "sim_pq_encode" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |ss AS (SELECT UNNEST(range(0, 8)) AS s),
+        |sub AS (SELECT b.id, ss.s, b.v[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM base b CROSS JOIN ss),
+        |seeds AS (SELECT row_number() OVER (
+        |    ORDER BY md5(concat('11:', CAST(id AS VARCHAR)))) - 1 AS ci, id
+        |  FROM base ORDER BY md5(concat('11:', CAST(id AS VARCHAR))) LIMIT 16),
+        |init AS (SELECT t.s, sd.ci, t.sv AS c
+        |  FROM seeds sd JOIN sub t ON t.id = sd.id),
+        |a1 AS (SELECT id, s, sv, ci FROM (
+        |  SELECT t.id, t.s, t.sv, i.ci, row_number() OVER (PARTITION BY t.id, t.s
+        |    ORDER BY list_sum(list_transform(range(1, 9),
+        |      j -> CAST(floor((t.sv[j] - i.c[j]) * (t.sv[j] - i.c[j])
+        |        * 1048576.0 + 0.5) AS BIGINT))), i.ci) AS rn
+        |  FROM sub t JOIN init i ON t.s = i.s) WHERE rn = 1),
+        |s1 AS (SELECT s, ci, j, count(*) AS cnt,
+        |    sum(CAST(floor(e * 1048576 + 0.5) AS BIGINT)) AS qs
+        |  FROM (SELECT s, ci, UNNEST(sv) AS e, UNNEST(range(1, 9)) AS j FROM a1)
+        |  GROUP BY s, ci, j),
+        |u1 AS (SELECT s, ci,
+        |    list((CAST(qs AS DOUBLE) / cnt) / 1048576.0 ORDER BY j) AS c
+        |  FROM s1 GROUP BY s, ci),
+        |c1 AS (SELECT i.s, i.ci, COALESCE(u1.c, i.c) AS c FROM init i
+        |  LEFT JOIN u1 ON i.s = u1.s AND i.ci = u1.ci),
+        |a2 AS (SELECT id, s, sv, ci FROM (
+        |  SELECT t.id, t.s, t.sv, i.ci, row_number() OVER (PARTITION BY t.id, t.s
+        |    ORDER BY list_sum(list_transform(range(1, 9),
+        |      j -> CAST(floor((t.sv[j] - i.c[j]) * (t.sv[j] - i.c[j])
+        |        * 1048576.0 + 0.5) AS BIGINT))), i.ci) AS rn
+        |  FROM sub t JOIN c1 i ON t.s = i.s) WHERE rn = 1),
+        |s2 AS (SELECT s, ci, j, count(*) AS cnt,
+        |    sum(CAST(floor(e * 1048576 + 0.5) AS BIGINT)) AS qs
+        |  FROM (SELECT s, ci, UNNEST(sv) AS e, UNNEST(range(1, 9)) AS j FROM a2)
+        |  GROUP BY s, ci, j),
+        |u2 AS (SELECT s, ci,
+        |    list((CAST(qs AS DOUBLE) / cnt) / 1048576.0 ORDER BY j) AS c
+        |  FROM s2 GROUP BY s, ci),
+        |c2 AS (SELECT i.s, i.ci, COALESCE(u2.c, i.c) AS c FROM c1 i
+        |  LEFT JOIN u2 ON i.s = u2.s AND i.ci = u2.ci),
+        |a3 AS (SELECT id, s, ci, dq FROM (
+        |  SELECT t.id, t.s, i.ci,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> CAST(floor((t.sv[j] - i.c[j]) * (t.sv[j] - i.c[j])
+        |        * 1048576.0 + 0.5) AS BIGINT))) AS dq,
+        |    row_number() OVER (PARTITION BY t.id, t.s
+        |      ORDER BY list_sum(list_transform(range(1, 9),
+        |        j -> CAST(floor((t.sv[j] - i.c[j]) * (t.sv[j] - i.c[j])
+        |          * 1048576.0 + 0.5) AS BIGINT))), i.ci) AS rn
+        |  FROM sub t JOIN c2 i ON t.s = i.s) WHERE rn = 1)
+        |SELECT id AS vec_id, CAST(sum(CAST(ci AS BIGINT)
+        |    * (CAST(1 AS BIGINT) << (4 * CAST(s AS INT)))) AS BIGINT)
+        |    AS pq_code,
+        |  CAST(sum(CAST(dq AS BIGINT)) AS BIGINT) AS recon_q
+        |FROM a3 GROUP BY id ORDER BY vec_id""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |   CAST(embedding AS DOUBLE[]) AS qv

@@ -398,4 +398,259 @@ object Similarity {
         cosineNative(spark, col("vec"), col("qvec")))
     heapTopKByQuery(scored, k)
   }
+
+  // ---------------- product quantization (X46) ----------------
+
+  /**
+   * PQ codebook (Jégou et al. 2011): the vector space split into `m`
+   * subspaces of `dsub = dim/m` dims, each with its own `kEff ≤ ksub`
+   * centroid table. `centroids(s * kEff + ci)` is centroid `ci` of
+   * subspace `s`. At 100 TB this is the embedding-store memory lever:
+   * m=8 × ksub=16 encodes a 64-dim float vector (256 B) into a 32-bit
+   * code — 64× smaller — while ADC search stays a table-lookup scan.
+   *
+   * Deterministic BY CONSTRUCTION (the [[graft.ops.Dedup.semDedup]]
+   * recipe, hardened one step further): init = the `ksub` smallest
+   * salted-md5 rows, Lloyd component sums in exact fixed-point BIGINTs,
+   * and — new here — ASSIGNMENT itself compares fixed-point BIGINT
+   * distances (Σ_j floor((v_j − c_j)² · 2²⁰ + 0.5), ties to the lower
+   * centroid), so cluster membership is bit-identical across
+   * partitionings, retries, AND an independent SQL replay: every double
+   * op on both sides is the same two-operand sequence on exactly
+   * representable inputs, and the quantized sums are order-free.
+   */
+  final case class PqCodebook(m: Int, kEff: Int, dim: Int,
+      centroids: Array[Array[Double]]) {
+    def dsub: Int = dim / m
+    require(centroids.length == m * kEff,
+      s"pq: ${centroids.length} centroid tables for m=$m kEff=$kEff")
+  }
+
+  /** Fixed-point squared-L2 of `v[off, off+len)` vs centroid `c`:
+    * exact BIGINT, so argmin is order- and platform-invariant. */
+  @inline private def pqDistQ(v: Array[Double], off: Int,
+      c: Array[Double]): Long = {
+    var q = 0L; var j = 0
+    while (j < c.length) {
+      val d = v(off + j) - c(j)
+      q += math.floor(d * d * 1048576.0 + 0.5).toLong
+      j += 1
+    }
+    q
+  }
+
+  /** (code, distQ) of the nearest centroid in subspace `s` (quantized
+    * distance, ties to the lower index). */
+  private def pqAssign(v: Array[Double], s: Int, cb: PqCodebook)
+      : (Int, Long) = {
+    val off = s * cb.dsub
+    var best = 0; var bestQ = Long.MaxValue
+    var ci = 0
+    while (ci < cb.kEff) {
+      val q = pqDistQ(v, off, cb.centroids(s * cb.kEff + ci))
+      if (q < bestQ) { bestQ = q; best = ci }
+      ci += 1
+    }
+    (best, bestQ)
+  }
+
+  @inline private def maybeUnit(v: Array[Double],
+      normalize: Boolean): Array[Double] =
+    if (!normalize) v
+    else {
+      val n = norm(v)
+      if (n == 0) v else { var i = 0
+        while (i < v.length) { v(i) /= n; i += 1 }; v }
+    }
+
+  /**
+   * Train a PQ codebook over the corpus: per subspace, deterministic
+   * k-means (salted-md5 init rows shared across subspaces, `lloydIters`
+   * rounds of exact fixed-point component sums, quantized-distance
+   * assignment). ONE distributed aggregate per Lloyd round covers all
+   * `m` subspaces; driver state is the m·ksub·dsub-double codebook.
+   *
+   * `normalize = true` trains on L2-normalized vectors (cosine ranking
+   * == L2 ranking on the unit sphere — the ANN configuration);
+   * `normalize = false` is textbook L2 PQ and the SQL-replayable one.
+   */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
+      seed: Long = 11L, normalize: Boolean = false): PqCodebook = {
+    val spark = corpus.sparkSession
+    val seedVecs = corpus
+      .withColumn("__h", md5(concat_ws(":", lit(seed.toString),
+        col(idCol).cast("string"))))
+      .orderBy("__h").limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(r => maybeUnit(toDoubles(r.getSeq[Any](0)), normalize))
+    require(seedVecs.nonEmpty, "pqTrain: empty corpus")
+    val dim = seedVecs.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val kEff = seedVecs.length
+    var cb = PqCodebook(m, kEff, dim,
+      Array.tabulate(m * kEff) { i =>
+        val s = i / kEff; val ci = i % kEff
+        java.util.Arrays.copyOfRange(seedVecs(ci), s * dsub,
+          (s + 1) * dsub)
+      })
+
+    val vecs = corpus.select(col(vecCol)).rdd
+      .map(r => maybeUnit(toDoubles(r.getSeq[Any](0)), normalize))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    while (iter < lloydIters) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val sums = vecs.aggregate(new Array[Long](m * kEff * (dsub + 1)))(
+        (acc, v) => {
+          var s = 0
+          while (s < m) {
+            val (ci, _) = pqAssign(v, s, bc.value)
+            val base = (s * kEff + ci) * (dsub + 1)
+            acc(base) += 1L
+            var j = 0
+            while (j < dsub) {
+              acc(base + 1 + j) += math.floor(
+                v(s * dsub + j) * 1048576.0 + 0.5).toLong
+              j += 1
+            }
+            s += 1
+          }
+          acc
+        },
+        (a, c) => { var i = 0
+          while (i < a.length) { a(i) += c(i); i += 1 }; a })
+      bc.destroy()
+      cb = cb.copy(centroids = Array.tabulate(m * kEff) { i =>
+        val base = i * (dsub + 1)
+        val cnt = sums(base)
+        if (cnt == 0) cb.centroids(i) // empty cluster keeps its centroid
+        else Array.tabulate(dsub)(j =>
+          (sums(base + 1 + j).toDouble / cnt) / 1048576.0)
+      })
+      iter += 1
+    }
+    vecs.unpersist(blocking = false)
+    cb
+  }
+
+  /**
+   * Encode every row to its PQ code: `pq_code` packs the per-subspace
+   * centroid indices base-kEff (code_s · kEff^s, s=0 least
+   * significant; requires kEff^m to fit a Long), `recon_q` is the
+   * exact-BIGINT quantized reconstruction error Σ_s distQ_s — both
+   * replay bit-for-bit in SQL against the same deterministic codebook.
+   * One scan, zero shuffle; the codebook broadcasts.
+   */
+  def pqEncode(df: DataFrame, cb: PqCodebook, idCol: String,
+      vecCol: String, normalize: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    require(math.pow(cb.kEff.toDouble, cb.m.toDouble) <= 9.2e18,
+      s"pqEncode: kEff=${cb.kEff}^m=${cb.m} overflows the packed code")
+    val bc = spark.sparkContext.broadcast(cb)
+    val rows = df.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .map { r =>
+        val c = bc.value
+        val v = maybeUnit(toDoubles(r.getSeq[Any](1)), normalize)
+        var code = 0L; var reconQ = 0L; var mult = 1L
+        var s = 0
+        while (s < c.m) {
+          val (ci, q) = pqAssign(v, s, c)
+          code += ci * mult; mult *= c.kEff; reconQ += q
+          s += 1
+        }
+        Row(r.getLong(0), code, reconQ)
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("pq_code", LongType, nullable = false),
+      StructField("recon_q", LongType, nullable = false))))
+  }
+
+  /**
+   * PQ ANN: asymmetric-distance (ADC) top-k with exact re-rank. Both
+   * sides L2-normalize, so the L2-trained codebook ranks by cosine.
+   *
+   * Scan 1 (train): `lloydIters` aggregates build the codebook.
+   * Scan 2 (ADC): per partition, each row's code looks up m per-query
+   * distance-table entries; bounded heaps keep the k·rerank best per
+   * query — no scored-row shuffle (the bruteForceTopK shape, but each
+   * candidate costs m lookups instead of dim multiplies).
+   * Scan 3 (re-rank): the tiny |Q|·k·rerank shortlist broadcasts back
+   * against the corpus for exact cosine; map-side-combined heaps emit
+   * the final k. Fully deterministic end-to-end (codebook, ADC,
+   * tie-breaks) — unlike sampled-centroid IVF, a retry cannot shift
+   * the result.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, m: Int = 8,
+      ksub: Int = 16, lloydIters: Int = 2, rerank: Int = 4,
+      seed: Long = 11L): DataFrame = {
+    val spark = corpus.sparkSession
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, lloydIters, seed,
+      normalize = true)
+    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0),
+        maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true)))
+      .sortBy(_._1)
+    require(q.nonEmpty, "empty query set")
+    val nq = q.length
+    // per-query ADC tables: dt(j)(s*kEff + ci) = ||q_sub − c||²
+    val tables = q.map { case (_, qv) =>
+      Array.tabulate(cb.m * cb.kEff) { i =>
+        val s = i / cb.kEff
+        val c = cb.centroids(i)
+        var d2 = 0.0; var j = 0
+        while (j < c.length) {
+          val d = qv(s * cb.dsub + j) - c(j); d2 += d * d; j += 1
+        }
+        d2
+      }
+    }
+    val bc = spark.sparkContext.broadcast((cb, tables))
+    val shortK = k * rerank
+    val heaps = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .treeAggregate(Array.fill(nq)(new TopK(shortK)))(
+        seqOp = { (acc, row) =>
+          val (c, dts) = bc.value
+          val id = row.getLong(0)
+          val v = maybeUnit(toDoubles(row.getSeq[Any](1)),
+            normalize = true)
+          val codes = new Array[Int](c.m)
+          var s = 0
+          while (s < c.m) { codes(s) = pqAssign(v, s, c)._1; s += 1 }
+          var j = 0
+          while (j < nq) {
+            val dt = dts(j)
+            var dist = 0.0; var t = 0
+            while (t < c.m) { dist += dt(t * c.kEff + codes(t)); t += 1 }
+            acc(j).add(id, -dist) // heap keeps LARGEST score
+            j += 1
+          }
+          acc
+        },
+        combOp = { (a, b) =>
+          var j = 0
+          while (j < nq) { a(j).merge(b(j)); j += 1 }
+          a
+        },
+        depth = 2)
+    bc.destroy()
+    import spark.implicits._
+    val shortlist = (0 until nq).flatMap { j =>
+      heaps(j).ranked.map { case (id, _, _) => (q(j)._1, id) }
+    }.toDF("query_id", "id")
+    // exact re-rank: broadcast the bounded shortlist and the query
+    // vectors against ONE corpus scan — no corpus shuffle
+    val qDf = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec"))
+    val scored = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(shortlist), "id")
+      .join(broadcast(qDf), "query_id")
+      .withColumn("cosine", cosineNative(spark, col("vec"), col("qvec")))
+    heapTopKByQuery(scored, k)
+  }
 }

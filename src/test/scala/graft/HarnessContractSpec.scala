@@ -22,6 +22,9 @@ class HarnessContractSpec extends SparkTestBase {
       "per-group pairwise AUC pinned >= 0.95 in-query"),
     "sim_lsh_topk" -> "approximate ANN (recall gated by sim_recall_check)",
     "sim_ivf_topk" -> "approximate ANN (recall gated by sim_recall_check)",
+    "sim_pq_topk" -> ("approximate ANN (recall gated by " +
+      "sim_recall_check; the deterministic codebook+encode pipeline " +
+      "carries the full oracle via sim_pq_encode)"),
     "sim_recall_check" -> "the recall gate itself (self-referential)",
     "tx_bpe" -> ("iterative BPE merge learning has no SQL replay " +
       "(inherently sequential); r11: decode∘encode lossless " +

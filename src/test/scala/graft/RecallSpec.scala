@@ -32,4 +32,10 @@ class RecallSpec extends SparkTestBase {
     assert(avg >= 0.8, s"IVF avg recall $avg")
     assert(mn >= 0.7, s"IVF min per-query recall $mn")
   }
+
+  test("PQ recall_vs_exact: avg >= 0.8, per-query min >= 0.7") {
+    val (mn, avg) = recallStats("pq")
+    assert(avg >= 0.8, s"PQ avg recall $avg")
+    assert(mn >= 0.7, s"PQ min per-query recall $mn")
+  }
 }

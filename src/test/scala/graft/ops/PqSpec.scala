@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (X46): deterministic codebook training +
+ * encode, partition invariance of the whole pipeline, recall behavior
+ * of the ADC search, and the packing guard.
+ */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Clustered synthetic embeddings: `groups` centers in 16-dim space,
+    * `per` members each with a small deterministic offset. */
+  private def clustered(groups: Int, per: Int): Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(5)
+    val centers = Seq.fill(groups)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    (0 until groups * per).map { i =>
+      val c = centers(i % groups)
+      val v = c.zipWithIndex.map { case (x, j) =>
+        x + ((i / groups + j) % 7 - 3) * 0.01f
+      }
+      (i.toLong, v.toSeq)
+    }
+  }
+
+  test("codebook and codes are bit-identical across partitionings") {
+    val rows = clustered(6, 40)
+    val df1 = rows.toDF("id", "vec").repartition(1)
+    val df12 = rows.toDF("id", "vec").repartition(12)
+    val cb1 = Similarity.pqTrain(df1, "id", "vec", m = 4, ksub = 8)
+    val cb12 = Similarity.pqTrain(df12, "id", "vec", m = 4, ksub = 8)
+    assert(cb1.kEff === cb12.kEff)
+    cb1.centroids.zip(cb12.centroids).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq) // exact, not approximate
+    }
+    val e1 = Similarity.pqEncode(df1, cb1, "id", "vec")
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val e12 = Similarity.pqEncode(df12, cb12, "id", "vec")
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(e1 === e12)
+  }
+
+  test("clustered points share codes; reconstruction error reflects " +
+      "cluster tightness") {
+    val rows = clustered(4, 30)
+    val df = rows.toDF("id", "vec").repartition(3)
+    val cb = Similarity.pqTrain(df, "id", "vec", m = 4, ksub = 8,
+      lloydIters = 3)
+    val enc = Similarity.pqEncode(df, cb, "id", "vec")
+    // members of the same planted cluster land on the same full code
+    // far more often than chance: codes per planted group collapse
+    val groups = enc.withColumn("grp", col("id") % 4)
+      .groupBy("grp").agg(countDistinct("pq_code").as("codes"),
+        count(lit(1)).as("n")).collect()
+    groups.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2) / 2,
+        s"group ${r.get(0)}: ${r.getLong(1)} distinct codes over " +
+          s"${r.getLong(2)} members — quantizer learned nothing")
+    }
+    // recon_q is the exact sum of per-subspace quantized distances —
+    // nonnegative, and zero only for a vector equal to its centroids
+    assert(enc.filter(col("recon_q") < 0).count() === 0)
+  }
+
+  test("ADC top-k with re-rank finds planted near-duplicates and is " +
+      "deterministic across partitionings") {
+    val base = clustered(5, 24)
+    // the offset pattern cycles every 7 members, so ids 3/38/73/108
+    // are exact copies of each other; plant one more twin (id 9999) —
+    // all five must surface at cosine 1.0, id-ordered by the tie-break
+    val rows = base :+ (9999L, base(3)._2)
+    val q = Seq((3L, base(3)._2)).toDF("qid", "vec")
+    def run(parts: Int) =
+      Similarity.pqTopK(rows.toDF("id", "vec").repartition(parts), q,
+        "id", "vec", "qid", k = 5, m = 4, ksub = 8, rerank = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val r3 = run(3)
+    assert(r3.map(_._1) === Seq(3L, 38L, 73L, 108L, 9999L),
+      s"query 3's top-5 should be its four exact copies + the planted " +
+        s"twin in id order, got $r3")
+    assert(r3.forall(_._2 === 1.0))
+    assert(run(11) === r3) // partition-invariant end-to-end
+  }
+
+  test("small corpus: kEff < ksub trains and encodes; packing guard " +
+      "rejects overflowing configurations") {
+    val rows = clustered(2, 5) // 10 vectors < ksub=16
+    val df = rows.toDF("id", "vec")
+    val cb = Similarity.pqTrain(df, "id", "vec", m = 4, ksub = 16)
+    assert(cb.kEff === 10)
+    assert(Similarity.pqEncode(df, cb, "id", "vec").count() === 10)
+    // 32^16 > Long.MaxValue: the packed-code guard must fire
+    val wide = Similarity.PqCodebook(16, 32, 16,
+      Array.fill(16 * 32)(Array.fill(1)(0.0)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(df, wide, "id", "vec")
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
+}
