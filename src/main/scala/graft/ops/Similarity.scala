@@ -535,6 +535,30 @@ object Similarity {
     cb
   }
 
+  /** Persist a codebook as parquet (one row per (subspace, centroid))
+    * — the build-once/serve-many half of a PQ index: training scans
+    * the corpus, encode/search sessions reload KBs. Doubles round-trip
+    * parquet exactly, so a reloaded codebook assigns bit-identically. */
+  def savePqCodebook(spark: SparkSession, cb: PqCodebook,
+      path: String): Unit = {
+    import spark.implicits._
+    cb.centroids.zipWithIndex.map { case (c, i) =>
+      (i / cb.kEff, i % cb.kEff, cb.m, cb.kEff, cb.dim, c.toSeq)
+    }.toSeq.toDF("s", "ci", "m", "k_eff", "dim", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[PqCodebook]] written by [[savePqCodebook]]. */
+  def loadPqCodebook(spark: SparkSession, path: String): PqCodebook = {
+    val rows = spark.read.parquet(path)
+      .orderBy("s", "ci").collect()
+    require(rows.nonEmpty, s"loadPqCodebook: empty codebook at $path")
+    val h = rows.head
+    PqCodebook(h.getAs[Int]("m"), h.getAs[Int]("k_eff"),
+      h.getAs[Int]("dim"),
+      rows.map(_.getAs[Seq[Double]]("centroid").toArray))
+  }
+
   /**
    * Encode every row to its PQ code: `pq_code` packs the per-subspace
    * centroid indices base-kEff (code_s · kEff^s, s=0 least

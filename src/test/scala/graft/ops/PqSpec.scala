@@ -87,6 +87,26 @@ class PqSpec extends SparkTestBase {
     assert(run(11) === r3) // partition-invariant end-to-end
   }
 
+  test("codebook save/load round-trips exactly: reloaded encode is " +
+      "bit-identical") {
+    val rows = clustered(4, 20)
+    val df = rows.toDF("id", "vec").repartition(3)
+    val cb = Similarity.pqTrain(df, "id", "vec", m = 4, ksub = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-cb").toString + "/cb"
+    Similarity.savePqCodebook(spark, cb, dir)
+    val cb2 = Similarity.loadPqCodebook(spark, dir)
+    assert((cb2.m, cb2.kEff, cb2.dim) === (cb.m, cb.kEff, cb.dim))
+    cb.centroids.zip(cb2.centroids).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    val e1 = Similarity.pqEncode(df, cb, "id", "vec")
+      .orderBy("id").collect().toSeq
+    val e2 = Similarity.pqEncode(df, cb2, "id", "vec")
+      .orderBy("id").collect().toSeq
+    assert(e1 === e2)
+  }
+
   test("small corpus: kEff < ksub trains and encodes; packing guard " +
       "rejects overflowing configurations") {
     val rows = clustered(2, 5) // 10 vectors < ksub=16
