@@ -93,11 +93,16 @@ object Bench {
     // sbt's trailing "[success] ..." line (~80 bytes). 84 queries at
     // 2-decimal seconds is ~1850 bytes; if future queries push past the
     // budget, per-query precision degrades to 1 decimal automatically.
+    // Locale.ROOT: the default-locale %f can emit a comma decimal
+    // separator, which is invalid JSON
+    def fmt(prec: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f",
+        java.lang.Double.valueOf(v))
     def line(prec: Int): String = {
       val qs = results.map { case (k, m, _, _) =>
-        "\"" + k + "\":" + s"%.${prec}f".format(m)
+        "\"" + k + "\":" + fmt(prec, m)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     }
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"runs":$raw,"status":$status,"sf":"$sfDir"}"""

@@ -165,12 +165,15 @@ object GraftBoost {
     // input frame — prepare is 1:1 (no filter anywhere in assemble/
     // sort/repartition), and Catalyst answers count() from parquet
     // row-group metadata instead of a data scan.
-    // A non-deterministic input plan (rand() projections, sampling
-    // whose output order the optimizer may not pin) would make the
-    // count / binner-fit / pack scans disagree — cache the prepared
-    // rows once in that case so every pass reads the same snapshot.
-    val nondetPlan = df.queryExecution.analyzed.exists(
-      _.expressions.exists(!_.deterministic))
+    // A non-deterministic input plan (rand() projections, or a Sample
+    // node — seeded, but order-dependent over an unpinned shuffle, so
+    // re-evaluations can keep different ROWS) would make the count /
+    // binner-fit / pack scans disagree — cache the prepared rows once
+    // in that case so every pass reads the same snapshot.
+    val nondetPlan = df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+      case p => p.expressions.exists(!_.deterministic)
+    }
     val cachePrepared = distributedCallbacks.nonEmpty ||
       obj.needsGroups || nondetPlan
     val prepared0 = prepare(df, spec, obj, numWorkers, distributedCallbacks)

@@ -454,6 +454,16 @@ object Similarity {
     (best, bestQ)
   }
 
+  /** Fail fast on a ragged/truncated embedding: pqAssign reads fixed
+    * subspace offsets, so unlike the clamping brute-force/LSH/IVF
+    * paths a short vector here would be an opaque executor AIOOBE. */
+  @inline private def checkPqDim(v: Array[Double], dim: Int): Array[Double] = {
+    require(v.length == dim,
+      s"pq: vector of dim ${v.length} against a dim-$dim codebook — " +
+        "PQ requires a fixed embedding width")
+    v
+  }
+
   @inline private def maybeUnit(v: Array[Double],
       normalize: Boolean): Array[Double] =
     if (!normalize) v
@@ -486,6 +496,7 @@ object Similarity {
       .map(r => maybeUnit(toDoubles(r.getSeq[Any](0)), normalize))
     require(seedVecs.nonEmpty, "pqTrain: empty corpus")
     val dim = seedVecs.head.length
+    seedVecs.foreach(checkPqDim(_, dim))
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val dsub = dim / m
     val kEff = seedVecs.length
@@ -497,7 +508,8 @@ object Similarity {
       })
 
     val vecs = corpus.select(col(vecCol)).rdd
-      .map(r => maybeUnit(toDoubles(r.getSeq[Any](0)), normalize))
+      .map(r => checkPqDim(
+        maybeUnit(toDoubles(r.getSeq[Any](0)), normalize), dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     while (iter < lloydIters) {
@@ -576,7 +588,8 @@ object Similarity {
     val rows = df.select(col(idCol).cast("long"), col(vecCol)).rdd
       .map { r =>
         val c = bc.value
-        val v = maybeUnit(toDoubles(r.getSeq[Any](1)), normalize)
+        val v = checkPqDim(
+          maybeUnit(toDoubles(r.getSeq[Any](1)), normalize), c.dim)
         var code = 0L; var reconQ = 0L; var mult = 1L
         var s = 0
         while (s < c.m) {
@@ -606,18 +619,25 @@ object Similarity {
    * the final k. Fully deterministic end-to-end (codebook, ADC,
    * tie-breaks) — unlike sampled-centroid IVF, a retry cannot shift
    * the result.
+   *
+   * Pass `codebook` (from [[pqTrain]] with normalize=true, possibly
+   * [[loadPqCodebook]]-reloaded) to serve from a prebuilt index and
+   * skip the training scans — the build-once/serve-many path; m/ksub/
+   * lloydIters/seed are then ignored.
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, m: Int = 8,
       ksub: Int = 16, lloydIters: Int = 2, rerank: Int = 4,
-      seed: Long = 11L): DataFrame = {
+      seed: Long = 11L, codebook: Option[PqCodebook] = None)
+      : DataFrame = {
     val spark = corpus.sparkSession
-    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, lloydIters, seed,
-      normalize = true)
+    val cb = codebook.getOrElse(pqTrain(corpus, idCol, vecCol, m, ksub,
+      lloydIters, seed, normalize = true))
     val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
       .collect()
-      .map(r => (r.getLong(0),
-        maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true)))
+      .map(r => (r.getLong(0), checkPqDim(
+        maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true),
+        cb.dim)))
       .sortBy(_._1)
     require(q.nonEmpty, "empty query set")
     val nq = q.length
@@ -640,8 +660,8 @@ object Similarity {
         seqOp = { (acc, row) =>
           val (c, dts) = bc.value
           val id = row.getLong(0)
-          val v = maybeUnit(toDoubles(row.getSeq[Any](1)),
-            normalize = true)
+          val v = checkPqDim(maybeUnit(toDoubles(row.getSeq[Any](1)),
+            normalize = true), c.dim)
           val codes = new Array[Int](c.m)
           var s = 0
           while (s < c.m) { codes(s) = pqAssign(v, s, c)._1; s += 1 }

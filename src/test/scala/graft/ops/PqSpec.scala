@@ -85,6 +85,16 @@ class PqSpec extends SparkTestBase {
         s"twin in id order, got $r3")
     assert(r3.forall(_._2 === 1.0))
     assert(run(11) === r3) // partition-invariant end-to-end
+    // serve-from-prebuilt-index path: a pqTrain'd (normalize=true)
+    // codebook passed in must reproduce the train-inline result
+    val corpus = rows.toDF("id", "vec").repartition(3)
+    val cb = Similarity.pqTrain(corpus, "id", "vec", m = 4, ksub = 8,
+      normalize = true)
+    val served = Similarity.pqTopK(corpus, q, "id", "vec", "qid",
+      k = 5, rerank = 4, codebook = Some(cb))
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(served === r3)
   }
 
   test("codebook save/load round-trips exactly: reloaded encode is " +
