@@ -686,15 +686,23 @@ object Similarity {
     val shortlist = (0 until nq).flatMap { j =>
       heaps(j).ranked.map { case (id, _, _) => (q(j)._1, id) }
     }.toDF("query_id", "id")
-    // exact re-rank: broadcast the bounded shortlist and the query
-    // vectors against ONE corpus scan — no corpus shuffle
     val qDf = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(vecCol).as("qvec"))
-    val scored = corpus
+    heapTopKByQuery(pqRerank(corpus, idCol, vecCol, shortlist, qDf), k)
+  }
+
+  /** Exact re-rank stage of [[pqTopK]]: broadcast the bounded
+    * shortlist and the query vectors against ONE corpus scan — no
+    * corpus shuffle. Split out so the plan audit can pin the
+    * broadcast shape (the stage runs inside heapTopKByQuery's RDD
+    * lineage, invisible in the final query's executed plan). */
+  private[graft] def pqRerank(corpus: DataFrame, idCol: String,
+      vecCol: String, shortlist: DataFrame, qDf: DataFrame)
+      : DataFrame =
+    corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .join(broadcast(shortlist), "id")
       .join(broadcast(qDf), "query_id")
-      .withColumn("cosine", cosineNative(spark, col("vec"), col("qvec")))
-    heapTopKByQuery(scored, k)
-  }
+      .withColumn("cosine",
+        cosineNative(corpus.sparkSession, col("vec"), col("qvec")))
 }

@@ -46,6 +46,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("sim_pq_topk: only the pre-aggregated |Q|·k result reaches " +
+      "SQL, and the re-rank stage broadcasts the bounded shortlist " +
+      "and query set — the corpus is never shuffled by id") {
+    val p = plan("sim_pq_topk")
+    // like sim_topk: the bounded-heap aggregation emits a tiny RDD;
+    // a row_number() re-rank would show a Window over an exchange of
+    // every scored row
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+    // the re-rank stage runs inside that RDD's lineage, so audit it
+    // directly: shortlist (|Q|·k·rerank rows) and query vectors both
+    // broadcast against the one exact-cosine corpus re-scan — a
+    // SortMergeJoin here would shuffle the corpus by id at 100 TB
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val sl = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "id")
+    val q = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qvec"))
+    val rp = graft.ops.Similarity.pqRerank(e, "vec_id", "embedding",
+      sl, q).queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(rp).size == 2, rp)
+    assert(!rp.contains("SortMergeJoin"), rp)
+  }
+
   test("pp_decontam: the eval gram set broadcasts — the corpus is " +
       "never shuffled by gram") {
     val p = plan("pp_decontam")
