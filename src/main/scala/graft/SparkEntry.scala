@@ -811,7 +811,12 @@ object SparkEntry {
       val pq = recallRows(Similarity.pqTopK(e, q, "vec_id",
         "embedding", "query_id", k = 10, m = 16, ksub = 32,
         lloydIters = 3, rerank = 8), "pq")
-      lsh.unionByName(ivf).unionByName(pq)
+      // the billion-scale composition: coarse cells prune the scan,
+      // ADC scores within probed cells, exact re-rank finishes
+      val ivfpq = recallRows(Similarity.ivfPqTopK(e, q, "vec_id",
+        "embedding", "query_id", k = 10, nCells = 16, nProbe = 10,
+        m = 16, ksub = 32, lloydIters = 4, rerank = 12), "ivfpq")
+      lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
         .orderBy("method", "query_id")
     }),
     "tx_winnow" -> ((s, dir) => {

@@ -691,6 +691,111 @@ object Similarity {
     heapTopKByQuery(pqRerank(corpus, idCol, vecCol, shortlist, qDf), k)
   }
 
+  /**
+   * IVF-PQ ANN: the billion-scale composition — a deterministic
+   * coarse quantizer (the PQ k-means run with ONE subspace = whole
+   * vector) partitions the corpus into `nCells` cells; each query
+   * probes its `nProbe` nearest cells; ADC scores ONLY rows in probed
+   * cells; the exact-cosine re-rank finishes. Versus [[pqTopK]] the
+   * per-row work for a non-probing query drops from m lookups to
+   * zero — with cells balanced, the effective scan per query is
+   * ~nProbe/nCells of the corpus.
+   *
+   * Scale note: this harness form recomputes cell + code on the scan
+   * (index-free). A deployment materializes them ONCE via the same
+   * coarse/[[pqEncode]] assigners into a cell-partitioned code table,
+   * and a query then reads only its probed cells' partitions —
+   * partition pruning does the skipping, the math here is unchanged.
+   * Like [[pqTopK]] (and unlike sampled-centroid IVF) every stage is
+   * deterministic, so retries and partitionings cannot shift results.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      lloydIters: Int = 2, rerank: Int = 4, seed: Long = 11L)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    // coarse cells: the deterministic k-means, one whole-vector
+    // subspace; fine codebook: independent seed so its subspace
+    // clusters aren't correlated with the cell carve-up
+    val coarse = pqTrain(corpus, idCol, vecCol, m = 1, ksub = nCells,
+      lloydIters, seed, normalize = true)
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, lloydIters,
+      seed + 1000003L, normalize = true)
+    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), checkPqDim(
+        maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true),
+        cb.dim)))
+      .sortBy(_._1)
+    require(q.nonEmpty, "empty query set")
+    val nq = q.length
+    // per-query probe set (quantized-distance nearest cells) as a
+    // membership bitmap, and the ADC tables — both broadcast-small
+    val probes = q.map { case (_, qv) =>
+      val order = coarse.centroids.indices
+        .map(ci => (pqDistQ(qv, 0, coarse.centroids(ci)), ci)).sorted
+      val bits = new Array[Boolean](coarse.kEff)
+      order.take(math.min(nProbe, order.length))
+        .foreach { case (_, ci) => bits(ci) = true }
+      bits
+    }
+    val tables = q.map { case (_, qv) =>
+      Array.tabulate(cb.m * cb.kEff) { i =>
+        val s = i / cb.kEff
+        val c = cb.centroids(i)
+        var d2 = 0.0; var j = 0
+        while (j < c.length) {
+          val d = qv(s * cb.dsub + j) - c(j); d2 += d * d; j += 1
+        }
+        d2
+      }
+    }
+    val bc = spark.sparkContext.broadcast((coarse, cb, probes, tables))
+    val shortK = k * rerank
+    val heaps = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .treeAggregate(Array.fill(nq)(new TopK(shortK)))(
+        seqOp = { (acc, row) =>
+          val (co, c, prb, dts) = bc.value
+          val id = row.getLong(0)
+          val v = checkPqDim(maybeUnit(toDoubles(row.getSeq[Any](1)),
+            normalize = true), c.dim)
+          val cell = pqAssign(v, 0, co)._1
+          // codes computed lazily: only when some query probes this cell
+          var codes: Array[Int] = null
+          var j = 0
+          while (j < nq) {
+            if (prb(j)(cell)) {
+              if (codes == null) {
+                codes = new Array[Int](c.m)
+                var s = 0
+                while (s < c.m) { codes(s) = pqAssign(v, s, c)._1; s += 1 }
+              }
+              val dt = dts(j)
+              var dist = 0.0; var t = 0
+              while (t < c.m) { dist += dt(t * c.kEff + codes(t)); t += 1 }
+              acc(j).add(id, -dist)
+            }
+            j += 1
+          }
+          acc
+        },
+        combOp = { (a, b) =>
+          var j = 0
+          while (j < nq) { a(j).merge(b(j)); j += 1 }
+          a
+        },
+        depth = 2)
+    bc.destroy()
+    import spark.implicits._
+    val shortlist = (0 until nq).flatMap { j =>
+      heaps(j).ranked.map { case (id, _, _) => (q(j)._1, id) }
+    }.toDF("query_id", "id")
+    val qDf = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec"))
+    heapTopKByQuery(pqRerank(corpus, idCol, vecCol, shortlist, qDf), k)
+  }
+
   /** Exact re-rank stage of [[pqTopK]]: broadcast the bounded
     * shortlist and the query vectors against ONE corpus scan — no
     * corpus shuffle. Split out so the plan audit can pin the

@@ -38,4 +38,10 @@ class RecallSpec extends SparkTestBase {
     assert(avg >= 0.8, s"PQ avg recall $avg")
     assert(mn >= 0.7, s"PQ min per-query recall $mn")
   }
+
+  test("IVF-PQ recall_vs_exact: avg >= 0.8, per-query min >= 0.6") {
+    val (mn, avg) = recallStats("ivfpq")
+    assert(avg >= 0.8, s"IVF-PQ avg recall $avg")
+    assert(mn >= 0.6, s"IVF-PQ min per-query recall $mn")
+  }
 }

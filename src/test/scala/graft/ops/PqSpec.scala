@@ -117,6 +117,26 @@ class PqSpec extends SparkTestBase {
     assert(e1 === e2)
   }
 
+  test("IVF-PQ: cell pruning keeps planted twins and the whole " +
+      "pipeline is partition-invariant") {
+    val base = clustered(5, 24)
+    val rows = base :+ (9999L, base(3)._2)
+    val q = Seq((3L, base(3)._2)).toDF("qid", "vec")
+    def run(parts: Int) =
+      Similarity.ivfPqTopK(rows.toDF("id", "vec").repartition(parts),
+        q, "id", "vec", "qid", k = 5, nCells = 5, nProbe = 2, m = 4,
+        ksub = 8, rerank = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val r3 = run(3)
+    // identical vectors land in the SAME coarse cell by construction,
+    // so pruning cannot separate a query from its exact copies
+    assert(r3.map(_._1) === Seq(3L, 38L, 73L, 108L, 9999L),
+      s"expected the four exact copies + planted twin, got $r3")
+    assert(r3.forall(_._2 === 1.0))
+    assert(run(11) === r3)
+  }
+
   test("small corpus: kEff < ksub trains and encodes; packing guard " +
       "rejects overflowing configurations") {
     val rows = clustered(2, 5) // 10 vectors < ksub=16
