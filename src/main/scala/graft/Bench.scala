@@ -112,8 +112,10 @@ object Bench {
 
   /** The one machine-parsed stdout line. Locale.ROOT because the
     * default-locale %f can emit a comma decimal separator (invalid
-    * JSON); 2-decimal medians degrade to 1 decimal if the query set
-    * outgrows the budget. */
+    * JSON); 2-decimal medians degrade to 1 then 0 decimals if the
+    * query set outgrows the budget (the 0-decimal tier matters at the
+    * worst case — "99.99" and its 1-decimal form "100.0" are the same
+    * width, so only dropping the point actually shrinks the line). */
   private[graft] def compactLine(medians: Seq[(String, Double)],
       failed: Int, total: Double, sfDir: String): String = {
     def fmt(prec: Int, v: Double): String =
@@ -125,6 +127,7 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     }
-    Seq(2, 1).map(line).find(_.length <= LineBudget).getOrElse(line(1))
+    Seq(2, 1, 0).map(line).find(_.length <= LineBudget)
+      .getOrElse(line(0))
   }
 }

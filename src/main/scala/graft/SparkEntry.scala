@@ -789,9 +789,38 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- similarity: SQ8 codebook + codes (X48) — FULL oracle: the
+    //      codebook is exact integer min/max of fixed-point components
+    //      (order-free — nothing to replay carefully, unlike k-means),
+    //      and every encode output (code digests + L1 reconstruction
+    //      error) is an exact BIGINT ----
+    "sim_sq_encode" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val cb = Similarity.sqTrain(e, "embedding")
+      Similarity.sqEncode(e, cb, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("code_sum"),
+          col("code_wsum"), col("code_digest"), col("recon_q"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- similarity: SQ8 max-inner-product top-k (X48) — the ONLY
+    //      ANN path with a FULL search oracle: scoring is an exact
+    //      integer dot product over dequantized codes (ties → lower
+    //      id), so DuckDB replays train→encode→score→rank bit-for-bit;
+    //      recall vs exact cosine is additionally gated via
+    //      sim_recall_check's fifth method row ----
+    "sim_sq_topk" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.sqTopK(e, q, "vec_id", "embedding", "query_id", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_recall_check" -> ((s, dir) => {
-      // per-query recall floor for ALL THREE ANN methods against one
-      // shared brute-force pass — the sampled-query-set self-check a
+      // per-query recall floor for ALL approximate ANN methods against
+      // one shared brute-force pass — the sampled-query-set self-check a
       // production ANN rollout runs at 100 TB, timed as its own row
       val e = ld(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -816,7 +845,13 @@ object SparkEntry {
       val ivfpq = recallRows(Similarity.ivfPqTopK(e, q, "vec_id",
         "embedding", "query_id", k = 10, nCells = 16, nProbe = 10,
         m = 16, ksub = 32, lloydIters = 4, rerank = 12), "ivfpq")
+      // SQ8 is deterministic AND full-oracled (sim_sq_topk); its row
+      // here makes the recall-vs-exact-cosine evidence uniform across
+      // all five compressed/bucketed retrieval paths
+      val sq = recallRows(Similarity.sqTopK(e, q, "vec_id",
+        "embedding", "query_id", k = 10), "sq")
       lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
+        .unionByName(sq)
         .orderBy("method", "query_id")
     }),
     "tx_winnow" -> ((s, dir) => {
@@ -3195,6 +3230,65 @@ object SparkEntry {
         |    AS pq_code,
         |  CAST(sum(CAST(dq AS BIGINT)) AS BIGINT) AS recon_q
         |FROM a3 GROUP BY id ORDER BY vec_id""".stripMargin,
+    // SQ8 train+encode replay: per-dim integer min/max of the
+    // fixed-point components, round-half-up integer coding
+    // ((d·510 + span) // (2·span)), exact-integer dequantization and
+    // L1 reconstruction error — every comparison and output is a
+    // BIGINT, so there is no float expression shape to match at all
+    "sim_sq_encode" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |comp AS (SELECT id, UNNEST(range(1, len(v) + 1)) AS j,
+        |    UNNEST([CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) for x in v])
+        |      AS vq
+        |  FROM base),
+        |cb AS (SELECT j, min(vq) AS mn, max(vq) - min(vq) AS sp
+        |  FROM comp GROUP BY j),
+        |enc AS (SELECT c.id, c.j, c.vq, b.mn, b.sp,
+        |    CASE WHEN b.sp = 0 THEN 0
+        |      ELSE (least(greatest(c.vq - b.mn, 0), b.sp) * 510 + b.sp)
+        |        // (2 * b.sp) END AS code
+        |  FROM comp c JOIN cb b ON c.j = b.j),
+        |rec AS (SELECT id, j, vq, code,
+        |    CASE WHEN sp = 0 THEN mn
+        |      ELSE mn + (code * sp * 2 + 255) // 510 END AS rq
+        |  FROM enc)
+        |SELECT id AS vec_id,
+        |  CAST(sum(code) AS BIGINT) AS code_sum,
+        |  CAST(sum(code * j) AS BIGINT) AS code_wsum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list(CAST(code AS BIGINT) ORDER BY j)),
+        |    (acc, x) -> (acc * 257 + x) % 2147483647) AS code_digest,
+        |  CAST(sum(abs(vq - rq)) AS BIGINT) AS recon_q
+        |FROM rec GROUP BY id ORDER BY vec_id""".stripMargin,
+    // SQ8 MIPS replay: same train+encode+dequantize pipeline, then the
+    // exact integer dot product per (query, corpus) pair and a
+    // deterministic (score DESC, id) rank — the full search result
+    // hash-matches, not just a recall floor
+    "sim_sq_topk" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |comp AS (SELECT id, UNNEST(range(1, len(v) + 1)) AS j,
+        |    UNNEST([CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) for x in v])
+        |      AS vq
+        |  FROM base),
+        |cb AS (SELECT j, min(vq) AS mn, max(vq) - min(vq) AS sp
+        |  FROM comp GROUP BY j),
+        |rec AS (SELECT c.id, c.j,
+        |    CASE WHEN b.sp = 0 THEN b.mn
+        |      ELSE b.mn + ((CASE WHEN b.sp = 0 THEN 0
+        |        ELSE (least(greatest(c.vq - b.mn, 0), b.sp) * 510 + b.sp)
+        |          // (2 * b.sp) END) * b.sp * 2 + 255) // 510 END AS rq
+        |  FROM comp c JOIN cb b ON c.j = b.j),
+        |qr AS (SELECT id AS query_id, j, rq AS qrq FROM rec WHERE id < 8),
+        |sc AS (SELECT q.query_id, r.id,
+        |    CAST(sum(r.rq * q.qrq) AS BIGINT) AS score_q
+        |  FROM rec r JOIN qr q ON r.j = q.j GROUP BY q.query_id, r.id),
+        |rk AS (SELECT query_id, id, score_q,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, id) AS BIGINT) AS rank FROM sc)
+        |SELECT query_id, id, score_q, rank FROM rk WHERE rank <= 10
+        | ORDER BY query_id, rank""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |   CAST(embedding AS DOUBLE[]) AS qv

@@ -810,4 +810,215 @@ object Similarity {
       .join(broadcast(qDf), "query_id")
       .withColumn("cosine",
         cosineNative(corpus.sparkSession, col("vec"), col("qvec")))
+
+  // ---------------- scalar quantization (SQ8) ----------------
+
+  /**
+   * Per-dimension SQ8 codebook. Bounds are EXACT integer min/max of the
+   * fixed-point components `floor(v·2²⁰ + 0.5)` — order-free aggregates,
+   * so training is bit-deterministic across partitionings/retries (no
+   * float summation anywhere). 256 levels per dimension: a dim-d
+   * float32 vector stores as d bytes (4× smaller); the codebook itself
+   * is 2·d longs (broadcast-trivial).
+   */
+  final case class SqCodebook(minQ: Array[Long], maxQ: Array[Long]) {
+    require(maxQ.length == minQ.length,
+      s"sq: ${minQ.length} mins vs ${maxQ.length} maxes")
+    def dim: Int = minQ.length
+    @inline def spanQ(i: Int): Long = maxQ(i) - minQ(i)
+  }
+
+  @inline private def q20(x: Double): Long =
+    math.floor(x * 1048576.0 + 0.5).toLong
+
+  /** Code 0..255 for fixed-point component `vq`: round-half-up of
+    * (vq−min)·255/span in PURE integer arithmetic (out-of-range values
+    * — a batch encoded against an older codebook — clamp first). */
+  @inline private def sqCode(vq: Long, minQ: Long, spanQ: Long): Int =
+    if (spanQ == 0L) 0
+    else {
+      val d = math.min(math.max(vq - minQ, 0L), spanQ)
+      ((d * 510L + spanQ) / (2L * spanQ)).toInt
+    }
+
+  /** Exact-integer dequantization: code 0 → minQ, 255 → maxQ. */
+  @inline private def sqRecon(code: Int, minQ: Long, spanQ: Long): Long =
+    if (spanQ == 0L) minQ
+    else minQ + (code.toLong * spanQ * 2L + 255L) / 510L
+
+  private def sqReconRow(v: Array[Double], cb: SqCodebook)
+      : Array[Long] = {
+    require(v.length == cb.dim,
+      s"sq: vector of dim ${v.length} against a dim-${cb.dim} codebook")
+    Array.tabulate(cb.dim) { i =>
+      sqRecon(sqCode(q20(v(i)), cb.minQ(i), cb.spanQ(i)),
+        cb.minQ(i), cb.spanQ(i))
+    }
+  }
+
+  /**
+   * Train an SQ8 codebook: ONE corpus scan, a treeAggregate of per-dim
+   * integer min/max — no shuffle, no sampling, and (unlike k-means
+   * quantizers) no iteration. Deterministic by construction: min/max
+   * over exact integers is order- and partitioning-free.
+   */
+  def sqTrain(corpus: DataFrame, vecCol: String): SqCodebook = {
+    val agg = corpus.select(col(vecCol)).rdd
+      .map(r => toDoubles(r.getSeq[Any](0)))
+      .treeAggregate(null: Array[Long])(
+        seqOp = { (acc0, v) =>
+          val acc = if (acc0 != null) acc0 else {
+            val a = new Array[Long](2 * v.length)
+            java.util.Arrays.fill(a, 0, v.length, Long.MaxValue)
+            java.util.Arrays.fill(a, v.length, 2 * v.length, Long.MinValue)
+            a
+          }
+          val d = acc.length / 2
+          require(v.length == d,
+            s"sqTrain: vector of dim ${v.length} in a dim-$d corpus — " +
+              "SQ requires a fixed embedding width")
+          var i = 0
+          while (i < d) {
+            val q = q20(v(i))
+            if (q < acc(i)) acc(i) = q
+            if (q > acc(d + i)) acc(d + i) = q
+            i += 1
+          }
+          acc
+        },
+        combOp = (a, b) =>
+          if (a == null) b else if (b == null) a
+          else {
+            val d = a.length / 2
+            var i = 0
+            while (i < d) {
+              if (b(i) < a(i)) a(i) = b(i)
+              if (b(d + i) > a(d + i)) a(d + i) = b(d + i)
+              i += 1
+            }
+            a
+          },
+        depth = 2)
+    require(agg != null, "sqTrain: empty corpus")
+    val d = agg.length / 2
+    SqCodebook(java.util.Arrays.copyOfRange(agg, 0, d),
+      java.util.Arrays.copyOfRange(agg, d, 2 * d))
+  }
+
+  /**
+   * Encode every row against the codebook: `sq_code` is the packed
+   * byte-per-dimension code (the 4×-compressed stored form), the digest
+   * columns are exact-integer scalar views of the full code vector
+   * (`code_sum` = Σc, `code_wsum` = Σc·(i+1) — order-sensitive,
+   * `code_digest` = fold (acc·257 + c) mod 2³¹−1), and `recon_q` is the
+   * exact L1 reconstruction error Σ|vq − dequant(c)| in fixed-point
+   * units. One scan, zero shuffle; every output is an exact BIGINT, so
+   * the whole train+encode pipeline replays bit-for-bit in SQL.
+   */
+  def sqEncode(df: DataFrame, cb: SqCodebook, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(cb)
+    val rows = df.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .map { r =>
+        val c = bc.value
+        val v = toDoubles(r.getSeq[Any](1))
+        require(v.length == c.dim,
+          s"sqEncode: vector of dim ${v.length} against a " +
+            s"dim-${c.dim} codebook")
+        val codes = new Array[Byte](c.dim)
+        var sum = 0L; var wsum = 0L; var digest = 0L; var reconQ = 0L
+        var i = 0
+        while (i < c.dim) {
+          val vq = q20(v(i))
+          val code = sqCode(vq, c.minQ(i), c.spanQ(i))
+          codes(i) = code.toByte
+          sum += code
+          wsum += code.toLong * (i + 1)
+          digest = (digest * 257L + code) % 2147483647L
+          reconQ += math.abs(vq - sqRecon(code, c.minQ(i), c.spanQ(i)))
+          i += 1
+        }
+        Row(r.getLong(0), codes, sum, wsum, digest, reconQ)
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sq_code", BinaryType, nullable = false),
+      StructField("code_sum", LongType, nullable = false),
+      StructField("code_wsum", LongType, nullable = false),
+      StructField("code_digest", LongType, nullable = false),
+      StructField("recon_q", LongType, nullable = false))))
+  }
+
+  /**
+   * SQ8 max-inner-product top-k: both sides dequantize to exact
+   * fixed-point integers and score by the EXACT integer dot product
+   * Σ recon(c_corpus)·recon(c_query) (ties → lower id) — so unlike
+   * every other ANN method here, the full search result is
+   * deterministic AND SQL-replayable (a full hash oracle, not just a
+   * recall floor). On unit-norm embeddings inner product ranks by
+   * cosine, so this is the drop-in 4×-compressed retrieval path.
+   *
+   * Shape: one training scan (integer min/max), then ONE corpus scan
+   * with per-partition bounded heaps — queries broadcast, no scored-row
+   * shuffle (the bruteForceTopK shape over codes). A deployment stores
+   * [[sqEncode]]'s byte codes once and scans those (4× less IO); the
+   * scores are identical by construction.
+   */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int,
+      codebook: Option[SqCodebook] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val cb = codebook.getOrElse(sqTrain(corpus, vecCol))
+    // exactness guard: |score| ≤ dim·maxR² must stay < 2⁵³ so the
+    // Long↔Double round-trip through the heap is lossless
+    val maxR = (0 until cb.dim)
+      .map(i => math.max(math.abs(cb.minQ(i)), math.abs(cb.maxQ(i))))
+      .foldLeft(1L)(math.max)
+    require(maxR.toDouble * maxR * cb.dim < 9.0e15,
+      s"sqTopK: component magnitude $maxR too large for exact " +
+        "integer scoring (needs |v| ≲ 8 after fixed-point scaling)")
+    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), sqReconRow(toDoubles(r.getSeq[Any](1)), cb)))
+      .sortBy(_._1)
+    require(q.nonEmpty, "empty query set")
+    val nq = q.length
+    val bc = spark.sparkContext.broadcast((cb, q.map(_._2)))
+    val heaps = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .treeAggregate(Array.fill(nq)(new TopK(k)))(
+        seqOp = { (acc, row) =>
+          val (c, qr) = bc.value
+          val id = row.getLong(0)
+          val rv = sqReconRow(toDoubles(row.getSeq[Any](1)), c)
+          var j = 0
+          while (j < nq) {
+            val qv = qr(j)
+            var s = 0L; var i = 0
+            while (i < c.dim) { s += rv(i) * qv(i); i += 1 }
+            acc(j).add(id, s.toDouble)
+            j += 1
+          }
+          acc
+        },
+        combOp = { (a, b) =>
+          var j = 0
+          while (j < nq) { a(j).merge(b(j)); j += 1 }
+          a
+        },
+        depth = 2)
+    bc.destroy()
+    val out = (0 until nq).flatMap { j =>
+      heaps(j).ranked.map { case (id, s, r) =>
+        Row(q(j)._1, id, s.toLong, r)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("score_q", LongType, nullable = false),
+        StructField("rank", IntegerType, nullable = false))))
+  }
 }

@@ -44,4 +44,12 @@ class RecallSpec extends SparkTestBase {
     assert(avg >= 0.8, s"IVF-PQ avg recall $avg")
     assert(mn >= 0.6, s"IVF-PQ min per-query recall $mn")
   }
+
+  test("SQ recall_vs_exact: avg >= 0.9, per-query min >= 0.8") {
+    // SQ8 keeps 8 bits per dimension (vs PQ's 8 bits per 4-dim
+    // subspace here), so its floor is the highest of the family
+    val (mn, avg) = recallStats("sq")
+    assert(avg >= 0.9, s"SQ avg recall $avg")
+    assert(mn >= 0.8, s"SQ min per-query recall $mn")
+  }
 }
