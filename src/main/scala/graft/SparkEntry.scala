@@ -299,6 +299,16 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- events: gap-rule sessionization (X49) — one shuffle carves
+    //      every user's event stream into sessions (6h gap), then
+    //      per-session features ride the same partitioning; all
+    //      timestamp math in integer nanos, value sums fixed-point ----
+    "ev_sessions" -> ((s, dir) =>
+      ops.Sessions.sessionStats(ld(s, dir, "events"), "user_id", "ts",
+        "event_id", gapSec = 21600, valueCol = "value",
+        typeCol = "event_type")
+        .orderBy("user_id", "session_idx")),
+
     // ---- dedup: exact ----
     "dd_exact" -> ((s, dir) => {
       Dedup.exact(ld(s, dir, "documents"), "doc_id", "text")
@@ -1750,6 +1760,31 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS DOUBLE), 2) AS run_price
         | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // sessionization replay: same gap rule over integer nanos (the
+    // 21600 s · 1e9 product is a literal — an INT32 gap times 1e9
+    // overflows DuckDB's default int math), same (ts, event_id)
+    // tie-break, fixed-point value sums
+    "ev_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_ns(ts) AS tn FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL
+        |      OR tn - lag(tn) OVER w > 21600000000000 THEN 1 ELSE 0 END
+        |      AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM s)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(tn // 1000000000) AS BIGINT) AS start_s,
+        |  CAST(max(tn // 1000000000) AS BIGINT) AS end_s,
+        |  CAST(max(tn // 1000000000) - min(tn // 1000000000) AS BIGINT)
+        |    AS duration_s,
+        |  CAST(sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS value_q,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         | FROM documents

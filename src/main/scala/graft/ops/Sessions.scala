@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/**
+ * Gap-rule event sessionization — the session carve-up a behavioral /
+ * clickstream pipeline runs before building per-session training
+ * examples (the event-log analog of the qid grouping the trainer's
+ * ranking path consumes; reference xgboost_ray shards ranking data by
+ * precomputed group, `matrix.py` qid handling — sessions are how those
+ * groups get MADE from raw logs).
+ *
+ * Scale shape: ONE shuffle (hash by the user column), an in-partition
+ * sort, and window passes over each user's ordered events — no driver
+ * state, no collect; the downstream per-session aggregate reuses the
+ * same partitioning (user_id co-locates every (user, session) group),
+ * so the whole pipeline is a single exchange. A power user with
+ * millions of events stays one partition's sequential scan — the
+ * inherent cost of the gap rule — while users parallelize freely.
+ *
+ * All timestamp arithmetic is INTEGER nanos (the events table carries
+ * timestamp[ns], read as Long under Spark's nanosAsLong conf; a double
+ * division at 1.7e18 nanos would lose sub-second precision), so the
+ * carve-up is bit-deterministic and replays exactly in SQL.
+ */
+object Sessions {
+
+  private val NanosPerSec = 1000000000L
+
+  /** Integer-nanos view of the timestamp column, whatever flavor the
+    * source carries: Long passes through (nanos by contract, the
+    * nanosAsLong parquet path); TIMESTAMP_NTZ converts TZ-FREE via
+    * exact interval-since-epoch decimal arithmetic (a cast through
+    * TimestampType would shift by the session time zone); TIMESTAMP is
+    * an instant, so unix_micros is already TZ-free. */
+  private def asNanos(events: DataFrame, tsCol: String): Column =
+    events.schema(tsCol).dataType match {
+      case LongType => col(tsCol)
+      case TimestampNTZType =>
+        ((col(tsCol) - lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+          .cast("decimal(30,6)") * lit(NanosPerSec)).cast("long")
+      case TimestampType => unix_micros(col(tsCol)) * lit(1000L)
+      case other => throw new IllegalArgumentException(
+        s"sessionize: $tsCol is $other — need Long nanos or a timestamp")
+    }
+
+  /**
+   * Assign a 1-based `session_idx` per user: a new session starts when
+   * the gap to the user's previous event exceeds `gapSec` (strictly —
+   * an exactly-gap-long pause stays in-session). Ordering ties on the
+   * timestamp break by `orderCol`, so the carve-up is deterministic
+   * under any partitioning.
+   */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, gapSec: Long): DataFrame = {
+    require(gapSec > 0, s"sessionize: gapSec must be positive, got $gapSec")
+    val tn = asNanos(events, tsCol)
+    val w = Window.partitionBy(userCol).orderBy(tn, col(orderCol))
+    val prev = lag(tn, 1).over(w)
+    events
+      .withColumn("__sess_new",
+        when(prev.isNull || tn - prev > lit(gapSec * NanosPerSec), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__sess_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__sess_new")
+  }
+
+  /** Epoch-second view of an integer-nanos column. `/` on longs is
+    * DOUBLE division in Spark (sub-integer error at 1.7e18 nanos flips
+    * the truncation); decimal division is exact, then the cast floors. */
+  private def toSec(c: Column): Column =
+    (c.cast("decimal(38,0)") / lit(NanosPerSec)).cast("long")
+
+  /**
+   * Session-level features over the [[sessionize]] carve-up: event
+   * count, start/end/duration in epoch seconds, the exact fixed-point
+   * sum of `valueCol` (Σ floor(v·2²⁰+0.5) — order-free BIGINT, so the
+   * result is partition-invariant), and the distinct event-type count.
+   * Same single-exchange plan: the aggregate's (user, session) keys are
+   * co-located by the window's user partitioning already.
+   */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, gapSec: Long, valueCol: String,
+      typeCol: String): DataFrame = {
+    val sec = toSec(asNanos(events, tsCol))
+    sessionize(events, userCol, tsCol, orderCol, gapSec)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(sec).as("start_s"),
+        max(sec).as("end_s"),
+        (max(sec) - min(sec)).as("duration_s"),
+        sum(floor(col(valueCol) * 1048576.0 + 0.5).cast("long"))
+          .as("value_q"),
+        countDistinct(col(typeCol)).as("n_types"))
+  }
+}

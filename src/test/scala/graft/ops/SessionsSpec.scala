@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/**
+ * Gap-rule sessionization (X49): boundary semantics, deterministic
+ * tie-breaks, partition invariance, and the single-exchange plan shape
+ * the scale story rests on.
+ */
+class SessionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val G = 1000000000L // nanos per second
+
+  /** (event_id, ts_nanos, user_id, event_type, value) rows. */
+  private def ev(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("strictly-greater-than-gap starts a new session; an " +
+      "exactly-gap pause stays in-session") {
+    val df = ev(
+      (0L, 0L, 1L, "a", 1.0),
+      (1L, 10L * G, 1L, "a", 1.0),      // gap == 10 s → same session
+      (2L, 20L * G + 1L, 1L, "a", 1.0), // 10 s + 1 ns → NEW session
+      (3L, 25L * G, 1L, "a", 1.0))
+    val r = Sessions.sessionize(df, "user_id", "ts", "event_id", 10)
+      .select("event_id", "session_idx").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r === Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("users are independent; ts ties break by the order column; the " +
+      "carve-up is partition-invariant") {
+    val rows = Seq(
+      (10L, 5L * G, 1L, "a", 1.0),
+      (11L, 5L * G, 1L, "b", 1.0),  // same ts → event_id order
+      (12L, 100L * G, 1L, "c", 1.0),
+      (20L, 5L * G, 2L, "a", 1.0))
+    def run(parts: Int) =
+      Sessions.sessionize(ev(rows: _*).repartition(parts), "user_id",
+        "ts", "event_id", 30)
+        .select("event_id", "user_id", "session_idx")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val r1 = run(1)
+    assert(r1 === Seq((10L, 1L, 1L), (11L, 1L, 1L), (12L, 1L, 2L),
+      (20L, 2L, 1L)))
+    assert(run(7) === r1)
+  }
+
+  test("sessionStats aggregates: counts, integer-second bounds, " +
+      "fixed-point value sum, distinct types") {
+    val df = ev(
+      (0L, 1L * G + 500000000L, 1L, "view", 1.25),  // 1.5 s → floor 1
+      (1L, 3L * G, 1L, "click", 2.5),
+      (2L, 500L * G, 1L, "view", 0.0))
+    val r = Sessions.sessionStats(df, "user_id", "ts", "event_id",
+      gapSec = 60, valueCol = "value", typeCol = "event_type")
+      .orderBy("session_idx").collect()
+    assert(r.length === 2)
+    val s1 = r(0)
+    assert(s1.getAs[Long]("n_events") === 2L)
+    assert(s1.getAs[Long]("start_s") === 1L)
+    assert(s1.getAs[Long]("end_s") === 3L)
+    assert(s1.getAs[Long]("duration_s") === 2L)
+    // 1.25·2²⁰ + 2.5·2²⁰ = 3.75·1048576 = 3932160
+    assert(s1.getAs[Long]("value_q") === 3932160L)
+    assert(s1.getAs[Long]("n_types") === 2L)
+    val s2 = r(1)
+    assert(s2.getAs[Long]("n_events") === 1L)
+    assert(s2.getAs[Long]("duration_s") === 0L)
+  }
+
+  test("TIMESTAMP_NTZ input (the events table's actual type) converts " +
+      "TZ-free: epoch seconds are wall-clock regardless of session TZ") {
+    val df = Seq(
+      (0L, "1970-01-01 00:00:01.5", 1L, "a", 1.0),
+      (1L, "1970-01-01 00:00:03.0", 1L, "b", 1.0),
+      (2L, "1970-01-01 00:02:00.0", 1L, "a", 1.0))
+      .toDF("event_id", "s", "user_id", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val r = Sessions.sessionStats(df, "user_id", "ts", "event_id",
+        gapSec = 60, valueCol = "value", typeCol = "event_type")
+        .orderBy("session_idx").collect()
+      assert(r.length === 2)
+      assert(r(0).getAs[Long]("start_s") === 1L) // not shifted by -5 h
+      assert(r(0).getAs[Long]("end_s") === 3L)
+      assert(r(1).getAs[Long]("start_s") === 120L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("the whole sessionize→stats pipeline is a single exchange " +
+      "(window and aggregate share the user partitioning)") {
+    val df = ev((0L, 0L, 1L, "a", 1.0), (1L, 5L * G, 2L, "b", 2.0))
+    val stats = Sessions.sessionStats(df, "user_id", "ts", "event_id",
+      gapSec = 10, valueCol = "value", typeCol = "event_type")
+    stats.collect()
+    val p = stats.queryExecution.executedPlan.toString
+    // the same exchange can print twice (subtree reuse) — count NODES:
+    // one distinct hash exchange, and it partitions by user_id alone
+    // (an exchange mentioning session_idx would mean the aggregate
+    // re-shuffled instead of riding the window's partitioning)
+    val ex = "Exchange hashpartitioning\\([^)]*\\)[^\\[]*\\[plan_id=(\\d+)\\]"
+      .r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(ex.size === 1, s"expected exactly one hash exchange:\n$p")
+    assert("Exchange hashpartitioning\\([^)]*session_idx".r
+      .findFirstIn(p).isEmpty,
+      s"aggregate re-shuffled on session_idx:\n$p")
+  }
+}
