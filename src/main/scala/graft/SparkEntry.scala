@@ -309,6 +309,17 @@ object SparkEntry {
         typeCol = "event_type")
         .orderBy("user_id", "session_idx")),
 
+    // ---- profiling: EXACT distributed quantiles + column stats
+    //      (X50) — per requested rank, iterative 2¹⁶-bucket range
+    //      narrowing (2–3 shared scans total, never a per-group value
+    //      collect or a full sort); every output is an exact BIGINT in
+    //      fixed-point units, so the whole profile hash-matches ----
+    "prof_stats" -> ((s, dir) =>
+      ops.Profiler.profile(ld(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        Seq(25, 50, 75, 95))
+        .orderBy("col_name")),
+
     // ---- dedup: exact ----
     "dd_exact" -> ((s, dir) => {
       Dedup.exact(ld(s, dir, "documents"), "doc_id", "text")
@@ -1674,6 +1685,35 @@ object SparkEntry {
         | FROM p WHERE hamming <= 3
         | ORDER BY keep_id, dup_id""".stripMargin
 
+  /** prof_stats oracle, generated per column: the rank formula is the
+    * same pure integer arithmetic the profiler uses
+    * (`(n−1)·pct/100 + 1`, lower quantile over ascending non-nulls),
+    * evaluated by row_number over the fixed-point values. */
+  private def profStatsOracle(table: String, cols: Seq[String],
+      pcts: Seq[Int]): String = {
+    val ctes = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        s"q_$i AS (SELECT CAST(floor(CAST($c AS DOUBLE) * 1048576.0" +
+          s" + 0.5) AS BIGINT) AS v FROM $table WHERE $c IS NOT NULL)",
+        s"r_$i AS (SELECT v, row_number() OVER (ORDER BY v) AS rn" +
+          s" FROM q_$i)")
+    }.mkString("WITH ", ",\n", "\n")
+    val blocks = cols.zipWithIndex.map { case (c, i) =>
+      val quantiles = pcts.map(p =>
+        s"  (SELECT v FROM r_$i WHERE rn = (SELECT (count(*) - 1)" +
+          s" * $p // 100 + 1 FROM q_$i)) AS p${p}_q").mkString(",\n")
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM q_$i) AS n,
+         |  CAST((SELECT count(*) FROM $table)
+         |    - (SELECT count(*) FROM q_$i) AS BIGINT) AS nulls,
+         |  (SELECT min(v) FROM q_$i) AS min_q,
+         |  (SELECT max(v) FROM q_$i) AS max_q,
+         |  (SELECT CAST(sum(v) AS BIGINT) FROM q_$i) AS sum_q,
+         |$quantiles""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$ctes$blocks\nORDER BY col_name"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s2_scan_prune" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -1785,6 +1825,9 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM x GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "prof_stats" -> profStatsOracle("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      Seq(25, 50, 75, 95)),
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         | FROM documents

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact distributed quantiles (X51): agreement with a driver-side
+ * sorted reference (the definition), multi-iteration range narrowing,
+ * ties, nulls, and partition invariance.
+ */
+class ProfilerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q20(x: Double): Long =
+    math.floor(x * 1048576.0 + 0.5).toLong
+
+  /** The definition the profiler must match: value at 1-indexed rank
+    * (n−1)·pct/100 + 1 of the ascending non-null fixed-point values. */
+  private def refQuantile(vs: Seq[Double], pct: Int): Long = {
+    val s = vs.map(q20).sorted
+    s(((s.length - 1).toLong * pct / 100L).toInt)
+  }
+
+  test("profile matches the sorted-reference definition (with nulls, " +
+      "ties, and pct 0/100) and is partition-invariant") {
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(997)(math.floor(rng.nextDouble() * 500) / 10.0)
+    val rows = vals.map(v => (Some(v), v * 3.5)) ++
+      Seq.fill(13)((Option.empty[Double], 1.0))
+    val pcts = Seq(0, 25, 50, 75, 95, 100)
+    def run(parts: Int) =
+      Profiler.profile(rows.toDF("a", "b").repartition(parts),
+        Seq("a", "b"), pcts).orderBy("col_name").collect()
+    val r = run(4)
+    val a = r(0); val b = r(1)
+    assert(a.getAs[String]("col_name") === "a")
+    assert(a.getAs[Long]("n") === 997L)
+    assert(a.getAs[Long]("nulls") === 13L)
+    assert(a.getAs[Long]("min_q") === vals.map(q20).min)
+    assert(a.getAs[Long]("max_q") === vals.map(q20).max)
+    assert(a.getAs[Long]("sum_q") === vals.map(q20).sum)
+    pcts.foreach { p =>
+      assert(a.getAs[Long](s"p${p}_q") === refQuantile(vals, p),
+        s"column a pct $p")
+      assert(b.getAs[Long](s"p${p}_q") ===
+        refQuantile(rows.map(_._2), p), s"column b pct $p")
+    }
+    assert(b.getAs[Long]("nulls") === 0L)
+    // bit-identical under a different partitioning
+    assert(run(1).map(_.toSeq).toSeq === r.map(_.toSeq).toSeq)
+  }
+
+  test("wide-range column forces multiple narrowing iterations and " +
+      "stays exact") {
+    // range ≈ 8e12 in fixed-point units ⇒ 65536-wide buckets twice
+    // before width-1 resolution (3 iterations)
+    val rng = new scala.util.Random(11)
+    val vals = Seq.fill(2003)(rng.nextDouble() * 8.0e6 - 4.0e6)
+    val df = vals.map(Tuple1(_)).toDF("x").repartition(8)
+    val r = Profiler.profile(df, Seq("x"), Seq(25, 50, 75)).head()
+    Seq(25, 50, 75).foreach { p =>
+      assert(r.getAs[Long](s"p${p}_q") === refQuantile(vals, p), s"pct $p")
+    }
+  }
+
+  test("heavy ties resolve to the tied value; n=1 returns it for " +
+      "every pct") {
+    val df = (Seq.fill(500)(2.5) ++ Seq.fill(10)(9.0) ++ Seq(1.0))
+      .map(Tuple1(_)).toDF("x").repartition(5)
+    val r = Profiler.profile(df, Seq("x"), Seq(50, 99)).head()
+    assert(r.getAs[Long]("p50_q") === q20(2.5))
+    assert(r.getAs[Long]("p99_q") === q20(9.0))
+    val one = Seq(Tuple1(42.25)).toDF("x")
+    val r1 = Profiler.profile(one, Seq("x"), Seq(0, 50, 100)).head()
+    Seq(0, 50, 100).foreach(p =>
+      assert(r1.getAs[Long](s"p${p}_q") === q20(42.25)))
+  }
+
+  test("an entirely-null column is rejected loudly") {
+    val df = Seq((Option.empty[Double], 1.0), (None, 2.0))
+      .toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Profiler.profile(df, Seq("a"), Seq(50))
+    }
+    assert(e.getMessage.contains("entirely null"))
+  }
+}
