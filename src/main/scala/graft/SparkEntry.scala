@@ -147,6 +147,19 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // ---- S: ORC source round-trip (X51) — the other columnar
+    //      warehouse format; same pushdown/pruning scan path as
+    //      parquet, dispatched through the same sniffing registry ----
+    "s5_orc_roundtrip" -> ((s, dir) => {
+      val supplier = ld(s, dir, "supplier")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        math.abs(dir.hashCode)
+      supplier.coalesce(1).write.mode("overwrite").orc(tmp)
+      val files = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".orc")).map(_.getPath).toSeq
+      DataLoader.load(s, files).orderBy("s_suppkey")
+    }),
+
     // ---- S3/S4: in-memory source round-trip ----
     "s3_mem_roundtrip" -> ((s, dir) => {
       val nation = ld(s, dir, "nation")
@@ -1721,6 +1734,8 @@ object SparkEntry {
         | ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "s1_csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "s5_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
     "s3_mem_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "p1_ignore_drop" ->

@@ -26,17 +26,21 @@ object DataLoader {
   case object CsvFile extends FileType
   case object ParquetFile extends FileType
   case object JsonFile extends FileType
+  case object OrcFile extends FileType
 
   /** Extension-based detection (csv.py:20-23, parquet.py:20-23);
     * JSONL — the de-facto web-corpus interchange format (one JSON
     * object per line, often gzipped) — is an r9 addition beyond the
-    * reference's registry. */
+    * reference's registry, as is ORC (the other columnar format a
+    * warehouse-fed pipeline inherits; same pushdown/pruning path as
+    * parquet in Spark's scan). */
   def sniffFiletype(path: String): Option[FileType] = {
     val p = path.toLowerCase
     if (p.endsWith(".csv") || p.endsWith(".csv.gz")) Some(CsvFile)
     else if (p.endsWith(".parquet") || p.endsWith(".pq")) Some(ParquetFile)
     else if (p.endsWith(".json") || p.endsWith(".jsonl") ||
       p.endsWith(".json.gz") || p.endsWith(".jsonl.gz")) Some(JsonFile)
+    else if (p.endsWith(".orc")) Some(OrcFile)
     else None
   }
 
@@ -69,6 +73,9 @@ object DataLoader {
       case Some(JsonFile) => // JSONL: one object per line (Spark default)
         val r = spark.read
         schema.map(r.schema).getOrElse(r).json(sorted: _*)
+      case Some(OrcFile) =>
+        val r = spark.read
+        schema.map(r.schema).getOrElse(r).orc(sorted: _*)
       case _ => // parquet is the default for dirs / unknown extensions
         val r = spark.read
         schema.map(r.schema).getOrElse(r).parquet(sorted: _*)

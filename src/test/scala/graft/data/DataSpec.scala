@@ -114,11 +114,31 @@ class DataSpec extends SparkTestBase {
     assert(sniffFiletype("x.json").contains(JsonFile))
     assert(sniffFiletype("x.jsonl").contains(JsonFile))
     assert(sniffFiletype("x.JSONL.gz").contains(JsonFile))
+    assert(sniffFiletype("x.orc").contains(OrcFile))
     assert(sniffFiletype("x.unknown").isEmpty)
     val e = intercept[IllegalArgumentException] {
       DataLoader.load(spark, Seq("a.csv", "b.parquet"))
     }
     assert(e.getMessage.contains("mixed"))
+  }
+
+  test("ORC round-trips exactly through the sniffing registry, with " +
+      "column pruning pushed to the scan (X51)") {
+    val src = Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, "c", 0.0))
+      .toDF("id", "s", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("orc-rt").toString
+    src.coalesce(1).write.mode("overwrite").orc(tmp)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.getPath).toSeq
+    val back = DataLoader.load(spark, files).orderBy("id")
+    assert(back.collect().map(_.toSeq).toSeq ===
+      src.orderBy("id").collect().map(_.toSeq).toSeq)
+    val pruned = DataLoader.load(spark, files,
+      columns = Some(Seq("id", "v")))
+    assert(pruned.columns.toSeq === Seq("id", "v"))
+    // pruning reaches the ORC scan itself, not a post-scan project
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("\"s\""), scan)
   }
 
   test("JSONL loads (plain + gzip), multi-file, with column pruning " +
