@@ -322,6 +322,16 @@ object SparkEntry {
         typeCol = "event_type")
         .orderBy("user_id", "session_idx")),
 
+    // ---- streaming: native session_window sessionization replay
+    //      (X52) — append-mode final sessions over the real events
+    //      table must equal the batch gap-rule carve-up (identical
+    //      boundary semantics, pinned by SessionsSpec), so the
+    //      stateful streaming session path gets a full DuckDB oracle ----
+    "st_sessions" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replaySessions(
+        ld(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        gapSec = 21600)),
+
     // ---- profiling: EXACT distributed quantiles + column stats
     //      (X50) — per requested rank, iterative 2¹⁶-bucket range
     //      narrowing (2–3 shared scans total, never a per-group value
@@ -1840,6 +1850,26 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM x GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    // streaming-session replay: the batch gap rule in exact integer
+    // MICROS (session_window's unit); end_us is last-event + gap (the
+    // close instant session_window reports), gap·1e6 as a literal
+    "st_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    epoch_ns(ts) // 1000 AS tu FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+        |      OR tu - lag(tu) OVER w > 21600000000 THEN 1 ELSE 0 END
+        |      AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS si
+        |  FROM s)
+        |SELECT user_id, CAST(min(tu) AS BIGINT) AS start_us,
+        |  CAST(max(tu) + 21600000000 AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS value_q
+        |FROM x GROUP BY user_id, si
+        |ORDER BY user_id, start_us""".stripMargin,
     "prof_stats" -> profStatsOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       Seq(25, 50, 75, 95)),

@@ -36,7 +36,7 @@ object Sessions {
     * exact interval-since-epoch decimal arithmetic (a cast through
     * TimestampType would shift by the session time zone); TIMESTAMP is
     * an instant, so unix_micros is already TZ-free. */
-  private def asNanos(events: DataFrame, tsCol: String): Column =
+  private[graft] def asNanos(events: DataFrame, tsCol: String): Column =
     events.schema(tsCol).dataType match {
       case LongType => col(tsCol)
       case TimestampNTZType =>
@@ -98,5 +98,37 @@ object Sessions {
         sum(floor(col(valueCol) * 1048576.0 + 0.5).cast("long"))
           .as("value_q"),
         countDistinct(col(typeCol)).as("n_types"))
+  }
+
+  /**
+   * Session aggregate over Spark's NATIVE `session_window` — the form
+   * that runs unchanged in batch AND Structured Streaming (where the
+   * state store holds only OPEN sessions per user and the watermark
+   * evicts closed ones — the scale path for unbounded event logs).
+   *
+   * Boundary semantics are IDENTICAL to [[sessionize]] (probed, and
+   * pinned by SessionsSpec): an event exactly `gapSec` after its
+   * predecessor merges into the session; strictly later starts a new
+   * one. `session_window.end` is last-event + gap, so `end_us` here is
+   * NOT [[sessionStats]]'s last-event second — it is the instant the
+   * session would have closed.
+   *
+   * `tsCol` must be a real TimestampType event-time column (streaming
+   * watermarks attach to nothing else); outputs are exact integer
+   * micros via unix_micros (TZ-free — timestamps are instants).
+   */
+  def sessionWindowStats(df: DataFrame, userCol: String, tsCol: String,
+      gapSec: Long, valueCol: String): DataFrame = {
+    require(gapSec > 0, s"sessionWindowStats: gapSec must be positive")
+    df.groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSec seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol) * 1048576.0 + 0.5).cast("long"))
+          .as("value_q"))
+      .select(col(userCol),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("value_q"))
   }
 }

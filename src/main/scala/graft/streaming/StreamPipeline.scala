@@ -3,7 +3,7 @@ package graft.streaming
 import graft.api.GraftBoost
 import graft.data.DMatrixSpec
 import graft.learner.GraftModel
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Sessions, TextOps}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -416,4 +416,84 @@ object StreamPipeline {
         TextOps.langId(col(textCol)).as("lang_id"))
       .agg(count(lit(1)).as("n_docs"),
         avg(TextOps.qualityScore(col(textCol))).as("mean_quality"))
+
+  /**
+   * Continuous gap-rule sessionization: Spark's native `session_window`
+   * under a watermark — the streaming face of
+   * [[graft.ops.Sessions.sessionWindowStats]] (identical boundary
+   * semantics; append mode emits each session ONCE, when the watermark
+   * passes its end). State per user is only the OPEN sessions; the
+   * watermark evicts closed ones — bounded state on an unbounded log.
+   */
+  def sessionStream(stream: DataFrame, userCol: String, tsCol: String,
+      gapSec: Long, delayThreshold: String, valueCol: String): DataFrame =
+    Sessions.sessionWindowStats(
+      stream.withWatermark(tsCol, delayThreshold),
+      userCol, tsCol, gapSec, valueCol)
+
+  /**
+   * Bounded REPLAY of [[sessionStream]] for the correctness harness
+   * (the `st_sessions` query): the events table feeds a memory stream
+   * in ascending event-time order (real timestamps, converted TZ-free
+   * from the table's TIMESTAMP_NTZ micros — ascending feed ⇒ nothing
+   * is ever late), and the emitted final sessions must equal the BATCH
+   * gap-rule carve-up over the same rows — which DuckDB replays
+   * exactly, so the stateful session path gets a full oracle row.
+   *
+   * Append-mode mechanics (the replayQualityWindow lesson): a session
+   * only reaches the sink once the watermark passes its END, and the
+   * watermark the sink sees lags one batch — so TWO far-future flush
+   * rows are fed under a sentinel user; the first advances the
+   * watermark past every real session's end, the second triggers the
+   * emitting batch. The sentinel's own sessions never close and are
+   * filtered from the result.
+   *
+   * Verification device, not a production operator (same caveat as
+   * [[replayDedup]]): a real deployment points [[sessionStream]] at
+   * `readStream` and never routes data through the driver.
+   */
+  def replaySessions(df: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, valueCol: String, gapSec: Long,
+      numBatches: Int = 5): DataFrame = {
+    val spark = replaySession(df)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val micros = (Sessions.asNanos(df, tsCol)
+      .cast("decimal(38,0)") / lit(1000L)).cast("long")
+    val rows = df.select(col(userCol).cast("long"), micros.as("us"),
+        col(valueCol).cast("double"), col(orderCol).cast("long"))
+      .as[(Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._2, r._4))
+    require(rows.nonEmpty, "replaySessions: empty input")
+    def mkTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val Sentinel = -1L
+    val delay = "10 minutes"
+    val maxUs = rows.last._2
+    val flush1 = maxUs + (gapSec + 1200L) * 1000000L
+    val flush2 = flush1 + (gapSec + 1200L) * 1000000L
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = sessionStream(
+      in.toDF().toDF("user_id", "ts", "value"), "user_id", "ts",
+      gapSec, delay, "value")
+    withReplaySink(spark, "st_sessions_", sessions) { q =>
+      feedBatches(rows, numBatches) { batch =>
+        in.addData(batch.map { case (u, us, v, _) => (u, mkTs(us), v) })
+        q.processAllAvailable()
+      }
+      Seq(flush1, flush2).foreach { us =>
+        in.addData(Seq((Sentinel, mkTs(us), 0.0)))
+        q.processAllAvailable()
+      }
+    } { sink =>
+      spark.table(sink)
+        .filter(col("user_id") =!= Sentinel)
+        .orderBy("user_id", "start_us")
+        .localCheckpoint(true)
+    }
+  }
 }

@@ -224,4 +224,54 @@ class StreamPipelineSpec extends SparkTestBase {
     assert(rows.get("es").contains(1L), rows.toString)
     q.stop()
   }
+
+  test("session_window boundary pin: exactly-gap merges, one micro " +
+      "later splits — the sessionize rule, in batch mode") {
+    val df = Seq(
+      (1L, 0L, 1.0),
+      (1L, 10L * 1000000L, 1.0),           // +gap exactly → merges
+      (1L, 20L * 1000000L + 1L, 1.0),      // +gap+1µs → new session
+      (2L, 0L, 1.0))
+      .toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = graft.ops.Sessions.sessionWindowStats(df, "user_id", "ts",
+      gapSec = 10, valueCol = "value")
+      .orderBy("user_id", "start_us").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(r === Seq(
+      (1L, 0L, 20000000L, 2L),             // [0, 10s+gap), 2 events
+      (1L, 20000001L, 30000001L, 1L),
+      (2L, 0L, 10000000L, 1L)))
+  }
+
+  test("replaySessions: streamed append-mode finals equal the batch " +
+      "session_window result (and the batch gap rule)") {
+    // synthetic events shaped like the real table: TIMESTAMP_NTZ,
+    // several users, gaps straddling the 30 s session gap
+    val rng = new scala.util.Random(3)
+    var us = 0L
+    val rows = (0 until 120).map { i =>
+      // mostly small steps: same-user gaps land on both sides of the
+      // 30 s session gap, so sessions genuinely merge AND split
+      us += (if (rng.nextInt(4) == 0) 60L else 2L) * 1000000L +
+        rng.nextInt(1000000)
+      (i.toLong, us, rng.nextInt(3).toLong, rng.nextInt(1000) / 100.0)
+    }
+    val df = rows.toDF("event_id", "us", "user_id", "value")
+      .withColumn("ts",
+        timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .drop("us")
+    val streamed = StreamPipeline.replaySessions(df, "user_id", "ts",
+      "event_id", "value", gapSec = 30, numBatches = 4)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Sessions.sessionWindowStats(
+      df.withColumn("ts", timestamp_micros(
+        graft.ops.Sessions.asNanos(df, "ts").cast("decimal(38,0)")
+          .divide(lit(1000L)).cast("long"))),
+      "user_id", "ts", gapSec = 30, valueCol = "value")
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.size < 120)
+  }
 }
