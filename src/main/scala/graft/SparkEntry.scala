@@ -752,6 +752,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-source BEST-k (X53) — the ranked domain-balancing
+    //      lever: where pp_sourcecap thins at random, this keeps each
+    //      source's best documents; bounded per-group heaps with
+    //      map-side combine (≤ k rows shipped per group per task),
+    //      never a full per-group window sort ----
+    "pp_topk" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      ops.CorpusPipeline.topKPerGroup(d, "source", "doc_id",
+          "n_tokens", k = 5)
+        .withColumnRenamed("group", "source")
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("source", "rank")
+    }),
+
     // ---- dedup: exact duplicate-substring SPANS (Lee et al. substring
     //      dedup; oracle replays gram rows + rank-by-(doc,pos) + the
     //      gaps-and-islands interval merge in closed-form SQL) ----
@@ -1850,6 +1866,19 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM x GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "pp_topk" ->
+      """WITH t AS (SELECT source, doc_id AS id,
+        |  CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN 0
+        |    ELSE len(string_split_regex(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+        |    AS BIGINT) AS score
+        | FROM documents),
+        |r AS (SELECT source, id, score,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, id) AS BIGINT) AS rank FROM t)
+        |SELECT source, id, score, rank FROM r WHERE rank <= 5
+        | ORDER BY source, rank""".stripMargin,
     // streaming-session replay: the batch gap rule in exact integer
     // MICROS (session_window's unit); end_us is last-event + gap (the
     // close instant session_window reports), gap·1e6 as a literal

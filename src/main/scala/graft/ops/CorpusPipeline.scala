@@ -329,4 +329,96 @@ object CorpusPipeline {
     }.toDF("doc_id", "shard", "bin", "bin_offset", "tokens_packed",
       "truncated")
   }
+
+  /** Fixed-size heap of the k best (score DESC, id ASC) pairs in EXACT
+    * Long arithmetic (the Similarity.TopK shape, without the
+    * Long↔Double detour — arbitrary integer scores stay exact). */
+  private final class LongTopK(k: Int) extends Serializable {
+    private val ids = new Array[Long](k)
+    private val sc = new Array[Long](k)
+    private var n = 0
+    @inline private def worse(s1: Long, i1: Long, s2: Long, i2: Long)
+        : Boolean = s1 < s2 || (s1 == s2 && i1 > i2)
+    def add(id: Long, s: Long): this.type = {
+      if (n < k) {
+        ids(n) = id; sc(n) = s; n += 1
+        var i = n - 1
+        while (i > 0 && worse(sc(i), ids(i), sc((i - 1) / 2),
+            ids((i - 1) / 2))) {
+          val p = (i - 1) / 2
+          val ts = sc(i); sc(i) = sc(p); sc(p) = ts
+          val ti = ids(i); ids(i) = ids(p); ids(p) = ti
+          i = p
+        }
+      } else if (worse(sc(0), ids(0), s, id)) {
+        sc(0) = s; ids(0) = id
+        var i = 0
+        while (true) {
+          val l = 2 * i + 1; val r = l + 1; var m = i
+          if (l < n && worse(sc(l), ids(l), sc(m), ids(m))) m = l
+          if (r < n && worse(sc(r), ids(r), sc(m), ids(m))) m = r
+          if (m == i) return this
+          val ts = sc(i); sc(i) = sc(m); sc(m) = ts
+          val ti = ids(i); ids(i) = ids(m); ids(m) = ti
+          i = m
+        }
+      }
+      this
+    }
+    def merge(o: LongTopK): this.type = {
+      var i = 0
+      while (i < o.n) { add(o.ids(i), o.sc(i)); i += 1 }
+      this
+    }
+    /** (id, score, rank) best-first, rank 1..n. */
+    def ranked: Array[(Long, Long, Int)] = {
+      val pairs = (0 until n).map(i => (ids(i), sc(i))).toArray
+        .sortWith { case ((i1, s1), (i2, s2)) => worse(s2, i2, s1, i1) }
+      pairs.zipWithIndex.map { case ((id, s), r) => (id, s, r + 1) }
+    }
+  }
+
+  /**
+   * Keep each group's k BEST rows by an integer score (score DESC, id
+   * ASC tie-break) — the RANKED per-source cap: where [[sourceCap]]
+   * thins an over-represented source at random, this keeps its best
+   * documents (the quality-aware domain-balancing lever).
+   *
+   * Scale shape: `aggregateByKey` with per-group bounded heaps —
+   * map-side combine ships at most k rows per (group, map task), so a
+   * single giant group costs O(n log k) and never a full per-group
+   * sort (a Window + row_number would shuffle and sort EVERY row of
+   * every group). Deterministic: exact integer comparisons, ties to
+   * the lower id.
+   *
+   * @return (group, id, score, rank) rows, rank 1..k best-first
+   */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, s"topKPerGroup: k must be positive, got $k")
+    val spark = df.sparkSession
+    val ranked = df
+      .select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(scoreCol).cast("long"))
+      .rdd
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .aggregateByKey(new LongTopK(k))(
+        (h, p) => h.add(p._1, p._2),
+        (a, b) => a.merge(b))
+      .flatMap { case (g, h) =>
+        h.ranked.map { case (id, s, r) =>
+          org.apache.spark.sql.Row(g, id, s, r)
+        }
+      }
+    spark.createDataFrame(ranked,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("group",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
 }

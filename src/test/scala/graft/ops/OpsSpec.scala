@@ -944,4 +944,31 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c2.values.toSet === Set(0L), c2.toString)
   }
+
+  test("topKPerGroup: rank by (score desc, id asc), short groups keep " +
+      "all rows, partition-invariant (X53)") {
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 5L),
+      ("b", 9L, 7L),
+      ("c", 5L, 1L), ("c", 6L, 1L), ("c", 7L, 1L), ("c", 8L, 1L))
+    def run(parts: Int) =
+      CorpusPipeline.topKPerGroup(
+        rows.toDF("g", "id", "s").repartition(parts), "g", "id", "s",
+        k = 3)
+        .orderBy("group", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSeq
+    val r = run(3)
+    assert(r === Seq(
+      ("a", 2L, 30L, 1), ("a", 3L, 30L, 2), ("a", 1L, 10L, 3),
+      ("b", 9L, 7L, 1),
+      ("c", 5L, 1L, 1), ("c", 6L, 1L, 2), ("c", 7L, 1L, 3)))
+    assert(run(1) === r)
+    // exactness at the Long extremes the Double-scored heap would lose
+    val big = Seq(("x", 1L, Long.MaxValue - 1L), ("x", 2L, Long.MaxValue))
+    val rb = CorpusPipeline.topKPerGroup(big.toDF("g", "id", "s"),
+      "g", "id", "s", k = 1).collect()
+    assert(rb.head.getLong(1) === 2L)
+    assert(rb.head.getLong(2) === Long.MaxValue)
+  }
 }
