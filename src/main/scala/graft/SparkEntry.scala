@@ -449,6 +449,19 @@ object SparkEntry {
       TextOps.unigramLogProbs(ld(s, dir, "documents"), "doc_id", "text",
         vocabSize = 30).orderBy("doc_id")),
 
+    // ---- text analysis: bigram LM with stupid backoff (X54) — the
+    //      context-sensitive upgrade of tx_lmscore (Brants et al.
+    //      2007): known bigrams score ln(c(ab)/c(a)), everything else
+    //      backs off to α·p_unigram; all log-probs micro-quantized at
+    //      fit, per-doc sums exact BIGINTs ----
+    "tx_bigram" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val lm = TextOps.fitBigramLM(docs, "text", vocabSize = 30,
+        maxBigrams = 100)
+      TextOps.scoreBigramLM(docs, "doc_id", "text", lm)
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: URL canonicalization (web-corpus dedup key)
     //      — synthetic-but-adversarial URLs constructed per doc
     //      (mixed-case scheme/host, www, :443, tracking params,
@@ -2262,6 +2275,61 @@ object SparkEntry {
         |   ELSE round(CAST(lp_sum_micro AS DOUBLE) / 1000000.0
         |     / n_tokens, 6) END AS mean_logprob
         | FROM documents LEFT JOIN d USING (doc_id)
+        | ORDER BY doc_id""".stripMargin,
+    // bigram-LM replay: same vocab cut as tx_lmscore, plus the
+    // in-vocab bigram table (top-100 by count desc then packed-key
+    // asc — chr(1) sorts below every token char, so key order == pair
+    // order), stupid-backoff scoring with first-token unigram
+    "tx_bigram" ->
+      """WITH t AS (SELECT doc_id,
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        | FROM documents),
+        |u AS (SELECT UNNEST(toks) AS tok FROM t),
+        |uc AS (SELECT tok, count(*) AS cnt FROM u GROUP BY tok),
+        |tot AS (SELECT greatest(CAST(coalesce(sum(cnt), 0) AS BIGINT), 1)
+        |   AS total FROM uc),
+        |voc AS (SELECT tok, cnt FROM uc
+        |  ORDER BY cnt DESC, tok ASC LIMIT 30),
+        |vlp AS (SELECT tok, CAST(round(ln(CAST(cnt AS DOUBLE)
+        |    / (SELECT total FROM tot)) * 1000000) AS BIGINT) AS lp
+        |  FROM voc),
+        |oc AS (SELECT CAST(round(ln(0.5 / (SELECT total FROM tot))
+        |    * 1000000) AS BIGINT) AS lp),
+        |bk AS (SELECT CAST(round(ln(0.4) * 1000000) AS BIGINT) AS lp),
+        |pr AS (SELECT toks[i] AS a, toks[i+1] AS b FROM
+        |  (SELECT toks, UNNEST(range(1, len(toks))) AS i FROM t
+        |   WHERE len(toks) > 1)),
+        |pc AS (SELECT p.a, p.b, count(*) AS cnt FROM pr p
+        |  JOIN voc va ON p.a = va.tok JOIN voc vb ON p.b = vb.tok
+        |  GROUP BY p.a, p.b),
+        |pcut AS (SELECT a, b, cnt FROM pc
+        |  ORDER BY cnt DESC, a || chr(1) || b ASC LIMIT 100),
+        |blp AS (SELECT p.a || chr(1) || p.b AS pk,
+        |    CAST(round(ln(CAST(p.cnt AS DOUBLE) / va.cnt) * 1000000)
+        |      AS BIGINT) AS lp
+        |  FROM pcut p JOIN voc va ON p.a = va.tok),
+        |srows AS (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1))
+        |    AS i FROM t WHERE len(toks) > 0),
+        |terms AS (SELECT s.doc_id,
+        |    CASE WHEN s.i = 1 THEN coalesce(v.lp, (SELECT lp FROM oc))
+        |      WHEN b.lp IS NOT NULL THEN b.lp
+        |      ELSE (SELECT lp FROM bk)
+        |        + coalesce(v.lp, (SELECT lp FROM oc)) END AS term
+        |  FROM srows s
+        |  LEFT JOIN vlp v ON v.tok = s.toks[s.i]
+        |  LEFT JOIN blp b ON s.i > 1
+        |    AND b.pk = s.toks[s.i - 1] || chr(1) || s.toks[s.i]),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens, sum(term) AS bsum
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id,
+        | CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(bsum, 0) AS BIGINT) AS blp_sum_micro,
+        | CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |   ELSE round(CAST(bsum AS DOUBLE) / 1000000.0 / n_tokens, 6)
+        |   END AS mean_logprob
+        | FROM documents LEFT JOIN agg USING (doc_id)
         | ORDER BY doc_id""".stripMargin,
     // repetition metrics replay: token/2-gram/3-gram frequency tables
     // per doc, then max-fraction / duplicated-occurrence-fraction

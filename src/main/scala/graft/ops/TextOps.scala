@@ -544,6 +544,137 @@ object TextOps {
   }
 
   /**
+   * A fitted bigram LM with stupid backoff (Brants et al. 2007 — the
+   * web-scale smoothing: no discount mass bookkeeping, just
+   * `p(b|a) = c(ab)/c(a)` when the bigram is known, else
+   * `α·p_unigram(b)`). Driver-sized: top-K vocabulary + top-M bigram
+   * table, every log-prob pre-quantized to 1e-6 micro-units — the
+   * [[unigramLogProbs]] numeric contract (transcendentals only at fit,
+   * scoring is exact BIGINT sums).
+   */
+  final case class BigramLM(vocab: Seq[(String, Long)],
+      bigrams: Seq[(String, Long)], oovMicro: Long, backoffMicro: Long,
+      totalTokens: Long) extends Serializable {
+    /** Separator of the packed bigram key (sorts below every token
+      * character, so key order == (a, b) order on both engines). */
+    def sep: String = "\u0001"
+  }
+
+  /**
+   * Estimate a [[BigramLM]] from `df`. Scale shape: the token-array
+   * projection persists once and feeds (1) the map-combinable unigram
+   * count shuffle with its bounded top-K cut, and (2) the pair rows —
+   * PRE-FILTERED by two broadcast vocab joins so only vocab²-bounded
+   * pairs reach the pair-count shuffle — with a bounded top-M cut
+   * (count DESC, packed key ASC, a deterministic TakeOrdered). Both
+   * tables collect driver-side (≤ vocabSize + maxBigrams rows); `ln`
+   * runs once per table row and is immediately micro-quantized.
+   */
+  def fitBigramLM(df: DataFrame, textCol: String,
+      vocabSize: Int = 50000, maxBigrams: Int = 200000,
+      oovFactor: Double = 0.5, backoff: Double = 0.4): BigramLM = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
+    require(oovFactor > 0 && !oovFactor.isInfinite,
+      s"oovFactor must be a positive finite pseudo-count: $oovFactor")
+    require(backoff > 0 && backoff <= 1,
+      s"backoff must be in (0, 1]: $backoff")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toksDf = df.select(tokens(lower(col(textCol))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = toksDf.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (total, topK) = try {
+        val t = counts.agg(sum("cnt")).first() match {
+          case r if r.isNullAt(0) => 1L
+          case r => r.getLong(0) max 1L
+        }
+        val k = counts.orderBy(col("cnt").desc, col("tok").asc)
+          .limit(vocabSize)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        (t, k)
+      } finally counts.unpersist(blocking = false)
+      def micro(x: Double): Long = BigDecimal(x * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val vocabCnt = topK.toMap
+      val sep = "\u0001"
+      val va = topK.map(_._1).toSeq.toDF("a")
+      val vb = topK.map(_._1).toSeq.toDF("b")
+      val pairCounts = toksDf
+        .select(explode(when(size(col("toks")) > 1,
+          transform(sequence(lit(2), size(col("toks"))),
+            i => struct(element_at(col("toks"), i - 1).as("a"),
+              element_at(col("toks"), i).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .join(broadcast(va), Seq("a"))
+        .join(broadcast(vb), Seq("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        .withColumn("pair", concat(col("a"), lit(sep), col("b")))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(maxBigrams)
+        .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+          r.getAs[Long]("cnt")))
+      BigramLM(
+        topK.map { case (t, c) =>
+          (t, micro(math.log(c.toDouble / total.toDouble)))
+        }.toSeq,
+        pairCounts.map { case (a, b, c) =>
+          (a + sep + b, micro(math.log(c.toDouble / vocabCnt(a))))
+        }.toSeq,
+        micro(math.log(oovFactor / total.toDouble)),
+        micro(math.log(backoff)), total)
+    } finally toksDf.unpersist(blocking = false)
+  }
+
+  /**
+   * Score `df` under a fitted [[BigramLM]]: the first token scores as
+   * a unigram, every later token as its known bigram or as
+   * backoff + unigram (OOV tokens hit the OOV floor either way). Two
+   * broadcast joins (vocab + bigram table) on one exploded projection,
+   * one doc group-by — the [[scoreUnigramLM]] shape with context
+   * sensitivity; per-doc sums are exact BIGINTs.
+   *
+   * @return (idCol, n_tokens, blp_sum_micro, mean_logprob)
+   */
+  def scoreBigramLM(df: DataFrame, idCol: String, textCol: String,
+      lm: BigramLM): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol), tokens(lower(col(textCol)))
+      .as("toks"))
+    val withIdx = base.select(col(idCol), col("toks"),
+      explode_outer(when(size(col("toks")) > 0,
+        sequence(lit(1), size(col("toks"))))).as("i"))
+    val cur = element_at(col("toks"), col("i"))
+    val prev = when(col("i") > 1,
+      element_at(col("toks"), col("i") - 1))
+    val rows = withIdx.select(col(idCol), cur.as("cur"),
+      when(prev.isNotNull, concat(prev, lit(lm.sep), cur)).as("pk"))
+    val vdf = lm.vocab.toDF("cur", "cur_lp")
+    val bdf = lm.bigrams.toDF("pk", "bi_lp")
+    val uniTerm = coalesce(col("cur_lp"), lit(lm.oovMicro))
+    val term = when(col("cur").isNull, 0L)
+      .when(col("pk").isNull, uniTerm)
+      .when(col("bi_lp").isNotNull, col("bi_lp"))
+      .otherwise(lit(lm.backoffMicro) + uniTerm)
+    rows
+      .join(broadcast(vdf), Seq("cur"), "left")
+      .join(broadcast(bdf), Seq("pk"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("cur")).as("n_tokens"),
+        coalesce(sum(term), lit(0L)).as("blp_sum_micro"))
+      .withColumn("mean_logprob",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(col("blp_sum_micro").cast("double") / 1e6 /
+            col("n_tokens"), 6)))
+  }
+
+  /**
    * Sequence chunking: split each document into fixed-size token
    * windows with stride overlap — the context-window packing step of an
    * LLM data pipeline. Chunk i covers tokens [i·stride, i·stride+size).

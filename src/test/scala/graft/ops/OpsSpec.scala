@@ -135,6 +135,39 @@ class OpsSpec extends SparkTestBase {
     assert(re === out)
   }
 
+  test("bigram LM with stupid backoff: hand-computed tables, backoff " +
+      "and OOV paths, empty docs, partition invariance (X54)") {
+    // corpus: a=3, b=3, c=2 (total 8); pairs in-vocab{a,b}: (a,b)×3,
+    // (b,a)×1
+    val rows = Seq(
+      (0L, "a b a b"),
+      (1L, "a b c"),
+      (2L, "c"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val lpA = math.round(math.log(3.0 / 8.0) * 1e6)
+    val oov = math.round(math.log(0.5 / 8.0) * 1e6)
+    val bk = math.round(math.log(0.4) * 1e6)
+    val lpAB = 0L                                  // ln(3/3)
+    val lpBA = math.round(math.log(1.0 / 3.0) * 1e6)
+    val lm = TextOps.fitBigramLM(rows, "text", vocabSize = 2,
+      maxBigrams = 10)
+    assert(lm.vocab.map(_._1).sorted === Seq("a", "b"))
+    assert(lm.bigrams.toMap ===
+      Map("a\u0001b" -> lpAB, "b\u0001a" -> lpBA))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.scoreBigramLM(df, "doc_id", "text", lm).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+    val out = run(rows)
+    assert(out(0L)._1 === 4L && out(0L)._2 === lpA + lpAB + lpBA + lpAB)
+    assert(out(1L)._1 === 3L && out(1L)._2 === lpA + lpAB + bk + oov)
+    assert(out(2L) === ((1L, oov, BigDecimal(oov.toDouble / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    assert(run(rows.repartition(7)) === out)
+  }
+
   test("fitUnigramLM/scoreUnigramLM: cross-corpus scoring (the CCNet " +
       "mode) — fit on a reference corpus, score a different target") {
     val ref = Seq((0L, "a a a b")).toDF("doc_id", "text")
