@@ -401,7 +401,15 @@ object CorpusPipeline {
       .select(col(groupCol).cast("string"), col(idCol).cast("long"),
         col(scoreCol).cast("long"))
       .rdd
-      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .map { r =>
+        // fail fast with the column names — a null id/score (or a
+        // non-numeric score column nulled by the cast) would otherwise
+        // surface as a bare executor NPE
+        require(!r.isNullAt(1) && !r.isNullAt(2),
+          s"topKPerGroup: null or non-numeric $idCol/$scoreCol row " +
+            s"in group ${r.getString(0)}")
+        (r.getString(0), (r.getLong(1), r.getLong(2)))
+      }
       .aggregateByKey(new LongTopK(k))(
         (h, p) => h.add(p._1, p._2),
         (a, b) => a.merge(b))

@@ -824,6 +824,16 @@ object Similarity {
   final case class SqCodebook(minQ: Array[Long], maxQ: Array[Long]) {
     require(maxQ.length == minQ.length,
       s"sq: ${minQ.length} mins vs ${maxQ.length} maxes")
+    minQ.indices.foreach { i =>
+      require(maxQ(i) >= minQ(i), s"sq: dim $i span is negative")
+      // the integer coding/dequantization multiplies the span by 510:
+      // past this bound sqCode's (d·510) wraps Long and encode would
+      // emit corrupt codes silently (sqTopK has a stricter guard of
+      // its own for score exactness)
+      require(maxQ(i) - minQ(i) < 1.0e16,
+        s"sq: dim $i span ${maxQ(i) - minQ(i)} too large for exact " +
+          "integer coding (needs |v| ≲ 4.7e9 after fixed-point scaling)")
+    }
     def dim: Int = minQ.length
     @inline def spanQ(i: Int): Long = maxQ(i) - minQ(i)
   }

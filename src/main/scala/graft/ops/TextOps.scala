@@ -483,17 +483,20 @@ object TextOps {
         .collect().map(r => (r.getString(0), r.getLong(1)))
       (t, k)
     } finally counts.unpersist(blocking = false)
-    // HALF_UP (away from zero), matching Spark's round() and DuckDB's
-    // round() on these negative values — math.round would round exact
-    // halves toward +inf instead
-    def micro(x: Double): Long = BigDecimal(x * 1e6)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     UnigramLM(
       topK.map { case (t, c) =>
         (t, micro(math.log(c.toDouble / total.toDouble)))
       }.toSeq,
       micro(math.log(oovFactor / total.toDouble)), total)
   }
+
+  /** The one LM log-prob quantizer (1e-6 grid): HALF_UP (away from
+    * zero), matching Spark's round() and DuckDB's round() on these
+    * negative values — math.round would round exact halves toward
+    * +inf instead. Both LM fits and their oracles share this
+    * contract; do not fork it. */
+  private def micro(x: Double): Long = BigDecimal(x * 1e6)
+    .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** Persist a fitted [[UnigramLM]] as parquet (`path/vocab` +
     * `path/meta`), the same engine-readable convention as the model
@@ -597,8 +600,6 @@ object TextOps {
           .collect().map(r => (r.getString(0), r.getLong(1)))
         (t, k)
       } finally counts.unpersist(blocking = false)
-      def micro(x: Double): Long = BigDecimal(x * 1e6)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       val vocabCnt = topK.toMap
       val sep = "\u0001"
       val va = topK.map(_._1).toSeq.toDF("a")

@@ -136,9 +136,12 @@ class DataSpec extends SparkTestBase {
     val pruned = DataLoader.load(spark, files,
       columns = Some(Seq("id", "v")))
     assert(pruned.columns.toSeq === Seq("id", "v"))
-    // pruning reaches the ORC scan itself, not a post-scan project
+    // pruning reaches the ORC scan itself, not a post-scan project:
+    // the scan's ReadSchema must have dropped the unselected column
     val scan = pruned.queryExecution.executedPlan.toString
-    assert(scan.contains("ReadSchema") && !scan.contains("\"s\""), scan)
+    assert(scan.contains("ReadSchema"), scan)
+    assert(!scan.contains("s:string"), scan)
+    assert(scan.contains("id:bigint") && scan.contains("v:double"), scan)
   }
 
   test("JSONL loads (plain + gzip), multi-file, with column pruning " +

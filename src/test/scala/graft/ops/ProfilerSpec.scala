@@ -4,7 +4,7 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 /**
- * Exact distributed quantiles (X51): agreement with a driver-side
+ * Exact distributed quantiles (X50): agreement with a driver-side
  * sorted reference (the definition), multi-iteration range narrowing,
  * ties, nulls, and partition invariance.
  */
