@@ -343,6 +343,16 @@ object SparkEntry {
         Seq(25, 50, 75, 95))
         .orderBy("col_name")),
 
+    // ---- profiling: exact-sum Pearson correlation matrix (X55) —
+    //      one aggregate pass, co-moments as exact decimal sums of
+    //      fixed-point integers (HUGEINT on the oracle side); only the
+    //      final num/(√d1·√d2) normalization touches floating point,
+    //      in the same expression shape on both engines ----
+    "prof_corr" -> ((s, dir) =>
+      ops.Profiler.correlations(ld(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
+
     // ---- dedup: exact ----
     "dd_exact" -> ((s, dir) => {
       Dedup.exact(ld(s, dir, "documents"), "doc_id", "text")
@@ -1766,6 +1776,39 @@ object SparkEntry {
     s"$ctes$blocks\nORDER BY col_name"
   }
 
+  /** prof_corr oracle, generated per pair: identical co-moment sums
+    * (exact HUGEINT) and the identical num/(√d1·√d2) normalization
+    * shape, so the two engines' doubles agree to well under the
+    * harness's 1e-9 tolerance. */
+  private def profCorrOracle(table: String, cols: Seq[String]): String = {
+    val blocks = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield {
+      val a = cols(i); val b = cols(j)
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CASE WHEN count(*) = 0
+         |      OR count(*) * sum(qa * qa) - sum(qa) * sum(qa) <= 0
+         |      OR count(*) * sum(qb * qb) - sum(qb) * sum(qb) <= 0
+         |    THEN 0.0
+         |    ELSE round(
+         |      CAST(count(*) * sum(qa * qb) - sum(qa) * sum(qb) AS DOUBLE)
+         |      / (sqrt(CAST(count(*) * sum(qa * qa) - sum(qa) * sum(qa)
+         |           AS DOUBLE))
+         |       * sqrt(CAST(count(*) * sum(qb * qb) - sum(qb) * sum(qb)
+         |           AS DOUBLE))), 6)
+         |    END AS corr
+         |FROM (SELECT
+         |    CAST(CAST(floor(CAST($a AS DOUBLE) * 1048576.0 + 0.5)
+         |      AS BIGINT) AS HUGEINT) AS qa,
+         |    CAST(CAST(floor(CAST($b AS DOUBLE) * 1048576.0 + 0.5)
+         |      AS BIGINT) AS HUGEINT) AS qb
+         |  FROM $table WHERE $a IS NOT NULL AND $b IS NOT NULL)"""
+        .stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s2_scan_prune" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -1915,6 +1958,8 @@ object SparkEntry {
     "prof_stats" -> profStatsOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       Seq(25, 50, 75, 95)),
+    "prof_corr" -> profCorrOracle("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         | FROM documents

@@ -133,4 +133,67 @@ object Profiler {
         spark.sparkContext.parallelize(rows, 1), schema)
     } finally qdf.unpersist(blocking = false)
   }
+
+  /**
+   * Exact-sum Pearson correlation matrix over numeric columns — the
+   * feature-redundancy audit run before training. ONE aggregate pass
+   * computes every pair's co-moments as EXACT decimal sums of
+   * fixed-point integers (a long·long product at price scale is ~1e22
+   * — past Long, inside decimal(38); Spark's decimal sum is exact, as
+   * is DuckDB's HUGEINT on the oracle side), with pairwise-complete
+   * null handling (each pair's marginal sums count only rows where
+   * BOTH sides are present). Only the final normalization touches
+   * floating point, in the same expression shape on both engines:
+   * num / (√d1 · √d2), rounded at 6 decimals.
+   *
+   * @return (col_a, col_b, n, corr) for each unordered pair, col_a <
+   *         col_b in the given column order
+   */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    require(cols.size >= 2, s"correlations: need >= 2 columns, got $cols")
+    val qCols = cols.map(c =>
+      floor(col(c).cast("double") * 1048576.0 + 0.5).cast("long")
+        .cast("decimal(19,0)").as(s"__q_$c"))
+    val qdf = df.select(qCols: _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val aggExprs = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
+      val a = col(s"__q_${cols(i)}")
+      val b = col(s"__q_${cols(j)}")
+      val both = a.isNotNull && b.isNotNull
+      Seq(
+        count(when(both, 1)).as(s"n_$p"),
+        sum(when(both, a)).as(s"sa_$p"),
+        sum(when(both, b)).as(s"sb_$p"),
+        sum(when(both, a * b)).as(s"sab_$p"),
+        sum(when(both, a * a)).as(s"saa_$p"),
+        sum(when(both, b * b)).as(s"sbb_$p"))
+    }
+    val r = qdf.agg(aggExprs.head, aggExprs.tail: _*).head()
+    def dec(name: String): BigDecimal =
+      Option(r.getAs[java.math.BigDecimal](name))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    val out = pairs.zipWithIndex.map { case ((i, j), p) =>
+      val n = BigDecimal(r.getAs[Long](s"n_$p"))
+      val sa = dec(s"sa_$p"); val sb = dec(s"sb_$p")
+      val num = n * dec(s"sab_$p") - sa * sb
+      val d1 = n * dec(s"saa_$p") - sa * sa
+      val d2 = n * dec(s"sbb_$p") - sb * sb
+      val corr =
+        if (n == 0 || d1.signum <= 0 || d2.signum <= 0) 0.0
+        else BigDecimal(num.toDouble /
+          (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Row(cols(i), cols(j), n.toLong, corr)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("col_a", StringType, nullable = false),
+        StructField("col_b", StringType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("corr", DoubleType, nullable = false))))
+  }
 }

@@ -915,6 +915,26 @@ object Similarity {
       java.util.Arrays.copyOfRange(agg, d, 2 * d))
   }
 
+  /** Persist an [[SqCodebook]] as parquet (one row per dimension) —
+    * the build-once/serve-many half of an SQ index, like
+    * [[savePqCodebook]]: bounds are exact integers, so a reloaded
+    * codebook encodes bit-identically. */
+  def saveSqCodebook(spark: SparkSession, cb: SqCodebook,
+      path: String): Unit = {
+    import spark.implicits._
+    cb.minQ.indices.map(i => (i, cb.minQ(i), cb.maxQ(i)))
+      .toDF("dim", "min_q", "max_q")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load an [[SqCodebook]] written by [[saveSqCodebook]]. */
+  def loadSqCodebook(spark: SparkSession, path: String): SqCodebook = {
+    val rows = spark.read.parquet(path).orderBy("dim").collect()
+    require(rows.nonEmpty, s"loadSqCodebook: empty codebook at $path")
+    SqCodebook(rows.map(_.getAs[Long]("min_q")),
+      rows.map(_.getAs[Long]("max_q")))
+  }
+
   /**
    * Encode every row against the codebook: `sq_code` is the packed
    * byte-per-dimension code (the 4×-compressed stored form), the digest

@@ -632,6 +632,33 @@ object TextOps {
     } finally toksDf.unpersist(blocking = false)
   }
 
+  /** Persist a fitted [[BigramLM]] (`path/vocab` + `path/bigrams` +
+    * `path/meta`), the [[saveUnigramLM]] convention — fit once on the
+    * reference corpus, score any number of pipeline jobs. Log-probs
+    * are already integers, so the round-trip is exact. */
+  def saveBigramLM(spark: SparkSession, lm: BigramLM,
+      path: String): Unit = {
+    import spark.implicits._
+    lm.vocab.toDF("tok", "lp_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    lm.bigrams.toDF("pair", "lp_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bigrams")
+    Seq((lm.oovMicro, lm.backoffMicro, lm.totalTokens))
+      .toDF("oov_micro", "backoff_micro", "total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[BigramLM]] written by [[saveBigramLM]]. */
+  def loadBigramLM(spark: SparkSession, path: String): BigramLM = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    BigramLM(
+      spark.read.parquet(s"$path/vocab")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+      spark.read.parquet(s"$path/bigrams")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+      meta.getLong(0), meta.getLong(1), meta.getLong(2))
+  }
+
   /**
    * Score `df` under a fitted [[BigramLM]]: the first token scores as
    * a unigram, every later token as its known bigram or as

@@ -166,6 +166,20 @@ class OpsSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
     assert(out(3L) === ((0L, 0L, 0.0)))
     assert(run(rows.repartition(7)) === out)
+    // save/load round-trips exactly (integer log-probs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bigram-lm").toString + "/lm"
+    TextOps.saveBigramLM(spark, lm, dir)
+    val lm2 = TextOps.loadBigramLM(spark, dir)
+    assert(lm2.vocab.toMap === lm.vocab.toMap)
+    assert(lm2.bigrams.toMap === lm.bigrams.toMap)
+    assert((lm2.oovMicro, lm2.backoffMicro, lm2.totalTokens) ===
+      ((lm.oovMicro, lm.backoffMicro, lm.totalTokens)))
+    // scoring under the RELOADED LM agrees bit-for-bit
+    val out2 = TextOps.scoreBigramLM(rows, "doc_id", "text", lm2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out2 === out)
   }
 
   test("fitUnigramLM/scoreUnigramLM: cross-corpus scoring (the CCNet " +

@@ -76,6 +76,33 @@ class ProfilerSpec extends SparkTestBase {
       assert(r1.getAs[Long](s"p${p}_q") === q20(42.25)))
   }
 
+  test("correlations: exact ±1 on affine pairs, 0 on a constant, " +
+      "pairwise-complete nulls, partition-invariant (X55)") {
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 400).map { i =>
+      val x = rng.nextDouble() * 100
+      // y = 2x+1 exactly representable? use quantization-friendly grid
+      val xq = math.floor(x * 16) / 16.0
+      (Some(xq), Some(2.0 * xq + 1.0), Some(-3.0 * xq),
+        Some(5.0), if (i % 10 == 0) None else Some(rng.nextDouble()))
+    }
+    val df = rows.toDF("x", "y2", "yn", "const", "z")
+    def run(parts: Int) =
+      Profiler.correlations(df.repartition(parts),
+        Seq("x", "y2", "yn", "const", "z"))
+        .orderBy("col_a", "col_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val r = run(4)
+    val m = r.map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(m(("x", "y2"))._2 === 1.0)  // perfectly affine, positive
+    assert(m(("x", "yn"))._2 === -1.0) // perfectly affine, negative
+    assert(m(("x", "const"))._2 === 0.0) // zero variance → defined 0
+    assert(m(("x", "z"))._1 === 360L) // pairwise-complete n drops nulls
+    assert(math.abs(m(("x", "z"))._2) < 0.2) // independent-ish
+    assert(run(1) === r)
+  }
+
   test("an entirely-null column is rejected loudly") {
     val df = Seq((Option.empty[Double], 1.0), (None, 2.0))
       .toDF("a", "b")

@@ -123,6 +123,30 @@ class SqSpec extends SparkTestBase {
     assert(hits >= 32, s"sq recall too low: $hits/40 exact hits")
   }
 
+  test("codebook save/load round-trips exactly: reloaded encode is " +
+      "bit-identical") {
+    val rows = clustered(4, 20)
+    val df = rows.toDF("id", "vec").repartition(3)
+    val cb = Similarity.sqTrain(df, "vec")
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq-cb").toString + "/cb"
+    Similarity.saveSqCodebook(spark, cb, dir)
+    val cb2 = Similarity.loadSqCodebook(spark, dir)
+    assert(cb2.minQ.toSeq === cb.minQ.toSeq)
+    assert(cb2.maxQ.toSeq === cb.maxQ.toSeq)
+    val e1 = Similarity.sqEncode(df, cb, "id", "vec")
+      .orderBy("id").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }).toSeq
+    val e2 = Similarity.sqEncode(df, cb2, "id", "vec")
+      .orderBy("id").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }).toSeq
+    assert(e1 === e2)
+  }
+
   test("exactness guard rejects component magnitudes that would " +
       "overflow the lossless Long↔Double score range") {
     val big = Seq((0L, Seq(1.0e4f, 0.0f)), (1L, Seq(-1.0e4f, 1.0f)))
