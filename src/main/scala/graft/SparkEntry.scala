@@ -353,6 +353,24 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")),
 
+    // ---- profiling: PSI drift monitor (X56) — bin edges are the
+    //      BASE side's exact deciles (the X50 rank machinery), bin
+    //      assignment and counts are pure integers; only the final
+    //      smoothed (p−q)·ln(p/q) term is float, rounded to 6
+    //      decimals in the identical shape on both engines ----
+    "prof_drift" -> ((s, dir) => {
+      val o = ld(s, dir, "orders")
+      // string literal: Spark casts it to the column's OWN type
+      // (TIMESTAMP_NTZ from the tz-free parquet), so the wall-clock
+      // split matches DuckDB's naive TIMESTAMP comparison exactly
+      val cut = lit("1998-01-01")
+      ops.Profiler.driftPsi(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        "o_totalprice", 10)
+        .orderBy("bin")
+    }),
+
     // ---- dedup: exact ----
     "dd_exact" -> ((s, dir) => {
       Dedup.exact(ld(s, dir, "documents"), "doc_id", "text")
@@ -1960,6 +1978,44 @@ object SparkEntry {
       Seq(25, 50, 75, 95)),
     "prof_corr" -> profCorrOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    // PSI drift: base-decile edges by the same row_number rank
+    // replay as prof_stats; bin = #edges strictly below the value;
+    // Laplace-smoothed (+0.5/bin) proportions over count+5.0 totals
+    // — every double op is the same two-operand sequence on exactly
+    // representable inputs, then round(…,6) on both engines
+    "prof_drift" ->
+      """WITH b AS (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |     * 1048576.0 + 0.5) AS BIGINT) AS v FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |     AND o_totalprice IS NOT NULL),
+        | c AS (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |     * 1048576.0 + 0.5) AS BIGINT) AS v FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |     AND o_totalprice IS NOT NULL),
+        | r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM b),
+        | e AS (SELECT i, (SELECT v FROM r WHERE rn =
+        |     (SELECT (count(*) - 1) * (10 * i) // 100 + 1 FROM b))
+        |     AS edge FROM range(1, 10) t(i)),
+        | bb AS (SELECT (SELECT count(*) FROM e WHERE e.edge < b.v)
+        |     AS bin FROM b),
+        | cb AS (SELECT (SELECT count(*) FROM e WHERE e.edge < c.v)
+        |     AS bin FROM c),
+        | bn AS (SELECT bin, count(*) AS n FROM bb GROUP BY bin),
+        | cn AS (SELECT bin, count(*) AS n FROM cb GROUP BY bin),
+        | tot AS (SELECT (SELECT count(*) FROM b) AS tb,
+        |     (SELECT count(*) FROM c) AS tc)
+        |SELECT CAST(g.i AS BIGINT) AS bin,
+        |  CAST(coalesce(bn.n, 0) AS BIGINT) AS base_n,
+        |  CAST(coalesce(cn.n, 0) AS BIGINT) AS cur_n,
+        |  round(((coalesce(cn.n, 0) + 0.5) / (tot.tc + 5.0)
+        |      - (coalesce(bn.n, 0) + 0.5) / (tot.tb + 5.0))
+        |    * ln(((coalesce(cn.n, 0) + 0.5) / (tot.tc + 5.0))
+        |        / ((coalesce(bn.n, 0) + 0.5) / (tot.tb + 5.0))), 6)
+        |    AS psi_term
+        |FROM range(0, 10) g(i) CROSS JOIN tot
+        |LEFT JOIN bn ON bn.bin = g.i
+        |LEFT JOIN cn ON cn.bin = g.i
+        |ORDER BY bin""".stripMargin,
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         | FROM documents

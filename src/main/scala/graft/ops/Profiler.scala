@@ -135,6 +135,65 @@ object Profiler {
   }
 
   /**
+   * Population-stability-index drift detection between two corpus
+   * snapshots — the distribution monitor a refreshed training set runs
+   * against its predecessor before a retrain. Bin edges are the BASE
+   * side's EXACT quantiles (the [[profile]] rank machinery, integer
+   * percents), bin assignment is pure integer comparison on the
+   * fixed-point values, and both sides' bin counts are exact — so
+   * everything except the final smoothed (p−q)·ln(p/q) terms is
+   * integer-deterministic and SQL-replayable.
+   *
+   * Scans: the base-side quantile passes (2–3, shared) + one count
+   * aggregate per side. Laplace smoothing (+0.5 per bin) keeps empty
+   * bins finite.
+   *
+   * @return one row per bin: (bin, base_n, cur_n, psi_term), bins
+   *         0..bins-1; Σ psi_term is the PSI (< 0.1 ≈ stable,
+   *         > 0.25 ≈ drifted, the standard reading)
+   */
+  def driftPsi(base: DataFrame, current: DataFrame, colName: String,
+      bins: Int): DataFrame = {
+    val spark = base.sparkSession
+    require(bins >= 2 && 100 % bins == 0,
+      s"driftPsi: bins must divide 100 (integer-exact quantile ranks), " +
+        s"got $bins")
+    val pcts = (1 until bins).map(i => 100 * i / bins)
+    val prof = profile(base, Seq(colName), pcts).head()
+    val edges = pcts.map(p => prof.getAs[Long](s"p${p}_q"))
+    val qv = floor(col(colName).cast("double") * 1048576.0 + 0.5)
+      .cast("long")
+    // bin = how many edges the value exceeds (ties stick to the lower
+    // bin, matching the rank definition's lower-quantile convention)
+    val binCol = edges.map(e => when(qv > e, 1).otherwise(0))
+      .reduce(_ + _)
+    def binCounts(df: DataFrame): Map[Int, Long] = df
+      .filter(col(colName).isNotNull)
+      .groupBy(binCol.as("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bN = binCounts(base)
+    val cN = binCounts(current)
+    val bTot = bN.values.sum.toDouble + bins * 0.5
+    val cTot = cN.values.sum.toDouble + bins * 0.5
+    val rows = (0 until bins).map { b =>
+      val nb = bN.getOrElse(b, 0L)
+      val nc = cN.getOrElse(b, 0L)
+      val pb = (nb + 0.5) / bTot
+      val pc = (nc + 0.5) / cTot
+      val term = BigDecimal((pc - pb) * math.log(pc / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Row(b.toLong, nb, nc, term)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("bin", LongType, nullable = false),
+        StructField("base_n", LongType, nullable = false),
+        StructField("cur_n", LongType, nullable = false),
+        StructField("psi_term", DoubleType, nullable = false))))
+  }
+
+  /**
    * Exact-sum Pearson correlation matrix over numeric columns — the
    * feature-redundancy audit run before training. ONE aggregate pass
    * computes every pair's co-moments as EXACT decimal sums of

@@ -111,4 +111,49 @@ class ProfilerSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("entirely null"))
   }
+
+  test("driftPsi: closed-form bin counts and terms on a shifted " +
+      "distribution, partition-invariant (X56)") {
+    // base 1..100 with bins=4: decile... quartile edges at ranks
+    // (99·25/100+1)=25, 50, 75 → values 25, 50, 75; current 51..150
+    // lands 0/0/25/75 by the strict-greater rule (75 sticks low)
+    val base = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val cur = (51 to 150).map(i => Tuple1(i.toDouble)).toDF("v")
+    def run(p1: Int, p2: Int) =
+      Profiler.driftPsi(base.repartition(p1), cur.repartition(p2),
+        "v", 4).orderBy("bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val r = run(3, 5)
+    assert(r.map(t => (t._1, t._2, t._3)) === Seq(
+      (0L, 25L, 0L), (1L, 25L, 0L), (2L, 25L, 25L), (3L, 25L, 75L)))
+    def term(nb: Long, nc: Long): Double = {
+      val pb = (nb + 0.5) / 102.0; val pc = (nc + 0.5) / 102.0
+      BigDecimal((pc - pb) * math.log(pc / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    r.foreach { case (b, nb, nc, t) =>
+      assert(t === term(nb, nc), s"bin $b") }
+    assert(r.map(_._4).sum > 0.25) // the standard "drifted" reading
+    assert(run(1, 1) === r)
+  }
+
+  test("driftPsi: identical snapshots score exactly zero; smoothing " +
+      "keeps empty bins finite; non-divisor bins rejected") {
+    val df = (1 to 60).map(i => Tuple1((i % 7).toDouble)).toDF("v")
+    val same = Profiler.driftPsi(df, df, "v", 5).collect()
+    assert(same.forall(_.getDouble(3) === 0.0))
+    // current entirely above the base range → upper bin only; the
+    // empty-bin terms stay finite via the +0.5 smoothing
+    val hi = (1 to 40).map(i => Tuple1(1000.0 + i)).toDF("v")
+    val shift = Profiler.driftPsi(df, hi, "v", 5)
+      .orderBy("bin").collect()
+    assert(shift.forall(r => !r.getDouble(3).isNaN
+      && !r.getDouble(3).isInfinite))
+    assert(shift.last.getLong(2) === 40L)
+    val e = intercept[IllegalArgumentException] {
+      Profiler.driftPsi(df, df, "v", 7)
+    }
+    assert(e.getMessage.contains("divide 100"))
+  }
 }
