@@ -371,6 +371,14 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ---- retrieval: BM25 ranked top-k (X57) — per-term tf as array
+    //      expressions in the scan projection (no explode, no join),
+    //      ONE corpus-stats aggregate, TakeOrdered top-k; the score
+    //      is replayed shape-exactly in SQL ----
+    "ir_bm25" -> ((s, dir) =>
+      ops.Retrieval.bm25TopK(ld(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "hash", "dup"), topK = 20)),
+
     // ---- dedup: exact ----
     "dd_exact" -> ((s, dir) => {
       Dedup.exact(ld(s, dir, "documents"), "doc_id", "text")
@@ -2016,6 +2024,49 @@ object SparkEntry {
         |LEFT JOIN bn ON bn.bin = g.i
         |LEFT JOIN cn ON cn.bin = g.i
         |ORDER BY bin""".stripMargin,
+    // BM25: tokenization replays the tx_tokens recipe over lower();
+    // idf/avgdl/ratio are the identical two-operand double sequence
+    // (1.2+1 ≡ the double 2.2 — probed), sum in fixed term order,
+    // round(…,6); order by unrounded score then id
+    "ir_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |   CASE WHEN length(regexp_replace(coalesce(lower(text), ''),
+        |       '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(regexp_replace(
+        |       coalesce(lower(text), ''), '^\s+|\s+$', '', 'g'), '\s+')
+        |     END AS toks
+        |  FROM documents),
+        | d2 AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+        | t AS (SELECT doc_id, dl,
+        |   len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |   len(list_filter(toks, x -> x = 'hash')) AS tf1,
+        |   len(list_filter(toks, x -> x = 'dup')) AS tf2 FROM d2),
+        | st AS (SELECT count(*) AS n, sum(dl) AS sdl,
+        |   sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0
+        |     END) AS df0,
+        |   sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0
+        |     END) AS df1,
+        |   sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0
+        |     END) AS df2 FROM d2),
+        | sc AS (SELECT doc_id,
+        |   ln((st.n - st.df0 + 0.5) / (st.df0 + 0.5) + 1.0)
+        |     * (CAST(tf0 AS DOUBLE) * (1.2 + 1))
+        |     / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25
+        |        + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(st.sdl AS DOUBLE) / st.n)))
+        |   + ln((st.n - st.df1 + 0.5) / (st.df1 + 0.5) + 1.0)
+        |     * (CAST(tf1 AS DOUBLE) * (1.2 + 1))
+        |     / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25
+        |        + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(st.sdl AS DOUBLE) / st.n)))
+        |   + ln((st.n - st.df2 + 0.5) / (st.df2 + 0.5) + 1.0)
+        |     * (CAST(tf2 AS DOUBLE) * (1.2 + 1))
+        |     / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25
+        |        + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(st.sdl AS DOUBLE) / st.n))) AS s
+        |  FROM t CROSS JOIN st WHERE tf0 + tf1 + tf2 > 0)
+        |SELECT doc_id AS id, round(s, 6) AS score
+        | FROM sc ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         | FROM documents

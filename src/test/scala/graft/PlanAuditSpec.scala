@@ -235,6 +235,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("ir_bm25: top-k is TakeOrdered (per-partition heaps), never a " +
+      "global sort, and the corpus scan is never shuffled") {
+    val p = plan("ir_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    // the only exchange allowed is the single-row stats aggregate's
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
   test("no query plans a global (unpartitioned) window sort") {
     // Window with an empty partition spec funnels the whole table into
     // one task ("WindowExec: No Partition Defined" at runtime)
