@@ -28,6 +28,30 @@ object Profiler {
   final case class ColumnProfile(name: String, n: Long, nulls: Long,
       minQ: Long, maxQ: Long, sumQ: Long, quantilesQ: Map[Int, Long])
 
+  /** Largest |fixed-point| value the narrowing/co-moment arithmetic
+    * tolerates: with |q| < 2⁶² both `hi − lo` and `v − lo` stay inside
+    * Long. ±Infinity saturates the non-ANSI cast to ±Long.MaxValue and
+    * would wrap those subtractions — a silent-corruption path in an
+    * exactness tool, so out-of-range columns FAIL instead. */
+  private[ops] val MaxAbsQ = 1L << 62
+
+  /** The shared fixed-point projection (`floor(v·2²⁰+0.5)` as long).
+    * NaN is nulled out FIRST: the non-ANSI cast turns `floor(NaN·s)`
+    * into 0, which would silently count a NaN row as the legitimate
+    * value 0 in every statistic — instead NaN joins null as "missing",
+    * the only reading a data-quality audit can defend. */
+  private[ops] def quantize(c: String): org.apache.spark.sql.Column = {
+    val d = col(c).cast("double")
+    when(isnan(d), lit(null))
+      .otherwise(floor(d * 1048576.0 + 0.5).cast("long"))
+  }
+
+  private def requireFiniteRange(c: String, mn: Long, mx: Long): Unit =
+    require(mn > -MaxAbsQ && mx < MaxAbsQ,
+      s"profile: column $c has fixed-point values outside ±2^62 " +
+        s"(min=$mn max=$mx) — ±Infinity or |v| beyond ~4.4e12 cannot " +
+        "be profiled exactly at the 2^20 scale")
+
   private final case class St(key: (Int, Int), ci: Int, lo: Long,
       hi: Long, rank: Long)
 
@@ -45,26 +69,35 @@ object Profiler {
     require(cols.nonEmpty, "profile: no columns")
     require(percents.forall(p => p >= 0 && p <= 100),
       s"profile: percents must be 0..100, got $percents")
-    val qCols = cols.map(c =>
-      floor(col(c).cast("double") * 1048576.0 + 0.5).cast("long")
-        .as(s"__q_$c"))
+    val qCols = cols.map(c => quantize(c).as(s"__q_$c"))
     val qdf = df.select(qCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // pass 1: every column's count/min/max/sum in ONE aggregate
+      // sum in decimal(38,0): a saturated ±Infinity (ANSI's double→long
+      // cast saturates, it does not fail) or a legitimately huge column
+      // would overflow a long sum mid-pass — range-check FIRST on the
+      // decimal-safe aggregate, then convert back
       val aggExprs = count(lit(1)).as("total") +:
         cols.zipWithIndex.flatMap { case (c, i) =>
           val q = col(s"__q_$c")
           Seq(count(q).as(s"n_$i"), min(q).as(s"mn_$i"),
-            max(q).as(s"mx_$i"), sum(q).as(s"sm_$i"))
+            max(q).as(s"mx_$i"),
+            sum(q.cast("decimal(38,0)")).as(s"sm_$i"))
         }
       val a = qdf.agg(aggExprs.head, aggExprs.tail: _*).head()
       val total = a.getAs[Long]("total")
       val base = cols.indices.map { i =>
         val n = a.getAs[Long](s"n_$i")
         require(n > 0, s"profile: column ${cols(i)} is entirely null")
-        (n, a.getAs[Long](s"mn_$i"), a.getAs[Long](s"mx_$i"),
-          a.getAs[Long](s"sm_$i"))
+        val mn = a.getAs[Long](s"mn_$i")
+        val mx = a.getAs[Long](s"mx_$i")
+        requireFiniteRange(cols(i), mn, mx)
+        val sm = BigDecimal(a.getAs[java.math.BigDecimal](s"sm_$i"))
+        require(sm.isValidLong,
+          s"profile: column ${cols(i)} sum $sm overflows the long " +
+            "fixed-point accumulator")
+        (n, mn, mx, sm.toLongExact)
       }
       // iterative narrowing: state (ci, pct) → open range + local rank
       var states = (for {
@@ -159,20 +192,38 @@ object Profiler {
       s"driftPsi: bins must divide 100 (integer-exact quantile ranks), " +
         s"got $bins")
     val pcts = (1 until bins).map(i => 100 * i / bins)
-    val prof = profile(base, Seq(colName), pcts).head()
-    val edges = pcts.map(p => prof.getAs[Long](s"p${p}_q"))
-    val qv = floor(col(colName).cast("double") * 1048576.0 + 0.5)
-      .cast("long")
-    // bin = how many edges the value exceeds (ties stick to the lower
-    // bin, matching the rank definition's lower-quantile convention)
-    val binCol = edges.map(e => when(qv > e, 1).otherwise(0))
-      .reduce(_ + _)
-    def binCounts(df: DataFrame): Map[Int, Long] = df
-      .filter(col(colName).isNotNull)
-      .groupBy(binCol.as("bin")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val bN = binCounts(base)
-    val cN = binCounts(current)
+    // The base side is scanned by the quantile passes AND by its own
+    // bin count — persist its projection so a nondeterministic or
+    // concurrently-changing lineage cannot yield bin edges inconsistent
+    // with the bin counts (and so the second scan is a cache read, not
+    // a recompute). `current` is scanned exactly once; no pin needed.
+    val bRaw = base.select(col(colName))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val prof = profile(bRaw, Seq(colName), pcts).head()
+      val edges = pcts.map(p => prof.getAs[Long](s"p${p}_q"))
+      // bin = how many edges the value exceeds (ties stick to the lower
+      // bin, matching the rank definition's lower-quantile convention);
+      // NaN quantizes to null (see quantize) and is excluded like null
+      def binCounts(df: DataFrame): Map[Int, Long] = {
+        val q = df.select(quantize(colName).as("__q"))
+          .filter(col("__q").isNotNull)
+        val binCol = edges.map(e => when(col("__q") > e, 1).otherwise(0))
+          .reduce(_ + _)
+        val rows = q.groupBy(binCol.as("bin"))
+          .agg(count(lit(1)).as("n"), min("__q").as("mn"),
+            max("__q").as("mx"))
+          .collect()
+        rows.foreach(r => requireFiniteRange(colName,
+          r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+        rows.map(r => r.getInt(0) -> r.getAs[Long]("n")).toMap
+      }
+      driftRows(spark, binCounts(bRaw), binCounts(current), bins)
+    } finally bRaw.unpersist(blocking = false)
+  }
+
+  private def driftRows(spark: SparkSession, bN: Map[Int, Long],
+      cN: Map[Int, Long], bins: Int): DataFrame = {
     val bTot = bN.values.sum.toDouble + bins * 0.5
     val cTot = cN.values.sum.toDouble + bins * 0.5
     val rows = (0 until bins).map { b =>
@@ -212,13 +263,16 @@ object Profiler {
     val spark = df.sparkSession
     require(cols.size >= 2, s"correlations: need >= 2 columns, got $cols")
     val qCols = cols.map(c =>
-      floor(col(c).cast("double") * 1048576.0 + 0.5).cast("long")
-        .cast("decimal(19,0)").as(s"__q_$c"))
+      quantize(c).cast("decimal(19,0)").as(s"__q_$c"))
     val qdf = df.select(qCols: _*)
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (i, j)
-    val aggExprs = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
+    val rangeExprs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val q = col(s"__q_$c")
+      Seq(min(q).as(s"rmn_$i"), max(q).as(s"rmx_$i"))
+    }
+    val aggExprs = rangeExprs ++ pairs.zipWithIndex.flatMap { case ((i, j), p) =>
       val a = col(s"__q_${cols(i)}")
       val b = col(s"__q_${cols(j)}")
       val both = a.isNotNull && b.isNotNull
@@ -234,6 +288,13 @@ object Profiler {
     def dec(name: String): BigDecimal =
       Option(r.getAs[java.math.BigDecimal](name))
         .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    cols.indices.foreach { i =>
+      val mn = dec(s"rmn_$i"); val mx = dec(s"rmx_$i")
+      require(mn > BigDecimal(-MaxAbsQ) && mx < BigDecimal(MaxAbsQ),
+        s"correlations: column ${cols(i)} has fixed-point values " +
+          s"outside ±2^62 (min=$mn max=$mx) — ±Infinity or |v| beyond " +
+          "~4.4e12 would corrupt the exact co-moment sums")
+    }
     val out = pairs.zipWithIndex.map { case ((i, j), p) =>
       val n = BigDecimal(r.getAs[Long](s"n_$p"))
       val sa = dec(s"sa_$p"); val sb = dec(s"sb_$p")

@@ -112,6 +112,52 @@ class ProfilerSpec extends SparkTestBase {
     assert(e.getMessage.contains("entirely null"))
   }
 
+  test("NaN rows are missing values, not zeros: excluded from n/min/" +
+      "max/sum, quantiles, correlations, and drift bins") {
+    val clean = Seq(5.0, 10.0, 15.0, 20.0, 25.0)
+    val df = (clean.map(v => (Some(v), Some(v * 2))) ++
+      Seq((Some(Double.NaN), Some(40.0)), (Some(Double.NaN), None)))
+      .toDF("a", "b")
+    val r = Profiler.profile(df, Seq("a"), Seq(0, 50, 100)).head()
+    assert(r.getAs[Long]("n") === 5L)     // NaN not counted as value 0
+    assert(r.getAs[Long]("nulls") === 2L) // ...but as missing
+    assert(r.getAs[Long]("min_q") === q20(5.0))
+    assert(r.getAs[Long]("sum_q") === clean.map(q20).sum)
+    assert(r.getAs[Long]("p50_q") === q20(15.0))
+    val c = Profiler.correlations(df, Seq("a", "b")).head()
+    assert(c.getAs[Long]("n") === 5L)      // pairwise-complete drops NaN
+    assert(c.getAs[Double]("corr") === 1.0) // exact affine, NaN-free
+    val drift = Profiler.driftPsi(df, df, "a", 5)
+      .agg(sum("base_n"), sum("cur_n")).head()
+    assert(drift.getLong(0) === 5L && drift.getLong(1) === 5L)
+  }
+
+  test("non-finite and overflow-range inputs fail fast instead of " +
+      "silently corrupting the narrowing walk") {
+    val inf = Seq(1.0, 2.0, Double.PositiveInfinity).map(Tuple1(_))
+      .toDF("v")
+    val e1 = intercept[IllegalArgumentException] {
+      Profiler.profile(inf, Seq("v"), Seq(50))
+    }
+    assert(e1.getMessage.contains("±2^62"))
+    // |v| past ~4.4e12 overflows hi−lo after the 2^20 scale
+    val huge = Seq(-9.0e12, 0.0, 9.0e12).map(Tuple1(_)).toDF("v")
+    val e2 = intercept[IllegalArgumentException] {
+      Profiler.profile(huge, Seq("v"), Seq(50))
+    }
+    assert(e2.getMessage.contains("±2^62"))
+    val e3 = intercept[IllegalArgumentException] {
+      Profiler.correlations(inf.withColumn("w", col("v") * 2),
+        Seq("v", "w"))
+    }
+    assert(e3.getMessage.contains("co-moment"))
+    val clean = Seq(1.0, 2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    val e4 = intercept[IllegalArgumentException] {
+      Profiler.driftPsi(clean, inf, "v", 4).collect()
+    }
+    assert(e4.getMessage.contains("±2^62"))
+  }
+
   test("driftPsi: closed-form bin counts and terms on a shifted " +
       "distribution, partition-invariant (X56)") {
     // base 1..100 with bins=4: decile... quartile edges at ranks
