@@ -23,6 +23,17 @@ object SparkEntry {
     s.read.parquet(s"$dir/$t.parquet")
   }
 
+  /** Scratch dir for a round-trip query's intermediate write, keyed on
+    * the FULL sanitized input path plus this JVM's pid: abs(hashCode)
+    * is still negative for Int.MinValue and collides across concurrent
+    * harness processes, racing one process's overwrite against the
+    * other's read. */
+  private def scratchDir(prefix: String, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val pid = ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${safe}_$pid"
+  }
+
   /** Double-array view of a float-vector column (keeps the dot product
     * in double on both engines for oracle parity). */
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
@@ -137,8 +148,7 @@ object SparkEntry {
     // ---- S1: CSV scan (round-trip through our loader) ----
     "s1_csv_roundtrip" -> ((s, dir) => {
       val region = ld(s, dir, "region")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-        math.abs(dir.hashCode)
+      val tmp = scratchDir("graft_csv", dir)
       region.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(tmp)
       val files = new java.io.File(tmp).listFiles()
@@ -152,8 +162,7 @@ object SparkEntry {
     //      parquet, dispatched through the same sniffing registry ----
     "s5_orc_roundtrip" -> ((s, dir) => {
       val supplier = ld(s, dir, "supplier")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-        math.abs(dir.hashCode)
+      val tmp = scratchDir("graft_orc", dir)
       supplier.coalesce(1).write.mode("overwrite").orc(tmp)
       val files = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".orc")).map(_.getPath).toSeq
