@@ -702,12 +702,14 @@ object Similarity {
    * ~nProbe/nCells of the corpus.
    *
    * Scale note: this harness form recomputes cell + code on the scan
-   * (index-free). A deployment materializes them ONCE via the same
-   * coarse/[[pqEncode]] assigners into a cell-partitioned code table,
-   * and a query then reads only its probed cells' partitions —
-   * partition pruning does the skipping, the math here is unchanged.
-   * Like [[pqTopK]] (and unlike sampled-centroid IVF) every stage is
-   * deterministic, so retries and partitionings cannot shift results.
+   * (index-free — right when the corpus is scanned once). The
+   * deployment form is [[ivfPqWriteIndex]] + [[ivfPqIndexTopK]]: the
+   * same assigners materialize a cell-partitioned code table ONCE, and
+   * a query then reads only its probed cells' partitions — partition
+   * pruning does the skipping (PlanAuditSpec pins it), the math is
+   * bit-identical. Like [[pqTopK]] (and unlike sampled-centroid IVF)
+   * every stage is deterministic, so retries and partitionings cannot
+   * shift results.
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, nCells: Int = 16,
@@ -770,6 +772,154 @@ object Similarity {
                 codes = new Array[Int](c.m)
                 var s = 0
                 while (s < c.m) { codes(s) = pqAssign(v, s, c)._1; s += 1 }
+              }
+              val dt = dts(j)
+              var dist = 0.0; var t = 0
+              while (t < c.m) { dist += dt(t * c.kEff + codes(t)); t += 1 }
+              acc(j).add(id, -dist)
+            }
+            j += 1
+          }
+          acc
+        },
+        combOp = { (a, b) =>
+          var j = 0
+          while (j < nq) { a(j).merge(b(j)); j += 1 }
+          a
+        },
+        depth = 2)
+    bc.destroy()
+    import spark.implicits._
+    val shortlist = (0 until nq).flatMap { j =>
+      heaps(j).ranked.map { case (id, _, _) => (q(j)._1, id) }
+    }.toDF("query_id", "id")
+    val qDf = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec"))
+    heapTopKByQuery(pqRerank(corpus, idCol, vecCol, shortlist, qDf), k)
+  }
+
+  /**
+   * Materialize the IVF-PQ deployment index at `path`: ONE corpus scan
+   * assigns each row its coarse cell and packed PQ code (the
+   * [[pqEncode]] packing), written as a parquet code table PARTITIONED
+   * BY `cell` — the directory layout IS the coarse index. A serve-time
+   * query filters on its probed cells and Spark partition pruning
+   * skips every other directory before any IO happens (pinned in
+   * `PlanAuditSpec`). At 100 TB the raw float vectors shrink to ~8
+   * bytes of code per row, and a non-probed cell costs a query NOTHING
+   * — not even a parquet footer read. Returns the (coarse, fine)
+   * codebooks; persist them with [[savePqCodebook]] so serve sessions
+   * reload KBs instead of re-scanning the corpus.
+   */
+  def ivfPqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+      lloydIters: Int = 2, seed: Long = 11L)
+      : (PqCodebook, PqCodebook) = {
+    val spark = corpus.sparkSession
+    val coarse = pqTrain(corpus, idCol, vecCol, m = 1, ksub = nCells,
+      lloydIters, seed, normalize = true)
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, lloydIters,
+      seed + 1000003L, normalize = true)
+    require(math.pow(cb.kEff.toDouble, cb.m.toDouble) <= 9.2e18,
+      s"ivfPqWriteIndex: kEff=${cb.kEff}^m=${cb.m} overflows the " +
+        "packed code")
+    val bc = spark.sparkContext.broadcast((coarse, cb))
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .map { r =>
+        val (co, c) = bc.value
+        val v = checkPqDim(maybeUnit(toDoubles(r.getSeq[Any](1)),
+          normalize = true), c.dim)
+        var code = 0L; var mult = 1L; var s = 0
+        while (s < c.m) {
+          code += pqAssign(v, s, c)._1 * mult; mult *= c.kEff; s += 1
+        }
+        Row(r.getLong(0), code, pqAssign(v, 0, co)._1)
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("pq_code", LongType, nullable = false),
+      StructField("cell", IntegerType, nullable = false))))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    bc.destroy()
+    (coarse, cb)
+  }
+
+  /** The serve-time probed-cells scan of an [[ivfPqWriteIndex]] table,
+    * split out so the plan audit can pin the partition-pruned shape the
+    * search actually executes (cell is a directory-partition column, so
+    * the IN filter becomes a PartitionFilter — non-probed cells are
+    * excluded from the file listing, never opened). */
+  private[graft] def ivfPqProbeScan(spark: SparkSession,
+      indexPath: String, cells: Seq[Int]): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("id").cast("long"), col("pq_code").cast("long"),
+        col("cell").cast("int"))
+
+  /**
+   * Serve-time IVF-PQ search against a materialized [[ivfPqWriteIndex]]
+   * code table: NO vector math on the index scan at all — the union of
+   * the queries' probed cells arrives partition-pruned, ADC unpacks
+   * each packed code with m integer ops and looks up the broadcast
+   * per-query distance tables, bounded heaps keep k·rerank candidates
+   * per query, and the exact-cosine re-rank runs as the usual broadcast
+   * shortlist against the raw corpus. Bit-identical to [[ivfPqTopK]]
+   * with the same codebooks: same assignments, same two-operand double
+   * distance sums, same id-asc tie-breaks.
+   */
+  def ivfPqIndexTopK(corpus: DataFrame, indexPath: String,
+      coarse: PqCodebook, cb: PqCodebook, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), checkPqDim(
+        maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true),
+        cb.dim)))
+      .sortBy(_._1)
+    require(q.nonEmpty, "empty query set")
+    val nq = q.length
+    val probes = q.map { case (_, qv) =>
+      val order = coarse.centroids.indices
+        .map(ci => (pqDistQ(qv, 0, coarse.centroids(ci)), ci)).sorted
+      val bits = new Array[Boolean](coarse.kEff)
+      order.take(math.min(nProbe, order.length))
+        .foreach { case (_, ci) => bits(ci) = true }
+      bits
+    }
+    val tables = q.map { case (_, qv) =>
+      Array.tabulate(cb.m * cb.kEff) { i =>
+        val s = i / cb.kEff
+        val c = cb.centroids(i)
+        var d2 = 0.0; var j = 0
+        while (j < c.length) {
+          val d = qv(s * cb.dsub + j) - c(j); d2 += d * d; j += 1
+        }
+        d2
+      }
+    }
+    val cells = probes.flatMap(b => b.indices.filter(b)).distinct.sorted
+    val bc = spark.sparkContext.broadcast((cb, probes, tables))
+    val shortK = k * rerank
+    val heaps = ivfPqProbeScan(spark, indexPath, cells).rdd
+      .treeAggregate(Array.fill(nq)(new TopK(shortK)))(
+        seqOp = { (acc, row) =>
+          val (c, prb, dts) = bc.value
+          val id = row.getLong(0)
+          val packed = row.getLong(1)
+          val cell = row.getInt(2)
+          // codes unpacked lazily: only when some query probes this cell
+          var codes: Array[Int] = null
+          var j = 0
+          while (j < nq) {
+            if (prb(j)(cell)) {
+              if (codes == null) {
+                codes = new Array[Int](c.m)
+                var rem = packed; var s = 0
+                while (s < c.m) {
+                  codes(s) = (rem % c.kEff).toInt; rem /= c.kEff; s += 1
+                }
               }
               val dt = dts(j)
               var dist = 0.0; var t = 0

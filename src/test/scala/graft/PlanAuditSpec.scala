@@ -244,6 +244,50 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("ivfPq index scan: non-probed cells of the cell-partitioned " +
+      "code table are partition-pruned — never listed, never read") {
+    import spark.implicits._
+    // 60 unit-ish vectors in 5 well-separated clusters → 5 cell dirs
+    val rng = new scala.util.Random(3)
+    val rows = (0L until 60L).map { i =>
+      val c = (i % 5).toInt
+      (i, Seq.tabulate(8)(j =>
+        (if (j == c) 10.0 else 0.0) + rng.nextDouble() * 0.01))
+    }
+    val df = rows.toDF("id", "vec").repartition(3)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivfpq-prune").toString + "/idx"
+    graft.ops.Similarity.ivfPqWriteIndex(df, "id", "vec", idx,
+      nCells = 5, m = 4, ksub = 4)
+    val cellIds = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toInt).sorted
+    assert(cellIds.length >= 3,
+      s"need ≥3 populated cells to demonstrate pruning, got " +
+        cellIds.mkString(","))
+    val scan = graft.ops.Similarity.ivfPqProbeScan(spark, idx,
+      cellIds.take(2).toSeq)
+    scan.collect()
+    // static pin: the IN filter lands in PartitionFilters (listing-time
+    // pruning), not PushedFilters (file-open-time rowgroup skipping)
+    val p = scan.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"), p)
+    // runtime proof: the executed scan's own metrics report exactly the
+    // probed partitions and strictly fewer files than the full table
+    val fs = scan.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fs.nonEmpty, p)
+    assert(fs.head.metrics("numPartitions").value === 2L,
+      s"expected 2 partitions read, got ${fs.head.metrics}")
+    val allFiles = new java.io.File(idx).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    assert(fs.head.metrics("numFiles").value < allFiles)
+  }
+
   test("no query plans a global (unpartitioned) window sort") {
     // Window with an empty partition spec funnels the whole table into
     // one task ("WindowExec: No Partition Defined" at runtime)

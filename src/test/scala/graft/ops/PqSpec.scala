@@ -137,6 +137,36 @@ class PqSpec extends SparkTestBase {
     assert(run(11) === r3)
   }
 
+  test("materialized IVF-PQ index: serve-time search over the " +
+      "cell-partitioned code table equals the index-free form " +
+      "bit-for-bit") {
+    val base = clustered(5, 24)
+    val rows = base :+ (9999L, base(3)._2)
+    val df = rows.toDF("id", "vec").repartition(3)
+    val q = Seq((3L, base(3)._2), (7L, base(7)._2)).toDF("qid", "vec")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-idx").toString + "/idx"
+    val (coarse, cb) = Similarity.ivfPqWriteIndex(df, "id", "vec", dir,
+      nCells = 5, m = 4, ksub = 8)
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val viaIndex = res(Similarity.ivfPqIndexTopK(df, dir, coarse, cb,
+      q, "id", "vec", "qid", k = 5, nProbe = 2, rerank = 4))
+    val direct = res(Similarity.ivfPqTopK(df, q, "id", "vec", "qid",
+      k = 5, nCells = 5, nProbe = 2, m = 4, ksub = 8, rerank = 4))
+    assert(viaIndex === direct)
+    // the codebooks round-trip through parquet, so a reload serves
+    // identically (build-once / serve-many)
+    val cbDir = dir + "_cb"
+    Similarity.savePqCodebook(spark, coarse, s"$cbDir/coarse")
+    Similarity.savePqCodebook(spark, cb, s"$cbDir/fine")
+    val again = res(Similarity.ivfPqIndexTopK(df, dir,
+      Similarity.loadPqCodebook(spark, s"$cbDir/coarse"),
+      Similarity.loadPqCodebook(spark, s"$cbDir/fine"),
+      q, "id", "vec", "qid", k = 5, nProbe = 2, rerank = 4))
+    assert(again === viaIndex)
+  }
+
   test("small corpus: kEff < ksub trains and encodes; packing guard " +
       "rejects overflowing configurations") {
     val rows = clustered(2, 5) // 10 vectors < ksub=16
