@@ -111,6 +111,16 @@ object BenchLarge {
     val end = System.nanoTime()
     val trainTaken = (end - trainStart) / 1e9
     val fullTaken = (end - fullStart) / 1e9
+
+    // batch predict over the full dataset — the other half of the
+    // reference's API (main.py predict path): a fresh parquet scan
+    // scored through the codegen EnsembleScore expression, reduced to
+    // one checksum so every row is computed but none are collected
+    val predStart = System.nanoTime()
+    val predSum = GraftBoost.predict(res.model, spark.read.parquet(path),
+      spec).agg(org.apache.spark.sql.functions.sum("prediction"))
+      .head().getDouble(0)
+    val predTaken = (System.nanoTime() - predStart) / 1e9
     sampling = false
 
     val err = res.evalsResult("train")("error")
@@ -137,6 +147,9 @@ object BenchLarge {
       s""""round_last_sec":${j(rts.last)},""" +
       s""""round_max_sec":${j(rts.max)},""" +
       s""""flatness_last_over_steadyfirst":$flatness,""" +
+      s""""predict_sec":${j(predTaken)},""" +
+      s""""predict_rows_per_sec":${(rows / predTaken).toLong},""" +
+      s""""predict_mean":${j(predSum / rows)},""" +
       s""""peak_heap_gb":${j(peakHeap / 1e9)},""" +
       s""""logloss_first":${j(ll.head)},"logloss_last":${j(ll.last)},""" +
       s""""error_last":${j(err.last)}}""")

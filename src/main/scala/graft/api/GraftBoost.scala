@@ -153,40 +153,33 @@ object GraftBoost {
     val catFlags = spec.categoricalFlags(df)
     checkMonotoneCats(params, catFlags)
 
-    // The fat per-row prepared tuples are NOT cached on the common path
-    // (r13): the only cached artifact is the packed TrainBlock RDD —
-    // Binner.fit and toBinned each evaluate the narrow prepare lineage
-    // straight off the columnar scan, which at 100 TB beats writing
-    // (and spilling) a ~20× intermediate copy of the dataset. Two
-    // cases keep the round-1 cache: distributed data-loading callbacks
-    // (their before/afterDataLoading contract fires once, not once per
-    // pass) and ranking (sortByQid's reduce-side sort would re-run per
-    // pass). Row count for the binner's sample fraction comes from the
-    // input frame — prepare is 1:1 (no filter anywhere in assemble/
-    // sort/repartition), and Catalyst answers count() from parquet
-    // row-group metadata instead of a data scan.
-    // A non-deterministic input plan (rand() projections, or a Sample
-    // node — seeded, but order-dependent over an unpinned shuffle, so
-    // re-evaluations can keep different ROWS) would make the count /
-    // binner-fit / pack scans disagree — cache the prepared rows once
-    // in that case so every pass reads the same snapshot.
-    val nondetPlan = df.queryExecution.analyzed.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
-      case p => p.expressions.exists(!_.deterministic)
-    }
-    val cachePrepared = distributedCallbacks.nonEmpty ||
-      obj.needsGroups || nondetPlan
-    val prepared0 = prepare(df, spec, obj, numWorkers, distributedCallbacks)
-    val prepared =
-      if (cachePrepared) prepared0.persist(params.storageLevel)
-      else prepared0
-    val totalRows = if (cachePrepared) prepared.count() else df.count()
-    val bins = Binner.fit(prepared.map(_._1), totalRows, params.maxBins,
+    // FUSED round-1 (r15): ONE evaluation of the prepare lineage packs
+    // rows into transient FloatBlocks (the TrainBlock layout carrying
+    // raw floats); the binner fits its cuts from the cached blocks and
+    // the byte-binned TrainBlocks convert block-locally, so the
+    // columnar scan + assemble + per-row projection — the expensive
+    // half of round 1 at 100 TB — never runs twice. This subsumes
+    // every reason the pre-r15 path sometimes cached fat per-row
+    // tuples: data-loading callbacks fire once because the lineage
+    // RUNS once; ranking's sortByQid reduce-side sort runs once; a
+    // non-deterministic input plan (rand() projections, Sample nodes)
+    // is snapshotted by the block cache, so the count, binner fit and
+    // pack can never disagree about which rows exist. The row count
+    // for the binner's sample fraction falls out of the packing action
+    // itself. Footprint: ~4 bytes/feature/row more than the binned
+    // block, held only until the binned RDD materializes.
+    val prepared = prepare(df, spec, obj, numWorkers, distributedCallbacks)
+    val fblocks = packFloat(prepared, obj, params.baseScore)
+      .persist(params.storageLevel)
+    val totalRows = fblocks.map(_.n.toLong).fold(0L)(_ + _)
+    val bins = Binner.fit(
+      fblocks.flatMap(fb => (0 until fb.n).iterator.map(fb.featureRow)),
+      totalRows, params.maxBins,
       seed = params.seed + 42, catFeatures = catFlags)
-    val blocks = toBinned(prepared, bins, obj, params.baseScore)
+    val blocks = fromFloat(fblocks, bins, obj)
       .persist(params.storageLevel)
     blocks.foreachPartition(_ => ()) // materialize bytes, drop floats
-    if (cachePrepared) prepared.unpersist(blocking = false)
+    fblocks.unpersist(blocking = false)
     val names = attachableNames(spec, df, bins.numFeatures)
     new BinnedMatrix(blocks, bins, catFlags, names, spec.featureWeights,
       df.sparkSession, obj.name, obj.numOutputs, params.baseScore,
@@ -708,6 +701,100 @@ object GraftBoost {
         (f, y, w, m, q, u)
       }
     }, preservesPartitioning = true)
+  }
+
+  /** Fused round-1 pack (r15): prepared rows → [[FloatBlock]]s with
+    * EXACTLY the block boundaries [[toBinned]] produces (same capacity
+    * rule, same qid-group extension) so the later block-local
+    * conversion is 1:1. See [[FloatBlock]] for why this exists. */
+  private[api] def packFloat(rows: Prepared, obj: Objective,
+      baseScore: Double): RDD[FloatBlock] = {
+    val k = obj.numOutputs
+    val init = obj.initMargin(baseScore)
+    val keepGroups = obj.needsGroups
+    rows.mapPartitions({ it0 =>
+      val it = it0.buffered
+      new Iterator[FloatBlock] {
+        def hasNext: Boolean = it.hasNext
+        def next(): FloatBlock = {
+          val nf = it.head._1.length
+          val cap0 = TrainBlock.capacity(nf, k)
+          var cap = cap0
+          var feats = new Array[Float](cap * nf)
+          var labels = new Array[Float](cap)
+          var weights = new Array[Float](cap)
+          var qids = new Array[Long](cap)
+          var uppers = new Array[Float](cap)
+          var margins = new Array[Float](cap * k)
+          var n = 0
+          var anyQid = false
+          var anyBound = false
+          def grow(): Unit = {
+            cap *= 2
+            feats = java.util.Arrays.copyOf(feats, cap * nf)
+            labels = java.util.Arrays.copyOf(labels, cap)
+            weights = java.util.Arrays.copyOf(weights, cap)
+            qids = java.util.Arrays.copyOf(qids, cap)
+            uppers = java.util.Arrays.copyOf(uppers, cap)
+            margins = java.util.Arrays.copyOf(margins, cap * k)
+          }
+          def add(): Unit = {
+            val (f, y, w, m, q, u) = it.next()
+            if (f.length != nf) throw new IllegalArgumentException(
+              s"graft: feature row has ${f.length} element(s); another " +
+                s"row in the same partition has $nf (inconsistent " +
+                "pre-assembled feature widths?)")
+            if (n == cap) grow()
+            System.arraycopy(f, 0, feats, n * nf, nf)
+            labels(n) = y; weights(n) = w; qids(n) = q; uppers(n) = u
+            if (q != 0L) anyQid = true
+            // NaN upper (right-censored) compares unequal to y, so the
+            // bounds column is kept exactly when some row needs it
+            if (u != y) anyBound = true
+            val m0 = if (m.isNaN) init else m
+            java.util.Arrays.fill(margins, n * k, n * k + k, m0)
+            n += 1
+          }
+          add()
+          while (it.hasNext && (n < cap0 ||
+              (keepGroups && it.head._5 == qids(n - 1)))) add()
+          new FloatBlock(n, nf, k,
+            java.util.Arrays.copyOf(feats, n * nf),
+            java.util.Arrays.copyOf(labels, n),
+            java.util.Arrays.copyOf(weights, n),
+            if (anyQid) java.util.Arrays.copyOf(qids, n) else null,
+            if (anyBound) java.util.Arrays.copyOf(uppers, n) else null,
+            java.util.Arrays.copyOf(margins, n * k))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  /** Block-local conversion of cached [[FloatBlock]]s into byte-binned
+    * [[TrainBlock]]s — the second half of the fused round-1. Allocates
+    * only the bins; every other column passes through by reference. */
+  private[api] def fromFloat(blocks: RDD[FloatBlock], bins: Binner.Bins,
+      obj: Objective, tolerateUnseenCats: Boolean = false)
+      : RDD[TrainBlock] = {
+    val k = obj.numOutputs
+    blocks.map { fb =>
+      val nf = fb.nf
+      require(nf == bins.numFeatures,
+        s"graft: packed rows have $nf feature(s) but the binner fit " +
+          s"${bins.numFeatures} (inconsistent feature widths across " +
+          "partitions?)")
+      val binsArr = new Array[Byte](fb.n * nf)
+      val row = new Array[Float](nf)
+      var i = 0
+      while (i < fb.n) {
+        System.arraycopy(fb.feats, i * nf, row, 0, nf)
+        val rb = bins.binRow(row, tolerateUnseenCats)
+        System.arraycopy(rb, 0, binsArr, i * nf, nf)
+        i += 1
+      }
+      new TrainBlock(fb.n, nf, k, binsArr, fb.labels, fb.weights,
+        fb.qids, fb.uppers, fb.margins)
+    }
   }
 
   /** Bin prepared rows into packed primitive [[TrainBlock]]s (the r12
