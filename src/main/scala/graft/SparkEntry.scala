@@ -380,6 +380,21 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ---- profiling: whole-schema PSI audit (X56, r15) — every
+    //      column's drift in ONE set of passes: the X50 profiler
+    //      batches all quantile edges into the same 2–3 shared scans
+    //      and the cols×bins bin counts fold into one flat aggregate
+    //      per side (no explode, no shuffle, no per-column rerun) ----
+    "prof_drift_multi" -> ((s, dir) => {
+      val o = ld(s, dir, "orders")
+      val cut = lit("1998-01-01")
+      ops.Profiler.driftPsiMulti(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        Seq("o_totalprice", "o_custkey"), 5)
+        .orderBy("col_name", "bin")
+    }),
+
     // ---- retrieval: BM25 ranked top-k (X57) — per-term tf as array
     //      expressions in the scan projection (no explode, no join),
     //      ONE corpus-stats aggregate, TakeOrdered top-k; the score
@@ -1811,6 +1826,52 @@ object SparkEntry {
     s"$ctes$blocks\nORDER BY col_name"
   }
 
+  /** prof_drift_multi oracle, generated per column: the single-column
+    * prof_drift replay (base-quantile edges by row_number rank,
+    * strict-greater binning, Laplace-smoothed terms) instantiated once
+    * per column with suffixed CTE names and UNION ALL'd. */
+  private def profDriftMultiOracle(table: String, cols: Seq[String],
+      basePred: String, curPred: String, bins: Int): String = {
+    val step = 100 / bins
+    val smooth = bins * 0.5
+    val ctes = cols.zipWithIndex.map { case (c, i) =>
+      s"""b_$i AS (SELECT CAST(floor(CAST($c AS DOUBLE)
+         |     * 1048576.0 + 0.5) AS BIGINT) AS v FROM $table
+         |   WHERE $basePred AND $c IS NOT NULL),
+         | c_$i AS (SELECT CAST(floor(CAST($c AS DOUBLE)
+         |     * 1048576.0 + 0.5) AS BIGINT) AS v FROM $table
+         |   WHERE $curPred AND $c IS NOT NULL),
+         | r_$i AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+         |   FROM b_$i),
+         | e_$i AS (SELECT i, (SELECT v FROM r_$i WHERE rn =
+         |     (SELECT (count(*) - 1) * ($step * i) // 100 + 1
+         |      FROM b_$i)) AS edge FROM range(1, $bins) t(i)),
+         | bb_$i AS (SELECT (SELECT count(*) FROM e_$i e
+         |     WHERE e.edge < b.v) AS bin FROM b_$i b),
+         | cb_$i AS (SELECT (SELECT count(*) FROM e_$i e
+         |     WHERE e.edge < c.v) AS bin FROM c_$i c),
+         | bn_$i AS (SELECT bin, count(*) AS n FROM bb_$i GROUP BY bin),
+         | cn_$i AS (SELECT bin, count(*) AS n FROM cb_$i GROUP BY bin),
+         | tot_$i AS (SELECT (SELECT count(*) FROM b_$i) AS tb,
+         |     (SELECT count(*) FROM c_$i) AS tc)""".stripMargin
+    }
+    val selects = cols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS col_name, CAST(g.i AS BIGINT) AS bin,
+         |  CAST(coalesce(bn.n, 0) AS BIGINT) AS base_n,
+         |  CAST(coalesce(cn.n, 0) AS BIGINT) AS cur_n,
+         |  round(((coalesce(cn.n, 0) + 0.5) / (tot.tc + $smooth)
+         |      - (coalesce(bn.n, 0) + 0.5) / (tot.tb + $smooth))
+         |    * ln(((coalesce(cn.n, 0) + 0.5) / (tot.tc + $smooth))
+         |        / ((coalesce(bn.n, 0) + 0.5) / (tot.tb + $smooth))),
+         |    6) AS psi_term
+         |FROM range(0, $bins) g(i) CROSS JOIN tot_$i tot
+         |LEFT JOIN bn_$i bn ON bn.bin = g.i
+         |LEFT JOIN cn_$i cn ON cn.bin = g.i""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n ") + "\n" +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY col_name, bin"
+  }
+
   /** prof_corr oracle, generated per pair: identical co-moment sums
     * (exact HUGEINT) and the identical num/(√d1·√d2) normalization
     * shape, so the two engines' doubles agree to well under the
@@ -2033,6 +2094,10 @@ object SparkEntry {
         |LEFT JOIN bn ON bn.bin = g.i
         |LEFT JOIN cn ON cn.bin = g.i
         |ORDER BY bin""".stripMargin,
+    "prof_drift_multi" -> profDriftMultiOracle("orders",
+      Seq("o_totalprice", "o_custkey"),
+      "o_orderdate < TIMESTAMP '1998-01-01'",
+      "o_orderdate >= TIMESTAMP '1998-01-01'", 5),
     // BM25: tokenization replays the tx_tokens recipe over lower();
     // idf/avgdl/ratio are the identical two-operand double sequence
     // (1.2+1 ≡ the double 2.2 — probed), sum in fixed term order,

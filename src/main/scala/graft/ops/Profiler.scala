@@ -186,8 +186,28 @@ object Profiler {
    *         > 0.25 ≈ drifted, the standard reading)
    */
   def driftPsi(base: DataFrame, current: DataFrame, colName: String,
-      bins: Int): DataFrame = {
+      bins: Int): DataFrame =
+    driftPsiMulti(base, current, Seq(colName), bins).drop("col_name")
+
+  /**
+   * Whole-schema PSI audit — [[driftPsi]] over EVERY listed column in
+   * one set of passes instead of a per-column rerun: the [[profile]]
+   * machinery already batches all columns' quantile edges into the
+   * same 2–3 shared scans, and the bin counts for all columns × bins
+   * fold into ONE flat aggregate per side (cols·bins integer counters
+   * — no explode, no shuffle, no per-column scan). Total scans for a
+   * k-column audit: the 2–3 shared quantile passes + 1 per side —
+   * identical to the single-column cost.
+   *
+   * @return one row per (col_name, bin), bins 0..bins-1; Σ psi_term
+   *         within a column is that column's PSI
+   */
+  def driftPsiMulti(base: DataFrame, current: DataFrame,
+      cols: Seq[String], bins: Int): DataFrame = {
     val spark = base.sparkSession
+    require(cols.nonEmpty, "driftPsiMulti: no columns")
+    require(cols.distinct == cols, s"driftPsiMulti: duplicate columns " +
+      s"in $cols")
     require(bins >= 2 && 100 % bins == 0,
       s"driftPsi: bins must divide 100 (integer-exact quantile ranks), " +
         s"got $bins")
@@ -195,53 +215,63 @@ object Profiler {
     // The base side is scanned by the quantile passes AND by its own
     // bin count — persist its projection so a nondeterministic or
     // concurrently-changing lineage cannot yield bin edges inconsistent
-    // with the bin counts (and so the second scan is a cache read, not
+    // with the bin counts (and so the later scan is a cache read, not
     // a recompute). `current` is scanned exactly once; no pin needed.
-    val bRaw = base.select(col(colName))
+    val bRaw = base.select(cols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val prof = profile(bRaw, Seq(colName), pcts).head()
-      val edges = pcts.map(p => prof.getAs[Long](s"p${p}_q"))
+      val prof = profile(bRaw, cols, pcts).collect()
+      val edgesByCol = prof.map(r => r.getAs[String]("col_name") ->
+        pcts.map(p => r.getAs[Long](s"p${p}_q"))).toMap
       // bin = how many edges the value exceeds (ties stick to the lower
       // bin, matching the rank definition's lower-quantile convention);
       // NaN quantizes to null (see quantize) and is excluded like null
-      def binCounts(df: DataFrame): Map[Int, Long] = {
-        val q = df.select(quantize(colName).as("__q"))
-          .filter(col("__q").isNotNull)
-        val binCol = edges.map(e => when(col("__q") > e, 1).otherwise(0))
-          .reduce(_ + _)
-        val rows = q.groupBy(binCol.as("bin"))
-          .agg(count(lit(1)).as("n"), min("__q").as("mn"),
-            max("__q").as("mx"))
-          .collect()
-        rows.foreach(r => requireFiniteRange(colName,
-          r.getAs[Long]("mn"), r.getAs[Long]("mx")))
-        rows.map(r => r.getInt(0) -> r.getAs[Long]("n")).toMap
+      def binCounts(df: DataFrame): Map[(String, Int), Long] = {
+        val proj = df.select(cols.map(c => quantize(c).as(s"__q_$c")): _*)
+        val aggExprs = cols.flatMap { c =>
+          val q = col(s"__q_$c")
+          val binCol = edgesByCol(c)
+            .map(e => when(q > e, 1).otherwise(0)).reduce(_ + _)
+          (0 until bins).map(b =>
+            sum(when(q.isNotNull && binCol === b, 1L).otherwise(0L))
+              .as(s"n_${c}__$b")) ++
+            Seq(min(q).as(s"mn_$c"), max(q).as(s"mx_$c"))
+        }
+        val r = proj.agg(aggExprs.head, aggExprs.tail: _*).head()
+        cols.foreach { c =>
+          if (!r.isNullAt(r.fieldIndex(s"mn_$c")))
+            requireFiniteRange(c, r.getAs[Long](s"mn_$c"),
+              r.getAs[Long](s"mx_$c"))
+        }
+        (for { c <- cols; b <- 0 until bins }
+          yield (c, b) -> r.getAs[Long](s"n_${c}__$b")).toMap
       }
-      driftRows(spark, binCounts(bRaw), binCounts(current), bins)
+      val bN = binCounts(bRaw)
+      val cN = binCounts(current)
+      val rows = cols.flatMap { c =>
+        val bTot = (0 until bins).map(b => bN((c, b))).sum.toDouble +
+          bins * 0.5
+        val cTot = (0 until bins).map(b => cN((c, b))).sum.toDouble +
+          bins * 0.5
+        (0 until bins).map { b =>
+          val nb = bN((c, b))
+          val nc = cN((c, b))
+          val pb = (nb + 0.5) / bTot
+          val pc = (nc + 0.5) / cTot
+          val term = BigDecimal((pc - pb) * math.log(pc / pb))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(c, b.toLong, nb, nc, term)
+        }
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("col_name", StringType, nullable = false),
+          StructField("bin", LongType, nullable = false),
+          StructField("base_n", LongType, nullable = false),
+          StructField("cur_n", LongType, nullable = false),
+          StructField("psi_term", DoubleType, nullable = false))))
     } finally bRaw.unpersist(blocking = false)
-  }
-
-  private def driftRows(spark: SparkSession, bN: Map[Int, Long],
-      cN: Map[Int, Long], bins: Int): DataFrame = {
-    val bTot = bN.values.sum.toDouble + bins * 0.5
-    val cTot = cN.values.sum.toDouble + bins * 0.5
-    val rows = (0 until bins).map { b =>
-      val nb = bN.getOrElse(b, 0L)
-      val nc = cN.getOrElse(b, 0L)
-      val pb = (nb + 0.5) / bTot
-      val pc = (nc + 0.5) / cTot
-      val term = BigDecimal((pc - pb) * math.log(pc / pb))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Row(b.toLong, nb, nc, term)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("bin", LongType, nullable = false),
-        StructField("base_n", LongType, nullable = false),
-        StructField("cur_n", LongType, nullable = false),
-        StructField("psi_term", DoubleType, nullable = false))))
   }
 
   /**

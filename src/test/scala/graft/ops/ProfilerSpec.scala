@@ -184,6 +184,27 @@ class ProfilerSpec extends SparkTestBase {
     assert(run(1, 1) === r)
   }
 
+  test("driftPsiMulti: the whole-schema audit equals per-column " +
+      "driftPsi exactly, including nulls and mismatched drift shapes") {
+    val base = (1 to 100).map(i => (Some(i.toDouble),
+      if (i % 9 == 0) None else Some((i % 10).toDouble))).toDF("v", "w")
+    val cur = (51 to 150).map(i => (Some(i.toDouble),
+      Some((i % 5).toDouble))).toDF("v", "w")
+    val multi = Profiler.driftPsiMulti(base, cur, Seq("v", "w"), 4)
+      .orderBy("col_name", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    def single(c: String) = Profiler.driftPsi(base, cur, c, 4)
+      .orderBy("bin").collect()
+      .map(r => (c, r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(multi === (single("v") ++ single("w")))
+    val e = intercept[IllegalArgumentException] {
+      Profiler.driftPsiMulti(base, cur, Seq("v", "v"), 4)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("driftPsi: identical snapshots score exactly zero; smoothing " +
       "keeps empty bins finite; non-divisor bins rejected") {
     val df = (1 to 60).map(i => Tuple1((i % 7).toDouble)).toDF("v")
