@@ -153,33 +153,65 @@ object GraftBoost {
     val catFlags = spec.categoricalFlags(df)
     checkMonotoneCats(params, catFlags)
 
-    // FUSED round-1 (r15): ONE evaluation of the prepare lineage packs
-    // rows into transient FloatBlocks (the TrainBlock layout carrying
-    // raw floats); the binner fits its cuts from the cached blocks and
-    // the byte-binned TrainBlocks convert block-locally, so the
-    // columnar scan + assemble + per-row projection — the expensive
-    // half of round 1 at 100 TB — never runs twice. This subsumes
-    // every reason the pre-r15 path sometimes cached fat per-row
-    // tuples: data-loading callbacks fire once because the lineage
-    // RUNS once; ranking's sortByQid reduce-side sort runs once; a
-    // non-deterministic input plan (rand() projections, Sample nodes)
-    // is snapshotted by the block cache, so the count, binner fit and
-    // pack can never disagree about which rows exist. The row count
-    // for the binner's sample fraction falls out of the packing action
-    // itself. Footprint: ~4 bytes/feature/row more than the binned
-    // block, held only until the binned RDD materializes.
-    val prepared = prepare(df, spec, obj, numWorkers, distributedCallbacks)
-    val fblocks = packFloat(prepared, obj, params.baseScore)
-      .persist(params.storageLevel)
-    val totalRows = fblocks.map(_.n.toLong).fold(0L)(_ + _)
-    val bins = Binner.fit(
-      fblocks.flatMap(fb => (0 until fb.n).iterator.map(fb.featureRow)),
-      totalRows, params.maxBins,
+    // Round-1 strategy. DEFAULT (two-pass, r13): the fat per-row
+    // prepared rows are not cached — Binner.fit and toBinned each
+    // evaluate the narrow prepare lineage straight off the columnar
+    // scan. MEASURED in r15 (BENCHLARGE.md): on local storage this
+    // beats the "obvious" fusion below by 1.7–2.7× at 1e8 rows,
+    // because a vectorized parquet re-scan is cheaper than writing and
+    // re-reading a transient deserialized float copy of the dataset
+    // (plus its GC pressure). Three cases still cache the prepared
+    // rows once: distributed data-loading callbacks (before/after
+    // DataLoading fires once, not once per pass), ranking (sortByQid's
+    // reduce-side sort would re-run per pass), and non-deterministic
+    // input plans (rand() projections, or Sample — seeded but
+    // order-dependent over an unpinned shuffle), where re-evaluations
+    // could keep different ROWS and make the count / binner-fit / pack
+    // scans disagree.
+    //
+    // FUSED (params.fuseRound1): ONE evaluation of the prepare lineage
+    // packs transient FloatBlocks; the binner fits from the cache and
+    // the binned blocks convert block-locally. The right trade only
+    // when the input scan itself dominates — cold remote object
+    // storage at 100 TB — and the transient ~4 B/feature/row fits.
+    // Bit-identical results either way (FusedRound1Spec pins it).
+    if (params.fuseRound1) {
+      val prepared = prepare(df, spec, obj, numWorkers,
+        distributedCallbacks)
+      val fblocks = packFloat(prepared, obj, params.baseScore)
+        .persist(params.storageLevel)
+      val totalRows = fblocks.map(_.n.toLong).fold(0L)(_ + _)
+      val bins = Binner.fit(
+        fblocks.flatMap(fb => (0 until fb.n).iterator.map(fb.featureRow)),
+        totalRows, params.maxBins,
+        seed = params.seed + 42, catFeatures = catFlags)
+      val blocks = fromFloat(fblocks, bins, obj)
+        .persist(params.storageLevel)
+      blocks.foreachPartition(_ => ()) // materialize bytes, drop floats
+      fblocks.unpersist(blocking = false)
+      val names = attachableNames(spec, df, bins.numFeatures)
+      return new BinnedMatrix(blocks, bins, catFlags, names,
+        spec.featureWeights, df.sparkSession, obj.name, obj.numOutputs,
+        params.baseScore, params.maxBins, params.seed,
+        forTraining = true, loadCallbacks = distributedCallbacks)
+    }
+    val nondetPlan = df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+      case p => p.expressions.exists(!_.deterministic)
+    }
+    val cachePrepared = distributedCallbacks.nonEmpty ||
+      obj.needsGroups || nondetPlan
+    val prepared0 = prepare(df, spec, obj, numWorkers, distributedCallbacks)
+    val prepared =
+      if (cachePrepared) prepared0.persist(params.storageLevel)
+      else prepared0
+    val totalRows = if (cachePrepared) prepared.count() else df.count()
+    val bins = Binner.fit(prepared.map(_._1), totalRows, params.maxBins,
       seed = params.seed + 42, catFeatures = catFlags)
-    val blocks = fromFloat(fblocks, bins, obj)
+    val blocks = toBinned(prepared, bins, obj, params.baseScore)
       .persist(params.storageLevel)
     blocks.foreachPartition(_ => ()) // materialize bytes, drop floats
-    fblocks.unpersist(blocking = false)
+    if (cachePrepared) prepared.unpersist(blocking = false)
     val names = attachableNames(spec, df, bins.numFeatures)
     new BinnedMatrix(blocks, bins, catFlags, names, spec.featureWeights,
       df.sparkSession, obj.name, obj.numOutputs, params.baseScore,
