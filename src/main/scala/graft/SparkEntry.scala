@@ -307,6 +307,31 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // ---- point-in-time (as-of) join (X58) — leakage-free feature
+    //      attachment: each event gets the user's most recent STRICTLY
+    //      EARLIER activity snapshot (per-(user,ts) exact fixed-point
+    //      sum, so the right side is unique and the match
+    //      deterministic). One hash exchange per side + a partition-
+    //      local sorted forward pass — no row explosion, no window
+    //      over the union, no global sort ----
+    "j2_asof" -> ((s, dir) => {
+      val e0 = ld(s, dir, "events")
+      // epoch-nanos long on both engines (the X49 conversion)
+      val e = e0.withColumn("ts", ops.Sessions.asNanos(e0, "ts"))
+      val snap = e.groupBy(col("user_id"), col("ts"))
+        .agg(sum(floor(col("value") * 1048576.0 + 0.5).cast("long"))
+          .as("val_q"))
+      ops.AsofJoin.asofJoin(
+        e.select(col("event_id"), col("user_id"), col("ts")),
+        snap, "user_id", "ts", "ts", Seq("val_q"), strict = true)
+        // unmatched → -1 sentinels: a nullable BIGINT lands in the
+        // compare harness as float64 + NaN, where NaN != NaN
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_ts"), lit(-1L)).as("asof_ts"),
+          coalesce(col("asof_val_q"), lit(-1L)).as("asof_val_q"))
+        .orderBy("event_id")
+    }),
+
     // ---- window function capability ----
     "w1_running_sum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1986,6 +2011,21 @@ object SparkEntry {
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // as-of join: DuckDB's NATIVE ASOF LEFT JOIN replays the strict
+    // (>) point-in-time match over the identical per-(user,ts)
+    // fixed-point snapshot — timestamps as epoch nanos on both sides
+    "j2_asof" ->
+      """WITH snap AS (SELECT user_id, epoch_ns(ts) AS ts,
+        |    CAST(sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS val_q
+        |  FROM events GROUP BY user_id, epoch_ns(ts)),
+        | l AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  CAST(coalesce(s.ts, -1) AS BIGINT) AS asof_ts,
+        |  CAST(coalesce(s.val_q, -1) AS BIGINT) AS asof_val_q
+        | FROM l ASOF LEFT JOIN snap s
+        |   ON l.user_id = s.user_id AND l.ts > s.ts
+        | ORDER BY event_id""".stripMargin,
     "w1_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

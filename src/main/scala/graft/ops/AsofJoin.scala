@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Distributed point-in-time (as-of) join — for each left row, attach
+ * the single most recent right row of the same key with
+ * `rightTs <= leftTs` (or `<` in strict mode), optionally within a
+ * tolerance window. The feature-store primitive a training pipeline
+ * needs for leakage-free feature attachment ("the user's latest
+ * snapshot BEFORE this event"): the reference delegates such
+ * time-travel joins to its dataframe substrate (pandas
+ * `merge_asof`; `data_sources/modin.py`-style per-partition frames),
+ * which single-nodes the problem — this is the shuffle-merge form
+ * that survives 100 TB.
+ *
+ * Spark has no native as-of join. The naive encodings both die at
+ * scale: a range join explodes to the per-key cross product before
+ * filtering, and a window over the unioned table still pays a global
+ * per-key sort PLUS carries every left column through the window
+ * state. This operator instead does the textbook distributed
+ * merge-asof:
+ *
+ *   1. project both sides onto a shared (key, ts, tag, payload…,
+ *      left…) schema and UNION them — no row explosion, ever;
+ *   2. ONE hash exchange on the key (`repartition`), so a key's whole
+ *      timeline lands in one partition;
+ *   3. `sortWithinPartitions(key, ts, tag, payload…)` — Spark's
+ *      spill-safe external sort, no global ordering needed;
+ *   4. one forward `mapPartitions` pass that carries the last-seen
+ *      right payload per key and emits each left row joined to it —
+ *      O(1) state, O(n) time, zero additional shuffle.
+ *
+ * Determinism: ties between right rows on the same (key, ts) resolve
+ * to the lexicographically largest payload tuple (they sort last, and
+ * last-seen wins) — partitioning/retry invariant. Inclusive vs strict
+ * equality is the tag sort order: at equal ts the right row sorts
+ * BEFORE the left row when matches may be inclusive, AFTER it when
+ * strict, so the single forward pass implements both without
+ * branching on time values.
+ *
+ * Skew note: one key's full history serializes through one task. Keys
+ * here are entities (users, customers) whose per-entity event counts
+ * are bounded in any curated corpus; a pathological hot key should be
+ * pre-aggregated (as the harness query does per (key, ts)) before the
+ * join.
+ */
+object AsofJoin {
+
+  /** The shuffle+sort core, split out so the plan audit can pin its
+    * shape: ONE hash exchange on the key and a PARTITION-LOCAL sort
+    * (`sortWithinPartitions` — global=false, so no rangepartitioning
+    * sampling pass, no global ordering machinery). */
+  private[graft] def asofMerged(rProj: DataFrame, lProj: DataFrame,
+      payloadCols: Seq[String]): DataFrame = {
+    val sortCols = Seq(col("__k"), col("__ts"), col("__tag")) ++
+      payloadCols.map(c => col(s"__p_$c"))
+    rProj.unionByName(lProj)
+      .repartition(col("__k"))
+      .sortWithinPartitions(sortCols: _*)
+  }
+
+  /**
+   * @param left       rows to enrich (all columns carried through)
+   * @param right      timeline to attach from
+   * @param keyCol     equi-join key column name (same name both sides)
+   * @param leftTsCol  left event-time column (LongType)
+   * @param rightTsCol right event-time column (LongType)
+   * @param payloadCols right columns to attach (emitted as
+   *                   `asof_<name>`, plus `asof_ts` = matched right ts)
+   * @param strict     false: match `rightTs <= leftTs` (merge_asof
+   *                   default); true: `rightTs < leftTs`
+   * @param tolerance  max allowed `leftTs - rightTs` (same unit as the
+   *                   ts columns); None = unbounded lookback
+   * @return left columns + `asof_ts` + `asof_<payload>` (null when no
+   *         right row qualifies — the left-join convention)
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String],
+      strict: Boolean = false, tolerance: Option[Long] = None)
+      : DataFrame = {
+    val spark = left.sparkSession
+    require(payloadCols.nonEmpty, "asofJoin: no payload columns")
+    require(left.schema(leftTsCol).dataType == LongType,
+      s"asofJoin: left ts column $leftTsCol must be LongType")
+    require(right.schema(rightTsCol).dataType == LongType,
+      s"asofJoin: right ts column $rightTsCol must be LongType")
+    tolerance.foreach(t => require(t >= 0, s"asofJoin: tolerance $t < 0"))
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("asof_ts") &&
+      !payloadCols.exists(p => leftCols.contains(s"asof_$p")),
+      "asofJoin: left side already has asof_* output columns")
+
+    // shared union schema: key, ts, tag, payload…, left…
+    // at equal ts the INCLUSIVE form must see the right row first
+    // (tag 0 < 1), the STRICT form must not see it yet (tag 1 > 0)
+    val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
+    // a right row with a null key or null ts can never match anything —
+    // drop it here; a LEFT row with a null key/ts stays and emits
+    // unmatched (nulls sort first within a key, before any right row)
+    val rProj = right
+      .filter(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
+      .select(
+      Seq(col(keyCol).as("__k"), col(rightTsCol).as("__ts"),
+        lit(rightTag).as("__tag")) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType)
+          .as(s"__l_$c")): _*)
+    val lProj = left.select(
+      Seq(col(keyCol).as("__k"), col(leftTsCol).as("__ts"),
+        lit(leftTag).as("__tag")) ++
+        payloadCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
+        leftCols.map(c => col(c).as(s"__l_$c")): _*)
+    val merged = asofMerged(rProj, lProj, payloadCols)
+
+    val np = payloadCols.length
+    val emitLeftIsTag = leftTag
+    val tol = tolerance
+    val outSchema = StructType(
+      leftCols.map(c => left.schema(c).copy()) ++
+        Seq(StructField("asof_ts", LongType, nullable = true)) ++
+        payloadCols.map(c =>
+          StructField(s"asof_$c", right.schema(c).dataType,
+            nullable = true)))
+    val rows: RDD[Row] = merged.rdd.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var lastTs = 0L
+      var havePayload = false
+      var lastPayload: Array[Any] = null
+      it.flatMap { r =>
+        val k = r.get(0)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; havePayload = false
+          lastPayload = null
+        }
+        if (r.getInt(2) != emitLeftIsTag) {
+          // right row: remember the newest payload for this key
+          lastTs = r.getLong(1)
+          lastPayload = Array.tabulate[Any](np)(i => r.get(3 + i))
+          havePayload = true
+          Iterator.empty
+        } else {
+          val ok = !r.isNullAt(1) && havePayload &&
+            tol.forall(t => r.getLong(1) - lastTs <= t)
+          val leftVals =
+            Array.tabulate[Any](r.length - 3 - np)(i => r.get(3 + np + i))
+          val out =
+            if (ok) leftVals ++ (lastTs +: lastPayload.toSeq)
+            else leftVals ++ (null +: Seq.fill[Any](np)(null))
+          Iterator.single(Row.fromSeq(out.toSeq))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

@@ -288,6 +288,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(fs.head.metrics("numFiles").value < allFiles)
   }
 
+  test("j2_asof: the as-of merge core is ONE keyed exchange + a " +
+      "partition-local sort — no global sort, no window, no join node") {
+    // the harness query's visible plan is only the presentation layer
+    // (the RDD scan + orderBy); audit the merge core directly
+    import spark.implicits._
+    val r = Seq((1L, 10L, 5L)).toDF("__k", "__ts", "__p_v")
+      .withColumn("__tag", lit(0))
+      .withColumn("__l_id", lit(null).cast("long"))
+      .select("__k", "__ts", "__tag", "__p_v", "__l_id")
+    val l = Seq((1L, 11L, 7L)).toDF("__k", "__ts", "__l_id")
+      .withColumn("__tag", lit(1))
+      .withColumn("__p_v", lit(null).cast("long"))
+      .select("__k", "__ts", "__tag", "__p_v", "__l_id")
+    val p = graft.ops.AsofJoin.asofMerged(r, l, Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("rangepartitioning"), p) // sort is partition-local
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // and the full harness query never plans a relational join or
+    // window on top of it — the pass IS the join
+    val hp = plan("j2_asof")
+    assert(!hp.contains("SortMergeJoin") && !hp.contains("Window"), hp)
+  }
+
   test("no query plans a global (unpartitioned) window sort") {
     // Window with an empty partition spec funnels the whole table into
     // one task ("WindowExec: No Partition Defined" at runtime)

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/**
+ * Distributed merge-asof (X58): closed-form matches, inclusive vs
+ * strict equality, tolerance windows, unmatched nulls, deterministic
+ * same-ts tie-break, null handling, and partition invariance.
+ */
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val right = Seq(
+    (1L, 10L, "a", 100L), (1L, 20L, "b", 200L), (2L, 15L, "c", 300L))
+    .toDF("k", "ts", "v", "x")
+  private val left = Seq(
+    (1L, 5L, "l0"), (1L, 15L, "l1"), (1L, 20L, "l2"), (2L, 40L, "l3"),
+    (3L, 7L, "l4"))
+    .toDF("k", "ts", "tag")
+
+  private def run(strict: Boolean, tol: Option[Long] = None,
+      lparts: Int = 4, rparts: Int = 3) =
+    AsofJoin.asofJoin(left.repartition(lparts), right.repartition(rparts),
+      "k", "ts", "ts", Seq("v", "x"), strict = strict, tolerance = tol)
+      .orderBy("k", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(4)), Option(r.get(5)))).toSeq
+
+  test("inclusive (merge_asof default): rightTs <= leftTs, latest wins, " +
+      "unmatched rows keep nulls") {
+    assert(run(strict = false) === Seq(
+      (1L, 5L, "l0", None, None, None),          // nothing at/before 5
+      (1L, 15L, "l1", Some(10L), Some("a"), Some(100L)),
+      (1L, 20L, "l2", Some(20L), Some("b"), Some(200L)), // equal ts matches
+      (2L, 40L, "l3", Some(15L), Some("c"), Some(300L)),
+      (3L, 7L, "l4", None, None, None)))         // key with no right rows
+  }
+
+  test("strict: rightTs < leftTs — the equal-ts right row is excluded") {
+    val r = run(strict = true)
+    assert(r(2) === ((1L, 20L, "l2", Some(10L), Some("a"), Some(100L))))
+    assert(r(1) === ((1L, 15L, "l1", Some(10L), Some("a"), Some(100L))))
+  }
+
+  test("tolerance bounds the lookback window") {
+    val r = run(strict = false, tol = Some(5L))
+    // l1@15 matches a@10 (gap 5 <= 5); l3@40 vs c@15 (gap 25) does not
+    assert(r(1)._4 === Some(10L))
+    assert(r(3) === ((2L, 40L, "l3", None, None, None)))
+  }
+
+  test("same-(key,ts) right duplicates resolve to the largest payload " +
+      "tuple, invariantly across partitionings") {
+    val dupR = Seq((1L, 10L, "a", 1L), (1L, 10L, "z", 2L),
+      (1L, 10L, "m", 3L)).toDF("k", "ts", "v", "x")
+    val l = Seq((1L, 11L, "q")).toDF("k", "ts", "tag")
+    def go(p: Int) = AsofJoin.asofJoin(l, dupR.repartition(p), "k", "ts",
+      "ts", Seq("v", "x")).collect().map(r => (r.getString(4),
+      r.getLong(5))).toSeq
+    assert(go(1) === Seq(("z", 2L))) // "z" sorts last lexicographically
+    assert(go(5) === go(1))
+  }
+
+  test("null right keys/timestamps never match; null left ts emits " +
+      "unmatched; output is partition-invariant") {
+    val nr = right.unionByName(Seq((1L, 999L, "bad", 9L)).toDF("k", "ts",
+      "v", "x").withColumn("ts", org.apache.spark.sql.functions
+      .lit(null).cast("long")))
+    val nl = left.unionByName(Seq((1L, 999L, "lnull")).toDF("k", "ts",
+      "tag").withColumn("ts", org.apache.spark.sql.functions
+      .lit(null).cast("long")))
+    val out = AsofJoin.asofJoin(nl, nr, "k", "ts", "ts", Seq("v", "x"))
+      .collect()
+    assert(out.length === nl.count())
+    val nullRow = out.find(_.isNullAt(1)).get
+    assert(nullRow.isNullAt(3) && nullRow.isNullAt(4))
+    assert(run(strict = false, lparts = 1, rparts = 1) ===
+      run(strict = false, lparts = 7, rparts = 5))
+  }
+
+  test("output column collisions are rejected loudly") {
+    val l2 = left.withColumn("asof_ts",
+      org.apache.spark.sql.functions.lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l2, right, "k", "ts", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("asof_"))
+  }
+}
