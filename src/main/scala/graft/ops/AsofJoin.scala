@@ -84,6 +84,7 @@ object AsofJoin {
       : DataFrame = {
     val spark = left.sparkSession
     require(payloadCols.nonEmpty, "asofJoin: no payload columns")
+    require(keyCol.nonEmpty, "asofJoin: empty key column name")
     require(left.schema(leftTsCol).dataType == LongType,
       s"asofJoin: left ts column $leftTsCol must be LongType")
     require(right.schema(rightTsCol).dataType == LongType,
@@ -157,5 +158,38 @@ object AsofJoin {
       }
     }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /**
+   * Forward as-of join (pandas `merge_asof(direction="forward")`): for
+   * each left row, the EARLIEST right row with `rightTs >= leftTs`
+   * (`>` when strict), optionally within `rightTs - leftTs <=
+   * tolerance`. Time-reversal reduction onto the backward core — both
+   * timestamps negate going in, the matched `asof_ts` negates coming
+   * out — so the shuffle shape, determinism rule (same-(key,ts) ties →
+   * largest payload tuple), and null handling are IDENTICAL to
+   * [[asofJoin]] by construction. (A "nearest" direction is the
+   * per-row min over this and [[asofJoin]] — two passes by necessity;
+   * compose it if needed rather than paying both scans always.)
+   *
+   * Long.MinValue timestamps are rejected: they have no Long negation.
+   */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String],
+      strict: Boolean = false, tolerance: Option[Long] = None)
+      : DataFrame = {
+    require(left.schema(leftTsCol).dataType == LongType,
+      s"asofJoin: left ts column $leftTsCol must be LongType")
+    require(right.schema(rightTsCol).dataType == LongType,
+      s"asofJoin: right ts column $rightTsCol must be LongType")
+    def negTs(df: DataFrame, ts: String): DataFrame = df.withColumn(ts,
+      when(col(ts) === Long.MinValue,
+        raise_error(lit("asofJoinForward: Long.MinValue ts cannot be " +
+          "negated"))).otherwise(-col(ts)).cast("long"))
+    val out = asofJoin(negTs(left, leftTsCol), negTs(right, rightTsCol),
+      keyCol, leftTsCol, rightTsCol, payloadCols, strict, tolerance)
+    out.withColumn(leftTsCol, -col(leftTsCol))
+      .withColumn("asof_ts",
+        when(col("asof_ts").isNotNull, -col("asof_ts")).cast("long"))
   }
 }

@@ -80,6 +80,29 @@ class AsofJoinSpec extends SparkTestBase {
       run(strict = false, lparts = 7, rparts = 5))
   }
 
+  test("forward direction: earliest rightTs >= leftTs (or > when " +
+      "strict), tolerance bounds the lookahead, partition-invariant") {
+    def fwd(strict: Boolean, tol: Option[Long] = None, p: Int = 4) =
+      AsofJoin.asofJoinForward(left.repartition(p), right.repartition(3),
+        "k", "ts", "ts", Seq("v", "x"), strict = strict, tolerance = tol)
+        .orderBy("k", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.getString(4)))).toSeq
+    assert(fwd(strict = false) === Seq(
+      (1L, 5L, "l0", Some(10L), Some("a")),   // earliest at/after 5
+      (1L, 15L, "l1", Some(20L), Some("b")),
+      (1L, 20L, "l2", Some(20L), Some("b")),  // equal ts matches
+      (2L, 40L, "l3", None, None),            // nothing after 40
+      (3L, 7L, "l4", None, None)))
+    // strict: the equal-ts right row is excluded → nothing after 20
+    assert(fwd(strict = true)(2) === ((1L, 20L, "l2", None, None)))
+    // tolerance: l0@5 → a@10 is gap 5; tol 4 kills it
+    assert(fwd(strict = false, tol = Some(4L)).head ===
+      ((1L, 5L, "l0", None, None)))
+    assert(fwd(strict = false, p = 9) === fwd(strict = false, p = 1))
+  }
+
   test("output column collisions are rejected loudly") {
     val l2 = left.withColumn("asof_ts",
       org.apache.spark.sql.functions.lit(1L))
