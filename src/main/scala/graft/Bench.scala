@@ -99,11 +99,10 @@ object Bench {
     // the 3-SF scaling probe) must not clobber each other's detail, and
     // a write failure is worth a stderr note, not silence (advisor r14).
     try {
-      val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
-        .getOrElse("sf").replaceAll("[^A-Za-z0-9._-]", "_")
+      val safe = sfBase(sfDir).replaceAll("[^A-Za-z0-9._-]", "_")
       val pid = ProcessHandle.current().pid()
       val p = java.nio.file.Paths.get(
-        s"/tmp/graft_bench_detail_${sfBase}_$pid.json")
+        s"/tmp/graft_bench_detail_${safe}_$pid.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
       System.err.println(s"BENCH detail: $p")
     } catch {
@@ -120,6 +119,13 @@ object Bench {
     * line (~75 bytes) and slack. BenchLineBudgetSpec asserts the
     * worst-case line for the FULL harness query set stays under it. */
   private[graft] val LineBudget = 1870
+
+  /** SF basename — shared by the detail-file key and the compact
+    * line's `sf` field so the two can never drift ("sf" fallback for a
+    * pathological all-separator path; the full path is machine-local
+    * noise whose bytes are better spent on query entries). */
+  private def sfBase(sfDir: String): String =
+    sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
 
   /** The one machine-parsed stdout line. Locale.ROOT because the
     * default-locale %f can emit a comma decimal separator (invalid
@@ -138,10 +144,7 @@ object Bench {
     def fmt(prec: Int, v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f",
         java.lang.Double.valueOf(v))
-    // sf basename, not the full path: the directory is machine-local
-    // noise and its 15 bytes are better spent on query entries
-    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
-      .getOrElse(sfDir)
+    val sf = sfBase(sfDir)
     def line(prec: Int, kept: Seq[(String, Double)],
         rest: Seq[(String, Double)]): String = {
       val entries = kept.sortBy(_._1).map { case (k, m) =>
@@ -150,13 +153,15 @@ object Bench {
             else Seq("\"_rest\":{\"n\":" + rest.size + ",\"sec\":" +
               fmt(1, rest.map(_._2).sum) + "}"))
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(2, total)},"failed":$failed,"queries":$qs,"sf":"$sfBase"}"""
+      s"""{"metric":"total","value":${fmt(2, total)},"failed":$failed,"queries":$qs,"sf":"$sf"}"""
     }
     val full = Seq(2, 1, 0).map(p => line(p, medians, Nil))
       .find(_.length <= LineBudget)
     full.getOrElse {
+      // k = medians.size would duplicate tier 2's already-rejected
+      // 0-decimal full line, and the k = 0 form is the fallback below
       val bySlow = medians.sortBy { case (k, m) => (-m, k) }
-      (medians.size to 0 by -1).iterator
+      ((medians.size - 1) to 1 by -1).iterator
         .map(k => line(0, bySlow.take(k), bySlow.drop(k)))
         .find(_.length <= LineBudget)
         .getOrElse(line(0, Nil, medians))

@@ -111,6 +111,10 @@ object BenchLarge {
     val end = System.nanoTime()
     val trainTaken = (end - trainStart) / 1e9
     val fullTaken = (end - fullStart) / 1e9
+    // stop the sampler HERE: peak_heap_gb has always meant the
+    // TRAINING peak (all BENCHLARGE.md history compares on that), and
+    // the predict pass below must not widen the window
+    sampling = false
 
     // batch predict over the full dataset — the other half of the
     // reference's API (main.py predict path): a fresh parquet scan
@@ -121,7 +125,6 @@ object BenchLarge {
       spec).agg(org.apache.spark.sql.functions.sum("prediction"))
       .head().getDouble(0)
     val predTaken = (System.nanoTime() - predStart) / 1e9
-    sampling = false
 
     val err = res.evalsResult("train")("error")
     val ll = res.evalsResult("train")("logloss")

@@ -735,24 +735,44 @@ object GraftBoost {
     }, preservesPartitioning = true)
   }
 
-  /** Fused round-1 pack (r15): prepared rows → [[FloatBlock]]s with
-    * EXACTLY the block boundaries [[toBinned]] produces (same capacity
-    * rule, same qid-group extension) so the later block-local
-    * conversion is 1:1. See [[FloatBlock]] for why this exists. */
-  private[api] def packFloat(rows: Prepared, obj: Objective,
-      baseScore: Double): RDD[FloatBlock] = {
-    val k = obj.numOutputs
-    val init = obj.initMargin(baseScore)
-    val keepGroups = obj.needsGroups
+  /** Per-block feature-storage strategy for [[packBlocks]] — the ONLY
+    * thing that differs between the byte-binned [[toBinned]] pack and
+    * the fused path's raw-float pack. Everything else (capacity rule,
+    * qid-group extension, anyQid/anyBound, NaN-margin init) lives once
+    * in [[packBlocks]], so the two representations can never drift —
+    * the fused path's bit-identity guarantee is structural, not a
+    * discipline (the r12→r13 packing migration precedent). A fresh
+    * sink is created per block (mutable feature buffer inside). */
+  private trait FeatSink[B] {
+    /** Feature width (from the binner for the binned sink — width
+      * mismatches then fail the per-row check; from the first row for
+      * the float sink). */
+    def featWidth(firstRow: Array[Float]): Int
+    def alloc(cells: Int): Unit
+    def growTo(cells: Int): Unit
+    def write(f: Array[Float], rowIdx: Int, nf: Int): Unit
+    def result(n: Int, nf: Int, k: Int, labels: Array[Float],
+        weights: Array[Float], qids: Array[Long], uppers: Array[Float],
+        margins: Array[Float]): B
+  }
+
+  /** The one block packer: prepared rows → blocks of `sinkFor`'s
+    * representation. Row order within a partition is the prepared
+    * order and block boundaries are the capacity rule + qid-group
+    * extension — the RepresentationGoldenSpec bit-identity contract. */
+  private def packBlocks[B: scala.reflect.ClassTag](rows: Prepared,
+      k: Int, init: Float, keepGroups: Boolean,
+      sinkFor: () => FeatSink[B]): RDD[B] =
     rows.mapPartitions({ it0 =>
       val it = it0.buffered
-      new Iterator[FloatBlock] {
+      new Iterator[B] {
         def hasNext: Boolean = it.hasNext
-        def next(): FloatBlock = {
-          val nf = it.head._1.length
+        def next(): B = {
+          val sink = sinkFor()
+          val nf = sink.featWidth(it.head._1)
           val cap0 = TrainBlock.capacity(nf, k)
           var cap = cap0
-          var feats = new Array[Float](cap * nf)
+          sink.alloc(cap * nf)
           var labels = new Array[Float](cap)
           var weights = new Array[Float](cap)
           var qids = new Array[Long](cap)
@@ -763,7 +783,7 @@ object GraftBoost {
           var anyBound = false
           def grow(): Unit = {
             cap *= 2
-            feats = java.util.Arrays.copyOf(feats, cap * nf)
+            sink.growTo(cap * nf)
             labels = java.util.Arrays.copyOf(labels, cap)
             weights = java.util.Arrays.copyOf(weights, cap)
             qids = java.util.Arrays.copyOf(qids, cap)
@@ -773,11 +793,11 @@ object GraftBoost {
           def add(): Unit = {
             val (f, y, w, m, q, u) = it.next()
             if (f.length != nf) throw new IllegalArgumentException(
-              s"graft: feature row has ${f.length} element(s); another " +
-                s"row in the same partition has $nf (inconsistent " +
-                "pre-assembled feature widths?)")
+              s"graft: feature row has ${f.length} element(s); " +
+                s"expected $nf (inconsistent pre-assembled feature " +
+                "widths?)")
             if (n == cap) grow()
-            System.arraycopy(f, 0, feats, n * nf, nf)
+            sink.write(f, n, nf)
             labels(n) = y; weights(n) = w; qids(n) = q; uppers(n) = u
             if (q != 0L) anyQid = true
             // NaN upper (right-censored) compares unequal to y, so the
@@ -790,8 +810,7 @@ object GraftBoost {
           add()
           while (it.hasNext && (n < cap0 ||
               (keepGroups && it.head._5 == qids(n - 1)))) add()
-          new FloatBlock(n, nf, k,
-            java.util.Arrays.copyOf(feats, n * nf),
+          sink.result(n, nf, k,
             java.util.Arrays.copyOf(labels, n),
             java.util.Arrays.copyOf(weights, n),
             if (anyQid) java.util.Arrays.copyOf(qids, n) else null,
@@ -800,7 +819,29 @@ object GraftBoost {
         }
       }
     }, preservesPartitioning = true)
-  }
+
+  /** Fused round-1 pack (r15): prepared rows → [[FloatBlock]]s with
+    * EXACTLY the block boundaries [[toBinned]] produces (the shared
+    * [[packBlocks]] core guarantees it) so the later block-local
+    * conversion is 1:1. See [[FloatBlock]] for why this exists. */
+  private[api] def packFloat(rows: Prepared, obj: Objective,
+      baseScore: Double): RDD[FloatBlock] =
+    packBlocks(rows, obj.numOutputs, obj.initMargin(baseScore),
+      obj.needsGroups, () => new FeatSink[FloatBlock] {
+        private var feats: Array[Float] = _
+        def featWidth(firstRow: Array[Float]): Int = firstRow.length
+        def alloc(cells: Int): Unit = feats = new Array[Float](cells)
+        def growTo(cells: Int): Unit =
+          feats = java.util.Arrays.copyOf(feats, cells)
+        def write(f: Array[Float], rowIdx: Int, nf: Int): Unit =
+          System.arraycopy(f, 0, feats, rowIdx * nf, nf)
+        def result(n: Int, nf: Int, k: Int, labels: Array[Float],
+            weights: Array[Float], qids: Array[Long],
+            uppers: Array[Float], margins: Array[Float]): FloatBlock =
+          new FloatBlock(n, nf, k,
+            java.util.Arrays.copyOf(feats, n * nf),
+            labels, weights, qids, uppers, margins)
+      })
 
   /** Block-local conversion of cached [[FloatBlock]]s into byte-binned
     * [[TrainBlock]]s — the second half of the fused round-1. Allocates
@@ -840,62 +881,23 @@ object GraftBoost {
     * straddle blocks. */
   private[api] def toBinned(rows: Prepared, bins: Binner.Bins, obj: Objective,
       baseScore: Double, tolerateUnseenCats: Boolean = false)
-      : RDD[TrainBlock] = {
-    val k = obj.numOutputs
-    val init = obj.initMargin(baseScore)
-    val keepGroups = obj.needsGroups
-    rows.mapPartitions({ it0 =>
-      val it = it0.buffered
-      new Iterator[TrainBlock] {
-        def hasNext: Boolean = it.hasNext
-        def next(): TrainBlock = {
-          val nf = bins.numFeatures
-          val cap0 = TrainBlock.capacity(nf, k)
-          var cap = cap0
-          var binsArr = new Array[Byte](cap * nf)
-          var labels = new Array[Float](cap)
-          var weights = new Array[Float](cap)
-          var qids = new Array[Long](cap)
-          var uppers = new Array[Float](cap)
-          var margins = new Array[Float](cap * k)
-          var n = 0
-          var anyQid = false
-          var anyBound = false
-          def grow(): Unit = {
-            cap *= 2
-            binsArr = java.util.Arrays.copyOf(binsArr, cap * nf)
-            labels = java.util.Arrays.copyOf(labels, cap)
-            weights = java.util.Arrays.copyOf(weights, cap)
-            qids = java.util.Arrays.copyOf(qids, cap)
-            uppers = java.util.Arrays.copyOf(uppers, cap)
-            margins = java.util.Arrays.copyOf(margins, cap * k)
-          }
-          def add(): Unit = {
-            val (f, y, w, m, q, u) = it.next()
-            if (n == cap) grow()
-            val rb = bins.binRow(f, tolerateUnseenCats)
-            System.arraycopy(rb, 0, binsArr, n * nf, nf)
-            labels(n) = y; weights(n) = w; qids(n) = q; uppers(n) = u
-            if (q != 0L) anyQid = true
-            // NaN upper (right-censored) compares unequal to y, so the
-            // bounds column is kept exactly when some row needs it
-            if (u != y) anyBound = true
-            val m0 = if (m.isNaN) init else m
-            java.util.Arrays.fill(margins, n * k, n * k + k, m0)
-            n += 1
-          }
-          add()
-          while (it.hasNext && (n < cap0 ||
-              (keepGroups && it.head._5 == qids(n - 1)))) add()
+      : RDD[TrainBlock] =
+    packBlocks(rows, obj.numOutputs, obj.initMargin(baseScore),
+      obj.needsGroups, () => new FeatSink[TrainBlock] {
+        private var binsArr: Array[Byte] = _
+        def featWidth(firstRow: Array[Float]): Int = bins.numFeatures
+        def alloc(cells: Int): Unit = binsArr = new Array[Byte](cells)
+        def growTo(cells: Int): Unit =
+          binsArr = java.util.Arrays.copyOf(binsArr, cells)
+        def write(f: Array[Float], rowIdx: Int, nf: Int): Unit = {
+          val rb = bins.binRow(f, tolerateUnseenCats)
+          System.arraycopy(rb, 0, binsArr, rowIdx * nf, nf)
+        }
+        def result(n: Int, nf: Int, k: Int, labels: Array[Float],
+            weights: Array[Float], qids: Array[Long],
+            uppers: Array[Float], margins: Array[Float]): TrainBlock =
           new TrainBlock(n, nf, k,
             java.util.Arrays.copyOf(binsArr, n * nf),
-            java.util.Arrays.copyOf(labels, n),
-            java.util.Arrays.copyOf(weights, n),
-            if (anyQid) java.util.Arrays.copyOf(qids, n) else null,
-            if (anyBound) java.util.Arrays.copyOf(uppers, n) else null,
-            java.util.Arrays.copyOf(margins, n * k))
-        }
-      }
-    }, preservesPartitioning = true)
-  }
+            labels, weights, qids, uppers, margins)
+      })
 }

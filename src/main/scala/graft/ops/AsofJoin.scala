@@ -94,6 +94,11 @@ object AsofJoin {
     require(!leftCols.contains("asof_ts") &&
       !payloadCols.exists(p => leftCols.contains(s"asof_$p")),
       "asofJoin: left side already has asof_* output columns")
+    require(payloadCols.distinct == payloadCols,
+      s"asofJoin: duplicate payload columns in $payloadCols")
+    require(!payloadCols.contains("ts"),
+      "asofJoin: a payload column named 'ts' collides with the " +
+        "built-in asof_ts output — alias it on the right side first")
 
     // shared union schema: key, ts, tag, payload…, left…
     // at equal ts the INCLUSIVE form must see the right row first
@@ -146,14 +151,26 @@ object AsofJoin {
           havePayload = true
           Iterator.empty
         } else {
+          // gap computed defensively: in sort order leftTs >= lastTs,
+          // so a NEGATIVE difference can only mean Long overflow
+          // (sentinel far-past right ts vs epoch-nanos left) — and an
+          // overflowing gap is by definition beyond any tolerance
           val ok = !r.isNullAt(1) && havePayload &&
-            tol.forall(t => r.getLong(1) - lastTs <= t)
-          val leftVals =
-            Array.tabulate[Any](r.length - 3 - np)(i => r.get(3 + np + i))
-          val out =
-            if (ok) leftVals ++ (lastTs +: lastPayload.toSeq)
-            else leftVals ++ (null +: Seq.fill[Any](np)(null))
-          Iterator.single(Row.fromSeq(out.toSeq))
+            tol.forall { t =>
+              val gap = r.getLong(1) - lastTs
+              gap >= 0L && gap <= t
+            }
+          val nl = r.length - 3 - np
+          val out = new Array[Any](nl + 1 + np)
+          var i = 0
+          while (i < nl) { out(i) = r.get(3 + np + i); i += 1 }
+          if (ok) {
+            out(nl) = lastTs
+            var j = 0
+            while (j < np) { out(nl + 1 + j) = lastPayload(j); j += 1 }
+          } // else: the asof_* slots stay null
+          Iterator.single(Row.fromSeq(scala.collection.immutable
+            .ArraySeq.unsafeWrapArray(out)))
         }
       }
     }

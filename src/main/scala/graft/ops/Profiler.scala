@@ -65,14 +65,23 @@ object Profiler {
    */
   def profile(df: DataFrame, cols: Seq[String], percents: Seq[Int])
       : DataFrame = {
-    val spark = df.sparkSession
     require(cols.nonEmpty, "profile: no columns")
+    val qdf = df.select(cols.map(c => quantize(c).as(s"__q_$c")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try profileQ(qdf, cols, percents)
+    finally qdf.unpersist(blocking = false)
+  }
+
+  /** [[profile]] over an ALREADY-quantized (and caller-pinned) frame
+    * with `__q_<col>` long columns — split out so driftPsiMulti can
+    * share ONE cached projection between the quantile passes and its
+    * own bin counts instead of pinning the base side twice. */
+  private def profileQ(qdf: DataFrame, cols: Seq[String],
+      percents: Seq[Int]): DataFrame = {
+    val spark = qdf.sparkSession
     require(percents.forall(p => p >= 0 && p <= 100),
       s"profile: percents must be 0..100, got $percents")
-    val qCols = cols.map(c => quantize(c).as(s"__q_$c"))
-    val qdf = df.select(qCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       // pass 1: every column's count/min/max/sum in ONE aggregate
       // sum in decimal(38,0): a saturated ±Infinity (ANSI's double→long
       // cast saturates, it does not fail) or a legitimately huge column
@@ -164,7 +173,7 @@ object Profiler {
       }
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
-    } finally qdf.unpersist(blocking = false)
+    }
   }
 
   /**
@@ -213,21 +222,21 @@ object Profiler {
         s"got $bins")
     val pcts = (1 until bins).map(i => 100 * i / bins)
     // The base side is scanned by the quantile passes AND by its own
-    // bin count — persist its projection so a nondeterministic or
-    // concurrently-changing lineage cannot yield bin edges inconsistent
-    // with the bin counts (and so the later scan is a cache read, not
-    // a recompute). `current` is scanned exactly once; no pin needed.
-    val bRaw = base.select(cols.map(col): _*)
+    // bin count — persist ONE quantized projection shared by both
+    // (profileQ reads it directly), so a nondeterministic or
+    // concurrently-changing lineage cannot yield bin edges
+    // inconsistent with the bin counts, and nothing is cached twice.
+    // `current` is scanned exactly once; no pin needed.
+    val bQ = base.select(cols.map(c => quantize(c).as(s"__q_$c")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val prof = profile(bRaw, cols, pcts).collect()
+      val prof = profileQ(bQ, cols, pcts).collect()
       val edgesByCol = prof.map(r => r.getAs[String]("col_name") ->
         pcts.map(p => r.getAs[Long](s"p${p}_q"))).toMap
       // bin = how many edges the value exceeds (ties stick to the lower
       // bin, matching the rank definition's lower-quantile convention);
       // NaN quantizes to null (see quantize) and is excluded like null
-      def binCounts(df: DataFrame): Map[(String, Int), Long] = {
-        val proj = df.select(cols.map(c => quantize(c).as(s"__q_$c")): _*)
+      def binCounts(proj: DataFrame): Map[(String, Int), Long] = {
         val aggExprs = cols.flatMap { c =>
           val q = col(s"__q_$c")
           val binCol = edgesByCol(c)
@@ -246,8 +255,9 @@ object Profiler {
         (for { c <- cols; b <- 0 until bins }
           yield (c, b) -> r.getAs[Long](s"n_${c}__$b")).toMap
       }
-      val bN = binCounts(bRaw)
-      val cN = binCounts(current)
+      val bN = binCounts(bQ)
+      val cN = binCounts(
+        current.select(cols.map(c => quantize(c).as(s"__q_$c")): _*))
       val rows = cols.flatMap { c =>
         val bTot = (0 until bins).map(b => bN((c, b))).sum.toDouble +
           bins * 0.5
@@ -271,7 +281,7 @@ object Profiler {
           StructField("base_n", LongType, nullable = false),
           StructField("cur_n", LongType, nullable = false),
           StructField("psi_term", DoubleType, nullable = false))))
-    } finally bRaw.unpersist(blocking = false)
+    } finally bQ.unpersist(blocking = false)
   }
 
   /**

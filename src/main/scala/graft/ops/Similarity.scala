@@ -633,26 +633,9 @@ object Similarity {
     val spark = corpus.sparkSession
     val cb = codebook.getOrElse(pqTrain(corpus, idCol, vecCol, m, ksub,
       lloydIters, seed, normalize = true))
-    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), checkPqDim(
-        maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true),
-        cb.dim)))
-      .sortBy(_._1)
-    require(q.nonEmpty, "empty query set")
+    val q = collectQueries(queries, queryIdCol, vecCol, cb.dim)
     val nq = q.length
-    // per-query ADC tables: dt(j)(s*kEff + ci) = ||q_sub − c||²
-    val tables = q.map { case (_, qv) =>
-      Array.tabulate(cb.m * cb.kEff) { i =>
-        val s = i / cb.kEff
-        val c = cb.centroids(i)
-        var d2 = 0.0; var j = 0
-        while (j < c.length) {
-          val d = qv(s * cb.dsub + j) - c(j); d2 += d * d; j += 1
-        }
-        d2
-      }
-    }
+    val tables = adcTables(cb, q)
     val bc = spark.sparkContext.broadcast((cb, tables))
     val shortK = k * rerank
     val heaps = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
@@ -682,13 +665,8 @@ object Similarity {
         },
         depth = 2)
     bc.destroy()
-    import spark.implicits._
-    val shortlist = (0 until nq).flatMap { j =>
-      heaps(j).ranked.map { case (id, _, _) => (q(j)._1, id) }
-    }.toDF("query_id", "id")
-    val qDf = queries.select(col(queryIdCol).cast("long").as("query_id"),
-      col(vecCol).as("qvec"))
-    heapTopKByQuery(pqRerank(corpus, idCol, vecCol, shortlist, qDf), k)
+    rerankShortlist(corpus, queries, idCol, vecCol, queryIdCol, q,
+      heaps, k)
   }
 
   /**
@@ -724,35 +702,12 @@ object Similarity {
       lloydIters, seed, normalize = true)
     val cb = pqTrain(corpus, idCol, vecCol, m, ksub, lloydIters,
       seed + 1000003L, normalize = true)
-    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), checkPqDim(
-        maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true),
-        cb.dim)))
-      .sortBy(_._1)
-    require(q.nonEmpty, "empty query set")
+    val q = collectQueries(queries, queryIdCol, vecCol, cb.dim)
     val nq = q.length
     // per-query probe set (quantized-distance nearest cells) as a
     // membership bitmap, and the ADC tables — both broadcast-small
-    val probes = q.map { case (_, qv) =>
-      val order = coarse.centroids.indices
-        .map(ci => (pqDistQ(qv, 0, coarse.centroids(ci)), ci)).sorted
-      val bits = new Array[Boolean](coarse.kEff)
-      order.take(math.min(nProbe, order.length))
-        .foreach { case (_, ci) => bits(ci) = true }
-      bits
-    }
-    val tables = q.map { case (_, qv) =>
-      Array.tabulate(cb.m * cb.kEff) { i =>
-        val s = i / cb.kEff
-        val c = cb.centroids(i)
-        var d2 = 0.0; var j = 0
-        while (j < c.length) {
-          val d = qv(s * cb.dsub + j) - c(j); d2 += d * d; j += 1
-        }
-        d2
-      }
-    }
+    val probes = probeBitmaps(coarse, q, nProbe)
+    val tables = adcTables(cb, q)
     val bc = spark.sparkContext.broadcast((coarse, cb, probes, tables))
     val shortK = k * rerank
     val heaps = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
@@ -789,13 +744,8 @@ object Similarity {
         },
         depth = 2)
     bc.destroy()
-    import spark.implicits._
-    val shortlist = (0 until nq).flatMap { j =>
-      heaps(j).ranked.map { case (id, _, _) => (q(j)._1, id) }
-    }.toDF("query_id", "id")
-    val qDf = queries.select(col(queryIdCol).cast("long").as("query_id"),
-      col(vecCol).as("qvec"))
-    heapTopKByQuery(pqRerank(corpus, idCol, vecCol, shortlist, qDf), k)
+    rerankShortlist(corpus, queries, idCol, vecCol, queryIdCol, q,
+      heaps, k)
   }
 
   /**
@@ -872,33 +822,10 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
       nProbe: Int = 4, rerank: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), checkPqDim(
-        maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true),
-        cb.dim)))
-      .sortBy(_._1)
-    require(q.nonEmpty, "empty query set")
+    val q = collectQueries(queries, queryIdCol, vecCol, cb.dim)
     val nq = q.length
-    val probes = q.map { case (_, qv) =>
-      val order = coarse.centroids.indices
-        .map(ci => (pqDistQ(qv, 0, coarse.centroids(ci)), ci)).sorted
-      val bits = new Array[Boolean](coarse.kEff)
-      order.take(math.min(nProbe, order.length))
-        .foreach { case (_, ci) => bits(ci) = true }
-      bits
-    }
-    val tables = q.map { case (_, qv) =>
-      Array.tabulate(cb.m * cb.kEff) { i =>
-        val s = i / cb.kEff
-        val c = cb.centroids(i)
-        var d2 = 0.0; var j = 0
-        while (j < c.length) {
-          val d = qv(s * cb.dsub + j) - c(j); d2 += d * d; j += 1
-        }
-        d2
-      }
-    }
+    val probes = probeBitmaps(coarse, q, nProbe)
+    val tables = adcTables(cb, q)
     val cells = probes.flatMap(b => b.indices.filter(b)).distinct.sorted
     val bc = spark.sparkContext.broadcast((cb, probes, tables))
     val shortK = k * rerank
@@ -937,8 +864,63 @@ object Similarity {
         },
         depth = 2)
     bc.destroy()
+    rerankShortlist(corpus, queries, idCol, vecCol, queryIdCol, q,
+      heaps, k)
+  }
+
+  // ---- stages shared by pqTopK / ivfPqTopK / ivfPqIndexTopK ----
+  // (single definitions: the bit-identity contract between the
+  //  index-free and served forms depends on these never diverging)
+
+  /** Collected, L2-normalized, id-sorted query set. */
+  private def collectQueries(queries: DataFrame, queryIdCol: String,
+      vecCol: String, dim: Int): Array[(Long, Array[Double])] = {
+    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), checkPqDim(
+        maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true), dim)))
+      .sortBy(_._1)
+    require(q.nonEmpty, "empty query set")
+    q
+  }
+
+  /** Per-query ADC tables: dt(j)(s·kEff + ci) = ‖q_sub − c‖². */
+  private def adcTables(cb: PqCodebook,
+      q: Array[(Long, Array[Double])]): Array[Array[Double]] =
+    q.map { case (_, qv) =>
+      Array.tabulate(cb.m * cb.kEff) { i =>
+        val s = i / cb.kEff
+        val c = cb.centroids(i)
+        var d2 = 0.0; var j = 0
+        while (j < c.length) {
+          val d = qv(s * cb.dsub + j) - c(j); d2 += d * d; j += 1
+        }
+        d2
+      }
+    }
+
+  /** Per-query probed-cell membership bitmaps (quantized-distance
+    * nearest cells of the whole-vector coarse codebook). */
+  private def probeBitmaps(coarse: PqCodebook,
+      q: Array[(Long, Array[Double])], nProbe: Int)
+      : Array[Array[Boolean]] =
+    q.map { case (_, qv) =>
+      val order = coarse.centroids.indices
+        .map(ci => (pqDistQ(qv, 0, coarse.centroids(ci)), ci)).sorted
+      val bits = new Array[Boolean](coarse.kEff)
+      order.take(math.min(nProbe, order.length))
+        .foreach { case (_, ci) => bits(ci) = true }
+      bits
+    }
+
+  /** Shortlist → exact-cosine re-rank → final per-query top-k. */
+  private def rerankShortlist(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      q: Array[(Long, Array[Double])], heaps: Array[TopK], k: Int)
+      : DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val shortlist = (0 until nq).flatMap { j =>
+    val shortlist = q.indices.flatMap { j =>
       heaps(j).ranked.map { case (id, _, _) => (q(j)._1, id) }
     }.toDF("query_id", "id")
     val qDf = queries.select(col(queryIdCol).cast("long").as("query_id"),

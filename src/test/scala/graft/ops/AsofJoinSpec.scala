@@ -103,12 +103,37 @@ class AsofJoinSpec extends SparkTestBase {
     assert(fwd(strict = false, p = 9) === fwd(strict = false, p = 1))
   }
 
-  test("output column collisions are rejected loudly") {
+  test("output column collisions are rejected loudly — left asof_*, " +
+      "duplicate payloads, and a payload named ts") {
     val l2 = left.withColumn("asof_ts",
       org.apache.spark.sql.functions.lit(1L))
     val e = intercept[IllegalArgumentException] {
       AsofJoin.asofJoin(l2, right, "k", "ts", "ts", Seq("v"))
     }
     assert(e.getMessage.contains("asof_"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, "k", "ts", "ts", Seq("v", "v"))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, "k", "ts", "ts", Seq("ts", "v"))
+    }
+    assert(e3.getMessage.contains("asof_ts"))
+  }
+
+  test("an overflowing time gap counts as beyond tolerance, not as a " +
+      "match (sentinel far-past right ts vs epoch-scale left ts)") {
+    val r = Seq((1L, -9000000000000000000L, "sentinel"))
+      .toDF("k", "ts", "v")
+    val l = Seq((1L, 1700000000000000000L, "ev")).toDF("k", "ts", "tag")
+    // unbounded lookback still matches the sentinel...
+    val open = AsofJoin.asofJoin(l, r, "k", "ts", "ts", Seq("v"))
+      .collect().head
+    assert(open.getString(4) === "sentinel")
+    // ...but ANY tolerance must reject it (the true gap ~1.07e19
+    // overflows Long; a wrapped-negative gap must not read as small)
+    val bounded = AsofJoin.asofJoin(l, r, "k", "ts", "ts", Seq("v"),
+      tolerance = Some(1000000000L)).collect().head
+    assert(bounded.isNullAt(3) && bounded.isNullAt(4))
   }
 }
