@@ -40,6 +40,27 @@ class FusedRound1Spec extends SparkTestBase {
     assert(fp(run(true)) === fp(run(false)))
   }
 
+  test("survival:aft interval bounds (the anyBound/null-uppers block " +
+      "column): fused == two-pass bit-for-bit") {
+    val rng = new scala.util.Random(23)
+    val df = (1 to 1500).map { i =>
+      val a = rng.nextDouble() * 3; val b = rng.nextDouble() * 3
+      val lo = math.exp(0.8 * a - 0.3 * b + rng.nextGaussian() * 0.2)
+      // every third row right-censored (upper = +inf), rest interval
+      val hi = if (i % 3 == 0) Double.PositiveInfinity
+        else lo * (1.0 + rng.nextDouble())
+      (a, b, lo, hi)
+    }.toDF("a", "b", "lo", "hi").repartition(4)
+    val spec = DMatrixSpec(labelLowerCol = Some("lo"),
+      labelUpperCol = Some("hi"))
+    def run(fuse: Boolean) = GraftBoost.train(df, spec,
+      TrainParams(objective = "survival:aft", numRounds = 4,
+        maxDepth = 3, seed = 17, evalMetric = Seq("aft-nloglik"),
+        fuseRound1 = fuse),
+      evals = Seq(("train", df)))
+    assert(fp(run(true)) === fp(run(false)))
+  }
+
   test("rank:ndcg qid groups: fused == two-pass bit-for-bit " +
       "(group-keeping block boundaries included)") {
     val rng = new scala.util.Random(13)
