@@ -366,6 +366,16 @@ object SparkEntry {
         ld(s, dir, "events"), "user_id", "ts", "event_id", "value",
         gapSec = 21600)),
 
+    // ---- streaming: stateful point-in-time enrichment (X59) — the
+    //      streaming face of the X58 as-of join: every event emitted
+    //      with the user's latest strictly-earlier per-(user,ts)
+    //      snapshot from O(1) per-key state; the ascending replay
+    //      must equal DuckDB's native ASOF LEFT JOIN over the same
+    //      micro-quantized snapshot ----
+    "st_asof" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replayAsof(
+        ld(s, dir, "events"), "user_id", "ts", "event_id", "value")),
+
     // ---- profiling: EXACT distributed quantiles + column stats
     //      (X50) — per requested rank, iterative 2¹⁶-bucket range
     //      narrowing (2–3 shared scans total, never a per-group value
@@ -2091,6 +2101,23 @@ object SparkEntry {
         |    AS BIGINT) AS value_q
         |FROM x GROUP BY user_id, si
         |ORDER BY user_id, start_us""".stripMargin,
+    // streaming as-of enrichment: the j2_asof replay at micro
+    // precision — DuckDB's native ASOF LEFT JOIN over per-(user,ts_us)
+    // exact fixed-point snapshots, strict (>) match, -1 sentinels
+    "st_asof" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_ns(ts) // 1000 AS ts_us,
+        |    CAST(floor(value * 1048576.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        | snap AS (SELECT user_id, ts_us, CAST(sum(vq) AS BIGINT)
+        |     AS val_q
+        |   FROM e GROUP BY user_id, ts_us)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |  CAST(coalesce(s.ts_us, -1) AS BIGINT) AS asof_ts,
+        |  CAST(coalesce(s.val_q, -1) AS BIGINT) AS asof_val_q
+        | FROM e ASOF LEFT JOIN snap s
+        |   ON e.user_id = s.user_id AND e.ts_us > s.ts_us
+        | ORDER BY event_id""".stripMargin,
     "prof_stats" -> profStatsOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       Seq(25, 50, 75, 95)),

@@ -29,6 +29,82 @@ object StreamPipeline {
   def scoreText(stream: DataFrame, textCol: String): DataFrame =
     TextOps.analyze(stream, textCol)
 
+  /** Per-key state of [[asofStream]]: the OPEN (still-accumulating)
+    * per-(key, ts) snapshot and the latest CLOSED one — four longs and
+    * two flags per key, O(1) however long the stream runs. */
+  private[streaming] final case class AsofState(curUs: Long,
+      curSum: Long, prevUs: Long, prevSum: Long, hasCur: Boolean,
+      hasPrev: Boolean)
+
+  private[streaming] final case class AsofOut(event_id: Long,
+      user_id: Long, ts_us: Long, asof_ts: Long, asof_val_q: Long)
+
+  /**
+   * Streaming point-in-time enrichment — the stateful face of
+   * [[graft.ops.AsofJoin]]'s X58 semantics: each event is emitted with
+   * the key's most recent STRICTLY-EARLIER per-(key, ts) snapshot
+   * (exact fixed-point sum of `value`), i.e. the same leakage-free
+   * "latest activity BEFORE this event" attach `j2_asof` computes in
+   * batch — so the streamed output is batch-replayable against
+   * DuckDB's native ASOF JOIN (the `st_asof` oracle).
+   *
+   * State per key is O(1): the still-accumulating (ts, sum) snapshot
+   * plus the latest closed one. A later event time closes the open
+   * snapshot (it becomes the attachable `prev`) and opens a new one;
+   * an equal event time accumulates into it; every event in a
+   * micro-batch emits immediately with the prev AT ITS POSITION
+   * (batch rows are sorted by (ts, event id) first — within a
+   * micro-batch Spark hands the group's rows unordered).
+   *
+   * Event times must be per-key non-decreasing ACROSS micro-batches
+   * (the replay feeds ascending; production bounds disorder with an
+   * upstream watermark + sort within the ingestion window): a
+   * below-high-water event cannot know its true prev anymore and is
+   * emitted UNMATCHED (-1 sentinels) with the state untouched —
+   * deterministic and visible, never silently wrong.
+   *
+   * @param stream (keyCol long, tsUsCol long epoch-micros,
+   *               idCol long, valueCol double) streaming frame
+   */
+  def asofStream(stream: DataFrame, keyCol: String, tsUsCol: String,
+      idCol: String, valueCol: String): Dataset[AsofOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ds = stream.select(col(keyCol).cast("long"),
+        col(tsUsCol).cast("long"), col(idCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, Double)],
+         st: GroupState[AsofState]) =>
+          var s = st.getOption.getOrElse(
+            AsofState(0L, 0L, 0L, 0L, hasCur = false, hasPrev = false))
+          val out = it.toArray.sortBy(r => (r._2, r._3)).map {
+            case (_, us, id, v) =>
+              if (s.hasCur && us < s.curUs) {
+                // late arrival: its true prev is unknowable — emit
+                // unmatched, leave the state alone
+                AsofOut(id, user, us, -1L, -1L)
+              } else {
+                val vq = math.floor(v * 1048576.0 + 0.5).toLong
+                if (!s.hasCur)
+                  s = AsofState(us, vq, 0L, 0L, hasCur = true,
+                    hasPrev = false)
+                else if (us > s.curUs)
+                  s = AsofState(us, vq, s.curUs, s.curSum, hasCur = true,
+                    hasPrev = true)
+                else s = s.copy(curSum = s.curSum + vq)
+                if (s.hasPrev) AsofOut(id, user, us, s.prevUs, s.prevSum)
+                else AsofOut(id, user, us, -1L, -1L)
+              }
+          }
+          st.update(s)
+          out.iterator
+      }
+  }
+
   /** Streaming model scoring: the broadcast-model predict UDF is
     * row-local, so it applies to a stream as-is. */
   def scoreModel(model: GraftModel, stream: DataFrame,
@@ -452,6 +528,48 @@ object StreamPipeline {
    * [[replayDedup]]): a real deployment points [[sessionStream]] at
    * `readStream` and never routes data through the driver.
    */
+  /**
+   * Bounded REPLAY of [[asofStream]] for the correctness harness (the
+   * `st_asof` query): the events table feeds a memory stream in
+   * ascending (event-time µs, event-id) order across micro-batches,
+   * and every emitted row must equal the BATCH point-in-time join —
+   * which DuckDB replays with its native ASOF LEFT JOIN, so the
+   * stateful enrichment path gets a full oracle row. No watermark
+   * flush sentinels are needed (unlike the windowed replays):
+   * emission is immediate per event, and cross-batch equal-timestamp
+   * runs are exactly what the open-snapshot state carries.
+   *
+   * Verification device, not a production operator (same caveat as
+   * [[replayDedup]]).
+   */
+  def replayAsof(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String, numBatches: Int = 5)
+      : DataFrame = {
+    val spark = replaySession(df)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val micros = (Sessions.asNanos(df, tsCol)
+      .cast("decimal(38,0)") / lit(1000L)).cast("long")
+    val rows = df.select(col(userCol).cast("long"), micros.as("us"),
+        col(idCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._2, r._3))
+    require(rows.nonEmpty, "replayAsof: empty input")
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val enriched = asofStream(
+      in.toDF().toDF("user_id", "ts_us", "event_id", "value"),
+      "user_id", "ts_us", "event_id", "value").toDF()
+    withReplaySink(spark, "st_asof_", enriched) { q =>
+      feedBatches(rows, numBatches) { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+    } { sink =>
+      spark.table(sink).orderBy("event_id").localCheckpoint(true)
+    }
+  }
+
   def replaySessions(df: DataFrame, userCol: String, tsCol: String,
       orderCol: String, valueCol: String, gapSec: Long,
       numBatches: Int = 5): DataFrame = {
