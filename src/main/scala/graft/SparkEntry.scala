@@ -332,6 +332,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- nearest as-of join (X58, merge_asof direction="nearest"):
+    //      each event attaches the CLOSEST click snapshot of its user
+    //      (backward or forward by absolute gap, ties backward) — two
+    //      single-exchange passes joined on the unique event id ----
+    "j3_asof_nearest" -> ((s, dir) => {
+      val e0 = ld(s, dir, "events")
+      val e = e0.withColumn("ts", ops.Sessions.asNanos(e0, "ts"))
+      val snap = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(sum(floor(col("value") * 1048576.0 + 0.5).cast("long"))
+          .as("val_q"))
+      ops.AsofJoin.asofJoinNearest(
+        e.select(col("event_id"), col("user_id"), col("ts")),
+        snap, "user_id", "ts", "ts", Seq("val_q"), "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_ts"), lit(-1L)).as("asof_ts"),
+          coalesce(col("asof_val_q"), lit(-1L)).as("asof_val_q"))
+        .orderBy("event_id")
+    }),
+
     // ---- window function capability ----
     "w1_running_sum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2036,6 +2056,37 @@ object SparkEntry {
         | FROM l ASOF LEFT JOIN snap s
         |   ON l.user_id = s.user_id AND l.ts > s.ts
         | ORDER BY event_id""".stripMargin,
+    // nearest as-of: two native ASOF joins (backward >=, forward <=)
+    // + the pandas pick rule (closer wins, ties backward); a click
+    // event's gap-0 self-match is the correct nearest answer on both
+    // engines
+    "j3_asof_nearest" ->
+      """WITH snap AS (SELECT user_id, epoch_ns(ts) AS ts,
+        |    CAST(sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS val_q
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_ns(ts)),
+        | l AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+        |   FROM events),
+        | b AS (SELECT l.event_id, s.ts AS bts, s.val_q AS bval
+        |   FROM l ASOF LEFT JOIN snap s
+        |     ON l.user_id = s.user_id AND l.ts >= s.ts),
+        | f AS (SELECT l.event_id, s.ts AS fts, s.val_q AS fval
+        |   FROM l ASOF LEFT JOIN snap s
+        |     ON l.user_id = s.user_id AND l.ts <= s.ts)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  CAST(coalesce(CASE
+        |      WHEN bts IS NULL THEN fts
+        |      WHEN fts IS NOT NULL AND fts - l.ts < l.ts - bts THEN fts
+        |      ELSE bts END, -1) AS BIGINT) AS asof_ts,
+        |  CAST(coalesce(CASE
+        |      WHEN bts IS NULL THEN fval
+        |      WHEN fts IS NOT NULL AND fts - l.ts < l.ts - bts THEN fval
+        |      ELSE bval END, -1) AS BIGINT) AS asof_val_q
+        | FROM l
+        | LEFT JOIN b ON b.event_id = l.event_id
+        | LEFT JOIN f ON f.event_id = l.event_id
+        | ORDER BY l.event_id""".stripMargin,
     "w1_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -209,4 +209,47 @@ object AsofJoin {
       .withColumn("asof_ts",
         when(col("asof_ts").isNotNull, -col("asof_ts")).cast("long"))
   }
+
+  /**
+   * Nearest as-of join (pandas `merge_asof(direction="nearest")`): the
+   * CLOSER of the backward (`rightTs <= leftTs`) and forward
+   * (`rightTs >= leftTs`) matches by absolute gap; ties go to the
+   * backward match (pandas' rule — and at gap 0 both directions see
+   * the same (key, ts) right row anyway, since same-(key,ts) ties
+   * resolve identically in both). `tolerance` bounds |gap| on each
+   * side. Two single-exchange passes by necessity — nearest needs
+   * lookback AND lookahead — combined with a per-row pick joined on
+   * `leftIdCol`, which therefore MUST be unique (duplicate ids
+   * duplicate output rows). Gap comparison runs in decimal(38,0), so
+   * a sentinel far-past/far-future timestamp cannot overflow the pick.
+   */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String],
+      leftIdCol: String, tolerance: Option[Long] = None): DataFrame = {
+    val b = asofJoin(left, right, keyCol, leftTsCol, rightTsCol,
+      payloadCols, strict = false, tolerance)
+    val f = asofJoinForward(left, right, keyCol, leftTsCol, rightTsCol,
+      payloadCols, strict = false, tolerance)
+    val fSel = f.select(
+      col(leftIdCol).as("__nid") +:
+        col("asof_ts").as("__f_ts") +:
+        payloadCols.map(p => col(s"asof_$p").as(s"__f_$p")): _*)
+    val dec = "decimal(38,0)"
+    val bGap = col(leftTsCol).cast(dec) - col("asof_ts").cast(dec)
+    val fGap = col("__f_ts").cast(dec) - col(leftTsCol).cast(dec)
+    // materialize the pick ONCE: the per-column overwrites below
+    // replace asof_ts, so re-resolving the predicate by name after
+    // that would silently compare against the already-picked value
+    val useForward = col("asof_ts").isNull ||
+      (col("__f_ts").isNotNull && fGap < bGap)
+    val picked = b.join(fSel, col(leftIdCol) === col("__nid"), "left")
+      .withColumn("__use_f", useForward)
+      .withColumn("asof_ts",
+        when(col("__use_f"), col("__f_ts")).otherwise(col("asof_ts")))
+    payloadCols.foldLeft(picked) { (df, p) =>
+      df.withColumn(s"asof_$p",
+        when(col("__use_f"), col(s"__f_$p")).otherwise(col(s"asof_$p")))
+    }.drop("__nid", "__f_ts", "__use_f")
+      .drop(payloadCols.map(p => s"__f_$p"): _*)
+  }
 }

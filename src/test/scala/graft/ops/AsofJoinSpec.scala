@@ -121,6 +121,38 @@ class AsofJoinSpec extends SparkTestBase {
     assert(e3.getMessage.contains("asof_ts"))
   }
 
+  test("nearest direction: closer side wins, ties go backward, " +
+      "tolerance bounds both sides, one-sided matches fall through") {
+    val l2 = Seq((1L, 5L, 100L), (1L, 14L, 101L), (1L, 16L, 102L),
+      (1L, 15L, 103L), (1L, 40L, 104L), (3L, 7L, 105L))
+      .toDF("k", "ts", "lid")
+    def run(tol: Option[Long], parts: Int = 4) =
+      AsofJoin.asofJoinNearest(l2.repartition(parts),
+        right.repartition(3), "k", "ts", "ts", Seq("v", "x"), "lid",
+        tolerance = tol)
+        .orderBy("lid").collect()
+        .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.getString(4)))).toSeq
+    // right k=1: a@10, b@20
+    assert(run(None) === Seq(
+      (100L, Some(10L), Some("a")),  // only forward is closer? 5→10 fwd only
+      (101L, Some(10L), Some("a")),  // gap 4 back vs 6 fwd → back
+      (102L, Some(20L), Some("b")),  // gap 6 back vs 4 fwd → fwd
+      (103L, Some(10L), Some("a")),  // tie (5 vs 5) → backward
+      (104L, Some(20L), Some("b")),  // nothing forward → backward
+      (105L, None, None)))           // key with no right rows
+    // tolerance 4: lid 100 (gap 5 fwd), 103 (gap 5 both sides) and
+    // 104 (gap 20 back) drop out
+    assert(run(Some(4L)) === Seq(
+      (100L, None, None),
+      (101L, Some(10L), Some("a")),
+      (102L, Some(20L), Some("b")),
+      (103L, None, None),
+      (104L, None, None),
+      (105L, None, None)))
+    assert(run(None, parts = 9) === run(None, parts = 1))
+  }
+
   test("an overflowing time gap counts as beyond tolerance, not as a " +
       "match (sentinel far-past right ts vs epoch-scale left ts)") {
     val r = Seq((1L, -9000000000000000000L, "sentinel"))
