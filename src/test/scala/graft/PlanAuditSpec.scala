@@ -312,6 +312,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!hp.contains("SortMergeJoin") && !hp.contains("Window"), hp)
   }
 
+  test("j3_asof_nearest: the two-direction pick never degrades to a " +
+      "nested-loop or cartesian join") {
+    // the pick predicate joins the backward and forward outputs on the
+    // unique event id — an equi-join; a mistake in the condition would
+    // surface as BroadcastNestedLoopJoin/CartesianProduct here
+    val p = plan("j3_asof_nearest")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("no query plans a global (unpartitioned) window sort") {
     // Window with an empty partition spec funnels the whole table into
     // one task ("WindowExec: No Partition Defined" at runtime)
