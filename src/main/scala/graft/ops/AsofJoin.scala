@@ -89,6 +89,23 @@ object AsofJoin {
       s"asofJoin: left ts column $leftTsCol must be LongType")
     require(right.schema(rightTsCol).dataType == LongType,
       s"asofJoin: right ts column $rightTsCol must be LongType")
+    // the merge pass detects key changes with the boxed value's equals:
+    // atomic types compare by content, but BinaryType surfaces as
+    // Array[Byte] (reference equality — equal keys would look distinct
+    // and silently drop every match) and nested/map types have their
+    // own ordering pitfalls; fail loudly like the ts type check does
+    Seq(left.schema(keyCol).dataType,
+        right.schema(keyCol).dataType).foreach { kt =>
+      val contentEquals = kt match {
+        case BinaryType | NullType => false
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }
+      require(contentEquals,
+        s"asofJoin: key column $keyCol type $kt is not supported — " +
+          "use an atomic non-binary key (cast binary keys to " +
+          "hex/string first)")
+    }
     tolerance.foreach(t => require(t >= 0, s"asofJoin: tolerance $t < 0"))
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("asof_ts") &&
@@ -219,8 +236,13 @@ object AsofJoin {
    * resolve identically in both). `tolerance` bounds |gap| on each
    * side. Two single-exchange passes by necessity — nearest needs
    * lookback AND lookahead — combined with a per-row pick joined on
-   * `leftIdCol`, which therefore MUST be unique (duplicate ids
-   * duplicate output rows). Gap comparison runs in decimal(38,0), so
+   * `leftIdCol`, which therefore MUST be unique and non-null — both
+   * are ENFORCED in-plan (fail loudly, like every other precondition
+   * here): a null id would silently lose its forward match in the
+   * left join, and a duplicate id would silently duplicate output
+   * rows. The guard rides the exchange the pick join pays anyway (a
+   * map-side-combinable count per id on the forward side), so it
+   * costs no extra shuffle. Gap comparison runs in decimal(38,0), so
    * a sentinel far-past/far-future timestamp cannot overflow the pick.
    */
   def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
@@ -230,10 +252,30 @@ object AsofJoin {
       payloadCols, strict = false, tolerance)
     val f = asofJoinForward(left, right, keyCol, leftTsCol, rightTsCol,
       payloadCols, strict = false, tolerance)
+    // id-integrity guard: group the forward side by the id (one row
+    // per LEFT row, so the count IS the id's multiplicity in `left`)
+    // and raise in the projection that feeds the pick — the guarded
+    // columns are the join key and the pick timestamp, which the
+    // optimizer cannot prune away
+    val fErr = (what: String) => raise_error(concat(
+      lit(s"asofJoinNearest: $what leftIdCol '$leftIdCol' — the " +
+        "nearest pick joins backward and forward matches on this id, " +
+        "which must be unique and non-null (id: "),
+      coalesce(col("__nid").cast("string"), lit("<null>")), lit(")")))
     val fSel = f.select(
-      col(leftIdCol).as("__nid") +:
-        col("asof_ts").as("__f_ts") +:
+      col(leftIdCol).as("__nid"),
+      struct(col("asof_ts").as("__f_ts") +:
         payloadCols.map(p => col(s"asof_$p").as(s"__f_$p")): _*)
+        .as("__fr"))
+      .groupBy(col("__nid"))
+      .agg(count(lit(1)).as("__nc"), first(col("__fr")).as("__fr"))
+      .select(
+        when(col("__nid").isNull, fErr("null")).otherwise(col("__nid"))
+          .as("__nid") +:
+          when(col("__nc") > 1, fErr("duplicate"))
+            .otherwise(col("__fr").getField("__f_ts")).as("__f_ts") +:
+          payloadCols.map(p =>
+            col("__fr").getField(s"__f_$p").as(s"__f_$p")): _*)
     val dec = "decimal(38,0)"
     val bGap = col(leftTsCol).cast(dec) - col("asof_ts").cast(dec)
     val fGap = col("__f_ts").cast(dec) - col(leftTsCol).cast(dec)

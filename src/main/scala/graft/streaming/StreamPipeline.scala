@@ -63,6 +63,11 @@ object StreamPipeline {
    * emitted UNMATCHED (-1 sentinels) with the state untouched —
    * deterministic and visible, never silently wrong.
    *
+   * Non-finite values: NaN is a missing value (the event reads its
+   * prev like any other but contributes nothing to any snapshot —
+   * Profiler.quantize's NaN-as-missing rule); ±Infinity fails loudly
+   * (a saturated Long sum is silently wrong forever after).
+   *
    * @param stream (keyCol long, tsUsCol long epoch-micros,
    *               idCol long, valueCol double) streaming frame
    */
@@ -87,6 +92,23 @@ object StreamPipeline {
                 // late arrival: its true prev is unknowable — emit
                 // unmatched, leave the state alone
                 AsofOut(id, user, us, -1L, -1L)
+              } else if (v.isNaN) {
+                // NaN is a MISSING value (Profiler.quantize's rule, and
+                // what the batch j2_asof snapshot computes when the
+                // quantizer nulls NaN): the event reads its prev like
+                // any other but writes nothing — raw NaN quantized
+                // blindly would silently poison the snapshot sum as 0
+                if (s.hasPrev) AsofOut(id, user, us, s.prevUs, s.prevSum)
+                else AsofOut(id, user, us, -1L, -1L)
+              } else if (v.isInfinite) {
+                // ±Infinity saturates toLong — no finite snapshot sum
+                // is meaningful past it; fail loudly like the batch
+                // profiler's requireFiniteRange rather than emit a
+                // silently-saturated sum
+                throw new IllegalArgumentException(
+                  s"asofStream: non-finite value $v at key $user ts " +
+                    s"$us (event $id) — filter or null infinities " +
+                    "upstream")
               } else {
                 val vq = math.floor(v * 1048576.0 + 0.5).toLong
                 if (!s.hasCur)
@@ -549,7 +571,11 @@ object StreamPipeline {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val micros = (Sessions.asNanos(df, tsCol)
+    // floor (not truncate-toward-zero): the DuckDB oracle divides with
+    // `epoch_ns(ts) // 1000`, which floors — a pre-epoch (negative)
+    // nanos value truncated by a bare long cast would land 1 µs later
+    // than the oracle's
+    val micros = floor(Sessions.asNanos(df, tsCol)
       .cast("decimal(38,0)") / lit(1000L)).cast("long")
     val rows = df.select(col(userCol).cast("long"), micros.as("us"),
         col(idCol).cast("long"), col(valueCol).cast("double"))
@@ -577,7 +603,9 @@ object StreamPipeline {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val micros = (Sessions.asNanos(df, tsCol)
+    // floor, matching the st_sessions oracle's `// 1000` (see
+    // replayAsof — a bare long cast truncates toward zero instead)
+    val micros = floor(Sessions.asNanos(df, tsCol)
       .cast("decimal(38,0)") / lit(1000L)).cast("long")
     val rows = df.select(col(userCol).cast("long"), micros.as("us"),
         col(valueCol).cast("double"), col(orderCol).cast("long"))

@@ -153,6 +153,50 @@ class AsofJoinSpec extends SparkTestBase {
     assert(run(None, parts = 9) === run(None, parts = 1))
   }
 
+  test("binary keys are rejected loudly — Array[Byte] compares by " +
+      "reference in the merge pass, which would silently drop matches") {
+    import org.apache.spark.sql.functions.{col, encode}
+    val lb = left.withColumn("k", encode(col("k").cast("string"), "utf-8"))
+    val rb = right.withColumn("k", encode(col("k").cast("string"), "utf-8"))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(lb, rb, "k", "ts", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("binary"))
+  }
+
+  private def chainMessages(t: Throwable): String = {
+    val sb = new StringBuilder
+    var c: Throwable = t
+    while (c != null) { sb.append(Option(c.getMessage).getOrElse(""))
+      .append('\n'); c = c.getCause }
+    sb.toString
+  }
+
+  test("nearest fails loudly on a duplicate leftIdCol — silent output " +
+      "duplication is not an option") {
+    val l2 = Seq((1L, 14L, 101L), (1L, 16L, 101L), (1L, 5L, 100L))
+      .toDF("k", "ts", "lid")
+    val e = intercept[Throwable] {
+      AsofJoin.asofJoinNearest(l2, right, "k", "ts", "ts", Seq("v"),
+        "lid").collect()
+    }
+    assert(chainMessages(e).contains("duplicate leftIdCol"),
+      chainMessages(e))
+  }
+
+  test("nearest fails loudly on a null leftIdCol — a null id would " +
+      "silently lose its forward match in the pick join") {
+    val l2 = Seq((1L, 14L, java.lang.Long.valueOf(101L)),
+      (1L, 16L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "ts", "lid")
+    val e = intercept[Throwable] {
+      AsofJoin.asofJoinNearest(l2, right, "k", "ts", "ts", Seq("v"),
+        "lid").collect()
+    }
+    assert(chainMessages(e).contains("null leftIdCol"),
+      chainMessages(e))
+  }
+
   test("an overflowing time gap counts as beyond tolerance, not as a " +
       "match (sentinel far-past right ts vs epoch-scale left ts)") {
     val r = Seq((1L, -9000000000000000000L, "sentinel"))

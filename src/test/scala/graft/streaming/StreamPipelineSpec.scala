@@ -333,4 +333,99 @@ class StreamPipelineSpec extends SparkTestBase {
       spark.catalog.dropTempView("st_asof_late")
     }
   }
+
+  test("asofStream: rows arriving DISORDERED within micro-batches and " +
+      "interleaved across keys still equal the ordered feed — the " +
+      "within-watermark disorder contract") {
+    // same fixture as the replayAsof test, but the feed shuffles each
+    // micro-batch internally (per-key event times stay non-decreasing
+    // ACROSS batches — the operator's stated precondition; equal-ts
+    // runs split across the boundary on purpose)
+    implicit val sqlCtx = SparkTestBase.session.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val enriched = StreamPipeline.asofStream(
+      in.toDF().toDF("user_id", "ts_us", "event_id", "value"),
+      "user_id", "ts_us", "event_id", "value").toDF()
+    val q = enriched.writeStream.format("memory")
+      .queryName("st_asof_ooo").outputMode("append").start()
+    try {
+      // (user, ts, id, value) — ids and users deliberately scrambled
+      // inside each batch; user 2's equal-ts run straddles b1/b2
+      in.addData(Seq((1L, 10L, 1L, 2.0), (2L, 15L, 6L, 4.0),
+        (1L, 10L, 0L, 1.25)))
+      q.processAllAvailable()
+      in.addData(Seq((1L, 20L, 4L, 1.0), (2L, 15L, 7L, 1.0),
+        (1L, 20L, 2L, 0.5), (1L, 20L, 3L, 0.25)))
+      q.processAllAvailable()
+      in.addData(Seq((1L, 30L, 5L, 9.0)))
+      q.processAllAvailable()
+      val out = spark.table("st_asof_ooo").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+        .toSeq
+      def q20(x: Double) = math.floor(x * 1048576.0 + 0.5).toLong
+      assert(out === Seq(
+        (0L, -1L, -1L), (1L, -1L, -1L),
+        (2L, 10L, q20(1.25) + q20(2.0)),
+        (3L, 10L, q20(1.25) + q20(2.0)),
+        (4L, 10L, q20(1.25) + q20(2.0)),
+        (5L, 20L, q20(0.5) + q20(0.25) + q20(1.0)),
+        (6L, -1L, -1L), (7L, -1L, -1L)))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("st_asof_ooo")
+    }
+  }
+
+  test("asofStream: NaN reads but never writes (missing-value rule); " +
+      "Infinity fails the query loudly") {
+    implicit val sqlCtx = SparkTestBase.session.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val enriched = StreamPipeline.asofStream(
+      in.toDF().toDF("user_id", "ts_us", "event_id", "value"),
+      "user_id", "ts_us", "event_id", "value").toDF()
+    val q = enriched.writeStream.format("memory")
+      .queryName("st_asof_nan").outputMode("append").start()
+    try {
+      in.addData(Seq((1L, 10L, 0L, 1.0), (1L, 20L, 1L, 2.0),
+        (1L, 20L, 2L, Double.NaN), (1L, 30L, 3L, 5.0)))
+      q.processAllAvailable()
+      val out = spark.table("st_asof_nan").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+        .toSeq
+      def q20(x: Double) = math.floor(x * 1048576.0 + 0.5).toLong
+      assert(out === Seq(
+        (0L, -1L, -1L),
+        (1L, 10L, q20(1.0)),
+        // the NaN event at ts 20 reads the CLOSED t=10 snapshot —
+        // and its NaN must NOT poison the open t=20 sum as a 0
+        (2L, 10L, q20(1.0)),
+        (3L, 20L, q20(2.0))))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("st_asof_nan")
+    }
+    val in2 = MemoryStream[(Long, Long, Long, Double)]
+    val enriched2 = StreamPipeline.asofStream(
+      in2.toDF().toDF("user_id", "ts_us", "event_id", "value"),
+      "user_id", "ts_us", "event_id", "value").toDF()
+    val q2 = enriched2.writeStream.format("memory")
+      .queryName("st_asof_inf").outputMode("append").start()
+    try {
+      in2.addData(Seq((1L, 10L, 0L, Double.PositiveInfinity)))
+      val e = intercept[Throwable] { q2.processAllAvailable() }
+      def chain(t: Throwable): String = {
+        val sb = new StringBuilder
+        var c: Throwable = t
+        while (c != null) { sb.append(Option(c.getMessage).getOrElse(""))
+          .append('\n'); c = c.getCause }
+        sb.toString
+      }
+      assert(chain(e).contains("non-finite"), chain(e))
+    } finally {
+      q2.stop()
+      spark.catalog.dropTempView("st_asof_inf")
+    }
+  }
 }
