@@ -352,6 +352,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- as-of join with a TOLERANCE window (X58, merge_asof
+    //      tolerance=): same strict point-in-time match as j2_asof,
+    //      but a found match older than 6h is rejected — the bounded-
+    //      staleness contract a feature store actually runs with
+    //      ("use the latest snapshot, unless it's too old to trust").
+    //      Tolerance filters the FOUND match (never searches further
+    //      back — older is farther), so DuckDB's native ASOF JOIN +
+    //      a gap filter replays it exactly ----
+    "j4_asof_tolerance" -> ((s, dir) => {
+      val e0 = ld(s, dir, "events")
+      val e = e0.withColumn("ts", ops.Sessions.asNanos(e0, "ts"))
+      val snap = e.groupBy(col("user_id"), col("ts"))
+        .agg(sum(floor(col("value") * 1048576.0 + 0.5).cast("long"))
+          .as("val_q"))
+      ops.AsofJoin.asofJoin(
+        e.select(col("event_id"), col("user_id"), col("ts")),
+        snap, "user_id", "ts", "ts", Seq("val_q"), strict = true,
+        tolerance = Some(21600L * 1000000000L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_ts"), lit(-1L)).as("asof_ts"),
+          coalesce(col("asof_val_q"), lit(-1L)).as("asof_val_q"))
+        .orderBy("event_id")
+    }),
+
     // ---- window function capability ----
     "w1_running_sum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2087,6 +2111,25 @@ object SparkEntry {
         | LEFT JOIN b ON b.event_id = l.event_id
         | LEFT JOIN f ON f.event_id = l.event_id
         | ORDER BY l.event_id""".stripMargin,
+    // tolerance as-of: the native ASOF JOIN finds the backward match,
+    // the 6h (21600e9 ns, a literal — int math would overflow) gap
+    // filter rejects stale ones; -1 sentinels as in j2_asof
+    "j4_asof_tolerance" ->
+      """WITH snap AS (SELECT user_id, epoch_ns(ts) AS ts,
+        |    CAST(sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS val_q
+        |  FROM events GROUP BY user_id, epoch_ns(ts)),
+        | l AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  CAST(CASE WHEN s.ts IS NOT NULL
+        |      AND l.ts - s.ts <= 21600000000000 THEN s.ts
+        |    ELSE -1 END AS BIGINT) AS asof_ts,
+        |  CAST(CASE WHEN s.ts IS NOT NULL
+        |      AND l.ts - s.ts <= 21600000000000 THEN s.val_q
+        |    ELSE -1 END AS BIGINT) AS asof_val_q
+        | FROM l ASOF LEFT JOIN snap s
+        |   ON l.user_id = s.user_id AND l.ts > s.ts
+        | ORDER BY event_id""".stripMargin,
     "w1_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
