@@ -11,11 +11,13 @@ class HarnessContractSpec extends SparkTestBase {
 
   /** Queries that are rows-only BY NATURE, each with the reason. */
   private val rowsOnly: Map[String, String] = Map(
-    "ml_train_predict" -> ("learned multi-round model output; r10: " +
-      "class separation (mean_pred(1) > mean_pred(0)) pinned in-query"),
+    // ml_train_predict moved OFF this list in r16: its output is now
+    // the 2-round depth-1 closed-form replay (full DuckDB oracle);
+    // the 10-round depth-4 separation pin still runs in-query
     "ml_train_dart" -> ("learned multi-round model output (dart bench " +
-      "twin of ml_train_predict; dart arithmetic oracle-checked by " +
-      "ml_stump_dart); r10: class separation pinned in-query"),
+      "twin of ml_train_predict's 10-round in-query model; dart " +
+      "arithmetic oracle-checked by ml_stump_dart); r10: class " +
+      "separation pinned in-query"),
     "ml_softprob" -> ("learned multi-round model output; r10: argmax " +
       "train accuracy pinned >= majority-class baseline in-query"),
     "ml_rank" -> ("learned multi-round model output; r10: mean " +
