@@ -70,11 +70,21 @@ object StreamPipeline {
    *
    * @param stream (keyCol long, tsUsCol long epoch-micros,
    *               idCol long, valueCol double) streaming frame
+   * @param tolerance max allowed event-time gap `ts − prevTs` in the
+   *               ts unit (the batch asofJoin tolerance contract): a
+   *               found prev older than this emits UNMATCHED; None =
+   *               unbounded lookback. State stays O(1) either way —
+   *               tolerance filters the found match at emission, it
+   *               never retains extra history
    */
   def asofStream(stream: DataFrame, keyCol: String, tsUsCol: String,
-      idCol: String, valueCol: String): Dataset[AsofOut] = {
+      idCol: String, valueCol: String,
+      tolerance: Option[Long] = None): Dataset[AsofOut] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    tolerance.foreach(t =>
+      require(t >= 0, s"asofStream: tolerance $t < 0"))
+    val tol = tolerance
     val ds = stream.select(col(keyCol).cast("long"),
         col(tsUsCol).cast("long"), col(idCol).cast("long"),
         col(valueCol).cast("double"))
@@ -86,6 +96,12 @@ object StreamPipeline {
          st: GroupState[AsofState]) =>
           var s = st.getOption.getOrElse(
             AsofState(0L, 0L, 0L, 0L, hasCur = false, hasPrev = false))
+          // gap math mirrors the batch pass: in-state prevUs <= us, so
+          // a negative difference can only mean Long overflow — beyond
+          // any tolerance by definition
+          def withinTol(us: Long): Boolean = tol.forall { t =>
+            val gap = us - s.prevUs; gap >= 0L && gap <= t
+          }
           val out = it.toArray.sortBy(r => (r._2, r._3)).map {
             case (_, us, id, v) =>
               if (s.hasCur && us < s.curUs) {
@@ -98,7 +114,8 @@ object StreamPipeline {
                 // quantizer nulls NaN): the event reads its prev like
                 // any other but writes nothing — raw NaN quantized
                 // blindly would silently poison the snapshot sum as 0
-                if (s.hasPrev) AsofOut(id, user, us, s.prevUs, s.prevSum)
+                if (s.hasPrev && withinTol(us))
+                  AsofOut(id, user, us, s.prevUs, s.prevSum)
                 else AsofOut(id, user, us, -1L, -1L)
               } else if (v.isInfinite) {
                 // ±Infinity saturates toLong — no finite snapshot sum
@@ -118,7 +135,8 @@ object StreamPipeline {
                   s = AsofState(us, vq, s.curUs, s.curSum, hasCur = true,
                     hasPrev = true)
                 else s = s.copy(curSum = s.curSum + vq)
-                if (s.hasPrev) AsofOut(id, user, us, s.prevUs, s.prevSum)
+                if (s.hasPrev && withinTol(us))
+                  AsofOut(id, user, us, s.prevUs, s.prevSum)
                 else AsofOut(id, user, us, -1L, -1L)
               }
           }

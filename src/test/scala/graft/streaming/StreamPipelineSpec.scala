@@ -377,6 +377,37 @@ class StreamPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("asofStream: tolerance bounds the lookback like the batch " +
+      "asofJoin contract — a too-old prev emits unmatched, state " +
+      "stays O(1)") {
+    implicit val sqlCtx = SparkTestBase.session.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val enriched = StreamPipeline.asofStream(
+      in.toDF().toDF("user_id", "ts_us", "event_id", "value"),
+      "user_id", "ts_us", "event_id", "value",
+      tolerance = Some(15L)).toDF()
+    val q = enriched.writeStream.format("memory")
+      .queryName("st_asof_tol").outputMode("append").start()
+    try {
+      in.addData(Seq((1L, 10L, 0L, 1.0), (1L, 20L, 1L, 2.0),
+        (1L, 100L, 2L, 3.0), (1L, 110L, 3L, 4.0)))
+      q.processAllAvailable()
+      val out = spark.table("st_asof_tol").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+        .toSeq
+      def q20(x: Double) = math.floor(x * 1048576.0 + 0.5).toLong
+      assert(out === Seq(
+        (0L, -1L, -1L),
+        (1L, 10L, q20(1.0)),     // gap 10 <= 15: attached
+        (2L, -1L, -1L),          // gap 80 > 15: too stale, unmatched
+        (3L, 100L, q20(3.0))))   // gap 10 <= 15 to the t=100 snapshot
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("st_asof_tol")
+    }
+  }
+
   test("asofStream: NaN reads but never writes (missing-value rule); " +
       "Infinity fails the query loudly") {
     implicit val sqlCtx = SparkTestBase.session.sqlContext
