@@ -1782,8 +1782,15 @@ object SparkEntry {
     // delta between the two IS the per-round kept-ensemble margin
     // rebuild — the first graft cost that grows with ensemble size
     // (O(rounds × trees) predict work, xgboost's documented DART
-    // profile). Rows-only; dart semantics are oracle-checked by
-    // ml_stump_dart and golden-tested in DartSpec.
+    // profile). That 10-round rateDrop=0.3 model still trains in full
+    // with its separation pin; the OUTPUT (r16) is a full DuckDB
+    // oracle: a 2-round rateDrop=1.0 DART model — dropping is
+    // DETERMINISTIC at rate 1.0 (the whole kept ensemble drops every
+    // round), so round 2 regrows the same stump at init margins and
+    // the drop+normalize arithmetic (tree norm: dropped ×k/(k+lr),
+    // new ×1/(k+lr), double multiply → float round per leaf) replays
+    // closed-form in SQL. Random-subset dropping stays golden-tested
+    // in DartSpec; ml_stump_dart oracles the 1-round path.
     "ml_train_dart" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
         .select(col("l_quantity"), col("l_extendedprice"),
@@ -1796,6 +1803,18 @@ object SparkEntry {
         numWorkers = 8)
       trainedSeparation(s,
         GraftBoost.predict(res.model, df, DMatrixSpec("label")))
+      val df2 = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y"))
+      val two = GraftBoost.train(df2, DMatrixSpec("y"),
+        TrainParams(booster = "dart", rateDrop = 1.0, numRounds = 2,
+          maxDepth = 1, seed = 1), numWorkers = 8)
+      GraftBoost.predict(two.model, df2, DMatrixSpec("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
     }),
     "ml_softprob" -> ((s, dir) => {
       val df = ld(s, dir, "lineitem")
@@ -1822,11 +1841,33 @@ object SparkEntry {
       require(acc + 1e-9 >= majority,
         f"ml_softprob train accuracy $acc%.4f fell below the " +
           f"majority-class baseline $majority%.4f — broken model")
-      preds.groupBy("label")
+      // full-oracle output (r16): a 2-ROUND depth-1 softprob — round-2
+      // gradients are softmax(round-1 leaves), i.e. per-(x, class)
+      // float constants whose n·const sums stay exact in double, so
+      // the whole two-round softmax recursion (incl. the float margin
+      // fold and both softmax transforms) replays in SQL; extends
+      // ml_stump_softmax (1 round) to multi-round class routing
+      val df2 = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"),
+          when(col("l_returnflag") === "R", 2.0)
+            .when(col("l_returnflag") === "A", 1.0).otherwise(0.0)
+            .as("y"))
+      val two = GraftBoost.train(df2, DMatrixSpec("y"),
+        TrainParams(objective = "multi:softprob", numClass = 3,
+          numRounds = 2, maxDepth = 1, seed = 1), numWorkers = 8)
+      GraftBoost.predict(two.model, df2, DMatrixSpec("y"))
+        .groupBy("x")
         .agg(count(lit(1)).as("n"),
-          round(avg(when(col("prediction") === col("label"), 1.0)
-            .otherwise(0.0)), 3).as("class_acc"))
-        .orderBy("label")
+          max(element_at(col("probabilities"), 1)).cast("double")
+            .as("p0"),
+          max(element_at(col("probabilities"), 2)).cast("double")
+            .as("p1"),
+          max(element_at(col("probabilities"), 3)).cast("double")
+            .as("p2"))
+        .select(col("x").cast("long").as("x"), col("n"), col("p0"),
+          col("p1"), col("p2"))
+        .orderBy("x")
     }),
     "ml_rank" -> ((s, dir) => {
       val df = ld(s, dir, "events")
@@ -1863,9 +1904,27 @@ object SparkEntry {
       require(meanAuc >= 0.95,
         f"ml_rank mean per-group AUC $meanAuc%.4f below the 0.95 " +
           "floor on a separable relevance — broken ranker")
-      preds.agg(count(lit(1)).as("n"),
-          countDistinct("user_id").as("n_groups"))
-        .withColumn("mean_auc", round(lit(meanAuc), 3))
+      // full-oracle output (r16): a 2-ROUND depth-1 pairwise ranker on
+      // the ml_stump_rank fixture. Round-2 pairwise sigmoids take only
+      // THREE values (margins are binary-feature constants), per-row
+      // gradients double-accumulate the float pair increments (exact
+      // sums — see PairwiseRank), so the full LambdaRank-style
+      // recursion replays closed-form from per-group (rel, x) counts
+      val df2 = ld(s, dir, "events")
+        .select(when(col("value") >= 3.0, 1.0).otherwise(0.0).as("x"),
+          when(col("value") > 5.0, 1.0).otherwise(0.0).as("rel"),
+          col("user_id"))
+      val spec2 = DMatrixSpec(labelCol = Seq("rel"),
+        qidCol = Some("user_id"))
+      val two = GraftBoost.train(df2, spec2,
+        TrainParams(objective = "rank:pairwise", numRounds = 2,
+          maxDepth = 1, seed = 1), numWorkers = 8)
+      GraftBoost.predict(two.model, df2, spec2)
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction"))
+        .orderBy("x")
     })
   )
 
@@ -3207,6 +3266,165 @@ object SparkEntry {
         |SELECT CAST(m.x AS BIGINT) AS x, m.n,
         | CAST(CAST(m.m1 + r2.leaf2 AS REAL) AS DOUBLE) AS prediction
         | FROM m JOIN r2 ON m.x = r2.x ORDER BY x""".stripMargin,
+    // 2-round pairwise-rank replay: round 1 is the ml_stump_rank
+    // closed form (all sigmoids exactly 0.5 at the constant base
+    // margin). Round 2's margins are two floats (binary feature), so
+    // every pairwise sigmoid is one of THREE constants — same-x pairs
+    // stay exactly 0.5, cross-x pairs are float-rounded sigmoid(±d) —
+    // and a row's gradient/hessian is a per-group (rel, x) count
+    // combination of them (exact double sums by PairwiseRank's
+    // accumulate-in-double rule); the leaf and prediction arithmetic
+    // then repeats round 1's
+    "ml_rank" ->
+      """WITH t AS (SELECT CASE WHEN value >= 3.0 THEN 1 ELSE 0 END
+        |   AS x, CASE WHEN value > 5.0 THEN 1 ELSE 0 END AS rel,
+        |   user_id AS qid FROM events),
+        |g AS (SELECT qid,
+        |   sum(CASE WHEN rel = 1 AND x = 0 THEN 1 ELSE 0 END) AS w0,
+        |   sum(CASE WHEN rel = 1 AND x = 1 THEN 1 ELSE 0 END) AS w1,
+        |   sum(CASE WHEN rel = 0 AND x = 0 THEN 1 ELSE 0 END) AS l0,
+        |   sum(CASE WHEN rel = 0 AND x = 1 THEN 1 ELSE 0 END) AS l1
+        | FROM t GROUP BY qid),
+        |r1 AS (SELECT t.x,
+        |   CASE WHEN t.rel = 1 THEN -0.5 * (g.l0 + g.l1)
+        |     ELSE 0.5 * (g.w0 + g.w1) END AS grad,
+        |   CASE WHEN t.rel = 1 THEN 0.25 * (g.l0 + g.l1)
+        |     ELSE 0.25 * (g.w0 + g.w1) END AS hess
+        | FROM t JOIN g USING (qid)),
+        |s1 AS (SELECT x, count(*) AS n, sum(grad) AS sg,
+        |   sum(hess) AS sh FROM r1 GROUP BY x),
+        |mm AS (SELECT x, n, CAST(CAST(0.5 AS REAL)
+        |   + CAST((-0.3 * sg) / (sh + 1.0) AS REAL) AS REAL) AS m
+        | FROM s1),
+        |mp AS (SELECT (SELECT m FROM mm WHERE x = 0) AS m0,
+        |   (SELECT m FROM mm WHERE x = 1) AS m1),
+        |k AS (SELECT
+        |   CAST(1.0 / (1.0 + exp(-CAST(CAST(m0 - m1 AS REAL)
+        |     AS DOUBLE))) AS DOUBLE) AS s01,
+        |   CAST(1.0 / (1.0 + exp(-CAST(CAST(m1 - m0 AS REAL)
+        |     AS DOUBLE))) AS DOUBLE) AS s10 FROM mp),
+        |k2 AS (SELECT
+        |   CAST(-0.5 AS DOUBLE) AS gs,
+        |   CAST(0.25 AS DOUBLE) AS hs,
+        |   CAST(CAST(s01 - 1.0 AS REAL) AS DOUBLE) AS g01,
+        |   CAST(CAST(s10 - 1.0 AS REAL) AS DOUBLE) AS g10,
+        |   CAST(CAST(s01 * (1.0 - s01) AS REAL) AS DOUBLE) AS h01,
+        |   CAST(CAST(s10 * (1.0 - s10) AS REAL) AS DOUBLE) AS h10
+        | FROM k),
+        |r2 AS (SELECT t.x,
+        |   CAST(CASE
+        |     WHEN t.rel = 1 AND t.x = 0 THEN g.l0 * gs + g.l1 * g01
+        |     WHEN t.rel = 1 THEN g.l0 * g10 + g.l1 * gs
+        |     WHEN t.x = 0 THEN -(g.w0 * gs + g.w1 * g10)
+        |     ELSE -(g.w0 * g01 + g.w1 * gs) END AS REAL) AS grad,
+        |   CAST(CASE
+        |     WHEN t.rel = 1 AND t.x = 0 THEN g.l0 * hs + g.l1 * h01
+        |     WHEN t.rel = 1 THEN g.l0 * h10 + g.l1 * hs
+        |     WHEN t.x = 0 THEN g.w0 * hs + g.w1 * h10
+        |     ELSE g.w0 * h01 + g.w1 * hs END AS REAL) AS hess
+        | FROM t JOIN g USING (qid) CROSS JOIN k2),
+        |s2 AS (SELECT x, sum(CAST(grad AS DOUBLE)) AS sg,
+        |   sum(CAST(hess AS DOUBLE)) AS sh FROM r2 GROUP BY x),
+        |lf2 AS (SELECT x,
+        |   CAST((-0.3 * sg) / (sh + 1.0) AS REAL) AS leaf2 FROM s2)
+        |SELECT CAST(mm.x AS BIGINT) AS x, mm.n,
+        | CAST(CAST(mm.m + lf2.leaf2 AS REAL) AS DOUBLE) AS prediction
+        | FROM mm JOIN lf2 USING (x) ORDER BY x""".stripMargin,
+    // 2-round softprob replay: round 1 is the ml_stump_softmax closed
+    // form; the round-1 softmax probs q_c(x) (REAL, via the same
+    // float-rounded exp pipeline the trainer runs) become per-(x,
+    // class) gradient constants for round 2 — g = REAL(q−1) for the
+    // own class else q, h = REAL(2q(1−q)) — whose n·const sums are
+    // exact in double; leaf2 repeats the leaf arithmetic, margins fold
+    // in float, and the final softmax replays the transform
+    "ml_softprob" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, CASE WHEN l_returnflag = 'R' THEN 2
+        |     WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS y
+        | FROM lineitem),
+        |c AS (SELECT CAST(1.0 / 3.0 AS REAL) AS pc),
+        |c2 AS (SELECT pc, CAST(pc - 1.0 AS REAL) AS gown,
+        |   CAST(2.0 * pc * (1.0 - pc) AS REAL) AS h FROM c),
+        |s AS (SELECT x, count(*) AS n,
+        |   sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS a0,
+        |   sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS a1,
+        |   sum(CASE WHEN y = 2 THEN 1 ELSE 0 END) AS a2
+        | FROM t GROUP BY x),
+        |l AS (SELECT x, n, a0, a1, a2,
+        |   CAST((-0.3 * (a0 * CAST(gown AS DOUBLE)
+        |       + (n - a0) * CAST(pc AS DOUBLE)))
+        |     / (n * CAST(h AS DOUBLE) + 1.0) AS REAL) AS l0,
+        |   CAST((-0.3 * (a1 * CAST(gown AS DOUBLE)
+        |       + (n - a1) * CAST(pc AS DOUBLE)))
+        |     / (n * CAST(h AS DOUBLE) + 1.0) AS REAL) AS l1,
+        |   CAST((-0.3 * (a2 * CAST(gown AS DOUBLE)
+        |       + (n - a2) * CAST(pc AS DOUBLE)))
+        |     / (n * CAST(h AS DOUBLE) + 1.0) AS REAL) AS l2
+        | FROM s, c2),
+        |m1 AS (SELECT *, greatest(l0, l1, l2) AS mx FROM l),
+        |e1 AS (SELECT *,
+        |   exp(CAST(l0 - mx AS DOUBLE)) AS e0,
+        |   exp(CAST(l1 - mx AS DOUBLE)) AS e1,
+        |   exp(CAST(l2 - mx AS DOUBLE)) AS e2 FROM m1),
+        |q AS (SELECT x, n, a0, a1, a2, l0, l1, l2,
+        |   CAST(CAST(CAST(e0 AS REAL) AS DOUBLE) / (e0 + e1 + e2)
+        |     AS REAL) AS q0,
+        |   CAST(CAST(CAST(e1 AS REAL) AS DOUBLE) / (e0 + e1 + e2)
+        |     AS REAL) AS q1,
+        |   CAST(CAST(CAST(e2 AS REAL) AS DOUBLE) / (e0 + e1 + e2)
+        |     AS REAL) AS q2 FROM e1),
+        |r2 AS (SELECT x, n, l0, l1, l2,
+        |   CAST(l0 + CAST((-0.3 * (a0 * CAST(CAST(CAST(q0 AS DOUBLE)
+        |         - 1.0 AS REAL) AS DOUBLE)
+        |       + (n - a0) * CAST(q0 AS DOUBLE)))
+        |     / (n * CAST(CAST(2.0 * CAST(q0 AS DOUBLE)
+        |         * (1.0 - CAST(q0 AS DOUBLE)) AS REAL) AS DOUBLE)
+        |       + 1.0) AS REAL) AS REAL) AS m0,
+        |   CAST(l1 + CAST((-0.3 * (a1 * CAST(CAST(CAST(q1 AS DOUBLE)
+        |         - 1.0 AS REAL) AS DOUBLE)
+        |       + (n - a1) * CAST(q1 AS DOUBLE)))
+        |     / (n * CAST(CAST(2.0 * CAST(q1 AS DOUBLE)
+        |         * (1.0 - CAST(q1 AS DOUBLE)) AS REAL) AS DOUBLE)
+        |       + 1.0) AS REAL) AS REAL) AS m1,
+        |   CAST(l2 + CAST((-0.3 * (a2 * CAST(CAST(CAST(q2 AS DOUBLE)
+        |         - 1.0 AS REAL) AS DOUBLE)
+        |       + (n - a2) * CAST(q2 AS DOUBLE)))
+        |     / (n * CAST(CAST(2.0 * CAST(q2 AS DOUBLE)
+        |         * (1.0 - CAST(q2 AS DOUBLE)) AS REAL) AS DOUBLE)
+        |       + 1.0) AS REAL) AS REAL) AS m2
+        | FROM q),
+        |m2x AS (SELECT *, greatest(m0, m1, m2) AS mx2 FROM r2),
+        |e2t AS (SELECT *,
+        |   exp(CAST(m0 - mx2 AS DOUBLE)) AS f0,
+        |   exp(CAST(m1 - mx2 AS DOUBLE)) AS f1,
+        |   exp(CAST(m2 - mx2 AS DOUBLE)) AS f2 FROM m2x)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(CAST(CAST(f0 AS REAL) AS DOUBLE) / (f0 + f1 + f2)
+        |   AS REAL) AS DOUBLE) AS p0,
+        | CAST(CAST(CAST(CAST(f1 AS REAL) AS DOUBLE) / (f0 + f1 + f2)
+        |   AS REAL) AS DOUBLE) AS p1,
+        | CAST(CAST(CAST(CAST(f2 AS REAL) AS DOUBLE) / (f0 + f1 + f2)
+        |   AS REAL) AS DOUBLE) AS p2
+        | FROM e2t ORDER BY x""".stripMargin,
+    // 2-round DART at rateDrop=1.0: dropping is deterministic (the
+    // whole kept ensemble drops), so round 2 regrows the SAME stump at
+    // init margins and the tree-normalize arithmetic is closed-form:
+    // both trees' leaves = REAL(DOUBLE(leaf1) · 1/(1+0.3)), prediction
+    // folds them in float like the trainer's marginsFrom
+    "ml_train_dart" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y) AS sy FROM t GROUP BY x),
+        |r1 AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - sy)) / (n + 1.0) AS REAL) AS leaf1
+        | FROM s),
+        |sc AS (SELECT x, n,
+        |   CAST(CAST(leaf1 AS DOUBLE) * (1.0 / (1.0 + 0.3)) AS REAL)
+        |     AS leafs FROM r1)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(CAST(CAST(0.5 AS REAL) + leafs AS REAL) + leafs
+        |   AS REAL) AS DOUBLE) AS prediction
+        | FROM sc ORDER BY x""".stripMargin,
     // refresh: the split came from the ORIGINAL labels, the leaves are
     // the ml_stump closed form over the +100-shifted labels
     "ml_refresh" ->

@@ -589,6 +589,17 @@ object Objectives {
     override def groupGradients(margins: Array[Float], labels: Array[Float],
         weights: Array[Float], grad: Array[Float], hess: Array[Float],
         lo: Int, hi: Int): Unit = {
+      // per-row accumulation in DOUBLE, rounded to float ONCE at the
+      // end (r16, the LambdaRank rule below): the per-pair float
+      // increments are exact doubles, and their double sums are exact
+      // for any real group size (24-bit addends bounded away from
+      // zero, totals ≪ 2^53) — so a row's gradient is independent of
+      // pair-iteration order AND set-replayable (Σ = count·constant
+      // per (label, feature) class), which the ml_rank round-2 oracle
+      // exploits. Float accumulation would round at every pair add.
+      val n = hi - lo
+      val ga = new Array[Double](n)
+      val ha = new Array[Double](n)
       var i = lo
       while (i < hi) {
         var j = lo
@@ -598,12 +609,17 @@ object Objectives {
             val w = weights(i) * weights(j)
             val gg = ((s - 1.0) * w).toFloat       // push m_i up
             val hh = math.max(s * (1.0 - s) * w, 1e-16).toFloat
-            grad(i) += gg; grad(j) -= gg
-            hess(i) += hh; hess(j) += hh
+            ga(i - lo) += gg; ga(j - lo) -= gg
+            ha(i - lo) += hh; ha(j - lo) += hh
           }
           j += 1
         }
         i += 1
+      }
+      var x = lo
+      while (x < hi) {
+        grad(x) = ga(x - lo).toFloat; hess(x) = ha(x - lo).toFloat
+        x += 1
       }
     }
   }

@@ -11,17 +11,15 @@ class HarnessContractSpec extends SparkTestBase {
 
   /** Queries that are rows-only BY NATURE, each with the reason. */
   private val rowsOnly: Map[String, String] = Map(
-    // ml_train_predict moved OFF this list in r16: its output is now
-    // the 2-round depth-1 closed-form replay (full DuckDB oracle);
-    // the 10-round depth-4 separation pin still runs in-query
-    "ml_train_dart" -> ("learned multi-round model output (dart bench " +
-      "twin of ml_train_predict's 10-round in-query model; dart " +
-      "arithmetic oracle-checked by ml_stump_dart); r10: class " +
-      "separation pinned in-query"),
-    "ml_softprob" -> ("learned multi-round model output; r10: argmax " +
-      "train accuracy pinned >= majority-class baseline in-query"),
-    "ml_rank" -> ("learned multi-round model output; r10: mean " +
-      "per-group pairwise AUC pinned >= 0.95 in-query"),
+    // ml_train_predict and ml_train_dart moved OFF this list in r16:
+    // their outputs are now 2-round depth-1 closed-form replays (full
+    // DuckDB oracles — gbtree margin advancement and deterministic
+    // rateDrop=1.0 DART drop+normalize respectively); the 10-round
+    // depth-4 separation pins still run in-query
+    // ml_softprob moved OFF this list in r16: output is a 2-round
+    // softmax replay (full oracle); accuracy pin still runs in-query
+    // ml_rank moved OFF this list in r16: output is a 2-round pairwise
+    // ranker replay (full oracle); the AUC >= 0.95 pin runs in-query
     "sim_lsh_topk" -> "approximate ANN (recall gated by sim_recall_check)",
     "sim_ivf_topk" -> "approximate ANN (recall gated by sim_recall_check)",
     "sim_pq_topk" -> ("approximate ANN (recall gated by " +
