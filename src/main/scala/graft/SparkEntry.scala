@@ -420,6 +420,15 @@ object SparkEntry {
       graft.streaming.StreamPipeline.replayAsof(
         ld(s, dir, "events"), "user_id", "ts", "event_id", "value")),
 
+    // ---- streaming as-of with a TOLERANCE window (X59 + the j4
+    //      bounded-staleness contract): same stateful enrichment, but
+    //      a found prev older than 6h emits unmatched — DuckDB's ASOF
+    //      JOIN + the gap filter replays it at micro precision ----
+    "st_asof_tol" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replayAsof(
+        ld(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        tolerance = Some(21600L * 1000000L))),
+
     // ---- profiling: EXACT distributed quantiles + column stats
     //      (X50) — per requested rank, iterative 2¹⁶-bucket range
     //      narrowing (2–3 shared scans total, never a per-group value
@@ -2290,6 +2299,26 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts_us,
         |  CAST(coalesce(s.ts_us, -1) AS BIGINT) AS asof_ts,
         |  CAST(coalesce(s.val_q, -1) AS BIGINT) AS asof_val_q
+        | FROM e ASOF LEFT JOIN snap s
+        |   ON e.user_id = s.user_id AND e.ts_us > s.ts_us
+        | ORDER BY event_id""".stripMargin,
+    // streaming as-of with tolerance: the st_asof replay + a 6h
+    // (21600e6 µs) staleness filter on the found match
+    "st_asof_tol" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_ns(ts) // 1000 AS ts_us,
+        |    CAST(floor(value * 1048576.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        | snap AS (SELECT user_id, ts_us, CAST(sum(vq) AS BIGINT)
+        |     AS val_q
+        |   FROM e GROUP BY user_id, ts_us)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |  CAST(CASE WHEN s.ts_us IS NOT NULL
+        |      AND e.ts_us - s.ts_us <= 21600000000 THEN s.ts_us
+        |    ELSE -1 END AS BIGINT) AS asof_ts,
+        |  CAST(CASE WHEN s.ts_us IS NOT NULL
+        |      AND e.ts_us - s.ts_us <= 21600000000 THEN s.val_q
+        |    ELSE -1 END AS BIGINT) AS asof_val_q
         | FROM e ASOF LEFT JOIN snap s
         |   ON e.user_id = s.user_id AND e.ts_us > s.ts_us
         | ORDER BY event_id""".stripMargin,

@@ -583,8 +583,8 @@ object StreamPipeline {
    * [[replayDedup]]).
    */
   def replayAsof(df: DataFrame, userCol: String, tsCol: String,
-      idCol: String, valueCol: String, numBatches: Int = 5)
-      : DataFrame = {
+      idCol: String, valueCol: String, numBatches: Int = 5,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = replaySession(df)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -603,7 +603,7 @@ object StreamPipeline {
     val in = MemoryStream[(Long, Long, Long, Double)]
     val enriched = asofStream(
       in.toDF().toDF("user_id", "ts_us", "event_id", "value"),
-      "user_id", "ts_us", "event_id", "value").toDF()
+      "user_id", "ts_us", "event_id", "value", tolerance).toDF()
     withReplaySink(spark, "st_asof_", enriched) { q =>
       feedBatches(rows, numBatches) { batch =>
         in.addData(batch)
