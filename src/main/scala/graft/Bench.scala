@@ -142,14 +142,18 @@ object Bench {
     * default-locale %f can emit a comma decimal separator (invalid
     * JSON). Degradation ladder, first tier that fits wins:
     *  1. all queries at 2-decimal medians;
-    *  2. all queries at 1 then 0 decimals ("99.99" and "100.0" are the
-    *     same width, so only dropping the point actually shrinks it);
-    *  3. BOUNDED fallback: the slowest K queries individually (0-dec)
-    *     plus a `"_rest":{"n":…,"sec":…}` aggregate of the fast tail,
-    *     with K the largest count that fits. Tier 3 makes the line fit
-    *     for ANY query-set size and ANY medians — the per-query
-    *     evidence kept is exactly the queries a perf judge cares
-    *     about, and `value`/`failed` always cover the full set. */
+    *  2. all queries at 1 decimal;
+    *  3. BOUNDED fallback: the slowest K queries individually at
+    *     1 decimal (then 0 as a last resort) plus a
+    *     `"_rest":{"n":…,"sec":…}` aggregate of the fast tail, with K
+    *     the largest count that fits. Keeping DECIMAL precision for
+    *     the slow queries beats a 0-decimal full listing (r16: 103
+    *     queries pushed the 1-dec full line 139 bytes over budget and
+    *     the old 0-dec tier flattened every sub-second median to
+    *     "0"/"1" — useless for the per-query regression diff, while
+    *     the fast tail it now aggregates is exactly where shared-box
+    *     noise swamps per-query signal anyway). Tier 3 fits ANY
+    *     query-set size; `value`/`failed` always cover the full set. */
   private[graft] def compactLine(medians: Seq[(String, Double)],
       failed: Int, total: Double, sfDir: String): String = {
     def fmt(prec: Int, v: Double): String =
@@ -166,14 +170,14 @@ object Bench {
       val qs = entries.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(2, total)},"failed":$failed,"queries":$qs,"sf":"$sf"}"""
     }
-    val full = Seq(2, 1, 0).map(p => line(p, medians, Nil))
+    val full = Seq(2, 1).map(p => line(p, medians, Nil))
       .find(_.length <= LineBudget)
     full.getOrElse {
-      // k = medians.size would duplicate tier 2's already-rejected
-      // 0-decimal full line, and the k = 0 form is the fallback below
       val bySlow = medians.sortBy { case (k, m) => (-m, k) }
-      ((medians.size - 1) to 1 by -1).iterator
-        .map(k => line(0, bySlow.take(k), bySlow.drop(k)))
+      (for {
+        prec <- Iterator(1, 0)
+        k <- ((medians.size - 1) to 1 by -1).iterator
+      } yield line(prec, bySlow.take(k), bySlow.drop(k)))
         .find(_.length <= LineBudget)
         .getOrElse(line(0, Nil, medians))
     }
