@@ -63,10 +63,13 @@ object StreamPipeline {
    * emitted UNMATCHED (-1 sentinels) with the state untouched —
    * deterministic and visible, never silently wrong.
    *
-   * Non-finite values: NaN is a missing value (the event reads its
-   * prev like any other but contributes nothing to any snapshot —
-   * Profiler.quantize's NaN-as-missing rule); ±Infinity fails loudly
-   * (a saturated Long sum is silently wrong forever after).
+   * Non-finite values: NaN is a missing value (Profiler.quantize's
+   * NaN-as-missing rule) — the event emits with the latest CLOSED
+   * snapshot but writes nothing, not even the high-water mark, so a
+   * NaN at a NEW event time does not close the open snapshot (more
+   * same-ts finite events may still arrive); closure comes only from
+   * a finite event's arrival. ±Infinity fails loudly (a saturated
+   * Long sum is silently wrong forever after).
    *
    * @param stream (keyCol long, tsUsCol long epoch-micros,
    *               idCol long, valueCol double) streaming frame

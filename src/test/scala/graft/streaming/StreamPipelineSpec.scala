@@ -408,6 +408,80 @@ class StreamPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("asofStream fuzz: random multi-key feeds at random micro-batch " +
+      "boundaries equal a brute-force snapshot reference, with and " +
+      "without tolerance") {
+    implicit val sqlCtx = SparkTestBase.session.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def q20(x: Double) = math.floor(x * 1048576.0 + 0.5).toLong
+    for (trial <- 0 until 5) {
+      val rng = new scala.util.Random(500 + trial)
+      // dense ts range forces equal-ts runs; values exercise the
+      // fixed-point sum; one NaN per trial exercises the missing rule
+      val n = 25 + rng.nextInt(25)
+      val rows = Seq.tabulate(n) { i =>
+        val v = if (i == 7) Double.NaN
+          else (rng.nextInt(800) - 400) / 64.0
+        (rng.nextInt(4).toLong, rng.nextInt(12).toLong, i.toLong, v)
+      }.sortBy(r => (r._2, r._3)) // the ascending feed contract
+      val tol = if (trial % 2 == 0) None else Some(rng.nextInt(5).toLong)
+      // reference: per (user, ts) snapshot sums over FINITE values;
+      // prev = largest strictly-smaller snapshot ts of the user
+      val snaps = rows.filterNot(_._4.isNaN)
+        .groupBy(r => (r._1, r._2))
+        .map { case ((u, ts), g) => (u, ts) -> g.map(r => q20(r._4)).sum }
+      def expected(u: Long, ts: Long, id: Long, isNaN: Boolean)
+          : (Long, Long) = {
+        // a NaN event never WRITES: it opens/advances no snapshot and
+        // not even the high-water mark — so it reads only snapshots
+        // CLOSED at its processing point (one behind a finite event at
+        // the same ts, whose arrival closes the previous snapshot)
+        val finite = rows.filter(r => r._1 == u && !r._4.isNaN)
+        val prevTs: Option[Long] =
+          if (!isNaN) finite.map(_._2).filter(_ < ts).sorted.lastOption
+          else finite
+            .filter(r => r._2 < ts || (r._2 == ts && r._3 < id))
+            .map(_._2).sorted.lastOption
+            .flatMap(cur =>
+              finite.map(_._2).filter(_ < cur).sorted.lastOption)
+        prevTs match {
+          case Some(pt) if tol.forall(t => ts - pt <= t) =>
+            (pt, snaps((u, pt)))
+          case _ => (-1L, -1L)
+        }
+      }
+      val in = MemoryStream[(Long, Long, Long, Double)]
+      val enriched = StreamPipeline.asofStream(
+        in.toDF().toDF("user_id", "ts_us", "event_id", "value"),
+        "user_id", "ts_us", "event_id", "value", tol).toDF()
+      val sink = s"st_asof_fuzz_$trial"
+      val q = enriched.writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try {
+        var rest = rows
+        while (rest.nonEmpty) {
+          val take = 1 + rng.nextInt(12)
+          in.addData(rest.take(take))
+          q.processAllAvailable()
+          rest = rest.drop(take)
+        }
+        val out = spark.table(sink).orderBy("event_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+        for ((id, ats, asum) <- out) {
+          val (u, ts, _, v) = rows.find(_._3 == id).get
+          val (ets, esum) = expected(u, ts, id, v.isNaN)
+          assert((ats, asum) === ((ets, esum)),
+            s"trial $trial tol=$tol event=$id u=$u ts=$ts: " +
+              s"got ($ats,$asum) expected ($ets,$esum)\nrows=$rows")
+        }
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(sink)
+      }
+    }
+  }
+
   test("asofStream: NaN reads but never writes (missing-value rule); " +
       "Infinity fails the query loudly") {
     implicit val sqlCtx = SparkTestBase.session.sqlContext
