@@ -38,6 +38,10 @@ object SkewCheck {
       asofSkew(spark, if (args.length > 1) args(1).toLong else 4000000L)
       spark.stop(); return
     }
+    if (args.headOption.contains("rank")) {
+      rankSkew(spark, if (args.length > 1) args(1).toLong else 20000L)
+      spark.stop(); return
+    }
     val n = 5000L
     val expected = n * (n - 1) / 2
     val copies = spark.range(n)
@@ -64,6 +68,40 @@ object SkewCheck {
     println(s"SKEW ${if (mhCount == n - 1) "PASS" else "FAIL"}: " +
       s"minhash dups=$mhCount expected=${n - 1} (min-pairing, no cap)")
     spark.stop()
+  }
+
+  /** Ranking giant-group probe: ONE qid group holding every row (the
+    * pathological search-log shape — a single query with millions of
+    * candidates serializes through one task AND pays O(g²) pair
+    * enumeration). Measures one boosting round all-pairs vs
+    * pairCap=4 (the xgboost num_pair_per_sample analog) at the given
+    * size, then capped-only at 10× — the size where all-pairs would
+    * be ~100× the measured all-pairs time and is skipped. */
+  private def rankSkew(spark: SparkSession, rows: Long): Unit = {
+    import graft.api.GraftBoost
+    import graft.data.DMatrixSpec
+    import graft.learner.TrainParams
+    val spec = DMatrixSpec(labelCol = Seq("rel"), qidCol = Some("qid"))
+    def data(n: Long) = spark.range(n).select(
+      lit(1L).as("qid"),
+      (col("id") % 97).cast("double").as("f1"),
+      when(col("id") % 7 < 2, 1.0).otherwise(0.0).as("rel"))
+    def fit(n: Long, cap: Int): Double = {
+      val t0 = System.nanoTime()
+      GraftBoost.train(data(n), spec,
+        TrainParams(objective = "rank:pairwise", numRounds = 1,
+          maxDepth = 2, seed = 3, pairCap = cap), numWorkers = 8)
+      (System.nanoTime() - t0) / 1e9
+    }
+    fit(rows / 4, 0) // warm-up, unmeasured
+    val full = fit(rows, 0)
+    val capped = fit(rows, 4)
+    val capped10 = fit(rows * 10, 4)
+    println(f"SKEW rank one-group: rows=$rows all-pairs=$full%.2fs " +
+      f"pairCap=4 $capped%.2fs speedup=${full / capped}%.1fx")
+    println(f"SKEW rank one-group: rows=${rows * 10} pairCap=4 " +
+      f"$capped10%.2fs (all-pairs would be ~${full * 100}%.0fs by the " +
+      "O(g^2) growth law)")
   }
 
   /** As-of join hot-key probe: every left row ts-postdates every right

@@ -40,6 +40,16 @@ trait Objective extends Serializable {
       weights: Array[Float], grad: Array[Float], hess: Array[Float],
       lo: Int, hi: Int): Unit =
     throw new UnsupportedOperationException(s"$name is pointwise")
+
+  /** Capped variant (TrainParams.pairCap): at most `pairCap` sampled
+    * lower-labelled partners per row, deterministic in `pairSeed`.
+    * pairCap <= 0 falls through to the exact all-pairs form; pointwise
+    * objectives and custom listwise objectives that don't override it
+    * simply ignore the cap. */
+  def groupGradients(margins: Array[Float], labels: Array[Float],
+      weights: Array[Float], grad: Array[Float], hess: Array[Float],
+      lo: Int, hi: Int, pairCap: Int, pairSeed: Long): Unit =
+    groupGradients(margins, labels, weights, grad, hess, lo, hi)
   /** Whether gradients need a per-round GLOBAL pre-pass over the whole
     * dataset (Cox partial likelihood: risk-set sums couple every row).
     * When true the trainer runs [[globalPass]] once per round and
@@ -69,6 +79,84 @@ trait Objective extends Serializable {
 
 object Objectives {
   @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+
+  /**
+   * Ordered discordant-pair enumeration shared by the ranking
+   * objectives: calls `f(i, j)` for pairs with labels(i) > labels(j).
+   * pairCap <= 0 enumerates ALL pairs (the exact default). With a cap,
+   * each row i pairs with at most `pairCap` lower-labelled partners
+   * sampled WITHOUT replacement, deterministically in (pairSeed, i) —
+   * O(g·cap) total instead of O(g²), the xgboost
+   * `lambdarank_num_pair_per_sample` analog (like xgboost, sampled
+   * gradients are not rescaled). Partner candidates are the prefix of
+   * the label-ascending order strictly below i's label, so the sample
+   * space is identical on any partitioning.
+   */
+  private def forEachDiscordantPair(labels: Array[Float], lo: Int,
+      hi: Int, pairCap: Int, pairSeed: Long)(f: (Int, Int) => Unit)
+      : Unit = {
+    if (pairCap <= 0) {
+      var i = lo
+      while (i < hi) {
+        var j = lo
+        while (j < hi) {
+          if (labels(i) > labels(j)) f(i, j)
+          j += 1
+        }
+        i += 1
+      }
+      return
+    }
+    val n = hi - lo
+    // label-ascending, index-tiebroken candidate order (content-pinned
+    // by the trainer's sortByQid row order)
+    val byLabel = Array.range(lo, hi).sortBy(j => (labels(j), j))
+    // rows with a strictly smaller label form a prefix; its length per
+    // distinct label = the first occurrence index of that label
+    val firstIdx = new java.util.HashMap[java.lang.Float, Integer]()
+    var p = 0
+    while (p < n) {
+      val l = java.lang.Float.valueOf(labels(byLabel(p)))
+      if (!firstIdx.containsKey(l)) firstIdx.put(l, p)
+      p += 1
+    }
+    var i = lo
+    while (i < hi) {
+      val cnt = firstIdx.get(java.lang.Float.valueOf(labels(i))).intValue()
+      if (cnt > 0) {
+        val take = math.min(pairCap, cnt)
+        if (take == cnt) {
+          var q = 0
+          while (q < cnt) { f(i, byLabel(q)); q += 1 }
+        } else {
+          val rng = new java.util.Random(
+            pairSeed ^ (0x9e3779b97f4a7c15L * (i - lo + 1)))
+          if (take * 2 >= cnt) {
+            // dense sample: partial Fisher-Yates on the prefix copy
+            val idx = java.util.Arrays.copyOfRange(byLabel, 0, cnt)
+            var q = 0
+            while (q < take) {
+              val r = q + rng.nextInt(cnt - q)
+              val t = idx(q); idx(q) = idx(r); idx(r) = t
+              f(i, idx(q))
+              q += 1
+            }
+          } else {
+            // sparse sample: rejection on a small seen-set
+            val seen = new java.util.HashSet[Integer]()
+            var got = 0
+            while (got < take) {
+              val r = rng.nextInt(cnt)
+              if (seen.add(Integer.valueOf(r))) {
+                f(i, byLabel(r)); got += 1
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
 
   /** reg:squarederror — grad = pred - label, hess = 1. */
   final class SquaredError extends Objective {
@@ -588,7 +676,13 @@ object Objectives {
       throw new UnsupportedOperationException("rank:pairwise needs groups")
     override def groupGradients(margins: Array[Float], labels: Array[Float],
         weights: Array[Float], grad: Array[Float], hess: Array[Float],
-        lo: Int, hi: Int): Unit = {
+        lo: Int, hi: Int): Unit =
+      groupGradients(margins, labels, weights, grad, hess, lo, hi,
+        pairCap = 0, pairSeed = 0L)
+
+    override def groupGradients(margins: Array[Float], labels: Array[Float],
+        weights: Array[Float], grad: Array[Float], hess: Array[Float],
+        lo: Int, hi: Int, pairCap: Int, pairSeed: Long): Unit = {
       // per-row accumulation in DOUBLE, rounded to float ONCE at the
       // end (r16, the LambdaRank rule below): the per-pair float
       // increments are exact doubles, and their double sums are exact
@@ -600,21 +694,13 @@ object Objectives {
       val n = hi - lo
       val ga = new Array[Double](n)
       val ha = new Array[Double](n)
-      var i = lo
-      while (i < hi) {
-        var j = lo
-        while (j < hi) {
-          if (labels(i) > labels(j)) { // i should rank above j
-            val s = sigmoid(margins(i) - margins(j))
-            val w = weights(i) * weights(j)
-            val gg = ((s - 1.0) * w).toFloat       // push m_i up
-            val hh = math.max(s * (1.0 - s) * w, 1e-16).toFloat
-            ga(i - lo) += gg; ga(j - lo) -= gg
-            ha(i - lo) += hh; ha(j - lo) += hh
-          }
-          j += 1
-        }
-        i += 1
+      forEachDiscordantPair(labels, lo, hi, pairCap, pairSeed) { (i, j) =>
+        val s = sigmoid(margins(i) - margins(j)) // i ranks above j
+        val w = weights(i) * weights(j)
+        val gg = ((s - 1.0) * w).toFloat         // push m_i up
+        val hh = math.max(s * (1.0 - s) * w, 1e-16).toFloat
+        ga(i - lo) += gg; ga(j - lo) -= gg
+        ha(i - lo) += hh; ha(j - lo) += hh
       }
       var x = lo
       while (x < hi) {
@@ -660,7 +746,14 @@ object Objectives {
 
     override def groupGradients(margins: Array[Float],
         labels: Array[Float], weights: Array[Float], grad: Array[Float],
-        hess: Array[Float], lo: Int, hi: Int): Unit = {
+        hess: Array[Float], lo: Int, hi: Int): Unit =
+      groupGradients(margins, labels, weights, grad, hess, lo, hi,
+        pairCap = 0, pairSeed = 0L)
+
+    override def groupGradients(margins: Array[Float],
+        labels: Array[Float], weights: Array[Float], grad: Array[Float],
+        hess: Array[Float], lo: Int, hi: Int, pairCap: Int,
+        pairSeed: Long): Unit = {
       val n = hi - lo
       if (n <= 1) return
       // current ranking: margin desc, position asc (deterministic)
@@ -678,27 +771,21 @@ object Objectives {
       // a group weight, not per-pair row-weight products; the eval
       // metrics use the same first-row convention)
       val gw = weights(lo).toDouble
-      var i = 0
-      while (i < n) {
-        var j = 0
-        while (j < n) {
-          if (labels(lo + i) > labels(lo + j)) {
-            val delta = swapDelta(labels(lo + i), labels(lo + j),
-              rankOf(i), rankOf(j))
-            if (delta > 0.0) {
-              val s = sigmoid(margins(lo + i) - margins(lo + j))
-              val w = gw * delta
-              val gg = (s - 1.0) * w
-              val hh = math.max(s * (1.0 - s) * w, 1e-16)
-              gd(i) += gg; gd(j) -= gg
-              hd(i) += hh; hd(j) += hh
-            }
+      forEachDiscordantPair(labels, lo, hi, pairCap, pairSeed) {
+        (ai, aj) =>
+          val i = ai - lo; val j = aj - lo
+          val delta = swapDelta(labels(ai), labels(aj),
+            rankOf(i), rankOf(j))
+          if (delta > 0.0) {
+            val s = sigmoid(margins(ai) - margins(aj))
+            val w = gw * delta
+            val gg = (s - 1.0) * w
+            val hh = math.max(s * (1.0 - s) * w, 1e-16)
+            gd(i) += gg; gd(j) -= gg
+            hd(i) += hh; hd(j) += hh
           }
-          j += 1
-        }
-        i += 1
       }
-      i = 0
+      var i = 0
       while (i < n) {
         grad(lo + i) = gd(i).toFloat
         hess(lo + i) = hd(i).toFloat

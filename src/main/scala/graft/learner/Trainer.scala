@@ -32,6 +32,16 @@ final case class TrainParams(
       * the forest is a bagged average (divergence from xgboost, which
       * sums unscaled — ours keeps single-round regression unbiased). */
     numParallelTree: Int = 1,
+    /** Ranking pair cap (the xgboost `lambdarank_num_pair_per_sample`
+      * analog, 0 = ALL discordant pairs — the exact default every
+      * rank oracle pins): with cap k > 0, each row pairs against at
+      * most k sampled lower-labelled partners per round, turning the
+      * per-group O(g²) pair enumeration into O(g·k) — the lever that
+      * makes a multi-million-row qid group trainable (one group is
+      * always one task by the contiguity contract). Sampling is
+      * deterministic in (seed, round, qid), so gradients are
+      * partition/retry invariant. */
+    pairCap: Int = 0,
     /** survival:aft error-distribution scale (xgboost
       * aft_loss_distribution_scale). */
     aftSigma: Double = 1.0,
@@ -549,8 +559,16 @@ object Trainer {
             }
             val grad = new Array[Float](gn)
             val hess = new Array[Float](gn)
+            // pair-sampling seed is (seed, round, qid)-deterministic —
+            // NOT partition-derived — so capped gradients survive
+            // repartitioning and task retries unchanged
+            val pairSeed =
+              if (p.pairCap > 0)
+                mix(seed ^ java.lang.Long.rotateLeft(q, 21), round,
+                  (q ^ (q >>> 32)).toInt)
+              else 0L
             obj.groupGradients(margins, labels, weights, grad, hess,
-              0, gn)
+              0, gn, p.pairCap, pairSeed)
             // rng draw per row in row order — identical to the r11
             // per-row emission sequence
             x = 0
