@@ -42,6 +42,7 @@ object GraftConf {
     get("maxBins").foreach(v => p = p.copy(maxBins = v.toInt))
     get("baseScore").foreach(v => p = p.copy(baseScore = v.toDouble))
     get("numParallelTree").foreach(v => p = p.copy(numParallelTree = v.toInt))
+    get("pairCap").foreach(v => p = p.copy(pairCap = v.toInt))
     get("aftSigma").foreach(v => p = p.copy(aftSigma = v.toDouble))
     get("aftDistribution").foreach(v => p = p.copy(aftDistribution = v))
     get("tweedieVariancePower").foreach(v =>

@@ -714,12 +714,21 @@ class GraftXGBRanker(override val uid: String)
   setDefault(objective -> "rank:pairwise")
   def setObjective(v: String): this.type = set(objective, v)
 
+  /** xgboost lambdarank_num_pair_per_sample analog: 0 = exact
+    * all-pairs; k > 0 samples k lower-labelled partners per row —
+    * the giant-qid-group scale lever (see TrainParams.pairCap). */
+  final val pairCap = new IntParam(this, "pairCap",
+    "max sampled pairs per row (0 = all discordant pairs)",
+    ParamValidators.gtEq(0))
+  setDefault(pairCap -> 0)
+  def setPairCap(v: Int): this.type = set(pairCap, v)
+
   override def fit(ds: Dataset[_]): GraftXGBRankerModel = {
     transformSchema(ds.schema)
     val rk = new GraftRanker()
       .setLabelCol($(labelCol))
       .setQidCol($(qidCol))
-      .setParams(mkTrainParams($(objective)))
+      .setParams(mkTrainParams($(objective)).copy(pairCap = $(pairCap)))
       .setNumWorkers($(numWorkers))
       .setEvalSets(evalSets)
     initBooster.foreach(b => rk.setInitModel(b))

@@ -206,6 +206,7 @@ class SurvivalSpec extends SparkTestBase {
       "monotoneConstraints" -> "(1,0,-1)",
       "quantileAlphas" -> "[0.1, 0.5, 0.9]",
       "cacheLevel" -> "MEMORY_AND_DISK_SER",
+      "pairCap" -> "4",
       "interactionConstraints" -> "[[0,1],[2,3,4]]")
     try {
       keys.foreach { case (k, v) => spark.conf.set(s"spark.graft.$k", v) }
@@ -214,6 +215,7 @@ class SurvivalSpec extends SparkTestBase {
       assert(p.tweedieVariancePower === 1.2)
       assert(p.monotoneConstraints === Seq(1, 0, -1))
       assert(p.interactionConstraints === Seq(Seq(0, 1), Seq(2, 3, 4)))
+      assert(p.pairCap === 4)
       assert(p.numRounds === 17)
       assert(p.eta === 0.05)
       assert(p.objective === "binary:logistic")
