@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/**
+ * Randomized cross-check of the gap-rule sessionizer against a
+ * brute-force in-memory reference: dense random event times force
+ * gaps exactly AT the threshold (merge), one past it (split),
+ * equal-ts ties (ordered by the tiebreak column), and single-event
+ * sessions — the boundary space a fixed fixture under-samples.
+ */
+class SessionsFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fuzz: session carve-up, ordering, and per-session stats match " +
+      "the brute-force reference across random timelines") {
+    def q20(x: Double) = math.floor(x * 1048576.0 + 0.5).toLong
+    for (trial <- 0 until 8) {
+      val rng = new scala.util.Random(9000 + trial)
+      val gapSec = 1L + rng.nextInt(4) // tiny gap → lots of boundaries
+      val n = 30 + rng.nextInt(40)
+      // second-granular event times in a window of ~n·gap seconds so
+      // exact-threshold gaps occur often; a few equal-ts collisions
+      val rows = Seq.tabulate(n) { i =>
+        (rng.nextInt(3).toLong,                       // user
+          rng.nextInt(n * 2).toLong,                  // epoch seconds
+          i.toLong,                                   // event id
+          (rng.nextInt(400) - 200) / 32.0,            // value
+          s"t${rng.nextInt(3)}")                      // type
+      }
+      val df = rows.toDF("user_id", "sec", "event_id", "value",
+          "event_type")
+        .withColumn("ts",
+          timestamp_micros(col("sec") * 1000000L).cast("timestamp_ntz"))
+        .drop("sec")
+        .repartition(1 + trial % 5)
+      val got = Sessions.sessionStats(df, "user_id", "ts", "event_id",
+          gapSec, "value", "event_type")
+        .orderBy("user_id", "session_idx")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))
+        .toSeq
+
+      // brute force: per user, order by (sec, event_id); a gap
+      // STRICTLY greater than gapSec starts a new session
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+        val ordered = evs.sortBy(e => (e._2, e._3))
+        val sessions = scala.collection.mutable
+          .ArrayBuffer[scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Long, Double, String)]]()
+        for (e <- ordered) {
+          if (sessions.isEmpty || e._2 - sessions.last.last._2 > gapSec)
+            sessions += scala.collection.mutable.ArrayBuffer(e)
+          else sessions.last += e
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, (i + 1).toLong, s.size.toLong,
+            s.map(_._2).min, s.map(_._2).max,
+            s.map(_._2).max - s.map(_._2).min,
+            s.map(e => q20(e._4)).sum,
+            s.map(_._5).distinct.size.toLong)
+        }
+      }.sortBy(e => (e._1, e._2))
+
+      assert(got === expected,
+        s"trial $trial gap=$gapSec\nrows=${rows.sortBy(r =>
+          (r._1, r._2, r._3))}")
+    }
+  }
+}
