@@ -90,9 +90,10 @@ object Bench {
     // the last 2000 bytes of the run's output and parses the bench JSON
     // from there, so the one line printed below must be (a) the last
     // stdout line and (b) small enough to fit that window alongside
-    // sbt's trailing "[success] ..." line (~80 bytes). 84 queries at
-    // 2-decimal seconds is ~1850 bytes; if future queries push past the
-    // budget, per-query precision degrades to 1 decimal automatically.
+    // sbt's trailing "[success] ..." line (~80 bytes). At 103 queries
+    // the 1-decimal full line is ~2009 bytes, so the ladder lands on
+    // tier 3: 1-decimal medians for the slowest ~93 plus a `_rest`
+    // aggregate of the fastest tail (see compactLine).
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"runs":$raw,"status":$status,"sf":"$sfDir"}"""
     // Path keyed on SF basename + pid: two concurrent bench runs (e.g.
