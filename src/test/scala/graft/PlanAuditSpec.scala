@@ -306,10 +306,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert("hashpartitioning".r.findAllIn(p).size === 1, p)
     assert(!p.contains("rangepartitioning"), p) // sort is partition-local
     assert(!p.contains("Window") && !p.contains("Join"), p)
-    // and the full harness query never plans a relational join or
-    // window on top of it — the pass IS the join
-    val hp = plan("j2_asof")
-    assert(!hp.contains("SortMergeJoin") && !hp.contains("Window"), hp)
+    // and the full harness queries never plan a relational join or
+    // window on top of it — the pass IS the join (j4 is j2 + the
+    // tolerance check inside the same forward pass: same plan shape)
+    for (q <- Seq("j2_asof", "j4_asof_tolerance")) {
+      val hp = plan(q)
+      assert(!hp.contains("SortMergeJoin") && !hp.contains("Window"),
+        s"$q:\n$hp")
+    }
   }
 
   test("j3_asof_nearest: the two-direction pick never degrades to a " +
