@@ -110,7 +110,7 @@ object Bench {
       val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
       val stale = dir.toFile.listFiles()
       if (stale != null) stale
-        .filter(f => f.getName.startsWith(s"graft_bench_detail_") &&
+        .filter(f => f.getName.startsWith(s"graft_bench_detail_${safe}_") &&
           f.getName.endsWith(".json") && f.lastModified() < cutoff)
         .foreach(f => f.delete())
       val p = java.nio.file.Paths.get(

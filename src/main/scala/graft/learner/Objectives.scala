@@ -90,7 +90,13 @@ object Objectives {
    * `lambdarank_num_pair_per_sample` analog (like xgboost, sampled
    * gradients are not rescaled). Partner candidates are the prefix of
    * the label-ascending order strictly below i's label, so the sample
-   * space is identical on any partitioning.
+   * space is identical on any partitioning. The prefix is built under
+   * IEEE semantics to match the exact path's `labels(i) > labels(j)`
+   * test: -0.0f is folded to 0.0f before sorting/keying (IEEE treats
+   * them as equal; Scala's total ordering and boxed-Float identity do
+   * not), and NaN-labelled rows are excluded on both sides (IEEE `>`
+   * is false whenever either operand is NaN, so the exact path emits
+   * no pair touching a NaN).
    */
   private def forEachDiscordantPair(labels: Array[Float], lo: Int,
       hi: Int, pairCap: Int, pairSeed: Long)(f: (Int, Int) => Unit)
@@ -107,22 +113,31 @@ object Objectives {
       }
       return
     }
-    val n = hi - lo
+    // fold -0.0f to 0.0f so keying agrees with IEEE ==; NaN passes
+    // through (callers filter it before keying)
+    @inline def ieeeKey(l: Float): Float = if (l == 0.0f) 0.0f else l
     // label-ascending, index-tiebroken candidate order (content-pinned
-    // by the trainer's sortByQid row order)
-    val byLabel = Array.range(lo, hi).sortBy(j => (labels(j), j))
+    // by the trainer's sortByQid row order); NaN labels excluded — the
+    // exact path never pairs them in either role
+    val byLabel = Array.range(lo, hi)
+      .filter(j => !java.lang.Float.isNaN(labels(j)))
+      .sortBy(j => (ieeeKey(labels(j)), j))
+    val m = byLabel.length
     // rows with a strictly smaller label form a prefix; its length per
     // distinct label = the first occurrence index of that label
     val firstIdx = new java.util.HashMap[java.lang.Float, Integer]()
     var p = 0
-    while (p < n) {
-      val l = java.lang.Float.valueOf(labels(byLabel(p)))
+    while (p < m) {
+      val l = java.lang.Float.valueOf(ieeeKey(labels(byLabel(p))))
       if (!firstIdx.containsKey(l)) firstIdx.put(l, p)
       p += 1
     }
     var i = lo
     while (i < hi) {
-      val cnt = firstIdx.get(java.lang.Float.valueOf(labels(i))).intValue()
+      val cnt =
+        if (java.lang.Float.isNaN(labels(i))) 0
+        else firstIdx.get(java.lang.Float.valueOf(ieeeKey(labels(i))))
+          .intValue()
       if (cnt > 0) {
         val take = math.min(pairCap, cnt)
         if (take == cnt) {
@@ -685,12 +700,17 @@ object Objectives {
         lo: Int, hi: Int, pairCap: Int, pairSeed: Long): Unit = {
       // per-row accumulation in DOUBLE, rounded to float ONCE at the
       // end (r16, the LambdaRank rule below): the per-pair float
-      // increments are exact doubles, and their double sums are exact
-      // for any real group size (24-bit addends bounded away from
-      // zero, totals ≪ 2^53) — so a row's gradient is independent of
-      // pair-iteration order AND set-replayable (Σ = count·constant
-      // per (label, feature) class), which the ml_rank round-2 oracle
-      // exploits. Float accumulation would round at every pair add.
+      // increments are exact doubles, and in the moderate-margin
+      // regime the oracles exercise (addends within a ~2^29 dynamic
+      // range, totals ≪ 2^53) their double sums are exact — so a
+      // row's gradient is independent of pair-iteration order AND
+      // set-replayable (Σ = count·constant per (label, feature)
+      // class), which the ml_rank round-2 oracle exploits. At extreme
+      // margins the 1e-16 hessian floor sits > 53 bits below the
+      // ~0.25-scale addends, so those sums can round and become
+      // order-dependent in the last ulp; the bit-identical-cap
+      // invariant is pinned on the former regime. Float accumulation
+      // would round at every pair add regardless.
       val n = hi - lo
       val ga = new Array[Double](n)
       val ha = new Array[Double](n)

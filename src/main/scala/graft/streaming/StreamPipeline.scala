@@ -56,12 +56,19 @@ object StreamPipeline {
    * (batch rows are sorted by (ts, event id) first — within a
    * micro-batch Spark hands the group's rows unordered).
    *
-   * Event times must be per-key non-decreasing ACROSS micro-batches
-   * (the replay feeds ascending; production bounds disorder with an
-   * upstream watermark + sort within the ingestion window): a
+   * Event times must be per-key non-decreasing ACROSS micro-batches,
+   * and EQUAL-ts events must arrive id-ordered across batches too
+   * (the replay feeds ascending (ts, id); production bounds disorder
+   * with an upstream watermark + sort within the ingestion window): a
    * below-high-water event cannot know its true prev anymore and is
    * emitted UNMATCHED (-1 sentinels) with the state untouched —
-   * deterministic and visible, never silently wrong.
+   * deterministic and visible, never silently wrong. The equal-ts
+   * clause matters for NaN reads specifically: an equal-ts NaN whose
+   * id precedes an already-processed finite event would read the prev
+   * snapshot AFTER that event rolled it, where the globally (ts, id)-
+   * sorted feed reads the one before — finite events are unaffected
+   * (equal-ts finite accumulation is order-free in the fixed-point
+   * sum).
    *
    * Non-finite values: NaN is a missing value (Profiler.quantize's
    * NaN-as-missing rule) — the event emits with the latest CLOSED

@@ -54,6 +54,40 @@ class PairCapSpec extends SparkTestBase {
       fit(cap = 3, parts = 5, objective = "rank:ndcg"))
   }
 
+  test("a covering cap matches all-pairs bit-identically under IEEE " +
+      "edge labels — NaN rows pair with nothing, -0.0f equals 0.0f " +
+      "(advisor r16: the prefix must use IEEE keying, not total " +
+      "ordering)") {
+    val labels = Array(Float.NaN, -0.0f, 0.0f, 1.0f, Float.NaN, 2.0f,
+      -0.0f, 0.5f, 1.0f, 0.0f)
+    val n = labels.length
+    val rng = new scala.util.Random(11)
+    val margins = Array.fill(n)(rng.nextFloat() * 4.0f - 2.0f)
+    val weights = Array.fill(n)(1.0f)
+    val obj = new Objectives.PairwiseRank
+    def grads(cap: Int): (Seq[Float], Seq[Float]) = {
+      val g = new Array[Float](n); val h = new Array[Float](n)
+      obj.groupGradients(margins, labels, weights, g, h, 0, n,
+        pairCap = cap, pairSeed = 99L)
+      (g.toSeq, h.toSeq)
+    }
+    val exact = grads(0)
+    assert(grads(cap = n + 5) === exact)
+    // NaN-labelled rows must receive ZERO gradient on both paths (the
+    // exact path's IEEE > never selects them in either role)
+    assert(exact._1(0) === 0.0f && exact._1(4) === 0.0f)
+    // a -0.0f row and a 0.0f row see the same partner set: identical
+    // margins would give identical gradients; here just pin that the
+    // 0.0f rows got no -0.0f partners (0.0f > -0.0f is IEEE-false) by
+    // checking a group of ONLY {-0.0f, 0.0f} labels yields all-zero
+    val zl = Array(-0.0f, 0.0f, 0.0f, -0.0f)
+    val zg = new Array[Float](4); val zh = new Array[Float](4)
+    obj.groupGradients(Array(1f, 2f, 3f, 4f), zl, Array.fill(4)(1f),
+      zg, zh, 0, 4, pairCap = 2, pairSeed = 5L)
+    assert(zg.toSeq === Seq(0f, 0f, 0f, 0f))
+    assert(zh.toSeq === Seq(0f, 0f, 0f, 0f))
+  }
+
   test("a tight cap still learns the separable relevance (higher " +
       "feature => higher score) and differs from all-pairs (it IS " +
       "sampling)") {
