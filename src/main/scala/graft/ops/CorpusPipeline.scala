@@ -273,6 +273,72 @@ object CorpusPipeline {
   }
 
   /**
+   * Token-budget corpus carve — the "cut an N-token training subset
+   * from this corpus" step: documents are walked in a deterministic
+   * salted-hash order (an unbiased shuffle, the [[mixture]] hash
+   * family) and kept while the EXACT running token total stays within
+   * `budget`. Weights are non-negative, so the running total is
+   * monotone and `cum ≤ budget` is precisely the maximal hash-order
+   * prefix that fits — the same subset on every run, partitioning, and
+   * retry. (Unlike [[assignSplit]]'s per-row stability, a budget cut is
+   * inherently global: growing the corpus interleaves new hashes into
+   * the order and shifts the cut point — version the salt per carve.)
+   *
+   * Scale shape (the two-level distributed prefix sum — no global
+   * Window, which would funnel 100 TB through one task): one range
+   * exchange on the hash order, then (1) a per-partition total pass
+   * collecting #partitions longs to the driver, (2) a broadcast-offset
+   * local prefix pass. Partitions whose global offset already exceeds
+   * the budget are skipped without reading a row, so the post-budget
+   * tail of the corpus costs nothing but the first pass's count.
+   * All sums are exact Longs with loud overflow (addExact); a negative
+   * weight fails fast rather than silently un-monotoning the prefix.
+   *
+   * @return (doc_id, n_tokens, cum_tokens) for the kept prefix;
+   *         `cum_tokens` is the running total INCLUDING the row
+   */
+  def tokenBudgetSample(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, salt: String = ":budget",
+      partitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val np = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val prepared = df.select(col(idCol).cast("long").as("doc_id"),
+        col(weightCol).cast("long").as("n_tokens"),
+        hashU32(col(idCol), salt).as("__h"))
+      .repartitionByRange(np, col("__h"), col("doc_id"))
+      .sortWithinPartitions("__h", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = prepared.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var s = 0L
+      it.foreach { r =>
+        val w = r.getLong(1)
+        require(w >= 0, s"tokenBudgetSample: negative weight $w for " +
+          s"doc ${r.getLong(0)} — the budget prefix needs a monotone " +
+          "running total")
+        s = Math.addExact(s, w)
+      }
+      Iterator((pi, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(Math.addExact).dropRight(1)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val b = budget
+    val kept = prepared.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var cum = bcOff.value(pi)
+      // a partition starting past the budget cannot contribute (weights
+      // are non-negative) — skip it unread
+      if (cum > b) Iterator.empty
+      else it.flatMap { r =>
+        cum = Math.addExact(cum, r.getLong(1))
+        if (cum <= b) Some((r.getLong(0), r.getLong(1), cum)) else None
+      }
+    }
+    kept.toDF("doc_id", "n_tokens", "cum_tokens")
+  }
+
+  /**
    * Sequence packing — assign documents to fixed-capacity token bins,
    * the "pack short documents into one training sequence" step that
    * minimizes padding waste when forming LLM training batches.

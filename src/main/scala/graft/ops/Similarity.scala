@@ -399,6 +399,154 @@ object Similarity {
     heapTopKByQuery(scored, k)
   }
 
+  /**
+   * Deterministic IVF-Flat ANN (X60): coarse cells from the X46
+   * deterministic k-means run with ONE whole-vector subspace on the
+   * RAW vectors (salted-md5 init, fixed-point Lloyd sums,
+   * quantized-BIGINT assignment — [[pqTrain]] with m=1,
+   * normalize=false), then the EXACT cosine among rows in each
+   * query's `nProbe` quantized-distance-nearest cells. Versus
+   * [[ivfTopK]] (sampled centroids, float spherical k-means) every
+   * stage here is deterministic and integer-keyed, so the FULL search
+   * result SQL-replays — `sim_ivf_topk` carries a hash oracle, not
+   * just a recall gate; versus [[ivfPqTopK]] the in-cell scoring is
+   * the exact cosine on raw vectors — no ADC approximation and no
+   * re-rank stage to tune.
+   *
+   * Scale shape: `lloydIters` training aggregates + ONE search scan
+   * with bounded per-query heaps (the [[bruteForceTopK]] allreduce —
+   * no scored-row shuffle), and a non-probed cell costs a query
+   * nothing but the cell-id comparison. The materialized-index
+   * variant is [[ivfPqWriteIndex]]'s layout with raw vectors instead
+   * of codes; this in-line form is right when the corpus is scanned
+   * once anyway.
+   */
+  def ivfFlatTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, lloydIters: Int = 2, seed: Long = 11L)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    val coarse = pqTrain(corpus, idCol, vecCol, m = 1, ksub = nCells,
+      lloydIters, seed, normalize = false)
+    // raw-vector queries: the coarse quantizer is trained unnormalized
+    // (the SQL-replayable X46 shape), cosine normalizes internally
+    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0),
+        checkPqDim(toDoubles(r.getSeq[Any](1)), coarse.dim)))
+      .sortBy(_._1)
+    require(q.nonEmpty, "empty query set")
+    val qNorms = q.map(p => norm(p._2))
+    val probes = probeBitmaps(coarse, q, nProbe)
+    val nq = q.length
+    val bc = spark.sparkContext.broadcast((coarse, q, qNorms, probes))
+    val heaps = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .treeAggregate(Array.fill(nq)(new TopK(k)))(
+        seqOp = { (acc, row) =>
+          val (co, qs, qn, prb) = bc.value
+          val id = row.getLong(0)
+          val v = checkPqDim(toDoubles(row.getSeq[Any](1)), co.dim)
+          val cell = pqAssign(v, 0, co)._1
+          val nv = norm(v)
+          var j = 0
+          while (j < qs.length) {
+            if (prb(j)(cell)) {
+              val qv = qs(j)._2
+              var dot = 0.0; var i = 0
+              while (i < qv.length) { dot += v(i) * qv(i); i += 1 }
+              val c = if (nv == 0 || qn(j) == 0) 0.0
+                else dot / (nv * qn(j))
+              acc(j).add(id, c)
+            }
+            j += 1
+          }
+          acc
+        },
+        combOp = { (a, b) =>
+          var j = 0
+          while (j < nq) { a(j).merge(b(j)); j += 1 }
+          a
+        },
+        depth = 2)
+    bc.destroy()
+    val rows = (0 until nq).flatMap { j =>
+      heaps(j).ranked.map { case (id, c, _) => (q(j)._1, id, c) }
+    }
+    rankedToDf(spark, rows)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  /**
+   * Embedding-space outlier audit (X62): every vector's exact
+   * quantized squared distance to the corpus centroid — the "surface
+   * the junk embeddings for review" pass a curation pipeline runs
+   * before trusting similarity search or SemDeDup clusters.
+   *
+   * Exactness contract (the X41/X46 fixed-point recipe): components
+   * quantize to BIGINT (`floor(v·2²⁰ + 0.5)`), the centroid is the
+   * per-component quantized sum divided by n TRUNCATING toward zero
+   * (matching SQL integer division), and the score is the exact
+   * integer Σⱼ (vqⱼ − cⱼ)² — order-free sums, so the result is
+   * bit-identical on any partitioning and in DuckDB.
+   *
+   * Scale shape: ONE treeAggregate for the dim+1 component sums
+   * (driver state = dim longs; overflow fails loudly via addExact —
+   * the Long budget holds to ~2⁴⁰ rows, past that quantize coarser),
+   * then ONE codegen projection scores every row against the
+   * broadcast centroid literal. No shuffle at all.
+   *
+   * @return (id, dist_q) — callers threshold or rank as policy
+   *         dictates (the harness emits the full audit)
+   */
+  def centroidOutlierScores(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val acc0 = new Array[Long](0) // sized lazily on the first vector
+    val sums = corpus.select(col(vecCol)).rdd
+      .map(r => toDoubles(r.getSeq[Any](0)))
+      .treeAggregate((acc0, 0L))(
+        seqOp = { case ((acc, n), v) =>
+          val a = if (acc.length == 0) new Array[Long](v.length)
+            else acc
+          require(v.length == a.length,
+            s"centroidOutlierScores: ragged vector of dim ${v.length} " +
+              s"vs ${a.length}")
+          var j = 0
+          while (j < v.length) {
+            a(j) = Math.addExact(a(j),
+              math.floor(v(j) * 1048576.0 + 0.5).toLong)
+            j += 1
+          }
+          (a, n + 1L)
+        },
+        combOp = { case ((a, an), (b, bn)) =>
+          if (a.length == 0) (b, bn)
+          else if (b.length == 0) (a, an)
+          else {
+            require(a.length == b.length,
+              s"centroidOutlierScores: ragged partitions " +
+                s"(dim ${a.length} vs ${b.length})")
+            var i = 0
+            while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+            (a, an + bn)
+          }
+        },
+        depth = 2)
+    val (compSums, n) = sums
+    require(n > 0, "centroidOutlierScores: empty corpus")
+    // truncating division = DuckDB's BIGINT `//` (NOT floorDiv: DuckDB
+    // rounds toward zero on negatives)
+    val centroid = compSums.map(_ / n).toSeq
+    val vq = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1048576.0) + lit(0.5))
+        .cast("long"))
+    val dist = aggregate(
+      zip_with(vq, typedLit(centroid), (x, c) => (x - c) * (x - c)),
+      lit(0L), (s, d) => s + d)
+    corpus.select(col(idCol).cast("long").as("id"),
+      dist.as("dist_q"))
+  }
+
   // ---------------- product quantization (X46) ----------------
 
   /**

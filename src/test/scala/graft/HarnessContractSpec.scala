@@ -20,8 +20,11 @@ class HarnessContractSpec extends SparkTestBase {
     // softmax replay (full oracle); accuracy pin still runs in-query
     // ml_rank moved OFF this list in r16: output is a 2-round pairwise
     // ranker replay (full oracle); the AUC >= 0.95 pin runs in-query
+    // sim_ivf_topk moved OFF this list in r17: the harness query now
+    // runs the deterministic IVF-Flat (X60 — quantized-BIGINT k-means
+    // cells + exact cosine in probed cells), which DuckDB replays
+    // end-to-end; recall stays gated via sim_recall_check's ivfflat row
     "sim_lsh_topk" -> "approximate ANN (recall gated by sim_recall_check)",
-    "sim_ivf_topk" -> "approximate ANN (recall gated by sim_recall_check)",
     "sim_pq_topk" -> ("approximate ANN (recall gated by " +
       "sim_recall_check; the deterministic codebook+encode pipeline " +
       "carries the full oracle via sim_pq_encode)"),

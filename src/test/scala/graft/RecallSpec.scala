@@ -33,6 +33,13 @@ class RecallSpec extends SparkTestBase {
     assert(mn >= 0.7, s"IVF min per-query recall $mn")
   }
 
+  test("IVF-Flat recall_vs_exact: avg >= 0.8, per-query min >= 0.7") {
+    // the deterministic cells behind sim_ivf_topk's full oracle (r17)
+    val (mn, avg) = recallStats("ivfflat")
+    assert(avg >= 0.8, s"IVF-Flat avg recall $avg")
+    assert(mn >= 0.7, s"IVF-Flat min per-query recall $mn")
+  }
+
   test("PQ recall_vs_exact: avg >= 0.8, per-query min >= 0.7") {
     val (mn, avg) = recallStats("pq")
     assert(avg >= 0.8, s"PQ avg recall $avg")

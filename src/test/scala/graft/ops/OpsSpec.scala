@@ -711,6 +711,145 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("IVF-Flat with every cell probed equals brute force bit-for-bit " +
+      "(cell pruning is the ONLY approximation)") {
+    val queries = embs.limit(8)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSeq
+    val exact = rows(Similarity.bruteForceTopK(embs, queries,
+      "vec_id", "embedding", "query_id", k = 5))
+    val flat = rows(Similarity.ivfFlatTopK(embs, queries,
+      "vec_id", "embedding", "query_id", k = 5, nCells = 8, nProbe = 8))
+    assert(flat === exact)
+  }
+
+  test("IVF-Flat is partition-invariant and finds a planted twin " +
+      "(identical vectors share a deterministic cell)") {
+    val base = embs.select($"vec_id", $"embedding")
+    val twin = base.limit(1)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(twin)
+    val queries = embs.limit(1)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def run(parts: Int) = Similarity.ivfFlatTopK(corpus.repartition(parts),
+        queries, "vec_id", "embedding", "query_id", k = 3,
+        nCells = 8, nProbe = 2)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSeq
+    val one = run(1)
+    assert(run(7) === one)
+    // the twin is the query's own vector under a new id: both copies
+    // land in the same cell (identical quantized distances, same
+    // argmin) so ranks 1 and 2 are the pair at cosine 1
+    assert(one.take(2).map(_._2).toSet ===
+      Set(one.head._1, one.head._1 + 100000L))
+    one.take(2).foreach(r => assert(math.abs(r._3 - 1.0) < 1e-9))
+  }
+
+  test("centroidOutlierScores: hand-computed distances, partition " +
+      "invariance, zero for an all-identical corpus") {
+    // vq = floor(v·2^20 + 0.5); sums 3+1+2=6, 6/3=2 → c=(2·u, 0)
+    // where u = 2^-20; dists: (1·u)^2-scale → exact integers
+    val u = 1.0 / 1048576.0
+    val df = Seq(
+      (1L, Seq(3 * u, 0.0).map(_.toFloat)),
+      (2L, Seq(1 * u, 0.0).map(_.toFloat)),
+      (3L, Seq(2 * u, 0.0).map(_.toFloat))).toDF("vec_id", "embedding")
+    val got = Similarity.centroidOutlierScores(df, "vec_id", "embedding")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 0L)))
+    // truncating (not floor) division on a negative sum: -3/2 = -1 →
+    // c = -1; dists (-2+1)^2=1 and (-1+1)^2=0
+    val neg = Seq((1L, Seq(-2 * u).map(_.toFloat)),
+      (2L, Seq(-1 * u).map(_.toFloat))).toDF("vec_id", "embedding")
+    val gotNeg = Similarity.centroidOutlierScores(neg, "vec_id",
+      "embedding").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotNeg.toSeq === Seq((1L, 1L), (2L, 0L)))
+    // real embeddings: partition-invariant, and identical copies of one
+    // vector give an all-zero audit
+    def run(parts: Int) = Similarity.centroidOutlierScores(
+        embs.repartition(parts), "vec_id", "embedding")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(1) === run(7))
+    val same = embs.limit(1).select($"embedding").crossJoin(
+      spark.range(5).select($"id".as("vec_id")))
+    val zeros = Similarity.centroidOutlierScores(same, "vec_id",
+      "embedding").collect().map(_.getLong(1))
+    assert(zeros.length === 5 && zeros.forall(_ === 0L))
+  }
+
+  test("centroidOutlierScores rejects a ragged corpus loudly") {
+    val ragged = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.centroidOutlierScores(ragged, "vec_id", "embedding")
+        .collect()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
+  }
+
+  test("tokenBudgetSample: maximal hash-order prefix, exact boundary, " +
+      "cum chain, partition invariance, independent md5 order") {
+    val d = docs.select($"doc_id",
+      TextOps.tokenCount($"text").cast("long").as("n_tokens")).cache()
+    val all = CorpusPipeline.tokenBudgetSample(d, "doc_id", "n_tokens",
+      budget = Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(all.length.toLong === d.count())
+    // the cum chain is consistent: sorted by cum, each cum is the
+    // previous plus the row's weight (ties impossible: cum strictly
+    // grows except on zero-weight rows, whose order within the chain
+    // doesn't alter any cum value)
+    val byCum = all.sortBy(r => (r._3, r._1))
+    byCum.foldLeft(0L) { case (prev, (_, w, cum)) =>
+      assert(cum >= prev); cum
+    }
+    assert(byCum.map(_._2).sum === byCum.last._3)
+    // the order is EXACTLY (md5-lower-4-LE of "<id>:budget", id) — the
+    // documented DuckDB md5_number_lower convention, checked against an
+    // independent JVM digest
+    def refHash(id: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:budget".getBytes("UTF-8"))
+      (0 until 4).map(j => (dig(8 + j).toLong & 0xffL) << (8 * j)).sum
+    }
+    val refOrder = all.map(_._1).sortBy(id => (refHash(id), id))
+    var run = 0L
+    val refCums = refOrder.map { id =>
+      val w = all.find(_._1 == id).get._2; run += w; (id, run)
+    }.toMap
+    all.foreach { case (id, _, cum) => assert(refCums(id) === cum,
+      s"doc $id cum $cum != reference ${refCums(id)}") }
+    // exact boundary: budget = some mid-prefix cum keeps exactly the
+    // rows at-or-before it (monotone prefix law)
+    val mid = byCum(byCum.length / 2)._3
+    val cut = CorpusPipeline.tokenBudgetSample(d, "doc_id", "n_tokens",
+      budget = mid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cut === all.filter(_._3 <= mid).toSet)
+    // partition invariance
+    val cut7 = CorpusPipeline.tokenBudgetSample(d.repartition(7),
+      "doc_id", "n_tokens", budget = mid, partitions = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cut7 === cut)
+  }
+
+  test("tokenBudgetSample fails loudly on a negative weight") {
+    val bad = Seq((1L, 5L), (2L, -1L)).toDF("doc_id", "n_tokens")
+    val e = intercept[org.apache.spark.SparkException] {
+      CorpusPipeline.tokenBudgetSample(bad, "doc_id", "n_tokens",
+        budget = 100L).collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative weight")))
+  }
+
   test("native codegen cosine matches the HOF formulation bit-exactly") {
     val pairs = embs.limit(50).select($"vec_id", $"embedding")
       .crossJoin(embs.limit(5)
