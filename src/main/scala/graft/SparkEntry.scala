@@ -512,6 +512,23 @@ object SparkEntry {
     //      compared as an integer micro-unit SUM (recovered exactly
     //      from mean × n; per-doc quality is a multiple of 1e-6), so
     //      the row is immune to float summation-order noise ----
+    // ---- streaming: PSI drift monitor replay (X63) — frozen base
+    //      edges, streamed per-bin counts (complete-mode bounded-state
+    //      agg), finals assembled into the driftPsi row shape; binning
+    //      is an order-free integer sum so the stream must equal the
+    //      batch audit bit-for-bit ----
+    "st_drift" -> ((s, dir) => {
+      val e = ld(s, dir, "events")
+      // string literal casts to the column's own timestamp type (the
+      // prof_drift convention), so the split matches DuckDB's naive
+      // TIMESTAMP comparison
+      val cut = lit("2024-01-16")
+      graft.streaming.StreamPipeline.replayDrift(
+        e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
+        "value", bins = 10)
+        .orderBy("bin")
+    }),
+
     "st_window" -> ((s, dir) =>
       graft.streaming.StreamPipeline.replayQualityWindow(
         ld(s, dir, "documents"), "doc_id", "text")
@@ -2396,6 +2413,43 @@ object SparkEntry {
         |     * 1048576.0 + 0.5) AS BIGINT) AS v FROM orders
         |   WHERE o_orderdate >= TIMESTAMP '1998-01-01'
         |     AND o_totalprice IS NOT NULL),
+        | r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM b),
+        | e AS (SELECT i, (SELECT v FROM r WHERE rn =
+        |     (SELECT (count(*) - 1) * (10 * i) // 100 + 1 FROM b))
+        |     AS edge FROM range(1, 10) t(i)),
+        | bb AS (SELECT (SELECT count(*) FROM e WHERE e.edge < b.v)
+        |     AS bin FROM b),
+        | cb AS (SELECT (SELECT count(*) FROM e WHERE e.edge < c.v)
+        |     AS bin FROM c),
+        | bn AS (SELECT bin, count(*) AS n FROM bb GROUP BY bin),
+        | cn AS (SELECT bin, count(*) AS n FROM cb GROUP BY bin),
+        | tot AS (SELECT (SELECT count(*) FROM b) AS tb,
+        |     (SELECT count(*) FROM c) AS tc)
+        |SELECT CAST(g.i AS BIGINT) AS bin,
+        |  CAST(coalesce(bn.n, 0) AS BIGINT) AS base_n,
+        |  CAST(coalesce(cn.n, 0) AS BIGINT) AS cur_n,
+        |  round(((coalesce(cn.n, 0) + 0.5) / (tot.tc + 5.0)
+        |      - (coalesce(bn.n, 0) + 0.5) / (tot.tb + 5.0))
+        |    * ln(((coalesce(cn.n, 0) + 0.5) / (tot.tc + 5.0))
+        |        / ((coalesce(bn.n, 0) + 0.5) / (tot.tb + 5.0))), 6)
+        |    AS psi_term
+        |FROM range(0, 10) g(i) CROSS JOIN tot
+        |LEFT JOIN bn ON bn.bin = g.i
+        |LEFT JOIN cn ON cn.bin = g.i
+        |ORDER BY bin""".stripMargin,
+    // streaming drift replay: the prof_drift SQL family over the
+    // events value column — base edges by exact integer rank, strict-
+    // greater binning, Laplace-smoothed terms at 6 decimals; the
+    // streamed finals must land on exactly these rows
+    "st_drift" ->
+      """WITH b AS (SELECT CAST(floor(CAST(value AS DOUBLE)
+        |     * 1048576.0 + 0.5) AS BIGINT) AS v FROM events
+        |   WHERE ts < TIMESTAMP '2024-01-16'
+        |     AND value IS NOT NULL AND NOT isnan(value)),
+        | c AS (SELECT CAST(floor(CAST(value AS DOUBLE)
+        |     * 1048576.0 + 0.5) AS BIGINT) AS v FROM events
+        |   WHERE ts >= TIMESTAMP '2024-01-16'
+        |     AND value IS NOT NULL AND NOT isnan(value)),
         | r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM b),
         | e AS (SELECT i, (SELECT v FROM r WHERE rn =
         |     (SELECT (count(*) - 1) * (10 * i) // 100 + 1 FROM b))

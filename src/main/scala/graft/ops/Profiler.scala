@@ -40,10 +40,49 @@ object Profiler {
     * into 0, which would silently count a NaN row as the legitimate
     * value 0 in every statistic — instead NaN joins null as "missing",
     * the only reading a data-quality audit can defend. */
-  private[ops] def quantize(c: String): org.apache.spark.sql.Column = {
+  private[graft] def quantize(c: String): org.apache.spark.sql.Column = {
     val d = col(c).cast("double")
     when(isnan(d), lit(null))
       .otherwise(floor(d * 1048576.0 + 0.5).cast("long"))
+  }
+
+  /** The shared PSI bin assignment: how many edges the quantized value
+    * exceeds (strict-greater — ties stick to the lower bin, the
+    * [[profile]] lower-quantile convention). One expression shape for
+    * the batch counts AND the streaming monitor, so the two can never
+    * disagree on a boundary value. */
+  private[graft] def binExpr(q: org.apache.spark.sql.Column,
+      edges: Seq[Long]): org.apache.spark.sql.Column =
+    edges.map(e => when(q > e, 1).otherwise(0)).reduce(_ + _)
+
+  /** One Laplace-smoothed PSI term — the shared float tail of
+    * [[driftPsi]] and the streaming monitor's replay: the same
+    * two-operand double sequence on both engines, rounded to 6
+    * decimals. `bTot`/`cTot` already include the `bins·0.5`
+    * smoothing mass. */
+  private[graft] def psiTerm(nb: Long, nc: Long, bTot: Double,
+      cTot: Double): Double = {
+    val pb = (nb + 0.5) / bTot
+    val pc = (nc + 0.5) / cTot
+    BigDecimal((pc - pb) * math.log(pc / pb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /**
+   * The frozen bin edges a PSI monitor carries: the base snapshot's
+   * exact quantiles at `bins` equal ranks (the [[driftPsi]] edges,
+   * bins−1 fixed-point longs). Computed once at train/deploy time,
+   * then broadcast to a [[graft.streaming.StreamPipeline.driftStream]]
+   * monitor or compared against any later batch — KBs of state, one
+   * profile pass over the base.
+   */
+  def psiEdges(base: DataFrame, colName: String, bins: Int): Seq[Long] = {
+    require(bins >= 2 && 100 % bins == 0,
+      s"psiEdges: bins must divide 100 (integer-exact quantile " +
+        s"ranks), got $bins")
+    val pcts = (1 until bins).map(i => 100 * i / bins)
+    val row = profile(base, Seq(colName), pcts).head()
+    pcts.map(p => row.getAs[Long](s"p${p}_q"))
   }
 
   private def requireFiniteRange(c: String, mn: Long, mx: Long): Unit =
@@ -239,8 +278,7 @@ object Profiler {
       def binCounts(proj: DataFrame): Map[(String, Int), Long] = {
         val aggExprs = cols.flatMap { c =>
           val q = col(s"__q_$c")
-          val binCol = edgesByCol(c)
-            .map(e => when(q > e, 1).otherwise(0)).reduce(_ + _)
+          val binCol = binExpr(q, edgesByCol(c))
           (0 until bins).map(b =>
             sum(when(q.isNotNull && binCol === b, 1L).otherwise(0L))
               .as(s"n_${c}__$b")) ++
@@ -266,11 +304,7 @@ object Profiler {
         (0 until bins).map { b =>
           val nb = bN((c, b))
           val nc = cN((c, b))
-          val pb = (nb + 0.5) / bTot
-          val pc = (nc + 0.5) / cTot
-          val term = BigDecimal((pc - pb) * math.log(pc / pb))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          Row(c, b.toLong, nb, nc, term)
+          Row(c, b.toLong, nb, nc, psiTerm(nb, nc, bTot, cTot))
         }
       }
       spark.createDataFrame(

@@ -292,7 +292,8 @@ object StreamPipeline {
     * BEFORE cleanup and must detach its result from the temp view
     * (localCheckpoint). */
   private def withReplaySink(spark: org.apache.spark.sql.SparkSession,
-      sinkPrefix: String, stream: DataFrame)(
+      sinkPrefix: String, stream: DataFrame,
+      outputMode: String = "append")(
       feed: org.apache.spark.sql.streaming.StreamingQuery => Unit)(
       read: String => DataFrame): DataFrame = {
     val sink = sinkPrefix +
@@ -300,7 +301,7 @@ object StreamPipeline {
     var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     try {
       q = Some(stream.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start())
+        .outputMode(outputMode).start())
       feed(q.get)
       read(sink)
     } finally {
@@ -621,6 +622,92 @@ object StreamPipeline {
       }
     } { sink =>
       spark.table(sink).orderBy("event_id").localCheckpoint(true)
+    }
+  }
+
+  /**
+   * Streaming PSI drift monitor (X63) — the live face of
+   * [[graft.ops.Profiler.driftPsi]]: a production stream's values are
+   * binned against the FROZEN base-snapshot edges
+   * ([[graft.ops.Profiler.psiEdges]], computed once at deploy time and
+   * broadcast as bins−1 longs) and counted by a streaming aggregation.
+   * State is bounded by construction — at most `edges.length + 1` bin
+   * counters regardless of stream length — and the bin assignment is
+   * the batch audit's own shared integer expression
+   * (`Profiler.binExpr`), so the monitor's counts at any instant equal
+   * the batch bin counts over the rows seen so far: counts are
+   * order-free sums, immune to micro-batch boundaries. NaN values are
+   * missing (the `Profiler.quantize` rule) and count in no bin; nulls
+   * likewise.
+   *
+   * Run with outputMode "complete" (or "update") — a no-watermark
+   * global aggregation whose sink sees the current per-bin totals each
+   * micro-batch: exactly what a drift dashboard polls. A deployment
+   * that wants PSI per time window composes this bin expression with a
+   * watermarked window aggregation instead.
+   */
+  def driftStream(stream: DataFrame, valueCol: String,
+      edges: Seq[Long]): DataFrame = {
+    require(edges.nonEmpty, "driftStream: empty edge list")
+    require(edges == edges.sorted,
+      s"driftStream: edges must be ascending: $edges")
+    val q = graft.ops.Profiler.quantize(valueCol)
+    stream.select(q.as("__q")).where(col("__q").isNotNull)
+      .select(graft.ops.Profiler.binExpr(col("__q"), edges)
+        .cast("long").as("bin"))
+      .groupBy("bin").count()
+  }
+
+  /**
+   * Bounded REPLAY of [[driftStream]] for the correctness harness (the
+   * `st_drift` query): freezes the base side's edges and bin counts
+   * batch-side, feeds the CURRENT side through a memory stream in
+   * `numBatches` micro-batches (complete-mode sink), and assembles the
+   * [[graft.ops.Profiler.driftPsi]] row shape — (bin, base_n, cur_n,
+   * psi_term) — from the stream's FINAL counts. Because binning is an
+   * order-free sum over the shared integer expression, the finals must
+   * equal the batch audit bit-for-bit, which DuckDB replays (the
+   * prof_drift SQL family). Verification device, not a production
+   * operator (the same caveat as [[replayDedup]]).
+   */
+  def replayDrift(base: DataFrame, current: DataFrame, colName: String,
+      bins: Int, numBatches: Int = 4): DataFrame = {
+    val spark0 = current.sparkSession
+    val edges = graft.ops.Profiler.psiEdges(base, colName, bins)
+    def binned(df: DataFrame, vc: String) =
+      df.select(graft.ops.Profiler.quantize(vc).as("__q"))
+        .where(col("__q").isNotNull)
+        .select(graft.ops.Profiler.binExpr(col("__q"), edges)
+          .cast("long").as("bin"))
+    val baseCounts = binned(base, colName).groupBy("bin").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spark = replaySession(current)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = current.select(col(colName).cast("double")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val in = MemoryStream[Option[Double]]
+    val agg = driftStream(in.toDF().toDF("v"), "v", edges)
+    withReplaySink(spark, "st_drift_", agg, outputMode = "complete") { q =>
+      feedBatches(rows, numBatches) { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+    } { sink =>
+      val curCounts = spark.table(sink).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bTot = baseCounts.values.sum.toDouble + bins * 0.5
+      val cTot = curCounts.values.sum.toDouble + bins * 0.5
+      val out = (0 until bins).map { b =>
+        val nb = baseCounts.getOrElse(b.toLong, 0L)
+        val nc = curCounts.getOrElse(b.toLong, 0L)
+        (b.toLong, nb, nc,
+          graft.ops.Profiler.psiTerm(nb, nc, bTot, cTot))
+      }
+      spark0.createDataFrame(
+        spark0.sparkContext.parallelize(out, 1))
+        .toDF("bin", "base_n", "cur_n", "psi_term")
     }
   }
 

@@ -334,6 +334,50 @@ class StreamPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("replayDrift: streamed PSI finals equal the batch driftPsi " +
+      "bit-for-bit, at any micro-batch count, with NaN/null missing") {
+    val rng = new scala.util.Random(31)
+    // base ~N-ish spread, current shifted — nonzero drift terms; plant
+    // nulls and NaNs on the current side (must count in NO bin, the
+    // quantize missing rule) and ties on bin edges (strict-greater)
+    val base = Seq.tabulate(400)(i =>
+      (i.toLong, rng.nextDouble() * 10.0))
+      .toDF("id", "v")
+    val curVals: Seq[java.lang.Double] =
+      Seq.tabulate(300)(i => rng.nextDouble() * 10.0 + 2.0)
+        .map(java.lang.Double.valueOf) ++
+        Seq(null, java.lang.Double.valueOf(Double.NaN))
+    val cur = curVals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val batch = graft.ops.Profiler.driftPsi(base, cur, "v", bins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    for (nb <- Seq(1, 5)) {
+      val streamed = StreamPipeline.replayDrift(base, cur, "v",
+        bins = 5, numBatches = nb)
+        .orderBy("bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(streamed === batch, s"numBatches=$nb")
+    }
+    // the missing rows really were excluded: streamed cur_n totals the
+    // finite values only
+    assert(batch.map(_._3).sum === 300L)
+  }
+
+  test("driftStream rejects unsorted edges and empty edge lists") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Option[Double]]
+    val df = in.toDF().toDF("v")
+    intercept[IllegalArgumentException] {
+      StreamPipeline.driftStream(df, "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      StreamPipeline.driftStream(df, "v", Seq(5L, 1L))
+    }
+  }
+
   test("asofStream: rows arriving DISORDERED within micro-batches and " +
       "interleaved across keys still equal the ordered feed — the " +
       "within-watermark disorder contract") {
