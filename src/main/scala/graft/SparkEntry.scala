@@ -891,6 +891,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- dedup: split-leakage audit (X64) — near-dup clusters that
+    //      straddle a train/val/test boundary (the contamination a
+    //      per-doc hash split cannot see); composes the dd_components
+    //      clusters with the pp_split assignment ----
+    "dd_leak" -> ((s, dir) =>
+      ops.CorpusPipeline.splitLeakageAudit(ld(s, dir, "documents"),
+        "doc_id", "text",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .orderBy("id")),
+
     // ---- composed pipeline: exact dedup → quality gate → near-dup
     //      removal (every stage already oracle-proven individually) ----
     "pp_clean" -> ((s, dir) =>
@@ -3277,6 +3287,48 @@ object SparkEntry {
         | SELECT e.dst AS id, r.m FROM r JOIN e ON e.src = r.id)
         |SELECT id, min(m) AS comp FROM r GROUP BY id
         | ORDER BY id""".stripMargin,
+    // split-leakage audit: the dd_components cluster replay joined to
+    // the pp_split hash assignment; clusters touching > 1 split emit
+    // every member row
+    "dd_leak" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id AS id,
+        |   list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
+        |     x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT id,
+        |   CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |       for i in range(1, len(toks) - 1)]) END AS grams
+        | FROM tok),
+        |gg AS (SELECT id, grams, len(grams) AS sz FROM g
+        | WHERE len(grams) > 0),
+        |pr AS (SELECT a.id AS keep_id, b.id AS dup_id
+        | FROM gg a JOIN gg b ON a.id < b.id
+        | WHERE least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)
+        |   AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |     (a.sz + b.sz - len(list_intersect(a.grams, b.grams)))
+        |     >= 0.8),
+        |e AS (SELECT keep_id AS src, dup_id AS dst FROM pr
+        | UNION SELECT dup_id, keep_id FROM pr),
+        |r AS (
+        | SELECT src AS id, src AS m FROM e
+        | UNION
+        | SELECT e.dst AS id, r.m FROM r JOIN e ON e.src = r.id),
+        |comp AS (SELECT id, min(m) AS comp FROM r GROUP BY id),
+        |u AS (SELECT doc_id AS id,
+        |   CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val'
+        |     ELSE 'test' END AS split
+        | FROM (SELECT doc_id,
+        |   CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
+        |     % 4294967296 AS DOUBLE) / 4294967296 AS uu
+        |   FROM documents)),
+        |t AS (SELECT c.id, c.comp, u.split FROM comp c
+        | JOIN u ON u.id = c.id),
+        |l AS (SELECT comp, CAST(count(DISTINCT split) AS BIGINT)
+        |     AS n_splits
+        | FROM t GROUP BY comp HAVING count(DISTINCT split) > 1)
+        |SELECT t.id, t.comp, t.split, l.n_splits FROM t
+        | JOIN l ON l.comp = t.comp ORDER BY t.id""".stripMargin,
     // leaf = (−eta·G)/(H+λ) with G = Σ(base−y) = 0.5n−Σy, H = n; the
     // REAL casts replicate the trainer's float rounding exactly (all
     // double-side sums are exact, so no tolerance is needed)

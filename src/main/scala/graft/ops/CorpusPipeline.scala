@@ -273,6 +273,42 @@ object CorpusPipeline {
   }
 
   /**
+   * Split-leakage audit — near-duplicate documents that straddle a
+   * train/val/test boundary leak training content into evaluation, the
+   * contamination mode a per-document hash split cannot see (it
+   * assigns each doc independently). Composes the near-dup machinery
+   * ([[graft.ops.Dedup.ngramJaccard]] pairs →
+   * [[graft.ops.Dedup.components]] clusters) with [[assignSplit]]'s
+   * hash assignment and reports every document whose CLUSTER spans
+   * more than one split — the rows to move (re-split by cluster
+   * representative) or drop before trusting an eval number.
+   *
+   * Scale shape: the dedup stages keep their own bucketed posture
+   * (nothing all-pairs); the audit tail joins only the pair-member set
+   * (≪ corpus) against the split projection, aggregates by cluster id,
+   * and broadcast-joins the (tiny) leaky-cluster list back — the
+   * corpus itself is never reshuffled for the audit.
+   *
+   * @return (id, comp, split, n_splits) for every document in a
+   *         leakage cluster; `comp` is the cluster's min doc id,
+   *         `n_splits` how many splits the cluster touches
+   */
+  def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], n: Int = 3,
+      threshold: Double = 0.8, salt: String = ":split"): DataFrame = {
+    val pairs = Dedup.ngramJaccard(df, idCol, textCol, n, threshold)
+    val comps = Dedup.components(pairs, "keep_id", "dup_id")
+    val split = assignSplit(
+      df.select(col(idCol).cast("long").as("id")), "id", splits, salt)
+    val tagged = comps.join(split, "id")
+    val leaky = tagged.groupBy("comp")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1)
+    tagged.join(broadcast(leaky), "comp")
+      .select(col("id"), col("comp"), col("split"), col("n_splits"))
+  }
+
+  /**
    * Token-budget corpus carve — the "cut an N-token training subset
    * from this corpus" step: documents are walked in a deterministic
    * salted-hash order (an unbiased shuffle, the [[mixture]] hash

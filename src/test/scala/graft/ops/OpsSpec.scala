@@ -840,6 +840,38 @@ class OpsSpec extends SparkTestBase {
     assert(cut7 === cut)
   }
 
+  test("splitLeakageAudit flags exactly the near-dup clusters whose " +
+      "members land in different splits") {
+    // 20 planted 2-doc clusters with disjoint vocabularies: ngram
+    // pairs exist only within a cluster (jaccard 1), so components =
+    // the pairs and the audit reduces to "did the pair straddle?"
+    val rows = (0 until 40).map { i =>
+      val k = i / 2
+      (i.toLong, s"tok${k}a tok${k}b tok${k}c tok${k}d tok${k}e")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val splits = Seq(("a", 0.5), ("b", 0.5))
+    val audit = CorpusPipeline.splitLeakageAudit(df, "doc_id", "text",
+        splits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val splitOf = CorpusPipeline.assignSplit(df.select($"doc_id"),
+        "doc_id", splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (0 until 20).flatMap { k =>
+      val (a, b) = (2L * k, 2L * k + 1)
+      if (splitOf(a) != splitOf(b))
+        Seq((a, a, splitOf(a), 2L), (b, a, splitOf(b), 2L))
+      else Seq.empty
+    }.toSet
+    assert(expected.nonEmpty, "fixture never straddles — change salt")
+    assert(audit === expected)
+    // a single-split 'split' can never leak
+    val none = CorpusPipeline.splitLeakageAudit(df, "doc_id", "text",
+      Seq(("all", 1.0))).count()
+    assert(none === 0L)
+  }
+
   test("tokenBudgetSample fails loudly on a negative weight") {
     val bad = Seq((1L, 5L), (2L, -1L)).toDF("doc_id", "n_tokens")
     val e = intercept[org.apache.spark.SparkException] {
