@@ -42,6 +42,11 @@ object SkewCheck {
       rankSkew(spark, if (args.length > 1) args(1).toLong else 20000L)
       spark.stop(); return
     }
+    if (args.headOption.contains("budget")) {
+      budgetScale(spark,
+        if (args.length > 1) args(1).toLong else 64000000L)
+      spark.stop(); return
+    }
     val n = 5000L
     val expected = n * (n - 1) / 2
     val copies = spark.range(n)
@@ -68,6 +73,57 @@ object SkewCheck {
     println(s"SKEW ${if (mhCount == n - 1) "PASS" else "FAIL"}: " +
       s"minhash dups=$mhCount expected=${n - 1} (min-pairing, no cap)")
     spark.stop()
+  }
+
+  /** Token-budget carve scale probe (`runMain graft.SkewCheck budget
+    * [rows]`): the two-level prefix sum over `rows` synthetic docs
+    * with pseudo-random integer weights. Correctness is checked
+    * EXACTLY and fully distributed (no driver-side sort of the hash
+    * order): the kept weights must total the max cum, the max cum must
+    * fit the budget, and the FIRST dropped row in hash order — min
+    * (hash, id) among the dropped, found by a distributed min — must
+    * overflow it (true prefix maximality). Also times a tiny budget:
+    * pass 2 skips every partition whose broadcast offset already
+    * exceeds it, so only pass 1's totals scan remains. */
+  private def budgetScale(spark: SparkSession, rows: Long): Unit = {
+    val salt = ":sk"
+    val data = spark.range(rows).select(col("id").as("doc_id"),
+      (pmod(col("id") * 2654435761L, lit(997L)) + 1L).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = data.agg(sum("n_tokens")).head().getLong(0)
+    def carve(budget: Long): (Double, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val kept = graft.ops.CorpusPipeline.tokenBudgetSample(
+          data, "doc_id", "n_tokens", budget, salt = salt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val agg = kept.agg(count(lit(1)), sum("n_tokens"),
+        max("cum_tokens")).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (n, w, mc) = (agg.getLong(0),
+        if (agg.isNullAt(1)) 0L else agg.getLong(1),
+        if (agg.isNullAt(2)) 0L else agg.getLong(2))
+      // maximality: the next row in hash order must not fit
+      val nextW = data.join(kept.select("doc_id"), Seq("doc_id"),
+          "left_anti")
+        .select(struct(
+          graft.ops.CorpusPipeline.hashU32(col("doc_id"), salt)
+            .as("h"),
+          col("doc_id"), col("n_tokens")).as("s"))
+        .agg(min(col("s"))).head().getStruct(0).getLong(2)
+      kept.unpersist(blocking = false)
+      require(w == mc, s"kept weight $w != max cum $mc")
+      require(mc <= budget, s"max cum $mc > budget $budget")
+      require(mc + nextW > budget,
+        s"NOT maximal: cum $mc + next $nextW <= budget $budget")
+      (wall, n, mc, nextW)
+    }
+    val (wMid, nMid, cumMid, _) = carve(total / 2)
+    val (wTiny, nTiny, _, _) = carve(total / 1000)
+    println(f"SKEW PASS: budget carve rows=$rows total=$total " +
+      f"mid-budget wall=$wMid%.2fs kept=$nMid cum=$cumMid " +
+      f"(exact-maximal); tiny-budget wall=$wTiny%.2fs kept=$nTiny " +
+      "(pass-2 partitions skipped unread)")
+    data.unpersist(blocking = false)
   }
 
   /** Ranking giant-group probe: ONE qid group holding every row (the

@@ -138,7 +138,7 @@ object CorpusPipeline {
   /** Salted per-row hash in [0, 2³²): md5's lower 4 digest bytes
     * little-endian — the byte order of DuckDB's `md5_number_lower`, so
     * keep decisions replay exactly in SQL. */
-  private def hashU32(id: org.apache.spark.sql.Column,
+  private[graft] def hashU32(id: org.apache.spark.sql.Column,
       salt: String): org.apache.spark.sql.Column = {
     val h = md5(concat(id.cast("string"), lit(salt)))
     (0 until 4).map { j =>

@@ -119,6 +119,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("sim_outlier: the scoring pass is a pure codegen projection " +
+      "against the broadcast centroid literal — no shuffle, no UDF") {
+    // call the op directly (the harness query adds an output sort,
+    // which legitimately exchanges); the treeAggregate sums run before
+    // this plan exists, so the SCORING scan must be shuffle-free
+    val df = graft.ops.Similarity.centroidOutlierScores(
+      spark.read.parquet(dir + "/embeddings.parquet"),
+      "vec_id", "embedding")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("linear-booster predict is a pure expression plan — no UDF, " +
       "no shuffle") {
     import org.apache.spark.sql.functions._
