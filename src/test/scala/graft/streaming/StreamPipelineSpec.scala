@@ -366,6 +366,38 @@ class StreamPipelineSpec extends SparkTestBase {
     assert(batch.map(_._3).sum === 300L)
   }
 
+  test("replayDrift fuzz: random distributions, bin counts, and " +
+      "batch boundaries all equal the batch driftPsi bit-for-bit") {
+    for (trial <- 0 until 5) {
+      val rng = new scala.util.Random(7700 + trial)
+      val bins = Seq(2, 4, 5, 10)(rng.nextInt(4))
+      // clustered integers/64 force edge ties (strict-greater rule);
+      // a sprinkle of NaN/null exercises the missing rule
+      def vals(n: Int): Seq[java.lang.Double] = Seq.tabulate(n) { i =>
+        rng.nextInt(20) match {
+          case 0 => null
+          case 1 => java.lang.Double.valueOf(Double.NaN)
+          case _ => java.lang.Double.valueOf(
+            (rng.nextInt(320) - 160) / 64.0)
+        }
+      }
+      val base = vals(60 + rng.nextInt(200)).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val cur = vals(40 + rng.nextInt(200)).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val batch = graft.ops.Profiler.driftPsi(base, cur, "v", bins)
+        .orderBy("bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val streamed = StreamPipeline.replayDrift(base, cur, "v", bins,
+          numBatches = 1 + rng.nextInt(6))
+        .orderBy("bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(streamed === batch, s"trial $trial bins=$bins")
+    }
+  }
+
   test("driftStream rejects unsorted edges and empty edge lists") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Option[Double]]
