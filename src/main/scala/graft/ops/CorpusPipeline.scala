@@ -347,7 +347,14 @@ object CorpusPipeline {
       .repartitionByRange(np, col("__h"), col("doc_id"))
       .sortWithinPartitions("__h", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partTotals = prepared.rdd.mapPartitionsWithIndex { (pi, it) =>
+    // ONE .rdd materialization shared by both passes: a second
+    // Dataset.rdd call would plan a second physical tree, and the
+    // offsets below are only correct if pass 2 reads the exact
+    // partitioning pass 1 summed (the persist caches this plan's
+    // output; the shared RDD instance makes the identity structural,
+    // not cache-dependent)
+    val sortedRdd = prepared.rdd
+    val partTotals = sortedRdd.mapPartitionsWithIndex { (pi, it) =>
       var s = 0L
       it.foreach { r =>
         val w = r.getLong(1)
@@ -361,7 +368,7 @@ object CorpusPipeline {
     val offsets = partTotals.scanLeft(0L)(Math.addExact).dropRight(1)
     val bcOff = spark.sparkContext.broadcast(offsets)
     val b = budget
-    val kept = prepared.rdd.mapPartitionsWithIndex { (pi, it) =>
+    val kept = sortedRdd.mapPartitionsWithIndex { (pi, it) =>
       var cum = bcOff.value(pi)
       // a partition starting past the budget cannot contribute (weights
       // are non-negative) — skip it unread

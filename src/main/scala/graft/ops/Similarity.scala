@@ -513,6 +513,12 @@ object Similarity {
               s"vs ${a.length}")
           var j = 0
           while (j < v.length) {
+            // fail loud on non-finite: a NaN would silently quantize
+            // to 0 here while the scoring expression (and the SQL
+            // replay) rejects it — never let the two sides disagree
+            require(!v(j).isNaN && !v(j).isInfinity,
+              s"centroidOutlierScores: non-finite component ${v(j)} " +
+                "— filter or null non-finite embeddings upstream")
             a(j) = Math.addExact(a(j),
               math.floor(v(j) * 1048576.0 + 0.5).toLong)
             j += 1

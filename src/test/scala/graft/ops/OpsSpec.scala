@@ -783,7 +783,8 @@ class OpsSpec extends SparkTestBase {
     assert(zeros.length === 5 && zeros.forall(_ === 0L))
   }
 
-  test("centroidOutlierScores rejects a ragged corpus loudly") {
+  test("centroidOutlierScores rejects ragged and non-finite corpora " +
+      "loudly") {
     val ragged = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f)))
       .toDF("vec_id", "embedding")
     val e = intercept[org.apache.spark.SparkException] {
@@ -792,6 +793,16 @@ class OpsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("ragged") ||
       Option(e.getCause).exists(_.getMessage.contains("ragged")))
+    // NaN would silently quantize to 0 in the sum while the scoring
+    // expression rejects it — the op must fail fast instead
+    val nan = Seq((1L, Seq(0.1f, Float.NaN)), (2L, Seq(0.3f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Similarity.centroidOutlierScores(nan, "vec_id", "embedding")
+        .collect()
+    }
+    assert(e2.getMessage.contains("non-finite") ||
+      Option(e2.getCause).exists(_.getMessage.contains("non-finite")))
   }
 
   test("tokenBudgetSample: maximal hash-order prefix, exact boundary, " +
