@@ -160,6 +160,22 @@ object SparkEntry {
     // ---- S: ORC source round-trip (X51) — the other columnar
     //      warehouse format; same pushdown/pruning scan path as
     //      parquet, dispatched through the same sniffing registry ----
+    // ---- S14/X65: partitioned corpus sink round-trip — write the
+    //      documents table partitioned by source with target-sized
+    //      files (the 100 TB output layout: directory pruning +
+    //      bounded file sizes), reload through the registry, and
+    //      hash-match the original content exactly ----
+    "s6_partition_roundtrip" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val tmp = scratchDir("graft_part", dir)
+      data.DataLoader.writePartitioned(docs, tmp, "source", "doc_id",
+        targetRowsPerFile = 50L)
+      data.DataLoader.load(s, tmp)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "s5_orc_roundtrip" -> ((s, dir) => {
       val supplier = ld(s, dir, "supplier")
       val tmp = scratchDir("graft_orc", dir)
@@ -2146,6 +2162,12 @@ object SparkEntry {
       "SELECT * FROM region ORDER BY r_regionkey",
     "s5_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    // partitioned-sink round-trip: content must survive the
+    // directory-partitioned layout exactly (source comes back from the
+    // directory names)
+    "s6_partition_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        | ORDER BY doc_id""".stripMargin,
     "s3_mem_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "p1_ignore_drop" ->

@@ -90,6 +90,57 @@ object DataLoader {
     load(spark, Seq(path))
 
   /**
+   * Partitioned corpus sink (X65) — write a table as
+   * `path/<col>=<value>/part-*.parquet` with the file layout a 100 TB
+   * reader wants: directory partition pruning on `partitionCol`, and
+   * per-directory file sizes steered to `targetRowsPerFile` so a big
+   * partition neither serializes through one giant file (no read
+   * parallelism, one straggler writer) nor shatters into
+   * shuffle-partition-count shards (footer/metadata blowup).
+   *
+   * Mechanics: one cheap count aggregate per partition value plans
+   * `ceil(rows / target)` buckets for it; rows route to buckets by the
+   * deterministic salted-md5 id hash (retry/partitioning-invariant
+   * CONTENT per directory — file names are Spark task artifacts); one
+   * shuffle on (partition, bucket) spreads writers; Spark's native
+   * `maxRecordsPerFile` enforces the per-file cap even where two
+   * buckets hash into the same write task. Like any `partitionBy`,
+   * the distinct partition-value set must be driver-small (it IS the
+   * directory listing).
+   *
+   * @return the planned buckets per partition value (what the layout
+   *         spec asserts against)
+   */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+      idCol: String, targetRowsPerFile: Long): Map[String, Int] = {
+    require(targetRowsPerFile > 0,
+      s"targetRowsPerFile must be positive: $targetRowsPerFile")
+    val counts = df.groupBy(col(partitionCol).cast("string"))
+      .count().collect()
+      .map(r => Option(r.getString(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"writePartitioned: null $partitionCol — route nulls to an " +
+            "explicit sentinel partition upstream")) -> r.getLong(1))
+      .toMap
+    val buckets = counts.map { case (v, n) =>
+      v -> math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+        .toInt
+    }
+    val bucketOf = typedLit(buckets)
+    val b = pmod(graft.ops.CorpusPipeline.hashU32(col(idCol), ":sink"),
+      element_at(bucketOf, col(partitionCol).cast("string"))
+        .cast("long"))
+    df.withColumn("__bucket", b)
+      .repartition(col(partitionCol), col("__bucket"))
+      .drop("__bucket")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
+    buckets
+  }
+
+  /**
    * In-memory matrix ingestion — the Numpy source analog
    * (data_sources/numpy.py:13-33): columns auto-named f0..fN, plus an
    * optional label vector.

@@ -144,6 +144,53 @@ class DataSpec extends SparkTestBase {
     assert(scan.contains("id:bigint") && scan.contains("v:double"), scan)
   }
 
+  test("writePartitioned: directory-per-value layout, per-file row cap " +
+      "honored, planned bucket counts, exact content round-trip (X65)") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink_")
+      .toString
+    val target = 10L
+    val buckets = DataLoader.writePartitioned(docs, tmp, "source",
+      "doc_id", target)
+    // planned buckets = ceil(rows/target) per source
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets === counts.map { case (s, n) =>
+      s -> ((n + target - 1) / target).toInt })
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("source="))
+    assert(dirs.length === counts.size)
+    dirs.foreach { d =>
+      val src = d.getName.stripPrefix("source=")
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      val planned = buckets(src)
+      assert(files.length >= ((counts(src) + target - 1) / target).toInt,
+        s"$src: too few files for the cap")
+      assert(files.length <= 2 * planned + 2,
+        s"$src: file shatter — ${files.length} files for $planned buckets")
+      files.foreach { f =>
+        val n = spark.read.parquet(f.getPath).count()
+        assert(n > 0 && n <= target, s"${f.getName}: $n rows > $target")
+      }
+    }
+    // exact content round-trip (source restored from directory names)
+    val back = DataLoader.load(spark, tmp)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    val orig = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(back === orig)
+    // a null partition value fails loudly before any write
+    val withNull = docs.withColumn("source",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("doc_id") === 3, null)
+        .otherwise(org.apache.spark.sql.functions.col("source")))
+    intercept[IllegalArgumentException] {
+      DataLoader.writePartitioned(withNull, tmp + "_n", "source",
+        "doc_id", target)
+    }
+  }
+
   test("JSONL loads (plain + gzip), multi-file, with column pruning " +
       "(the web-corpus interchange format)") {
     import java.nio.file.{Files, Paths}
