@@ -102,15 +102,16 @@ object Bench {
     try {
       val safe = sfBase(sfDir).replaceAll("[^A-Za-z0-9._-]", "_")
       val pid = ProcessHandle.current().pid()
-      // prune dead runs' detail files for this SF first — the pid key
-      // prevents concurrent clobbering but accumulates otherwise
-      // (judge r15 housekeeping); only files older than a day go, so
-      // a just-finished parallel probe's detail survives inspection
+      // prune dead runs' detail files first — GLOBAL across SFs, so a
+      // since-retired SF's files don't linger forever (the pid key
+      // prevents concurrent clobbering but accumulates otherwise —
+      // judge r15 housekeeping); only files older than a day go, so a
+      // just-finished parallel probe's detail survives inspection
       val dir = java.nio.file.Paths.get("/tmp")
       val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
       val stale = dir.toFile.listFiles()
       if (stale != null) stale
-        .filter(f => f.getName.startsWith(s"graft_bench_detail_${safe}_") &&
+        .filter(f => f.getName.startsWith("graft_bench_detail_") &&
           f.getName.endsWith(".json") && f.lastModified() < cutoff)
         .foreach(f => f.delete())
       val p = java.nio.file.Paths.get(

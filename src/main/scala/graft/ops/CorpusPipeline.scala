@@ -378,7 +378,14 @@ object CorpusPipeline {
         if (cum <= b) Some((r.getLong(0), r.getLong(1), cum)) else None
       }
     }
-    kept.toDF("doc_id", "n_tokens", "cum_tokens")
+    // materialize the (budget-bounded) result, then release the
+    // full-corpus sorted projection — otherwise every carve leaks one
+    // cached corpus copy for the session lifetime (the
+    // Dedup.components cache-lifecycle pattern)
+    val out = kept.toDF("doc_id", "n_tokens", "cum_tokens")
+      .localCheckpoint(true)
+    prepared.unpersist(blocking = false)
+    out
   }
 
   /**

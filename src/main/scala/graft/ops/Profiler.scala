@@ -115,7 +115,7 @@ object Profiler {
     * with `__q_<col>` long columns — split out so driftPsiMulti can
     * share ONE cached projection between the quantile passes and its
     * own bin counts instead of pinning the base side twice. */
-  private def profileQ(qdf: DataFrame, cols: Seq[String],
+  private[graft] def profileQ(qdf: DataFrame, cols: Seq[String],
       percents: Seq[Int]): DataFrame = {
     val spark = qdf.sparkSession
     require(percents.forall(p => p >= 0 && p <= 100),

@@ -176,12 +176,31 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int)
       : DataFrame = {
-    val spark = corpus.sparkSession
     val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), toDoubles(r.getSeq[Any](1))))
       .sortBy(_._1)
     require(q.nonEmpty, "empty query set")
+    cosineScanTopK(corpus, idCol, vecCol, q, k,
+      prep = toDoubles, rowKey = _ => 0, admit = (_, _) => true)
+  }
+
+  /**
+   * The shared exact-cosine corpus scan behind [[bruteForceTopK]] and
+   * [[ivfFlatTopK]]: ONE treeAggregate of per-query bounded heaps (no
+   * scored-row shuffle), with a per-row `rowKey` prelude and an
+   * `(rowKey, queryIdx)` admission test — always-true for brute force,
+   * the probed-cell bitmap for IVF-Flat. The cosine convention
+   * (zero-norm → 0, clamped-length dot), the (cosine desc, id asc)
+   * tie rule, and the round-6 output live in exactly ONE place, which
+   * is what makes the "full-probe IVF-Flat ≡ brute force" invariant
+   * structural rather than a maintained coincidence.
+   */
+  private def cosineScanTopK(corpus: DataFrame, idCol: String,
+      vecCol: String, q: Array[(Long, Array[Double])], k: Int,
+      prep: Seq[Any] => Array[Double], rowKey: Array[Double] => Int,
+      admit: (Int, Int) => Boolean): DataFrame = {
+    val spark = corpus.sparkSession
     val qNorms = q.map(p => norm(p._2))
     val bcQ = spark.sparkContext.broadcast((q, qNorms))
     val nq = q.length
@@ -191,18 +210,22 @@ object Similarity {
       .treeAggregate(Array.fill(nq)(new TopK(k)))(
         seqOp = { (acc, row) =>
           val id = row.getLong(0)
-          val v = toDoubles(row.getSeq[Any](1))
+          val v = prep(row.getSeq[Any](1))
+          val key = rowKey(v)
           val nv = norm(v)
           val (qs, qn) = bcQ.value
           var j = 0
           while (j < nq) {
-            val qv = qs(j)._2
-            var dot = 0.0
-            var i = 0
-            val len = math.min(v.length, qv.length)
-            while (i < len) { dot += v(i) * qv(i); i += 1 }
-            val c = if (nv == 0 || qn(j) == 0) 0.0 else dot / (nv * qn(j))
-            acc(j).add(id, c)
+            if (admit(key, j)) {
+              val qv = qs(j)._2
+              var dot = 0.0
+              var i = 0
+              val len = math.min(v.length, qv.length)
+              while (i < len) { dot += v(i) * qv(i); i += 1 }
+              val c = if (nv == 0 || qn(j) == 0) 0.0
+                else dot / (nv * qn(j))
+              acc(j).add(id, c)
+            }
             j += 1
           }
           acc
@@ -425,7 +448,6 @@ object Similarity {
       vecCol: String, queryIdCol: String, k: Int, nCells: Int = 16,
       nProbe: Int = 4, lloydIters: Int = 2, seed: Long = 11L)
       : DataFrame = {
-    val spark = corpus.sparkSession
     val coarse = pqTrain(corpus, idCol, vecCol, m = 1, ksub = nCells,
       lloydIters, seed, normalize = false)
     // raw-vector queries: the coarse quantizer is trained unnormalized
@@ -436,44 +458,11 @@ object Similarity {
         checkPqDim(toDoubles(r.getSeq[Any](1)), coarse.dim)))
       .sortBy(_._1)
     require(q.nonEmpty, "empty query set")
-    val qNorms = q.map(p => norm(p._2))
     val probes = probeBitmaps(coarse, q, nProbe)
-    val nq = q.length
-    val bc = spark.sparkContext.broadcast((coarse, q, qNorms, probes))
-    val heaps = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
-      .treeAggregate(Array.fill(nq)(new TopK(k)))(
-        seqOp = { (acc, row) =>
-          val (co, qs, qn, prb) = bc.value
-          val id = row.getLong(0)
-          val v = checkPqDim(toDoubles(row.getSeq[Any](1)), co.dim)
-          val cell = pqAssign(v, 0, co)._1
-          val nv = norm(v)
-          var j = 0
-          while (j < qs.length) {
-            if (prb(j)(cell)) {
-              val qv = qs(j)._2
-              var dot = 0.0; var i = 0
-              while (i < qv.length) { dot += v(i) * qv(i); i += 1 }
-              val c = if (nv == 0 || qn(j) == 0) 0.0
-                else dot / (nv * qn(j))
-              acc(j).add(id, c)
-            }
-            j += 1
-          }
-          acc
-        },
-        combOp = { (a, b) =>
-          var j = 0
-          while (j < nq) { a(j).merge(b(j)); j += 1 }
-          a
-        },
-        depth = 2)
-    bc.destroy()
-    val rows = (0 until nq).flatMap { j =>
-      heaps(j).ranked.map { case (id, c, _) => (q(j)._1, id, c) }
-    }
-    rankedToDf(spark, rows)
-      .withColumn("cosine", round(col("cosine"), 6))
+    cosineScanTopK(corpus, idCol, vecCol, q, k,
+      prep = s => checkPqDim(toDoubles(s), coarse.dim),
+      rowKey = v => pqAssign(v, 0, coarse)._1,
+      admit = (cell, j) => probes(j)(cell))
   }
 
   /**

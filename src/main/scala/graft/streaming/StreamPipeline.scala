@@ -673,14 +673,28 @@ object StreamPipeline {
   def replayDrift(base: DataFrame, current: DataFrame, colName: String,
       bins: Int, numBatches: Int = 4): DataFrame = {
     val spark0 = current.sparkSession
-    val edges = graft.ops.Profiler.psiEdges(base, colName, bins)
-    def binned(df: DataFrame, vc: String) =
-      df.select(graft.ops.Profiler.quantize(vc).as("__q"))
-        .where(col("__q").isNotNull)
-        .select(graft.ops.Profiler.binExpr(col("__q"), edges)
+    require(bins >= 2 && 100 % bins == 0,
+      s"replayDrift: bins must divide 100, got $bins")
+    val pcts = (1 until bins).map(i => 100 * i / bins)
+    // ONE persisted quantized base projection feeds BOTH the edge
+    // quantiles and the base bin counts — the driftPsiMulti pin: a
+    // nondeterministic or concurrently-changing base lineage must not
+    // yield edges inconsistent with the counts
+    val bQ = base
+      .select(graft.ops.Profiler.quantize(colName).as(s"__q_$colName"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (edges, baseCounts) = try {
+      val row = graft.ops.Profiler.profileQ(bQ, Seq(colName), pcts)
+        .head()
+      val es = pcts.map(p => row.getAs[Long](s"p${p}_q"))
+      val q = col(s"__q_$colName")
+      val counts = bQ.where(q.isNotNull)
+        .select(graft.ops.Profiler.binExpr(q, es)
           .cast("long").as("bin"))
-    val baseCounts = binned(base, colName).groupBy("bin").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .groupBy("bin").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (es, counts)
+    } finally bQ.unpersist(blocking = false)
     val spark = replaySession(current)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
