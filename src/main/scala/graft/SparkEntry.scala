@@ -416,6 +416,14 @@ object SparkEntry {
         typeCol = "event_type")
         .orderBy("user_id", "session_idx")),
 
+    // ---- events: fixed-width temporal downsampling (X66) — hourly
+    //      per-user bars with exact fixed-point stats and (ts, id)-
+    //      ordered first/last; ONE hash aggregate, no window/sort ----
+    "ev_bars" -> ((s, dir) =>
+      ops.Sessions.resampleBars(ld(s, dir, "events"), "user_id", "ts",
+        "event_id", "value", barUs = 3600000000L)
+        .orderBy("user_id", "bar")),
+
     // ---- streaming: native session_window sessionization replay
     //      (X52) — append-mode final sessions over the real events
     //      table must equal the batch gap-rule carve-up (identical
@@ -2316,6 +2324,32 @@ object SparkEntry {
     // 21600 s · 1e9 product is a literal — an INT32 gap times 1e9
     // overflows DuckDB's default int math), same (ts, event_id)
     // tie-break, fixed-point value sums
+    // hourly-bar rollup: micros via epoch_ns // 1000 (the replayAsof
+    // floor convention), bar = integer division, values quantized with
+    // NaN-as-missing, first/last resolved by the (us, event_id)
+    // row_number rank — all exact integers
+    "ev_bars" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS us,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |      ELSE CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |        AS BIGINT) END AS vq
+        |  FROM events),
+        |b AS (SELECT user_id, us // 3600000000 AS bar, us, event_id, vq,
+        |    row_number() OVER (PARTITION BY user_id, us // 3600000000
+        |      ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, us // 3600000000
+        |      ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT user_id, CAST(bar AS BIGINT) AS bar,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(vq) AS BIGINT) AS n_vals,
+        |  CAST(sum(vq) AS BIGINT) AS v_sum_q,
+        |  min(vq) AS v_min_q, max(vq) AS v_max_q,
+        |  max(CASE WHEN rn_a = 1 THEN vq END) AS v_first_q,
+        |  max(CASE WHEN rn_d = 1 THEN vq END) AS v_last_q
+        |FROM b GROUP BY user_id, bar
+        |ORDER BY user_id, bar""".stripMargin,
     "ev_sessions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |    epoch_ns(ts) AS tn FROM events),

@@ -131,4 +131,58 @@ object Sessions {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"), col("value_q"))
   }
+
+  /**
+   * Fixed-width temporal downsampling (X66) — per-(user, bar) OHLC-ish
+   * rollup of an event stream: event count, missing count, exact
+   * fixed-point value sum/min/max, and the FIRST/LAST value in the bar
+   * under the deterministic (event time, event id) total order. The
+   * time-series feature-engineering primitive ("one row per user-hour")
+   * that turns a raw event log into model-ready rows.
+   *
+   * Exactness: timestamps convert by the [[sessionize]] TZ-free nanos
+   * rule and bars are integer division of micros (epoch_us // barUs on
+   * both engines); values quantize by the Profiler rule (NaN = missing,
+   * never a fake 0); the sum aggregates in decimal(38,0) and the cast
+   * back to long fails loudly on overflow rather than wrapping.
+   *
+   * Scale shape: ONE hash aggregate with map-side partials — first/last
+   * ride min_by/max_by over the (us, id) struct, so there is NO window,
+   * NO per-group sort, NO shuffle beyond the aggregate's own exchange.
+   * A billion-event day rolls up in a single pass.
+   *
+   * @param barUs bar width in MICROSECONDS (3600000000L = hourly)
+   * @return (user_id, bar, n, n_vals, v_sum_q, v_min_q, v_max_q,
+   *         v_first_q, v_last_q); `bar` = floor(epoch_us / barUs)
+   */
+  def resampleBars(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String, barUs: Long): DataFrame = {
+    require(barUs > 0, s"resampleBars: barUs must be positive, got $barUs")
+    val us = floor(asNanos(events, tsCol).cast("decimal(38,0)")
+      / lit(1000L)).cast("long")
+    val d = col(valueCol).cast("double")
+    val vq = when(isnan(d), lit(null))
+      .otherwise(floor(d * 1048576.0 + 0.5).cast("long"))
+    events
+      .select(col(userCol).cast("long").as("user_id"), us.as("__us"),
+        col(idCol).cast("long").as("__id"), vq.as("__vq"))
+      .withColumn("bar", expr(s"__us div ${barUs}L"))
+      .groupBy("user_id", "bar")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("__vq")).as("n_vals"),
+        sum(col("__vq").cast("decimal(38,0)")).cast("long")
+          .as("v_sum_q"),
+        min(col("__vq")).as("v_min_q"),
+        max(col("__vq")).as("v_max_q"),
+        // first/last via struct-min/max on the UNIQUE (us, id) prefix:
+        // unlike min_by/max_by this carries a null value through
+        // instead of engine-specific null-skipping — a bar whose first
+        // event is missing-valued must REPORT the missing, not the
+        // next value
+        min(struct(col("__us"), col("__id"), col("__vq")))
+          .getField("__vq").as("v_first_q"),
+        max(struct(col("__us"), col("__id"), col("__vq")))
+          .getField("__vq").as("v_last_q"))
+  }
 }

@@ -111,4 +111,42 @@ class SessionsSpec extends SparkTestBase {
       .findFirstIn(p).isEmpty,
       s"aggregate re-shuffled on session_idx:\n$p")
   }
+
+  test("resampleBars: hand-computed hourly bars — boundary at the " +
+      "exact bar edge, NaN counts as missing everywhere, first/last " +
+      "by (ts, id) under shuffled input, partition invariance") {
+    val hourNs = 3600L * G
+    val u = 1.0 / 1048576.0
+    // user 1: three events in bar 0 (incl. a NaN in the middle and an
+    // id-tiebreak at the same ts), one event EXACTLY at the next bar
+    // edge (us = 3600e6 → bar 1); user 2: a single NaN-only bar
+    val df = ev(
+      (10L, 5L * G, 1L, "a", 3 * u),
+      (11L, 5L * G, 1L, "a", 1 * u), // same ts as id 10 → later (id)
+      (12L, 100L * G, 1L, "a", Double.NaN),
+      (13L, hourNs, 1L, "a", 7 * u), // exactly the bar-1 edge
+      (20L, 50L * G, 2L, "b", Double.NaN))
+      .repartition(5)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sessions.resampleBars(d, "user_id", "ts", "event_id", "value",
+          barUs = 3600000000L)
+        .orderBy("user_id", "bar").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5),
+          if (r.isNullAt(6)) null else r.getLong(6),
+          if (r.isNullAt(7)) null else r.getLong(7),
+          if (r.isNullAt(8)) null else r.getLong(8))).toSeq
+    val got = run(df)
+    assert(got === Seq(
+      // user 1 bar 0: n=3, 2 finite (3u first at ts=5 by id asc, 1u
+      // second), NaN contributes to n only
+      (1L, 0L, 3L, 2L, 4L, 1L, 3L, 3L, null),
+      // the edge event opens bar 1
+      (1L, 1L, 1L, 1L, 7L, 7L, 7L, 7L, 7L),
+      // user 2: NaN-only bar — every value stat is null, n counts it
+      (2L, 0L, 1L, 0L, null, null, null, null, null)))
+    assert(run(df.repartition(1)) === got)
+  }
 }
