@@ -149,4 +149,49 @@ class SessionsSpec extends SparkTestBase {
       (2L, 0L, 1L, 0L, null, null, null, null, null)))
     assert(run(df.repartition(1)) === got)
   }
+
+  test("resampleBars fuzz: random event logs (dense ts ties, NaN, " +
+      "negative values) equal a driver-side reference across " +
+      "partitionings and bar widths") {
+    for (trial <- 0 until 6) {
+      val rng = new scala.util.Random(8800 + trial)
+      val barUs = Seq(1000000L, 5000000L, 60000000L)(rng.nextInt(3))
+      val n = 30 + rng.nextInt(170)
+      val rows = Seq.tabulate(n) { i =>
+        val v = if (rng.nextInt(10) == 0) Double.NaN
+          else (rng.nextInt(4000) - 2000) / 64.0
+        (i.toLong, rng.nextInt(50).toLong * 1000000000L * // whole secs
+          1L + rng.nextInt(3).toLong * 500000000L, // forced ties too
+          rng.nextInt(3).toLong, "t", v)
+      }
+      val expected = rows.groupBy { case (_, tsNs, uid, _, _) =>
+        (uid, (tsNs / 1000L) / barUs)
+      }.toSeq.map { case ((uid, bar), evs) =>
+        val sorted = evs.sortBy { case (id, tsNs, _, _, _) =>
+          (tsNs / 1000L, id) }
+        def q(v: Double): Option[Long] =
+          if (v.isNaN) None
+          else Some(math.floor(v * 1048576.0 + 0.5).toLong)
+        val vs = sorted.flatMap(e => q(e._5))
+        (uid, bar, evs.size.toLong, vs.size.toLong,
+          if (vs.isEmpty) null else Long.box(vs.sum),
+          if (vs.isEmpty) null else Long.box(vs.min),
+          if (vs.isEmpty) null else Long.box(vs.max),
+          q(sorted.head._5).map(Long.box).orNull,
+          q(sorted.last._5).map(Long.box).orNull)
+      }.sortBy(t => (t._1, t._2)).toSeq
+      val got = Sessions.resampleBars(
+          ev(rows: _*).repartition(1 + rng.nextInt(6)),
+          "user_id", "ts", "event_id", "value", barUs)
+        .orderBy("user_id", "bar").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) null else Long.box(r.getLong(4)),
+          if (r.isNullAt(5)) null else Long.box(r.getLong(5)),
+          if (r.isNullAt(6)) null else Long.box(r.getLong(6)),
+          if (r.isNullAt(7)) null else Long.box(r.getLong(7)),
+          if (r.isNullAt(8)) null else Long.box(r.getLong(8)))).toSeq
+      assert(got === expected, s"trial $trial barUs=$barUs")
+    }
+  }
 }
