@@ -416,6 +416,18 @@ object SparkEntry {
         typeCol = "event_type")
         .orderBy("user_id", "session_idx")),
 
+    // ---- profiling→modeling: quantile-bucket feature transform
+    //      (X67) — decile features from FROZEN whole-table edges (the
+    //      leakage-safe equal-frequency binning step); pure codegen
+    //      projection, NaN/null → null bucket ----
+    "prof_bucketize" -> ((s, dir) => {
+      val e = ld(s, dir, "events")
+      val edges = ops.Profiler.psiEdges(e, "value", bins = 10)
+      ops.Profiler.bucketize(e, "value", edges)
+        .select(col("event_id"), col("value_bucket"))
+        .orderBy("event_id")
+    }),
+
     // ---- events: fixed-width temporal downsampling (X66) — hourly
     //      per-user bars with exact fixed-point stats and (ts, id)-
     //      ordered first/last; ONE hash aggregate, no window/sort ----
@@ -2324,6 +2336,25 @@ object SparkEntry {
     // 21600 s · 1e9 product is a literal — an INT32 gap times 1e9
     // overflows DuckDB's default int math), same (ts, event_id)
     // tie-break, fixed-point value sums
+    // decile bucketize replay: edges by the exact integer rank (the
+    // prof_drift family), per-row strict-greater count, NaN/null ->
+    // NULL bucket
+    "prof_bucketize" ->
+      """WITH v AS (SELECT event_id,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |      ELSE CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |        AS BIGINT) END AS q
+        |  FROM events),
+        |nn AS (SELECT q FROM v WHERE q IS NOT NULL),
+        |r AS (SELECT q, row_number() OVER (ORDER BY q) AS rn FROM nn),
+        |e AS (SELECT i, (SELECT q FROM r WHERE rn =
+        |    (SELECT (count(*) - 1) * (10 * i) // 100 + 1 FROM nn))
+        |    AS edge FROM range(1, 10) t(i))
+        |SELECT v.event_id,
+        |  CASE WHEN v.q IS NULL THEN NULL
+        |    ELSE CAST((SELECT count(*) FROM e WHERE e.edge < v.q)
+        |      AS BIGINT) END AS value_bucket
+        |FROM v ORDER BY v.event_id""".stripMargin,
     // hourly-bar rollup: micros via epoch_ns // 1000 (the replayAsof
     // floor convention), bar = integer division, values quantized with
     // NaN-as-missing, first/last resolved by the (us, event_id)

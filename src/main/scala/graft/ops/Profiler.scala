@@ -85,6 +85,33 @@ object Profiler {
     pcts.map(p => row.getAs[Long](s"p${p}_q"))
   }
 
+  /**
+   * Quantile-bucket feature transform (X67) — the modeling face of the
+   * audit machinery: bin a numeric column into the buckets carved by
+   * FROZEN train-side edges ([[psiEdges]]), the leakage-safe
+   * discretization step (equal-frequency binning / "decile features").
+   * Edges come from the TRAINING snapshot and apply unchanged to any
+   * later frame — serve-time data cannot leak into its own bin
+   * boundaries, and the bucket of a row never shifts when the corpus
+   * grows. Assignment is [[binExpr]] — the strict-greater integer
+   * comparison the PSI audit and the streaming drift monitor use, one
+   * shape everywhere. NaN and null land in a NULL bucket (the
+   * [[quantize]] missing rule), never a fake bin 0.
+   *
+   * Pure codegen projection: no shuffle, no UDF — a 100 TB frame
+   * buckets in the scan.
+   */
+  def bucketize(df: DataFrame, colName: String, edges: Seq[Long],
+      outCol: String = ""): DataFrame = {
+    require(edges.nonEmpty, "bucketize: empty edge list")
+    require(edges == edges.sorted,
+      s"bucketize: edges must be ascending: $edges")
+    val out = if (outCol.isEmpty) s"${colName}_bucket" else outCol
+    val q = quantize(colName)
+    df.withColumn(out,
+      when(q.isNotNull, binExpr(q, edges).cast("long")))
+  }
+
   private def requireFiniteRange(c: String, mn: Long, mx: Long): Unit =
     require(mn > -MaxAbsQ && mx < MaxAbsQ,
       s"profile: column $c has fixed-point values outside ±2^62 " +

@@ -223,4 +223,40 @@ class ProfilerSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("divide 100"))
   }
+
+  test("bucketize: strict-greater edges (ties stick low), NaN/null → " +
+      "null bucket, frozen train-side edges apply unchanged to new " +
+      "data, unsorted edges rejected") {
+    import spark.implicits._
+    val u = 1.0 / 1048576.0
+    // edges at q=2 and q=5: values ≤2 → bucket 0, (2,5] → 1, >5 → 2
+    val df = Seq((1L, Some(1 * u)), (2L, Some(2 * u)), (3L, Some(3 * u)),
+      (4L, Some(5 * u)), (5L, Some(6 * u)), (6L, None),
+      (7L, Some(Double.NaN))).toDF("id", "v")
+    val got = graft.ops.Profiler.bucketize(df, "v", Seq(2L, 5L))
+      .select("id", "v_bucket").orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else Long.box(r.getLong(1)))).toSeq
+    assert(got === Seq((1L, Long.box(0L)), (2L, Long.box(0L)),
+      (3L, Long.box(1L)), (4L, Long.box(1L)), (5L, Long.box(2L)),
+      (6L, null), (7L, null)))
+    // train/serve freeze: edges from a train half bucket a serve half
+    // identically whether computed before or after the serve rows exist
+    val train = spark.range(100).select($"id",
+      ($"id" % 17 * 3).cast("double").as("v"))
+    val edges = graft.ops.Profiler.psiEdges(train, "v", bins = 4)
+    val serve = spark.range(100, 160).select($"id",
+      ($"id" % 23 * 2).cast("double").as("v"))
+    val a = graft.ops.Profiler.bucketize(serve, "v", edges)
+      .select("id", "v_bucket").collect().map(r => (r.getLong(0),
+        r.getLong(1))).toSet
+    // identical edges → identical buckets, independent of serve content
+    val b = graft.ops.Profiler.bucketize(serve.limit(30), "v", edges)
+      .select("id", "v_bucket").collect().map(r => (r.getLong(0),
+        r.getLong(1))).toSet
+    assert(b.subsetOf(a))
+    intercept[IllegalArgumentException] {
+      graft.ops.Profiler.bucketize(df, "v", Seq(5L, 2L))
+    }
+  }
 }
