@@ -1089,10 +1089,12 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    // ---- similarity: PQ ADC top-k with exact re-rank (X46) — the
-    //      compressed-domain ANN scale path (80-bit codes vs 256-byte
-    //      vectors); approximate, so rows-only with the recall floor
-    //      gated by sim_recall_check/RecallSpec like LSH/IVF ----
+    // ---- similarity: PQ ADC top-k with exact re-rank (X46) — FULL
+    //      oracle since r18: the ADC tables are quantized BIGINTs (the
+    //      same floor((q−c)²·2²⁰+0.5) sums the assignment argmin uses),
+    //      so train → encode → ADC shortlist → exact-cosine re-rank
+    //      replays end-to-end in DuckDB (simPqTopkOracle); recall vs
+    //      exact stays gated via sim_recall_check's pq row ----
     "sim_pq_topk" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -1101,6 +1103,7 @@ object SparkEntry {
       // (16×32 codebooks + 8× shortlist scored 0.96 / 0.93)
       Similarity.pqTopK(e, q, "vec_id", "embedding", "query_id",
         k = 10, m = 16, ksub = 32, lloydIters = 3, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
 
@@ -2171,6 +2174,91 @@ object SparkEntry {
         .stripMargin
     }
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
+  /**
+   * DuckDB replay of the WHOLE `sim_pq_topk` pipeline (r18 — the X60
+   * recipe applied to PQ): L2-normalize (DuckDB's list_sum over
+   * doubles is the same sequential left-to-right sum as the Scala
+   * norm loop — verified bit-exact across all SFs), train the m=16 ×
+   * ksub=32 codebook with `rounds` unrolled Lloyd rounds (salted-md5
+   * init, exact fixed-point BIGINT component sums, quantized-BIGINT
+   * assignment — the sim_pq_encode recipe per subspace), then the ADC
+   * scan as exact integers: dist(q,row) = Σ_s dtQ(s, code_s) where
+   * dtQ is the SAME floor((q−c)²·2²⁰+0.5) sum the assignment uses, so
+   * the k·rerank shortlist ranks (dist, id) bit-identically to the
+   * Spark heaps; the exact-cosine re-rank finishes with the sim_topk
+   * convention (round-6 cosine, ties → lower id). The Lloyd rounds
+   * are generated, not hand-unrolled — one template per round keeps
+   * the three rounds structurally identical.
+   */
+  private def simPqTopkOracle: String = {
+    val m = 16; val ksub = 32; val rounds = 3; val dsub = 4
+    val shortK = 80; val k = 10 // k=10 × rerank=8
+    def dq(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), " +
+        s"j -> CAST(floor(($v[j] - $c[j]) * ($v[j] - $c[j])" +
+        " * 1048576.0 + 0.5) AS BIGINT)))"
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"c${r - 1}"
+      s"""a$r AS (SELECT id, s, sv, ci FROM (
+         |  SELECT t.id, t.s, t.sv, i.ci, row_number() OVER (PARTITION BY t.id, t.s
+         |    ORDER BY ${dq("t.sv", "i.c")}, i.ci) AS rn
+         |  FROM sub t JOIN $prev i ON t.s = i.s) WHERE rn = 1),
+         |s$r AS (SELECT s, ci, j, count(*) AS cnt,
+         |    sum(CAST(floor(e * 1048576 + 0.5) AS BIGINT)) AS qs
+         |  FROM (SELECT s, ci, UNNEST(sv) AS e,
+         |        UNNEST(range(1, ${dsub + 1})) AS j FROM a$r)
+         |  GROUP BY s, ci, j),
+         |u$r AS (SELECT s, ci,
+         |    list((CAST(qs AS DOUBLE) / cnt) / 1048576.0 ORDER BY j) AS c
+         |  FROM s$r GROUP BY s, ci),
+         |c$r AS (SELECT i.s, i.ci, COALESCE(u$r.c, i.c) AS c FROM $prev i
+         |  LEFT JOIN u$r ON i.s = u$r.s AND i.ci = u$r.ci)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS rv
+       |  FROM embeddings),
+       |nrmed AS (SELECT id, rv,
+       |    sqrt(list_sum(list_transform(rv, y -> y * y))) AS n FROM raw),
+       |base AS (SELECT id, CASE WHEN n = 0 THEN rv
+       |    ELSE list_transform(rv, x -> x / n) END AS v FROM nrmed),
+       |ss AS (SELECT UNNEST(range(0, $m)) AS s),
+       |sub AS (SELECT b.id, ss.s,
+       |    b.v[ss.s * $dsub + 1 : ss.s * $dsub + $dsub] AS sv
+       |  FROM base b CROSS JOIN ss),
+       |seeds AS (SELECT row_number() OVER (
+       |    ORDER BY md5(concat('11:', CAST(id AS VARCHAR)))) - 1 AS ci, id
+       |  FROM raw ORDER BY md5(concat('11:', CAST(id AS VARCHAR)))
+       |  LIMIT $ksub),
+       |c0 AS (SELECT t.s, sd.ci, t.sv AS c FROM seeds sd
+       |  JOIN sub t ON t.id = sd.id),
+       |$roundCtes,
+       |codes AS (SELECT id, s, ci FROM (
+       |  SELECT t.id, t.s, i.ci, row_number() OVER (PARTITION BY t.id, t.s
+       |    ORDER BY ${dq("t.sv", "i.c")}, i.ci) AS rn
+       |  FROM sub t JOIN c$rounds i ON t.s = i.s) WHERE rn = 1),
+       |q AS (SELECT id AS query_id, v AS qv FROM base WHERE id < 8),
+       |qsub AS (SELECT q.query_id, ss.s,
+       |    q.qv[ss.s * $dsub + 1 : ss.s * $dsub + $dsub] AS sv
+       |  FROM q CROSS JOIN ss),
+       |adc AS (SELECT t.query_id, i.s, i.ci,
+       |    ${dq("t.sv", "i.c")} AS dqv
+       |  FROM qsub t JOIN c$rounds i ON t.s = i.s),
+       |dist AS (SELECT a.query_id, cd.id, CAST(sum(a.dqv) AS BIGINT) AS d
+       |  FROM codes cd JOIN adc a ON a.s = cd.s AND a.ci = cd.ci
+       |  GROUP BY a.query_id, cd.id),
+       |short AS (SELECT query_id, id FROM (
+       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d, id) AS rn FROM dist) WHERE rn <= $shortK),
+       |rer AS (SELECT sh.query_id, sh.id,
+       |    list_cosine_similarity(c.rv, qq.rv) AS cos
+       |  FROM short sh JOIN raw c ON c.id = sh.id
+       |  JOIN raw qq ON qq.id = sh.query_id),
+       |r AS (SELECT query_id, id, round(cos, 6) AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, id) AS BIGINT) AS rank FROM rer)
+       |SELECT query_id, id, cosine, rank FROM r WHERE rank <= $k
+       | ORDER BY query_id, rank""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4460,6 +4548,11 @@ object SparkEntry {
         |    AS pq_code,
         |  CAST(sum(CAST(dq AS BIGINT)) AS BIGINT) AS recon_q
         |FROM a3 GROUP BY id ORDER BY vec_id""".stripMargin,
+    // PQ ADC top-k replay (r18): generated three-round k-means on the
+    // L2-NORMALIZED vectors (sequential list_sum ≡ the Scala norm
+    // loop, verified bit-exact), exact-BIGINT ADC shortlist ranked
+    // (dist, id), exact-cosine re-rank — see simPqTopkOracle
+    "sim_pq_topk" -> simPqTopkOracle,
     // SQ8 train+encode replay: per-dim integer min/max of the
     // fixed-point components, round-half-up integer coding
     // ((d·510 + span) // (2·span)), exact-integer dequantization and

@@ -176,11 +176,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int)
       : DataFrame = {
-    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
-      .collect()
+    val q = collectQueryRows(queries, queryIdCol, vecCol,
+        "bruteForceTopK")
       .map(r => (r.getLong(0), toDoubles(r.getSeq[Any](1))))
       .sortBy(_._1)
-    require(q.nonEmpty, "empty query set")
     cosineScanTopK(corpus, idCol, vecCol, q, k,
       prep = toDoubles, rowKey = _ => 0, admit = (_, _) => true)
   }
@@ -452,12 +451,10 @@ object Similarity {
       lloydIters, seed, normalize = false)
     // raw-vector queries: the coarse quantizer is trained unnormalized
     // (the SQL-replayable X46 shape), cosine normalizes internally
-    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
-      .collect()
+    val q = collectQueryRows(queries, queryIdCol, vecCol, "ivfFlatTopK")
       .map(r => (r.getLong(0),
         checkPqDim(toDoubles(r.getSeq[Any](1)), coarse.dim)))
       .sortBy(_._1)
-    require(q.nonEmpty, "empty query set")
     val probes = probeBitmaps(coarse, q, nProbe)
     cosineScanTopK(corpus, idCol, vecCol, q, k,
       prep = s => checkPqDim(toDoubles(s), coarse.dim),
@@ -756,7 +753,9 @@ object Similarity {
    * Scan 2 (ADC): per partition, each row's code looks up m per-query
    * distance-table entries; bounded heaps keep the k·rerank best per
    * query — no scored-row shuffle (the bruteForceTopK shape, but each
-   * candidate costs m lookups instead of dim multiplies).
+   * candidate costs m lookups instead of dim multiplies). The table
+   * entries are quantized BIGINTs ([[adcTables]]), so the shortlist is
+   * an exact-integer ranking that SQL-replays end-to-end.
    * Scan 3 (re-rank): the tiny |Q|·k·rerank shortlist broadcasts back
    * against the corpus for exact cosine; map-side-combined heaps emit
    * the final k. Fully deterministic end-to-end (codebook, ADC,
@@ -776,7 +775,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val cb = codebook.getOrElse(pqTrain(corpus, idCol, vecCol, m, ksub,
       lloydIters, seed, normalize = true))
-    val q = collectQueries(queries, queryIdCol, vecCol, cb.dim)
+    val q = collectQueries(queries, queryIdCol, vecCol, cb.dim, "pqTopK")
     val nq = q.length
     val tables = adcTables(cb, q)
     val bc = spark.sparkContext.broadcast((cb, tables))
@@ -794,9 +793,9 @@ object Similarity {
           var j = 0
           while (j < nq) {
             val dt = dts(j)
-            var dist = 0.0; var t = 0
+            var dist = 0L; var t = 0
             while (t < c.m) { dist += dt(t * c.kEff + codes(t)); t += 1 }
-            acc(j).add(id, -dist) // heap keeps LARGEST score
+            acc(j).add(id, -dist.toDouble) // heap keeps LARGEST score
             j += 1
           }
           acc
@@ -845,7 +844,8 @@ object Similarity {
       lloydIters, seed, normalize = true)
     val cb = pqTrain(corpus, idCol, vecCol, m, ksub, lloydIters,
       seed + 1000003L, normalize = true)
-    val q = collectQueries(queries, queryIdCol, vecCol, cb.dim)
+    val q = collectQueries(queries, queryIdCol, vecCol, cb.dim,
+      "ivfPqTopK")
     val nq = q.length
     // per-query probe set (quantized-distance nearest cells) as a
     // membership bitmap, and the ADC tables — both broadcast-small
@@ -872,9 +872,9 @@ object Similarity {
                 while (s < c.m) { codes(s) = pqAssign(v, s, c)._1; s += 1 }
               }
               val dt = dts(j)
-              var dist = 0.0; var t = 0
+              var dist = 0L; var t = 0
               while (t < c.m) { dist += dt(t * c.kEff + codes(t)); t += 1 }
-              acc(j).add(id, -dist)
+              acc(j).add(id, -dist.toDouble)
             }
             j += 1
           }
@@ -957,15 +957,16 @@ object Similarity {
    * per-query distance tables, bounded heaps keep k·rerank candidates
    * per query, and the exact-cosine re-rank runs as the usual broadcast
    * shortlist against the raw corpus. Bit-identical to [[ivfPqTopK]]
-   * with the same codebooks: same assignments, same two-operand double
-   * distance sums, same id-asc tie-breaks.
+   * with the same codebooks: same assignments, same exact-integer
+   * quantized ADC sums, same id-asc tie-breaks.
    */
   def ivfPqIndexTopK(corpus: DataFrame, indexPath: String,
       coarse: PqCodebook, cb: PqCodebook, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
       nProbe: Int = 4, rerank: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    val q = collectQueries(queries, queryIdCol, vecCol, cb.dim)
+    val q = collectQueries(queries, queryIdCol, vecCol, cb.dim,
+      "ivfPqIndexTopK")
     val nq = q.length
     val probes = probeBitmaps(coarse, q, nProbe)
     val tables = adcTables(cb, q)
@@ -992,9 +993,9 @@ object Similarity {
                 }
               }
               val dt = dts(j)
-              var dist = 0.0; var t = 0
+              var dist = 0L; var t = 0
               while (t < c.m) { dist += dt(t * c.kEff + codes(t)); t += 1 }
-              acc(j).add(id, -dist)
+              acc(j).add(id, -dist.toDouble)
             }
             j += 1
           }
@@ -1015,30 +1016,53 @@ object Similarity {
   // (single definitions: the bit-identity contract between the
   //  index-free and served forms depends on these never diverging)
 
+  /** Family-wide broadcast-query contract guard (r18): EVERY ANN path
+    * collects the query side to the driver and broadcasts it — the
+    * corpus is always the distributed side. A corpus-sized misuse used
+    * to be an opaque driver OOM; this bounds the fetch itself
+    * (LIMIT cap+1, so the driver never materializes more than cap+1
+    * rows) and fails with an actionable message. The default cap,
+    * 65 536 queries of 64-dim doubles ≈ 34 MB, broadcasts comfortably;
+    * raise `spark.graft.ann.maxQueries` only for a deliberately larger
+    * probe set. */
+  private def collectQueryRows(queries: DataFrame, queryIdCol: String,
+      vecCol: String, op: String): Array[Row] = {
+    val cap = queries.sparkSession.conf
+      .get("spark.graft.ann.maxQueries", "65536").toInt
+    val rows = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$op: query set exceeds spark.graft.ann.maxQueries=$cap — ANN " +
+        "paths collect+broadcast the QUERY side (the corpus stays " +
+        "distributed); pass the smaller table as `queries` or raise " +
+        "the conf deliberately")
+    require(rows.nonEmpty, s"$op: empty query set")
+    rows
+  }
+
   /** Collected, L2-normalized, id-sorted query set. */
   private def collectQueries(queries: DataFrame, queryIdCol: String,
-      vecCol: String, dim: Int): Array[(Long, Array[Double])] = {
-    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
-      .collect()
+      vecCol: String, dim: Int, op: String): Array[(Long, Array[Double])] =
+    collectQueryRows(queries, queryIdCol, vecCol, op)
       .map(r => (r.getLong(0), checkPqDim(
         maybeUnit(toDoubles(r.getSeq[Any](1)), normalize = true), dim)))
       .sortBy(_._1)
-    require(q.nonEmpty, "empty query set")
-    q
-  }
 
-  /** Per-query ADC tables: dt(j)(s·kEff + ci) = ‖q_sub − c‖². */
+  /** Per-query ADC tables, quantized to exact BIGINTs (r18):
+    * dtQ(j)(s·kEff + ci) = [[pqDistQ]](q, s·dsub, c) — the SAME
+    * fixed-point expression the assignment argmin uses, so a row's ADC
+    * distance Σ_s dtQ is an order-free exact integer: the shortlist is
+    * bit-identical across partitionings AND SQL-replayable (ties →
+    * lower id), which is what upgrades `sim_pq_topk` from a recall
+    * gate to a full hash oracle. Resolution 2⁻²⁰ per component is far
+    * below any real ranking gap; on unit vectors (q−c)² ≤ 4 per
+    * component keeps Σ over dim components < dim·2²³ ≪ 2⁵³, so the
+    * negated heap score stays exact in a Double. */
   private def adcTables(cb: PqCodebook,
-      q: Array[(Long, Array[Double])]): Array[Array[Double]] =
+      q: Array[(Long, Array[Double])]): Array[Array[Long]] =
     q.map { case (_, qv) =>
       Array.tabulate(cb.m * cb.kEff) { i =>
-        val s = i / cb.kEff
-        val c = cb.centroids(i)
-        var d2 = 0.0; var j = 0
-        while (j < c.length) {
-          val d = qv(s * cb.dsub + j) - c(j); d2 += d * d; j += 1
-        }
-        d2
+        pqDistQ(qv, (i / cb.kEff) * cb.dsub, cb.centroids(i))
       }
     }
 
@@ -1283,11 +1307,9 @@ object Similarity {
     require(maxR.toDouble * maxR * cb.dim < 9.0e15,
       s"sqTopK: component magnitude $maxR too large for exact " +
         "integer scoring (needs |v| ≲ 8 after fixed-point scaling)")
-    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
-      .collect()
+    val q = collectQueryRows(queries, queryIdCol, vecCol, "sqTopK")
       .map(r => (r.getLong(0), sqReconRow(toDoubles(r.getSeq[Any](1)), cb)))
       .sortBy(_._1)
-    require(q.nonEmpty, "empty query set")
     val nq = q.length
     val bc = spark.sparkContext.broadcast((cb, q.map(_._2)))
     val heaps = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd

@@ -24,10 +24,12 @@ class HarnessContractSpec extends SparkTestBase {
     // runs the deterministic IVF-Flat (X60 — quantized-BIGINT k-means
     // cells + exact cosine in probed cells), which DuckDB replays
     // end-to-end; recall stays gated via sim_recall_check's ivfflat row
+    // sim_pq_topk moved OFF this list in r18: the ADC tables are now
+    // quantized BIGINTs (the same fixed-point sums the assignment
+    // argmin uses), so the whole train → ADC shortlist → exact-cosine
+    // re-rank pipeline replays in DuckDB (simPqTopkOracle); recall
+    // stays gated via sim_recall_check's pq row
     "sim_lsh_topk" -> "approximate ANN (recall gated by sim_recall_check)",
-    "sim_pq_topk" -> ("approximate ANN (recall gated by " +
-      "sim_recall_check; the deterministic codebook+encode pipeline " +
-      "carries the full oracle via sim_pq_encode)"),
     "sim_recall_check" -> "the recall gate itself (self-referential)",
     "tx_bpe" -> ("iterative BPE merge learning has no SQL replay " +
       "(inherently sequential); r11: decode∘encode lossless " +
