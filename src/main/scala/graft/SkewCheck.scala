@@ -102,18 +102,23 @@ object SkewCheck {
       val (n, w, mc) = (agg.getLong(0),
         if (agg.isNullAt(1)) 0L else agg.getLong(1),
         if (agg.isNullAt(2)) 0L else agg.getLong(2))
-      // maximality: the next row in hash order must not fit
-      val nextW = data.join(kept.select("doc_id"), Seq("doc_id"),
+      // maximality: the next row in hash order must not fit. min(s)
+      // over an EMPTY dropped set (budget >= total keeps everything)
+      // is a null struct — skip the assert instead of NPEing if the
+      // probe's budgets are ever edited that way (advisor r17)
+      val minDropped = data.join(kept.select("doc_id"), Seq("doc_id"),
           "left_anti")
         .select(struct(
           graft.ops.CorpusPipeline.hashU32(col("doc_id"), salt)
             .as("h"),
           col("doc_id"), col("n_tokens")).as("s"))
-        .agg(min(col("s"))).head().getStruct(0).getLong(2)
+        .agg(min(col("s"))).head()
+      val nextW = if (minDropped.isNullAt(0)) 0L
+        else minDropped.getStruct(0).getLong(2)
       kept.unpersist(blocking = false)
       require(w == mc, s"kept weight $w != max cum $mc")
       require(mc <= budget, s"max cum $mc > budget $budget")
-      require(mc + nextW > budget,
+      require(nextW == 0L || mc + nextW > budget,
         s"NOT maximal: cum $mc + next $nextW <= budget $budget")
       (wall, n, mc, nextW)
     }

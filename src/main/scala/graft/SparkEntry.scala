@@ -2443,8 +2443,11 @@ object SparkEntry {
         |    ELSE CAST((SELECT count(*) FROM e WHERE e.edge < v.q)
         |      AS BIGINT) END AS value_bucket
         |FROM v ORDER BY v.event_id""".stripMargin,
-    // hourly-bar rollup: micros via epoch_ns // 1000 (the replayAsof
-    // floor convention), bar = integer division, values quantized with
+    // hourly-bar rollup: micros via epoch_ns // 1000 (exact here —
+    // timestamps carry micro precision, so ns is a multiple of 1000),
+    // bar = TRUNCATING integer division (DuckDB BIGINT // == Spark
+    // `div`; both round toward zero, NOT floor — see the resampleBars
+    // scaladoc for the pre-1970 consequence), values quantized with
     // NaN-as-missing, first/last resolved by the (us, event_id)
     // row_number rank — all exact integers
     "ev_bars" ->

@@ -108,6 +108,17 @@ object DataLoader {
    * the distinct partition-value set must be driver-small (it IS the
    * directory listing).
    *
+   * Determinism contract: the input plan is evaluated TWICE (the
+   * bucket-count aggregate, then the write re-scan) — it must produce
+   * the same rows both times. A nondeterministic lineage (`rand()`,
+   * unstable sampling, a source mutating between passes) can surface a
+   * partition value or a null at write time that the planning pass
+   * never saw; `element_at` (ANSI) / the null check then fail the
+   * write job loudly rather than writing a mis-sized or null-keyed
+   * directory. `persist()`/`localCheckpoint()` such an input yourself
+   * before calling — the sink deliberately does NOT cache what may be
+   * a 100 TB dataset on the caller's behalf.
+   *
    * @return the planned buckets per partition value (what the layout
    *         spec asserts against)
    */

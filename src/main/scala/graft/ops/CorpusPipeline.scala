@@ -300,7 +300,12 @@ object CorpusPipeline {
     val comps = Dedup.components(pairs, "keep_id", "dup_id")
     val split = assignSplit(
       df.select(col(idCol).cast("long").as("id")), "id", splits, salt)
-    val tagged = comps.join(split, "id")
+    // broadcast the pair-member set (≪ corpus by the audit's premise):
+    // the split projection streams through a broadcast-hash join
+    // instead of being sort-merge-shuffled by id (pinned in
+    // PlanAuditSpec — this is what makes the no-corpus-reshuffle claim
+    // above literally true in the physical plan)
+    val tagged = split.join(broadcast(comps), "id")
     val leaky = tagged.groupBy("comp")
       .agg(countDistinct("split").as("n_splits"))
       .filter(col("n_splits") > 1)

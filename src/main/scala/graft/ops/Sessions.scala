@@ -141,19 +141,27 @@ object Sessions {
    * that turns a raw event log into model-ready rows.
    *
    * Exactness: timestamps convert by the [[sessionize]] TZ-free nanos
-   * rule and bars are integer division of micros (epoch_us // barUs on
-   * both engines); values quantize by the Profiler rule (NaN = missing,
-   * never a fake 0); the sum aggregates in decimal(38,0) and the cast
-   * back to long fails loudly on overflow rather than wrapping.
+   * rule and bars are integer division of micros — TRUNCATING toward
+   * zero (Spark `div` == DuckDB BIGINT `//`, cross-engine identical),
+   * NOT floored: a pre-1970 timestamp lands in a double-width bar 0
+   * together with the first post-epoch bar. Event logs are
+   * post-epoch in practice; if yours aren't, shift to a non-negative
+   * epoch before resampling rather than relying on bar 0's shape.
+   * Values quantize by the Profiler rule (NaN = missing, never a fake
+   * 0); the sum aggregates in decimal(38,0) and the cast back to long
+   * fails loudly on overflow rather than wrapping.
    *
    * Scale shape: ONE hash aggregate with map-side partials — first/last
-   * ride min_by/max_by over the (us, id) struct, so there is NO window,
-   * NO per-group sort, NO shuffle beyond the aggregate's own exchange.
-   * A billion-event day rolls up in a single pass.
+   * ride struct-min/max over the (us, id, vq) struct (NOT min_by/
+   * max_by, which would null-skip a missing first value — see the
+   * inline comment), so there is NO window, NO per-group sort, NO
+   * shuffle beyond the aggregate's own exchange. A billion-event day
+   * rolls up in a single pass.
    *
    * @param barUs bar width in MICROSECONDS (3600000000L = hourly)
    * @return (user_id, bar, n, n_vals, v_sum_q, v_min_q, v_max_q,
-   *         v_first_q, v_last_q); `bar` = floor(epoch_us / barUs)
+   *         v_first_q, v_last_q); `bar` = epoch_us div barUs
+   *         (truncating)
    */
   def resampleBars(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, valueCol: String, barUs: Long): DataFrame = {

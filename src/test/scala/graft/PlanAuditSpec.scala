@@ -71,6 +71,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!rp.contains("SortMergeJoin"), rp)
   }
 
+  test("dd_leak: the corpus split projection is never reshuffled — " +
+      "the pair-member set and the leaky-cluster list both broadcast") {
+    val p = plan("dd_leak")
+    // a sort-merge join here would shuffle the 2-column projection of
+    // the WHOLE corpus by id; broadcasting the (pair-member-sized)
+    // component set keeps the corpus side streaming (judge r17).
+    // Three broadcast joins, not two: the leaky-cluster branch
+    // recomputes the tagged subtree (a second narrow one-column scan —
+    // cheap), and ALL of them must stay broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    // the only hash exchanges are the member-sized cluster aggregates
+    // (keyed by comp) — never an id-keyed reshuffle of the corpus
+    assert(!"Exchange hashpartitioning\\(id#".r.findFirstIn(p).isDefined,
+      p)
+  }
+
   test("pp_decontam: the eval gram set broadcasts — the corpus is " +
       "never shuffled by gram") {
     val p = plan("pp_decontam")
