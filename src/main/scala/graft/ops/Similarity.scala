@@ -268,35 +268,52 @@ object Similarity {
 
   // ---------------- random-hyperplane signatures ----------------
 
+  /** The deterministic splitmix64 plane-normal stream shared by the
+    * row-local signature function AND the sim_lsh_topk oracle builder
+    * (r18): component(p, i) = u(seed + p·1048573 + i) − 0.5, where u
+    * is the top-53-bit uniform. Every component is a dyadic rational
+    * (a 53-bit integer / 2⁵³, minus 0.5 — exactly representable), so
+    * emitting the planes as decimal literals round-trips bit-exactly
+    * through any correct double parser: the SQL replay hashes rows
+    * with the very same planes, not an approximation of them. */
+  private[graft] def hyperplaneNormals(planes: Int, dim: Int,
+      seed: Long): Array[Double] = {
+    val arr = new Array[Double](planes * dim)
+    var p = 0
+    while (p < planes) {
+      var i = 0
+      while (i < dim) {
+        var z = seed + p * 1048573L + i
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= z >>> 31
+        arr(p * dim + i) = (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+        i += 1
+      }
+      p += 1
+    }
+    arr
+  }
+
   /** Row-local hyperplane signature function with the plane normals
     * materialized ONCE per task (not per row — judge r1 "wrong" #5).
-    * Normal components are the same deterministic splitmix64 stream as
-    * before: component(p, i) = u(seed + p·1048573 + i) − 0.5. */
+    * Normal components come from [[hyperplaneNormals]]. Takes doubles
+    * (r18): [[hyperplaneSig]] casts the column, float→double is exact,
+    * and the dot was always a double accumulation (Float operands
+    * promote), so signatures are bit-identical to the old Seq[Float]
+    * form — but now the SAME two-operand double sequence replays in
+    * SQL, which is what gives sim_lsh_topk its full oracle. */
   private final class HyperplaneFn(planes: Int, seed: Long)
-      extends (Seq[Float] => Int) with Serializable {
+      extends (Seq[Double] => Int) with Serializable {
     @transient private var dim = -1
     @transient private var normals: Array[Double] = _
 
     private def ensure(d: Int): Unit = if (d != dim) {
-      val arr = new Array[Double](planes * d)
-      var p = 0
-      while (p < planes) {
-        var i = 0
-        while (i < d) {
-          var z = seed + p * 1048573L + i
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^= z >>> 31
-          arr(p * d + i) = (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
-          i += 1
-        }
-        p += 1
-      }
-      normals = arr
+      normals = hyperplaneNormals(planes, d, seed)
       dim = d
     }
 
-    def apply(v: Seq[Float]): Int = {
+    def apply(v: Seq[Double]): Int = {
       ensure(v.length)
       var sig = 0
       var p = 0
@@ -314,7 +331,7 @@ object Similarity {
 
   /** Random-hyperplane signature (bucket id in [0, 2^planes)). */
   def hyperplaneSig(vec: Column, planes: Int, seed: Long): Column =
-    udf(new HyperplaneFn(planes, seed)).apply(vec)
+    udf(new HyperplaneFn(planes, seed)).apply(vec.cast("array<double>"))
 
   /**
    * LSH-bucketed ANN: `tables` independent hyperplane hash tables; each
@@ -322,6 +339,13 @@ object Similarity {
    * (multi-probe); candidates unioned across tables, exact cosine
    * re-rank through the bounded heap. Recall grows with tables; corpus
    * cost is tables× one hash per row (no re-scan).
+   *
+   * The whole pipeline runs on exact double casts of the vectors
+   * (r18): signatures were always double accumulations, and scoring
+   * the candidate set in doubles makes every arithmetic step the same
+   * two-operand double sequence DuckDB executes — sim_lsh_topk
+   * carries a full hash oracle (planes emitted as literal tables, the
+   * X67 frozen-constants pattern) instead of only a recall gate.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, planes: Int = 8,
@@ -330,12 +354,13 @@ object Similarity {
       struct(lit(t).as("t"),
         hyperplaneSig(vec, planes, seed + 1000003L * t).as("sig"))
     }: _*)
+    val dv = (c: Column) => c.cast("array<double>")
     val hashedCorpus = corpus.select(col(idCol).as("id"),
-      col(vecCol).as("vec"), explode(tableSigs(col(vecCol))).as("b"))
+      dv(col(vecCol)).as("vec"), explode(tableSigs(col(vecCol))).as("b"))
       .select(col("id"), col("vec"), col("b.t"), col("b.sig"))
     // query probes: own bucket + flip each bit once, per table
     val probes = queries.select(col(queryIdCol).as("query_id"),
-      col(vecCol).as("qvec"), explode(tableSigs(col(vecCol))).as("b"))
+      dv(col(vecCol)).as("qvec"), explode(tableSigs(col(vecCol))).as("b"))
       .select(col("query_id"), col("qvec"), col("b.t"),
         explode(concat(array(col("b.sig")),
           array((0 until planes).map(p =>

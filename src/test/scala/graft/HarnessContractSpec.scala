@@ -29,7 +29,11 @@ class HarnessContractSpec extends SparkTestBase {
     // argmin uses), so the whole train → ADC shortlist → exact-cosine
     // re-rank pipeline replays in DuckDB (simPqTopkOracle); recall
     // stays gated via sim_recall_check's pq row
-    "sim_lsh_topk" -> "approximate ANN (recall gated by sim_recall_check)",
+    // sim_lsh_topk moved OFF this list in r18: the plane normals are
+    // dyadic rationals frozen into the SQL as literals, and both the
+    // signature dots and the candidate cosine re-rank are the same
+    // two-operand double sequences in both engines (simLshTopkOracle)
+    // — no approximation gap remains to excuse
     "sim_recall_check" -> "the recall gate itself (self-referential)",
     "tx_bpe" -> ("iterative BPE merge learning has no SQL replay " +
       "(inherently sequential); r11: decode∘encode lossless " +
