@@ -1004,6 +1004,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- pipeline: contrastive (anchor, positive, hard-negative)
+    //      triple mining (X68) — embedding-model fine-tuning data:
+    //      planted exact copies supply the positives (the dd_embedding
+    //      fixture), hard negatives are same-LSH-bucket members under
+    //      the 0.5 cosine ceiling; frozen planes + exact double
+    //      cosines ⇒ full DuckDB hash oracle (ppTriplesOracle) ----
+    "pp_triples" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      ops.CorpusPipeline.contrastiveTriples(
+        e.unionByName(e.filter(col("vec_id") < 20)
+          .withColumn("vec_id", col("vec_id") + 10000000)),
+        "vec_id", "embedding", posMin = 0.999, negMax = 0.5,
+        planes = 4)
+        .orderBy("bucket", "anchor_id")
+    }),
+
     // ---- dedup: exact duplicate-substring SPANS (Lee et al. substring
     //      dedup; oracle replays gram rows + rank-by-(doc,pos) + the
     //      gaps-and-islands interval merge in closed-form SQL) ----
@@ -2279,10 +2295,13 @@ object SparkEntry {
    * gap anywhere: both engines run identical IEEE ops, so the sign
    * can't flip even when a dot is within an ulp of zero.
    */
-  private def simLshTopkOracle: String = {
-    val planes = 6; val tables = 8; val dim = 64
-    val seed = 7L; val k = 10
-    val planeRows = (for {
+  /** (tbl, p, CAST([...] AS DOUBLE[])) literal rows for `tables` ×
+    * `planes` frozen hyperplane normals — shared by the LSH-ANN and
+    * contrastive-triple oracles. Components are dyadic rationals, so
+    * the decimal text round-trips to the identical double. */
+  private def planeRowsSql(planes: Int, tables: Int, dim: Int,
+      seed: Long): String =
+    (for {
       t <- 0 until tables
       all = graft.ops.Similarity.hyperplaneNormals(
         planes, dim, seed + 1000003L * t)
@@ -2292,6 +2311,11 @@ object SparkEntry {
         .mkString("[", ", ", "]")
       s"($t, $p, CAST($lst AS DOUBLE[]))"
     }).mkString(",\n  ")
+
+  private def simLshTopkOracle: String = {
+    val planes = 6; val tables = 8; val dim = 64
+    val seed = 7L; val k = 10
+    val planeRows = planeRowsSql(planes, tables, dim, seed)
     s"""WITH pl AS (SELECT * FROM (VALUES
        |  $planeRows) AS t(tbl, p, vec)),
        |base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -2325,6 +2349,65 @@ object SparkEntry {
        |    ORDER BY cos DESC, id) AS BIGINT) AS rank FROM scored)
        |SELECT query_id, id, cosine, rank FROM r WHERE rank <= $k
        | ORDER BY query_id, rank""".stripMargin
+  }
+
+  /**
+   * DuckDB replay of `pp_triples` (X68): frozen 4-plane bucket
+   * assignment (one table, seed 7 — the same literal-plane recipe as
+   * simLshTopkOracle), anchor = min id per bucket, every member pairs
+   * with the anchor once, cosine in the exact dot/(sqrt·sqrt)
+   * convention, positive/negative argmins as rn=1 windows. Identical
+   * IEEE ops on both engines, so threshold filters at posMin/negMax
+   * cannot disagree even one ulp from the boundary.
+   */
+  private def ppTriplesOracle: String = {
+    val planeRows = planeRowsSql(planes = 4, tables = 1, dim = 64,
+      seed = 7L)
+    s"""WITH pl AS (SELECT * FROM (VALUES
+       |  $planeRows) AS t(tbl, p, vec)),
+       |base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+       |  FROM embeddings WHERE vec_id < 20),
+       |sigs AS (SELECT b.id,
+       |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+       |        j -> b.v[j] * pl.vec[j])) >= 0
+       |      THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM base b CROSS JOIN pl GROUP BY b.id),
+       |m AS (SELECT s.id, s.bucket, b.v FROM sigs s
+       |  JOIN base b ON b.id = s.id),
+       |anch AS (SELECT bucket, min(id) AS anchor_id FROM m
+       |  GROUP BY bucket),
+       |pairs AS (SELECT m.bucket, a.anchor_id, m.id,
+       |    list_sum(list_transform(range(1, 65),
+       |      j -> m.v[j] * av.v[j])) AS dot,
+       |    list_sum(list_transform(m.v, x -> x * x)) AS na,
+       |    list_sum(list_transform(av.v, x -> x * x)) AS nb
+       |  FROM m JOIN anch a ON m.bucket = a.bucket
+       |  JOIN m av ON av.bucket = m.bucket AND av.id = a.anchor_id
+       |  WHERE m.id > a.anchor_id),
+       |sc AS (SELECT bucket, anchor_id, id,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |      ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+       |  FROM pairs),
+       |pos AS (SELECT bucket, anchor_id, id AS positive_id,
+       |    cos AS pos_cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY bucket, anchor_id
+       |    ORDER BY id) AS rn
+       |  FROM sc WHERE cos >= 0.999) WHERE rn = 1),
+       |neg AS (SELECT bucket, anchor_id, id AS negative_id,
+       |    cos AS neg_cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY bucket, anchor_id
+       |    ORDER BY id) AS rn
+       |  FROM sc WHERE cos < 0.5) WHERE rn = 1)
+       |SELECT p.bucket, p.anchor_id, p.positive_id,
+       |  round(p.pos_cos, 6) AS pos_cos,
+       |  n.negative_id, round(n.neg_cos, 6) AS neg_cos
+       |FROM pos p JOIN neg n ON p.bucket = n.bucket
+       |  AND p.anchor_id = n.anchor_id
+       |ORDER BY p.bucket, p.anchor_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4621,6 +4704,9 @@ object SparkEntry {
     // literals, sign-of-dot signatures, Hamming-1 multi-probe, exact
     // bit-identical cosine re-rank — see simLshTopkOracle
     "sim_lsh_topk" -> simLshTopkOracle,
+    // contrastive-triple replay (r18): frozen 4-plane buckets, min-id
+    // anchors, exact-cosine thresholds — see ppTriplesOracle
+    "pp_triples" -> ppTriplesOracle,
     // PQ ADC top-k replay (r18): generated three-round k-means on the
     // L2-NORMALIZED vectors (sequential list_sum ≡ the Scala norm
     // loop, verified bit-exact), exact-BIGINT ADC shortlist ranked

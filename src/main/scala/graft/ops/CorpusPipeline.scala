@@ -550,4 +550,64 @@ object CorpusPipeline {
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
   }
+
+  /**
+   * Contrastive training-triple mining (X68) — the training-data
+   * generation step for embedding-model fine-tuning: emit
+   * (anchor, positive, hard-negative) triples where the positive is a
+   * near-duplicate of the anchor and the hard negative shares the
+   * anchor's LSH bucket (similar enough to be confusable — the
+   * in-batch-negatives-aren't-hard-enough fix retrieval training
+   * uses) while staying below the `negMax` cosine ceiling.
+   *
+   * Semantics, fully deterministic: each hyperplane bucket's anchor is
+   * its smallest id; every other member pairs with the anchor exactly
+   * once (linear in bucket size — the [[graft.ops.Dedup.embeddingDups]]
+   * min-pairing, never all-pairs); the positive is the smallest-id
+   * member with cosine ≥ `posMin`, the negative the smallest-id member
+   * with cosine < `negMax`; buckets missing either side emit nothing.
+   * The plane normals are the frozen dyadic splitmix64 stream and all
+   * cosines run on exact double casts, so the WHOLE mine — bucket
+   * assignment, pairing, both argmins — SQL-replays bit-for-bit
+   * (pp_triples carries a full hash oracle).
+   *
+   * Scale shape: one codegen signature scan, ONE hash-partitioned
+   * window (spill-safe within buckets), two member-sized aggregates
+   * and a (bucket, anchor)-keyed join of those aggregates. Tune
+   * `planes` so expected bucket size stays task-sized (each +1 plane
+   * halves it); the window never crosses buckets.
+   *
+   * @return (bucket, anchor_id, positive_id, pos_cos, negative_id,
+   *         neg_cos), one row per bucket that yields a full triple
+   */
+  def contrastiveTriples(df: DataFrame, idCol: String, vecCol: String,
+      posMin: Double = 0.95, negMax: Double = 0.8, planes: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"),
+      Similarity.hyperplaneSig(col(vecCol), planes, seed).as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val paired = sig
+      .withColumn("anchor_id", first("id").over(w))
+      .withColumn("anchor_vec", first("vec").over(w))
+      .filter(col("id") > col("anchor_id"))
+      .withColumn("cos", Similarity.cosineNative(spark,
+        col("vec"), col("anchor_vec")))
+    val pos = paired.filter(col("cos") >= posMin)
+      .groupBy("bucket", "anchor_id")
+      .agg(min(struct(col("id"), col("cos"))).as("p"))
+    val neg = paired.filter(col("cos") < negMax)
+      .groupBy("bucket", "anchor_id")
+      .agg(min(struct(col("id"), col("cos"))).as("m"))
+    pos.join(neg, Seq("bucket", "anchor_id"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("anchor_id"),
+        col("p.id").as("positive_id"),
+        round(col("p.cos"), 6).as("pos_cos"),
+        col("m.id").as("negative_id"),
+        round(col("m.cos"), 6).as("neg_cos"))
+  }
 }

@@ -1200,4 +1200,31 @@ class OpsSpec extends SparkTestBase {
     assert(rb.head.getLong(1) === 2L)
     assert(rb.head.getLong(2) === Long.MaxValue)
   }
+
+  test("contrastiveTriples: min-id anchor per bucket, near-dup " +
+      "positive, sub-ceiling hard negative, partition-invariant (X68)") {
+    // geometry pinned against the frozen plane itself: with ONE plane
+    // in 2-d, the normal n lands in the dot>=0 bucket, -n in the other,
+    // and the orthogonal vector t rides the dot==0 edge into the >=0
+    // bucket (the documented sign convention)
+    val n = Similarity.hyperplaneNormals(1, 2, 7L)
+    val u = Seq(n(0), n(1))
+    val t = Seq(-n(1), n(0)) // orthogonal to u → cosine exactly 0
+    val w = Seq(-n(0), -n(1)) // the other bucket, alone → no triple
+    val rows = Seq((0L, u), (1L, u), (2L, t), (3L, w))
+    def run(parts: Int) =
+      CorpusPipeline.contrastiveTriples(
+        rows.toDF("id", "vec").repartition(parts), "id", "vec",
+        posMin = 0.99, negMax = 0.5, planes = 1, seed = 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getDouble(5))).toSeq
+    val got = run(3)
+    assert(got === Seq((1L, 0L, 1L, 1.0, 2L, 0.0)), got.toString)
+    assert(run(1) === got)
+    // a bucket with a positive but NO sub-ceiling member emits nothing
+    val noNeg = CorpusPipeline.contrastiveTriples(
+      Seq((0L, u), (1L, u)).toDF("id", "vec"), "id", "vec",
+      posMin = 0.99, negMax = 0.5, planes = 1, seed = 7L)
+    assert(noNeg.count() === 0L)
+  }
 }
