@@ -428,6 +428,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- profiling: per-source rank normalization (X69) — score
+    //      calibration before corpus mixing: pct = mid-rank CDF
+    //      (2·below + ties)/(2·n) within source, exact BIGINTs until
+    //      one division; corpus never sorts (counts aggregate +
+    //      distinct-value CDF window + broadcast join back) ----
+    "prof_ranknorm" -> ((s, dir) =>
+      ops.Profiler.rankNormalize(ld(s, dir, "documents"),
+        "doc_id", "source", "n_chars")
+        .orderBy("id")),
+
     // ---- events: fixed-width temporal downsampling (X66) — hourly
     //      per-user bars with exact fixed-point stats and (ts, id)-
     //      ordered first/last; ONE hash aggregate, no window/sort ----
@@ -2734,6 +2744,31 @@ object SparkEntry {
     "prof_stats" -> profStatsOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       Seq(25, 50, 75, 95)),
+    // rank-normalization replay (X69): shared fixed-point quantize,
+    // per-(source, q) counts, exclusive-below window over the DISTINCT
+    // value rows, midrank pct as one exact-BIGINT division
+    "prof_ranknorm" ->
+      """WITH r0 AS (SELECT doc_id AS id,
+        |    CAST(source AS VARCHAR) AS grp,
+        |    CASE WHEN n_chars IS NULL
+        |        OR isnan(CAST(n_chars AS DOUBLE)) THEN NULL
+        |      ELSE CAST(floor(CAST(n_chars AS DOUBLE) * 1048576.0
+        |        + 0.5) AS BIGINT) END AS score_q
+        |  FROM documents),
+        |c AS (SELECT grp, score_q, count(*) AS cnt FROM r0
+        |  WHERE score_q IS NOT NULL GROUP BY grp, score_q),
+        |cd AS (SELECT grp, score_q,
+        |    round(CAST(cnt + 2 * COALESCE(sum(cnt) OVER (
+        |        PARTITION BY grp ORDER BY score_q
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0) AS DOUBLE)
+        |      / CAST(2 * sum(cnt) OVER (PARTITION BY grp) AS DOUBLE),
+        |      6) AS pct
+        |  FROM c)
+        |SELECT r0.id, r0.grp AS "group", r0.score_q, cd.pct
+        |FROM r0 LEFT JOIN cd ON r0.grp = cd.grp
+        |  AND r0.score_q = cd.score_q
+        |ORDER BY r0.id""".stripMargin,
     "prof_corr" -> profCorrOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     // PSI drift: base-decile edges by the same row_number rank

@@ -417,4 +417,52 @@ object Profiler {
         StructField("n", LongType, nullable = false),
         StructField("corr", DoubleType, nullable = false))))
   }
+
+  /**
+   * Per-group rank normalization (X69) — score calibration before
+   * corpus mixing: a quality threshold tuned on one source is
+   * meaningless on another (their score distributions differ), so
+   * normalize each row's score to its mid-rank percentile WITHIN its
+   * group and "keep the top 30% of every source" becomes one global
+   * `pct >= 0.7` predicate.
+   *
+   * Exactness: scores quantize by the shared [[quantize]] rule
+   * (NaN/null → null pct, never a fake rank); `pct` is the mid-rank
+   * CDF (2·below + ties) / (2·n) — a single division of exact BIGINTs,
+   * so the result is bit-identical across partitionings and in the
+   * DuckDB replay. Singleton groups land on 0.5.
+   *
+   * Scale shape: ONE map-side-combinable (group, q) count aggregate —
+   * the corpus never sorts — then the cumulative-below window runs on
+   * the DISTINCT (group, q) rows only (≪ corpus; bounded by the
+   * quantization lattice, not the row count), and the per-row pct
+   * attaches via a broadcast join of that distinct-value CDF table.
+   * A 100 TB corpus with a [0,1]-ish quality score has ≤ ~2²⁰ distinct
+   * quantized values per group, KBs–MBs of CDF — broadcastable by
+   * construction. Unbounded-cardinality scores (raw byte lengths at
+   * full range) should be pre-binned or scaled first; the broadcast
+   * fails loudly, not silently, if that advice is ignored.
+   *
+   * @return (id, group, score_q, pct) — `pct` ∈ (0,1], null for
+   *         null/NaN scores; `score_q` the quantized score (audit aid)
+   */
+  def rankNormalize(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).cast("string").as("group"),
+      quantize(scoreCol).as("score_q"))
+    val cnts = rows.filter(col("score_q").isNotNull)
+      .groupBy("group", "score_q").agg(count(lit(1)).as("cnt"))
+    val below = coalesce(
+      sum("cnt").over(Window.partitionBy("group").orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val total = sum("cnt").over(Window.partitionBy("group"))
+    val cdf = cnts.withColumn("pct",
+      round((col("cnt") + lit(2L) * below).cast("double")
+        / (lit(2L) * total).cast("double"), 6))
+      .select(col("group"), col("score_q"), col("pct"))
+    rows.join(broadcast(cdf), Seq("group", "score_q"), "left")
+      .select(col("id"), col("group"), col("score_q"), col("pct"))
+  }
 }

@@ -259,4 +259,38 @@ class ProfilerSpec extends SparkTestBase {
       graft.ops.Profiler.bucketize(df, "v", Seq(5L, 2L))
     }
   }
+
+  test("rankNormalize: hand-computed midrank percentiles with ties, " +
+      "null/NaN → null pct, singleton group → 0.5, partition-" +
+      "invariant (X69)") {
+    // group a: scores 1, 2, 2, 4 → pct = 1/8, 4/8, 4/8, 7/8
+    // group b: single row → 1/2; nulls and NaNs carry null pct
+    val rows = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0), (4L, "a", 4.0),
+      (5L, "b", 9.0), (6L, "a", Double.NaN))
+    def run(parts: Int) =
+      graft.ops.Profiler.rankNormalize(
+        rows.toDF("id", "src", "score").repartition(parts),
+        "id", "src", "score")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(3)) null else Double.box(r.getDouble(3))))
+        .toSeq
+    val got = run(4)
+    assert(got === Seq(
+      (1L, "a", Double.box(0.125)), (2L, "a", Double.box(0.5)),
+      (3L, "a", Double.box(0.5)), (4L, "a", Double.box(0.875)),
+      (5L, "b", Double.box(0.5)), (6L, "a", null)), got.toString)
+    assert(run(1) === got)
+    // the calibration property the op exists for: a per-source top-50%
+    // cut is one global predicate even when raw scales differ wildly
+    val skewed = Seq.tabulate(40)(i =>
+      (i.toLong, "lo", i.toDouble / 100)) ++
+      Seq.tabulate(40)(i => (100L + i, "hi", 1000.0 + i))
+    val kept = graft.ops.Profiler.rankNormalize(
+        skewed.toDF("id", "src", "score"), "id", "src", "score")
+      .filter(col("pct") > 0.5).groupBy("group").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === Map("lo" -> 20L, "hi" -> 20L), kept.toString)
+  }
 }
