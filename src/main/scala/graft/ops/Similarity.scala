@@ -354,13 +354,18 @@ object Similarity {
       struct(lit(t).as("t"),
         hyperplaneSig(vec, planes, seed + 1000003L * t).as("sig"))
     }: _*)
+    // vectors ride the bucket join in their source type (half the
+    // shuffle/broadcast bytes for float embeddings); the exact double
+    // cast happens once per CANDIDATE at scoring time — float→double
+    // is exact, so the cosine is the same bit-replayable double
+    // sequence either way
     val dv = (c: Column) => c.cast("array<double>")
     val hashedCorpus = corpus.select(col(idCol).as("id"),
-      dv(col(vecCol)).as("vec"), explode(tableSigs(col(vecCol))).as("b"))
+      col(vecCol).as("vec"), explode(tableSigs(col(vecCol))).as("b"))
       .select(col("id"), col("vec"), col("b.t"), col("b.sig"))
     // query probes: own bucket + flip each bit once, per table
     val probes = queries.select(col(queryIdCol).as("query_id"),
-      dv(col(vecCol)).as("qvec"), explode(tableSigs(col(vecCol))).as("b"))
+      col(vecCol).as("qvec"), explode(tableSigs(col(vecCol))).as("b"))
       .select(col("query_id"), col("qvec"), col("b.t"),
         explode(concat(array(col("b.sig")),
           array((0 until planes).map(p =>
@@ -369,7 +374,8 @@ object Similarity {
       .select("query_id", "id", "vec", "qvec")
       .dropDuplicates("query_id", "id")
       .withColumn("cosine",
-        cosineNative(corpus.sparkSession, col("vec"), col("qvec")))
+        cosineNative(corpus.sparkSession, dv(col("vec")),
+          dv(col("qvec"))))
     heapTopKByQuery(scored, k)
   }
 
