@@ -446,6 +446,16 @@ object SparkEntry {
         "event_id", "value", barUs = 3600000000L)
         .orderBy("user_id", "bar")),
 
+    // ---- events: leakage-safe outcome labeling (X70) — "purchase
+    //      within the hour AFTER this event" per user; strictly-future
+    //      forward as-of with tolerance, target side pre-aggregated to
+    //      one row per (user, us); exact micros tte ----
+    "ev_labels" -> ((s, dir) =>
+      ops.Sessions.labelOutcomes(ld(s, dir, "events"), "user_id", "ts",
+        "event_id", col("event_type") === "purchase",
+        horizonUs = 3600000000L)
+        .orderBy("id")),
+
     // ---- streaming: native session_window sessionization replay
     //      (X52) — append-mode final sessions over the real events
     //      table must equal the batch gap-rule carve-up (identical
@@ -2631,6 +2641,29 @@ object SparkEntry {
         |  max(CASE WHEN rn_d = 1 THEN vq END) AS v_last_q
         |FROM b GROUP BY user_id, bar
         |ORDER BY user_id, bar""".stripMargin,
+    // outcome-labeling replay (X70): forward-strict ASOF (e.us < t.us
+    // picks the FIRST future target, which is also the nearest — so
+    // the horizon check nulls it exactly like the Spark tolerance),
+    // target side pre-aggregated to max(event_id) per (user, us)
+    "ev_labels" ->
+      """WITH e AS (SELECT event_id AS id, user_id,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |t AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |    max(event_id) AS tid
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_ns(ts) // 1000),
+        |j AS (SELECT e.id, e.user_id, e.us, t.us AS m_us, t.tid
+        |  FROM e ASOF LEFT JOIN t
+        |    ON e.user_id = t.user_id AND e.us < t.us)
+        |SELECT id, user_id, us,
+        |  CAST(CASE WHEN m_us IS NOT NULL
+        |      AND m_us - us <= 3600000000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS label,
+        |  CAST(CASE WHEN m_us IS NOT NULL AND m_us - us <= 3600000000
+        |    THEN m_us - us ELSE -1 END AS BIGINT) AS tte_us,
+        |  CAST(CASE WHEN m_us IS NOT NULL AND m_us - us <= 3600000000
+        |    THEN tid ELSE -1 END AS BIGINT) AS target_id
+        |FROM j ORDER BY id""".stripMargin,
     "ev_sessions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |    epoch_ns(ts) AS tn FROM events),

@@ -193,4 +193,60 @@ object Sessions {
         max(struct(col("__us"), col("__id"), col("__vq")))
           .getField("__vq").as("v_last_q"))
   }
+
+  /**
+   * Leakage-safe outcome labeling (X70) — the supervised-label
+   * generation step for event models ("did this user convert within
+   * the horizon AFTER this event?"): every event gets `label` 1 iff
+   * the SAME user has a qualifying target event in (ts, ts+horizon],
+   * plus the exact time-to-event and the matched target id. Point-in-
+   * time correct by construction: strictly-future matching means an
+   * event can never label itself, and nothing at or before the event
+   * time leaks into its label — the train-serve skew a naive windowed
+   * self-join gets wrong at the boundary.
+   *
+   * Determinism: timestamps convert by the [[sessionize]] TZ-free
+   * nanos rule to micros; the target side pre-aggregates to ONE row
+   * per (user, us) keeping the LARGEST target id (the documented
+   * as-of tie rule AND the hot-timeline shrink from the SkewCheck
+   * as-of probe), so the matched row is unique on every partitioning
+   * and in the SQL replay. Events equal-timestamped WITH a target are
+   * strictly-future, so they do NOT match it (horizon is (0, h]).
+   *
+   * Scale shape: the [[AsofJoin.asofJoinForward]] core — one keyed
+   * exchange per side, an in-partition merge, no window over the raw
+   * log; the first future target is the nearest, so `tolerance`
+   * nulls out-of-horizon matches without a second scan.
+   *
+   * @param targetFilter which events count as outcomes (a Column
+   *        predicate over the RAW event row, e.g.
+   *        `col("event_type") === "purchase"`)
+   * @return (id, user_id, us, label, tte_us, target_id) — label 1 with
+   *         exact `tte_us` = match time − event time, or 0 with -1
+   *         sentinels (the j2/j4 as-of harness convention: keeps the
+   *         columns non-null longs, trainer- and compare-friendly)
+   */
+  def labelOutcomes(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, targetFilter: Column, horizonUs: Long)
+      : DataFrame = {
+    require(horizonUs > 0,
+      s"labelOutcomes: horizonUs must be positive, got $horizonUs")
+    val us = floor(asNanos(events, tsCol).cast("decimal(38,0)")
+      / lit(1000L)).cast("long")
+    val base = events.select(col(idCol).cast("long").as("id"),
+      col(userCol).cast("long").as("user_id"), us.as("us"))
+    val targets = events.filter(targetFilter)
+      .select(col(userCol).cast("long").as("user_id"), us.as("us"),
+        col(idCol).cast("long").as("tid"))
+      .groupBy("user_id", "us").agg(max("tid").as("tid"))
+    AsofJoin.asofJoinForward(base, targets, "user_id", "us", "us",
+        payloadCols = Seq("tid"), strict = true,
+        tolerance = Some(horizonUs))
+      .select(col("id"), col("user_id"), col("us"),
+        when(col("asof_ts").isNotNull, 1L).otherwise(0L).as("label"),
+        coalesce((col("asof_ts") - col("us")).cast("long"), lit(-1L))
+          .as("tte_us"),
+        coalesce(col("asof_tid").cast("long"), lit(-1L))
+          .as("target_id"))
+  }
 }

@@ -150,6 +150,42 @@ class SessionsSpec extends SparkTestBase {
     assert(run(df.repartition(1)) === got)
   }
 
+  test("labelOutcomes: strictly-future matching (no self-labels, no " +
+      "same-ts leaks), horizon boundary, same-us target tie to max " +
+      "id, partition-invariant (X70)") {
+    // users: 1 = the worked example, 2 = never converts,
+    // 3 = two targets at the SAME micros (pre-agg keeps max id)
+    val rows = Seq(
+      (0L, 0L, 1L, "view", 0.0),
+      (1L, 5L * G, 1L, "buy", 0.0), // target at 5s
+      (2L, 5L * G, 1L, "view", 0.0), // same ts as target: NOT labeled
+      (3L, 100L * G, 1L, "buy", 0.0), // target at 100s
+      (4L, 90L * G, 1L, "view", 0.0), // 10s to target == horizon: IN
+      (5L, 0L, 2L, "view", 0.0),
+      (6L, 0L, 3L, "view", 0.0),
+      (7L, 1L * G, 3L, "buy", 0.0), // same-us twin of 8
+      (8L, 1L * G, 3L, "buy", 0.0))
+    def run(parts: Int) =
+      Sessions.labelOutcomes(ev(rows: _*).repartition(parts),
+        "user_id", "ts", "event_id", col("event_type") === "buy",
+        horizonUs = 10000000L)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSeq
+    val got = run(4)
+    assert(got === Seq(
+      (0L, 1L, 5000000L, 1L), // first buy at 5s, tte exactly 5s
+      (1L, 0L, -1L, -1L), // a buy never labels itself (95s > horizon)
+      (2L, 0L, -1L, -1L), // same-ts target is NOT in (ts, ts+h]
+      (3L, 0L, -1L, -1L), // nothing after the last buy
+      (4L, 1L, 10000000L, 3L), // tte == horizon: inclusive edge
+      (5L, 0L, -1L, -1L), // user 2 never converts
+      (6L, 1L, 1000000L, 8L), // same-us twin targets → max id 8
+      (7L, 0L, -1L, -1L),
+      (8L, 0L, -1L, -1L)), got.toString)
+    assert(run(1) === got)
+  }
+
   test("resampleBars fuzz: random event logs (dense ts ties, NaN, " +
       "negative values, pre-epoch timestamps) equal a driver-side " +
       "reference across partitionings and bar widths") {
