@@ -485,6 +485,16 @@ object SparkEntry {
         ld(s, dir, "events"), "user_id", "ts", "event_id", "value",
         tolerance = Some(21600L * 1000000L))),
 
+    // ---- streaming outcome labeling (X71) — the online face of the
+    //      X70 label generator: pending events resolve on time advance
+    //      (open same-us max-id target, then horizon expiry), flushed
+    //      finals must hash-match the batch forward-ASOF oracle ----
+    "st_labels" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replayLabels(
+        ld(s, dir, "events"), "user_id", "ts", "event_id",
+        col("event_type") === "purchase",
+        horizonUs = 3600000000L)),
+
     // ---- profiling: EXACT distributed quantiles + column stats
     //      (X50) — per requested rank, iterative 2¹⁶-bucket range
     //      narrowing (2–3 shared scans total, never a per-group value
@@ -2641,6 +2651,28 @@ object SparkEntry {
         |  max(CASE WHEN rn_d = 1 THEN vq END) AS v_last_q
         |FROM b GROUP BY user_id, bar
         |ORDER BY user_id, bar""".stripMargin,
+    // streaming outcome labeling (X71): the flushed finals must equal
+    // the batch X70 pass — same forward-strict ASOF replay, with the
+    // streamed output's column names
+    "st_labels" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |t AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |    max(event_id) AS tid
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_ns(ts) // 1000),
+        |j AS (SELECT e.event_id, e.user_id, e.us, t.us AS m_us, t.tid
+        |  FROM e ASOF LEFT JOIN t
+        |    ON e.user_id = t.user_id AND e.us < t.us)
+        |SELECT event_id, user_id, us AS ts_us,
+        |  CAST(CASE WHEN m_us IS NOT NULL
+        |      AND m_us - us <= 3600000000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS label,
+        |  CAST(CASE WHEN m_us IS NOT NULL AND m_us - us <= 3600000000
+        |    THEN m_us - us ELSE -1 END AS BIGINT) AS tte_us,
+        |  CAST(CASE WHEN m_us IS NOT NULL AND m_us - us <= 3600000000
+        |    THEN tid ELSE -1 END AS BIGINT) AS target_id
+        |FROM j ORDER BY event_id""".stripMargin,
     // outcome-labeling replay (X70): forward-strict ASOF (e.us < t.us
     // picks the FIRST future target, which is also the nearest — so
     // the horizon check nulls it exactly like the Spark tolerance),

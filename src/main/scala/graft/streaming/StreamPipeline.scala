@@ -155,6 +155,157 @@ object StreamPipeline {
       }
   }
 
+  /** Per-key state of [[labelStream]]: the horizon's worth of pending
+    * (id, us) events, the OPEN same-us target accumulator, and the
+    * high-water mark. Pending is the honest minimum for forward
+    * labeling — an event's label is unknowable until a target arrives
+    * or its horizon expires — so state per key is O(events within the
+    * horizon), never the whole stream. */
+  private[streaming] final case class LabelState(
+      pending: Seq[(Long, Long)], openUs: Long, openTid: Long,
+      hasOpen: Boolean, curUs: Long, hasCur: Boolean)
+
+  private[streaming] final case class LabelOut(event_id: Long,
+      user_id: Long, ts_us: Long, label: Long, tte_us: Long,
+      target_id: Long)
+
+  /**
+   * Streaming outcome labeling (X71) — the online face of
+   * [[graft.ops.Sessions.labelOutcomes]]'s X70 semantics: every event
+   * eventually emits label 1 with its exact time-to-event and matched
+   * target id iff the SAME key produces a qualifying target event
+   * strictly within (ts, ts+horizon], else label 0 with -1 sentinels —
+   * the training-label generator running against live traffic, with
+   * finals identical to the batch pass (the `st_labels` oracle).
+   *
+   * Mechanics (the [[asofStream]] open/closed pattern, pointed
+   * forward): events wait in a pending buffer; same-us targets
+   * accumulate a max-id OPEN target (the batch per-(key, us) pre-
+   * aggregation, incrementally); when event time ADVANCES, the open
+   * target resolves every pending event it qualifies for (it is their
+   * FIRST future target — earlier targets would have resolved them
+   * already), then pendings whose horizon the new time has passed
+   * emit label 0. Resolution strictly on time advance is what makes
+   * same-us twin targets safe across micro-batch boundaries.
+   *
+   * Ordering contract (same as [[asofStream]]): per-key event times
+   * non-decreasing across micro-batches, equal-ts arrivals id-ordered
+   * (each micro-batch is (ts, id)-sorted internally). A late event's
+   * label is unknowable — it emits label -1 sentinels, deterministic
+   * and visible, with the state untouched. A production deployment
+   * flushes quiet keys' pendings via an event-time timeout under a
+   * watermark; the replay harness forces the same finals with a
+   * far-future flush row per key.
+   *
+   * @param isTargetCol boolean column: does THIS event count as an
+   *        outcome (computed upstream, e.g. `event_type = 'purchase'`)
+   */
+  def labelStream(stream: DataFrame, keyCol: String, tsUsCol: String,
+      idCol: String, isTargetCol: String, horizonUs: Long)
+      : Dataset[LabelOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(horizonUs > 0,
+      s"labelStream: horizonUs must be positive, got $horizonUs")
+    val h = horizonUs
+    val ds = stream.select(col(keyCol).cast("long"),
+        col(tsUsCol).cast("long"), col(idCol).cast("long"),
+        col(isTargetCol).cast("boolean"))
+      .as[(Long, Long, Long, Boolean)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, Boolean)],
+         st: GroupState[LabelState]) =>
+          var s = st.getOption.getOrElse(LabelState(Vector.empty,
+            0L, 0L, hasOpen = false, 0L, hasCur = false))
+          val out = scala.collection.mutable.ArrayBuffer[LabelOut]()
+          // time advances to `us`: first the open target claims every
+          // pending event it qualifies for (strictly-earlier, within
+          // horizon), THEN the new time expires unmatchable pendings —
+          // this order is what preserves first-future semantics
+          def advance(us: Long): Unit = {
+            if (s.hasOpen) {
+              val (hit, rest) = s.pending.partition(p =>
+                p._2 < s.openUs && s.openUs - p._2 <= h)
+              hit.foreach { case (id, pus) =>
+                out += LabelOut(id, user, pus, 1L, s.openUs - pus,
+                  s.openTid)
+              }
+              s = s.copy(pending = rest, hasOpen = false)
+            }
+            val (dead, alive) = s.pending.partition(p => us - p._2 > h)
+            dead.foreach { case (id, pus) =>
+              out += LabelOut(id, user, pus, 0L, -1L, -1L)
+            }
+            s = s.copy(pending = alive, curUs = us, hasCur = true)
+          }
+          it.toArray.sortBy(r => (r._2, r._3)).foreach {
+            case (_, us, id, isTarget) =>
+              if (s.hasCur && us < s.curUs) {
+                // late arrival: its true label is unknowable — emit the
+                // visible sentinel, never a silently-wrong 0
+                out += LabelOut(id, user, us, -1L, -1L, -1L)
+              } else {
+                if (!s.hasCur || us > s.curUs) advance(us)
+                if (isTarget)
+                  s = if (s.hasOpen)
+                    s.copy(openTid = math.max(s.openTid, id))
+                  else s.copy(openUs = us, openTid = id, hasOpen = true)
+                s = s.copy(pending = s.pending :+ ((id, us)))
+              }
+          }
+          st.update(s)
+          out.iterator
+      }
+  }
+
+  /**
+   * Bounded REPLAY of [[labelStream]] for the correctness harness (the
+   * `st_labels` query): the events table feeds through a memory stream
+   * in ascending (ts, id) micro-batches, then one far-future NON-target
+   * flush row per user forces every still-pending event past its
+   * horizon — so the sink holds a label for EVERY real event and must
+   * hash-match the batch X70 pass (same DuckDB forward-ASOF oracle).
+   * Verification device, not a production operator (the
+   * [[replayDedup]] caveat): production points [[labelStream]] at
+   * `readStream` with an event-time timeout flush.
+   */
+  def replayLabels(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, targetExpr: org.apache.spark.sql.Column,
+      horizonUs: Long, numBatches: Int = 5): DataFrame = {
+    val spark = replaySession(df)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val micros = floor(Sessions.asNanos(df, tsCol)
+      .cast("decimal(38,0)") / lit(1000L)).cast("long")
+    val rows = df.select(col(userCol).cast("long"), micros.as("us"),
+        col(idCol).cast("long"), targetExpr.cast("boolean"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .sortBy(r => (r._2, r._3))
+    require(rows.nonEmpty, "replayLabels: empty input")
+    val maxUs = rows.map(_._2).max
+    val flush = rows.map(_._1).distinct.sorted.map(u =>
+      (u, maxUs + horizonUs + 1L, -1L, false)).toSeq
+    val in = MemoryStream[(Long, Long, Long, Boolean)]
+    val labeled = labelStream(
+      in.toDF().toDF("user_id", "ts_us", "event_id", "is_target"),
+      "user_id", "ts_us", "event_id", "is_target", horizonUs).toDF()
+    withReplaySink(spark, "st_labels_", labeled) { q =>
+      feedBatches(rows, numBatches) { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+      in.addData(flush)
+      q.processAllAvailable()
+    } { sink =>
+      // the flush rows' own label-0 finals are harness artifacts
+      spark.table(sink).filter(col("event_id") >= 0)
+        .orderBy("event_id").localCheckpoint(true)
+    }
+  }
+
   /** Streaming model scoring: the broadcast-model predict UDF is
     * row-local, so it applies to a stream as-is. */
   def scoreModel(model: GraftModel, stream: DataFrame,

@@ -609,4 +609,37 @@ class StreamPipelineSpec extends SparkTestBase {
       spark.catalog.dropTempView("st_asof_inf")
     }
   }
+
+  test("replayLabels fuzz: streamed outcome-label finals equal the " +
+      "batch X70 pass across random logs, horizons, ts ties, and " +
+      "micro-batch boundaries (X71)") {
+    for (trial <- 0 until 4) {
+      val rng = new scala.util.Random(9100 + trial)
+      val horizon = Seq(1000000L, 5000000L, 20000000L)(rng.nextInt(3))
+      val n = 40 + rng.nextInt(120)
+      val rows = Seq.tabulate(n) { i =>
+        (i.toLong,
+          rng.nextInt(40).toLong * 1000000L +
+            rng.nextInt(3).toLong * 500000L, // forced equal-us runs
+          rng.nextInt(4).toLong,
+          if (rng.nextInt(4) == 0) "buy" else "view")
+      }
+      val df = rows.toDF("event_id", "us", "user_id", "event_type")
+        .withColumn("ts",
+          timestamp_micros(col("us")).cast("timestamp_ntz"))
+        .drop("us")
+      val streamed = StreamPipeline.replayLabels(df, "user_id", "ts",
+          "event_id", col("event_type") === "buy", horizon,
+          numBatches = 1 + rng.nextInt(6))
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSeq
+      val batch = graft.ops.Sessions.labelOutcomes(df, "user_id", "ts",
+          "event_id", col("event_type") === "buy", horizon)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSeq
+      assert(streamed === batch, s"trial $trial horizon=$horizon " +
+        s"n=$n")
+    }
+  }
 }
