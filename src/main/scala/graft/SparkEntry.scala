@@ -392,6 +392,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- bucketed interval (range) join (X72) — "which events fell
+    //      inside any error window": every error event opens a 2-min
+    //      half-open incident window; intervals replicate to grain
+    //      cells (≤2 copies at grain = span), each probe row owns ONE
+    //      cell, and a plain equi-join + codegen refine replaces the
+    //      BroadcastNestedLoopJoin Spark would otherwise plan for a
+    //      pure range condition ----
+    "j5_range" -> ((s, dir) => {
+      val e = ld(s, dir, "events")
+      val iv = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("interval_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 120 SECONDS")).as("w_end"))
+      ops.Intervals.rangeJoin(
+        e.select(col("event_id"), col("ts")), "ts",
+        iv, "w_start", "w_end", grainUs = 120000000L)
+        .select(col("interval_id"), col("event_id"), col("offset_us"))
+        .orderBy("interval_id", "event_id")
+    }),
+
     // ---- window function capability ----
     "w1_running_sum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -455,6 +475,39 @@ object SparkEntry {
         "event_id", col("event_type") === "purchase",
         horizonUs = 3600000000L)
         .orderBy("id")),
+
+    // ---- events: trailing-window point-in-time features (X73) —
+    //      each event sees the same user's activity in the hour
+    //      STRICTLY before it ([ts−1h, ts−1] micros; ties excluded —
+    //      a live scorer could not have counted them): count,
+    //      non-missing count, exact fixed-point value sum; one user
+    //      exchange + a sliding RANGE frame, no self-join ----
+    "ev_trailing" -> ((s, dir) =>
+      ops.Features.trailingFeatures(ld(s, dir, "events"), "user_id",
+        "ts", "event_id", "value", windowUs = 3600000000L)
+        .orderBy("id")),
+
+    // ---- events: ordered-step funnel (X75) — earliest
+    //      view → click → purchase chain per user, each step strictly
+    //      after the previous and within 7 days of the anchor; one
+    //      aggregate per step over that step's filtered subset joined
+    //      to the |users|-sized milestone table ----
+    "ev_funnel" -> ((s, dir) =>
+      ops.Features.funnel(ld(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowUs = 604800000000L)
+        .orderBy("user_id")),
+
+    // ---- features: leave-one-out target encoding (X74) — the
+    //      event_type column becomes the smoothed mean value of its
+    //      OTHER rows ((Σq − own)/2²⁰ + m·prior)/(n−1+m): exact
+    //      BIGINT sums, one tiny broadcast stats table, the corpus
+    //      never shuffles ----
+    "ft_target_enc" -> ((s, dir) =>
+      ops.Features.targetEncodeLoo(ld(s, dir, "events"),
+        "event_type", "value", smoothing = 20.0)
+        .select(col("event_id"), col("event_type"), col("enc"))
+        .orderBy("event_id")),
 
     // ---- streaming: native session_window sessionization replay
     //      (X52) — append-mode final sessions over the real events
@@ -992,6 +1045,18 @@ object SparkEntry {
       ops.CorpusPipeline.assignSplit(ld(s, dir, "documents"), "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
+
+    // ---- stratified EXACT-proportion split (X76) — per-source rank
+    //      cut in the salted-hash order: every source gets split
+    //      counts within one row of 80/10/10 exactly (a 25-doc source
+    //      is always 20/2/3 — assignSplit's independent hashes can't
+    //      promise that); the rank is two-level bucketed (no
+    //      one-task-per-stratum window), pure BIGINT boundary math ----
+    "pp_stratified" -> ((s, dir) =>
+      ops.CorpusPipeline.stratifiedSplit(ld(s, dir, "documents"),
+        "doc_id", "source",
+        Seq(("train", 8L), ("val", 1L), ("test", 1L)))
+        .orderBy("id")),
 
     // ---- sequence packing: fixed-capacity token bins via
     //      deterministic shard-local NEXT-FIT (the padding-waste
@@ -2592,6 +2657,20 @@ object SparkEntry {
         | FROM l ASOF LEFT JOIN snap s
         |   ON l.user_id = s.user_id AND l.ts > s.ts
         | ORDER BY event_id""".stripMargin,
+    // range-join replay: DuckDB's planner handles the small-SF range
+    // predicate directly (inequality join) — same half-open [s, s+120s)
+    // containment in exact integer micros, same self-inclusion of the
+    // window-opening error event (offset 0)
+    "j5_range" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS us
+        |    FROM events),
+        | i AS (SELECT event_id AS interval_id, epoch_ns(ts) // 1000 AS s_us
+        |    FROM events WHERE event_type = 'error')
+        |SELECT i.interval_id, e.event_id,
+        |  CAST(e.us - i.s_us AS BIGINT) AS offset_us
+        | FROM e JOIN i
+        |   ON e.us >= i.s_us AND e.us < i.s_us + 120000000
+        | ORDER BY interval_id, event_id""".stripMargin,
     "w1_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -2696,6 +2775,71 @@ object SparkEntry {
         |  CAST(CASE WHEN m_us IS NOT NULL AND m_us - us <= 3600000000
         |    THEN tid ELSE -1 END AS BIGINT) AS target_id
         |FROM j ORDER BY id""".stripMargin,
+    // trailing-window replay: RANGE frames are value-based in both
+    // engines ([us−1h, us−1] micros — equal-us ties excluded), the
+    // X50 NaN-as-missing quantization, empty frames → 0
+    "ev_trailing" ->
+      """WITH e AS (SELECT event_id AS id, user_id,
+        |    epoch_ns(ts) // 1000 AS us,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |      ELSE CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |        AS BIGINT) END AS vq
+        |  FROM events)
+        |SELECT id, user_id, us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trail,
+        |  CAST(count(vq) OVER w AS BIGINT) AS n_vals_trail,
+        |  CAST(coalesce(sum(vq) OVER w, 0) AS BIGINT) AS v_sum_q_trail
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY id""".stripMargin,
+    // funnel replay: the same chained strictly-after minima anchored
+    // at the user's global first step-1 event, window inclusive at
+    // t1 + 7 days
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |m1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |m2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+        |  JOIN m1 ON e.user_id = m1.user_id
+        |  WHERE event_type = 'click' AND us > t1
+        |    AND us <= t1 + 604800000000 GROUP BY e.user_id),
+        |m3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+        |  JOIN m2 ON e.user_id = m2.user_id
+        |  JOIN m1 ON e.user_id = m1.user_id
+        |  WHERE event_type = 'purchase' AND us > t2
+        |    AND us <= t1 + 604800000000 GROUP BY e.user_id)
+        |SELECT m1.user_id, t1 AS t_1,
+        |  coalesce(t2, -1) AS t_2, coalesce(t3, -1) AS t_3,
+        |  CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS depth,
+        |  CASE WHEN t3 IS NOT NULL THEN t3 - t1 ELSE -1 END AS tte_us
+        |FROM m1 LEFT JOIN m2 ON m1.user_id = m2.user_id
+        |LEFT JOIN m3 ON m1.user_id = m3.user_id
+        |ORDER BY m1.user_id""".stripMargin,
+    // LOO target-encoding replay: exact BIGINT sums/counts, then the
+    // IDENTICAL IEEE double expression shape (division, +, ×) — both
+    // engines' double ops are correctly rounded, so bit-equal
+    "ft_target_enc" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |      ELSE CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |        AS BIGINT) END AS yq
+        |  FROM events),
+        |g AS (SELECT CAST(sum(yq) AS DOUBLE)
+        |    / (CAST(count(yq) AS DOUBLE) * 1048576.0) AS prior FROM v),
+        |s AS (SELECT event_type, CAST(sum(yq) AS BIGINT) AS sq,
+        |    count(yq) AS n FROM v GROUP BY event_type)
+        |SELECT v.event_id, v.event_type,
+        |  (CAST(coalesce(s.sq, 0) - coalesce(v.yq, 0) AS DOUBLE)
+        |     / 1048576.0
+        |     + 20.0 * g.prior)
+        |  / (CAST(s.n - CASE WHEN v.yq IS NOT NULL THEN 1 ELSE 0 END
+        |       AS DOUBLE) + 20.0) AS enc
+        |FROM v JOIN s USING (event_type) CROSS JOIN g
+        |ORDER BY v.event_id""".stripMargin,
     "ev_sessions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |    epoch_ns(ts) AS tn FROM events),
@@ -3062,6 +3206,25 @@ object SparkEntry {
         | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
         |   ELSE 'test' END AS split
         | FROM u ORDER BY doc_id""".stripMargin,
+    // stratified-split replay: the bucketed two-level rank equals the
+    // global per-stratum rank by construction, so DuckDB replays it
+    // directly as row_number over the (hash, id) order; boundaries by
+    // the same integer comparisons (rank·T ≤ n·cum)
+    "pp_stratified" ->
+      """WITH d AS (SELECT doc_id AS id, source AS stratum,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':strat')
+        |      % 4294967296 AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT id, stratum,
+        |    CAST(row_number() OVER (PARTITION BY stratum
+        |      ORDER BY h, id) AS BIGINT) AS strat_rank,
+        |    CAST(count(*) OVER (PARTITION BY stratum) AS BIGINT) AS n
+        |  FROM d)
+        |SELECT id, stratum, strat_rank,
+        |  CASE WHEN strat_rank * 10 <= n * 8 THEN 'train'
+        |       WHEN strat_rank * 10 <= n * 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY id""".stripMargin,
     // sequence packing: the recursive CTE walks rows in (shard,
     // doc_id) order carrying (bin, off) — the same next-fit state
     // machine packSequences runs per shard, with the tx_tokens token

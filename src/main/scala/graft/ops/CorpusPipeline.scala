@@ -610,4 +610,81 @@ object CorpusPipeline {
         col("m.id").as("negative_id"),
         round(col("m.cos"), 6).as("neg_cos"))
   }
+
+  /**
+   * Stratified EXACT-proportion split (X76) — per stratum, split
+   * counts are exact to the row: stratum rows rank in a deterministic
+   * salted-hash order (the [[mixture]] hash family, id tie-break) and
+   * split k takes ranks (floor(n·c(k−1)/T), floor(n·c(k)/T)] where
+   * c(k) is the cumulative weight and T the total — pure BIGINT
+   * comparisons (`r·T ≤ n·c(k)`), so every split size is within one
+   * row of proportional and they sum to n exactly. The guarantee
+   * [[assignSplit]]'s independent per-row hash cannot give: a 25-row
+   * source under 80/10/10 gets exactly 20/2/3, never 17/4/4 — the
+   * per-stratum eval coverage a mixture-weighted corpus needs. The
+   * trade (inherent, documented): an exact-count cut is a RANK cut,
+   * so growing a stratum reassigns rows near its boundaries — salt
+   * per carve; use [[assignSplit]] when per-row stability matters
+   * more than exact proportions.
+   *
+   * Scale shape: NO per-stratum global window (one task per stratum —
+   * the 100 TB funnel when strata are few). The rank is two-level:
+   * rows bucket by the hash's high bits (`__h div width` — uniform by
+   * construction, `buckets` cells per stratum), a (stratum, bucket)
+   * count aggregate (map-side combinable; S·buckets rows) yields
+   * per-bucket rank offsets and stratum totals via a window over that
+   * TINY table, and the per-row rank is a (stratum, bucket)-
+   * partitioned row_number — parallel across buckets — plus the
+   * broadcast offset. Equivalent to the global per-stratum rank,
+   * because the bucket order IS the hash order's prefix.
+   *
+   * @param splits ordered (name, weight) pairs, weights positive
+   *               integer proportions (8,1,1 = 80/10/10)
+   * @return (id, stratum, strat_rank, split); `strat_rank` is the
+   *         1-based position in the stratum's hash order (audit aid)
+   */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+      splits: Seq[(String, Long)], salt: String = ":strat",
+      buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(splits.nonEmpty, "stratifiedSplit: need at least one split")
+    require(splits.forall(_._2 > 0),
+      s"stratifiedSplit: weights must be positive integers: $splits")
+    val total = splits.map(_._2)
+      .reduce((a: Long, b: Long) => Math.addExact(a, b))
+    require(total <= 1000000L,
+      s"stratifiedSplit: total weight $total is implausibly large — " +
+        "rank·total must stay in BIGINT")
+    val cums = splits.map(_._2)
+      .scanLeft(0L)((a, b) => Math.addExact(a, b)).tail
+    val nb = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val width = (4294967296L + nb - 1) / nb
+    val proj = df.select(col(idCol).cast("long").as("id"),
+        col(strataCol).cast("string").as("stratum"),
+        hashU32(col(idCol), salt).as("__h"))
+      .withColumn("__b", expr(s"__h div ${width}L"))
+    val cnt = proj.groupBy("stratum", "__b").agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy("stratum").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = cnt
+      .withColumn("__off", coalesce(sum("__c").over(wOff), lit(0L)))
+      .withColumn("__n",
+        sum("__c").over(Window.partitionBy("stratum")))
+      .select("stratum", "__b", "__off", "__n")
+    val wRank = Window.partitionBy("stratum", "__b")
+      .orderBy(col("__h"), col("id"))
+    val ranked = proj.join(broadcast(off), Seq("stratum", "__b"))
+      .withColumn("strat_rank",
+        col("__off") + row_number().over(wRank).cast("long"))
+    // first split k with rank·T ≤ n·cum(k); the last split is the
+    // `otherwise`, so rounding never strands a row
+    val assign = splits.init.zipWithIndex.reverse.foldLeft(
+      lit(splits.last._1)) { case (acc, ((name, _), k)) =>
+      when(col("strat_rank") * lit(total) <= col("__n") * lit(cums(k)),
+        name).otherwise(acc)
+    }
+    ranked.withColumn("split", assign)
+      .select("id", "stratum", "strat_rank", "split")
+  }
 }

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucketed interval (range) join — for each probe row, every interval
+ * row whose half-open window `[start, end)` contains the probe's
+ * timestamp (optionally also matching equi-keys). The event-analytics
+ * primitive behind "which events happened during this incident /
+ * campaign / outage window" — and the label-attachment step when
+ * outcomes are defined by WINDOWS rather than points (the point form
+ * is [[Sessions.labelOutcomes]]; reference xgboost_ray delegates any
+ * such time-conditioned joins to its dataframe substrate, e.g. pandas
+ * in `data_sources/modin.py`, which single-nodes them).
+ *
+ * Spark has no native band/range join: `probe.join(iv, ts >= s &&
+ * ts < e)` with no equi-condition plans BroadcastNestedLoopJoin (or a
+ * full cartesian) — the per-row interval scan that dies at 100 TB.
+ * This is the textbook GRAIN-BUCKETED overlap join instead:
+ *
+ *   1. pick a grain G (micros); an interval replicates to one copy
+ *      per grain cell it overlaps — `ceil(span/G)` copies, guarded
+ *      below so replication cannot silently explode;
+ *   2. a probe row maps to exactly ONE cell (`ts div G`);
+ *   3. equi-join on (keys…, cell) — a plain hash-shuffle join that
+ *      Catalyst/AQE plan and skew-split natively;
+ *   4. refine by the real predicate `s <= ts && ts < e`.
+ *
+ * Because the PROBE side is never replicated and owns exactly one
+ * cell, a (probe, interval) pair meets at most once — no post-join
+ * dedup pass (the classic both-sides-replicated overlap join needs
+ * one; this shape doesn't). Output size is the true match count —
+ * inherent to the query, not an artifact of the plan.
+ *
+ * Grain choice: G ≈ the typical interval span gives ≤ 2 copies per
+ * interval; the `maxGrainsPerInterval` guard fails LOUDLY (inside the
+ * plan, via `raise_error`, so it works distributed with no extra
+ * action) when a caller's grain would replicate an interval past the
+ * bound, instead of quietly materializing a blowup. Timestamps follow
+ * the [[Sessions.asNanos]] TZ-free integer rule, so containment is
+ * bit-deterministic and replays exactly in SQL.
+ *
+ * Skew note: a cell holding a hot incident (many intervals × many
+ * events) is genuine output volume; AQE's skew-join split handles the
+ * shuffle side, and the refine predicate is codegen (no UDF).
+ *
+ * @param probe     left side; ALL its columns pass through
+ * @param intervals right side; ALL its columns except `startCol`/
+ *                  `endCol` pass through (names must not collide with
+ *                  probe's — loud failure otherwise)
+ * @param grainUs   bucket width in MICROSECONDS
+ * @param keyCols   optional equi-keys present on BOTH sides
+ * @param maxGrainsPerInterval replication guard per interval row
+ * @return probe columns ++ interval payload columns ++ (start_us,
+ *         end_us, offset_us = probe ts − start); empty intervals
+ *         (end ≤ start — nothing can be inside a half-open window of
+ *         non-positive span) are dropped
+ */
+object Intervals {
+
+  def rangeJoin(probe: DataFrame, probeTsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      grainUs: Long, keyCols: Seq[String] = Nil,
+      maxGrainsPerInterval: Int = 4096): DataFrame = {
+    require(grainUs > 0, s"rangeJoin: grainUs must be positive, got $grainUs")
+    require(maxGrainsPerInterval > 0,
+      "rangeJoin: maxGrainsPerInterval must be positive")
+
+    val probePayload =
+      probe.columns.filterNot(keyCols.contains)
+    val ivPayload = intervals.columns
+      .filterNot(c => c == startCol || c == endCol || keyCols.contains(c))
+    val clash = probePayload.toSet
+      .intersect(ivPayload.toSet ++ Set("start_us", "end_us", "offset_us"))
+    require(clash.isEmpty,
+      s"rangeJoin: column collision between sides: ${clash.mkString(", ")}" +
+        " — alias one side before joining")
+
+    def toUs(df: DataFrame, c: String): Column =
+      floor(Sessions.asNanos(df, c).cast("decimal(38,0)") / lit(1000L))
+        .cast("long")
+
+    val p = probe
+      .withColumn("__ts_us", toUs(probe, probeTsCol))
+      .withColumn("__cell", expr(s"__ts_us div ${grainUs}L"))
+
+    // half-open [s, e): the last contained instant is e−1, so the last
+    // overlapped cell is (e−1) div G — an interval ending exactly on a
+    // cell edge is NOT replicated into the cell it cannot reach
+    val iv0 = intervals
+      .withColumn("start_us", toUs(intervals, startCol))
+      .withColumn("end_us", toUs(intervals, endCol))
+      .drop(startCol, endCol)
+      .filter(col("end_us") > col("start_us"))
+    val g0 = expr(s"start_us div ${grainUs}L")
+    val g1 = expr(s"(end_us - 1L) div ${grainUs}L")
+    val guardMsg = concat(lit("rangeJoin: interval ["),
+      col("start_us").cast("string"), lit(", "),
+      col("end_us").cast("string"),
+      lit(s") spans more than $maxGrainsPerInterval grains of " +
+        s"$grainUs us - raise grainUs or the guard"))
+    val from = when(g1 - g0 >= lit(maxGrainsPerInterval.toLong),
+      raise_error(guardMsg).cast("long")).otherwise(g0)
+    val iv = iv0.withColumn("__cell", explode(sequence(from, g1)))
+
+    p.join(iv, keyCols :+ "__cell")
+      .filter(col("start_us") <= col("__ts_us") &&
+        col("__ts_us") < col("end_us"))
+      .withColumn("offset_us", col("__ts_us") - col("start_us"))
+      .drop("__cell", "__ts_us")
+  }
+}

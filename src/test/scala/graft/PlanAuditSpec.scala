@@ -357,6 +357,44 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("j5_range: the grain-bucketed range join plans a plain " +
+      "shuffle/broadcast HASH join — never the BroadcastNestedLoopJoin " +
+      "or cartesian a pure range condition would get") {
+    val p = plan("j5_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p) // equi-join on the grain cell
+  }
+
+  test("ev_trailing: ONE hash exchange (the user partitioning) feeds " +
+      "the sliding RANGE frame — no self-join, no extra shuffle") {
+    val p = plan("ev_trailing")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("ft_target_enc: the category stats attach via BROADCAST — the " +
+      "corpus is never shuffled for the encode") {
+    val p = plan("ft_target_enc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pp_stratified: the (stratum, bucket) offsets attach via " +
+      "BROADCAST and the rank window is bucket-partitioned (no " +
+      "one-task-per-stratum funnel)") {
+    val p = plan("pp_stratified")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the per-row rank window must partition by BOTH stratum and the
+    // hash bucket — a stratum-only spec would serialize each stratum
+    val winLine = p.linesIterator.find(l =>
+      l.contains("row_number()") && l.contains("windowspecdefinition"))
+    assert(winLine.exists(l => l.contains("stratum") && l.contains("__b")),
+      winLine.getOrElse(p))
+  }
+
   test("no query plans a global (unpartitioned) window sort") {
     // Window with an empty partition spec funnels the whole table into
     // one task ("WindowExec: No Partition Defined" at runtime)

@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/**
+ * Point-in-time feature engineering (X73–X75): trailing-window
+ * frames, leave-one-out encodings, and funnel chains — each against
+ * hand-computed values, each partition-invariant.
+ *
+ * Long ts columns are NANOS by the [[Sessions.asNanos]] contract;
+ * literals below are `us * 1000` so microsecond instants read
+ * directly.
+ */
+class FeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def us(v: Long): Long = v * 1000L
+
+  // ---- trailingFeatures (X73) ----
+
+  private def ev(rows: (Long, Long, Long, Double)*) = // id, us, user, v
+    rows.map { case (i, t, u, v) => (i, us(t), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+
+  private def trail(df: org.apache.spark.sql.DataFrame, w: Long) =
+    Features.trailingFeatures(df, "user_id", "ts", "event_id",
+        "value", w)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+
+  test("trailing window is [ts-W, ts-1]: strictly before, inclusive " +
+      "far edge, same-instant ties excluded") {
+    val df = ev(
+      (0L, 0L, 1L, 2.0),    // empty window
+      (1L, 100L, 1L, 4.0),  // sees us 0 (window [0, 99])
+      (2L, 100L, 1L, 8.0),  // tie with id 1 → still only sees us 0
+      (3L, 101L, 1L, 1.0),  // sees us 1..100 → ids 1, 2
+      (4L, 201L, 1L, 1.0))  // sees us 101..200 → id 3 only
+    val q = (v: Double) => math.floor(v * 1048576.0 + 0.5).toLong
+    assert(trail(df, 100L) === Seq(
+      (0L, 0L, 0L, 0L),
+      (1L, 1L, 1L, q(2.0)),
+      (2L, 1L, 1L, q(2.0)),
+      (3L, 2L, 2L, q(4.0) + q(8.0)),
+      (4L, 1L, 1L, q(1.0))))
+  }
+
+  test("trailing: NaN values are missing (counted in n_trail, not " +
+      "n_vals_trail or the sum); users are independent") {
+    val df = ev(
+      (0L, 0L, 1L, Double.NaN),
+      (1L, 10L, 1L, 3.0),
+      (2L, 10L, 2L, 99.0)) // other user, same instant — invisible to 1
+    assert(trail(df, 50L) === Seq(
+      (0L, 0L, 0L, 0L),
+      (1L, 1L, 0L, 0L),
+      (2L, 0L, 0L, 0L)))
+  }
+
+  test("trailing features are partition-invariant") {
+    val rows = (1L to 60L).map(i =>
+      (i, i * 13L % 200L, i % 3L, (i % 7L).toDouble))
+    def run(parts: Int) = trail(ev(rows: _*).repartition(parts), 40L)
+    assert(run(1) === run(7))
+  }
+
+  // ---- targetEncodeLoo (X74) ----
+
+  private def cats(rows: (Long, String, Double)*) =
+    rows.toDF("id", "cat", "y")
+
+  private def enc(df: org.apache.spark.sql.DataFrame, m: Double) =
+    Features.targetEncodeLoo(df, "cat", "y", m)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null
+        else java.lang.Double.valueOf(r.getDouble(3)))).toSeq
+
+  test("LOO encoding: own label excluded, smoothing pulls toward the " +
+      "global prior, singleton category = exactly the prior") {
+    // prior = (1+2+3+10)/4 = 4.0 (quantization is exact on these)
+    val df = cats((0L, "a", 1.0), (1L, "a", 2.0), (2L, "a", 3.0),
+      (3L, "b", 10.0))
+    val r = enc(df, 1.0)
+    assert(r(0)._2 === ((2.0 + 3.0) + 1.0 * 4.0) / (2.0 + 1.0)) // 3.0
+    assert(r(1)._2 === ((1.0 + 3.0) + 4.0) / 3.0)
+    assert(r(2)._2 === ((1.0 + 2.0) + 4.0) / 3.0)
+    assert(r(3)._2 === (0.0 + 4.0) / 1.0) // lone row → the prior
+  }
+
+  test("LOO encoding: missing labels get the posterior form and do " +
+      "not contribute to any sum; null categories form a group") {
+    val df = Seq((0L, "a", java.lang.Double.valueOf(2.0)),
+        (1L, "a", null.asInstanceOf[java.lang.Double]),
+        (2L, null.asInstanceOf[String], java.lang.Double.valueOf(6.0)))
+      .toDF("id", "cat", "y")
+    // prior = (2+6)/2 = 4; m = 2
+    val r = enc(df, 2.0)
+    assert(r(0)._2 === (0.0 + 2.0 * 4.0) / (0.0 + 2.0)) // LOO empties a
+    assert(r(1)._2 === (2.0 + 8.0) / (1.0 + 2.0))       // posterior
+    assert(r(2)._2 === (0.0 + 8.0) / (0.0 + 2.0))       // null-cat LOO
+  }
+
+  test("LOO encoding: a table with no labeled rows encodes to null; " +
+      "non-positive smoothing fails fast") {
+    val df = cats((0L, "a", Double.NaN))
+    assert(enc(df, 1.0) === Seq((0L, null)))
+    intercept[IllegalArgumentException] {
+      Features.targetEncodeLoo(df, "cat", "y", 0.0)
+    }
+  }
+
+  test("LOO encoding is partition-invariant") {
+    val rows = (1L to 50L).map(i =>
+      (i, s"c${i % 4}", (i % 9).toDouble))
+    def run(parts: Int) = enc(cats(rows: _*).repartition(parts), 5.0)
+    assert(run(1) === run(6))
+  }
+
+  // ---- funnel (X75) ----
+
+  private def fev(rows: (Long, Long, String)*) = // user, us, type
+    rows.map { case (u, t, ty) => (u, us(t), ty) }
+      .toDF("user_id", "ts", "event_type")
+
+  private def fun(df: org.apache.spark.sql.DataFrame, w: Long) =
+    Features.funnel(df, "user_id", "ts", "event_type",
+        Seq("s1", "s2", "s3"), w)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+  test("funnel: strictly-after steps, inclusive window edge, depth " +
+      "and -1 sentinels; users without step 1 are absent") {
+    val df = fev(
+      // user 1: full conversion, s3 exactly at t1 + W (inclusive)
+      (1L, 10L, "s1"), (1L, 20L, "s2"), (1L, 110L, "s3"),
+      // user 2: s2 TIES s1 (equal ts cannot prove order → no advance)
+      (2L, 10L, "s1"), (2L, 10L, "s2"),
+      // user 3: s2 beyond the window
+      (3L, 10L, "s1"), (3L, 200L, "s2"),
+      // user 4: s2 BEFORE s1 never counts; later s2 does
+      (4L, 5L, "s2"), (4L, 10L, "s1"), (4L, 30L, "s2"),
+      // user 5: no s1 at all → absent from the output
+      (5L, 10L, "s2"), (5L, 20L, "s3"))
+    assert(fun(df, 100L) === Seq(
+      (1L, 10L, 20L, 110L, 3L, 100L),
+      (2L, 10L, -1L, -1L, 1L, -1L),
+      (3L, 10L, -1L, -1L, 1L, -1L),
+      (4L, 10L, 30L, -1L, 2L, -1L)))
+  }
+
+  test("funnel anchors at the user's EARLIEST step-1 event — a later " +
+      "restart does not widen the window") {
+    val df = fev(
+      (1L, 0L, "s1"), (1L, 500L, "s1"), (1L, 510L, "s2"),
+      (1L, 520L, "s3"))
+    // window 100 from t1=0: nothing at 510/520 qualifies
+    assert(fun(df, 100L) === Seq((1L, 0L, -1L, -1L, 1L, -1L)))
+    // window 1000: the chain completes off the first anchor
+    assert(fun(df, 1000L) ===
+      Seq((1L, 0L, 510L, 520L, 3L, 520L)))
+  }
+
+  test("funnel validation and partition invariance") {
+    intercept[IllegalArgumentException] {
+      Features.funnel(fev((1L, 0L, "s1")), "user_id", "ts",
+        "event_type", Seq("s1"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Features.funnel(fev((1L, 0L, "s1")), "user_id", "ts",
+        "event_type", Seq("s1", "s1"), 10L)
+    }
+    val rows = (1L to 80L).flatMap { i =>
+      val u = i % 5L
+      Seq((u, i * 3L, s"s${i % 4 + 1}"))
+    }
+    def run(parts: Int) = fun(fev(rows: _*).repartition(parts), 90L)
+    assert(run(1).nonEmpty)
+    assert(run(1) === run(8))
+  }
+}

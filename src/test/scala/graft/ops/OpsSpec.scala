@@ -1227,4 +1227,70 @@ class OpsSpec extends SparkTestBase {
       posMin = 0.99, negMax = 0.5, planes = 1, seed = 7L)
     assert(noNeg.count() === 0L)
   }
+  // ---- stratifiedSplit (X76) ----
+
+  test("stratifiedSplit: per-stratum counts are exact to the row " +
+      "(25 @ 8/1/1 is always 20/2/3) and sum to n") {
+    val df = (0L until 100L).map(i => (i, s"s${i % 4}"))
+      .toDF("doc_id", "src")
+    val r = CorpusPipeline.stratifiedSplit(df, "doc_id", "src",
+      Seq(("train", 8L), ("val", 1L), ("test", 1L)))
+      .collect().map(x => (x.getString(1), x.getString(3)))
+    val byStrat = r.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.length).toMap).toMap
+    byStrat.foreach { case (st, m) =>
+      assert(m === Map("train" -> 20, "val" -> 2, "test" -> 3), st)
+    }
+  }
+
+  test("stratifiedSplit: ranks are a 1..n permutation per stratum, " +
+      "split boundaries follow the exact integer rule, and the " +
+      "bucketed two-level rank equals the single-bucket global rank") {
+    val df = (0L until 67L).map(i => (i, if (i < 50) "a" else "b"))
+      .toDF("doc_id", "src")
+    def run(b: Int) = CorpusPipeline.stratifiedSplit(df, "doc_id",
+        "src", Seq(("train", 3L), ("test", 1L)), buckets = b)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getString(3))).toSeq
+    val one = run(1)
+    assert(run(16) === one)
+    Seq("a" -> 50L, "b" -> 17L).foreach { case (st, n) =>
+      val rs = one.filter(_._2 == st)
+      assert(rs.map(_._3).sorted === (1L to n))
+      rs.foreach { case (_, _, r, split) =>
+        val expect = if (r * 4 <= n * 3) "train" else "test"
+        assert(split === expect, s"$st rank $r")
+      }
+    }
+  }
+
+  test("stratifiedSplit: partition-invariant; adding a document " +
+      "to one stratum never reassigns another stratum's rows") {
+    val df = (0L until 80L).map(i => (i, s"g${i % 3}"))
+      .toDF("doc_id", "src")
+    def run(d: org.apache.spark.sql.DataFrame, parts: Int) =
+      CorpusPipeline.stratifiedSplit(d.repartition(parts), "doc_id",
+        "src", Seq(("train", 8L), ("val", 1L), ("test", 1L)))
+        .orderBy("id").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+          x.getString(3))).toSeq
+    val base = run(df, 1)
+    assert(run(df, 7) === base)
+    val grown = run(df.union(Seq((1000L, "g0")).toDF("doc_id", "src")), 3)
+    assert(grown.filter(x => x._2 != "g0" && x._1 != 1000L) ===
+      base.filter(_._2 != "g0"))
+  }
+
+  test("stratifiedSplit validation: empty splits and non-positive " +
+      "weights fail fast") {
+    val df = Seq((1L, "a")).toDF("doc_id", "src")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.stratifiedSplit(df, "doc_id", "src", Seq())
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.stratifiedSplit(df, "doc_id", "src",
+        Seq(("a", 1L), ("b", 0L)))
+    }
+  }
 }
