@@ -548,6 +548,16 @@ object SparkEntry {
         col("event_type") === "purchase",
         horizonUs = 3600000000L)),
 
+    // ---- streaming trailing-window features (X77) — the online face
+    //      of the X73 rolling features: each event emits its
+    //      strictly-before hour-window stats AT ARRIVAL from O(window)
+    //      per-key state (no flush — frames look only backward);
+    //      finals must hash-match the batch RANGE-frame oracle ----
+    "st_trailing" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replayTrailing(
+        ld(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        windowUs = 3600000000L)),
+
     // ---- profiling: EXACT distributed quantiles + column stats
     //      (X50) — per requested rank, iterative 2¹⁶-bucket range
     //      narrowing (2–3 shared scans total, never a per-group value
@@ -2752,6 +2762,24 @@ object SparkEntry {
         |  CAST(CASE WHEN m_us IS NOT NULL AND m_us - us <= 3600000000
         |    THEN tid ELSE -1 END AS BIGINT) AS target_id
         |FROM j ORDER BY event_id""".stripMargin,
+    // streaming trailing features (X77): the at-arrival finals must
+    // equal the batch X73 RANGE-frame pass — same replay as
+    // ev_trailing, with the streamed output's column names
+    "st_trailing" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_ns(ts) // 1000 AS us,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |      ELSE CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |        AS BIGINT) END AS vq
+        |  FROM events)
+        |SELECT event_id, user_id, us AS ts_us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trail,
+        |  CAST(count(vq) OVER w AS BIGINT) AS n_vals_trail,
+        |  CAST(coalesce(sum(vq) OVER w, 0) AS BIGINT) AS v_sum_q_trail
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
     // outcome-labeling replay (X70): forward-strict ASOF (e.us < t.us
     // picks the FIRST future target, which is also the nearest — so
     // the horizon check nulls it exactly like the Spark tolerance),

@@ -306,6 +306,147 @@ object StreamPipeline {
     }
   }
 
+  /** Per-key state of [[trailingStream]]: the window's worth of
+    * (us, vq, hasV) events plus running totals over the whole buffer
+    * AND over the current-instant suffix — each event's frame is then
+    * O(1): frame stats = buffer totals − same-instant totals (the
+    * strictly-before rule), with head eviction amortized O(1). State
+    * per key is O(events within the window), the honest minimum. */
+  private[streaming] final case class TrailState(
+      buf: Vector[(Long, Long, Boolean)],
+      n: Long, nv: Long, sum: Long,
+      curUs: Long, hasCur: Boolean,
+      nCur: Long, nvCur: Long, sumCur: Long)
+
+  private[streaming] final case class TrailOut(event_id: Long,
+      user_id: Long, ts_us: Long, n_trail: Long, n_vals_trail: Long,
+      v_sum_q_trail: Long)
+
+  /**
+   * Streaming trailing-window features (X77) — the online face of
+   * [[graft.ops.Features.trailingFeatures]]'s X73 semantics: each
+   * event emits, AT ARRIVAL, the same key's activity in [ts−W, ts−1]
+   * micros — count, non-missing count, exact fixed-point value sum —
+   * with finals identical to the batch pass (the `st_trailing`
+   * oracle). Trailing features depend only on the past, so unlike
+   * [[labelStream]] nothing waits: no pending buffer of unresolved
+   * outputs, no flush, and the serving row is available the moment
+   * the event is — the point of computing these features online.
+   *
+   * Mechanics: the state buffer holds exactly the window's worth of
+   * (us, vq) per key with running totals; same-instant peers live in
+   * a tracked suffix and are SUBTRACTED from the frame (ties share a
+   * timestamp — a live scorer could not have counted them, the X73
+   * rule), head eviction keeps the window tight, and all sums are
+   * exact Longs with loud overflow (addExact). Values follow the X50
+   * quantize rule (NaN = missing; map nulls to NaN upstream).
+   *
+   * Ordering contract (the [[asofStream]] family): per-key event
+   * times non-decreasing across micro-batches, equal-ts arrivals
+   * id-ordered (each micro-batch sorts internally). A late event's
+   * frame may be partially evicted — unknowable — so it emits -1
+   * sentinels, deterministic and visible, with the state untouched.
+   */
+  def trailingStream(stream: DataFrame, keyCol: String, tsUsCol: String,
+      idCol: String, valueCol: String, windowUs: Long)
+      : Dataset[TrailOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(windowUs > 0,
+      s"trailingStream: windowUs must be positive, got $windowUs")
+    val w = windowUs
+    val vq = graft.ops.Profiler.quantize(valueCol)
+    val ds = stream.select(col(keyCol).cast("long"),
+        col(tsUsCol).cast("long"), col(idCol).cast("long"),
+        coalesce(vq, lit(0L)), vq.isNotNull)
+      .as[(Long, Long, Long, Long, Boolean)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, Long, Boolean)],
+         st: GroupState[TrailState]) =>
+          var s = st.getOption.getOrElse(TrailState(Vector.empty,
+            0L, 0L, 0L, 0L, hasCur = false, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[TrailOut]()
+          it.toArray.sortBy(r => (r._2, r._3)).foreach {
+            case (_, us, id, v, hasV) =>
+              if (s.hasCur && us < s.curUs) {
+                // late arrival: part of its frame may already be
+                // evicted — emit the visible sentinel, never a
+                // silently-wrong partial count
+                out += TrailOut(id, user, us, -1L, -1L, -1L)
+              } else {
+                if (!s.hasCur || us > s.curUs)
+                  // time advances: the same-instant group ages into
+                  // the plain past (it stays in the buffer totals)
+                  s = s.copy(curUs = us, hasCur = true,
+                    nCur = 0L, nvCur = 0L, sumCur = 0L)
+                var buf = s.buf
+                var n = s.n; var nv = s.nv; var sum = s.sum
+                while (buf.nonEmpty && buf.head._1 < us - w) {
+                  val h = buf.head
+                  n -= 1
+                  if (h._3) { nv -= 1
+                    sum = Math.subtractExact(sum, h._2) }
+                  buf = buf.tail
+                }
+                out += TrailOut(id, user, us, n - s.nCur,
+                  nv - s.nvCur, Math.subtractExact(sum, s.sumCur))
+                buf = buf :+ ((us, v, hasV))
+                n += 1
+                var nvC = s.nvCur; var sumC = s.sumCur
+                if (hasV) { nv += 1
+                  sum = Math.addExact(sum, v)
+                  nvC += 1; sumC = Math.addExact(sumC, v) }
+                s = s.copy(buf = buf, n = n, nv = nv, sum = sum,
+                  nCur = s.nCur + 1, nvCur = nvC, sumCur = sumC)
+              }
+          }
+          st.update(s)
+          out.iterator
+      }
+  }
+
+  /**
+   * Bounded REPLAY of [[trailingStream]] for the correctness harness
+   * (the `st_trailing` query): the events table feeds through a
+   * memory stream in ascending (ts, id) micro-batches; every event
+   * emits its features at arrival (no flush needed — trailing frames
+   * look only backward), and the sink must hash-match the batch X73
+   * pass. Verification device, not a production operator (the
+   * [[replayDedup]] caveat).
+   */
+  def replayTrailing(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String, windowUs: Long,
+      numBatches: Int = 5): DataFrame = {
+    val spark = replaySession(df)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val micros = floor(Sessions.asNanos(df, tsCol)
+      .cast("decimal(38,0)") / lit(1000L)).cast("long")
+    // nulls map to NaN so the tuple stays primitive; quantize treats
+    // both as missing (the X50 rule), so the finals are unchanged
+    val rows = df.select(col(userCol).cast("long"), micros.as("us"),
+        col(idCol).cast("long"),
+        coalesce(col(valueCol).cast("double"), lit(Double.NaN)))
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._2, r._3))
+    require(rows.nonEmpty, "replayTrailing: empty input")
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val feats = trailingStream(
+      in.toDF().toDF("user_id", "ts_us", "event_id", "value"),
+      "user_id", "ts_us", "event_id", "value", windowUs).toDF()
+    withReplaySink(spark, "st_trailing_", feats) { q =>
+      feedBatches(rows, numBatches) { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+    } { sink =>
+      spark.table(sink).orderBy("event_id").localCheckpoint(true)
+    }
+  }
+
   /** Streaming model scoring: the broadcast-model predict UDF is
     * row-local, so it applies to a stream as-is. */
   def scoreModel(model: GraftModel, stream: DataFrame,

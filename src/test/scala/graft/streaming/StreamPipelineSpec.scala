@@ -642,4 +642,74 @@ class StreamPipelineSpec extends SparkTestBase {
         s"n=$n")
     }
   }
+  test("replayTrailing fuzz: streamed at-arrival trailing features " +
+      "equal the batch X73 RANGE-frame pass across random logs, " +
+      "windows, ts ties, NaN values, and micro-batch boundaries (X77)") {
+    for (trial <- 0 until 4) {
+      val rng = new scala.util.Random(9300 + trial)
+      val window = Seq(1000000L, 5000000L, 20000000L)(rng.nextInt(3))
+      val n = 40 + rng.nextInt(120)
+      val rows = Seq.tabulate(n) { i =>
+        (i.toLong,
+          rng.nextInt(40).toLong * 1000000L +
+            rng.nextInt(3).toLong * 500000L, // forced equal-us runs
+          rng.nextInt(4).toLong,
+          if (rng.nextInt(5) == 0) Double.NaN
+          else rng.nextInt(100) / 8.0)
+      }
+      val df = rows.toDF("event_id", "us", "user_id", "value")
+        .withColumn("ts",
+          timestamp_micros(col("us")).cast("timestamp_ntz"))
+        .drop("us")
+      val streamed = StreamPipeline.replayTrailing(df, "user_id",
+          "ts", "event_id", "value", window,
+          numBatches = 1 + rng.nextInt(6))
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSeq
+      val batch = graft.ops.Features.trailingFeatures(df, "user_id",
+          "ts", "event_id", "value", window)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSeq
+      assert(streamed === batch, s"trial $trial window=$window n=$n")
+    }
+  }
+
+  test("trailingStream: a late arrival (us below the key's high-water) " +
+      "emits -1 sentinels and leaves the state untouched (X77)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val out = StreamPipeline.trailingStream(
+      in.toDF().toDF("user_id", "ts_us", "event_id", "value"),
+      "user_id", "ts_us", "event_id", "value", windowUs = 100L).toDF()
+    val sink = s"st_trail_late_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, 50L, 0L, 2.0), (1L, 120L, 1L, 4.0)))
+      q.processAllAvailable()
+      // event 2 arrives LATE (us 60 < high-water 120)
+      in.addData(Seq((1L, 60L, 2L, 8.0)))
+      q.processAllAvailable()
+      // event 3 on time: frame [21, 119] sees ids 0 and 1 — the late
+      // event never entered the state
+      in.addData(Seq((1L, 121L, 3L, 1.0)))
+      q.processAllAvailable()
+      val r = spark.table(sink).orderBy("event_id").collect()
+        .map(x => (x.getLong(0), x.getLong(3), x.getLong(4),
+          x.getLong(5))).toSeq
+      val qv = (v: Double) => math.floor(v * 1048576.0 + 0.5).toLong
+      assert(r === Seq(
+        (0L, 0L, 0L, 0L),
+        (1L, 1L, 1L, qv(2.0)),
+        (2L, -1L, -1L, -1L),
+        (3L, 2L, 2L, qv(2.0) + qv(4.0))))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP VIEW IF EXISTS $sink")
+    }
+  }
 }
