@@ -448,6 +448,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- profiling→modeling: per-group winsorization (X78) — clip
+    //      each event type's values to its FROZEN exact-rank [p5, p95]
+    //      edges (outlier taming per segment, leakage-safe by the X67
+    //      frozen-edge discipline); edges from the distinct-value CDF
+    //      (corpus never sorts), the clip a broadcast-join codegen
+    //      projection ----
+    "prof_winsor" -> ((s, dir) => {
+      val e = ld(s, dir, "events")
+      val edges = ops.Profiler.groupClipEdges(e, "event_type",
+        "value", 5, 95)
+      ops.Profiler.winsorize(e, "event_id", "event_type", "value",
+        edges)
+        .orderBy("id")
+    }),
+
     // ---- profiling: per-source rank normalization (X69) — score
     //      calibration before corpus mixing: pct = mid-rank CDF
     //      (2·below + ties)/(2·n) within source, exact BIGINTs until
@@ -475,6 +490,15 @@ object SparkEntry {
         "event_id", col("event_type") === "purchase",
         horizonUs = 3600000000L)
         .orderBy("id")),
+
+    // ---- events: session transition counts (X79) — the first-order
+    //      Markov table of within-session event flows ("what do users
+    //      do next"); pairs never cross a session boundary, one user
+    //      exchange + a |types|²-key aggregate ----
+    "ev_transitions" -> ((s, dir) =>
+      ops.Sessions.transitionCounts(ld(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", gapSec = 21600)
+        .orderBy("from_type", "to_type")),
 
     // ---- events: trailing-window point-in-time features (X73) —
     //      each event sees the same user's activity in the hour
@@ -2868,6 +2892,31 @@ object SparkEntry {
         |       AS DOUBLE) + 20.0) AS enc
         |FROM v JOIN s USING (event_type) CROSS JOIN g
         |ORDER BY v.event_id""".stripMargin,
+    // transition-count replay (X79): the ev_sessions gap carve-up,
+    // then lag pairs gated to same-session, counted per (from, to)
+    // with distinct (user, session) via a string key
+    "ev_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) AS tn FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL
+        |      OR tn - lag(tn) OVER w > 21600000000000 THEN 1 ELSE 0 END
+        |      AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM s),
+        |t AS (SELECT user_id, session_idx,
+        |    lag(event_type) OVER w2 AS from_type,
+        |    lag(session_idx) OVER w2 AS from_sess,
+        |    event_type AS to_type
+        |  FROM x WINDOW w2 AS (PARTITION BY user_id ORDER BY tn, event_id))
+        |SELECT from_type, to_type,
+        |  CAST(count(*) AS BIGINT) AS n_trans,
+        |  CAST(count(DISTINCT CAST(user_id AS VARCHAR) || ':'
+        |    || CAST(session_idx AS VARCHAR)) AS BIGINT) AS n_sessions
+        |FROM t WHERE from_type IS NOT NULL AND from_sess = session_idx
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
     "ev_sessions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |    epoch_ns(ts) AS tn FROM events),
@@ -2982,6 +3031,39 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       Seq(25, 50, 75, 95)),
     // rank-normalization replay (X69): shared fixed-point quantize,
+    // per-group winsorize replay (X78): the same distinct-value CDF,
+    // the same exact-rank edge rule ((n−1)·p//100 + 1), the same
+    // least/greatest integer clip and null passthroughs
+    "prof_winsor" ->
+      """WITH v AS (SELECT event_id AS id, event_type AS "group",
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |      ELSE CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |        AS BIGINT) END AS score_q
+        |  FROM events),
+        |c AS (SELECT "group", score_q, count(*) AS cnt FROM v
+        |  WHERE score_q IS NOT NULL GROUP BY "group", score_q),
+        |w AS (SELECT "group", score_q,
+        |    sum(cnt) OVER (PARTITION BY "group" ORDER BY score_q
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY "group") AS n
+        |  FROM c),
+        |e AS (SELECT "group",
+        |    min(CASE WHEN cum >= ((n - 1) * 5) // 100 + 1
+        |      THEN score_q END) AS lo_q,
+        |    min(CASE WHEN cum >= ((n - 1) * 95) // 100 + 1
+        |      THEN score_q END) AS hi_q
+        |  FROM w GROUP BY "group")
+        |SELECT v.id, v."group", v.score_q, e.lo_q, e.hi_q,
+        |  CASE WHEN v.score_q IS NULL THEN NULL
+        |    WHEN e.lo_q IS NULL THEN v.score_q
+        |    ELSE least(greatest(v.score_q, e.lo_q), e.hi_q) END
+        |    AS clipped_q,
+        |  coalesce(CASE WHEN v.score_q IS NULL THEN false
+        |    WHEN e.lo_q IS NULL THEN false
+        |    ELSE least(greatest(v.score_q, e.lo_q), e.hi_q)
+        |      != v.score_q END, false) AS is_clipped
+        |FROM v LEFT JOIN e USING ("group")
+        |ORDER BY v.id""".stripMargin,
     // per-(source, q) counts, exclusive-below window over the DISTINCT
     // value rows, midrank pct as one exact-BIGINT division
     "prof_ranknorm" ->

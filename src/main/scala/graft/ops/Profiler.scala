@@ -465,4 +465,85 @@ object Profiler {
     rows.join(broadcast(cdf), Seq("group", "score_q"), "left")
       .select(col("id"), col("group"), col("score_q"), col("pct"))
   }
+
+  /**
+   * Per-group rank-quantile clip edges (X78, the freeze half) — for
+   * each group, the exact quantized values at the `loPct`/`hiPct`
+   * integer ranks (rank = (n−1)·p div 100 + 1 over the group's
+   * non-null ascending order — the [[psiEdges]]/prof_bucketize rank
+   * convention, per group). Compute ONCE on the training snapshot,
+   * persist, and apply to any later frame via [[winsorize]]: the
+   * leakage-safe discipline of [[bucketize]], per group — serve-time
+   * data never moves its own clip boundaries.
+   *
+   * Scale shape: the [[rankNormalize]] machinery — one map-side-
+   * combinable (group, q) count aggregate (the corpus never sorts),
+   * a cumulative window over the DISTINCT quantized values only
+   * (lattice-bounded, ≪ corpus), and one tiny per-group aggregate:
+   * the rank-r value is min{q : cum(q) ≥ r}, a single `min(when…)`.
+   *
+   * @return (group, lo_q, hi_q) — null edges only for all-missing
+   *         groups
+   */
+  def groupClipEdges(df: DataFrame, groupCol: String, valueCol: String,
+      loPct: Int, hiPct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"groupClipEdges: need 0 <= lo < hi <= 100, got $loPct/$hiPct")
+    val cnts = df.select(col(groupCol).cast("string").as("group"),
+        quantize(valueCol).as("score_q"))
+      .filter(col("score_q").isNotNull)
+      .groupBy("group", "score_q").agg(count(lit(1)).as("cnt"))
+    val cum = sum("cnt").over(Window.partitionBy("group")
+      .orderBy("score_q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val n = sum("cnt").over(Window.partitionBy("group"))
+    val rLo = expr(s"((__n - 1L) * $loPct) div 100L + 1L")
+    val rHi = expr(s"((__n - 1L) * $hiPct) div 100L + 1L")
+    cnts.withColumn("__cum", cum).withColumn("__n", n)
+      .groupBy("group")
+      .agg(min(when(col("__cum") >= rLo, col("score_q"))).as("lo_q"),
+        min(when(col("__cum") >= rHi, col("score_q"))).as("hi_q"))
+  }
+
+  /**
+   * Per-group winsorization (X78, the apply half) — clip a value
+   * column to FROZEN per-group [lo_q, hi_q] edges (from
+   * [[groupClipEdges]], typically computed on the training snapshot):
+   * the outlier-taming transform run before feature scaling, per
+   * source/segment because a tail that is noise in one group is
+   * signal in another. Exact integer clip on the quantized lattice;
+   * NaN/null values stay null (the [[quantize]] missing rule — a
+   * clipped fake 0 would be a lie); rows of groups absent from the
+   * edge table pass through unclipped with null edges (new serve-time
+   * groups fail VISIBLY in the output, not silently mid-plan).
+   *
+   * Scale shape: one BROADCAST join of the |groups|-row edge table +
+   * a codegen projection — the corpus never shuffles; a 100 TB frame
+   * clips in the scan.
+   *
+   * @return (id, group, score_q, lo_q, hi_q, clipped_q, is_clipped)
+   */
+  def winsorize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, edges: DataFrame): DataFrame = {
+    val need = Set("group", "lo_q", "hi_q")
+    require(need.subsetOf(edges.columns.toSet),
+      s"winsorize: edge table needs columns $need, " +
+        s"got ${edges.columns.mkString(", ")}")
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).cast("string").as("group"),
+      quantize(valueCol).as("score_q"))
+    val clipped = when(col("score_q").isNull, lit(null))
+      .when(col("lo_q").isNull, col("score_q"))
+      .otherwise(least(greatest(col("score_q"), col("lo_q")),
+        col("hi_q")))
+    rows.join(broadcast(edges.select("group", "lo_q", "hi_q")),
+        Seq("group"), "left")
+      .withColumn("clipped_q", clipped)
+      .withColumn("is_clipped",
+        col("clipped_q").isNotNull &&
+          col("clipped_q") =!= col("score_q"))
+      .select("id", "group", "score_q", "lo_q", "hi_q", "clipped_q",
+        "is_clipped")
+  }
 }

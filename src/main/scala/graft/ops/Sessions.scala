@@ -195,6 +195,50 @@ object Sessions {
   }
 
   /**
+   * Session transition counts (X79) — the corpus-wide first-order
+   * Markov statistics of event flows: for every WITHIN-SESSION
+   * consecutive event pair under the [[sessionize]] carve-up and the
+   * deterministic (ts, id) order, count (from_type → to_type)
+   * occurrences and the number of distinct sessions containing the
+   * transition. The "what do users actually do next" table behind
+   * behavioral features, anomaly baselines, and funnel design (it
+   * tells you WHICH funnel to measure with
+   * [[graft.ops.Features.funnel]]).
+   *
+   * Pairs never cross a session boundary: a gap long enough to split
+   * sessions is evidence the two events are unrelated — counting that
+   * pair would launder noise into the transition matrix. Equal-ts
+   * ties order by id (the [[sessionize]] rule), so the pairing is
+   * partition/retry-invariant and replays exactly in SQL.
+   *
+   * Scale shape: ONE hash exchange (the [[sessionize]] user
+   * partitioning — the lag window reuses it), then one map-side-
+   * combinable aggregate whose key space is |event types|² — KBs of
+   * output from any corpus size.
+   *
+   * @return (from_type, to_type, n_trans, n_sessions)
+   */
+  def transitionCounts(events: DataFrame, userCol: String,
+      tsCol: String, orderCol: String, typeCol: String,
+      gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessionize(events, userCol, tsCol, orderCol, gapSec)
+    val tn = asNanos(sess, tsCol)
+    val w = Window.partitionBy(userCol).orderBy(tn, col(orderCol))
+    sess
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .withColumn("__from_sess", lag(col("session_idx"), 1).over(w))
+      .filter(col("__from").isNotNull &&
+        col("__from_sess") === col("session_idx"))
+      .select(col(userCol).as("__user"), col("session_idx"),
+        col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_trans"),
+        countDistinct(col("__user"), col("session_idx"))
+          .as("n_sessions"))
+  }
+
+  /**
    * Leakage-safe outcome labeling (X70) — the supervised-label
    * generation step for event models ("did this user convert within
    * the horizon AFTER this event?"): every event gets `label` 1 iff

@@ -293,4 +293,79 @@ class ProfilerSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kept === Map("lo" -> 20L, "hi" -> 20L), kept.toString)
   }
+  // ---- groupClipEdges + winsorize (X78) ----
+
+  test("groupClipEdges: exact-rank per-group edges ((n-1)p div 100 + 1 " +
+      "over the non-null ascending order); all-missing groups get " +
+      "null edges (X78)") {
+    val df = (
+      // group a: values 0..9 → n=10, p20 rank = 9*20/100+1 = 2 → 1.0;
+      // p80 rank = 9*80/100+1 = 8 → 7.0
+      (0 until 10).map(i => (s"a", i.toDouble)) ++
+      // group b: single value → both edges = it
+      Seq(("b", 42.0)) ++
+      // group c: all NaN → no edges
+      Seq(("c", Double.NaN), ("c", Double.NaN))
+    ).toDF("g", "v")
+    val q = (x: Double) => math.floor(x * 1048576.0 + 0.5).toLong
+    val e = Profiler.groupClipEdges(df, "g", "v", 20, 80)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else Long.box(r.getLong(1)),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2)))).toSeq
+    assert(e === Seq(("a", Long.box(q(1.0)), Long.box(q(7.0))),
+      ("b", Long.box(q(42.0)), Long.box(q(42.0)))))
+    intercept[IllegalArgumentException] {
+      Profiler.groupClipEdges(df, "g", "v", 80, 20)
+    }
+  }
+
+  test("winsorize: integer clip to frozen edges, nulls stay null, " +
+      "unknown groups pass through with visible null edges, frozen " +
+      "train edges apply unchanged to serve data (X78)") {
+    val train = (0 until 10).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("id", "g", "v")
+    val edges = Profiler.groupClipEdges(train, "g", "v", 20, 80)
+    val q = (x: Double) => math.floor(x * 1048576.0 + 0.5).toLong
+    // serve frame: below-lo clip, in-range passthrough, above-hi clip,
+    // NaN stays null, a group the train never saw passes unclipped
+    val serve = Seq((0L, "a", 0.5), (1L, "a", 3.0), (2L, "a", 99.0),
+      (3L, "a", Double.NaN), (4L, "zz", 99.0)).toDF("id", "g", "v")
+    val r = Profiler.winsorize(serve, "id", "g", "v", edges)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(5)) null else Long.box(x.getLong(5)),
+        x.getBoolean(6))).toSeq
+    assert(r === Seq(
+      (0L, Long.box(q(1.0)), true),
+      (1L, Long.box(q(3.0)), false),
+      (2L, Long.box(q(7.0)), true),
+      (3L, null, false),
+      (4L, Long.box(q(99.0)), false)))
+    // serve-time data never moved the boundaries: the train frame
+    // winsorizes to the same edges it produced
+    val t = Profiler.winsorize(train, "id", "g", "v", edges)
+      .agg(min("lo_q"), max("hi_q")).head()
+    assert((t.getLong(0), t.getLong(1)) === (q(1.0), q(7.0)))
+  }
+
+  test("winsorize is partition-invariant and rejects malformed edge " +
+      "tables (X78)") {
+    val df = (1L to 60L).map(i =>
+      (i, s"g${i % 3}", (i % 11).toDouble)).toDF("id", "g", "v")
+    def run(parts: Int) = {
+      val d = df.repartition(parts)
+      Profiler.winsorize(d, "id", "g", "v",
+          Profiler.groupClipEdges(d, "g", "v", 10, 90))
+        .orderBy("id").collect()
+        .map(x => (x.getLong(0),
+          if (x.isNullAt(5)) null else Long.box(x.getLong(5)),
+          x.getBoolean(6))).toSeq
+    }
+    assert(run(1) === run(7))
+    intercept[IllegalArgumentException] {
+      Profiler.winsorize(df, "id", "g", "v",
+        Seq(("a", 1L)).toDF("group", "lo_q"))
+    }
+  }
 }

@@ -236,4 +236,30 @@ class SessionsSpec extends SparkTestBase {
       assert(got === expected, s"trial $trial barUs=$barUs")
     }
   }
+  // ---- transitionCounts (X79) ----
+
+  test("transitionCounts: within-session consecutive pairs only — " +
+      "session boundaries break chains, ties order by id, counts and " +
+      "distinct-session counts are exact and partition-invariant (X79)") {
+    // user 1 session 1: a → b → b (ids order the 5s tie: 1 then 2);
+    // user 1 session 2 after a > 10s gap: b → a (the cross-session
+    // b→b pair must NOT count); user 2 one session: a → b
+    val rows = Seq(
+      (0L, 0L, 1L, "a", 1.0), (1L, 5L * G, 1L, "b", 1.0),
+      (2L, 5L * G, 1L, "b", 1.0), (3L, 100L * G, 1L, "b", 1.0),
+      (4L, 101L * G, 1L, "a", 1.0), (5L, 0L, 2L, "a", 1.0),
+      (6L, 1L * G, 2L, "b", 1.0))
+    def run(parts: Int) =
+      Sessions.transitionCounts(ev(rows: _*).repartition(parts),
+          "user_id", "ts", "event_id", "event_type", gapSec = 10)
+        .orderBy("from_type", "to_type").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val got = run(1)
+    assert(got === Seq(
+      ("a", "b", 2L, 2L),   // u1s1 and u2s1
+      ("b", "a", 1L, 1L),   // u1s2
+      ("b", "b", 1L, 1L)))  // u1s1 tie pair; cross-session excluded
+    assert(run(5) === got)
+  }
 }
