@@ -55,6 +55,14 @@ object SkewCheck {
       sinkSkew(spark, if (args.length > 1) args(1).toLong else 16128000L)
       spark.stop(); return
     }
+    if (args.headOption.contains("range")) {
+      rangeSkew(spark, if (args.length > 1) args(1).toLong else 16000000L)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("trail")) {
+      trailSkew(spark, if (args.length > 1) args(1).toLong else 16000000L)
+      spark.stop(); return
+    }
     val n = 5000L
     val expected = n * (n - 1) / 2
     val copies = spark.range(n)
@@ -81,6 +89,122 @@ object SkewCheck {
     println(s"SKEW ${if (mhCount == n - 1) "PASS" else "FAIL"}: " +
       s"minhash dups=$mhCount expected=${n - 1} (min-pairing, no cap)")
     spark.stop()
+  }
+
+  /** Range-join hot-cell probe (`runMain graft.SkewCheck range
+    * [rows]`, r18): half of all probe rows land on ONE instant (one
+    * grain cell) vs a uniform day at the same volume. The intervals
+    * are a disjoint one-per-minute cover of the day aligned to the
+    * grain, so EVERY probe matches exactly one interval and the
+    * expected match count and exact offset sum are closed forms of
+    * the generator — skew can degrade wall time, never the answer.
+    * The hot cell funnels rows/2 probes through one post-exchange
+    * task against a single interval row; AQE's skew split is free to
+    * break that shuffle side up. */
+  private def rangeSkew(spark: SparkSession, rows: Long): Unit = {
+    val grainUs = 60000000L // one-minute cells
+    def probes(hot: Boolean) = {
+      val us = if (hot)
+        when(col("id") % 2 === 0, lit(43200000000L))
+          .otherwise((col("id") % 86400L) * 1000000L)
+      else (col("id") % 86400L) * 1000000L
+      spark.range(rows).select(col("id").as("pid"),
+        (us * 1000L).as("ts")) // Long ts column = nanos by contract
+    }
+    val ivs = spark.range(1440).select(col("id").as("iid"),
+      (col("id") * 60000000000L).as("s"),
+      ((col("id") + 1L) * 60000000000L).as("e"))
+    def run(hot: Boolean): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val j = graft.ops.Intervals.rangeJoin(probes(hot), "ts", ivs,
+        "s", "e", grainUs)
+      val agg = j.agg(count(lit(1)),
+        sum(col("offset_us").cast("decimal(38,0)")).cast("long"))
+        .head()
+      ((System.nanoTime() - t0) / 1e9, agg.getLong(0), agg.getLong(1))
+    }
+    // exact closed forms: offset_us = (second-of-day % 60) * 1e6; the
+    // hot instant 43200 s sits on a minute edge (offset 0), and 86400
+    // is even so an id's parity equals its residue's parity — odd
+    // residues are exactly the ids the hot generator leaves uniform
+    def offSum(oddResiduesOnly: Boolean): Long = {
+      var s = 0L
+      val full = rows / 86400L; val rem = (rows % 86400L).toInt
+      var r = if (oddResiduesOnly) 1 else 0
+      val step = if (oddResiduesOnly) 2 else 1
+      while (r < 86400) {
+        val cnt = full + (if (r < rem) 1L else 0L)
+        s += (r % 60).toLong * 1000000L * cnt
+        r += step
+      }
+      s
+    }
+    val expUni = offSum(oddResiduesOnly = false)
+    val expHot = offSum(oddResiduesOnly = true)
+    val (wHot, nHot, sHot) = run(hot = true)
+    val (wUni, nUni, sUni) = run(hot = false)
+    val ok = nHot == rows && nUni == rows && sUni == expUni &&
+      sHot == expHot
+    println(f"SKEW ${if (ok) "PASS" else "FAIL"}: range rows=$rows " +
+      f"hot-cell(50%%) wall=$wHot%.2fs uniform wall=$wUni%.2fs " +
+      s"(matches both=$rows; exact offset sums $sHot/$sUni vs " +
+      s"$expHot/$expUni — the disjoint minute cover makes every " +
+      "probe match exactly once)")
+  }
+
+  /** Trailing-features hot-user probe (`runMain graft.SkewCheck trail
+    * [rows]`, r18): one user holding 50% of all events (2 ms spacing)
+    * vs 10k uniform users whose per-user spacing exceeds the window
+    * (trailing counts all zero). The Features scaladoc predicts the
+    * hot user's timeline serializes through one task's spill-safe
+    * sort + per-row frame re-aggregation (Spark window aggregates
+    * cannot retract — O(events × frame occupancy), the documented
+    * reason the X77 streaming form exists for dense timelines) —
+    * this measures that cost and pins the answer to the generator's
+    * closed form (Σ min(j, 500) over the hot user's event index). */
+  private def trailSkew(spark: SparkSession, rows: Long): Unit = {
+    require(rows % 2 == 0 && rows >= 2000,
+      s"trail probe needs an even row count >= 2000, got $rows")
+    val windowUs = 1000000L // 1 s; hot spacing 2 ms → 500-event frames
+    def gen(hot: Boolean) = {
+      val user = if (hot)
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(col("id") % 10007L + 1L)
+      else col("id") % 10007L
+      spark.range(rows).select(col("id").as("event_id"),
+        (col("id") * 1000000L).as("ts"), // nanos: 1 ms event spacing
+        user.as("user_id"), lit(1.0).as("value"))
+    }
+    def run(hot: Boolean): (Double, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val f = graft.ops.Features.trailingFeatures(gen(hot), "user_id",
+        "ts", "event_id", "value", windowUs)
+      val agg = f.agg(count(lit(1)),
+        sum(col("n_trail").cast("decimal(38,0)")).cast("long"),
+        sum(col("v_sum_q_trail").cast("decimal(38,0)")).cast("long"))
+        .head()
+      ((System.nanoTime() - t0) / 1e9, agg.getLong(0), agg.getLong(1),
+        agg.getLong(2))
+    }
+    // closed forms: hot user's j-th event sees min(j, 500) priors
+    // (2 ms spacing, the 1 s frame is [us−1e6, us−1] so lag 500·2000
+    // = 1e6 is INSIDE); every other timeline's spacing exceeds the
+    // window (uniform 10.007 s, hot-case odd users ~20 s), so their
+    // trailing counts are all zero
+    val m = rows / 2
+    val expHotN =
+      if (m <= 500L) m * (m - 1) / 2
+      else 500L * 499L / 2 + 500L + (m - 501L) * 500L
+    val expHotV = expHotN * 1048576L
+    val (wHot, cHot, nHot, vHot) = run(hot = true)
+    val (wUni, cUni, nUni, vUni) = run(hot = false)
+    val ok = cHot == rows && cUni == rows && nHot == expHotN &&
+      vHot == expHotV && nUni == 0L && vUni == 0L
+    println(f"SKEW ${if (ok) "PASS" else "FAIL"}: trail rows=$rows " +
+      f"hot-user(50%%) wall=$wHot%.2fs uniform wall=$wUni%.2fs " +
+      s"(hot Σn_trail=$nHot expected=$expHotN, uniform Σ=0 — the hot " +
+      "timeline pays one task's external sort + O(n) frame, exactly " +
+      "as documented)")
   }
 
   /** Bar-rollup hot-user probe (`runMain graft.SkewCheck bars [rows]`,

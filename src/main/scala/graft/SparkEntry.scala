@@ -1221,6 +1221,16 @@ object SparkEntry {
           "vec_id", "embedding")
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
+
+    // ---- similarity: per-group centroid similarity matrix (X80) —
+    //      the source-redundancy audit: exact fixed-point per-(label,
+    //      dim) sums (one posexplode shuffle, map-side partials),
+    //      cosine on the SUM vectors (scale-invariant) in exact
+    //      decimals, double only at the final sqrt/divide ----
+    "sim_group_sims" -> ((s, dir) =>
+      Similarity.groupCentroidSims(ld(s, dir, "embeddings"),
+          "label", "embedding")
+        .orderBy("group_a", "group_b")),
     // ---- similarity: PQ codebook + codes (X46) — FULL oracle: the
     //      whole train+encode pipeline (salted-md5 init, Lloyd rounds
     //      with exact fixed-point BIGINT component sums, and — beyond
@@ -5002,6 +5012,32 @@ object SparkEntry {
         |    ORDER BY cos DESC, id) AS BIGINT) AS rank FROM scored)
         |SELECT query_id, id, cosine, rank FROM r WHERE rank <= 10
         | ORDER BY query_id, rank""".stripMargin,
+    // group-centroid similarity replay (X80): fixed-point per-(group,
+    // dim) sums, HUGEINT dot/norm products (exact — BIGINT would
+    // overflow), the same sqrt/divide double tail rounded to 6
+    "sim_group_sims" ->
+      """WITH x AS (SELECT CAST(label AS VARCHAR) AS g,
+        |    UNNEST(range(1, len(embedding) + 1)) AS dim,
+        |    UNNEST([CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT) for v in embedding]) AS q
+        |  FROM embeddings),
+        |s AS (SELECT g, dim, CAST(sum(q) AS HUGEINT) AS sq
+        |  FROM x GROUP BY g, dim),
+        |n AS (SELECT CAST(label AS VARCHAR) AS g, count(*) AS n
+        |  FROM embeddings GROUP BY label),
+        |d AS (SELECT a.g AS ga, b.g AS gb, sum(a.sq * b.sq) AS dot
+        |  FROM s a JOIN s b ON a.dim = b.dim AND a.g < b.g
+        |  GROUP BY a.g, b.g),
+        |m AS (SELECT g, sum(sq * sq) AS nrm FROM s GROUP BY g)
+        |SELECT d.ga AS group_a, d.gb AS group_b,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |  CASE WHEN ma.nrm > 0 AND mb.nrm > 0 THEN
+        |    round(CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(ma.nrm AS DOUBLE)) * sqrt(CAST(mb.nrm AS DOUBLE))),
+        |      6) END AS cos
+        |FROM d JOIN m ma ON ma.g = d.ga JOIN m mb ON mb.g = d.gb
+        |JOIN n na ON na.g = d.ga JOIN n nb ON nb.g = d.gb
+        |ORDER BY group_a, group_b""".stripMargin,
     // centroid-outlier replay (X62): fixed-point components, HUGEINT
     // component sums cast back to BIGINT, truncating integer division
     // (DuckDB // == Scala Long /), exact integer squared distance

@@ -38,13 +38,19 @@ object Features {
    * partitioning — the output is bit-deterministic.
    *
    * Scale shape: ONE hash exchange on the user column, a spill-safe
-   * in-partition sort, and a sliding RANGE frame Spark advances with
-   * two pointers — O(n) per user, no self-join, no interval explode
-   * (the per-event window is a frame, not a join — contrast
-   * [[Intervals.rangeJoin]], which is for windows that are ROWS of
-   * their own table). A hot user serializes through one task — the
-   * inherent cost of that user's timeline, same note as
-   * [[AsofJoin]].
+   * in-partition sort, and a sliding RANGE frame — no self-join, no
+   * interval explode (the per-event window is a frame, not a join —
+   * contrast [[Intervals.rangeJoin]], which is for windows that are
+   * ROWS of their own table). Honest cost note: the frame BOUNDS
+   * advance monotonically, but Spark's window aggregates cannot
+   * retract, so each row re-aggregates its frame buffer — O(events ×
+   * frame occupancy) per user, measured by `SkewCheck trail`. For
+   * timelines dense relative to the window, the streaming form
+   * ([[graft.streaming.StreamPipeline.trailingStream]]) is the
+   * designed mitigation: its running totals subtract on eviction,
+   * O(1) amortized per event, with finals pinned identical. A hot
+   * user serializes through one task either way — the inherent cost
+   * of that user's timeline, same note as [[AsofJoin]].
    *
    * @return (id, user_id, us, n_trail, n_vals_trail, v_sum_q_trail) —
    *         counts 0 and sum 0 for an empty window (a user's first

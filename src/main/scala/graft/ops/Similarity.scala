@@ -1379,4 +1379,71 @@ object Similarity {
         StructField("score_q", LongType, nullable = false),
         StructField("rank", IntegerType, nullable = false))))
   }
+
+  /**
+   * Per-group centroid similarity matrix (X80) — the source-redundancy
+   * audit over an embedded corpus: each group's (label's, source's)
+   * mean vector, compared pairwise by cosine. "Which two sources say
+   * the same thing" is the question a mixture designer asks before
+   * weighting them ([[graft.ops.CorpusPipeline.mixture]]); two
+   * near-parallel centroids mean the pair's marginal value is
+   * deduplication, not diversity.
+   *
+   * Exactness (the prof_corr recipe): components quantize by the X50
+   * rule with a LOUD in-plan failure on non-finite values (a NaN that
+   * silently quantized to 0 would desync the SQL replay); per-(group,
+   * dim) sums are exact decimal(38,0); cosine is scale-invariant, so
+   * it is computed directly on the SUM vectors — dot and norms stay
+   * exact integers (bounded: |sum| ≤ n·2²¹ keeps products inside
+   * decimal(38,0) up to n ≈ 10¹⁰ rows per group) and only the final
+   * sqrt/divide is double, rounded to 6 decimals. All-zero-norm
+   * groups report a null cosine, never a NaN.
+   *
+   * Scale shape: ONE posexplode shuffle whose map-side partials
+   * collapse each task to ≤ |groups|·dim rows before the exchange;
+   * everything after (norms, the pair join on dim, the |G|² matrix)
+   * operates on the |groups|·dim sum table — KBs — with the pair join
+   * broadcast. The corpus is read once.
+   *
+   * @return (group_a, group_b, n_a, n_b, cos) for group_a < group_b
+   */
+  def groupCentroidSims(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val c = col("c").cast("double")
+    val q = when(isnan(c) || abs(c) === lit(Double.PositiveInfinity),
+        raise_error(lit("groupCentroidSims: non-finite component - " +
+          "filter or null non-finite embeddings upstream"))
+          .cast("long"))
+      .otherwise(floor(c * lit(1048576.0) + lit(0.5)).cast("long"))
+    val sums = df
+      .select(col(groupCol).cast("string").as("group"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("dim", "c")))
+      .select(col("group"), col("dim"), q.as("q"))
+      .groupBy("group", "dim")
+      .agg(sum(col("q").cast("decimal(38,0)")).as("sq"))
+    val ns = df.groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"))
+    val norms = sums.groupBy("group")
+      .agg(sum(col("sq") * col("sq")).as("nrm"))
+    val dots = sums.as("a")
+      .join(broadcast(sums.as("b")),
+        col("a.dim") === col("b.dim") && col("a.group") < col("b.group"))
+      .groupBy(col("a.group").as("group_a"), col("b.group").as("group_b"))
+      .agg(sum(col("a.sq") * col("b.sq")).as("dot"))
+    val cosRaw = col("dot").cast("double") /
+      (sqrt(col("na.nrm").cast("double")) *
+        sqrt(col("nb.nrm").cast("double")))
+    dots
+      .join(broadcast(norms.as("na")),
+        col("group_a") === col("na.group"))
+      .join(broadcast(norms.as("nb")),
+        col("group_b") === col("nb.group"))
+      .join(broadcast(ns.as("ca")), col("group_a") === col("ca.group"))
+      .join(broadcast(ns.as("cb")), col("group_b") === col("cb.group"))
+      .select(col("group_a"), col("group_b"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        when(col("na.nrm") > 0 && col("nb.nrm") > 0,
+          round(cosRaw, 6)).otherwise(lit(null)).as("cos"))
+  }
 }
