@@ -572,6 +572,16 @@ object SparkEntry {
         col("event_type") === "purchase",
         horizonUs = 3600000000L)),
 
+    // ---- streaming ordered-step funnel (X81) — the online face of
+    //      the X75 conversion tracker: k longs of state per user (no
+    //      event buffer), strictly-after advances, flush-marker
+    //      finals must hash-match the batch chained-minima oracle ----
+    "st_funnel" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replayFunnel(
+        ld(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"),
+        windowUs = 604800000000L)),
+
     // ---- streaming trailing-window features (X77) — the online face
     //      of the X73 rolling features: each event emits its
     //      strictly-before hour-window stats AT ARRIVAL from O(window)
@@ -2796,6 +2806,31 @@ object SparkEntry {
         |  CAST(CASE WHEN m_us IS NOT NULL AND m_us - us <= 3600000000
         |    THEN tid ELSE -1 END AS BIGINT) AS target_id
         |FROM j ORDER BY event_id""".stripMargin,
+    // streaming funnel (X81): the flush finals must equal the batch
+    // X75 pass — the same chained strictly-after minima replay
+    "st_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |m1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |m2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+        |  JOIN m1 ON e.user_id = m1.user_id
+        |  WHERE event_type = 'click' AND us > t1
+        |    AND us <= t1 + 604800000000 GROUP BY e.user_id),
+        |m3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+        |  JOIN m2 ON e.user_id = m2.user_id
+        |  JOIN m1 ON e.user_id = m1.user_id
+        |  WHERE event_type = 'purchase' AND us > t2
+        |    AND us <= t1 + 604800000000 GROUP BY e.user_id)
+        |SELECT m1.user_id, t1 AS t_1,
+        |  coalesce(t2, -1) AS t_2, coalesce(t3, -1) AS t_3,
+        |  CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS depth,
+        |  CASE WHEN t3 IS NOT NULL THEN t3 - t1 ELSE -1 END AS tte_us
+        |FROM m1 LEFT JOIN m2 ON m1.user_id = m2.user_id
+        |LEFT JOIN m3 ON m1.user_id = m3.user_id
+        |ORDER BY m1.user_id""".stripMargin,
     // streaming trailing features (X77): the at-arrival finals must
     // equal the batch X73 RANGE-frame pass — same replay as
     // ev_trailing, with the streamed output's column names

@@ -447,6 +447,146 @@ object StreamPipeline {
     }
   }
 
+  /** Per-key state of [[funnelStream]]: the milestone timestamps
+    * reached so far (≤ |steps| longs — the minimal possible state for
+    * ordered-step tracking), the high-water mark, and a dirty flag for
+    * contract-violating late arrivals. */
+  private[streaming] final case class FunnelState(ms: Seq[Long],
+      curUs: Long, hasCur: Boolean, dirty: Boolean)
+
+  private[streaming] final case class FunnelOut(user_id: Long,
+      ms: Seq[Long], depth: Long, tte_us: Long)
+
+  /**
+   * Streaming ordered-step funnel (X81) — the online face of
+   * [[graft.ops.Features.funnel]]'s X75 semantics: per key, track the
+   * earliest time each step of a sequence is reached STRICTLY after
+   * the previous step and within `windowUs` of the step-1 anchor,
+   * with finals identical to the batch pass (the `st_funnel` oracle).
+   * The live-conversion tracker: k longs of state per user — no event
+   * buffer at all, the cheapest state in this module.
+   *
+   * Why ascending arrival preserves batch semantics: the first step-1
+   * event seen IS the user's global earliest (the ordering contract),
+   * and equal-timestamp arrivals can never advance a step (strictly-
+   * after), so their intra-batch order is irrelevant — the same
+   * argument the batch op makes for partition invariance.
+   *
+   * Emission: a funnel final is a PER-KEY row, only complete when the
+   * stream (or a watermark timeout in production) says the user is
+   * done — so output rows emit on the flush marker (`usCol` ==
+   * Long.MaxValue, the replay convention; production uses an
+   * event-time timeout). A late arrival (us below the high-water)
+   * could re-anchor history, so it poisons the key: the flush emits
+   * all -1 sentinels, deterministic and visible, never a silently
+   * stale funnel.
+   */
+  def funnelStream(stream: DataFrame, keyCol: String, tsUsCol: String,
+      idCol: String, typeCol: String, steps: Seq[String],
+      windowUs: Long): Dataset[FunnelOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(steps.length >= 2,
+      s"funnelStream: need at least 2 steps, got ${steps.length}")
+    require(steps.distinct.length == steps.length,
+      s"funnelStream: steps must be distinct, got ${steps.mkString(", ")}")
+    require(windowUs > 0,
+      s"funnelStream: windowUs must be positive, got $windowUs")
+    val w = windowUs
+    val stepSeq = steps
+    val ds = stream.select(col(keyCol).cast("long"),
+        col(tsUsCol).cast("long"), col(idCol).cast("long"),
+        col(typeCol).cast("string"))
+      .as[(Long, Long, Long, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+         st: GroupState[FunnelState]) =>
+          var s = st.getOption.getOrElse(
+            FunnelState(Vector.empty, 0L, hasCur = false,
+              dirty = false))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
+          it.toArray.sortBy(r => (r._2, r._3)).foreach {
+            case (_, us, _, tpe) =>
+              if (us == Long.MaxValue) {
+                // flush marker: emit the final (batch-identical) row —
+                // or the poisoned sentinel if the contract was broken
+                if (s.dirty)
+                  out += FunnelOut(user,
+                    Seq.fill(stepSeq.length)(-1L), -1L, -1L)
+                else if (s.ms.nonEmpty) {
+                  val k = stepSeq.length
+                  val full = s.ms.length == k
+                  out += FunnelOut(user,
+                    s.ms ++ Seq.fill(k - s.ms.length)(-1L),
+                    s.ms.length.toLong,
+                    if (full) s.ms.last - s.ms.head else -1L)
+                }
+                s = s.copy(ms = Vector.empty, hasCur = false,
+                  dirty = false)
+              } else if (s.hasCur && us < s.curUs) {
+                s = s.copy(dirty = true)
+              } else {
+                val d = s.ms.length
+                val advance =
+                  if (d == 0) tpe == stepSeq.head
+                  else d < stepSeq.length && tpe == stepSeq(d) &&
+                    us > s.ms(d - 1) && us <= s.ms.head + w
+                s = s.copy(
+                  ms = if (advance) s.ms :+ us else s.ms,
+                  curUs = us, hasCur = true)
+              }
+          }
+          st.update(s)
+          out.iterator
+      }
+  }
+
+  /**
+   * Bounded REPLAY of [[funnelStream]] for the correctness harness
+   * (the `st_funnel` query): events feed ascending, one flush row per
+   * user closes every funnel, and the finals must hash-match the
+   * batch X75 pass. Verification device, not a production operator
+   * (the [[replayDedup]] caveat).
+   */
+  def replayFunnel(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, steps: Seq[String],
+      windowUs: Long, numBatches: Int = 5): DataFrame = {
+    val spark = replaySession(df)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val micros = floor(Sessions.asNanos(df, tsCol)
+      .cast("decimal(38,0)") / lit(1000L)).cast("long")
+    val rows = df.select(col(userCol).cast("long"), micros.as("us"),
+        col(idCol).cast("long"), col(typeCol).cast("string"))
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._2, r._3))
+    require(rows.nonEmpty, "replayFunnel: empty input")
+    val flush = rows.map(_._1).distinct.sorted.map(u =>
+      (u, Long.MaxValue, -1L, "")).toSeq
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val funnels = funnelStream(
+      in.toDF().toDF("user_id", "ts_us", "event_id", "event_type"),
+      "user_id", "ts_us", "event_id", "event_type", steps, windowUs)
+      .toDF()
+    withReplaySink(spark, "st_funnel_", funnels) { q =>
+      feedBatches(rows, numBatches) { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+      in.addData(flush)
+      q.processAllAvailable()
+    } { sink =>
+      val cols = col("user_id") +:
+        steps.indices.map(i => col("ms")(i).as(s"t_${i + 1}")) :+
+        col("depth") :+ col("tte_us")
+      spark.table(sink).select(cols: _*)
+        .orderBy("user_id").localCheckpoint(true)
+    }
+  }
+
   /** Streaming model scoring: the broadcast-model predict UDF is
     * row-local, so it applies to a stream as-is. */
   def scoreModel(model: GraftModel, stream: DataFrame,

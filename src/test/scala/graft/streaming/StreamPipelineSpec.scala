@@ -712,4 +712,36 @@ class StreamPipelineSpec extends SparkTestBase {
       spark.sql(s"DROP VIEW IF EXISTS $sink")
     }
   }
+  test("replayFunnel fuzz: streamed flush finals equal the batch X75 " +
+      "funnel across random logs, windows, ts ties, and micro-batch " +
+      "boundaries (X81)") {
+    val steps = Seq("s1", "s2", "s3")
+    for (trial <- 0 until 4) {
+      val rng = new scala.util.Random(9500 + trial)
+      val window = Seq(5000000L, 20000000L, 40000000L)(rng.nextInt(3))
+      val n = 60 + rng.nextInt(140)
+      val rows = Seq.tabulate(n) { i =>
+        (i.toLong,
+          rng.nextInt(40).toLong * 1000000L +
+            rng.nextInt(3).toLong * 500000L, // forced equal-us runs
+          rng.nextInt(5).toLong,
+          s"s${rng.nextInt(4) + 1}") // s4 = funnel-irrelevant noise
+      }
+      val df = rows.toDF("event_id", "us", "user_id", "event_type")
+        .withColumn("ts",
+          timestamp_micros(col("us")).cast("timestamp_ntz"))
+        .drop("us")
+      val streamed = StreamPipeline.replayFunnel(df, "user_id", "ts",
+          "event_id", "event_type", steps, window,
+          numBatches = 1 + rng.nextInt(6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      val batch = graft.ops.Features.funnel(df, "user_id", "ts",
+          "event_type", steps, window)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      assert(streamed === batch, s"trial $trial window=$window n=$n")
+    }
+  }
 }
