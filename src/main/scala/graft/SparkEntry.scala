@@ -945,6 +945,15 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- text analysis: corpus document frequency (top-k tokens) ----
+    // ---- text: distinctive-term extraction (X82) — top-5 terms per
+    //      doc by the exact fixed-point tf/df score (tf·2²⁰ div df):
+    //      two map-combinable aggregates, one honest token-keyed
+    //      tf⋈df join, a doc-bounded window — every number a BIGINT ----
+    "tx_tfidf" -> ((s, dir) =>
+      TextOps.distinctiveTerms(ld(s, dir, "documents"), "doc_id",
+        "text", k = 5)
+        .orderBy("id", "rank")),
+
     "tx_docfreq" -> ((s, dir) =>
       TextOps.docFrequency(ld(s, dir, "documents"), "doc_id", "text",
         k = 20).orderBy(col("doc_freq").desc, col("token").asc)),
@@ -3778,6 +3787,30 @@ object SparkEntry {
         | ORDER BY t.doc_id""".stripMargin,
     // document frequency: distinct tokens per doc → corpus-wide count,
     // deterministic top-20 (ties broken by token)
+    // distinctive-terms replay (X82): same whitespace tokens, same
+    // exact integer score tf·2²⁰ // df, same (score desc, token asc)
+    // rank — no doubles anywhere
+    "tx_tfidf" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |     END AS toks
+        | FROM documents),
+        |u AS (SELECT id, unnest(toks) AS token FROM t),
+        |tf AS (SELECT id, token, count(*) AS tf FROM u
+        |  GROUP BY id, token),
+        |d AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |s AS (SELECT tf.id, tf.token, tf.tf, d.df,
+        |    (tf.tf * 1048576) // d.df AS score_q
+        |  FROM tf JOIN d USING (token)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY id
+        |    ORDER BY score_q DESC, token ASC) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT id, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(score_q AS BIGINT) AS score_q,
+        |  rank
+        |FROM r WHERE rank <= 5 ORDER BY id, rank""".stripMargin,
     "tx_docfreq" ->
       """WITH t AS (SELECT doc_id,
         |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0

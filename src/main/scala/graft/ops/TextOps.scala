@@ -1079,4 +1079,46 @@ object TextOps {
       .withColumn("dup3gram_frac", round(col("__graft_rep._3"), 6))
       .drop("__graft_rep")
   }
+
+  /**
+   * Distinctive-term extraction (X82) — TF-IDF-style top-k terms per
+   * document with a RATIONAL idf: score_q = tf·2²⁰ div df, the exact
+   * fixed-point form of tf/df. The "what is this document about"
+   * primitive behind corpus browsing, cluster labeling, and keyword
+   * features. The rational weighting is chosen over log-idf
+   * deliberately: it keeps every number in the pipeline an exact
+   * BIGINT (the repo-wide determinism discipline — `ln` is libm-
+   * dependent, not IEEE-specified; where a log is semantically
+   * required the [[unigramQuality]] path shows the bounded-vocab
+   * literal recipe), and within a document it orders terms by the
+   * same "frequent here, rare everywhere" signal; quantization ties
+   * break by token ascending, identically in SQL.
+   *
+   * Scale shape: one map-side-combinable (doc, token) aggregate, one
+   * token aggregate for document frequencies, one token-keyed join of
+   * the tf table against the df table (the vocabulary is NOT
+   * broadcastable at corpus scale — trillions of rare tokens — so
+   * this is an honest sort-merge the map-side combines have already
+   * shrunk), and a per-document window whose partitions are bounded
+   * by document length. No global sort, no driver state.
+   *
+   * @return (id, token, tf, df, score_q, rank) for rank ≤ k per doc,
+   *         ranked by (score_q desc, token asc)
+   */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"distinctiveTerms: k must be positive, got $k")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score_q").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("score_q", expr("tf * 1048576L div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("id", "token", "tf", "df", "score_q", "rank")
+  }
 }

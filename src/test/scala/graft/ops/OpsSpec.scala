@@ -1293,4 +1293,33 @@ class OpsSpec extends SparkTestBase {
         Seq(("a", 1L), ("b", 0L)))
     }
   }
+  // ---- distinctiveTerms (X82) ----
+
+  test("distinctiveTerms: exact tf*2^20 div df scores, (score desc, " +
+      "token asc) rank, k cut, partition invariance (X82)") {
+    // "apple" appears twice in doc 1 and nowhere else: tf=2, df=1 →
+    // score 2*2^20. "the" is in all 3 docs: tf=1, df=3 → 2^20 div 3.
+    val df = Seq(
+      (1L, "apple apple the zebra"),
+      (2L, "the zebra"),
+      (3L, "the")).toDF("doc_id", "text")
+    def run(parts: Int) =
+      TextOps.distinctiveTerms(df.repartition(parts), "doc_id",
+          "text", k = 2)
+        .orderBy("id", "rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val got = run(1)
+    val M = 1048576L
+    assert(got === Seq(
+      (1L, "apple", 2L, 1L, 2L * M, 1L),
+      (1L, "zebra", 1L, 2L, M / 2L, 2L),
+      (2L, "zebra", 1L, 2L, M / 2L, 1L),
+      (2L, "the", 1L, 3L, M / 3L, 2L),
+      (3L, "the", 1L, 3L, M / 3L, 1L)))
+    assert(run(7) === got)
+    intercept[IllegalArgumentException] {
+      TextOps.distinctiveTerms(df, "doc_id", "text", 0)
+    }
+  }
 }
