@@ -491,6 +491,15 @@ object SparkEntry {
         horizonUs = 3600000000L)
         .orderBy("id")),
 
+    // ---- events: session association pairs (X83) — unordered
+    //      within-session co-presence with exact fixed-point directed
+    //      confidences ("users who did A in a session also did B");
+    //      the complementary view to X79's ordered transitions ----
+    "ev_assoc" -> ((s, dir) =>
+      ops.Sessions.associationPairs(ld(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", gapSec = 21600)
+        .orderBy("item_a", "item_b")),
+
     // ---- events: session transition counts (X79) — the first-order
     //      Markov table of within-session event flows ("what do users
     //      do next"); pairs never cross a session boundary, one user
@@ -2946,6 +2955,38 @@ object SparkEntry {
         |       AS DOUBLE) + 20.0) AS enc
         |FROM v JOIN s USING (event_type) CROSS JOIN g
         |ORDER BY v.event_id""".stripMargin,
+    // association-pair replay (X83): the ev_sessions gap carve-up,
+    // distinct (session, item) presence, per-session pair join,
+    // exact integer confidences
+    "ev_assoc" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) AS tn FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL
+        |      OR tn - lag(tn) OVER w > 21600000000000 THEN 1 ELSE 0 END
+        |      AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM s),
+        |i AS (SELECT DISTINCT user_id AS u, session_idx,
+        |    event_type AS item FROM x),
+        |tot AS (SELECT count(*) AS n_sessions FROM
+        |  (SELECT DISTINCT u, session_idx FROM i)),
+        |c AS (SELECT item, count(*) AS n FROM i GROUP BY item),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    count(*) AS n_ab
+        |  FROM i a JOIN i b ON a.u = b.u
+        |    AND a.session_idx = b.session_idx AND a.item < b.item
+        |  GROUP BY a.item, b.item)
+        |SELECT p.item_a, p.item_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+        |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |  CAST(tot.n_sessions AS BIGINT) AS n_sessions,
+        |  CAST((p.n_ab * 1048576) // ca.n AS BIGINT) AS conf_ab_q,
+        |  CAST((p.n_ab * 1048576) // cb.n AS BIGINT) AS conf_ba_q
+        |FROM p JOIN c ca ON ca.item = p.item_a
+        |JOIN c cb ON cb.item = p.item_b
+        |CROSS JOIN tot
+        |ORDER BY item_a, item_b""".stripMargin,
     // transition-count replay (X79): the ev_sessions gap carve-up,
     // then lag pairs gated to same-session, counted per (from, to)
     // with distinct (user, session) via a string key

@@ -239,6 +239,60 @@ object Sessions {
   }
 
   /**
+   * Session co-occurrence / association rules (X83) — pairwise
+   * frequent-itemset mining over the [[sessionize]] carve-up: for
+   * every unordered event-type pair {a, b}, in how many sessions do
+   * BOTH occur (`n_ab`), out of how many contain each alone (`n_a`,
+   * `n_b`), with both directed confidences as exact fixed-point
+   * BIGINTs (conf(a→b) = n_ab·2²⁰ div n_a). The "users who did A in a
+   * session also did B" table — support/confidence/lift (lift = the
+   * consumer's one division away: n·n_ab/(n_a·n_b)) behind
+   * recommendation heuristics and anomaly baselines. [[X79]] counts
+   * ORDERED adjacent transitions; this counts unordered WITHIN-SESSION
+   * co-presence — the two complementary views of session structure.
+   *
+   * Scale shape: distinct (session, type) items ride the sessionize
+   * partitioning (≤ |types| rows per session); the pair join is
+   * per-session (bounded: C(|types in session|, 2), with |types|
+   * small by definition); counts aggregate map-side to a ≤ |types|²
+   * key space; the total-session count attaches as a broadcast 1-row
+   * cross join. Everything after the carve-up is KB-scale.
+   *
+   * @return (item_a, item_b, n_ab, n_a, n_b, n_sessions, conf_ab_q,
+   *         conf_ba_q) for item_a < item_b with n_ab ≥ minSupport
+   */
+  def associationPairs(events: DataFrame, userCol: String,
+      tsCol: String, orderCol: String, typeCol: String, gapSec: Long,
+      minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"associationPairs: minSupport must be " +
+      s"positive, got $minSupport")
+    val items = sessionize(events, userCol, tsCol, orderCol, gapSec)
+      .select(col(userCol).cast("long").as("u"), col("session_idx"),
+        col(typeCol).cast("string").as("item"))
+      .distinct()
+    val tot = items.select(col("u"), col("session_idx")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val cnts = items.groupBy("item").agg(count(lit(1)).as("n"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.u") === col("b.u") &&
+          col("a.session_idx") === col("b.session_idx") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(cnts.as("ca")), col("item_a") === col("ca.item"))
+      .join(broadcast(cnts.as("cb")), col("item_b") === col("cb.item"))
+      .crossJoin(broadcast(tot))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        col("n_sessions"),
+        expr("n_ab * 1048576L div `ca`.n").as("conf_ab_q"),
+        expr("n_ab * 1048576L div `cb`.n").as("conf_ba_q"))
+  }
+
+  /**
    * Leakage-safe outcome labeling (X70) — the supervised-label
    * generation step for event models ("did this user convert within
    * the horizon AFTER this event?"): every event gets `label` 1 iff

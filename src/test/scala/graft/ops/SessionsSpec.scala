@@ -262,4 +262,34 @@ class SessionsSpec extends SparkTestBase {
       ("b", "b", 1L, 1L)))  // u1s1 tie pair; cross-session excluded
     assert(run(5) === got)
   }
+  // ---- associationPairs (X83) ----
+
+  test("associationPairs: within-session co-presence with exact " +
+      "integer confidences, duplicate types collapse, minSupport " +
+      "cuts, partition-invariant (X83)") {
+    // u1 s1: {a, b} (b twice — presence counts once); u1 s2: {a};
+    // u2 s1: {a, b, c}
+    val rows = Seq(
+      (0L, 0L, 1L, "a", 1.0), (1L, 1L * G, 1L, "b", 1.0),
+      (2L, 2L * G, 1L, "b", 1.0), (3L, 100L * G, 1L, "a", 1.0),
+      (4L, 0L, 2L, "a", 1.0), (5L, 1L * G, 2L, "b", 1.0),
+      (6L, 2L * G, 2L, "c", 1.0))
+    def run(parts: Int, minSup: Long) =
+      Sessions.associationPairs(ev(rows: _*).repartition(parts),
+          "user_id", "ts", "event_id", "event_type", gapSec = 10,
+          minSupport = minSup)
+        .orderBy("item_a", "item_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toSeq
+    val M = 1048576L
+    val got = run(1, 1L)
+    // n_sessions=3; n_a=3, n_b=2, n_c=1; ab in 2 sessions, ac/bc in 1
+    assert(got === Seq(
+      ("a", "b", 2L, 3L, 2L, 3L, 2L * M / 3L, M),
+      ("a", "c", 1L, 3L, 1L, 3L, M / 3L, M),
+      ("b", "c", 1L, 2L, 1L, 3L, M / 2L, M)))
+    assert(run(6, 1L) === got)
+    assert(run(1, 2L) === got.take(1)) // minSupport 2 keeps only ab
+  }
 }
