@@ -448,6 +448,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- profiling: score-calibration table (X86) — "does a high
+    //      value mean purchase": frozen decile edges (the X67
+    //      discipline) + one map-combinable aggregate with exact
+    //      fixed-point per-bucket score/label means ----
+    "prof_calibration" -> ((s, dir) => {
+      val e = ld(s, dir, "events")
+        .withColumn("y",
+          (col("event_type") === "purchase").cast("double"))
+      val edges = ops.Profiler.psiEdges(e, "value", bins = 10)
+      ops.Profiler.calibrationTable(e, "value", "y", edges)
+        .orderBy(col("bucket").asc_nulls_last)
+    }),
+
+    // ---- profiling: referential-integrity audit (X85) — the
+    //      join-key health check before trusting a join: null FKs,
+    //      orphans an inner join would silently drop, unreferenced
+    //      dimension keys; both sides collapse to key sets before
+    //      the one tiny full-outer join ----
+    "prof_integrity" -> ((s, dir) =>
+      ops.Profiler.integrityAudit(ld(s, dir, "orders"), "o_custkey",
+        ld(s, dir, "customer"), "c_custkey")),
+
     // ---- profiling→modeling: per-group winsorization (X78) — clip
     //      each event type's values to its FROZEN exact-rank [p5, p95]
     //      edges (outlier taming per segment, leakage-safe by the X67
@@ -981,6 +1003,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 5)
         .orderBy("train_id")
+    }),
+
+    // ---- pipeline: n-gram novelty scoring (X84) — the graded
+    //      complement of pp_decontam's binary flag: per corpus doc,
+    //      the exact fixed-point fraction of its distinct 5-grams
+    //      unseen in the reference slice; broadcast reference grams,
+    //      one per-doc count aggregate ----
+    "pp_novelty" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      CorpusPipeline.noveltyScores(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy("id")
     }),
 
     // ---- pipeline: data mixture (deterministic weighted sampling) --
@@ -3126,6 +3162,56 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       Seq(25, 50, 75, 95)),
     // rank-normalization replay (X69): shared fixed-point quantize,
+    // calibration replay (X86): the prof_bucketize decile edges, then
+    // per-bucket exact integer sums and the identical mean divisions
+    "prof_calibration" ->
+      """WITH v AS (SELECT event_id,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |      ELSE CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |        AS BIGINT) END AS q,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN 1048576
+        |      ELSE 0 END AS BIGINT) AS yq
+        |  FROM events),
+        |nn AS (SELECT q FROM v WHERE q IS NOT NULL),
+        |r AS (SELECT q, row_number() OVER (ORDER BY q) AS rn FROM nn),
+        |e AS (SELECT i, (SELECT q FROM r WHERE rn =
+        |    (SELECT (count(*) - 1) * (10 * i) // 100 + 1 FROM nn))
+        |    AS edge FROM range(1, 10) t(i)),
+        |bkt AS (SELECT v.q, v.yq,
+        |    CASE WHEN v.q IS NULL THEN NULL
+        |      ELSE (SELECT count(*) FROM e WHERE e.edge < v.q) END
+        |    AS bucket
+        |  FROM v)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(yq) AS BIGINT) AS n_labeled,
+        |  round(CAST(sum(q) AS DOUBLE) / (count(q) * 1048576.0), 6)
+        |    AS score_mean,
+        |  round(CAST(sum(yq) AS DOUBLE) / (count(yq) * 1048576.0), 6)
+        |    AS label_mean
+        |FROM bkt GROUP BY bucket ORDER BY bucket NULLS LAST""".stripMargin,
+    // integrity-audit replay (X85): the same key-set full outer join
+    // with counted match flags
+    "prof_integrity" ->
+      """WITH fk AS (SELECT o_custkey AS k, count(*) AS cnt
+        |  FROM orders GROUP BY o_custkey),
+        |pk AS (SELECT DISTINCT c_custkey AS k, 1 AS pkf FROM customer),
+        |j AS (SELECT coalesce(fk.k, pk.k) AS k, fk.cnt, pk.pkf,
+        |    fk.k AS fkk
+        |  FROM fk FULL OUTER JOIN pk ON fk.k = pk.k)
+        |SELECT
+        |  CAST(sum(CASE WHEN cnt IS NOT NULL THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS n_fact,
+        |  CAST(sum(CASE WHEN cnt IS NOT NULL AND fkk IS NULL
+        |    THEN cnt ELSE 0 END) AS BIGINT) AS n_fact_null_fk,
+        |  CAST(sum(CASE WHEN fkk IS NOT NULL AND pkf IS NULL
+        |    THEN cnt ELSE 0 END) AS BIGINT) AS n_fact_orphan,
+        |  CAST(count(CASE WHEN cnt IS NOT NULL AND fkk IS NOT NULL
+        |    THEN 1 END) AS BIGINT) AS n_fk_distinct,
+        |  CAST(count(pkf) AS BIGINT) AS n_pk_distinct,
+        |  CAST(count(CASE WHEN pkf IS NOT NULL AND cnt IS NULL
+        |    THEN 1 END) AS BIGINT) AS n_pk_unreferenced
+        |FROM j""".stripMargin,
     // per-group winsorize replay (X78): the same distinct-value CDF,
     // the same exact-rank edge rule ((n−1)·p//100 + 1), the same
     // least/greatest integer clip and null passthroughs
@@ -3899,6 +3985,33 @@ object SparkEntry {
         |   min(ev.eval_id) AS eval_id
         | FROM tr JOIN ev USING (gram)
         | GROUP BY train_id ORDER BY train_id""".stripMargin,
+    // novelty replay (X84): same 5-gram construction as pp_decontam
+    // (string grams stand in for the xxhash64 keys — equal counts
+    // absent a 64-bit collision), exact integer novelty fraction,
+    // gram-less docs carried with NULL novelty
+    "pp_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |   string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+        | FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+4], ' ')
+        |     for i in range(1, len(toks) - 3)])) AS gram
+        | FROM t WHERE len(toks) >= 5),
+        |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, g.gram,
+        |    CASE WHEN ref.gram IS NOT NULL THEN 1 END AS hit
+        |  FROM g LEFT JOIN ref ON g.gram = ref.gram
+        |  WHERE doc_id % 97 <> 0),
+        |a AS (SELECT doc_id, count(*) AS n_grams, count(hit) AS n_seen
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id AS id,
+        |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(a.n_seen, 0) AS BIGINT) AS n_seen,
+        |  CASE WHEN coalesce(a.n_grams, 0) > 0 THEN
+        |    CAST(((a.n_grams - a.n_seen) * 1048576) // a.n_grams
+        |      AS BIGINT) END AS novelty_q
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN a USING (doc_id) ORDER BY id""".stripMargin,
     // mixture replay: md5_number_lower is the same lower-8-bytes
     // little-endian read the Spark side reconstructs (it uses the low
     // 4 bytes, hence the % 2^32)

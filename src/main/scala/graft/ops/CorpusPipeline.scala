@@ -110,6 +110,61 @@ object CorpusPipeline {
   }
 
   /**
+   * N-gram novelty scoring (X84) — the graded complement of
+   * [[decontaminate]]'s binary flag: for every corpus document, what
+   * FRACTION of its distinct token n-grams is unseen in a reference
+   * corpus. The "how much new text does this source actually add"
+   * score a mixture designer reads next to dedup rates: novelty ≈ 0
+   * means the source re-serves the reference; the decontaminate sweep
+   * answers "is this document tainted", this answers "is this source
+   * worth its rate".
+   *
+   * Exactness: novelty_q = (n_grams − n_seen)·2²⁰ div n_grams — exact
+   * BIGINTs end to end; documents shorter than n tokens have no
+   * grams and report a NULL novelty (nothing to judge), never a fake
+   * 0 or 1. Grams join as xxhash64 keys on both sides (the
+   * [[decontaminate]] contract and collision caveat).
+   *
+   * Scale shape: the reference gram set is tiny next to the corpus
+   * (the decontaminate premise) and BROADCASTS; the corpus pays one
+   * scan + per-doc distinct-gram explode into the broadcast left
+   * join, ONE map-side-combinable per-doc count aggregate, and a
+   * narrow id-projection left join to carry gram-less documents into
+   * the output visibly.
+   *
+   * @return (id, n_grams, n_seen, novelty_q) — one row per corpus doc
+   */
+  def noveltyScores(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"noveltyScores: n-gram length must be >= 1, got $n")
+    def grams(df: DataFrame): DataFrame = {
+      val toks = TextOps.tokens(col(textCol))
+      df.select(col(idCol).cast("long").as("id"),
+          when(size(toks) >= n,
+            array_distinct(transform(sequence(lit(0), size(toks) - n),
+              i => xxhash64(concat_ws(" ",
+                slice(toks, i + 1, lit(n)))))))
+            .otherwise(array().cast("array<long>")).as("grams"))
+    }
+    val refG = grams(reference)
+      .select(explode(col("grams")).as("gram"), lit(1L).as("__hit"))
+      .distinct()
+    val counts = grams(corpus)
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .join(broadcast(refG), Seq("gram"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_seen"))
+    corpus.select(col(idCol).cast("long").as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty_q",
+        when(col("n_grams") > 0,
+          expr("(n_grams - n_seen) * 1048576L div n_grams")))
+  }
+
+  /**
    * Data mixture: deterministic per-source weighted sampling — the
    * "mix sources at different rates" step of LLM training-data prep
    * (e.g. keep all of a high-quality source, 10% of a crawl).

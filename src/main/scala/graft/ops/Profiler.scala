@@ -467,6 +467,86 @@ object Profiler {
   }
 
   /**
+   * Referential-integrity audit (X85) — the join-key health check a
+   * pipeline runs before TRUSTING a join: how many fact rows carry a
+   * null foreign key, how many reference a key absent from the
+   * dimension (orphans — rows an inner join silently drops), and how
+   * many dimension keys the fact table never touches (unreferenced —
+   * dead weight a broadcast would still ship). Silent inner-join row
+   * loss is the classic wrong-denominator bug in training-data
+   * counts; this makes it a number.
+   *
+   * Scale shape: ONE distinct-key projection per side (map-side
+   * combinable aggregates — the fact table collapses to its key
+   * cardinality before any join), then a full outer join of the two
+   * KEY SETS (≪ rows) with counted match flags. No fact-row joins,
+   * no driver state; exact BIGINTs.
+   *
+   * @return one row: (n_fact, n_fact_null_fk, n_fact_orphan,
+   *         n_fk_distinct, n_pk_distinct, n_pk_unreferenced)
+   */
+  def integrityAudit(fact: DataFrame, fkCol: String, dim: DataFrame,
+      pkCol: String): DataFrame = {
+    val fk = fact.groupBy(col(fkCol).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val pk = dim.select(col(pkCol).cast("long").as("k"))
+      .distinct().withColumn("__pk", lit(1L))
+    val j = fk.join(pk, Seq("k"), "full_outer")
+    j.agg(
+      sum(when(col("cnt").isNotNull, col("cnt")).otherwise(0L))
+        .as("n_fact"),
+      sum(when(col("k").isNull, col("cnt")).otherwise(0L))
+        .as("n_fact_null_fk"),
+      sum(when(col("k").isNotNull && col("__pk").isNull, col("cnt"))
+        .otherwise(0L)).as("n_fact_orphan"),
+      count(when(col("cnt").isNotNull && col("k").isNotNull, lit(1)))
+        .as("n_fk_distinct"),
+      count(col("__pk")).as("n_pk_distinct"),
+      count(when(col("__pk").isNotNull && col("cnt").isNull, lit(1)))
+        .as("n_pk_unreferenced"))
+  }
+
+  /**
+   * Score-calibration table (X86) — the reliability diagram's exact
+   * backing table: scores bucket by FROZEN equal-frequency edges
+   * ([[psiEdges]] / [[bucketize]], the leakage-safe X67 discipline —
+   * compute edges on the validation snapshot, apply to any later
+   * scoring run), and each bucket reports its exact fixed-point mean
+   * score and mean label. "Does a 0.9 score mean 90%" is the
+   * question answered before thresholding any model output; a
+   * well-calibrated score tracks the diagonal, and per-bucket counts
+   * expose where the tails are too thin to trust.
+   *
+   * Exactness: scores and labels quantize by the [[quantize]] rule
+   * (NaN/null rows land in a NULL bucket and report their own row —
+   * visible, never silently dropped); per-bucket sums are exact
+   * decimal(38,0) BIGINT-ranged; the two means are single divisions
+   * of exact integers (IEEE-deterministic), rounded to 6.
+   *
+   * Scale shape: bucket assignment is the [[bucketize]] codegen
+   * projection (no shuffle); then ONE map-side-combinable aggregate
+   * with ≤ bins+1 output rows. A 100 TB scoring run calibrates in a
+   * scan.
+   *
+   * @return (bucket, n, n_labeled, score_mean, label_mean) sorted by
+   *         bucket, null bucket (missing score) last by convention
+   */
+  def calibrationTable(df: DataFrame, scoreCol: String,
+      labelCol: String, edges: Seq[Long]): DataFrame = {
+    val b = bucketize(df, scoreCol, edges, outCol = "bucket")
+    val sq = quantize(scoreCol)
+    val yq = quantize(labelCol)
+    b.groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        count(yq).as("n_labeled"),
+        round(sum(sq.cast("decimal(38,0)")).cast("double")
+          / (count(sq) * lit(1048576.0)), 6).as("score_mean"),
+        round(sum(yq.cast("decimal(38,0)")).cast("double")
+          / (count(yq) * lit(1048576.0)), 6).as("label_mean"))
+  }
+
+  /**
    * Per-group rank-quantile clip edges (X78, the freeze half) — for
    * each group, the exact quantized values at the `loPct`/`hiPct`
    * integer ranks (rank = (n−1)·p div 100 + 1 over the group's

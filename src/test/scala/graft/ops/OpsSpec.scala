@@ -1322,4 +1322,37 @@ class OpsSpec extends SparkTestBase {
       TextOps.distinctiveTerms(df, "doc_id", "text", 0)
     }
   }
+  // ---- noveltyScores (X84) ----
+
+  test("noveltyScores: exact unseen-gram fraction, short docs carry " +
+      "NULL novelty, all-seen and all-new extremes, partition " +
+      "invariance (X84)") {
+    val ref = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    // doc 1: grams of "a b c d e f" (2 grams: a..e, b..f) — all seen;
+    // doc 2: disjoint vocabulary — all new (3 grams);
+    // doc 3: "z z a b c d e" → grams {zzabc, zabcd, abcde}: one seen;
+    // doc 4: too short (4 tokens) → no grams, NULL novelty
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "p q r s t u v"),
+      (3L, "z z a b c d e"),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val M = 1048576L
+    def run(parts: Int) =
+      CorpusPipeline.noveltyScores(corpus.repartition(parts),
+          ref, "doc_id", "text", n = 5)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else Long.box(r.getLong(3)))).toSeq
+    val got = run(1)
+    assert(got === Seq(
+      (1L, 2L, 2L, Long.box(0L)),
+      (2L, 3L, 0L, Long.box(M)),
+      (3L, 3L, 1L, Long.box(2L * M / 3L)),
+      (4L, 0L, 0L, null)))
+    assert(run(5) === got)
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.noveltyScores(corpus, ref, "doc_id", "text", 0)
+    }
+  }
 }

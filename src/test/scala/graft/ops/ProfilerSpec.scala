@@ -368,4 +368,54 @@ class ProfilerSpec extends SparkTestBase {
         Seq(("a", 1L)).toDF("group", "lo_q"))
     }
   }
+  // ---- integrityAudit (X85) ----
+
+  test("integrityAudit: null FKs, orphans, unreferenced PKs, and key " +
+      "cardinalities — hand-computed and partition-invariant (X85)") {
+    val fact = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None, None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L, 3L).toDF("pk") // dup PK row: still 3 distinct
+    def run(fp: Int, dp: Int) =
+      Profiler.integrityAudit(fact.repartition(fp), "fk",
+          dim.repartition(dp), "pk")
+        .head()
+    val r = run(1, 1)
+    // 6 fact rows; 2 null FKs; fk 9 is an orphan (1 row); distinct
+    // non-null FKs {1, 2, 9} = 3; distinct PKs {1, 2, 3} = 3; PK 3 is
+    // never referenced
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((6L, 2L, 1L, 3L, 3L, 1L)))
+    val r2 = run(5, 3)
+    assert(r.toSeq === r2.toSeq)
+  }
+  // ---- calibrationTable (X86) ----
+
+  test("calibrationTable: frozen-edge buckets, exact per-bucket " +
+      "score/label means, NaN scores in a visible NULL-bucket row, " +
+      "partition invariance (X86)") {
+    // edges frozen by hand at [2.0q]: bucket 0 = q <= 2.0, bucket 1
+    // above; labels 0/1
+    val q = (v: Double) => math.floor(v * 1048576.0 + 0.5).toLong
+    val edges = Seq(q(2.0))
+    val df = Seq(
+      (1.0, 0.0), (2.0, 1.0),          // bucket 0: means 1.5, 0.5
+      (3.0, 1.0), (5.0, 1.0),          // bucket 1: means 4.0, 1.0
+      (Double.NaN, 0.0))               // NULL bucket, label visible
+      .toDF("score", "y")
+    def run(parts: Int) =
+      Profiler.calibrationTable(df.repartition(parts), "score", "y",
+          edges)
+        .orderBy(col("bucket").asc_nulls_last).collect()
+        .map(r => (if (r.isNullAt(0)) null else Long.box(r.getLong(0)),
+          r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else Double.box(r.getDouble(3)),
+          if (r.isNullAt(4)) null else Double.box(r.getDouble(4))))
+        .toSeq
+    val got = run(1)
+    assert(got === Seq(
+      (Long.box(0L), 2L, 2L, Double.box(1.5), Double.box(0.5)),
+      (Long.box(1L), 2L, 2L, Double.box(4.0), Double.box(1.0)),
+      (null, 1L, 1L, null, Double.box(0.0))))
+    assert(run(6) === got)
+  }
 }
