@@ -448,6 +448,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- profiling: per-group PSI drift (X87) — drift monitored
+    //      WITHIN each event type (a stable corpus-wide distribution
+    //      can hide one source drifting against another drifting
+    //      back); each group's own base-side decile edges via the
+    //      distinct-value CDF, broadcast edge join, |G|·bins psi
+    //      lattice ----
+    "prof_drift_group" -> ((s, dir) => {
+      val e = ld(s, dir, "events")
+      val cut = lit("2024-01-16").cast("timestamp")
+      ops.Profiler.driftPsiByGroup(
+        e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
+        "event_type", "value", bins = 10)
+        .orderBy("group", "bin")
+    }),
+
     // ---- profiling: score-calibration table (X86) — "does a high
     //      value mean purchase": frozen decile edges (the X67
     //      discipline) + one map-combinable aggregate with exact
@@ -3162,6 +3177,74 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       Seq(25, 50, 75, 95)),
     // rank-normalization replay (X69): shared fixed-point quantize,
+    // per-group drift replay (X87): each group's decile edges by the
+    // distinct-value CDF integer-rank rule, strict-greater bins, the
+    // identical smoothed psi double expression
+    "prof_drift_group" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |c AS (SELECT event_type AS g,
+        |    CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |ct AS (SELECT g, q, count(*) AS n FROM b GROUP BY g, q),
+        |w AS (SELECT g, q,
+        |    sum(n) OVER (PARTITION BY g ORDER BY q
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS nn FROM ct),
+        |e AS (SELECT g,
+        |    min(CASE WHEN cum >= ((nn - 1) * 10) // 100 + 1 THEN q END) AS e10,
+        |    min(CASE WHEN cum >= ((nn - 1) * 20) // 100 + 1 THEN q END) AS e20,
+        |    min(CASE WHEN cum >= ((nn - 1) * 30) // 100 + 1 THEN q END) AS e30,
+        |    min(CASE WHEN cum >= ((nn - 1) * 40) // 100 + 1 THEN q END) AS e40,
+        |    min(CASE WHEN cum >= ((nn - 1) * 50) // 100 + 1 THEN q END) AS e50,
+        |    min(CASE WHEN cum >= ((nn - 1) * 60) // 100 + 1 THEN q END) AS e60,
+        |    min(CASE WHEN cum >= ((nn - 1) * 70) // 100 + 1 THEN q END) AS e70,
+        |    min(CASE WHEN cum >= ((nn - 1) * 80) // 100 + 1 THEN q END) AS e80,
+        |    min(CASE WHEN cum >= ((nn - 1) * 90) // 100 + 1 THEN q END) AS e90
+        |  FROM w GROUP BY g),
+        |bb AS (SELECT b.g,
+        |    (CASE WHEN e10 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e20 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e30 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e40 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e50 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e60 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e70 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e80 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e90 < q THEN 1 ELSE 0 END) AS bin
+        |  FROM b JOIN e USING (g)),
+        |cb AS (SELECT c.g,
+        |    (CASE WHEN e10 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e20 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e30 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e40 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e50 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e60 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e70 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e80 < q THEN 1 ELSE 0 END
+        |     + CASE WHEN e90 < q THEN 1 ELSE 0 END) AS bin
+        |  FROM c JOIN e USING (g)),
+        |bn AS (SELECT g, bin, count(*) AS n FROM bb GROUP BY g, bin),
+        |cn AS (SELECT g, bin, count(*) AS n FROM cb GROUP BY g, bin),
+        |lat AS (SELECT g, i AS bin FROM e CROSS JOIN range(0, 10) t(i)),
+        |j AS (SELECT lat.g, lat.bin,
+        |    coalesce(bn.n, 0) AS base_n, coalesce(cn.n, 0) AS cur_n
+        |  FROM lat LEFT JOIN bn ON bn.g = lat.g AND bn.bin = lat.bin
+        |  LEFT JOIN cn ON cn.g = lat.g AND cn.bin = lat.bin),
+        |t AS (SELECT *, sum(base_n) OVER (PARTITION BY g) AS tb,
+        |    sum(cur_n) OVER (PARTITION BY g) AS tc FROM j)
+        |SELECT g AS "group", CAST(bin AS BIGINT) AS bin,
+        |  CAST(base_n AS BIGINT) AS base_n,
+        |  CAST(cur_n AS BIGINT) AS cur_n,
+        |  round(((cur_n + 0.5) / (tc + 5.0) - (base_n + 0.5) / (tb + 5.0))
+        |    * ln(((cur_n + 0.5) / (tc + 5.0))
+        |        / ((base_n + 0.5) / (tb + 5.0))), 6) AS psi_term
+        |FROM t ORDER BY "group", bin""".stripMargin,
     // calibration replay (X86): the prof_bucketize decile edges, then
     // per-bucket exact integer sums and the identical mean divisions
     "prof_calibration" ->

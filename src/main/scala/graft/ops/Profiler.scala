@@ -507,6 +507,78 @@ object Profiler {
   }
 
   /**
+   * Per-group PSI drift (X87) — the mixture designer's drift monitor:
+   * [[driftPsi]] computed independently WITHIN each group (source,
+   * segment), because a stable corpus-wide distribution can hide one
+   * source drifting badly against another drifting back. Edges are
+   * each group's own base-side equal-frequency quantiles (the
+   * [[groupClipEdges]] distinct-value-CDF machinery — the corpus
+   * never sorts), bins the shared strict-greater convention, the psi
+   * term the exact [[psiTerm]] smoothing shape ((n+0.5)/(N+bins/2)).
+   *
+   * Semantics: null/NaN values are excluded on both sides (the
+   * [[quantize]] rule); groups with NO base-side values (including
+   * current-only groups) are dropped — PSI against an empty base is
+   * undefined, and a silent 0 would hide exactly the novelty the
+   * audit exists to catch (pair with [[integrityAudit]]-style set
+   * comparison if group churn itself is the question).
+   *
+   * Scale shape: one (group, q) count aggregate on the base (map-side
+   * combinable, distinct-value-lattice-bounded), edges from a window
+   * over that TINY table, then each side pays one scan into a
+   * BROADCAST edge join + a (group, bin) count aggregate with
+   * |G|·bins keys; the psi arithmetic runs on the |G|·bins lattice.
+   *
+   * @return (group, bin, base_n, cur_n, psi_term); Σ psi_term within
+   *         a group is that group's PSI
+   */
+  def driftPsiByGroup(base: DataFrame, current: DataFrame,
+      groupCol: String, valueCol: String, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && 100 % bins == 0,
+      s"driftPsiByGroup: bins must divide 100, got $bins")
+    val pcts = (1 until bins).map(i => 100 * i / bins)
+    def proj(df: DataFrame) = df.select(
+        col(groupCol).cast("string").as("group"),
+        quantize(valueCol).as("q"))
+      .filter(col("q").isNotNull)
+    val b = proj(base)
+    val c = proj(current)
+    val cnts = b.groupBy("group", "q").agg(count(lit(1)).as("cnt"))
+    val cum = sum("cnt").over(Window.partitionBy("group").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val withCum = cnts.withColumn("__cum", cum)
+      .withColumn("__n", sum("cnt").over(Window.partitionBy("group")))
+    val edgeAggs = pcts.map(p => min(when(col("__cum") >=
+        expr(s"((__n - 1L) * $p) div 100L + 1L"), col("q")))
+      .as(s"__e$p"))
+    val edges = withCum.groupBy("group")
+      .agg(edgeAggs.head, edgeAggs.tail: _*)
+    val binOf = pcts.map(p =>
+      when(col(s"__e$p") < col("q"), 1L).otherwise(0L)).reduce(_ + _)
+    def binCounts(side: DataFrame, out: String) =
+      side.join(broadcast(edges), "group")
+        .withColumn("__bin", binOf)
+        .groupBy("group", "__bin").agg(count(lit(1)).as(out))
+    val lattice = edges.select(col("group"),
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__bin"))
+    val joined = lattice
+      .join(binCounts(b, "base_n"), Seq("group", "__bin"), "left")
+      .join(binCounts(c, "cur_n"), Seq("group", "__bin"), "left")
+      .select(col("group"), col("__bin").as("bin"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val wg = Window.partitionBy("group")
+    val pb = (col("base_n") + lit(0.5)) /
+      (sum("base_n").over(wg).cast("double") + lit(bins * 0.5))
+    val pc = (col("cur_n") + lit(0.5)) /
+      (sum("cur_n").over(wg).cast("double") + lit(bins * 0.5))
+    joined
+      .withColumn("psi_term", round((pc - pb) * log(pc / pb), 6))
+      .select("group", "bin", "base_n", "cur_n", "psi_term")
+  }
+
+  /**
    * Score-calibration table (X86) — the reliability diagram's exact
    * backing table: scores bucket by FROZEN equal-frequency edges
    * ([[psiEdges]] / [[bucketize]], the leakage-safe X67 discipline —

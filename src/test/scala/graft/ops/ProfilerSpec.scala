@@ -418,4 +418,38 @@ class ProfilerSpec extends SparkTestBase {
       (null, 1L, 1L, null, Double.box(0.0))))
     assert(run(6) === got)
   }
+  // ---- driftPsiByGroup (X87) ----
+
+  test("driftPsiByGroup: identical distributions score exactly 0 per " +
+      "bin, a planted shift scores high, current-only groups are " +
+      "dropped, NaN excluded, partition-invariant (X87)") {
+    val base = (
+      (1 to 100).map(i => ("stable", (i % 10).toDouble)) ++
+      (1 to 100).map(i => ("shifty", (i % 10).toDouble)) ++
+      Seq(("stable", Double.NaN))).toDF("g", "v")
+    val cur = (
+      (1 to 50).map(i => ("stable", (i % 10).toDouble)) ++
+      (1 to 50).map(i => ("shifty", (i % 10).toDouble + 100.0)) ++
+      Seq(("newgrp", 1.0))).toDF("g", "v")
+    def run(parts: Int) =
+      Profiler.driftPsiByGroup(base.repartition(parts),
+          cur.repartition(parts), "g", "v", bins = 10)
+        .orderBy("group", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    val got = run(1)
+    assert(got.map(_._1).distinct.sorted === Seq("shifty", "stable"))
+    assert(got.count(_._1 == "stable") === 10)
+    // stable: same shape at half the volume → every smoothed
+    // proportion matches to ~1/(2N) — psi terms tiny
+    val stablePsi = got.filter(_._1 == "stable").map(_._5).sum
+    assert(math.abs(stablePsi) < 0.01, stablePsi.toString)
+    // shifty: all current mass lands above every base edge (bin 9)
+    val shifty = got.filter(_._1 == "shifty")
+    assert(shifty.filter(_._2 == 9L).head._4 === 50L)
+    assert(shifty.map(_._5).sum > 1.0, shifty.map(_._5).sum.toString)
+    // counts exact; the NaN base row never counted
+    assert(got.filter(_._1 == "stable").map(_._3).sum === 100L)
+    assert(run(7) === got)
+  }
 }
