@@ -395,6 +395,16 @@ class PlanAuditSpec extends SparkTestBase {
       winLine.getOrElse(p))
   }
 
+  test("pp_novelty: the reference gram set broadcasts — the corpus " +
+      "gram stream is never shuffled by gram") {
+    val p = plan("pp_novelty")
+    // the gram join must be the broadcast: the only sort-merge join
+    // allowed is the narrow id re-attach (the reference side's tiny
+    // pre-broadcast distinct may legitimately exchange on gram)
+    assert(p.contains("BroadcastHashJoin [gram"), p)
+    assert(!p.contains("SortMergeJoin [gram"), p)
+  }
+
   test("no query plans a global (unpartitioned) window sort") {
     // Window with an empty partition spec funnels the whole table into
     // one task ("WindowExec: No Partition Defined" at runtime)
