@@ -137,26 +137,27 @@ object CorpusPipeline {
   def noveltyScores(corpus: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
     require(n >= 1, s"noveltyScores: n-gram length must be >= 1, got $n")
-    // materialize the token array in its OWN projection before the
-    // gram lambda touches it: referenced once-as-an-alias it is split
-    // once per row, while inlining the regex-split expression into the
-    // (interpreted) HOF lambda re-tokenizes the document PER GRAM —
-    // measured 15× slower at sf0.1 (the decontaminate shape, kept)
-    def grams(df: DataFrame): DataFrame = {
-      val t = col("__toks")
+    // the EXACT [[decontaminate]] gram shape, kept deliberately after
+    // measuring the alternatives at sf0.1: (a) the token array must
+    // live in its OWN projection behind the filter — inlining the
+    // regex split into the (interpreted) HOF lambda re-tokenizes the
+    // document per gram (15×); (b) the explode must take the gram
+    // EXPRESSION directly — projecting the array to a column and
+    // exploding that column planned 8× slower on the same data. Short
+    // docs drop out of the gram stream here and re-enter as
+    // n_grams = 0 through the id projection below.
+    def grams(df: DataFrame): DataFrame =
       df.select(col(idCol).cast("long").as("id"),
           TextOps.tokens(col(textCol)).as("__toks"))
-        .select(col("id"),
-          when(size(t) >= n,
-            array_distinct(transform(sequence(lit(0), size(t) - n),
-              i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n)))))))
-            .otherwise(array().cast("array<long>")).as("grams"))
-    }
-    val refG = grams(reference)
-      .select(explode(col("grams")).as("gram"), lit(1L).as("__hit"))
-      .distinct()
+        .filter(size(col("__toks")) >= n)
+        .select(col("id"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => xxhash64(concat_ws(" ",
+              slice(col("__toks"), i + 1, lit(n)))))))
+          .as("gram"))
+    val refG = grams(reference).select("gram").distinct()
+      .withColumn("__hit", lit(1L))
     val counts = grams(corpus)
-      .select(col("id"), explode(col("grams")).as("gram"))
       .join(broadcast(refG), Seq("gram"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_seen"))
