@@ -1020,6 +1020,20 @@ object SparkEntry {
         .orderBy("train_id")
     }),
 
+    // ---- pipeline: semantic decontamination (X88) — the embedding
+    //      face of pp_decontam: max cosine of every corpus vector
+    //      against a broadcast eval slice, exact codegen cosines,
+    //      smallest-eval-id tie rule; catches the paraphrase leakage
+    //      n-grams cannot see ----
+    "pp_semdecontam" -> ((s, dir) => {
+      val emb = ld(s, dir, "embeddings")
+      CorpusPipeline.semanticDecontaminate(
+        emb.filter(col("vec_id") % 83 =!= 0),
+        emb.filter(col("vec_id") % 83 === 0),
+        "vec_id", "embedding", threshold = 0.9)
+        .orderBy("id")
+    }),
+
     // ---- pipeline: n-gram novelty scoring (X84) — the graded
     //      complement of pp_decontam's binary flag: per corpus doc,
     //      the exact fixed-point fraction of its distinct 5-grams
@@ -4068,6 +4082,23 @@ object SparkEntry {
         |   min(ev.eval_id) AS eval_id
         | FROM tr JOIN ev USING (gram)
         | GROUP BY train_id ORDER BY train_id""".stripMargin,
+    // semantic-decontamination replay (X88): DuckDB's native
+    // list_cosine_similarity at 6 decimals (the sim_topk convention),
+    // argmax by (cos desc, eval_id asc), unrounded threshold flag
+    "pp_semdecontam" ->
+      """WITH e AS (SELECT vec_id AS eval_id,
+        |    CAST(embedding AS DOUBLE[]) AS ev
+        |  FROM embeddings WHERE vec_id % 83 = 0),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id % 83 <> 0),
+        |j AS (SELECT c.id, e.eval_id,
+        |    list_cosine_similarity(c.cv, e.ev) AS cos FROM c, e),
+        |r AS (SELECT id, eval_id, cos, row_number() OVER
+        |    (PARTITION BY id ORDER BY cos DESC, eval_id) AS rn
+        |  FROM j)
+        |SELECT id, round(cos, 6) AS max_cos, eval_id,
+        |  cos >= 0.9 AS flagged
+        |FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
     // novelty replay (X84): same 5-gram construction as pp_decontam
     // (string grams stand in for the xxhash64 keys — equal counts
     // absent a 64-bit collision), exact integer novelty fraction,

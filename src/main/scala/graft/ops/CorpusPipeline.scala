@@ -110,6 +110,55 @@ object CorpusPipeline {
   }
 
   /**
+   * Semantic decontamination (X88) — the embedding face of
+   * [[decontaminate]]: flag training documents whose embedding is
+   * NEAR an evaluation document's, catching the contamination n-gram
+   * overlap cannot see (paraphrases, translations, light rewrites —
+   * the leakage mode that actually survives dedup pipelines). Every
+   * corpus row reports its maximum cosine against the eval set and
+   * the nearest eval id, so the threshold is an audit-time knob, not
+   * a rerun.
+   *
+   * Exactness: the [[graft.ops.Similarity.cosineNative]] codegen
+   * expression (exact two-operand double sequence, the sim_topk
+   * convention — DuckDB's list_cosine_similarity replays it at 6
+   * decimals); equal-cosine ties resolve to the smallest eval id via
+   * a struct argmax, partition-invariantly. The flag compares the
+   * UNROUNDED maximum.
+   *
+   * Scale shape: the eval set is tiny (the decontaminate premise) and
+   * BROADCASTS; the corpus pays ONE scan through a broadcast
+   * nested-loop of |eval| codegen cosines per row, and the per-doc
+   * argmax is a map-side-combinable aggregate — no corpus shuffle
+   * beyond it. O(|corpus|·|eval|) compute is the exact sweep's honest
+   * cost; for huge eval sets, prescreen with the ANN paths and verify
+   * the shortlist exactly.
+   *
+   * @return (id, max_cos, eval_id, flagged) — one row per corpus doc
+   */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    require(!threshold.isNaN && threshold >= -1 && threshold <= 1,
+      s"semanticDecontaminate: threshold must be in [-1, 1], got " +
+        s"$threshold")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val e = evalSet.select(col(idCol).cast("long").as("__eid"),
+      col(vecCol).cast("array<double>").as("__ev"))
+    c.crossJoin(broadcast(e))
+      .withColumn("__cos",
+        Similarity.cosineNative(spark, col("__cv"), col("__ev")))
+      .groupBy("id")
+      .agg(max(struct(col("__cos").as("c"), (-col("__eid")).as("n")))
+        .as("__m"))
+      .select(col("id"),
+        round(col("__m.c"), 6).as("max_cos"),
+        (-col("__m.n")).cast("long").as("eval_id"),
+        (col("__m.c") >= threshold).as("flagged"))
+  }
+
+  /**
    * N-gram novelty scoring (X84) — the graded complement of
    * [[decontaminate]]'s binary flag: for every corpus document, what
    * FRACTION of its distinct token n-grams is unseen in a reference

@@ -1355,4 +1355,31 @@ class OpsSpec extends SparkTestBase {
       CorpusPipeline.noveltyScores(corpus, ref, "doc_id", "text", 0)
     }
   }
+  // ---- semanticDecontaminate (X88) ----
+
+  test("semanticDecontaminate: exact max cosine, smallest-eval-id tie " +
+      "rule, unrounded threshold flag, partition invariance (X88)") {
+    val ev = Seq((100L, Seq(1.0, 0.0)), (101L, Seq(1.0, 0.0)),
+      (102L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val corpus = Seq(
+      (1L, Seq(2.0, 0.0)),   // cos 1 with evals 100 AND 101 → tie → 100
+      (2L, Seq(0.0, -3.0)),  // best is eval 100/101 at cos 0 (102 is -1)
+      (3L, Seq(1.0, 1.0)))   // cos 1/sqrt(2) with every eval vector
+      .toDF("id", "vec")
+    def run(parts: Int) =
+      CorpusPipeline.semanticDecontaminate(corpus.repartition(parts),
+          ev, "id", "vec", threshold = 0.9)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+    val got = run(1)
+    assert(got(0) === ((1L, 1.0, 100L, true)))
+    assert(got(1) === ((2L, 0.0, 100L, false)))
+    assert(got(2)._2 === 0.707107) // rounded to 6
+    assert(!got(2)._4)
+    assert(run(5) === got)
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.semanticDecontaminate(corpus, ev, "id", "vec", 2.0)
+    }
+  }
 }
