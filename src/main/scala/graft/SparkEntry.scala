@@ -1000,6 +1000,17 @@ object SparkEntry {
         "text", k = 5)
         .orderBy("id", "rank")),
 
+    // ---- text: corpus vocabulary divergence (X89) — Jensen-Shannon
+    //      between the src0–9 and src10–19 halves' unigram
+    //      distributions: exact counts, per-token terms rounded to a
+    //      1e-9 BIGINT grid so the corpus-sized sum is order-free ----
+    "tx_divergence" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+      val firstHalf = expr("CAST(substring(source, 4) AS INT) < 10")
+      TextOps.vocabDivergence(d.filter(firstHalf),
+        d.filter(!firstHalf), "text")
+    }),
+
     "tx_docfreq" -> ((s, dir) =>
       TextOps.docFrequency(ld(s, dir, "documents"), "doc_id", "text",
         k = 20).orderBy(col("doc_freq").desc, col("token").asc)),
@@ -4011,6 +4022,39 @@ object SparkEntry {
         | ORDER BY t.doc_id""".stripMargin,
     // document frequency: distinct tokens per doc → corpus-wide count,
     // deterministic top-20 (ties broken by token)
+    // vocabulary-divergence replay (X89): same union-vocab add-half
+    // smoothing, the identical per-token double term rounded to the
+    // 1e-9 grid as BIGINT, order-free integer sum
+    "tx_divergence" ->
+      """WITH d AS (SELECT CAST(substr(source, 4) AS INT) < 10 AS ga,
+        |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+        |ua AS (SELECT unnest(toks) AS token FROM d WHERE ga),
+        |ub AS (SELECT unnest(toks) AS token FROM d WHERE NOT ga),
+        |xa AS (SELECT token, count(*) AS ca FROM ua GROUP BY token),
+        |xb AS (SELECT token, count(*) AS cb FROM ub GROUP BY token),
+        |j AS (SELECT coalesce(xa.ca, 0) AS ca, coalesce(xb.cb, 0) AS cb
+        |  FROM xa FULL OUTER JOIN xb ON xa.token = xb.token),
+        |t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b,
+        |    count(*) AS vocab FROM j),
+        |q AS (SELECT CAST(round(
+        |    ((j.ca + 0.5) / (t.n_a + t.vocab * 0.5)
+        |      * ln(((j.ca + 0.5) / (t.n_a + t.vocab * 0.5))
+        |          / ((((j.ca + 0.5) / (t.n_a + t.vocab * 0.5))
+        |            + ((j.cb + 0.5) / (t.n_b + t.vocab * 0.5))) / 2.0))
+        |     + (j.cb + 0.5) / (t.n_b + t.vocab * 0.5)
+        |      * ln(((j.cb + 0.5) / (t.n_b + t.vocab * 0.5))
+        |          / ((((j.ca + 0.5) / (t.n_a + t.vocab * 0.5))
+        |            + ((j.cb + 0.5) / (t.n_b + t.vocab * 0.5))) / 2.0)))
+        |    * 0.5 * 1e9) AS BIGINT) AS tq,
+        |    t.n_a, t.n_b, t.vocab
+        |  FROM j CROSS JOIN t)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(vocab AS BIGINT) AS vocab,
+        |  CAST(sum(tq) AS BIGINT) AS js_q,
+        |  round(CAST(sum(tq) AS DOUBLE) / 1e9, 6) AS js
+        |FROM q GROUP BY n_a, n_b, vocab""".stripMargin,
     // distinctive-terms replay (X82): same whitespace tokens, same
     // exact integer score tf·2²⁰ // df, same (score desc, token asc)
     // rank — no doubles anywhere

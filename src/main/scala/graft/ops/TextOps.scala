@@ -1121,4 +1121,58 @@ object TextOps {
       .filter(col("rank") <= k)
       .select("id", "token", "tf", "df", "score_q", "rank")
   }
+
+  /**
+   * Corpus vocabulary divergence (X89) — Jensen-Shannon divergence
+   * between two corpora's unigram distributions, the "how different
+   * is source A's language from source B" number a mixture designer
+   * reads next to [[graft.ops.Similarity.groupCentroidSims]]'s
+   * embedding view (this one is exact, interpretable, and needs no
+   * embedding model). Smoothed over the UNION vocabulary with the
+   * add-half rule (the [[graft.ops.Profiler]] PSI convention), so a
+   * token unseen on one side contributes finitely.
+   *
+   * Determinism: counts are exact BIGINTs; each per-token JS term is
+   * an identical two-operand double sequence on both engines, rounded
+   * to a 1e-9 grid INTO a BIGINT — the cross-token sum is then
+   * order-free integer addition, immune to float summation order
+   * (the tx_lmscore discipline applied to a corpus-sized sum). The
+   * headline `js` is that integer divided back once.
+   *
+   * Scale shape: one map-side-combinable token-count aggregate per
+   * corpus, a token-keyed full-outer join of the two COUNT tables
+   * (vocabulary-sized, ≪ corpora — the tf⋈df class), totals via one
+   * broadcast 1-row cross join, and a single global sum. The corpora
+   * are each read once.
+   *
+   * @return one row: (n_a, n_b, vocab, js_q, js) — `js_q` the exact
+   *         integer sum of 1e-9-grid terms, `js` = js_q/1e9 (in
+   *         [0, ln 2]), 0 for identical distributions
+   */
+  def vocabDivergence(a: DataFrame, b: DataFrame,
+      textCol: String): DataFrame = {
+    def cnts(df: DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(out))
+    val joined = cnts(a, "ca").join(cnts(b, "cb"), Seq("token"),
+        "full_outer")
+      .select(col("token"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+      count(lit(1)).as("vocab"))
+    val pa = (col("ca") + lit(0.5)) /
+      (col("n_a").cast("double") + col("vocab").cast("double") * 0.5)
+    val pb = (col("cb") + lit(0.5)) /
+      (col("n_b").cast("double") + col("vocab").cast("double") * 0.5)
+    val m = (pa + pb) / lit(2.0)
+    val termQ = round((pa * log(pa / m) + pb * log(pb / m))
+      * lit(0.5) * lit(1e9)).cast("long")
+    joined.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("vocab"), termQ.as("tq"))
+      .groupBy("n_a", "n_b", "vocab")
+      .agg(sum("tq").as("js_q"))
+      .select(col("n_a"), col("n_b"), col("vocab"), col("js_q"),
+        round(col("js_q").cast("double") / lit(1e9), 6).as("js"))
+  }
 }

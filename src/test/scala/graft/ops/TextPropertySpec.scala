@@ -189,4 +189,32 @@ class TextPropertySpec extends SparkTestBase {
       }
     }
   }
+  // ---- vocabDivergence (X89) ----
+
+  test("vocabDivergence: identical corpora score exactly 0, disjoint " +
+      "vocabularies approach ln 2, the measure is symmetric and " +
+      "partition-invariant (X89)") {
+    import spark.implicits._
+    // large enough that the add-half smoothing mass (vocab/2 per
+    // side) is negligible next to the real counts
+    val a = (1L to 100L).map(i => (i, "x y z x")).toDF("id", "text")
+    val b = (201L to 300L).map(i => (i, "p q r q")).toDF("id", "text")
+    def js(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame) = {
+      val r = TextOps.vocabDivergence(x, y, "text").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    }
+    val same = js(a, a)
+    assert(same._4 === 0L && same._5 === 0.0)
+    val disj = js(a, b)
+    assert(disj._1 === 400L && disj._2 === 400L && disj._3 === 6L)
+    assert(disj._5 > 0.65 && disj._5 < math.log(2.0) + 1e-9,
+      disj._5.toString)
+    // symmetric by construction
+    assert(js(b, a)._4 === disj._4)
+    // partition invariance: the grid-integer sum is order-free
+    val p7 = js(a.repartition(7), b.repartition(5))
+    assert(p7 === disj)
+  }
 }
