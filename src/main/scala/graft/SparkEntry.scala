@@ -528,6 +528,15 @@ object SparkEntry {
         horizonUs = 3600000000L)
         .orderBy("id")),
 
+    // ---- events: per-user inter-arrival statistics (X90) — the
+    //      cadence fingerprint (burstiness) behind bot detection and
+    //      gap-parameter choice: exact BIGINT gaps under the (ts, id)
+    //      order, decimal-safe Σgap², one user exchange ----
+    "ev_cadence" -> ((s, dir) =>
+      ops.Sessions.interArrivalStats(ld(s, dir, "events"), "user_id",
+        "ts", "event_id")
+        .orderBy("user_id")),
+
     // ---- events: session association pairs (X83) — unordered
     //      within-session co-presence with exact fixed-point directed
     //      confidences ("users who did A in a session also did B");
@@ -3031,6 +3040,29 @@ object SparkEntry {
         |       AS DOUBLE) + 20.0) AS enc
         |FROM v JOIN s USING (event_type) CROSS JOIN g
         |ORDER BY v.event_id""".stripMargin,
+    // inter-arrival replay (X90): the same (us, id)-ordered lag gaps,
+    // exact integer span/min/max, HUGEINT gap-square sums, identical
+    // mean/std double expressions rounded to 6
+    "ev_cadence" ->
+      """WITH e AS (SELECT user_id, event_id AS id,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT user_id, us, us - lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us, id) AS gap FROM e),
+        |a AS (SELECT user_id, count(*) AS n, max(us) - min(us) AS span,
+        |    min(gap) AS gmin, max(gap) AS gmax,
+        |    sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sq
+        |  FROM g GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(span AS BIGINT) AS span_us,
+        |  CAST(gmin AS BIGINT) AS gap_min_us,
+        |  CAST(gmax AS BIGINT) AS gap_max_us,
+        |  CASE WHEN n > 1 THEN round(CAST(span AS DOUBLE)
+        |    / CAST(n - 1 AS DOUBLE), 6) END AS gap_mean,
+        |  CASE WHEN n > 1 THEN round(sqrt(CAST(
+        |      sq * CAST(n - 1 AS HUGEINT)
+        |      - CAST(span AS HUGEINT) * CAST(span AS HUGEINT)
+        |    AS DOUBLE)) / CAST(n - 1 AS DOUBLE), 6) END AS gap_std
+        |FROM a ORDER BY user_id""".stripMargin,
     // association-pair replay (X83): the ev_sessions gap carve-up,
     // distinct (session, item) presence, per-session pair join,
     // exact integer confidences

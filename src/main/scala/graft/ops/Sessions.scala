@@ -239,6 +239,55 @@ object Sessions {
   }
 
   /**
+   * Inter-arrival statistics (X90) — per user, the exact cadence
+   * profile of their event stream: event count, first→last span, and
+   * the min / max / mean / std of consecutive inter-event gaps under
+   * the deterministic (ts, id) order. The burstiness fingerprint
+   * behind bot detection, engagement segmentation, and choosing a
+   * sessionization gap ([[sessionize]]'s `gapSec` should sit in the
+   * valley between the intra-burst and inter-burst modes this table
+   * exposes).
+   *
+   * Exactness: gaps are exact BIGINT micros; Σgap is exactly the span
+   * (telescoping), Σgap² accumulates in decimal(38,0) (a squared
+   * month of micros overflows a long); mean and std are single
+   * IEEE-double expressions over those exact integers, rounded to 6.
+   * Singleton users report null gap stats — no gaps exist, and a fake
+   * 0 would read as "infinitely bursty".
+   *
+   * Scale shape: ONE hash exchange (the user partitioning), the lag
+   * window rides it, and the per-user aggregate reuses the same
+   * partitioning — the [[sessionize]] single-exchange plan.
+   *
+   * @return (user_id, n_events, span_us, gap_min_us, gap_max_us,
+   *         gap_mean, gap_std) — population std over the n−1 gaps
+   */
+  def interArrivalStats(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val us = floor(asNanos(events, tsCol).cast("decimal(38,0)")
+      / lit(1000L)).cast("long")
+    val w = Window.partitionBy("user_id").orderBy("us", "id")
+    val base = events
+      .select(col(userCol).cast("long").as("user_id"), us.as("us"),
+        col(idCol).cast("long").as("id"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+    val ng = (count(lit(1)) - 1L).cast("decimal(38,0)")
+    val sq = sum(col("gap").cast("decimal(38,0)") *
+      col("gap").cast("decimal(38,0)"))
+    val span = (max("us") - min("us")).cast("decimal(38,0)")
+    val stdNum = sq * ng - span * span
+    base.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      (max("us") - min("us")).as("span_us"),
+      min("gap").as("gap_min_us"),
+      max("gap").as("gap_max_us"),
+      when(ng > 0, round(span.cast("double") / ng.cast("double"), 6))
+        .as("gap_mean"),
+      when(ng > 0, round(sqrt(stdNum.cast("double")) /
+        ng.cast("double"), 6)).as("gap_std"))
+  }
+
+  /**
    * Session co-occurrence / association rules (X83) — pairwise
    * frequent-itemset mining over the [[sessionize]] carve-up: for
    * every unordered event-type pair {a, b}, in how many sessions do

@@ -292,4 +292,33 @@ class SessionsSpec extends SparkTestBase {
     assert(run(6, 1L) === got)
     assert(run(1, 2L) === got.take(1)) // minSupport 2 keeps only ab
   }
+  // ---- interArrivalStats (X90) ----
+
+  test("interArrivalStats: exact gaps under the (ts, id) order, " +
+      "hand-computed mean/std, singleton users report null gap " +
+      "stats, partition-invariant (X90)") {
+    // user 1 at us 0, 10, 30 (ns = us*1000): gaps 10, 20 →
+    // span 30, mean 15, var = (10-15)^2+(20-15)^2 over 2 = 25 → std 5
+    val df = ev(
+      (0L, 0L, 1L, "a", 1.0),
+      (1L, 10000L, 1L, "a", 1.0),
+      (2L, 30000L, 1L, "a", 1.0),
+      (3L, 5000L, 2L, "a", 1.0)) // singleton
+    def run(parts: Int) =
+      Sessions.interArrivalStats(df.repartition(parts), "user_id",
+          "ts", "event_id")
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else Long.box(r.getLong(3)),
+          if (r.isNullAt(4)) null else Long.box(r.getLong(4)),
+          if (r.isNullAt(5)) null else Double.box(r.getDouble(5)),
+          if (r.isNullAt(6)) null else Double.box(r.getDouble(6))))
+        .toSeq
+    val got = run(1)
+    assert(got === Seq(
+      (1L, 3L, 30L, Long.box(10L), Long.box(20L),
+        Double.box(15.0), Double.box(5.0)),
+      (2L, 1L, 0L, null, null, null, null)))
+    assert(run(5) === got)
+  }
 }
