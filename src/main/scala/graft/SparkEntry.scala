@@ -1193,6 +1193,21 @@ object SparkEntry {
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
 
+    // ---- per-source token-budget mixture carve (X91) — "400 tokens
+    //      of src0, 700 of src5, all the rest": per-stratum maximal
+    //      hash-order prefixes under exact running token totals, via
+    //      the two-level bucketed weight prefix (no per-stratum
+    //      global window) ----
+    "pp_mixbudget" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+        .withColumn("n_tok",
+          TextOps.tokenCount(col("text")).cast("long"))
+      ops.CorpusPipeline.budgetedMixture(d, "doc_id", "source",
+        "n_tok", Map("src0" -> 400L, "src5" -> 700L),
+        defaultBudget = 100000L)
+        .orderBy("id")
+    }),
+
     // ---- stratified EXACT-proportion split (X76) — per-source rank
     //      cut in the salted-hash order: every source gets split
     //      counts within one row of 80/10/10 exactly (a 25-doc source
@@ -3637,6 +3652,25 @@ object SparkEntry {
         | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
         |   ELSE 'test' END AS split
         | FROM u ORDER BY doc_id""".stripMargin,
+    // budgeted-mixture replay (X91): the bucketed two-level weight
+    // prefix equals the global per-stratum cumulative sum in the md5
+    // order, cut at each stratum's budget (cum INCLUDING the row)
+    "pp_mixbudget" ->
+      """WITH d AS (SELECT doc_id AS id, source AS stratum,
+        |   CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN 0
+        |     ELSE len(string_split_regex(
+        |       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+        |     AS BIGINT) AS n_tokens,
+        |   CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':mixbudget')
+        |     % 4294967296 AS BIGINT) AS h
+        | FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum
+        |    ORDER BY h, id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT id, stratum, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= CASE stratum WHEN 'src0' THEN 400
+        |  WHEN 'src5' THEN 700 ELSE 100000 END
+        |ORDER BY id""".stripMargin,
     // stratified-split replay: the bucketed two-level rank equals the
     // global per-stratum rank by construction, so DuckDB replays it
     // directly as row_number over the (hash, id) order; boundaries by

@@ -723,6 +723,75 @@ object CorpusPipeline {
   }
 
   /**
+   * Per-source token-budget mixture carve (X91) — the form real
+   * pretraining mixtures are actually specified in ("300 B tokens of
+   * web, 50 B of code, all of wiki"): within each stratum, documents
+   * walk the deterministic salted-hash order (the [[mixture]] family
+   * — an unbiased shuffle) and the maximal prefix whose EXACT running
+   * token total fits that stratum's budget is kept. The per-stratum
+   * face of [[tokenBudgetSample]] (X61) with the same monotone-prefix
+   * contract — non-negative weights (loud in-plan failure otherwise)
+   * make `cum ≤ budget` precisely the maximal prefix, identical on
+   * every run, partitioning, and retry.
+   *
+   * Scale shape: the [[stratifiedSplit]] two-level machinery carried
+   * from counts to WEIGHTS — hash-high-bit buckets, a tiny (stratum,
+   * bucket) weight-total aggregate (map-side combinable, exact
+   * decimal sums) whose window yields per-bucket offsets, broadcast
+   * back, and a (stratum, bucket)-partitioned running sum — no
+   * per-stratum global window, no driver state; buckets whose offset
+   * already exceeds the budget are eliminated by the codegen filter
+   * without their rows surviving the scan's projection.
+   *
+   * @param budgets per-stratum token budgets; strata absent from the
+   *        map use `defaultBudget` (Long.MaxValue = keep everything)
+   * @return (id, stratum, n_tokens, cum_tokens) for kept rows;
+   *         `cum_tokens` includes the row (the X61 convention)
+   */
+  def budgetedMixture(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, salt: String = ":mixbudget",
+      buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      s"budgetedMixture: budgets must be non-negative")
+    val nb = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val width = (4294967296L + nb - 1) / nb
+    val w0 = col(weightCol).cast("long")
+    val wSafe = when(w0 < 0, raise_error(concat(
+        lit("budgetedMixture: negative weight "), w0.cast("string"),
+        lit(" - the budget prefix needs a monotone running total")))
+      .cast("long")).otherwise(w0)
+    val proj = df.select(col(idCol).cast("long").as("id"),
+        col(strataCol).cast("string").as("stratum"),
+        wSafe.as("n_tokens"),
+        hashU32(col(idCol), salt).as("__h"))
+      .withColumn("__b", expr(s"__h div ${width}L"))
+    val cnt = proj.groupBy("stratum", "__b")
+      .agg(sum(col("n_tokens").cast("decimal(38,0)")).as("__t"))
+    val wOff = Window.partitionBy("stratum").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = cnt
+      .withColumn("__off", coalesce(sum("__t").over(wOff),
+        lit(0L).cast("decimal(38,0)")))
+      .select("stratum", "__b", "__off")
+    val wRun = Window.partitionBy("stratum", "__b")
+      .orderBy(col("__h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (name, b)) =>
+        when(col("stratum") === name, lit(b)).otherwise(acc)
+    }
+    proj.join(broadcast(off), Seq("stratum", "__b"))
+      .withColumn("cum_tokens",
+        (col("__off") + sum(col("n_tokens").cast("decimal(38,0)"))
+          .over(wRun)).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .select("id", "stratum", "n_tokens", "cum_tokens")
+  }
+
+  /**
    * Stratified EXACT-proportion split (X76) — per stratum, split
    * counts are exact to the row: stratum rows rank in a deterministic
    * salted-hash order (the [[mixture]] hash family, id tie-break) and

@@ -1382,4 +1382,36 @@ class OpsSpec extends SparkTestBase {
       CorpusPipeline.semanticDecontaminate(corpus, ev, "id", "vec", 2.0)
     }
   }
+  // ---- budgetedMixture (X91) ----
+
+  test("budgetedMixture: per-stratum maximal hash-order prefixes, " +
+      "exact boundary, default budget, bucketed == global, negative " +
+      "weight fails loudly, partition-invariant (X91)") {
+    val df = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L)).toDF("doc_id", "src", "w")
+    def run(parts: Int, b: Int) =
+      CorpusPipeline.budgetedMixture(df.repartition(parts), "doc_id",
+          "src", "w", Map("a" -> 100L), defaultBudget = 55L,
+          buckets = b)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val got = run(1, 16)
+    // stratum a: budget 100 over 10-token docs → exactly 10 kept with
+    // cum 10..100; stratum b: budget 55 → 5 kept (cum 50 fits, 60 not)
+    assert(got.count(_._2 == "a") === 10)
+    assert(got.count(_._2 == "b") === 5)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted === rows.map(_._4).min.to(
+        rows.map(_._4).max, 10L))
+    }
+    assert(run(7, 16) === got)
+    assert(run(3, 1) === got) // two-level prefix == global prefix
+    intercept[Exception] {
+      CorpusPipeline.budgetedMixture(
+        Seq((1L, "a", -5L)).toDF("doc_id", "src", "w"),
+        "doc_id", "src", "w", Map(), defaultBudget = 10L)
+        .collect()
+    }
+  }
 }
