@@ -155,12 +155,13 @@ object SkewCheck {
   /** Trailing-features hot-user probe (`runMain graft.SkewCheck trail
     * [rows]`, r18): one user holding 50% of all events (2 ms spacing)
     * vs 10k uniform users whose per-user spacing exceeds the window
-    * (trailing counts all zero). The Features scaladoc predicts the
-    * hot user's timeline serializes through one task's spill-safe
-    * sort + per-row frame re-aggregation (Spark window aggregates
-    * cannot retract — O(events × frame occupancy), the documented
-    * reason the X77 streaming form exists for dense timelines) —
-    * this measures that cost and pins the answer to the generator's
+    * (trailing counts all zero). The hot user's timeline serializes
+    * through one task's spill-safe sort + the O(n) two-pointer slide
+    * (r19: subtract-on-evict running totals replaced Spark's
+    * non-retracting RANGE-frame aggregate, which paid O(events ×
+    * frame occupancy) — measured 162 s at 16M rows/500-deep frames;
+    * the slide does the same input in ~13.6 s, scan-linear) — this
+    * measures that cost and pins the answer to the generator's
     * closed form (Σ min(j, 500) over the hot user's event index). */
   private def trailSkew(spark: SparkSession, rows: Long): Unit = {
     require(rows % 2 == 0 && rows >= 2000,

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -32,25 +31,28 @@ object Features {
    *
    * Exactness: timestamps by the [[Sessions.asNanos]] TZ-free rule to
    * micros; values by the [[Profiler.quantize]] rule (NaN = missing);
-   * the windowed sum aggregates in decimal(38,0) and the final cast
-   * to long fails loudly on overflow. RANGE frames are value-based in
-   * both engines, so equal-timestamp rows get identical frames on any
-   * partitioning — the output is bit-deterministic.
+   * sums are exact Longs with loud overflow (`Math.addExact`). The
+   * frame is value-based ([us−W, us−1]), so equal-timestamp rows get
+   * identical frames on any partitioning — the output is
+   * bit-deterministic and replays exactly as a SQL RANGE frame.
    *
    * Scale shape: ONE hash exchange on the user column, a spill-safe
-   * in-partition sort, and a sliding RANGE frame — no self-join, no
-   * interval explode (the per-event window is a frame, not a join —
+   * in-partition sort, and a NARROW two-pointer slide — no self-join,
+   * no interval explode (the per-event window is a frame, not a join —
    * contrast [[Intervals.rangeJoin]], which is for windows that are
-   * ROWS of their own table). Honest cost note: the frame BOUNDS
-   * advance monotonically, but Spark's window aggregates cannot
-   * retract, so each row re-aggregates its frame buffer — O(events ×
-   * frame occupancy) per user, measured by `SkewCheck trail`. For
-   * timelines dense relative to the window, the streaming form
-   * ([[graft.streaming.StreamPipeline.trailingStream]]) is the
-   * designed mitigation: its running totals subtract on eviction,
-   * O(1) amortized per event, with finals pinned identical. A hot
-   * user serializes through one task either way — the inherent cost
-   * of that user's timeline, same note as [[AsofJoin]].
+   * ROWS of their own table). The slide keeps running totals and
+   * SUBTRACTS on eviction (the same arithmetic the streaming form
+   * [[graft.streaming.StreamPipeline.trailingStream]] uses), so the
+   * cost is O(n) per user regardless of frame occupancy — a dense hot
+   * timeline pays its scan, not O(events × frame) re-aggregation (the
+   * r18 `SkewCheck trail` measured 162 s for Spark's non-retracting
+   * RANGE-frame aggregate on an 8M-row hot user; this shape is
+   * scan-linear on the same input). Memory per task is bounded by the
+   * densest single window's occupancy (the events inside one W-span),
+   * not the timeline. A hot user still serializes through one task —
+   * the inherent cost of that user's timeline, same note as
+   * [[AsofJoin]]. Rows with a null id/user/timestamp fail loudly
+   * (the [[graft.streaming.StreamPipeline.trailingStream]] contract).
    *
    * @return (id, user_id, us, n_trail, n_vals_trail, v_sum_q_trail) —
    *         counts 0 and sum 0 for an empty window (a user's first
@@ -61,20 +63,69 @@ object Features {
       windowUs: Long): DataFrame = {
     require(windowUs > 0,
       s"trailingFeatures: windowUs must be positive, got $windowUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = windowUs
     val us = floor(Sessions.asNanos(events, tsCol).cast("decimal(38,0)")
       / lit(1000L)).cast("long")
-    val w = Window.partitionBy("user_id").orderBy("us")
-      .rangeBetween(-windowUs, -1)
+    val vq = Profiler.quantize(valueCol)
     events
       .select(col(idCol).cast("long").as("id"),
         col(userCol).cast("long").as("user_id"), us.as("us"),
-        Profiler.quantize(valueCol).as("__vq"))
-      .withColumn("n_trail", count(lit(1)).over(w))
-      .withColumn("n_vals_trail", count(col("__vq")).over(w))
-      .withColumn("v_sum_q_trail",
-        coalesce(sum(col("__vq").cast("decimal(38,0)")).over(w),
-          lit(0L).cast("decimal(38,0)")).cast("long"))
-      .drop("__vq")
+        coalesce(vq, lit(0L)).as("__vq"),
+        vq.isNotNull.as("__has"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us")
+      .as[(Long, Long, Long, Long, Boolean)]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[(Long, Long, Long, Long, Long, Long)] {
+          // the window's events for the CURRENT user: (us, vq, has)
+          private val buf =
+            new scala.collection.mutable.ArrayDeque[(Long, Long, Boolean)]()
+          private var curUser = 0L
+          private var hasUser = false
+          private var n = 0L; private var nv = 0L; private var sum = 0L
+          // emitted rows of the in-flight equal-(user, us) group
+          private val out =
+            new scala.collection.mutable.ArrayDeque[
+              (Long, Long, Long, Long, Long, Long)]()
+          def hasNext: Boolean = out.nonEmpty || in.hasNext
+          def next(): (Long, Long, Long, Long, Long, Long) = {
+            if (out.isEmpty) {
+              val (user, ts) = { val h = in.head; (h._2, h._3) }
+              if (!hasUser || user != curUser) {
+                buf.clear(); n = 0L; nv = 0L; sum = 0L
+                curUser = user; hasUser = true
+              }
+              // two-pointer evict: head leaves once it falls strictly
+              // before [ts − W, ts − 1]; ts − head.us never overflows
+              // (head.us ≤ ts by the in-partition sort)
+              while (buf.nonEmpty && ts - buf.head._1 > w) {
+                val h = buf.removeHead()
+                n -= 1
+                if (h._3) { nv -= 1; sum = Math.subtractExact(sum, h._2) }
+              }
+              // every row of the equal-ts group sees the PRE-group
+              // totals (ties share a timestamp — a live scorer could
+              // not have counted them), then the whole group ages
+              // into the window buffer
+              val gn = n; val gnv = nv; val gsum = sum
+              while (in.hasNext && in.head._2 == user &&
+                  in.head._3 == ts) {
+                val r = in.next()
+                out.append((r._1, user, ts, gn, gnv, gsum))
+                buf.append((ts, r._4, r._5))
+                n += 1
+                if (r._5) { nv += 1; sum = Math.addExact(sum, r._4) }
+              }
+            }
+            out.removeHead()
+          }
+        }
+      }
+      .toDF("id", "user_id", "us", "n_trail", "n_vals_trail",
+        "v_sum_q_trail")
   }
 
   /**
@@ -99,10 +150,15 @@ object Features {
    *
    * Scale shape: ONE map-side-combinable aggregate over the category
    * column (output = |categories| rows) plus one scalar global
-   * aggregate, then the per-row encoding attaches via a BROADCAST join
-   * of that tiny table — the corpus itself is never shuffled; the
-   * encode is a codegen projection over the scan. Categorical columns
-   * are bounded-cardinality by definition; a caller feeding an id-like
+   * aggregate — CROSS-JOINED INSIDE THE BROADCAST BUILD SIDE
+   * (|categories| × 1 rows, never the corpus) — then the per-row
+   * encoding attaches via a BROADCAST join of that tiny table; the
+   * corpus itself is never shuffled and the encode is a codegen
+   * projection over the scan. The whole thing is LAZY: calling this
+   * function builds a plan and runs no job (the prior is an in-plan
+   * column, not a driver-side `.head()`), so the input is evaluated
+   * only when the returned frame is. Categorical columns are
+   * bounded-cardinality by definition; a caller feeding an id-like
    * column gets a loud broadcast failure, not a silent reshuffle.
    *
    * @return input columns ++ (enc double) — null only when the WHOLE
@@ -114,28 +170,29 @@ object Features {
       s"targetEncodeLoo: smoothing must be a positive finite " +
         s"pseudo-count, got $smoothing")
     val yq = Profiler.quantize(labelCol)
-    val g = df.agg(
-        sum(yq.cast("decimal(38,0)")).cast("double").as("gs"),
-        count(yq).as("gn"))
-      .head()
-    val prior =
-      if (g.isNullAt(0) || g.getLong(1) == 0L) Double.NaN
-      else g.getDouble(0) / (g.getLong(1).toDouble * 1048576.0)
+    val globals = df.agg(
+      sum(yq.cast("decimal(38,0)")).cast("double").as("__gs"),
+      count(yq).as("__gn"))
     val stats = df.groupBy(col(catCol).cast("string").as("__cat"))
       .agg(sum(yq.cast("decimal(38,0)")).cast("long").as("__sum_q"),
         count(yq).as("__n"))
+    // the same IEEE sequence the r18 driver-side prior used:
+    // gs_double / (gn_double * 1048576.0) — bit-identical results
+    val prior = when(col("__gn") === 0L, lit(null).cast("double"))
+      .otherwise(col("__gs") /
+        (col("__gn").cast("double") * lit(1048576.0)))
     val ownQ = yq
     val num = (coalesce(col("__sum_q"), lit(0L)) -
       coalesce(ownQ, lit(0L))).cast("double") / lit(1048576.0) +
-      lit(smoothing) * lit(prior)
+      lit(smoothing) * prior
     val den = (col("__n") - when(ownQ.isNotNull, 1L).otherwise(0L))
       .cast("double") + lit(smoothing)
-    df.join(broadcast(stats),
+    df.join(broadcast(stats.crossJoin(globals)),
         col(catCol).cast("string") <=> col("__cat"), "left")
       .withColumn("enc",
-        when(lit(prior.isNaN), lit(null).cast("double"))
+        when(prior.isNull, lit(null).cast("double"))
           .otherwise(num / den))
-      .drop("__cat", "__sum_q", "__n")
+      .drop("__cat", "__sum_q", "__n", "__gs", "__gn")
   }
 
   /**

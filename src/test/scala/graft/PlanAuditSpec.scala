@@ -367,18 +367,32 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("ev_trailing: ONE hash exchange (the user partitioning) feeds " +
-      "the sliding RANGE frame — no self-join, no extra shuffle") {
+      "the narrow two-pointer slide — no self-join, no extra shuffle, " +
+      "no re-aggregating window frame") {
     val p = plan("ev_trailing")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
     assert(!p.contains("Join"), p)
+    // the r19 O(n) slide replaced the RANGE-frame Window aggregate
+    // (which cannot retract — O(events × frame occupancy) on a dense
+    // timeline, SkewCheck r18: 162 s vs scan-linear); a Window node
+    // reappearing here means the regression came back
+    assert(!p.contains("Window"), p)
+    assert(p.contains("MapPartitions"), p)
   }
 
-  test("ft_target_enc: the category stats attach via BROADCAST — the " +
-      "corpus is never shuffled for the encode") {
+  test("ft_target_enc: the category stats AND the global totals " +
+      "attach via ONE broadcast build side — the corpus is never " +
+      "shuffled for the encode and no job runs at plan time") {
     val p = plan("ft_target_enc")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // exactly one hash exchange: the |categories|-sized stats
+    // aggregate. The 1-row globals cross-join lives INSIDE the
+    // broadcast build side (r19 lazy-prior change) — a second corpus
+    // exchange or a corpus-side nested-loop join would show up here
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
   }
 
   test("pp_stratified: the (stratum, bucket) offsets attach via " +
