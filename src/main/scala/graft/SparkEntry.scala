@@ -3053,7 +3053,9 @@ object SparkEntry {
         |     + 20.0 * g.prior)
         |  / (CAST(s.n - CASE WHEN v.yq IS NOT NULL THEN 1 ELSE 0 END
         |       AS DOUBLE) + 20.0) AS enc
-        |FROM v JOIN s USING (event_type) CROSS JOIN g
+        |FROM v LEFT JOIN s
+        |  ON v.event_type IS NOT DISTINCT FROM s.event_type
+        |CROSS JOIN g
         |ORDER BY v.event_id""".stripMargin,
     // inter-arrival replay (X90): the same (us, id)-ordered lag gaps,
     // exact integer span/min/max, HUGEINT gap-square sums, identical

@@ -759,8 +759,12 @@ object CorpusPipeline {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val width = (4294967296L + nb - 1) / nb
     val w0 = col(weightCol).cast("long")
-    val wSafe = when(w0 < 0, raise_error(concat(
-        lit("budgetedMixture: negative weight "), w0.cast("string"),
+    // null joins negative in the loud-failure branch (advisor r18: a
+    // bare `w0 < 0` is NULL for null weights, so they'd slip through
+    // the otherwise branch as zero-cost kept rows instead of failing)
+    val wSafe = when(w0.isNull || w0 < 0, raise_error(concat(
+        lit("budgetedMixture: null or negative weight "),
+        coalesce(w0.cast("string"), lit("NULL")),
         lit(" - the budget prefix needs a monotone running total")))
       .cast("long")).otherwise(w0)
     val proj = df.select(col(idCol).cast("long").as("id"),

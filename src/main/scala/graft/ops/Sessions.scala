@@ -253,7 +253,14 @@ object Sessions {
    * month of micros overflows a long); mean and std are single
    * IEEE-double expressions over those exact integers, rounded to 6.
    * Singleton users report null gap stats — no gaps exist, and a fake
-   * 0 would read as "infinitely bursty".
+   * 0 would read as "infinitely bursty". Overflow bound (advisor
+   * r18): Spark caps decimal products at precision 38, so the std
+   * numerator `Σgap²·(n−1)` overflows once it passes ~10³⁸ (e.g. a
+   * user with ~10⁹ events spread over decades) — where DuckDB's
+   * 128-bit HUGEINT (~1.7·10³⁸) still fits. Rather than diverge
+   * engine-dependently (ANSI throws, non-ANSI yields a silent null
+   * std), a pre-multiplication guard fails LOUDLY in-plan just below
+   * the cap.
    *
    * Scale shape: ONE hash exchange (the user partitioning), the lag
    * window rides it, and the per-user aggregate reuses the same
@@ -275,7 +282,21 @@ object Sessions {
     val sq = sum(col("gap").cast("decimal(38,0)") *
       col("gap").cast("decimal(38,0)"))
     val span = (max("us") - min("us")).cast("decimal(38,0)")
-    val stdNum = sq * ng - span * span
+    // loud guard just below the decimal(38,0) cap: past it, ANSI mode
+    // throws anyway and non-ANSI would yield a silent null std — the
+    // double comparison's ~1e22 representation error is 15 orders of
+    // magnitude inside the 2e36 margin, so the guard can never pass
+    // a product that overflows
+    val wouldOverflow =
+      sq.cast("double") * ng.cast("double") > lit(9.8e37) ||
+        span.cast("double") * span.cast("double") > lit(9.8e37)
+    val stdNum = when(wouldOverflow,
+      raise_error(concat(lit("interArrivalStats: user "),
+        col("user_id").cast("string"),
+        lit(" gap-square sum overflows the decimal(38,0) std " +
+          "numerator - split the window or compute std downstream")))
+        .cast("decimal(38,0)"))
+      .otherwise(sq * ng - span * span)
     base.groupBy("user_id").agg(
       count(lit(1)).as("n_events"),
       (max("us") - min("us")).as("span_us"),

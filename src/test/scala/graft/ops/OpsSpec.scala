@@ -1413,5 +1413,16 @@ class OpsSpec extends SparkTestBase {
         "doc_id", "src", "w", Map(), defaultBudget = 10L)
         .collect()
     }
+    // a NULL weight must fail just as loudly — `w < 0` alone is NULL
+    // for nulls and would let the row ride through as zero cost
+    // (advisor r18)
+    intercept[Exception] {
+      CorpusPipeline.budgetedMixture(
+        Seq((1L, "a", java.lang.Long.valueOf(5L)),
+            (2L, "a", null.asInstanceOf[java.lang.Long]))
+          .toDF("doc_id", "src", "w"),
+        "doc_id", "src", "w", Map(), defaultBudget = 10L)
+        .collect()
+    }
   }
 }

@@ -321,4 +321,26 @@ class SessionsSpec extends SparkTestBase {
       (2L, 1L, 0L, null, null, null, null)))
     assert(run(5) === got)
   }
+
+  test("interArrivalStats: a user whose gap-square sum overflows the " +
+      "decimal(38,0) std numerator fails LOUDLY instead of an " +
+      "engine-dependent silent null (advisor r18)") {
+    // one ~9.2e15-us gap (the largest a nanos long allows) followed by
+    // ~1.3M unit gaps: Σgap² ≈ 8.5e31, ng ≈ 1.3e6 → product ≈ 1.1e38,
+    // past the 9.8e37 guard but inside DuckDB's HUGEINT
+    val n = 1300000L
+    val df = spark.range(n).select(
+      col("id").as("event_id"), lit(1L).as("user_id"),
+      when(col("id") === 0L, 0L)
+        .otherwise(lit(9200000000000000L) + col("id"))
+        .multiply(lit(1000L)).as("ts"))
+    val ex = intercept[Exception] {
+      Sessions.interArrivalStats(df, "user_id", "ts", "event_id")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("overflows the decimal")))
+  }
 }
