@@ -63,6 +63,11 @@ object SkewCheck {
       trailSkew(spark, if (args.length > 1) args(1).toLong else 16000000L)
       spark.stop(); return
     }
+    if (args.headOption.contains("labels")) {
+      labelsSkew(spark,
+        if (args.length > 1) args(1).toLong else 67108864L)
+      spark.stop(); return
+    }
     val n = 5000L
     val expected = n * (n - 1) / 2
     val copies = spark.range(n)
@@ -206,6 +211,73 @@ object SkewCheck {
       s"(hot Σn_trail=$nHot expected=$expHotN, uniform Σ=0 — the hot " +
       "timeline pays one task's external sort + O(n) frame, exactly " +
       "as documented)")
+  }
+
+  /** Outcome-labeling hot-user probe (`runMain graft.SkewCheck labels
+    * [rows]`, judge r19 item 4): the X70 labeling COMPOSITION
+    * (target pre-aggregate + strictly-future as-of + horizon null-out)
+    * at the budget-carve scale, with one user holding 50% of all
+    * events AND targets vs 1024 uniform users at the same volume.
+    * Every user's timeline is arithmetic (spacing s, a target every
+    * T-th event, horizon covering T·s), so Σlabel and Σtte_us are
+    * exact closed forms of the generator: per user of m events,
+    * m − T events are labeled (the trailing T have no future target)
+    * and Σtte = s · (m/T − 1) · T(T+1)/2. Skew can degrade wall time
+    * (the hot user's timeline serializes through one post-exchange
+    * merge task, the documented AsofJoin cost), never the answer. */
+  private def labelsSkew(spark: SparkSession, rows: Long): Unit = {
+    val coldUsers = 1024L
+    val T = 16L
+    val horizonUs = 50000L
+    require(rows % (2 * coldUsers * T) == 0,
+      s"labels probe needs rows divisible by ${2 * coldUsers * T}, " +
+        s"got $rows")
+    def gen(hot: Boolean) = {
+      val base = spark.range(rows)
+      val df = if (hot)
+        base.select(col("id").as("event_id"),
+          (col("id") * 1000L).as("ts"), // nanos; us = id, 1 us grid
+          expr(s"CASE WHEN id % 2 = 0 THEN 0L " +
+            s"ELSE 1L + (id div 2) % ${coldUsers}L END").as("user_id"),
+          expr(s"CASE WHEN id % 2 = 0 THEN id div 2 " +
+            s"ELSE (id div 2) div ${coldUsers}L END").as("j"))
+      else
+        base.select(col("id").as("event_id"),
+          (col("id") * 1000L).as("ts"),
+          expr(s"id % ${coldUsers}L").as("user_id"),
+          expr(s"id div ${coldUsers}L").as("j"))
+      df.withColumn("is_t", (col("j") % T === 0L).cast("long"))
+        .drop("j")
+    }
+    def run(hot: Boolean): (Double, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val lbl = graft.ops.Sessions.labelOutcomes(gen(hot), "user_id",
+        "ts", "event_id", col("is_t") === 1L, horizonUs)
+      val agg = lbl.agg(count(lit(1)), sum("label"),
+        sum(when(col("label") === 1L, col("tte_us"))
+          .cast("decimal(38,0)")).cast("long")).head()
+      ((System.nanoTime() - t0) / 1e9, agg.getLong(0), agg.getLong(1),
+        agg.getLong(2))
+    }
+    // per-user closed forms (T | m, horizon >= T·s by construction)
+    def expect(m: Long, s: Long, users: Long): (Long, Long) = {
+      require(horizonUs >= T * s && m % T == 0)
+      ((m - T) * users, s * (m / T - 1) * (T * (T + 1) / 2) * users)
+    }
+    val (lh1, th1) = expect(rows / 2, 2L, 1L)              // hot user
+    val (lh2, th2) = expect(rows / 2 / coldUsers,          // cold tail
+      2L * coldUsers, coldUsers)
+    val (lu, tu) = expect(rows / coldUsers, coldUsers, coldUsers)
+    val (wHot, cHot, sLblH, sTteH) = run(hot = true)
+    val (wUni, cUni, sLblU, sTteU) = run(hot = false)
+    val ok = cHot == rows && cUni == rows &&
+      sLblH == lh1 + lh2 && sTteH == th1 + th2 &&
+      sLblU == lu && sTteU == tu
+    println(f"SKEW ${if (ok) "PASS" else "FAIL"}: labels rows=$rows " +
+      f"hot-user(50%%) wall=$wHot%.2fs uniform wall=$wUni%.2fs " +
+      s"(exact Σlabel $sLblH/$sLblU vs ${lh1 + lh2}/$lu, exact Σtte " +
+      s"$sTteH/$sTteU vs ${th1 + th2}/$tu — the hot timeline " +
+      "serializes through one merge task, the answer never moves)")
   }
 
   /** Bar-rollup hot-user probe (`runMain graft.SkewCheck bars [rows]`,
