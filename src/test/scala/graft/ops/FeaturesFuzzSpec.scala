@@ -85,6 +85,52 @@ class FeaturesFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: funnel under DENSE timestamp ties — events drawn from " +
+      "only 8 distinct instants, so equal-ts runs are everywhere and " +
+      "the strictly-after rule must never advance on a tie (X75, " +
+      "judge r19 item 5)") {
+    val steps = Seq("s1", "s2", "s3")
+    for (trial <- 0 until 5) {
+      val rng = new scala.util.Random(8450 + trial)
+      val w = Seq(3000L, 5000L, 8000L)(rng.nextInt(3))
+      val n = 40 + rng.nextInt(80)
+      val rows = Seq.tabulate(n)(i =>
+        (i.toLong, rng.nextInt(8).toLong * 1000L,
+          rng.nextInt(4).toLong, s"s${rng.nextInt(4) + 1}"))
+      val df = rows.map { case (_, us, u, t) => (u, us * 1000L, t) }
+        .toDF("user_id", "ts", "event_type")
+        .repartition(1 + trial % 5)
+      val got = Features.funnel(df, "user_id", "ts", "event_type",
+          steps, w)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), (1 to 3).map(j => r.getLong(j)),
+          r.getLong(4), r.getLong(5))).toSeq
+      val expect = rows.map(_._3).distinct.sorted.flatMap { u =>
+        val ev = rows.filter(_._3 == u)
+        val t1 = ev.filter(_._4 == "s1").map(_._2).sorted.headOption
+        t1.map { anchor =>
+          var ms = Vector(anchor)
+          var k = 1
+          var done = false
+          while (k < steps.length && !done) {
+            val nxt = ev.filter(e => e._4 == steps(k) &&
+              e._2 > ms.last && e._2 <= anchor + w)
+              .map(_._2).sorted.headOption
+            nxt match {
+              case Some(t) => ms :+= t; k += 1
+              case None => done = true
+            }
+          }
+          val full = ms.length == steps.length
+          (u, (0 until steps.length).map(j =>
+            if (j < ms.length) ms(j) else -1L),
+            ms.length.toLong, if (full) ms.last - ms.head else -1L)
+        }
+      }
+      assert(got === expect, s"trial $trial w=$w n=$n")
+    }
+  }
+
   test("fuzz: targetEncodeLoo equals the brute-force leave-one-out " +
       "computation across random categories and missing labels (X74)") {
     for (trial <- 0 until 5) {

@@ -70,4 +70,60 @@ class SessionsFuzzSpec extends SparkTestBase {
           (r._1, r._2, r._3))}")
     }
   }
+
+  test("fuzz: associationPairs equals brute-force session " +
+      "co-occurrence counting — distinct-per-session items, unordered " +
+      "a<b pairs, minSupport, exact fixed-point confidences — across " +
+      "random logs, gaps, and partitionings (X83, judge r19 item 5)") {
+    for (trial <- 0 until 6) {
+      val rng = new scala.util.Random(9600 + trial)
+      val gapSec = 1L + rng.nextInt(3)
+      val minSup = 1L + rng.nextInt(2)
+      val n = 40 + rng.nextInt(80)
+      // a tight second-range forces same-session repeats of one item
+      // (the distinct-per-session rule) and equal-ts ties
+      val rows = Seq.tabulate(n) { i =>
+        (rng.nextInt(4).toLong, rng.nextInt(n).toLong, i.toLong,
+          s"t${rng.nextInt(4)}")
+      }
+      val df = rows.toDF("user_id", "sec", "event_id", "event_type")
+        .withColumn("ts",
+          timestamp_micros(col("sec") * 1000000L).cast("timestamp_ntz"))
+        .drop("sec")
+        .repartition(1 + trial % 5)
+      val got = Sessions.associationPairs(df, "user_id", "ts",
+          "event_id", "event_type", gapSec, minSup)
+        .orderBy("item_a", "item_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toSeq
+      // brute force: the same gap-rule carve-up, then per-session
+      // DISTINCT item sets
+      val sessions: Seq[Set[String]] =
+        rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+          val ordered = evs.sortBy(e => (e._2, e._3))
+          val ss = scala.collection.mutable.ArrayBuffer[
+            scala.collection.mutable.ArrayBuffer[
+              (Long, Long, Long, String)]]()
+          for (e <- ordered) {
+            if (ss.isEmpty || e._2 - ss.last.last._2 > gapSec)
+              ss += scala.collection.mutable.ArrayBuffer(e)
+            else ss.last += e
+          }
+          ss.map(_.map(_._4).toSet)
+        }
+      val itemN = sessions.flatMap(_.toSeq).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val expected = sessions
+        .flatMap(_.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        .toSeq.filter(_._2 >= minSup)
+        .map { case ((a, b), nab) =>
+          (a, b, nab, itemN(a), itemN(b), sessions.size.toLong,
+            nab * 1048576L / itemN(a), nab * 1048576L / itemN(b))
+        }.sortBy(e => (e._1, e._2))
+      assert(got === expected, s"trial $trial gap=$gapSec " +
+        s"minSup=$minSup")
+    }
+  }
 }
