@@ -1208,6 +1208,44 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- epoched mixture carve (X92) — "2.5 epochs of src0": when a
+    //      stratum's budget exceeds its total, every doc repeats
+    //      budget div total times and the remainder buys one extra
+    //      repeat for the maximal hash-order prefix; unmapped strata
+    //      default to exactly one epoch; repeat COUNTS, not copies ----
+    "pp_epochs" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+        .withColumn("n_tok",
+          TextOps.tokenCount(col("text")).cast("long"))
+      ops.CorpusPipeline.epochedMixture(d, "doc_id", "source",
+        "n_tok", Map("src0" -> 10000L, "src5" -> 700L))
+        .orderBy("id")
+    }),
+
+    // ---- weak-label consensus (X93) — noisy labeler votes per item
+    //      collapse to the majority label under the deterministic
+    //      (count desc, label asc) tie rule, with vote/labeler counts,
+    //      the exact fixed-point agreement ratio, and a unanimity
+    //      flag; null labels are abstentions. Items derive from the
+    //      event log: item = event_id mod 200, labeler = user,
+    //      label = event_type ----
+    "pp_votes" -> ((s, dir) =>
+      ops.CorpusPipeline.labelVotes(
+        ld(s, dir, "events").withColumn("item",
+          pmod(col("event_id"), lit(200L))),
+        "item", "user_id", "event_type")
+        .orderBy("item_id")),
+
+    // ---- cross-source shared-content matrix (X94) — per source
+    //      pair, distinct normalized contents present in BOTH (the
+    //      dd_exact fingerprint partition), each side's distinct
+    //      count, and the exact fixed-point content Jaccard — the
+    //      source-redundancy attribution behind mixture rates ----
+    "dd_shared" -> ((s, dir) =>
+      Dedup.sharedContentMatrix(ld(s, dir, "documents"), "source",
+        "text")
+        .orderBy("src_a", "src_b")),
+
     // ---- stratified EXACT-proportion split (X76) — per-source rank
     //      cut in the salted-hash order: every source gets split
     //      counts within one row of 80/10/10 exactly (a 25-doc source
@@ -3673,6 +3711,78 @@ object SparkEntry {
         |FROM c WHERE cum <= CASE stratum WHEN 'src0' THEN 400
         |  WHEN 'src5' THEN 700 ELSE 100000 END
         |ORDER BY id""".stripMargin,
+    // epoched-mixture replay (X92): integer epochs = budget // total,
+    // the remainder budget % total cuts the SAME md5-order cumulative
+    // prefix as pp_mixbudget; unmapped strata budget = their total
+    // (exactly one epoch)
+    "pp_epochs" ->
+      """WITH d AS (SELECT doc_id AS id, source AS stratum,
+        |   CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN 0
+        |     ELSE len(string_split_regex(
+        |       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+        |     AS BIGINT) AS n_tokens,
+        |   CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':mixbudget')
+        |     % 4294967296 AS BIGINT) AS h
+        | FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum
+        |    ORDER BY h, id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |t AS (SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS tot
+        |  FROM d GROUP BY stratum),
+        |j AS (SELECT c.id, c.stratum, c.n_tokens,
+        |   CAST(c.cum AS BIGINT) AS cum_tokens,
+        |   CAST(CASE c.stratum WHEN 'src0' THEN 10000
+        |     WHEN 'src5' THEN 700 ELSE t.tot END AS BIGINT) AS budget,
+        |   t.tot AS tot
+        | FROM c JOIN t USING (stratum)),
+        |r AS (SELECT id, stratum, n_tokens, cum_tokens,
+        |   CAST(budget // tot + CASE WHEN cum_tokens <= budget % tot
+        |     THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        | FROM j)
+        |SELECT * FROM r WHERE n_repeats > 0 ORDER BY id""".stripMargin,
+    // weak-label consensus replay (X93): per-(item, label) counts,
+    // the (count desc, label asc) argmax via row_number, exact
+    // integer agreement ratio; null labels are abstentions
+    "pp_votes" ->
+      """WITH v AS (SELECT event_id % 200 AS item_id,
+        |    user_id AS labeler, event_type AS label
+        |  FROM events WHERE event_type IS NOT NULL),
+        |per AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n_votes,
+        |    CAST(count(DISTINCT labeler) AS BIGINT) AS n_labelers
+        |  FROM v GROUP BY item_id),
+        |bl AS (SELECT item_id, label, CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY item_id, label),
+        |w AS (SELECT item_id, label AS top_label, n AS top_n,
+        |    row_number() OVER (PARTITION BY item_id
+        |      ORDER BY n DESC, label ASC) AS rn FROM bl)
+        |SELECT p.item_id, p.n_votes, p.n_labelers, w.top_label,
+        |  w.top_n,
+        |  CAST(w.top_n * 1048576 // p.n_votes AS BIGINT) AS agree_q,
+        |  CAST(CASE WHEN w.top_n = p.n_votes THEN 1 ELSE 0 END
+        |    AS BIGINT) AS unanimous
+        |FROM per p JOIN w ON p.item_id = w.item_id AND w.rn = 1
+        |ORDER BY p.item_id""".stripMargin,
+    // shared-content matrix replay (X94): distinct (source,
+    // normalized text) pairs — the dd_exact fingerprint partition —
+    // self-joined on content, diagonal included, exact integer
+    // Jaccard
+    "dd_shared" ->
+      """WITH s AS (SELECT DISTINCT source AS src,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |n AS (SELECT src, CAST(count(*) AS BIGINT) AS n
+        |  FROM s GROUP BY src),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM s a JOIN s b ON a.fp = b.fp AND a.src <= b.src
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_shared,
+        |  na.n AS n_a, nb.n AS n_b,
+        |  CAST(p.n_shared * 1048576 // (na.n + nb.n - p.n_shared)
+        |    AS BIGINT) AS jaccard_q
+        |FROM p JOIN n na ON p.src_a = na.src
+        |JOIN n nb ON p.src_b = nb.src
+        |ORDER BY src_a, src_b""".stripMargin,
     // stratified-split replay: the bucketed two-level rank equals the
     // global per-stratum rank by construction, so DuckDB replays it
     // directly as row_number over the (hash, id) order; boundaries by

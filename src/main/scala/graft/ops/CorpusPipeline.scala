@@ -755,21 +755,44 @@ object CorpusPipeline {
     import org.apache.spark.sql.expressions.Window
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       s"budgetedMixture: budgets must be non-negative")
-    val nb = if (buckets > 0) buckets
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val width = (4294967296L + nb - 1) / nb
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (name, b)) =>
+        when(col("stratum") === name, lit(b)).otherwise(acc)
+    }
+    hashCumWeights(df, idCol, strataCol, weightCol, salt, buckets)
+      .filter(col("cum_tokens") <= budget)
+      .select("id", "stratum", "n_tokens", "cum_tokens")
+  }
+
+  /** The X91 loud weight guard: null joins negative in the failure
+    * branch (advisor r18 — a bare `w < 0` is NULL for null weights,
+    * so they'd slip through the otherwise branch as zero-cost kept
+    * rows instead of failing). */
+  private def guardedWeight(weightCol: String,
+      op: String): org.apache.spark.sql.Column = {
     val w0 = col(weightCol).cast("long")
-    // null joins negative in the loud-failure branch (advisor r18: a
-    // bare `w0 < 0` is NULL for null weights, so they'd slip through
-    // the otherwise branch as zero-cost kept rows instead of failing)
-    val wSafe = when(w0.isNull || w0 < 0, raise_error(concat(
-        lit("budgetedMixture: null or negative weight "),
+    when(w0.isNull || w0 < 0, raise_error(concat(
+        lit(s"$op: null or negative weight "),
         coalesce(w0.cast("string"), lit("NULL")),
         lit(" - the budget prefix needs a monotone running total")))
       .cast("long")).otherwise(w0)
+  }
+
+  /** Shared X91/X92 machinery: every row's EXACT running weight total
+    * in the per-stratum salted-hash order, via the two-level bucketed
+    * prefix (no per-stratum global window — see [[budgetedMixture]]'s
+    * scale notes). Returns ALL rows as (id, stratum, n_tokens,
+    * cum_tokens), cum INCLUDING the row. */
+  private def hashCumWeights(df: DataFrame, idCol: String,
+      strataCol: String, weightCol: String, salt: String,
+      buckets: Int, op: String = "budgetedMixture"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val width = (4294967296L + nb - 1) / nb
     val proj = df.select(col(idCol).cast("long").as("id"),
         col(strataCol).cast("string").as("stratum"),
-        wSafe.as("n_tokens"),
+        guardedWeight(weightCol, op).as("n_tokens"),
         hashU32(col(idCol), salt).as("__h"))
       .withColumn("__b", expr(s"__h div ${width}L"))
     val cnt = proj.groupBy("stratum", "__b")
@@ -783,16 +806,134 @@ object CorpusPipeline {
     val wRun = Window.partitionBy("stratum", "__b")
       .orderBy(col("__h"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budget = budgets.foldLeft(lit(defaultBudget)) {
-      case (acc, (name, b)) =>
-        when(col("stratum") === name, lit(b)).otherwise(acc)
-    }
     proj.join(broadcast(off), Seq("stratum", "__b"))
       .withColumn("cum_tokens",
         (col("__off") + sum(col("n_tokens").cast("decimal(38,0)"))
           .over(wRun)).cast("long"))
-      .filter(col("cum_tokens") <= budget)
-      .select("id", "stratum", "n_tokens", "cum_tokens")
+      .drop("__h", "__b", "__off")
+  }
+
+  /**
+   * Epoched mixture carve (X92) — the REPEAT-count face of
+   * [[budgetedMixture]], the form over-sampled sources take in real
+   * pretraining mixtures ("2.5 epochs of wiki, 0.3 of web"): when a
+   * stratum's token budget EXCEEDS its total, every document repeats
+   * `budget div total` times, and the remainder budget buys one extra
+   * repeat for the maximal salted-hash-order prefix whose exact
+   * running total fits (`budget mod total` — the X91 prefix contract
+   * applied to the fractional epoch). Strata absent from `budgets`
+   * default to exactly ONE epoch. Deterministic on every run,
+   * partitioning, and retry; rows whose stratum budget buys them
+   * nothing (integer part 0 and outside the remainder prefix) are
+   * dropped.
+   *
+   * Exactness: totals and running prefixes are exact decimal(38,0)
+   * sums of the loud-guarded non-negative weights; epochs and the
+   * remainder are exact BIGINT `div`/`mod` — no float touches any
+   * decision. A stratum with rows but ZERO total weight and a mapped
+   * budget fails loudly in-plan (its epoch count would be unbounded).
+   *
+   * Scale shape: the X91 two-level hash-order prefix (one keyed
+   * exchange + tiny bucket-offset broadcast) plus ONE map-side-
+   * combinable per-stratum total aggregate broadcast back — the input
+   * pays two narrow scans, no per-stratum global window, no driver
+   * state. Output rows carry a repeat COUNT, not physical copies —
+   * the consumer explodes only where it materializes batches (a
+   * 100 TB corpus never rewrites itself ×epochs).
+   *
+   * @param budgets per-stratum token budgets (may exceed the stratum
+   *        total — that is the point); absent strata = one epoch
+   * @return (id, stratum, n_tokens, cum_tokens, n_repeats ≥ 1) for
+   *         rows kept at least once; `cum_tokens` is the X91 running
+   *         total (audit aid for the remainder cut)
+   */
+  def epochedMixture(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, budgets: Map[String, Long],
+      salt: String = ":mixbudget", buckets: Int = 0): DataFrame = {
+    require(budgets.values.forall(_ >= 0),
+      s"epochedMixture: budgets must be non-negative")
+    val cum = hashCumWeights(df, idCol, strataCol, weightCol, salt,
+      buckets, op = "epochedMixture")
+    val totals = df
+      .select(col(strataCol).cast("string").as("stratum"),
+        guardedWeight(weightCol, "epochedMixture").as("__w"))
+      .groupBy("stratum")
+      .agg(sum(col("__w").cast("decimal(38,0)")).cast("long")
+        .as("__tot"))
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (name, b)) =>
+        when(col("stratum") === name, lit(b)).otherwise(acc)
+    }
+    cum.join(broadcast(totals), Seq("stratum"))
+      .withColumn("__budget", coalesce(budget, col("__tot")))
+      .withColumn("__tot",
+        when(col("__tot") === 0L && col("__budget") > 0L,
+          raise_error(concat(
+            lit("epochedMixture: stratum "), col("stratum"),
+            lit(" has zero total weight - its epoch count is " +
+              "unbounded; drop it or budget it 0"))).cast("long"))
+          .otherwise(col("__tot")))
+      .withColumn("n_repeats",
+        // after the guard, __tot == 0 implies __budget == 0: nothing
+        // bought, and the CaseWhen keeps the div out of that branch
+        when(col("__tot") === 0L, lit(0L))
+          .otherwise(expr("__budget div __tot") +
+            when(col("cum_tokens") <= expr("__budget % __tot"), 1L)
+              .otherwise(0L)))
+      .filter(col("n_repeats") > 0L)
+      .select("id", "stratum", "n_tokens", "cum_tokens", "n_repeats")
+  }
+
+  /**
+   * Weak-label consensus (X93) — collapse multiple noisy labelers'
+   * votes per item into one consensus label plus the agreement
+   * diagnostics every human-annotation / weak-supervision pipeline
+   * reads before trusting its training labels: vote and labeler
+   * counts, the majority label under a DETERMINISTIC tie rule
+   * (highest vote count, then lexicographically smallest label — an
+   * equal-vote tie cannot be broken honestly, so it breaks visibly
+   * and reproducibly), the winning count, the exact fixed-point
+   * agreement ratio (`top_n·2²⁰ div n_votes`), and a unanimity flag.
+   * Rows with a NULL label are NOT votes (an abstention) and are
+   * ignored; items with only abstentions are absent from the output.
+   *
+   * Scale shape: one (item, label) map-side-combinable count
+   * aggregate (output ≤ |items|·|labels| — labels are a small
+   * enumeration by definition), one per-item aggregate over the raw
+   * votes, and the argmax resolves with two more aggregates over the
+   * ALREADY-AGGREGATED tiny table — every stage keys on the item, so
+   * the exchanges share one partitioning; no window over raw votes,
+   * no driver state. A hot item (millions of votes) collapses
+   * map-side to ≤ |labels| partial rows per task.
+   *
+   * @return (item_id, n_votes, n_labelers, top_label, top_n, agree_q,
+   *         unanimous) — one row per item with ≥ 1 non-null vote
+   */
+  def labelVotes(df: DataFrame, itemCol: String, labelerCol: String,
+      labelCol: String): DataFrame = {
+    val v = df
+      .select(col(itemCol).cast("long").as("item_id"),
+        col(labelerCol).cast("long").as("__labeler"),
+        col(labelCol).cast("string").as("__label"))
+      .filter(col("__label").isNotNull)
+    val per = v.groupBy("item_id").agg(
+      count(lit(1)).as("n_votes"),
+      countDistinct(col("__labeler")).as("n_labelers"))
+    val byLabel = v.groupBy("item_id", "__label")
+      .agg(count(lit(1)).as("__n"))
+    // the max table derives FROM byLabel — rename its key so the
+    // rejoin is unambiguous (Spark's self-join lineage rule)
+    val top = byLabel.groupBy("item_id").agg(max("__n").as("top_n"))
+      .withColumnRenamed("item_id", "__ti")
+    val winner = byLabel.join(top,
+        col("item_id") === col("__ti") && col("__n") === col("top_n"))
+      .groupBy("item_id", "top_n")
+      .agg(min("__label").as("top_label"))
+    per.join(winner, Seq("item_id"))
+      .select(col("item_id"), col("n_votes"), col("n_labelers"),
+        col("top_label"), col("top_n"),
+        expr("top_n * 1048576L div n_votes").as("agree_q"),
+        (col("top_n") === col("n_votes")).cast("long").as("unanimous"))
   }
 
   /**

@@ -69,6 +69,52 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /**
+   * Cross-source shared-content matrix (X94) — the source-redundancy
+   * audit a mixture designer reads BEFORE setting per-source rates:
+   * for every unordered source pair, how many DISTINCT normalized
+   * contents (the [[exact]] fingerprint) appear in BOTH sources, with
+   * each side's distinct-content count and the exact fixed-point
+   * content Jaccard (`n_shared·2²⁰ div (n_a + n_b − n_shared)`). Two
+   * heavily-overlapping crawls (is this snapshot a subset of that
+   * one?) otherwise get double-weighted silently, and the X1 dedup
+   * pass hides WHERE the duplication came from — this is the
+   * per-pair attribution. Diagonal rows (a = b) report each source's
+   * distinct-content count with Jaccard 1.
+   *
+   * Scale shape: the corpus collapses FIRST to distinct (source,
+   * fingerprint) pairs (one map-side-combinable exchange — rows never
+   * ship twice); the self-join keys on the fingerprint, where each
+   * group is ≤ |sources| rows BY CONSTRUCTION after the distinct (a
+   * content duplicated a million times within one source is one row),
+   * so the pair stage is bounded by |contents|·|sources|² in the
+   * worst case and tiny in practice; counts aggregate map-side to a
+   * ≤ |sources|² key space. No driver state, nothing all-pairs over
+   * rows.
+   *
+   * @return (src_a ≤ src_b, n_shared, n_a, n_b, jaccard_q), one row
+   *         per source pair sharing ≥ 1 content, plus all diagonals
+   */
+  def sharedContentMatrix(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val sh = df.select(col(sourceCol).cast("string").as("src"),
+        TextOps.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    val n = sh.groupBy("src").agg(count(lit(1)).as("__n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.src") <= col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(n.as("na")), col("src_a") === col("na.src"))
+      .join(broadcast(n.as("nb")), col("src_b") === col("nb.src"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("na.__n").as("n_a"), col("nb.__n").as("n_b"))
+      .withColumn("jaccard_q",
+        expr("n_shared * 1048576L div (n_a + n_b - n_shared)"))
+  }
+
   // ---------------- incremental (cross-batch) exact dedup ----------------
 
   /**

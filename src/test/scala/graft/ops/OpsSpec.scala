@@ -1425,4 +1425,99 @@ class OpsSpec extends SparkTestBase {
         .collect()
     }
   }
+
+  // ---- epochedMixture (X92) ----
+
+  test("epochedMixture: integer epochs + remainder prefix, unmapped " +
+      "strata = one epoch, budget 0 drops the stratum, zero-total " +
+      "stratum fails loudly, bucketed == global, partition-invariant " +
+      "(X92)") {
+    val df = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L)).toDF("doc_id", "src", "w")
+    def run(parts: Int, b: Int) =
+      CorpusPipeline.epochedMixture(df.repartition(parts), "doc_id",
+          "src", "w", Map("a" -> 750L), buckets = b)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val got = run(1, 16)
+    // stratum a: total 300, budget 750 → 2 epochs + 150-token
+    // remainder = exactly 15 docs repeat 3×, the other 15 repeat 2×;
+    // stratum b unmapped → every doc exactly once
+    val a = got.filter(_._2 == "a"); val b = got.filter(_._2 == "b")
+    assert(a.size === 30 && b.size === 30)
+    assert(a.count(_._5 == 3L) === 15 && a.count(_._5 == 2L) === 15)
+    assert(b.forall(_._5 == 1L))
+    // the 3× docs are exactly the remainder prefix (cum <= 150)
+    assert(a.filter(_._5 == 3L).map(_._4).max === 150L)
+    assert(a.filter(_._5 == 2L).map(_._4).min === 160L)
+    assert(run(7, 16) === got)
+    assert(run(3, 1) === got)
+    // budget 0 buys nothing: the stratum vanishes
+    val z = CorpusPipeline.epochedMixture(df, "doc_id", "src", "w",
+      Map("a" -> 0L)).collect()
+    assert(z.forall(_.getString(1) == "b"))
+    // zero-total stratum with a positive budget is unbounded → loud
+    intercept[Exception] {
+      CorpusPipeline.epochedMixture(
+        Seq((1L, "z", 0L)).toDF("doc_id", "src", "w"),
+        "doc_id", "src", "w", Map("z" -> 5L)).collect()
+    }
+    // zero-total stratum with budget 0 drops silently (nothing owed)
+    assert(CorpusPipeline.epochedMixture(
+      Seq((1L, "z", 0L)).toDF("doc_id", "src", "w"),
+      "doc_id", "src", "w", Map("z" -> 0L)).count() === 0L)
+  }
+
+  // ---- labelVotes (X93) ----
+
+  test("labelVotes: majority under the (count desc, label asc) tie " +
+      "rule, null labels are abstentions, exact agreement ratio, " +
+      "unanimity, partition-invariant (X93)") {
+    val rows = Seq(
+      (1L, 10L, "a"), (1L, 11L, "a"), (1L, 12L, "b"), // majority a
+      (2L, 10L, "b"), (2L, 11L, "a"),                 // tie → a (asc)
+      (3L, 10L, null.asInstanceOf[String]),           // abstention only
+      (4L, 10L, "x"), (4L, 10L, "x"))                 // 1 labeler, 2 votes
+    def run(parts: Int) =
+      CorpusPipeline.labelVotes(
+          rows.toDF("item", "labeler", "label").repartition(parts),
+          "item", "labeler", "label")
+        .orderBy("item_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSeq
+    val got = run(1)
+    assert(got === Seq(
+      (1L, 3L, 3L, "a", 2L, 2L * 1048576L / 3L, 0L),
+      (2L, 2L, 2L, "a", 1L, 1048576L / 2L, 0L),
+      (4L, 2L, 1L, "x", 2L, 1048576L, 1L)))
+    assert(run(6) === got)
+  }
+
+  // ---- sharedContentMatrix (X94) ----
+
+  test("sharedContentMatrix: per-pair distinct shared contents under " +
+      "the exact-dedup normalization, diagonals, exact Jaccard, no " +
+      "row for disjoint pairs, partition-invariant (X94)") {
+    val rows = Seq(
+      (1L, "A", "t one"), (2L, "A", "t two"), (3L, "A", "t three"),
+      (4L, "B", "T  two "),   // normalizes equal to "t two"
+      (5L, "B", "t three"), (6L, "B", "t four"), (7L, "B", "t four"),
+      (8L, "C", "t five"))
+    def run(parts: Int) =
+      Dedup.sharedContentMatrix(
+          rows.toDF("doc_id", "source", "text").repartition(parts),
+          "source", "text")
+        .orderBy("src_a", "src_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val got = run(1)
+    assert(got === Seq(
+      ("A", "A", 3L, 3L, 3L, 1048576L),
+      ("A", "B", 2L, 3L, 3L, 2L * 1048576L / 4L),
+      ("B", "B", 3L, 3L, 3L, 1048576L),
+      ("C", "C", 1L, 1L, 1L, 1048576L)))
+    assert(run(5) === got)
+  }
 }
