@@ -1246,6 +1246,36 @@ object SparkEntry {
         "text")
         .orderBy("src_a", "src_b")),
 
+    // ---- corpus snapshot diff (X95) — per-source added / removed /
+    //      changed / unchanged counts + exact churn ratio between two
+    //      snapshots (here: the corpus vs a derived previous snapshot
+    //      missing every 7th doc and with every 5th doc's text
+    //      revised), via one id-keyed full-outer join of (id, source,
+    //      fingerprint) projections ----
+    "pp_diff" -> ((s, dir) => {
+      val cur = ld(s, dir, "documents")
+      val prev = cur.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5L)) === 0L,
+            concat(col("text"), lit(" prev-rev")))
+            .otherwise(col("text")))
+      ops.CorpusPipeline.snapshotDiff(prev, cur, "doc_id", "source",
+        "text")
+        .orderBy("src")
+    }),
+
+    // ---- vocabulary coverage / OOV audit (X96) — per source, exact
+    //      token/type counts and the fixed-point OOV rate against a
+    //      fixed vocabulary (here: the corpus's own top-200
+    //      document-frequency tokens), vocab broadcast into one
+    //      token-explode scan ----
+    "tx_oov" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+      val vocab = TextOps.docFrequency(d, "doc_id", "text", 200)
+        .select("token")
+      TextOps.oovStats(d, "source", "text", vocab).orderBy("src")
+    }),
+
     // ---- stratified EXACT-proportion split (X76) — per-source rank
     //      cut in the salted-hash order: every source gets split
     //      counts within one row of 80/10/10 exactly (a 25-doc source
@@ -3783,6 +3813,60 @@ object SparkEntry {
         |FROM p JOIN n na ON p.src_a = na.src
         |JOIN n nb ON p.src_b = nb.src
         |ORDER BY src_a, src_b""".stripMargin,
+    // snapshot-diff replay (X95): the same derived previous snapshot
+    // (every 7th doc absent, every 5th doc's text revised), one
+    // full-outer join on id over (id, source, normalized-content)
+    // projections, per-source status sums, exact integer churn
+    "pp_diff" ->
+      """WITH cur AS (SELECT doc_id AS id, source,
+        |   lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |prev AS (SELECT doc_id AS id, source,
+        |   lower(regexp_replace(trim(CASE WHEN doc_id % 5 = 0
+        |     THEN text || ' prev-rev' ELSE text END),
+        |     '\s+', ' ', 'g')) AS fp
+        | FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (SELECT coalesce(c.source, p.source) AS src,
+        |   CASE WHEN p.fp IS NULL THEN 1 ELSE 0 END AS a,
+        |   CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END AS r,
+        |   CASE WHEN p.fp IS NOT NULL AND c.fp IS NOT NULL
+        |     AND p.fp <> c.fp THEN 1 ELSE 0 END AS ch,
+        |   CASE WHEN p.fp = c.fp THEN 1 ELSE 0 END AS u
+        | FROM prev p FULL OUTER JOIN cur c ON p.id = c.id)
+        |SELECT src, CAST(sum(a) AS BIGINT) AS n_added,
+        |  CAST(sum(r) AS BIGINT) AS n_removed,
+        |  CAST(sum(ch) AS BIGINT) AS n_changed,
+        |  CAST(sum(u) AS BIGINT) AS n_unchanged,
+        |  CAST((sum(a) + sum(r) + sum(ch)) * 1048576
+        |    // (sum(a) + sum(r) + sum(ch) + sum(u)) AS BIGINT)
+        |    AS churn_q
+        |FROM j GROUP BY src ORDER BY src""".stripMargin,
+    // OOV-audit replay (X96): the tx_docfreq top-200 vocabulary
+    // (df desc, token asc — deterministic cut), lowercased and
+    // deduplicated, left-joined into the lowercased token stream;
+    // exact per-source counts and integer OOV rate
+    "tx_oov" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |     END AS toks
+        | FROM documents),
+        |v0 AS (SELECT token, count(*) AS df FROM
+        |   (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+        |  GROUP BY token ORDER BY df DESC, token ASC LIMIT 200),
+        |v AS (SELECT DISTINCT lower(token) AS tok FROM v0),
+        |u AS (SELECT source AS src, lower(unnest(toks)) AS tok FROM t),
+        |j AS (SELECT u.src, u.tok,
+        |   CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        | FROM u LEFT JOIN v ON u.tok = v.tok)
+        |SELECT src, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+        |  CAST(count(DISTINCT CASE WHEN oov = 1 THEN tok END)
+        |    AS BIGINT) AS n_oov_types,
+        |  CAST(sum(oov) * 1048576 // count(*) AS BIGINT) AS oov_q
+        |FROM j GROUP BY src ORDER BY src""".stripMargin,
     // stratified-split replay: the bucketed two-level rank equals the
     // global per-stratum rank by construction, so DuckDB replays it
     // directly as row_number over the (hash, id) order; boundaries by

@@ -937,6 +937,53 @@ object CorpusPipeline {
   }
 
   /**
+   * Corpus snapshot diff (X95) — what changed between two crawls /
+   * ingest runs, per source: the refresh audit read before re-running
+   * the downstream pipeline ("src3 churned 40% — recompute its dedup
+   * clusters; src7 is untouched — reuse"). Per source:
+   * `n_added` (id only in `current`), `n_removed` (id only in
+   * `previous`), `n_changed` (same id, different normalized content —
+   * the [[Dedup.exact]] fingerprint), `n_unchanged`, and the exact
+   * fixed-point churn ratio `(added+removed+changed)·2²⁰ div (all
+   * ids observed for the source in either snapshot)`.
+   * Attribution: present-in-current rows count under the CURRENT
+   * source (a doc that moved sources counts as its new home), removed
+   * rows under the PREVIOUS source.
+   *
+   * Contract: ids are unique within each snapshot (duplicate ids
+   * multiply the join — run [[Profiler.integrityAudit]] first if
+   * unsure; that is the tool for key health, this one assumes it).
+   *
+   * Scale shape: each side projects to (id, source, fingerprint) —
+   * the text never ships — then ONE id-keyed full-outer join (the
+   * inherent cost of a diff) feeding a map-side-combinable aggregate
+   * with |sources| output rows. No window, no driver state.
+   *
+   * @return (src, n_added, n_removed, n_changed, n_unchanged,
+   *         churn_q), one row per source present in either snapshot
+   */
+  def snapshotDiff(previous: DataFrame, current: DataFrame,
+      idCol: String, sourceCol: String, textCol: String): DataFrame = {
+    def proj(df: DataFrame, pre: String) =
+      df.select(col(idCol).cast("long").as("id"),
+        col(sourceCol).cast("string").as(s"${pre}src"),
+        TextOps.fingerprint(col(textCol)).as(s"${pre}fp"))
+    val j = proj(previous, "o").join(proj(current, "n"), Seq("id"),
+      "full_outer")
+    val added = when(col("ofp").isNull, 1L).otherwise(0L)
+    val removed = when(col("nfp").isNull, 1L).otherwise(0L)
+    val changed = when(col("ofp").isNotNull && col("nfp").isNotNull &&
+      col("ofp") =!= col("nfp"), 1L).otherwise(0L)
+    val unchanged = when(col("ofp") === col("nfp"), 1L).otherwise(0L)
+    j.groupBy(coalesce(col("nsrc"), col("osrc")).as("src"))
+      .agg(sum(added).as("n_added"), sum(removed).as("n_removed"),
+        sum(changed).as("n_changed"), sum(unchanged).as("n_unchanged"))
+      .withColumn("churn_q", expr(
+        "(n_added + n_removed + n_changed) * 1048576L div " +
+          "(n_added + n_removed + n_changed + n_unchanged)"))
+  }
+
+  /**
    * Stratified EXACT-proportion split (X76) — per stratum, split
    * counts are exact to the row: stratum rows rank in a deterministic
    * salted-hash order (the [[mixture]] hash family, id tie-break) and

@@ -408,6 +408,53 @@ object TextOps {
   }
 
   /**
+   * Per-source vocabulary coverage / OOV audit (X96) — how well a
+   * FIXED vocabulary (a tokenizer's word list, a reference lexicon)
+   * covers each source's text: exact token and out-of-vocabulary
+   * counts, distinct-type counts, and the fixed-point OOV rate
+   * (`n_oov·2²⁰ div n_tokens`). The tokenizer-fit check run before
+   * committing a vocab to a 100 TB corpus — a source whose OOV rate
+   * spikes (code in a prose vocab, another language, mojibake) gets
+   * flagged per source, not averaged away corpus-wide. Matching is
+   * case-insensitive on the [[tokens]] whitespace normalization (the
+   * house token rule; pre-tokenize the vocab the same way).
+   *
+   * Scale shape: ONE token-explode scan; the vocabulary BROADCASTS
+   * (vocabularies are bounded by definition — an id-sized "vocab"
+   * fails loudly at broadcast, not silently reshuffles) into a left
+   * join; one map-side-combinable per-source aggregate with
+   * |sources| output rows. Empty docs contribute nothing (zero
+   * tokens is the honest reading for a coverage rate), so a source
+   * of only-empty docs is ABSENT from the output — 0/0 coverage has
+   * no defensible value and absence is visible.
+   *
+   * @param vocab one string column of in-vocabulary tokens
+   *              (lowercased on the way in; duplicates collapsed)
+   * @return (src, n_tokens, n_oov, n_types, n_oov_types, oov_q)
+   */
+  def oovStats(df: DataFrame, sourceCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    require(vocab.columns.length == 1,
+      s"oovStats: vocab must have exactly one column, got " +
+        s"${vocab.columns.mkString(", ")}")
+    val v = vocab.select(lower(col(vocab.columns.head)).as("__tok"))
+      .distinct()
+      .withColumn("__in", lit(1L))
+    df.select(col(sourceCol).cast("string").as("src"),
+        explode(tokens(lower(col(textCol)))).as("__tok"))
+      .join(broadcast(v), Seq("__tok"), "left")
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(col("__tok")).as("n_types"),
+        countDistinct(when(col("__in").isNull, col("__tok")))
+          .as("n_oov_types"))
+      .withColumn("oov_q",
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_oov * 1048576L div n_tokens")))
+  }
+
+  /**
    * CCNet-style unigram language-model quality scoring: per-document
    * mean token log-probability under a unigram LM estimated from the
    * corpus itself, with the vocabulary cut to the top `vocabSize`

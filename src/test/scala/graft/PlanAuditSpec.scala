@@ -395,6 +395,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
   }
 
+  test("pp_epochs: bucket offsets and stratum totals attach via " +
+      "BROADCAST, the running-sum window is bucket-partitioned, and " +
+      "no corpus-sized sort-merge join appears (X92)") {
+    val p = plan("pp_epochs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the prefix window must partition by stratum AND bucket (the
+    // two-level machinery) — a stratum-only spec would serialize each
+    // stratum through one task
+    val winLine = p.linesIterator.find(l =>
+      l.contains("sum(") && l.contains("windowspecdefinition") &&
+        l.contains("stratum"))
+    assert(winLine.exists(_.contains("__b")), winLine.getOrElse(p))
+  }
+
+  test("pp_votes: every stage keys on the item — no window over the " +
+      "raw vote rows, no nested-loop or cartesian join (X93)") {
+    val p = plan("pp_votes")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dd_shared: the corpus collapses to distinct (source, " +
+      "fingerprint) BEFORE any join, and the pair stage is a plain " +
+      "equi-join on the fingerprint (X94)") {
+    val p = plan("dd_shared")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-source distinct-content counts broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the distinct (HashAggregate on src+fp) must sit BELOW the
+    // self-join: both join children aggregate before pairing
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("pp_stratified: the (stratum, bucket) offsets attach via " +
       "BROADCAST and the rank window is bucket-partitioned (no " +
       "one-task-per-stratum funnel)") {

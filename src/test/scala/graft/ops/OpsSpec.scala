@@ -1520,4 +1520,53 @@ class OpsSpec extends SparkTestBase {
       ("C", "C", 1L, 1L, 1L, 1048576L)))
     assert(run(5) === got)
   }
+
+  // ---- snapshotDiff (X95) ----
+
+  test("snapshotDiff: added/removed/changed/unchanged per source, " +
+      "normalization-insensitive content compare, source moves count " +
+      "under the current side, exact churn, partition-invariant " +
+      "(X95)") {
+    val prev = Seq((1L, "A", "x"), (2L, "A", "y"), (3L, "B", "z"),
+      (5L, "B", "w")).toDF("doc_id", "source", "text")
+    val cur = Seq((1L, "A", "X  "), // normalizes equal → unchanged
+      (2L, "A", "y2"), (4L, "A", "n"), (5L, "C", "w"))
+      .toDF("doc_id", "source", "text")
+    def run(parts: Int) =
+      CorpusPipeline.snapshotDiff(prev.repartition(parts),
+          cur.repartition(parts), "doc_id", "source", "text")
+        .orderBy("src").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val got = run(1)
+    assert(got === Seq(
+      ("A", 1L, 0L, 1L, 1L, 2L * 1048576L / 3L),
+      ("B", 0L, 1L, 0L, 0L, 1048576L),
+      ("C", 0L, 0L, 0L, 1L, 0L)))
+    assert(run(4) === got)
+  }
+
+  // ---- oovStats (X96) ----
+
+  test("oovStats: exact per-source token/type/OOV counts, " +
+      "case-insensitive vocab match, empty-doc sources absent, " +
+      "one-column vocab enforced, partition-invariant (X96)") {
+    val d = Seq((1L, "A", "the cat the dog"), (2L, "B", "Bird"),
+      (3L, "C", "   ")).toDF("doc_id", "source", "text")
+    val vocab = Seq("The", "cat", "cat").toDF("token")
+    def run(parts: Int) =
+      TextOps.oovStats(d.repartition(parts), "source", "text", vocab)
+        .orderBy("src").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val got = run(1)
+    assert(got === Seq(
+      ("A", 4L, 1L, 3L, 1L, 1048576L / 4L),
+      ("B", 1L, 1L, 1L, 1L, 1048576L)))
+    assert(run(4) === got)
+    intercept[IllegalArgumentException] {
+      TextOps.oovStats(d, "source", "text",
+        Seq(("a", "b")).toDF("x", "y"))
+    }
+  }
 }
