@@ -1246,6 +1246,19 @@ object SparkEntry {
         "text")
         .orderBy("src_a", "src_b")),
 
+    // ---- pair-table source attribution (X97) — the simhash near-dup
+    //      pair set attributed to unordered source pairs (how many
+    //      near-dup pairs connect src A to src B): two id-keyed joins
+    //      of the pair table against (id, source), |sources|²-key
+    //      aggregate; detector semantics inherited from dd_simhash ----
+    "dd_pairsrc" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+      val pairs = Dedup.simhashDups(d, "doc_id", "text", maxHamming = 3)
+      Dedup.pairSourceMatrix(pairs, "keep_id", "dup_id", d, "doc_id",
+        "source")
+        .orderBy("src_a", "src_b")
+    }),
+
     // ---- corpus snapshot diff (X95) — per-source added / removed /
     //      changed / unchanged counts + exact churn ratio between two
     //      snapshots (here: the corpus vs a derived previous snapshot
@@ -3813,6 +3826,18 @@ object SparkEntry {
         |FROM p JOIN n na ON p.src_a = na.src
         |JOIN n nb ON p.src_b = nb.src
         |ORDER BY src_a, src_b""".stripMargin,
+    // pair-source attribution replay (X97): the dd_simhash pair CTE
+    // (same MD5-bit simhash, hamming <= 3) joined to each side's
+    // source, least/greatest-normalized, counted per source pair
+    "dd_pairsrc" -> (s"""WITH pr AS (
+        ${simhashPairsSql.replace("ORDER BY keep_id, dup_id", "")}),
+       m AS (SELECT doc_id, source FROM documents),
+       e AS (SELECT least(ma.source, mb.source) AS src_a,
+           greatest(ma.source, mb.source) AS src_b
+         FROM pr JOIN m ma ON pr.keep_id = ma.doc_id
+         JOIN m mb ON pr.dup_id = mb.doc_id)
+       SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM e GROUP BY src_a, src_b ORDER BY src_a, src_b"""),
     // snapshot-diff replay (X95): the same derived previous snapshot
     // (every 7th doc absent, every 5th doc's text revised), one
     // full-outer join on id over (id, source, normalized-content)

@@ -115,6 +115,45 @@ object Dedup {
         expr("n_shared * 1048576L div (n_a + n_b - n_shared)"))
   }
 
+  /**
+   * Pair-table source attribution (X97) — the NEAR-dup face of
+   * [[sharedContentMatrix]]: take ANY id-pair table (the output of
+   * [[simhashDups]], [[minhashLsh]], [[ngramJaccard]],
+   * [[embeddingDups]] — whichever detector ran) and attribute it to
+   * unordered SOURCE pairs: how many near-duplicate pairs connect
+   * source A to source B (vs within A itself). The mixture designer's
+   * near-dup redundancy matrix — exact-content overlap (X94) misses
+   * templated/boilerplate duplication across crawls, this catches
+   * whatever the chosen detector catches, with the pair semantics
+   * (threshold, verification) inherited from it unchanged.
+   *
+   * Scale shape: two id-keyed joins of the (already smaller) pair
+   * table against the (id, source) projection — the text never ships,
+   * the corpus map shuffles once per side — then one map-side-
+   * combinable aggregate onto a ≤ |sources|² key space. Pairs whose
+   * ids miss the map are dropped (inner joins — a pair over unknown
+   * ids has no attribution; run [[graft.ops.Profiler.integrityAudit]]
+   * if that matters).
+   *
+   * @return (src_a ≤ src_b, n_pairs), one row per source pair with
+   *         ≥ 1 connecting pair
+   */
+  def pairSourceMatrix(pairs: DataFrame, aCol: String, bCol: String,
+      docs: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val m = docs.select(col(idCol).cast("long").as("__id"),
+      col(sourceCol).cast("string").as("__src"))
+    pairs
+      .select(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"))
+      .join(m.withColumnRenamed("__id", "__a")
+        .withColumnRenamed("__src", "__sa"), Seq("__a"))
+      .join(m.withColumnRenamed("__id", "__b")
+        .withColumnRenamed("__src", "__sb"), Seq("__b"))
+      .groupBy(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---------------- incremental (cross-batch) exact dedup ----------------
 
   /**

@@ -1521,6 +1521,25 @@ class OpsSpec extends SparkTestBase {
     assert(run(5) === got)
   }
 
+  // ---- pairSourceMatrix (X97) ----
+
+  test("pairSourceMatrix: pairs attribute to unordered source pairs, " +
+      "unknown ids drop, partition-invariant (X97)") {
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L), (2L, 99L))
+      .toDF("keep_id", "dup_id")
+    def run(parts: Int) =
+      Dedup.pairSourceMatrix(pairs.repartition(parts),
+          "keep_id", "dup_id", docs.repartition(parts), "doc_id",
+          "source")
+        .orderBy("src_a", "src_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val got = run(1)
+    assert(got === Seq(("A", "A", 1L), ("A", "B", 1L), ("B", "C", 1L)))
+    assert(run(5) === got)
+  }
+
   // ---- snapshotDiff (X95) ----
 
   test("snapshotDiff: added/removed/changed/unchanged per source, " +
