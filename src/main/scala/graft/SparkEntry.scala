@@ -1246,6 +1246,17 @@ object SparkEntry {
         "text")
         .orderBy("src_a", "src_b")),
 
+    // ---- deterministic corpus shuffle (X98) — reproducible global
+    //      training order: (shard, pos) addresses in the salted-hash
+    //      order, shards = hash high bits so reading shards in order
+    //      IS the global order; per-shard rank windows, no global
+    //      sort ----
+    "pp_shuffle" -> ((s, dir) =>
+      ops.CorpusPipeline.shuffleOrder(
+        ld(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", shards = 8)
+        .orderBy("doc_id")),
+
     // ---- pair-table source attribution (X97) — the simhash near-dup
     //      pair set attributed to unordered source pairs (how many
     //      near-dup pairs connect src A to src B): two id-keyed joins
@@ -3826,6 +3837,18 @@ object SparkEntry {
         |FROM p JOIN n na ON p.src_a = na.src
         |JOIN n nb ON p.src_b = nb.src
         |ORDER BY src_a, src_b""".stripMargin,
+    // deterministic-shuffle replay (X98): shard = hash high bits
+    // (width = ceil(2^32/8)), pos = row_number in (hash, id) order
+    // within the shard
+    "pp_shuffle" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':shuffle')
+        |     % 4294967296 AS BIGINT) AS h
+        | FROM documents)
+        |SELECT doc_id, source, h // 536870912 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h // 536870912
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM d ORDER BY doc_id""".stripMargin,
     // pair-source attribution replay (X97): the dd_simhash pair CTE
     // (same MD5-bit simhash, hamming <= 3) joined to each side's
     // source, least/greatest-normalized, counted per source pair

@@ -937,6 +937,44 @@ object CorpusPipeline {
   }
 
   /**
+   * Deterministic corpus shuffle (X98) — a reproducible global
+   * training order: every row gets a (shard, pos_in_shard) address in
+   * the salted-hash order (the [[mixture]] hash family — an unbiased
+   * shuffle), identical on every run, partitioning, and retry, and
+   * STABLE under re-runs with the same salt — the property
+   * `orderBy(rand())` can never give and training reproducibility
+   * needs ("resume epoch 2 from shard 17, row 40312"). Reading shards
+   * 0..S−1 each in pos order IS the global hash order, because shards
+   * are the hash's high bits.
+   *
+   * Scale shape: one hash exchange on the shard key and a per-shard
+   * rank window — parallel ACROSS shards, so pick `shards` at least
+   * the cluster's parallelism (a shard's rows serialize through one
+   * task's spill-safe sort; shards ≈ output files is the natural
+   * choice). No global sort, no driver state.
+   *
+   * @param shards number of output shards (≥ 1)
+   * @return input columns ++ (shard 0-based, pos 1-based within the
+   *         shard's hash order)
+   */
+  def shuffleOrder(df: DataFrame, idCol: String, shards: Int,
+      salt: String = ":shuffle"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 1, s"shuffleOrder: shards must be >= 1, got " +
+      s"$shards")
+    val clash = df.columns.toSet.intersect(Set("shard", "pos", "__h"))
+    require(clash.isEmpty, s"shuffleOrder: column collision: " +
+      s"${clash.mkString(", ")} — alias before shuffling")
+    val width = (4294967296L + shards - 1) / shards
+    val w = Window.partitionBy("shard")
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", hashU32(col(idCol), salt))
+      .withColumn("shard", expr(s"__h div ${width}L"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /**
    * Corpus snapshot diff (X95) — what changed between two crawls /
    * ingest runs, per source: the refresh audit read before re-running
    * the downstream pipeline ("src3 churned 40% — recompute its dedup

@@ -1521,6 +1521,44 @@ class OpsSpec extends SparkTestBase {
     assert(run(5) === got)
   }
 
+  // ---- shuffleOrder (X98) ----
+
+  test("shuffleOrder: (shard, pos) equals the independent salted-md5 " +
+      "global order, shards are the hash high bits, stable across " +
+      "runs and partitionings, collisions fail loudly (X98)") {
+    def refHash(id: Long, salt: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id$salt".getBytes("UTF-8"))
+      (0 until 4).map(j => (dig(8 + j).toLong & 0xffL) << (8 * j)).sum
+    }
+    val ids = (1L to 120L).map(i => i * 13L)
+    val df = ids.toDF("doc_id")
+    val shards = 4
+    val width = (4294967296L + shards - 1) / shards
+    def run(parts: Int) =
+      CorpusPipeline.shuffleOrder(df.repartition(parts), "doc_id",
+          shards)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    val got = run(1)
+    // reference: global (hash, id) order; shard = high bits; pos =
+    // rank within shard
+    val ordered = ids.sortBy(i => (refHash(i, ":shuffle"), i))
+    val expect = ordered.groupBy(i => refHash(i, ":shuffle") / width)
+      .toSeq.flatMap { case (sh, member) =>
+        member.zipWithIndex.map { case (id, k) =>
+          (id, sh, (k + 1).toLong)
+        }
+      }.sortBy(_._1)
+    assert(got === expect)
+    assert(run(7) === got) // partition-invariant ⇒ reproducible
+    assert(got.map(_._2).forall(s0 => s0 >= 0 && s0 < shards))
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.shuffleOrder(
+        df.withColumn("pos", lit(1)), "doc_id", 4)
+    }
+  }
+
   // ---- pairSourceMatrix (X97) ----
 
   test("pairSourceMatrix: pairs attribute to unordered source pairs, " +
