@@ -49,10 +49,15 @@ object Features {
    * RANGE-frame aggregate on an 8M-row hot user; this shape is
    * scan-linear on the same input). Memory per task is bounded by the
    * densest single window's occupancy (the events inside one W-span),
-   * not the timeline. A hot user still serializes through one task —
-   * the inherent cost of that user's timeline, same note as
-   * [[AsofJoin]]. Rows with a null id/user/timestamp fail loudly
-   * (the [[graft.streaming.StreamPipeline.trailingStream]] contract).
+   * not the timeline — and UNLIKE Spark's window machinery this
+   * buffer does not spill, so `maxWindowOccupancy` fails LOUDLY
+   * (default 2²⁴ ≈ 16.7M events ≈ 700 MB of buffer) instead of
+   * silently OOMing a task; a timeline that dense relative to W wants
+   * a smaller window or the streaming form. A hot user still
+   * serializes through one task — the inherent cost of that user's
+   * timeline, same note as [[AsofJoin]]. Rows with a null
+   * id/user/timestamp fail loudly (the
+   * [[graft.streaming.StreamPipeline.trailingStream]] contract).
    *
    * @return (id, user_id, us, n_trail, n_vals_trail, v_sum_q_trail) —
    *         counts 0 and sum 0 for an empty window (a user's first
@@ -60,12 +65,15 @@ object Features {
    */
   def trailingFeatures(events: DataFrame, userCol: String,
       tsCol: String, idCol: String, valueCol: String,
-      windowUs: Long): DataFrame = {
+      windowUs: Long, maxWindowOccupancy: Int = 1 << 24): DataFrame = {
     require(windowUs > 0,
       s"trailingFeatures: windowUs must be positive, got $windowUs")
+    require(maxWindowOccupancy > 0,
+      "trailingFeatures: maxWindowOccupancy must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     val w = windowUs
+    val maxBuf = maxWindowOccupancy
     val us = floor(Sessions.asNanos(events, tsCol).cast("decimal(38,0)")
       / lit(1000L)).cast("long")
     val vq = Profiler.quantize(valueCol)
@@ -118,6 +126,14 @@ object Features {
                 buf.append((ts, r._4, r._5))
                 n += 1
                 if (r._5) { nv += 1; sum = Math.addExact(sum, r._4) }
+                // this buffer does not spill (unlike Spark's window
+                // machinery) — fail loudly, never OOM silently
+                if (buf.length > maxBuf)
+                  throw new IllegalStateException(
+                    s"trailingFeatures: user $user holds more than " +
+                      s"$maxBuf events inside one $w-us window - " +
+                      "shrink the window, raise maxWindowOccupancy, " +
+                      "or use StreamPipeline.trailingStream")
               }
             }
             out.removeHead()

@@ -59,6 +59,20 @@ class FeaturesSpec extends SparkTestBase {
       (2L, 0L, 0L, 0L)))
   }
 
+  test("trailing: a window denser than maxWindowOccupancy fails " +
+      "loudly instead of buffering unboundedly (the slide's buffer " +
+      "does not spill — r19)") {
+    val df = ev((1L to 20L).map(i => (i, 100L, 1L, 1.0)): _*)
+    val ex = intercept[Exception] {
+      Features.trailingFeatures(df, "user_id", "ts", "event_id",
+        "value", windowUs = 1000L, maxWindowOccupancy = 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxWindowOccupancy")))
+  }
+
   test("trailing features are partition-invariant") {
     val rows = (1L to 60L).map(i =>
       (i, i * 13L % 200L, i % 3L, (i % 7L).toDouble))
