@@ -782,7 +782,10 @@ object CorpusPipeline {
     * in the per-stratum salted-hash order, via the two-level bucketed
     * prefix (no per-stratum global window — see [[budgetedMixture]]'s
     * scale notes). Returns ALL rows as (id, stratum, n_tokens,
-    * cum_tokens), cum INCLUDING the row. */
+    * cum_tokens, __tot), cum INCLUDING the row; `__tot` is the
+    * stratum's exact total, computed FROM the tiny bucket table (a
+    * window over S·buckets rows) so consumers that need it —
+    * [[epochedMixture]]'s div/mod — cost no second input scan. */
   private def hashCumWeights(df: DataFrame, idCol: String,
       strataCol: String, weightCol: String, salt: String,
       buckets: Int, op: String = "budgetedMixture"): DataFrame = {
@@ -799,10 +802,14 @@ object CorpusPipeline {
       .agg(sum(col("n_tokens").cast("decimal(38,0)")).as("__t"))
     val wOff = Window.partitionBy("stratum").orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("stratum")
+      .orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val off = cnt
       .withColumn("__off", coalesce(sum("__t").over(wOff),
         lit(0L).cast("decimal(38,0)")))
-      .select("stratum", "__b", "__off")
+      .withColumn("__tot", sum("__t").over(wTot).cast("long"))
+      .select("stratum", "__b", "__off", "__tot")
     val wRun = Window.partitionBy("stratum", "__b")
       .orderBy(col("__h"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -833,11 +840,12 @@ object CorpusPipeline {
    * decision. A stratum with rows but ZERO total weight and a mapped
    * budget fails loudly in-plan (its epoch count would be unbounded).
    *
-   * Scale shape: the X91 two-level hash-order prefix (one keyed
-   * exchange + tiny bucket-offset broadcast) plus ONE map-side-
-   * combinable per-stratum total aggregate broadcast back — the input
-   * pays two narrow scans, no per-stratum global window, no driver
-   * state. Output rows carry a repeat COUNT, not physical copies —
+   * Scale shape: EXACTLY the X91 plan — one keyed exchange + the
+   * tiny bucket-offset broadcast; the stratum totals ride that same
+   * broadcast (a window over the S·buckets bucket table, not a
+   * second input scan), so the input is read ONCE. No per-stratum
+   * global window, no driver state. Output rows carry a repeat
+   * COUNT, not physical copies —
    * the consumer explodes only where it materializes batches (a
    * 100 TB corpus never rewrites itself ×epochs).
    *
@@ -854,17 +862,11 @@ object CorpusPipeline {
       s"epochedMixture: budgets must be non-negative")
     val cum = hashCumWeights(df, idCol, strataCol, weightCol, salt,
       buckets, op = "epochedMixture")
-    val totals = df
-      .select(col(strataCol).cast("string").as("stratum"),
-        guardedWeight(weightCol, "epochedMixture").as("__w"))
-      .groupBy("stratum")
-      .agg(sum(col("__w").cast("decimal(38,0)")).cast("long")
-        .as("__tot"))
     val budget = budgets.foldLeft(lit(null).cast("long")) {
       case (acc, (name, b)) =>
         when(col("stratum") === name, lit(b)).otherwise(acc)
     }
-    cum.join(broadcast(totals), Seq("stratum"))
+    cum
       .withColumn("__budget", coalesce(budget, col("__tot")))
       .withColumn("__tot",
         when(col("__tot") === 0L && col("__budget") > 0L,
