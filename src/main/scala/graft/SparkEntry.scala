@@ -566,6 +566,17 @@ object SparkEntry {
         "ts", "event_id", "value", windowUs = 3600000000L)
         .orderBy("id")),
 
+    // ---- events: point-in-time feature snapshot (X99) — every
+    //      user's latest observation of each event_type STRICTLY
+    //      before the cutoff (2024-01-16T00:00Z): one pushed filter +
+    //      one (user, feature) struct-argmax aggregate, equal-ts ties
+    //      to the largest id; the offline feature-store read ----
+    "ev_snapshot" -> ((s, dir) =>
+      ops.Sessions.snapshotAsOf(ld(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", "value",
+        cutoffUs = 1705363200000000L)
+        .orderBy("user_id", "feature")),
+
     // ---- events: ordered-step funnel (X75) — earliest
     //      view → click → purchase chain per user, each step strictly
     //      after the previous and within 7 days of the anchor; one
@@ -3082,6 +3093,20 @@ object SparkEntry {
         |  CAST(CASE WHEN m_us IS NOT NULL AND m_us - us <= 3600000000
         |    THEN tid ELSE -1 END AS BIGINT) AS target_id
         |FROM j ORDER BY id""".stripMargin,
+    // snapshot replay (X99): latest strictly-pre-cutoff observation
+    // per (user, feature), (us desc, id desc) argmax, X50 quantize
+    "ev_snapshot" ->
+      """WITH e AS (SELECT user_id, event_type AS feature,
+        |    epoch_ns(ts) // 1000 AS us, event_id AS id,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |      ELSE CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |        AS BIGINT) END AS vq
+        |  FROM events),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+        |    feature ORDER BY us DESC, id DESC) AS rn
+        |  FROM e WHERE us < 1705363200000000)
+        |SELECT user_id, feature, us, id AS obs_id, vq AS value_q
+        |FROM f WHERE rn = 1 ORDER BY user_id, feature""".stripMargin,
     // trailing-window replay: RANGE frames are value-based in both
     // engines ([us−1h, us−1] micros — equal-us ties excluded), the
     // X50 NaN-as-missing quantization, empty frames → 0

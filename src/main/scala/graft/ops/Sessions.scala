@@ -394,6 +394,53 @@ object Sessions {
    *         sentinels (the j2/j4 as-of harness convention: keeps the
    *         columns non-null longs, trainer- and compare-friendly)
    */
+  /**
+   * Point-in-time feature snapshot (X99) — the offline feature-store
+   * read: for every (entity, feature), the LATEST observation
+   * STRICTLY BEFORE a cutoff instant ("every user's last-known value
+   * of each signal as of midnight, for the training run"). Strictly
+   * before, so a model trained on the snapshot never sees the cutoff
+   * instant itself — the same leakage discipline as
+   * [[labelOutcomes]] / [[Features.trailingFeatures]], applied to
+   * state instead of windows.
+   *
+   * Determinism: timestamps by the [[asNanos]] rule to micros; the
+   * "latest" pick is a struct argmax over (us, id, vq) — equal-us
+   * ties resolve to the LARGEST id (the as-of family's documented
+   * tie rule), so the snapshot is identical on every partitioning
+   * and replays exactly in SQL. Values follow the
+   * [[Profiler.quantize]] fixed-point rule; a latest observation
+   * with a missing (null/NaN) value reports a null `value_q` but
+   * still wins the recency contest — "the entity's state is
+   * 'unknown'" is itself the honest latest state.
+   *
+   * Scale shape: one codegen filter (pushed to the scan) + ONE
+   * map-side-combinable (entity, feature) aggregate — a 100 TB log
+   * snapshots in a scan; output is |entities|·|features| rows. No
+   * window over the log, no join, no driver state.
+   *
+   * @return (user_id, feature, us, obs_id, value_q) — one row per
+   *         (entity, feature) with ≥ 1 pre-cutoff observation
+   */
+  def snapshotAsOf(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, valueCol: String,
+      cutoffUs: Long): DataFrame = {
+    val us = floor(asNanos(events, tsCol).cast("decimal(38,0)")
+      / lit(1000L)).cast("long")
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).cast("string").as("feature"), us.as("__us"),
+        col(idCol).cast("long").as("__id"),
+        Profiler.quantize(valueCol).as("__vq"))
+      .filter(col("__us") < cutoffUs)
+      .groupBy("user_id", "feature")
+      .agg(max(struct(col("__us"), col("__id"), col("__vq")))
+        .as("__top"))
+      .select(col("user_id"), col("feature"),
+        col("__top.__us").as("us"), col("__top.__id").as("obs_id"),
+        col("__top.__vq").as("value_q"))
+  }
+
   def labelOutcomes(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, targetFilter: Column, horizonUs: Long)
       : DataFrame = {

@@ -322,6 +322,34 @@ class SessionsSpec extends SparkTestBase {
     assert(run(5) === got)
   }
 
+  test("snapshotAsOf: latest strictly-pre-cutoff observation per " +
+      "(user, feature), equal-ts ties to the largest id, missing " +
+      "latest value wins recency with a null value_q, post-cutoff " +
+      "features absent, partition-invariant (X99)") {
+    val df = ev( // ts literals are us·1000 (long ts column = nanos)
+      (0L, 10000L, 1L, "a", 1.0),
+      (1L, 20000L, 1L, "a", 2.0), // latest pre-cutoff for (1, a)
+      (2L, 25000L, 1L, "a", 9.0), // AT cutoff → excluded (strict)
+      (3L, 5000L, 1L, "b", 3.0),
+      (4L, 5000L, 1L, "b", 4.0),  // same us, larger id wins (1, b)
+      (5L, 24000L, 2L, "a", Double.NaN), // missing latest still wins
+      (6L, 30000L, 2L, "c", 7.0)) // post-cutoff only → (2, c) absent
+    def run(parts: Int) =
+      Sessions.snapshotAsOf(df.repartition(parts), "user_id", "ts",
+          "event_id", "event_type", "value", cutoffUs = 25L)
+        .orderBy("user_id", "feature").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) null else Long.box(r.getLong(4)))).toSeq
+    val q = (v: Double) => math.floor(v * 1048576.0 + 0.5).toLong
+    val got = run(1)
+    assert(got === Seq(
+      (1L, "a", 20L, 1L, Long.box(q(2.0))),
+      (1L, "b", 5L, 4L, Long.box(q(4.0))),
+      (2L, "a", 24L, 5L, null)))
+    assert(run(5) === got)
+  }
+
   test("interArrivalStats: a user whose gap-square sum overflows the " +
       "decimal(38,0) std numerator fails LOUDLY instead of an " +
       "engine-dependent silent null (advisor r18)") {
