@@ -126,4 +126,72 @@ class SessionsFuzzSpec extends SparkTestBase {
         s"minSup=$minSup")
     }
   }
+
+  test("fuzz: snapshotAsOf equals the brute-force latest-strictly-" +
+      "before pick across random logs, dense ts ties, NaN values, " +
+      "cutoffs, and partitionings (X99)") {
+    for (trial <- 0 until 6) {
+      val rng = new scala.util.Random(9700 + trial)
+      val n = 40 + rng.nextInt(120)
+      // 12 distinct instants force constant ties; cutoff inside range
+      val rows = Seq.tabulate(n) { i =>
+        (i.toLong, rng.nextInt(12).toLong, rng.nextInt(4).toLong,
+          s"f${rng.nextInt(3)}",
+          if (rng.nextInt(5) == 0) Double.NaN else rng.nextInt(40) / 8.0)
+      }
+      val cutoff = 1L + rng.nextInt(12)
+      val df = rows.map { case (id, us, u, f, v) =>
+        (id, us * 1000L, u, f, v) } // nanos = us·1000
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(1 + trial % 5)
+      val got = Sessions.snapshotAsOf(df, "user_id", "ts", "event_id",
+          "event_type", "value", cutoff)
+        .orderBy("user_id", "feature").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) null else Long.box(r.getLong(4)))).toSeq
+      val expected = rows.filter(_._2 < cutoff)
+        .groupBy(r => (r._3, r._4)).toSeq
+        .map { case ((u, f), evs) =>
+          val top = evs.maxBy(e => (e._2, e._1)) // (us, id) argmax
+          (u, f, top._2, top._1,
+            if (top._5.isNaN) null
+            else Long.box(math.floor(top._5 * 1048576.0 + 0.5).toLong))
+        }.sortBy(e => (e._1, e._2))
+      assert(got === expected, s"trial $trial cutoff=$cutoff n=$n")
+    }
+  }
+
+  test("fuzz: labelVotes equals the brute-force majority walk across " +
+      "random votes, abstentions, ties, and partitionings (X93)") {
+    for (trial <- 0 until 6) {
+      val rng = new scala.util.Random(9800 + trial)
+      val n = 40 + rng.nextInt(120)
+      val rows = Seq.tabulate(n) { i =>
+        (rng.nextInt(8).toLong, rng.nextInt(5).toLong,
+          if (rng.nextInt(6) == 0) null
+          else s"l${rng.nextInt(3)}")
+      }
+      val df = rows.toDF("item", "labeler", "label")
+        .repartition(1 + trial % 5)
+      val got = CorpusPipeline.labelVotes(df, "item", "labeler",
+          "label")
+        .orderBy("item_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSeq
+      val expected = rows.filter(_._3 != null).groupBy(_._1).toSeq
+        .map { case (item, vs) =>
+          val byLabel = vs.groupBy(_._3).map { case (l, g) =>
+            (l, g.size.toLong) }
+          val topN = byLabel.values.max
+          val topLabel = byLabel.filter(_._2 == topN).keys.min
+          val nVotes = vs.size.toLong
+          (item, nVotes, vs.map(_._2).distinct.size.toLong, topLabel,
+            topN, topN * 1048576L / nVotes,
+            if (topN == nVotes) 1L else 0L)
+        }.sortBy(_._1)
+      assert(got === expected, s"trial $trial n=$n")
+    }
+  }
 }
