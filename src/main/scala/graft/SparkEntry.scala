@@ -577,6 +577,16 @@ object SparkEntry {
         cutoffUs = 1705363200000000L)
         .orderBy("user_id", "feature")),
 
+    // ---- streaming: point-in-time snapshot replay (X100) — the
+    //      upsert stream's last write per (user, feature) must equal
+    //      the batch X99 snapshot at the same cutoff; late arrivals
+    //      are handled correctly (argmax is order-insensitive), so
+    //      this is the one stream op needing no ordering contract ----
+    "st_snapshot" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.replaySnapshot(
+        ld(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", "value", cutoffUs = 1705363200000000L)),
+
     // ---- events: ordered-step funnel (X75) — earliest
     //      view → click → purchase chain per user, each step strictly
     //      after the previous and within 7 days of the anchor; one
@@ -3027,6 +3037,21 @@ object SparkEntry {
         |  CAST(CASE WHEN m_us IS NOT NULL AND m_us - us <= 3600000000
         |    THEN tid ELSE -1 END AS BIGINT) AS target_id
         |FROM j ORDER BY event_id""".stripMargin,
+    // streaming snapshot (X100): the upsert stream's last write per
+    // (user, feature) must equal the batch X99 snapshot — the same
+    // (us desc, id desc) argmax replay under the same cutoff
+    "st_snapshot" ->
+      """WITH e AS (SELECT user_id, event_type AS feature,
+        |    epoch_ns(ts) // 1000 AS us, event_id AS id,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |      ELSE CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |        AS BIGINT) END AS vq
+        |  FROM events),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+        |    feature ORDER BY us DESC, id DESC) AS rn
+        |  FROM e WHERE us < 1705363200000000)
+        |SELECT user_id, feature, us, id AS obs_id, vq AS value_q
+        |FROM f WHERE rn = 1 ORDER BY user_id, feature""".stripMargin,
     // streaming funnel (X81): the flush finals must equal the batch
     // X75 pass — the same chained strictly-after minima replay
     "st_funnel" ->

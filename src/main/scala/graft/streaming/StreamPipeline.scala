@@ -447,6 +447,113 @@ object StreamPipeline {
     }
   }
 
+  /** One feature's stored latest in [[snapshotStream]]'s state. */
+  private[streaming] final case class SnapVal(us: Long, id: Long,
+      vq: Long, hasV: Boolean)
+
+  private[streaming] final case class SnapState(m: Map[String, SnapVal])
+
+  private[streaming] final case class SnapOut(user_id: Long,
+      feature: String, us: Long, obs_id: Long, value_q: Option[Long])
+
+  /**
+   * Streaming point-in-time snapshot (X100) — the online face of
+   * [[graft.ops.Sessions.snapshotAsOf]]'s X99 semantics: an UPSERT
+   * stream of each (entity, feature)'s latest observation, the
+   * write path of an online feature store. An event emits iff it
+   * becomes its feature's new latest under the (us, id) order;
+   * superseded events emit nothing.
+   *
+   * Unlike the rest of this module, NO ordering contract is needed
+   * and late arrivals are handled CORRECTLY, not sentineled: the
+   * latest-observation pick is an argmax, which is arrival-order-
+   * insensitive — a late event either beats the stored (us, id) and
+   * upserts, or loses and is dropped, and either way the state equals
+   * the batch argmax over everything seen. State per key is one
+   * (us, id, vq) triple per feature — |features| entries, bounded by
+   * definition.
+   */
+  def snapshotStream(stream: DataFrame, keyCol: String,
+      tsUsCol: String, idCol: String, typeCol: String,
+      valueCol: String): Dataset[SnapOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val vq = graft.ops.Profiler.quantize(valueCol)
+    val ds = stream.select(col(keyCol).cast("long"),
+        col(tsUsCol).cast("long"), col(idCol).cast("long"),
+        col(typeCol).cast("string"),
+        coalesce(vq, lit(0L)), vq.isNotNull)
+      .as[(Long, Long, Long, String, Long, Boolean)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long,
+         it: Iterator[(Long, Long, Long, String, Long, Boolean)],
+         st: GroupState[SnapState]) =>
+          var m = st.getOption.map(_.m)
+            .getOrElse(Map.empty[String, SnapVal])
+          val out = scala.collection.mutable.ArrayBuffer[SnapOut]()
+          it.toArray.sortBy(r => (r._2, r._3)).foreach {
+            case (_, us, id, f, v, hasV) =>
+              if (m.get(f).forall(c =>
+                  us > c.us || (us == c.us && id > c.id))) {
+                m += f -> SnapVal(us, id, v, hasV)
+                out += SnapOut(user, f, us, id,
+                  if (hasV) Some(v) else None)
+              }
+          }
+          st.update(SnapState(m))
+          out.iterator
+      }
+  }
+
+  /**
+   * Bounded REPLAY of [[snapshotStream]] for the correctness harness
+   * (the `st_snapshot` query): pre-cutoff events feed through a
+   * memory stream in ascending (ts, id) micro-batches, and the LAST
+   * upsert per (entity, feature) — the max (us, obs_id) among
+   * emissions — must hash-match the batch X99 pass at the same
+   * cutoff. Verification device, not a production operator (the
+   * [[replayDedup]] caveat).
+   */
+  def replaySnapshot(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, valueCol: String,
+      cutoffUs: Long, numBatches: Int = 5): DataFrame = {
+    val spark = replaySession(df)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val micros = floor(Sessions.asNanos(df, tsCol)
+      .cast("decimal(38,0)") / lit(1000L)).cast("long")
+    val rows = df.select(col(userCol).cast("long"), micros.as("us"),
+        col(idCol).cast("long"), col(typeCol).cast("string"),
+        coalesce(col(valueCol).cast("double"), lit(Double.NaN)))
+      .filter(col("us") < cutoffUs)
+      .as[(Long, Long, Long, String, Double)].collect()
+      .sortBy(r => (r._2, r._3))
+    require(rows.nonEmpty, "replaySnapshot: empty pre-cutoff input")
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val snaps = snapshotStream(
+      in.toDF().toDF("user_id", "ts_us", "event_id", "event_type",
+        "value"),
+      "user_id", "ts_us", "event_id", "event_type", "value").toDF()
+    withReplaySink(spark, "st_snapshot_", snaps) { q =>
+      feedBatches(rows, numBatches) { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+    } { sink =>
+      spark.table(sink)
+        .groupBy("user_id", "feature")
+        .agg(max(struct(col("us"), col("obs_id"), col("value_q")))
+          .as("t"))
+        .select(col("user_id"), col("feature"), col("t.us").as("us"),
+          col("t.obs_id").as("obs_id"),
+          col("t.value_q").as("value_q"))
+        .orderBy("user_id", "feature").localCheckpoint(true)
+    }
+  }
+
   /** Per-key state of [[funnelStream]]: the milestone timestamps
     * reached so far (≤ |steps| longs — the minimal possible state for
     * ordered-step tracking), the high-water mark, and a dirty flag for

@@ -14,6 +14,59 @@ class StreamPipelineSpec extends SparkTestBase {
 
   private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
 
+  test("snapshotStream: the last upsert per (user, feature) equals " +
+      "the batch X99 snapshot even under SHUFFLED arrival order — " +
+      "the argmax needs no ordering contract (X100)") {
+    implicit val sqlCtx = spark.sqlContext
+    for (trial <- 0 until 3) {
+      val rng = new scala.util.Random(9900 + trial)
+      val n = 30 + rng.nextInt(60)
+      val rows = Seq.tabulate(n)(i =>
+        (i.toLong, rng.nextInt(10).toLong, rng.nextInt(3).toLong,
+          s"f${rng.nextInt(3)}",
+          if (rng.nextInt(5) == 0) Double.NaN
+          else rng.nextInt(30) / 4.0))
+      val in = MemoryStream[(Long, Long, Long, String, Double)]
+      val out = StreamPipeline.snapshotStream(
+        in.toDF().toDF("user_id", "ts_us", "event_id", "event_type",
+          "value"),
+        "user_id", "ts_us", "event_id", "event_type", "value").toDF()
+      val sink = s"st_snap_fuzz_${trial}_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // deliberately UNSORTED arrival, split across micro-batches
+        val shuffled = rng.shuffle(rows
+          .map { case (id, us, u, f, v) => (u, us, id, f, v) })
+        shuffled.grouped(math.max(1, shuffled.size / 4)).foreach { b =>
+          in.addData(b)
+          q.processAllAvailable()
+        }
+        val got = spark.table(sink)
+          .groupBy("user_id", "feature")
+          .agg(max(struct(col("us"), col("obs_id"), col("value_q")))
+            .as("t"))
+          .select(col("user_id"), col("feature"), col("t.us"),
+            col("t.obs_id"), col("t.value_q"))
+          .orderBy("user_id", "feature").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3),
+            if (r.isNullAt(4)) null else Long.box(r.getLong(4)))).toSeq
+        val batch = graft.ops.Sessions.snapshotAsOf(
+            rows.map { case (id, us, u, f, v) =>
+              (id, us * 1000L, u, f, v) }
+              .toDF("event_id", "ts", "user_id", "event_type", "value"),
+            "user_id", "ts", "event_id", "event_type", "value",
+            cutoffUs = Long.MaxValue)
+          .orderBy("user_id", "feature").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3),
+            if (r.isNullAt(4)) null else Long.box(r.getLong(4)))).toSeq
+        assert(got === batch, s"trial $trial n=$n")
+      } finally q.stop()
+    }
+  }
+
   test("stateless text scoring runs on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
