@@ -431,6 +431,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("ev_snapshot: ONE aggregate over the filtered scan — no " +
+      "window over the log, no join (X99)") {
+    val p = plan("ev_snapshot")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // the struct-argmax is a plain hash aggregate pair around one
+    // exchange — a row_number re-rank would plan a Window + sort
+    // over every pre-cutoff event instead
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("pp_shuffle: one shard-keyed exchange feeds per-shard rank " +
+      "windows — the window partitions by the shard, never a global " +
+      "sort (X98)") {
+    val p = plan("pp_shuffle")
+    assert(!p.contains("Join"), p)
+    val winLine = p.linesIterator.find(l =>
+      l.contains("row_number()") && l.contains("windowspecdefinition"))
+    assert(winLine.exists(_.contains("shard")), winLine.getOrElse(p))
+  }
+
   test("pp_stratified: the (stratum, bucket) offsets attach via " +
       "BROADCAST and the rank window is bucket-partitioned (no " +
       "one-task-per-stratum funnel)") {
