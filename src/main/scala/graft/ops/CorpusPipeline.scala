@@ -805,10 +805,21 @@ object CorpusPipeline {
     val wTot = Window.partitionBy("stratum")
       .orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // loud guard: a stratum total past Long.MaxValue would cast to
+    // null in non-ANSI mode and silently drop the whole stratum from
+    // epochedMixture's div/mod — fail in-plan instead (house
+    // contract). cum_tokens below is bounded by the total, so this
+    // one guard covers both casts.
+    val totDec = sum("__t").over(wTot)
     val off = cnt
       .withColumn("__off", coalesce(sum("__t").over(wOff),
         lit(0L).cast("decimal(38,0)")))
-      .withColumn("__tot", sum("__t").over(wTot).cast("long"))
+      .withColumn("__tot",
+        when(totDec > lit(Long.MaxValue),
+          raise_error(concat(lit(s"$op: stratum "), col("stratum"),
+            lit(" total weight overflows BIGINT - rescale the " +
+              "weight column"))).cast("long"))
+          .otherwise(totDec.cast("long")))
       .select("stratum", "__b", "__off", "__tot")
     val wRun = Window.partitionBy("stratum", "__b")
       .orderBy(col("__h"), col("id"))

@@ -286,9 +286,14 @@ object Sessions {
     // throws anyway and non-ANSI would yield a silent null std — the
     // double comparison's ~1e22 representation error is 15 orders of
     // magnitude inside the 2e36 margin, so the guard can never pass
-    // a product that overflows
+    // a product that overflows. The sum itself can also saturate
+    // decimal(38,0) and come back null in non-ANSI mode BEFORE the
+    // product check sees it — a null sq would null the comparison and
+    // fall through to the silent branch, so a group with gaps (ng>0)
+    // whose Σgap² is null trips the guard explicitly.
     val wouldOverflow =
-      sq.cast("double") * ng.cast("double") > lit(9.8e37) ||
+      (ng > 0 && sq.isNull) ||
+        sq.cast("double") * ng.cast("double") > lit(9.8e37) ||
         span.cast("double") * span.cast("double") > lit(9.8e37)
     val stdNum = when(wouldOverflow,
       raise_error(concat(lit("interArrivalStats: user "),
@@ -363,38 +368,6 @@ object Sessions {
   }
 
   /**
-   * Leakage-safe outcome labeling (X70) — the supervised-label
-   * generation step for event models ("did this user convert within
-   * the horizon AFTER this event?"): every event gets `label` 1 iff
-   * the SAME user has a qualifying target event in (ts, ts+horizon],
-   * plus the exact time-to-event and the matched target id. Point-in-
-   * time correct by construction: strictly-future matching means an
-   * event can never label itself, and nothing at or before the event
-   * time leaks into its label — the train-serve skew a naive windowed
-   * self-join gets wrong at the boundary.
-   *
-   * Determinism: timestamps convert by the [[sessionize]] TZ-free
-   * nanos rule to micros; the target side pre-aggregates to ONE row
-   * per (user, us) keeping the LARGEST target id (the documented
-   * as-of tie rule AND the hot-timeline shrink from the SkewCheck
-   * as-of probe), so the matched row is unique on every partitioning
-   * and in the SQL replay. Events equal-timestamped WITH a target are
-   * strictly-future, so they do NOT match it (horizon is (0, h]).
-   *
-   * Scale shape: the [[AsofJoin.asofJoinForward]] core — one keyed
-   * exchange per side, an in-partition merge, no window over the raw
-   * log; the first future target is the nearest, so `tolerance`
-   * nulls out-of-horizon matches without a second scan.
-   *
-   * @param targetFilter which events count as outcomes (a Column
-   *        predicate over the RAW event row, e.g.
-   *        `col("event_type") === "purchase"`)
-   * @return (id, user_id, us, label, tte_us, target_id) — label 1 with
-   *         exact `tte_us` = match time − event time, or 0 with -1
-   *         sentinels (the j2/j4 as-of harness convention: keeps the
-   *         columns non-null longs, trainer- and compare-friendly)
-   */
-  /**
    * Point-in-time feature snapshot (X99) — the offline feature-store
    * read: for every (entity, feature), the LATEST observation
    * STRICTLY BEFORE a cutoff instant ("every user's last-known value
@@ -441,6 +414,38 @@ object Sessions {
         col("__top.__vq").as("value_q"))
   }
 
+  /**
+   * Leakage-safe outcome labeling (X70) — the supervised-label
+   * generation step for event models ("did this user convert within
+   * the horizon AFTER this event?"): every event gets `label` 1 iff
+   * the SAME user has a qualifying target event in (ts, ts+horizon],
+   * plus the exact time-to-event and the matched target id. Point-in-
+   * time correct by construction: strictly-future matching means an
+   * event can never label itself, and nothing at or before the event
+   * time leaks into its label — the train-serve skew a naive windowed
+   * self-join gets wrong at the boundary.
+   *
+   * Determinism: timestamps convert by the [[sessionize]] TZ-free
+   * nanos rule to micros; the target side pre-aggregates to ONE row
+   * per (user, us) keeping the LARGEST target id (the documented
+   * as-of tie rule AND the hot-timeline shrink from the SkewCheck
+   * as-of probe), so the matched row is unique on every partitioning
+   * and in the SQL replay. Events equal-timestamped WITH a target are
+   * strictly-future, so they do NOT match it (horizon is (0, h]).
+   *
+   * Scale shape: the [[AsofJoin.asofJoinForward]] core — one keyed
+   * exchange per side, an in-partition merge, no window over the raw
+   * log; the first future target is the nearest, so `tolerance`
+   * nulls out-of-horizon matches without a second scan.
+   *
+   * @param targetFilter which events count as outcomes (a Column
+   *        predicate over the RAW event row, e.g.
+   *        `col("event_type") === "purchase"`)
+   * @return (id, user_id, us, label, tte_us, target_id) — label 1 with
+   *         exact `tte_us` = match time − event time, or 0 with -1
+   *         sentinels (the j2/j4 as-of harness convention: keeps the
+   *         columns non-null longs, trainer- and compare-friendly)
+   */
   def labelOutcomes(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, targetFilter: Column, horizonUs: Long)
       : DataFrame = {
