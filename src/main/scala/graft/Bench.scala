@@ -123,7 +123,7 @@ object Bench {
         System.err.println(s"BENCH detail write failed: $e")
     }
     val out = compactLine(results.map(r => (r._1, r._2)), failed, total,
-      sfDir)
+      sfDir, reps)
     spark.stop()
     println(out)
   }
@@ -157,7 +157,8 @@ object Bench {
     *     noise swamps per-query signal anyway). Tier 3 fits ANY
     *     query-set size; `value`/`failed` always cover the full set. */
   private[graft] def compactLine(medians: Seq[(String, Double)],
-      failed: Int, total: Double, sfDir: String): String = {
+      failed: Int, total: Double, sfDir: String, reps: Int = 3)
+      : String = {
     def fmt(prec: Int, v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f",
         java.lang.Double.valueOf(v))
@@ -170,7 +171,12 @@ object Bench {
             else Seq("\"_rest\":{\"n\":" + rest.size + ",\"sec\":" +
               fmt(1, rest.map(_._2).sum) + "}"))
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(2, total)},"failed":$failed,"queries":$qs,"sf":"$sf"}"""
+      // `reps` is in the line so a reader of BENCH_r{N}.json alone can
+      // tell every per-query number is a MEDIAN of that many reps (and
+      // `value` the sum of medians) — the raw per-rep array lives in
+      // the /tmp detail file (verdict r19 #2: noise adjudication kept
+      // requiring a human to know the rep policy out-of-band)
+      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","stat":"median","reps":$reps,"failed":$failed,"queries":$qs,"sf":"$sf"}"""
     }
     val full = Seq(2, 1).map(p => line(p, medians, Nil))
       .find(_.length <= LineBudget)

@@ -37,6 +37,10 @@ class BenchLineBudgetSpec extends AnyFunSuite {
     // the full-set header must carry totals even when _rest kicks in
     assert(line.contains("\"value\":9999.99"))
     assert(line.contains(s""""failed":${all.size}"""))
+    // the rep policy must be readable from the line alone: every
+    // per-query number is a median of `reps` runs (verdict r19 #2)
+    assert(line.contains("\"stat\":\"median\""), line.take(120))
+    assert(line.contains("\"reps\":3"), line.take(120))
   }
 
   test("a just-outgrown query set degrades precision instead of " +
