@@ -34,13 +34,15 @@ class HarnessContractSpec extends SparkTestBase {
     // signature dots and the candidate cosine re-rank are the same
     // two-operand double sequences in both engines (simLshTopkOracle)
     // — no approximation gap remains to excuse
-    "sim_recall_check" -> "the recall gate itself (self-referential)",
-    "tx_bpe" -> ("iterative BPE merge learning has no SQL replay " +
-      "(inherently sequential); r11: decode∘encode lossless " +
-      "round-trip over ALL docs pinned in-query (query fails on any " +
-      "lossy doc) and the merge-table size + order-sensitive checksum " +
-      "emitted as output columns; plus BpeSpec's worked-example " +
-      "merge-sequence goldens + partition invariance"))
+    // tx_bpe moved OFF this list in r20, renamed tx_bpe_encode: the
+    // output is now the corpus encoded under the FIXED BpeFixedMerges
+    // table, which DuckDB replays exactly (recursive CTE re-running
+    // the greedy lowest-rank merge loop per distinct word) — full
+    // rows+schema+hash oracle. The inherently-sequential merge
+    // LEARNING keeps its in-query pins (non-empty table + decode∘
+    // encode lossless round-trip over ALL docs under the learned
+    // table) plus BpeSpec's worked-example goldens.
+    "sim_recall_check" -> "the recall gate itself (self-referential)")
 
   test("every query is oracle-paired or on the declared rows-only list") {
     val queries = SparkEntry.queries.keySet

@@ -36,7 +36,7 @@ class TextPropertySpec extends SparkTestBase {
   }
 
   test("BPE decode∘encode is lossless on random corpora (r11 — the " +
-      "property the tx_bpe in-query pin enforces per document)") {
+      "property the tx_bpe_encode in-query pin enforces per document)") {
     // train on the random corpus itself, then every doc must round-trip
     val df = docs.toDF("doc_id", "text").repartition(3)
     val model = TextOps.trainBpe(df, "text", numMerges = 50,
