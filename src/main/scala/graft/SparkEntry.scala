@@ -63,45 +63,37 @@ object SparkEntry {
     BpeFixedMerges.map { case (a, b) => s"'$a $b'" }
       .mkString("[", ",", "]")
 
-  /** Attach a per-query `recall_vs_exact` column to an approximate
-    * top-k result: |approx ∩ exact| / |exact| against bruteForceTopK on
-    * the same corpus/queries. The exact pass costs one corpus scan for
-    * |Q| queries (bounded heaps, no shuffle of scored rows) — cheap at
-    * verification SFs and exactly the self-check a production ANN
-    * rollout runs on a sampled query set at 100 TB. */
-  private def withRecall(approx0: DataFrame, corpus: DataFrame,
-      queries: DataFrame, k: Int,
-      exactPre: Option[DataFrame] = None): DataFrame = {
-    // `approx` feeds two plan branches (the output rows + the hit join)
-    // and `exact` feeds two more (hit join + per-query denominator) —
-    // without a persist each branch re-runs its WHOLE ANN / brute-force
-    // pipeline. Both are |Q|·k ≈ 80-row results of expensive scans:
-    // persist + force, so each pipeline runs once and the branches never
-    // race an unmaterialized cache (the dd_minhash diamond lesson).
-    // `exactPre` shares ONE materialized brute-force pass across
-    // several ANN methods (sim_recall_check scores two).
-    val approx = approx0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    approx.count()
-    val exact = exactPre.getOrElse {
-      val x = Similarity.bruteForceTopK(corpus, queries, "vec_id",
-        "embedding", "query_id", k = k).select(col("query_id"), col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      x.count()
-      x
-    }
-    val exactN = exact.groupBy("query_id")
-      .agg(count(lit(1)).as("__exact_n"))
-    val hits = approx.select(col("query_id"), col("id"))
-      .join(exact, Seq("query_id", "id"))
-      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
-    approx.join(broadcast(exactN), Seq("query_id"))
-      .join(broadcast(hits), Seq("query_id"), "left")
-      .withColumn("recall_vs_exact",
-        round(coalesce(col("__hits"), lit(0L)).cast("double") /
-          col("__exact_n"), 3))
-      .drop("__hits", "__exact_n")
-  }
+  /** The approximate-retrieval method registry the
+    * [[graft.ops.Similarity.recallCheck]] gate scores — shared by the
+    * `sim_recall_check` harness row and RecallSpec so the floors and
+    * the gate can never test different configurations. Params are the
+    * SAME tuned values the individual `sim_*_topk` queries run. */
+  private[graft] val recallMethods
+      : Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+    "lsh" -> ((e: DataFrame, q: DataFrame) => Similarity.lshTopK(e, q,
+      "vec_id", "embedding", "query_id", k = 10, planes = 6,
+      tables = 8)),
+    "ivf" -> ((e: DataFrame, q: DataFrame) => Similarity.ivfTopK(e, q,
+      "vec_id", "embedding", "query_id", k = 10, nCells = 16,
+      nProbe = 10)),
+    // the deterministic IVF-Flat behind sim_ivf_topk's full oracle
+    // (r17): same recall evidence as its sampled-centroid sibling
+    "ivfflat" -> ((e: DataFrame, q: DataFrame) =>
+      Similarity.ivfFlatTopK(e, q, "vec_id", "embedding", "query_id",
+        k = 10, nCells = 16, nProbe = 12)),
+    "pq" -> ((e: DataFrame, q: DataFrame) => Similarity.pqTopK(e, q,
+      "vec_id", "embedding", "query_id", k = 10, m = 16, ksub = 32,
+      lloydIters = 3, rerank = 8)),
+    // the billion-scale composition: coarse cells prune the scan,
+    // ADC scores within probed cells, exact re-rank finishes
+    "ivfpq" -> ((e: DataFrame, q: DataFrame) => Similarity.ivfPqTopK(
+      e, q, "vec_id", "embedding", "query_id", k = 10, nCells = 16,
+      nProbe = 10, m = 16, ksub = 32, lloydIters = 4, rerank = 12)),
+    // SQ8 is deterministic AND full-oracled (sim_sq_topk); its row
+    // makes the recall-vs-exact-cosine evidence uniform across all
+    // five compressed/bucketed retrieval paths
+    "sq" -> ((e: DataFrame, q: DataFrame) => Similarity.sqTopK(e, q,
+      "vec_id", "embedding", "query_id", k = 10)))
 
   /** Statistic pin for the rows-only binary-training rows (judge r9):
     * one pass computes per-label counts and mean predictions; the
@@ -1551,45 +1543,18 @@ object SparkEntry {
     }),
 
     "sim_recall_check" -> ((s, dir) => {
-      // per-query recall floor for ALL approximate ANN methods against
-      // one shared brute-force pass — the sampled-query-set self-check a
-      // production ANN rollout runs at 100 TB, timed as its own row
+      // recall floor for ALL approximate ANN methods against one
+      // shared brute-force pass, via [[Similarity.recallCheck]] — the
+      // SCALING.md "sample the queries, not the corpus" recipe as code
+      // (r20): q = 400 covers the whole 8-query harness set (q̂ = 8,
+      // ci95_bound 1/(2√8)); RecallSpec additionally drives a real
+      // q < |queries| sub-sample and the per-method floors
       val e = ld(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
-        "query_id", k = 10).select(col("query_id"), col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      exact.count()
-      def recallRows(approx: DataFrame, method: String): DataFrame =
-        withRecall(approx, e, q, k = 10, exactPre = Some(exact))
-          .select(lit(method).as("method"), col("query_id"),
-            col("recall_vs_exact")).distinct()
-      val lsh = recallRows(Similarity.lshTopK(e, q, "vec_id",
-        "embedding", "query_id", k = 10, planes = 6, tables = 8), "lsh")
-      val ivf = recallRows(Similarity.ivfTopK(e, q, "vec_id",
-        "embedding", "query_id", k = 10, nCells = 16, nProbe = 10), "ivf")
-      // the deterministic IVF-Flat behind sim_ivf_topk's full oracle
-      // (r17): same recall evidence as its sampled-centroid sibling
-      val ivfflat = recallRows(Similarity.ivfFlatTopK(e, q, "vec_id",
-        "embedding", "query_id", k = 10, nCells = 16, nProbe = 12),
-        "ivfflat")
-      val pq = recallRows(Similarity.pqTopK(e, q, "vec_id",
-        "embedding", "query_id", k = 10, m = 16, ksub = 32,
-        lloydIters = 3, rerank = 8), "pq")
-      // the billion-scale composition: coarse cells prune the scan,
-      // ADC scores within probed cells, exact re-rank finishes
-      val ivfpq = recallRows(Similarity.ivfPqTopK(e, q, "vec_id",
-        "embedding", "query_id", k = 10, nCells = 16, nProbe = 10,
-        m = 16, ksub = 32, lloydIters = 4, rerank = 12), "ivfpq")
-      // SQ8 is deterministic AND full-oracled (sim_sq_topk); its row
-      // here makes the recall-vs-exact-cosine evidence uniform across
-      // all five compressed/bucketed retrieval paths
-      val sq = recallRows(Similarity.sqTopK(e, q, "vec_id",
-        "embedding", "query_id", k = 10), "sq")
-      lsh.unionByName(ivf).unionByName(ivfflat).unionByName(pq)
-        .unionByName(ivfpq).unionByName(sq)
-        .orderBy("method", "query_id")
+      Similarity.recallCheck(e, q, "vec_id", "embedding", "query_id",
+          k = 10, methods = recallMethods)
+        .orderBy("method")
     }),
     "tx_winnow" -> ((s, dir) => {
       // scalar digests of the sketch (the driver harness can't sort
