@@ -1738,6 +1738,40 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: MULTI-OUTPUT TREE training (xgboost 2.x
+    //      multi_strategy="multi_output_tree" — ONE vector-leaf tree
+    //      per round over both targets, vs ml_multilabel's one model
+    //      per label): the depth-1 vector stump on a binary feature
+    //      has analytically-determined per-target leaves, the exact
+    //      ml_stump closed form applied to each target's label sums —
+    //      so the oracle verifies the vector-leaf gain/leaf arithmetic
+    //      independently; the in-query pin additionally witnesses the
+    //      SHARED-STRUCTURE layout (one 3-node tree, k = 2), which no
+    //      per-label pipeline can produce ----
+    "ml_stump_multiout" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y1"),
+          (lit(50.0) - col("l_quantity")).cast("double").as("y2"))
+      val spec = DMatrixSpec(labelCol = Seq("y1", "y2"))
+      val m = GraftBoost.trainMultiOutput(df, spec,
+        TrainParams(numRounds = 1, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      require(m.trees.length == 1 && m.trees.head.k == 2 &&
+        m.trees.head.numNodes == 3,
+        "ml_stump_multiout: expected ONE depth-1 vector-leaf tree, " +
+          s"got ${m.trees.length} tree(s) with " +
+          s"${m.trees.map(_.numNodes).mkString(",")} node(s)")
+      GraftBoost.predictMultiOutput(m, df, spec)
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"),
+          max("prediction_y1").as("prediction_y1"),
+          max("prediction_y2").as("prediction_y2"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction_y1"), col("prediction_y2"))
+        .orderBy("x")
+    }),
+
     // ---- ML: closed-form PARTITION-categorical stump (the xgboost
     //      max_cat_to_onehot overflow path) — 6 category codes from
     //      l_quantity mod 6 with +50 planted on codes {1,2,5}; the
@@ -5106,6 +5140,24 @@ object SparkEntry {
     // multi-label: the ml_stump closed form once per label column
     // (each label trains its own stump over the same binary feature)
     "ml_multilabel" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y1, 50 - l_quantity AS y2 FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y1) AS s1, sum(y2) AS s2
+        | FROM t GROUP BY x),
+        |l AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - s1)) / (n + 1.0) AS REAL) AS leaf1,
+        |   CAST((-0.3 * (0.5 * n - s2)) / (n + 1.0) AS REAL) AS leaf2
+        | FROM s)
+        |SELECT CAST(x AS BIGINT) AS x, n,
+        | CAST(CAST(0.5 AS REAL) + leaf1 AS DOUBLE) AS prediction_y1,
+        | CAST(CAST(0.5 AS REAL) + leaf2 AS DOUBLE) AS prediction_y2
+        | FROM l ORDER BY x""".stripMargin,
+    // the vector-leaf stump fits each target's leaf from its OWN label
+    // sums under the SHARED split — the per-target closed form is the
+    // ml_multilabel arithmetic exactly (same labels, same split), so a
+    // correct multi-output tree must reproduce it; what differs (one
+    // 3-node tree, k = 2) is pinned in-query
+    "ml_stump_multiout" ->
       """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
         |   AS x, l_quantity AS y1, 50 - l_quantity AS y2 FROM lineitem),
         |s AS (SELECT x, count(*) AS n, sum(y1) AS s1, sum(y2) AS s2

@@ -507,6 +507,93 @@ object GraftBoost {
   }
 
   /**
+   * Train ONE vector-leaf tree per round over all label columns — the
+   * xgboost 2.x `multi_strategy = "multi_output_tree"` analog (see
+   * [[graft.learner.MultiOutput]] for semantics and v1 scope). Same
+   * prepare→bin→pack pipeline as [[trainMultiLabel]]'s fast path (one
+   * data pass assembles all L labels), but training then costs one
+   * histogram pass per level TOTAL instead of one per label, and the
+   * model is L× smaller (shared split structure).
+   */
+  def trainMultiOutput(
+      df: DataFrame,
+      spec: DMatrixSpec,
+      params: TrainParams,
+      numWorkers: Int = 0): MultiOutput.MultiOutputModel = {
+    require(spec.labelCol.size >= 2,
+      s"multi_output_tree needs >=2 label columns, got ${spec.labelCol}")
+    val obj = Objectives.resolve(params)
+    require(!obj.needsGroups && !obj.needsBounds &&
+      spec.qidCol.isEmpty && spec.labelLowerCol.isEmpty &&
+      spec.labelUpperCol.isEmpty,
+      "multi_output_tree supports pointwise objectives without " +
+        "qid/bounds roles — use trainMultiLabel for those")
+    spec.validate(df, requireLabel = true)
+    val catFlags = spec.categoricalFlags(df)
+    val kOut = spec.labelCol.size
+    val init = obj.initMargin(params.baseScore)
+    val multiRows = prepareMulti(df, spec, numWorkers)
+    val totalRows = df.count()
+    val bins = Binner.fit(multiRows.map(_._1), totalRows,
+      params.maxBins, seed = params.seed + 42, catFeatures = catFlags)
+    val blocks = multiRows.mapPartitions({ it0 =>
+      val it = it0.buffered
+      val nf = bins.numFeatures
+      val cap = graft.learner.TrainBlock.capacity(nf, kOut)
+      new Iterator[MultiOutput.MoBlock] {
+        def hasNext: Boolean = it.hasNext
+        def next(): MultiOutput.MoBlock = {
+          val binsArr = new Array[Byte](cap * nf)
+          val labels = new Array[Float](cap * kOut)
+          val weights = new Array[Float](cap)
+          val margins = new Array[Float](cap * kOut)
+          var n = 0
+          while (it.hasNext && n < cap) {
+            val (f, ys, w, bm) = it.next()
+            val rb = bins.binRow(f)
+            System.arraycopy(rb, 0, binsArr, n * nf, nf)
+            var j = 0
+            while (j < kOut) { labels(n * kOut + j) = ys(j); j += 1 }
+            weights(n) = w
+            val m0 = if (bm.isNaN) init else bm
+            java.util.Arrays.fill(margins, n * kOut, n * kOut + kOut, m0)
+            n += 1
+          }
+          new MultiOutput.MoBlock(n, nf, kOut,
+            java.util.Arrays.copyOf(binsArr, n * nf),
+            java.util.Arrays.copyOf(labels, n * kOut),
+            java.util.Arrays.copyOf(weights, n),
+            java.util.Arrays.copyOf(margins, n * kOut))
+        }
+      }
+    }, preservesPartitioning = true)
+      .persist(params.storageLevel)
+    blocks.foreachPartition(_ => ())
+    try {
+      val trees = MultiOutput.boost(blocks, bins, params, kOut)
+      MultiOutput.MultiOutputModel(trees, kOut, obj.name,
+        params.baseScore, bins.numFeatures, spec.labelCol)
+    } finally blocks.unpersist(blocking = false)
+  }
+
+  /** Append one `prediction_<label>` column per target of a
+    * [[trainMultiOutput]] model — each output scored through the same
+    * codegen [[graft.functions.EnsembleScore]] path via its
+    * structure-shared [[graft.learner.MultiOutput.MoTree.slice]]
+    * view. */
+  def predictMultiOutput(model: MultiOutput.MultiOutputModel,
+      df: DataFrame, spec: DMatrixSpec): DataFrame = {
+    // earlier prediction columns must not leak into later feature sets
+    val predCols = model.labelNames.map(l => s"prediction_$l")
+    model.labelNames.zipWithIndex.foldLeft(df) { case (acc, (l, j)) =>
+      val s = singleLabelSpec(spec, l)
+      predict(model.sliceModel(j), acc,
+        s.copy(ignore = s.ignore ++ predCols))
+        .withColumnRenamed("prediction", s"prediction_$l")
+    }
+  }
+
+  /**
    * Batch prediction — analog of `predict()` (main.py:1750-1806):
    * embarrassingly parallel map, NO shuffle. Row order/correspondence
    * is preserved by construction (`withColumn`), which subsumes the
