@@ -1772,6 +1772,38 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ---- ML: 2-round multi-output BOOSTING replay (the
+    //      ml_train_predict margin-advance oracle, vectorized): round
+    //      1 is the vector stump closed form; per-target margins
+    //      advance in FLOAT; round 2's gradients are the FLOAT
+    //      residuals REAL(m1_j − y_j) summed exactly in double, and
+    //      the leaf arithmetic repeats per target under the SHARED
+    //      round-2 split — so the oracle verifies the vector trainer's
+    //      whole boost loop (gradient recompute at the advanced
+    //      margin, per-target leaf fit), not just one round ----
+    "ml_train_multiout" -> ((s, dir) => {
+      val df = ld(s, dir, "lineitem")
+        .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
+          .as("x"), col("l_quantity").cast("double").as("y1"),
+          (lit(50.0) - col("l_quantity")).cast("double").as("y2"))
+      val spec = DMatrixSpec(labelCol = Seq("y1", "y2"))
+      val m = GraftBoost.trainMultiOutput(df, spec,
+        TrainParams(numRounds = 2, maxDepth = 1, seed = 1),
+        numWorkers = 8)
+      require(m.trees.length == 2 &&
+        m.trees.forall(t => t.numNodes == 3 && t.feature(0) == 0),
+        "ml_train_multiout: expected TWO depth-1 vector-leaf trees " +
+          "split on the binary feature")
+      GraftBoost.predictMultiOutput(m, df, spec)
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"),
+          max("prediction_y1").as("prediction_y1"),
+          max("prediction_y2").as("prediction_y2"))
+        .select(col("x").cast("long").as("x"), col("n"),
+          col("prediction_y1"), col("prediction_y2"))
+        .orderBy("x")
+    }),
+
     // ---- ML: closed-form PARTITION-categorical stump (the xgboost
     //      max_cat_to_onehot overflow path) — 6 category codes from
     //      l_quantity mod 6 with +50 planted on codes {1,2,5}; the
@@ -5170,6 +5202,33 @@ object SparkEntry {
         | CAST(CAST(0.5 AS REAL) + leaf1 AS DOUBLE) AS prediction_y1,
         | CAST(CAST(0.5 AS REAL) + leaf2 AS DOUBLE) AS prediction_y2
         | FROM l ORDER BY x""".stripMargin,
+    // 2-round vector boosting: the ml_train_predict float-exact margin
+    // replay applied per target under the shared split (round-2
+    // residual gradients REAL(m1_j − y_j) summed in exact double)
+    "ml_train_multiout" ->
+      """WITH t AS (SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+        |   AS x, l_quantity AS y1, 50 - l_quantity AS y2 FROM lineitem),
+        |s AS (SELECT x, count(*) AS n, sum(y1) AS s1, sum(y2) AS s2
+        | FROM t GROUP BY x),
+        |r1 AS (SELECT x, n,
+        |   CAST((-0.3 * (0.5 * n - s1)) / (n + 1.0) AS REAL) AS l1a,
+        |   CAST((-0.3 * (0.5 * n - s2)) / (n + 1.0) AS REAL) AS l1b
+        | FROM s),
+        |m AS (SELECT x, n,
+        |   CAST(CAST(0.5 AS REAL) + l1a AS REAL) AS m1a,
+        |   CAST(CAST(0.5 AS REAL) + l1b AS REAL) AS m1b FROM r1),
+        |g AS (SELECT t.x,
+        |   sum(CAST(CAST(m.m1a AS DOUBLE) - t.y1 AS REAL)) AS g2a,
+        |   sum(CAST(CAST(m.m1b AS DOUBLE) - t.y2 AS REAL)) AS g2b,
+        |   count(*) AS n2
+        | FROM t JOIN m ON t.x = m.x GROUP BY t.x),
+        |r2 AS (SELECT x,
+        |   CAST((-0.3 * g2a) / (n2 + 1.0) AS REAL) AS l2a,
+        |   CAST((-0.3 * g2b) / (n2 + 1.0) AS REAL) AS l2b FROM g)
+        |SELECT CAST(m.x AS BIGINT) AS x, m.n,
+        | CAST(CAST(m.m1a + r2.l2a AS REAL) AS DOUBLE) AS prediction_y1,
+        | CAST(CAST(m.m1b + r2.l2b AS REAL) AS DOUBLE) AS prediction_y2
+        | FROM m JOIN r2 ON m.x = r2.x ORDER BY x""".stripMargin,
     // trees_to_dataframe: replay the stump's full node table — split
     // gain, per-node cover (hessian = row counts), child/missing id
     // strings, and leaf values via the ml_stump REAL formula; mirrors
