@@ -3,7 +3,7 @@ package graft
 import graft.api.{GraftBoost, GraftLinear}
 import graft.data.{DMatrixSpec, DataLoader, Sharding}
 import graft.learner.TrainParams
-import graft.ops.{CorpusPipeline, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{CorpusPipeline, Dedup, Multimodal, Similarity, TextOps, Unigram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,40 @@ object SparkEntry {
   private def bpeMergeLit: String =
     BpeFixedMerges.map { case (a, b) => s"'$a $b'" }
       .mkString("[", ",", "]")
+
+  /** The tx_unigram_encode fixture (the [[BpeFixedMerges]] discipline
+    * for the unigram family): a FIXED piece table — the multi-char
+    * pieces [[graft.ops.Unigram.trainUnigram]] learns on the sf0.01
+    * corpus plus its single-character floor, frozen with their
+    * QUANTIZED integer scores so both engines run the Viterbi DP on
+    * exact BIGINTs and neither ever computes a logarithm (cross-engine
+    * `ln` can differ in the last ulp; frozen integers cannot). The
+    * oracle SQL interpolates THIS list — the two sides cannot drift. */
+  private[graft] val UnigramFixedPieces: Seq[(String, Long)] = Seq(
+    ("join", -3537074L), ("hash", -3555730L), ("row", -3560168L),
+    ("batch", -3566861L), ("scan", -3567981L), ("column", -3570224L),
+    ("custom", -3570224L), ("er", -3570224L), ("filter", -3571347L),
+    ("small", -3576982L), ("merge", -3588342L), ("slow", -3588342L),
+    ("order", -3595218L), ("vector", -3595218L), ("line", -3597520L),
+    ("data", -3599828L), ("table", -3599828L), ("agg", -3607943L),
+    ("value", -3612608L), ("key", -3613778L), ("stream", -3623182L),
+    ("window", -3625546L), ("spark", -3632672L), ("group", -3635057L),
+    ("part", -3635057L), ("big", -3637449L), ("sort", -3642248L),
+    ("query", -3643451L), ("fast", -3664119L), ("the", -3681451L),
+    ("dup", -7325573L),
+    ("a", -3632672L), ("b", -10741935L), ("c", -10741935L),
+    ("d", -10741935L), ("e", -10741935L), ("f", -10741935L),
+    ("g", -10741935L), ("h", -10741935L), ("i", -10741935L),
+    ("j", -10741935L), ("k", -10741935L), ("l", -10741935L),
+    ("m", -10741935L), ("n", -10741935L), ("o", -10741935L),
+    ("p", -10741935L), ("q", -10741935L), ("r", -10741935L),
+    ("s", -10741935L), ("t", -10741935L), ("u", -10741935L),
+    ("v", -10741935L), ("w", -10741935L), ("y", -10741935L))
+
+  private def unigramPieceLit: String =
+    UnigramFixedPieces.map(p => s"'${p._1}'").mkString("[", ",", "]")
+  private def unigramScoreLit: String =
+    UnigramFixedPieces.map(_._2).mkString("[", ",", "]")
 
   /** The approximate-retrieval method registry the
     * [[graft.ops.Similarity.recallCheck]] gate scores — shared by the
@@ -981,6 +1015,59 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("bpe_seq")).cast("long").as("bpe_tokens"),
           array_join(col("bpe_seq"), " ").as("bpe_text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: UNIGRAM LM tokenizer (X101, Kudo 2018 —
+    //      SentencePiece's other subword family next to X38's BPE),
+    //      the tx_bpe_encode discipline applied to it: the query
+    //      TRAINS a piece table on the corpus and pins it in-query
+    //      (multi-char pieces learned; every word's Viterbi
+    //      segmentation concatenates back losslessly AND scores at
+    //      least the single-char baseline — a broken DP or score
+    //      table cannot hold both), while the OUTPUT encodes under
+    //      the FIXED quantized-score table, which DuckDB replays as
+    //      an exact-BIGINT Viterbi DP (recursive CTE carrying the
+    //      per-position best-score and segmentation lists; ties →
+    //      longest last piece on both sides; no logarithm is ever
+    //      computed at query time). One corpus scan trains, one pins,
+    //      one encodes — all shuffle-free beyond the word count. ----
+    "tx_unigram_encode" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val model = Unigram.trainUnigram(docs, "text", vocabSize = 200,
+        maxWords = 20000)
+      require(model.pieces.exists(_._1.length > 1),
+        "tx_unigram_encode: learned no multi-char pieces")
+      val scoreOf = model.pieces.toMap
+      val pin = udf(new (Seq[String] => Boolean) with Serializable {
+        @transient private lazy val memo =
+          new scala.collection.mutable.HashMap[String, Boolean]()
+        def apply(ws: Seq[String]): Boolean = ws.forall { w =>
+          memo.getOrElseUpdate(w, {
+            val enc = model.encode(w)
+            val lossless = enc.mkString("") == w
+            def sc(p: String): Long =
+              if (p.length == 1)
+                scoreOf.getOrElse(p, Unigram.UnkScoreQ)
+              else scoreOf(p)
+            val viterbi = enc.iterator.map(sc).sum
+            val baseline = w.iterator
+              .map(c => sc(c.toString)).sum
+            lossless && viterbi >= baseline
+          })
+        }
+      })
+      val broken = docs
+        .select(TextOps.tokens(lower(col("text"))).as("ws"))
+        .where(!pin(col("ws"))).count()
+      require(broken == 0L,
+        s"tx_unigram_encode: $broken document(s) failed the " +
+          "lossless/optimality pin — encoder or score table is broken")
+      Unigram.unigramTokens(docs, "doc_id", "text",
+          Unigram.UnigramModel(UnigramFixedPieces))
+        .select(col("doc_id"),
+          size(col("uni_seq")).cast("long").as("uni_pieces"),
+          array_join(col("uni_seq"), " ").as("uni_text"))
         .orderBy("doc_id")
     }),
 
@@ -4227,6 +4314,72 @@ object SparkEntry {
         |  FROM tokpos t JOIN final f ON t.w = f.w GROUP BY t.doc_id)
         |SELECT d.doc_id, coalesce(p.bpe_tokens, 0) AS bpe_tokens,
         |       coalesce(p.bpe_text, '') AS bpe_text
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // DuckDB replay of the UNIGRAM Viterbi encode under the fixed
+    // quantized-score table (interpolated below — the two sides
+    // cannot drift): per DISTINCT word, a recursive CTE advances one
+    // character position per step carrying the per-position
+    // best-score and best-segmentation LISTS; candidate last pieces
+    // are the ≤ MaxPieceLen suffixes ending at the new position
+    // (absent multi-char pieces are NULL candidates, unknown single
+    // chars take the frozen UNK score), the argmax is exact BIGINT
+    // addition, and list_position's first-max pick = the smallest
+    // start = the LONGEST last piece — the encoder's tie rule.
+    "tx_unigram_encode" ->
+      s"""WITH RECURSIVE
+        |toksrc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g')) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS toks
+        |  FROM documents),
+        |dw AS (SELECT DISTINCT unnest(toks) AS w FROM toksrc),
+        |enc AS (
+        |  SELECT w, 0 AS pos, [CAST(0 AS BIGINT)] AS bests,
+        |         [''] AS seqs FROM dw
+        |  UNION ALL
+        |  SELECT w, pos + 1,
+        |    list_append(bests, totals[besti]),
+        |    list_append(seqs, seqs[jbest] || ' ' ||
+        |      substr(w, jbest, pos + 2 - jbest))
+        |  FROM (
+        |    SELECT w, pos, bests, seqs, totals, besti,
+        |      greatest(1, pos + 2 - ${Unigram.MaxPieceLen}) + besti - 1 AS jbest
+        |    FROM (
+        |    SELECT w, pos, bests, seqs, totals,
+        |      list_position(totals, list_aggregate(totals, 'max')) AS besti
+        |    FROM (
+        |      SELECT w, pos, bests, seqs,
+        |        [CASE
+        |           WHEN pos + 2 - jpos = 1 THEN bests[jpos] +
+        |             coalesce($unigramScoreLit[nullif(list_position($unigramPieceLit,
+        |               substr(w, jpos, 1)), 0)],
+        |               CAST(${Unigram.UnkScoreQ} AS BIGINT))
+        |           ELSE CASE
+        |             WHEN list_position($unigramPieceLit,
+        |                 substr(w, jpos, pos + 2 - jpos)) = 0 THEN NULL
+        |             ELSE bests[jpos] + $unigramScoreLit[list_position($unigramPieceLit,
+        |               substr(w, jpos, pos + 2 - jpos))] END
+        |         END
+        |         for jpos in range(greatest(1, pos + 2 - ${Unigram.MaxPieceLen}), pos + 2)] AS totals
+        |      FROM enc WHERE pos < length(w))
+        |  ))),
+        |final AS (
+        |  SELECT w, ltrim(seqs[length(w) + 1]) AS seg,
+        |         len(string_split(ltrim(seqs[length(w) + 1]), ' ')) AS np
+        |  FROM enc WHERE pos = length(w)),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(toks) AS w,
+        |         unnest(range(1, len(toks)+1)) AS pos
+        |  FROM toksrc),
+        |perdoc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(f.np) AS BIGINT) AS uni_pieces,
+        |    string_agg(f.seg, ' ' ORDER BY t.pos) AS uni_text
+        |  FROM tokpos t JOIN final f ON t.w = f.w GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(p.uni_pieces, 0) AS uni_pieces,
+        |       coalesce(p.uni_text, '') AS uni_text
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "tx_tokens" ->
