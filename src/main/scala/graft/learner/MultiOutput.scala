@@ -241,6 +241,17 @@ object MultiOutput {
           }
         }, preservesPartitioning = true)
         next.persist(p.storageLevel)
+        // lineage truncation every 50 rounds (the Trainer.boost rule):
+        // without it a long training's recompute chain grows linearly
+        // with rounds. The broadcasts still live to end-of-boost —
+        // the checkpointed RDD's object graph keeps its closure, and
+        // Spark serializes that graph with every later task, so a
+        // destroyed broadcast throws at task-serialization time even
+        // when the checkpoint means it can never be COMPUTED again
+        // (probed: early destroy after the checkpoint fails exactly
+        // there). Trees are KB-sized — O(rounds) tree broadcasts is
+        // the same end-of-boost accounting Trainer.boost keeps.
+        if ((round + 1) % 50 == 0) next.localCheckpoint()
         next.foreachPartition(_ => ())
         if (curOwned) cur.unpersist(blocking = false)
         cur = next

@@ -120,6 +120,21 @@ class MultiOutputSpec extends SparkTestBase {
       s"v rmse ${r.getDouble(1)} vs sd ${r.getDouble(3)}")
   }
 
+  test("a training past the 50-round lineage checkpoint completes " +
+      "and keeps one tree per round (long-run posture)") {
+    val df = stumpDf(120).repartition(2)
+    val spec = DMatrixSpec(labelCol = Seq("y1", "y2"))
+    val m = GraftBoost.trainMultiOutput(df, spec,
+      TrainParams(numRounds = 55, maxDepth = 1, seed = 2))
+    assert(m.trees.length == 55)
+    // predictions remain finite and consistent after the truncation
+    val p = GraftBoost.predictMultiOutput(m, df, spec)
+      .agg(max(abs(col("prediction_y1"))), max(abs(col("prediction_y2"))))
+      .head()
+    assert(!p.getDouble(0).isNaN && p.getDouble(0) < 100.0)
+    assert(!p.getDouble(1).isNaN && p.getDouble(1) < 100.0)
+  }
+
   test("per-target binary:logistic gradients work (sigmoid transform " +
       "per slice), and unsupported knobs fail loudly") {
     val rng = new scala.util.Random(3)
