@@ -1042,19 +1042,26 @@ object SparkEntry {
       val pin = udf(new (Seq[String] => Boolean) with Serializable {
         @transient private lazy val memo =
           new scala.collection.mutable.HashMap[String, Boolean]()
+        private def check(w: String): Boolean = {
+          val enc = model.encode(w)
+          val lossless = enc.mkString("") == w
+          def sc(p: String): Long =
+            if (p.length == 1)
+              scoreOf.getOrElse(p, Unigram.UnkScoreQ)
+            else scoreOf(p)
+          val viterbi = enc.iterator.map(sc).sum
+          val baseline = w.iterator
+            .map(c => sc(c.toString)).sum
+          lossless && viterbi >= baseline
+        }
         def apply(ws: Seq[String]): Boolean = ws.forall { w =>
-          memo.getOrElseUpdate(w, {
-            val enc = model.encode(w)
-            val lossless = enc.mkString("") == w
-            def sc(p: String): Long =
-              if (p.length == 1)
-                scoreOf.getOrElse(p, Unigram.UnkScoreQ)
-              else scoreOf(p)
-            val viterbi = enc.iterator.map(sc).sum
-            val baseline = w.iterator
-              .map(c => sc(c.toString)).sum
-            lossless && viterbi >= baseline
-          })
+          // cap stops INSERTS only — cached head words still hit
+          // (the TextOps memo rule, review r13/r20)
+          memo.get(w).getOrElse {
+            val ok = check(w)
+            if (memo.size < 100000) memo.update(w, ok)
+            ok
+          }
         }
       })
       val broken = docs

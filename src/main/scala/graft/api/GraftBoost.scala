@@ -528,6 +528,10 @@ object GraftBoost {
       spec.labelUpperCol.isEmpty,
       "multi_output_tree supports pointwise objectives without " +
         "qid/bounds roles — use trainMultiLabel for those")
+    // param-only knob validation BEFORE any data scan (review r20):
+    // an unsupported booster/subsample must not cost prepare+bin+pack
+    // of the whole input first
+    MultiOutput.checkParams(params, obj)
     spec.validate(df, requireLabel = true)
     val catFlags = spec.categoricalFlags(df)
     val kOut = spec.labelCol.size

@@ -130,24 +130,14 @@ object MultiOutput {
         baseScore, MissingBin, numFeatures)
   }
 
-  // ---- exact copies of Trainer's private leaf/score arithmetic (the
-  // bit-exact stump oracles replay (−η·T(G))/(H+λ) in this operation
-  // order; duplicated because Trainer keeps them private and the
-  // formula is the contract, not the code object) ----
-
-  private def thresholdL1(g: Double, alpha: Double): Double =
-    if (g > alpha) g - alpha else if (g < -alpha) g + alpha else 0.0
-
+  // Trainer's leaf/score arithmetic is THE bit-exact contract the
+  // stump oracles replay ((−η·T(G))/(H+λ), exact operation order) —
+  // shared, not copied, so the scalar and vector trainers can never
+  // desynchronize (review r20)
   private def leafWeight(g: Double, h: Double, p: TrainParams): Double =
-    if (p.maxDeltaStep > 0) {
-      val raw = -thresholdL1(g, p.alpha) / (h + p.lambda)
-      p.eta * math.min(math.max(raw, -p.maxDeltaStep), p.maxDeltaStep)
-    } else -p.eta * thresholdL1(g, p.alpha) / (h + p.lambda)
-
-  private def score(g: Double, h: Double, p: TrainParams): Double = {
-    val t = thresholdL1(g, p.alpha)
-    t * t / (h + p.lambda)
-  }
+    Trainer.leafWeight(g, h, p)
+  private def score(g: Double, h: Double, p: TrainParams): Double =
+    Trainer.score(g, h, p)
 
   /** Broadcastable in-progress tree (structure only). */
   private final case class MoPartial(feature: Array[Int],
@@ -167,8 +157,11 @@ object MultiOutput {
     nid
   }
 
-  private def checkSupported(p: TrainParams, obj: Objective,
-      bins: Binner.Bins): Unit = {
+  /** Param-only validation — callable BEFORE any data scan, so an
+    * unsupported knob fails in milliseconds, not after prepare/bin/
+    * pack of a 100 TB input (review r20). The bins-dependent
+    * categorical check is the one that must wait for the binner. */
+  private[graft] def checkParams(p: TrainParams, obj: Objective): Unit = {
     def no(cond: Boolean, what: String): Unit = require(cond,
       s"multi_output_tree: $what is not supported (xgboost 2.x's " +
         "vector-leaf strategy carries the same limits); train " +
@@ -187,9 +180,17 @@ object MultiOutput {
     no(p.monotoneConstraints.forall(_ == 0), "monotone_constraints")
     no(p.interactionConstraints.isEmpty, "interaction_constraints")
     no(p.quantileAlphas.isEmpty, "vector quantile_alpha")
-    no(!bins.cat.exists(identity), "categorical features")
     require(p.maxDepth >= 1,
       s"multi_output_tree: maxDepth must be >= 1, got ${p.maxDepth}")
+  }
+
+  private def checkSupported(p: TrainParams, obj: Objective,
+      bins: Binner.Bins): Unit = {
+    checkParams(p, obj)
+    require(!bins.cat.exists(identity),
+      "multi_output_tree: categorical features are not supported " +
+        "(xgboost 2.x's vector-leaf strategy carries the same " +
+        "limits); train per-label via trainMultiLabel instead")
   }
 
   /**

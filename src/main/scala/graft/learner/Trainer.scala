@@ -411,17 +411,19 @@ object Trainer {
     * max_delta_step caps the RAW weight before η, as in xgboost. The
     * uncapped branch keeps the original operation ORDER — the bit-exact
     * stump oracles replay exactly (−η·T(G))/(H+λ). */
-  private def leafWeight(g: Double, h: Double, p: TrainParams): Double =
+  private[learner] def leafWeight(g: Double, h: Double,
+      p: TrainParams): Double =
     if (p.maxDeltaStep > 0) {
       val raw = -thresholdL1(g, p.alpha) / (h + p.lambda)
       p.eta * math.min(math.max(raw, -p.maxDeltaStep), p.maxDeltaStep)
     } else -p.eta * thresholdL1(g, p.alpha) / (h + p.lambda)
 
-  private def thresholdL1(g: Double, alpha: Double): Double =
+  private[learner] def thresholdL1(g: Double, alpha: Double): Double =
     if (g > alpha) g - alpha else if (g < -alpha) g + alpha else 0.0
 
   /** xgboost split score: T(G)² / (H + λ). */
-  private def score(g: Double, h: Double, p: TrainParams): Double = {
+  private[learner] def score(g: Double, h: Double,
+      p: TrainParams): Double = {
     val t = thresholdL1(g, p.alpha)
     t * t / (h + p.lambda)
   }

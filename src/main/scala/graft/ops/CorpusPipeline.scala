@@ -808,14 +808,20 @@ object CorpusPipeline {
     // loud guard: a stratum total past Long.MaxValue would cast to
     // null in non-ANSI mode and silently drop the whole stratum from
     // epochedMixture's div/mod — fail in-plan instead (house
-    // contract). cum_tokens below is bounded by the total, so this
-    // one guard covers both casts.
+    // contract). The window sum can ALSO saturate decimal(38,0) and
+    // come back null before the range check sees it (the
+    // interArrivalStats lesson, review r20) — a null total with rows
+    // present is the same overflow, so it trips the guard too.
+    // cum_tokens and __off are bounded by the total (non-negative
+    // weights), so this one guard covers every downstream cast and
+    // the __off empty-window coalesce can only see a REAL first-row
+    // null, never an overflowed one.
     val totDec = sum("__t").over(wTot)
     val off = cnt
       .withColumn("__off", coalesce(sum("__t").over(wOff),
         lit(0L).cast("decimal(38,0)")))
       .withColumn("__tot",
-        when(totDec > lit(Long.MaxValue),
+        when(totDec.isNull || totDec > lit(Long.MaxValue),
           raise_error(concat(lit(s"$op: stratum "), col("stratum"),
             lit(" total weight overflows BIGINT - rescale the " +
               "weight column"))).cast("long"))

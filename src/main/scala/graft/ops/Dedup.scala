@@ -245,7 +245,8 @@ object Dedup {
   private def shingleHashes(k: Int) = udf { s: String =>
     if (s == null) Array.empty[Int]
     else {
-      val t = s.toLowerCase.replaceAll("\\s+", " ").trim
+      val t = s.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").trim
       if (t.length < k) Array(t.hashCode)
       else {
         val out = new Array[Int](t.length - k + 1)
@@ -313,7 +314,8 @@ object Dedup {
   private def shingleSet(k: Int) = udf { s: String =>
     if (s == null) Array.empty[Int]
     else {
-      val t = s.toLowerCase.replaceAll("\\s+", " ").trim
+      val t = s.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").trim
       val set = new java.util.HashSet[Integer]()
       if (t.length < k) set.add(t.hashCode)
       else {
@@ -469,7 +471,8 @@ object Dedup {
     if (s == null) 0L
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val toks = s.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
       val acc = new Array[Int](64)
       toks.foreach { t =>
         val d = md.digest(t.getBytes("UTF-8"))
@@ -652,7 +655,8 @@ object Dedup {
   private def wordGramHashes(n: Int) = udf { s: String =>
     if (s == null) Array.empty[Int]
     else {
-      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val toks = s.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
       if (toks.isEmpty) Array.empty[Int]
       else {
         val set = new java.util.HashSet[Integer]()

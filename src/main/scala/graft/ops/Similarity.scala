@@ -224,45 +224,51 @@ object Similarity {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // salted-hash order, query id as the tiebreak: uniform (xxhash64
     // is pseudorandom in the salt), exact-size, deterministic
-    val sampled = queries
-      .orderBy(xxhash64(col(queryIdCol).cast("string"), lit(seed)),
-        col(queryIdCol))
-      .limit(q)
-      .persist(lvl)
-    val qn = sampled.count()
-    require(qn > 0, "recallCheck: query side is empty")
-    val bound =
-      math.rint(1e6 / (2.0 * math.sqrt(qn.toDouble))) / 1e6
-    // ONE materialized brute-force pass shared by every method
-    val exact = bruteForceTopK(corpus, sampled, idCol, vecCol,
-        queryIdCol, k)
-      .select(col(queryIdCol), col("id")).persist(lvl)
-    exact.count()
-    val exactN = exact.groupBy(queryIdCol)
-      .agg(count(lit(1)).as("__n")).persist(lvl)
-    exactN.count()
-    val rows = methods.map { case (name, fn) =>
-      val approx = fn(corpus, sampled)
-        .select(col(queryIdCol), col("id")).persist(lvl)
-      approx.count()
-      // per-query recall = |approx ∩ exact| / |exact| (the exact side
-      // is min(k, |corpus|) rows per query); queries a method returns
-      // NOTHING for count as recall 0 via the left join from exactN
-      val stats = exactN
-        .join(approx.join(exact, Seq(queryIdCol, "id"))
-          .groupBy(queryIdCol).agg(count(lit(1)).as("__h")),
-          Seq(queryIdCol), "left")
-        .select((coalesce(col("__h"), lit(0L)).cast("double") /
-          col("__n")).as("r"))
-        .agg(round(avg("r"), 6), round(min("r"), 6)).head()
-      approx.unpersist(blocking = false)
-      (name, qn, k, stats.getDouble(0), stats.getDouble(1), bound)
+    // every persist is released in the finally: a method fn that
+    // throws (or an empty query side) must not leak cached frames
+    // into the rest of the application (review r20)
+    val persisted =
+      scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cache(df: DataFrame): DataFrame = {
+      val c = df.persist(lvl); persisted += c; c
     }
-    sampled.unpersist(blocking = false)
-    exact.unpersist(blocking = false)
-    exactN.unpersist(blocking = false)
-    rows.toDF("method", "n_queries", "k", "mean_recall", "min_recall",
-      "ci95_bound")
+    try {
+      val sampled = cache(queries
+        .orderBy(xxhash64(col(queryIdCol).cast("string"), lit(seed)),
+          col(queryIdCol))
+        .limit(q))
+      val qn = sampled.count()
+      require(qn > 0, "recallCheck: query side is empty")
+      val bound =
+        math.rint(1e6 / (2.0 * math.sqrt(qn.toDouble))) / 1e6
+      // ONE materialized brute-force pass shared by every method
+      val exact = cache(bruteForceTopK(corpus, sampled, idCol, vecCol,
+        queryIdCol, k).select(col(queryIdCol), col("id")))
+      exact.count()
+      val exactN = cache(exact.groupBy(queryIdCol)
+        .agg(count(lit(1)).as("__n")))
+      exactN.count()
+      val rows = methods.map { case (name, fn) =>
+        val approx = fn(corpus, sampled)
+          .select(col(queryIdCol), col("id")).persist(lvl)
+        try {
+          approx.count()
+          // per-query recall = |approx ∩ exact| / |exact| (the exact
+          // side is min(k, |corpus|) rows per query); queries a method
+          // returns NOTHING for count as recall 0 via the left join
+          val stats = exactN
+            .join(approx.join(exact, Seq(queryIdCol, "id"))
+              .groupBy(queryIdCol).agg(count(lit(1)).as("__h")),
+              Seq(queryIdCol), "left")
+            .select((coalesce(col("__h"), lit(0L)).cast("double") /
+              col("__n")).as("r"))
+            .agg(round(avg("r"), 6), round(min("r"), 6)).head()
+          (name, qn, k, stats.getDouble(0), stats.getDouble(1), bound)
+        } finally approx.unpersist(blocking = false)
+      }
+      rows.toDF("method", "n_queries", "k", "mean_recall",
+        "min_recall", "ci95_bound")
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
   /**

@@ -98,7 +98,8 @@ object TextOps {
           var chars = 0L
           var i = 0
           while (i < toks.length) {
-            if (stops.contains(toks(i).toLowerCase)) hits += 1
+            if (stops.contains(toks(i).toLowerCase(
+              java.util.Locale.ROOT))) hits += 1
             chars += toks(i).length
             i += 1
           }
@@ -173,7 +174,7 @@ object TextOps {
     val f = udf { s: String =>
       if (s == null) "und"
       else {
-        val t = s.toLowerCase.trim
+        val t = s.toLowerCase(java.util.Locale.ROOT).trim
         if (t.isEmpty) "und"
         else {
           val toks = t.split("\\s+")
@@ -948,7 +949,7 @@ object TextOps {
         else {
           var n = 0L
           for (w <- t.split("\\s+")) {
-            val lw = w.toLowerCase
+            val lw = w.toLowerCase(java.util.Locale.ROOT)
             // cap stops INSERTS only — cached head words still hit
             n += cache.get(lw).getOrElse {
               val len = model.encode(lw).length
@@ -972,25 +973,35 @@ object TextOps {
    * matters (the array column is corpus-sized).
    */
   def bpeTokens(df: DataFrame, idCol: String, textCol: String,
-      model: BpeModel): DataFrame = {
+      model: BpeModel): DataFrame =
+    df.withColumn("bpe_seq", seqEncoderUdf(model.encode)(col(textCol)))
+
+  /** Shared tokenizer-encoder UDF scaffold (BPE and unigram families,
+    * review r20): null/trim/\s+-split/lower normalization identical
+    * to [[tokens]]+`lower()` — Locale.ROOT, because the oracle SQL's
+    * `lower(text)` is locale-free and a Turkish-locale JVM's bare
+    * toLowerCase would map 'I' to dotless 'ı' and hash-diverge — with
+    * the capped per-task word memo (cap stops INSERTS only; cached
+    * head words still hit — review r13). The memo lives in the udf
+    * closure: serialized empty, fresh per task, single-threaded. */
+  private[graft] def seqEncoderUdf(encode: String => Array[String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val cache = scala.collection.mutable.HashMap[String, Array[String]]()
-    val enc = udf { s: String =>
+    udf { s: String =>
       if (s == null) Array.empty[String]
       else {
         val t = s.replaceAll("^\\s+|\\s+$", "")
         if (t.isEmpty) Array.empty[String]
         else t.split("\\s+").flatMap { w =>
-          val lw = w.toLowerCase
-          // cap stops INSERTS only — cached head words still hit
+          val lw = w.toLowerCase(java.util.Locale.ROOT)
           cache.get(lw).getOrElse {
-            val e = model.encode(lw)
+            val e = encode(lw)
             if (cache.size < 100000) cache.update(lw, e)
             e
           }
         }
       }
     }
-    df.withColumn("bpe_seq", enc(col(textCol)))
   }
 
   /**

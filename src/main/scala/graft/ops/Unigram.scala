@@ -178,24 +178,7 @@ object Unigram {
    * per-task word memo, zero shuffle, one scan.
    */
   def unigramTokens(df: DataFrame, idCol: String, textCol: String,
-      model: UnigramModel): DataFrame = {
-    val cache = scala.collection.mutable.HashMap[String, Array[String]]()
-    val enc = udf { s: String =>
-      if (s == null) Array.empty[String]
-      else {
-        val t = s.replaceAll("^\\s+|\\s+$", "")
-        if (t.isEmpty) Array.empty[String]
-        else t.split("\\s+").flatMap { w =>
-          val lw = w.toLowerCase
-          // cap stops INSERTS only — cached head words still hit
-          cache.get(lw).getOrElse {
-            val e = model.encode(lw)
-            if (cache.size < 100000) cache.update(lw, e)
-            e
-          }
-        }
-      }
-    }
-    df.withColumn("uni_seq", enc(col(textCol)))
-  }
+      model: UnigramModel): DataFrame =
+    df.withColumn("uni_seq",
+      TextOps.seqEncoderUdf(model.encode)(col(textCol)))
 }
