@@ -96,6 +96,15 @@ class MultiOutputSpec extends SparkTestBase {
     val scored = GraftBoost.predict(s0, df, spec.copy(
       labelCol = Seq("y1"), ignore = Seq("y2")))
     assert(scored.count() == 400)
+    // and the slice scores through the codegen EnsembleScore
+    // expression, never a UDF (the A4 plan contract). Repartition
+    // first: a bare LocalRelation fixture would be constant-folded by
+    // ConvertToLocalRelation and show no expression at all.
+    val plan = GraftBoost.predictMultiOutput(m, df.repartition(2), spec)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("ensemblescore"), plan.take(400))
+    assert(!plan.contains("UDF"),
+      s"multi-output predict routes a UDF:\n${plan.take(400)}")
   }
 
   test("one tree per round learns BOTH targets (vs one model per " +
