@@ -107,6 +107,40 @@ class MultiOutputSpec extends SparkTestBase {
       s"multi-output predict routes a UDF:\n${plan.take(400)}")
   }
 
+  test("slice models round-trip the xgboost-JSON sink and their SHAP " +
+      "contribs sum to the margin (the scaladoc's export/SHAP claim)") {
+    val df = stumpDf().repartition(2)
+    val spec = DMatrixSpec(labelCol = Seq("y1", "y2"))
+    val m = GraftBoost.trainMultiOutput(df, spec,
+      TrainParams(numRounds = 3, maxDepth = 2, seed = 9))
+    Seq(0, 1).foreach { j =>
+      val s = m.sliceModel(j)
+      val specJ = spec.copy(labelCol = Seq(spec.labelCol(j)),
+        ignore = Seq(spec.labelCol(1 - j)))
+      // export → import → identical predictions
+      val re = GraftModel.fromXgbJson(s.toXgbJson)
+      val a = GraftBoost.predict(s, df, specJ)
+        .select("x", "prediction").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+      val b = GraftBoost.predict(re, df, specJ)
+        .select("x", "prediction").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+      assert(a.toSeq == b.toSeq,
+        s"output $j: re-imported slice predicts differently")
+      // exact TreeSHAP on the slice: per-row contribs (+ bias slot)
+      // sum to the regression margin
+      val rows = GraftBoost.predictContrib(s, df, specJ)
+        .select("x", "contribs").collect()
+      rows.foreach { r =>
+        val margin =
+          s.margins(Array(r.getDouble(0).toFloat))(0).toDouble
+        val sum = r.getSeq[Float](1).map(_.toDouble).sum
+        assert(math.abs(sum - margin) < 1e-4,
+          s"output $j: contribs sum $sum != margin $margin")
+      }
+    }
+  }
+
   test("one tree per round learns BOTH targets (vs one model per " +
       "label), and boosting reduces both errors") {
     val rng = new scala.util.Random(99)
