@@ -163,6 +163,25 @@ object Unigram {
     UnigramModel(toScores(vocab))
   }
 
+  /** Persist a trained piece table as parquet (the [[TextOps.saveBpe]]
+    * cross-job reuse convention): scores are already exact integers,
+    * so the round-trip is trivially lossless. `rank` pins the
+    * (count desc, piece asc) training order so a reloaded model lists
+    * pieces identically. */
+  def saveUnigram(spark: org.apache.spark.sql.SparkSession,
+      model: UnigramModel, path: String): Unit = {
+    import spark.implicits._
+    model.pieces.zipWithIndex.map { case ((p, s), r) => (r, p, s) }
+      .toDF("rank", "piece", "score_q")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[UnigramModel]] written by [[saveUnigram]]. */
+  def loadUnigram(spark: org.apache.spark.sql.SparkSession,
+      path: String): UnigramModel =
+    UnigramModel(spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq)
+
   private def toScores(counts: Map[String, Long]): Seq[(String, Long)] = {
     val total = counts.valuesIterator.sum.toDouble
     counts.toSeq.sortBy { case (p, c) => (-c, p) }.map { case (p, c) =>

@@ -66,6 +66,20 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("save/load round-trips the piece table bit-exactly (exact " +
+      "integer scores, rank-pinned order)") {
+    val docs = (0L until 60L).map(i => (i, "join hash join scan"))
+      .toDF("doc_id", "text")
+    val m = Unigram.trainUnigram(docs, "text", vocabSize = 10,
+      maxWords = 100)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_uni_").toString + "/model"
+    Unigram.saveUnigram(spark, m, dir)
+    val re = Unigram.loadUnigram(spark, dir)
+    assert(re.pieces == m.pieces)
+    assert(re.encode("joinscan").toSeq == m.encode("joinscan").toSeq)
+  }
+
   test("encode is deterministic under the harness's fixed piece " +
       "table on adversarial inputs") {
     val m = Unigram.UnigramModel(graft.SparkEntry.UnigramFixedPieces)
