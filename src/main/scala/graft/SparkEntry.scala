@@ -788,7 +788,7 @@ object SparkEntry {
     }),
 
     // ---- streaming: watermark dedup replay (X16) — the final sink of
-    //      a 5-micro-batch memory-stream replay must equal GLOBAL exact
+    //      a 3-micro-batch memory-stream replay must equal GLOBAL exact
     //      dedup, so the stateful streaming path gets a full DuckDB
     //      oracle row, not just a unit test ----
     "st_dedup" -> ((s, dir) =>

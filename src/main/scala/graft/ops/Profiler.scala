@@ -182,41 +182,84 @@ object Profiler {
         St((ci, pct), ci, mn, mx, (n - 1) * pct.toLong / 100L + 1L)
       }).toList
       val resolved = scala.collection.mutable.Map[(Int, Int), Long]()
+      // Deliberately NO repartition here: with the dense-array seqOp
+      // below a full pass over the cached projection costs ~0.1 s/10⁶
+      // rows even single-task, while a repartition shuffle of the Row
+      // projection measured ~10× that (row serialization dominates —
+      // probed r21). At real scale the scan arrives in many partitions
+      // anyway; counts are order-free sums, partitioning-invariant.
       val rdd = qdf.rdd
+      val dbg = sys.env.contains("GRAFT_PROF_DEBUG")
       while (states.nonEmpty) {
+        val tPass = System.nanoTime()
         val st = states.toArray
-        val widths = st.map(s => math.max(1L, (s.hi - s.lo) / 65536L + 1L))
-        val bc = spark.sparkContext.broadcast((st, widths))
-        val counts = rdd.mapPartitions { it =>
-          val (ss, ws) = bc.value
-          val acc = scala.collection.mutable.Map[(Int, Long), Long]()
-          it.foreach { row =>
-            var k = 0
-            while (k < ss.length) {
-              val s = ss(k)
-              if (!row.isNullAt(s.ci)) {
-                val v = row.getLong(s.ci)
-                if (v >= s.lo && v <= s.hi) {
-                  val key = (k, (v - s.lo) / ws(k))
-                  acc.update(key, acc.getOrElse(key, 0L) + 1L)
-                }
-              }
-              k += 1
+        // Adaptive bucket budget (guide §1.2 "per-task work"): a fixed
+        // 2¹⁶ grid needs 3 passes once a range exceeds 2³², which the
+        // price-scale fixed-point columns (~10¹¹) always do. Splitting
+        // a 4M-entry per-task budget across the OPEN states gives each
+        // ≥ 2¹⁸ buckets — any range up to per² (≥ 2³⁶, and 2⁴⁰ by the
+        // time the narrow states resolve) finishes in 2 passes. Worst
+        // case stays ≤ log_per(range) passes; per-task histogram
+        // memory is ≤ 32 MB by the budget.
+        val per = math.max(1 << 16, (1 << 22) / st.length)
+        val widths = st.map(s => math.max(1L, (s.hi - s.lo) / per + 1L))
+        val nBuckets = st.indices.map(k =>
+          ((st(k).hi - st(k).lo) / widths(k) + 1L).toInt).toArray
+        // dense flat histogram, merged as ONE primitive long array —
+        // the Trainer's histogram-merge shape. The old sparse
+        // (state, bucket) → count emission + reduceByKey + collect
+        // boxed ~10⁶ tuples per pass and dominated the whole profile
+        // (probed r21: 2–3 s/pass collect vs ~0.1 s scan); a flat
+        // long[] merges and collects in one unboxed hop. Volume is
+        // bounded by the 4M-entry (32 MB) budget; single-stage
+        // aggregate while the driver-merge volume is small, tree-merge
+        // past 64 MB so the driver never holds P × histogram at once.
+        val offsets = nBuckets.scanLeft(0)(_ + _)
+        val histSize = offsets.last
+        val bc = spark.sparkContext.broadcast((st, widths, offsets))
+        val seqOp = (acc: Array[Long],
+            row: org.apache.spark.sql.Row) => {
+          val (ss, ws, off) = bc.value
+          var k = 0
+          while (k < ss.length) {
+            val s = ss(k)
+            if (!row.isNullAt(s.ci)) {
+              val v = row.getLong(s.ci)
+              if (v >= s.lo && v <= s.hi)
+                acc(off(k) + ((v - s.lo) / ws(k)).toInt) += 1L
             }
+            k += 1
           }
-          acc.iterator
-        }.reduceByKey(_ + _).collect() // ≤ |open ranks|·2¹⁶ entries
+          acc
+        }
+        val combOp = (a: Array[Long], b: Array[Long]) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }
+        val mergeBytes = histSize.toLong * 8L * rdd.getNumPartitions
+        val hist =
+          if (mergeBytes < (64L << 20))
+            rdd.aggregate(new Array[Long](histSize))(seqOp, combOp)
+          else rdd.treeAggregate(new Array[Long](histSize))(
+            seqOp, combOp, depth = 2)
         bc.destroy()
-        val byState = counts.groupBy(_._1._1)
+        if (dbg) System.err.println(
+          f"PROFQ pass open=${st.length} per=$per hist=$histSize " +
+            f"t=${(System.nanoTime() - tPass) / 1e9}%.3f s")
         states = st.zipWithIndex.flatMap { case (s, k) =>
-          val buckets = byState.getOrElse(k, Array.empty)
-            .map { case ((_, b), c) => (b, c) }.sortBy(_._1)
           var rank = s.rank
-          val (b, _) = buckets.find { case (_, c) =>
-            if (rank <= c) true else { rank -= c; false }
-          }.getOrElse(throw new IllegalStateException(
+          var b = -1L
+          var i = offsets(k)
+          val end = offsets(k + 1)
+          while (b < 0 && i < end) {
+            val c = hist(i)
+            if (rank <= c && c > 0) b = i - offsets(k)
+            else { rank -= c; i += 1 }
+          }
+          if (b < 0) throw new IllegalStateException(
             s"profile: rank ${s.rank} not found in [${s.lo},${s.hi}] " +
-              s"for ${cols(s.ci)} — input changed between passes?"))
+              s"for ${cols(s.ci)} — input changed between passes?")
           val w = widths(k)
           if (w == 1L) { resolved(s.key) = s.lo + b; None }
           else Some(St(s.key, s.ci, s.lo + b * w,

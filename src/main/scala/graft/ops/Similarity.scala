@@ -248,24 +248,43 @@ object Similarity {
       val exactN = cache(exact.groupBy(queryIdCol)
         .agg(count(lit(1)).as("__n")))
       exactN.count()
-      val rows = methods.map { case (name, fn) =>
-        val approx = fn(corpus, sampled)
-          .select(col(queryIdCol), col("id")).persist(lvl)
-        try {
-          approx.count()
-          // per-query recall = |approx ∩ exact| / |exact| (the exact
-          // side is min(k, |corpus|) rows per query); queries a method
-          // returns NOTHING for count as recall 0 via the left join
-          val stats = exactN
-            .join(approx.join(exact, Seq(queryIdCol, "id"))
-              .groupBy(queryIdCol).agg(count(lit(1)).as("__h")),
-              Seq(queryIdCol), "left")
-            .select((coalesce(col("__h"), lit(0L)).cast("double") /
-              col("__n")).as("r"))
-            .agg(round(avg("r"), 6), round(min("r"), 6)).head()
-          (name, qn, k, stats.getDouble(0), stats.getDouble(1), bound)
-        } finally approx.unpersist(blocking = false)
+      // The methods are INDEPENDENT read-only consumers of the two
+      // materialized caches above, and each one is a chain of small
+      // jobs (index build, probe scan, stats join) — run them on a
+      // small thread pool so one method's job tail back-fills the
+      // executors another method left idle (guide §2.6 overlapping
+      // independent jobs). Spark's scheduler handles concurrent job
+      // submission natively; results are re-assembled in the original
+      // `methods` order, so the output rows (and their hash) are
+      // byte-identical to the sequential evaluation.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(methods.size, 4))
+      implicit val ec =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futures = methods.map { case (name, fn) =>
+        scala.concurrent.Future {
+          val approx = fn(corpus, sampled)
+            .select(col(queryIdCol), col("id")).persist(lvl)
+          try {
+            approx.count()
+            // per-query recall = |approx ∩ exact| / |exact| (the exact
+            // side is min(k, |corpus|) rows per query); queries a method
+            // returns NOTHING for count as recall 0 via the left join
+            val stats = exactN
+              .join(approx.join(exact, Seq(queryIdCol, "id"))
+                .groupBy(queryIdCol).agg(count(lit(1)).as("__h")),
+                Seq(queryIdCol), "left")
+              .select((coalesce(col("__h"), lit(0L)).cast("double") /
+                col("__n")).as("r"))
+              .agg(round(avg("r"), 6), round(min("r"), 6)).head()
+            (name, qn, k, stats.getDouble(0), stats.getDouble(1), bound)
+          } finally approx.unpersist(blocking = false)
+        }
       }
+      val rows =
+        try futures.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+        finally pool.shutdown()
       rows.toDF("method", "n_queries", "k", "mean_recall",
         "min_recall", "ci95_bound")
     } finally persisted.foreach(_.unpersist(blocking = false))
