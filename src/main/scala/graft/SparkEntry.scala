@@ -129,6 +129,27 @@ object SparkEntry {
     "sq" -> ((e: DataFrame, q: DataFrame) => Similarity.sqTopK(e, q,
       "vec_id", "embedding", "query_id", k = 10)))
 
+  /** Run two independent eager sub-computations of one query
+    * concurrently (optimization guide §2.6 — actions are only
+    * sequential because the driver calls them sequentially): several
+    * ml_* queries train a full-size PIN model and a small ORACLE model
+    * that share nothing, so the second train's jobs can back-fill the
+    * executors the first train's stragglers leave idle. Purely a
+    * scheduling change — each sub-computation is unchanged, and the
+    * query's deliverable depends only on its own branch. */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fa = scala.concurrent.Future(a)
+      val fb = scala.concurrent.Future(b)
+      val d = scala.concurrent.duration.Duration.Inf
+      (scala.concurrent.Await.result(fa, d),
+        scala.concurrent.Await.result(fb, d))
+    } finally pool.shutdown()
+  }
+
   /** Statistic pin for the rows-only binary-training rows (judge r9):
     * one pass computes per-label counts and mean predictions; the
     * query FAILS unless positive-label rows score higher on average
@@ -2410,17 +2431,20 @@ object SparkEntry {
           col("l_discount"), col("l_tax"),
           when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
             .as("label"))
-      val res = GraftBoost.train(df, DMatrixSpec("label"),
-        TrainParams(objective = "binary:logistic", numRounds = 10,
-          maxDepth = 4, seed = 1), numWorkers = 8)
-      trainedSeparation(s,
-        GraftBoost.predict(res.model, df, DMatrixSpec("label")))
       val df2 = ld(s, dir, "lineitem")
         .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
           .as("x"), col("l_quantity").cast("double").as("y"))
-      val two = GraftBoost.train(df2, DMatrixSpec("y"),
-        TrainParams(numRounds = 2, maxDepth = 1, seed = 1),
-        numWorkers = 8)
+      val (_, two) = inParallel(
+        {
+          val res = GraftBoost.train(df, DMatrixSpec("label"),
+            TrainParams(objective = "binary:logistic", numRounds = 10,
+              maxDepth = 4, seed = 1), numWorkers = 8)
+          trainedSeparation(s,
+            GraftBoost.predict(res.model, df, DMatrixSpec("label")))
+        },
+        GraftBoost.train(df2, DMatrixSpec("y"),
+          TrainParams(numRounds = 2, maxDepth = 1, seed = 1),
+          numWorkers = 8))
       GraftBoost.predict(two.model, df2, DMatrixSpec("y"))
         .groupBy("x")
         .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
@@ -2447,18 +2471,21 @@ object SparkEntry {
           col("l_discount"), col("l_tax"),
           when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
             .as("label"))
-      val res = GraftBoost.train(df, DMatrixSpec("label"),
-        TrainParams(objective = "binary:logistic", booster = "dart",
-          rateDrop = 0.3, numRounds = 10, maxDepth = 4, seed = 1),
-        numWorkers = 8)
-      trainedSeparation(s,
-        GraftBoost.predict(res.model, df, DMatrixSpec("label")))
       val df2 = ld(s, dir, "lineitem")
         .select(when(col("l_quantity") >= 25, 1.0).otherwise(0.0)
           .as("x"), col("l_quantity").cast("double").as("y"))
-      val two = GraftBoost.train(df2, DMatrixSpec("y"),
-        TrainParams(booster = "dart", rateDrop = 1.0, numRounds = 2,
-          maxDepth = 1, seed = 1), numWorkers = 8)
+      val (_, two) = inParallel(
+        {
+          val res = GraftBoost.train(df, DMatrixSpec("label"),
+            TrainParams(objective = "binary:logistic", booster = "dart",
+              rateDrop = 0.3, numRounds = 10, maxDepth = 4, seed = 1),
+            numWorkers = 8)
+          trainedSeparation(s,
+            GraftBoost.predict(res.model, df, DMatrixSpec("label")))
+        },
+        GraftBoost.train(df2, DMatrixSpec("y"),
+          TrainParams(booster = "dart", rateDrop = 1.0, numRounds = 2,
+            maxDepth = 1, seed = 1), numWorkers = 8))
       GraftBoost.predict(two.model, df2, DMatrixSpec("y"))
         .groupBy("x")
         .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))
@@ -2473,24 +2500,27 @@ object SparkEntry {
           when(col("l_returnflag") === "R", 2.0)
             .when(col("l_returnflag") === "A", 1.0).otherwise(0.0)
             .as("label"))
-      val res = GraftBoost.train(df, DMatrixSpec("label"),
-        TrainParams(objective = "multi:softprob", numClass = 3,
-          numRounds = 5, maxDepth = 3, seed = 1), numWorkers = 8)
-      val preds = GraftBoost.predict(res.model, df, DMatrixSpec("label"))
       // statistic pin (judge r9): a rows-only row carries no value
       // signal, so FAIL the query if argmax train accuracy collapses
       // below the majority-class constant predictor — a broken model
       // (garbage leaves, scrambled class routing) cannot hold that
       // floor, while any sane 5-round fit sits at or above it
-      val stat = preds.agg(
-        avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0))
-          .as("acc"), count(lit(1)).as("n")).head()
-      val acc = stat.getDouble(0)
-      val majority = df.groupBy("label").count()
-        .agg(max("count")).head().getLong(0).toDouble / stat.getLong(1)
-      require(acc + 1e-9 >= majority,
-        f"ml_softprob train accuracy $acc%.4f fell below the " +
-          f"majority-class baseline $majority%.4f — broken model")
+      def softprobPin(): Unit = {
+        val res = GraftBoost.train(df, DMatrixSpec("label"),
+          TrainParams(objective = "multi:softprob", numClass = 3,
+            numRounds = 5, maxDepth = 3, seed = 1), numWorkers = 8)
+        val preds = GraftBoost.predict(res.model, df,
+          DMatrixSpec("label"))
+        val stat = preds.agg(
+          avg(when(col("prediction") === col("label"), 1.0)
+            .otherwise(0.0)).as("acc"), count(lit(1)).as("n")).head()
+        val acc = stat.getDouble(0)
+        val majority = df.groupBy("label").count()
+          .agg(max("count")).head().getLong(0).toDouble / stat.getLong(1)
+        require(acc + 1e-9 >= majority,
+          f"ml_softprob train accuracy $acc%.4f fell below the " +
+            f"majority-class baseline $majority%.4f — broken model")
+      }
       // full-oracle output (r16): a 2-ROUND depth-1 softprob — round-2
       // gradients are softmax(round-1 leaves), i.e. per-(x, class)
       // float constants whose n·const sums stay exact in double, so
@@ -2503,9 +2533,10 @@ object SparkEntry {
           when(col("l_returnflag") === "R", 2.0)
             .when(col("l_returnflag") === "A", 1.0).otherwise(0.0)
             .as("y"))
-      val two = GraftBoost.train(df2, DMatrixSpec("y"),
-        TrainParams(objective = "multi:softprob", numClass = 3,
-          numRounds = 2, maxDepth = 1, seed = 1), numWorkers = 8)
+      val (_, two) = inParallel(softprobPin(),
+        GraftBoost.train(df2, DMatrixSpec("y"),
+          TrainParams(objective = "multi:softprob", numClass = 3,
+            numRounds = 2, maxDepth = 1, seed = 1), numWorkers = 8))
       GraftBoost.predict(two.model, df2, DMatrixSpec("y"))
         .groupBy("x")
         .agg(count(lit(1)).as("n"),
@@ -2526,34 +2557,36 @@ object SparkEntry {
           col("user_id"))
       val spec = DMatrixSpec(labelCol = Seq("rel"),
         qidCol = Some("user_id"))
-      val res = GraftBoost.train(df, spec,
-        TrainParams(objective = "rank:pairwise", numRounds = 5,
-          maxDepth = 3, seed = 1), numWorkers = 8)
-      val preds = GraftBoost.predict(res.model, df, spec)
       // statistic pin (judge r9): per-group pairwise AUC via the
       // Mann-Whitney rank sum (window is per qid group — bounded rows
       // per user, no global sort; f1 tiebreak keeps ranks
       // deterministic). rel is value > 0.5 and value IS a feature, so
       // a working ranker separates near-perfectly; a broken one can't
       // hold the floor.
-      val wdw = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("prediction"), col("f1"))
-      val g = preds.withColumn("rk", row_number().over(wdw))
-        .groupBy("user_id").agg(
-          sum(when(col("rel") === 1.0, col("rk"))).as("rsum"),
-          sum(when(col("rel") === 1.0, 1.0).otherwise(0.0)).as("np"),
-          count(lit(1)).as("nr"))
-        .withColumn("nn", col("nr") - col("np"))
-        .filter(col("np") > 0 && col("nn") > 0)
-        .withColumn("auc",
-          (col("rsum") - col("np") * (col("np") + 1) / 2) /
-            (col("np") * col("nn")))
-      val stat = g.agg(avg("auc").as("mean_auc"),
-        count(lit(1)).as("scored_groups")).head()
-      val meanAuc = stat.getDouble(0)
-      require(meanAuc >= 0.95,
-        f"ml_rank mean per-group AUC $meanAuc%.4f below the 0.95 " +
-          "floor on a separable relevance — broken ranker")
+      def rankPin(): Unit = {
+        val res = GraftBoost.train(df, spec,
+          TrainParams(objective = "rank:pairwise", numRounds = 5,
+            maxDepth = 3, seed = 1), numWorkers = 8)
+        val preds = GraftBoost.predict(res.model, df, spec)
+        val wdw = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("prediction"), col("f1"))
+        val g = preds.withColumn("rk", row_number().over(wdw))
+          .groupBy("user_id").agg(
+            sum(when(col("rel") === 1.0, col("rk"))).as("rsum"),
+            sum(when(col("rel") === 1.0, 1.0).otherwise(0.0)).as("np"),
+            count(lit(1)).as("nr"))
+          .withColumn("nn", col("nr") - col("np"))
+          .filter(col("np") > 0 && col("nn") > 0)
+          .withColumn("auc",
+            (col("rsum") - col("np") * (col("np") + 1) / 2) /
+              (col("np") * col("nn")))
+        val stat = g.agg(avg("auc").as("mean_auc"),
+          count(lit(1)).as("scored_groups")).head()
+        val meanAuc = stat.getDouble(0)
+        require(meanAuc >= 0.95,
+          f"ml_rank mean per-group AUC $meanAuc%.4f below the 0.95 " +
+            "floor on a separable relevance — broken ranker")
+      }
       // full-oracle output (r16): a 2-ROUND depth-1 pairwise ranker on
       // the ml_stump_rank fixture. Round-2 pairwise sigmoids take only
       // THREE values (margins are binary-feature constants), per-row
@@ -2566,9 +2599,10 @@ object SparkEntry {
           col("user_id"))
       val spec2 = DMatrixSpec(labelCol = Seq("rel"),
         qidCol = Some("user_id"))
-      val two = GraftBoost.train(df2, spec2,
-        TrainParams(objective = "rank:pairwise", numRounds = 2,
-          maxDepth = 1, seed = 1), numWorkers = 8)
+      val (_, two) = inParallel(rankPin(),
+        GraftBoost.train(df2, spec2,
+          TrainParams(objective = "rank:pairwise", numRounds = 2,
+            maxDepth = 1, seed = 1), numWorkers = 8))
       GraftBoost.predict(two.model, df2, spec2)
         .groupBy("x")
         .agg(count(lit(1)).as("n"), max("prediction").as("prediction"))

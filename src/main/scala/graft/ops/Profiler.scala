@@ -406,50 +406,122 @@ object Profiler {
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     require(cols.size >= 2, s"correlations: need >= 2 columns, got $cols")
-    val qCols = cols.map(c =>
-      quantize(c).cast("decimal(19,0)").as(s"__q_$c"))
-    val qdf = df.select(qCols: _*)
-    val pairs = for {
+    val qdf = df.select(cols.map(c => quantize(c).as(s"__q_$c")): _*)
+    val pairs = (for {
       i <- cols.indices; j <- cols.indices if i < j
-    } yield (i, j)
-    val rangeExprs = cols.zipWithIndex.flatMap { case (c, i) =>
-      val q = col(s"__q_$c")
-      Seq(min(q).as(s"rmn_$i"), max(q).as(s"rmx_$i"))
+    } yield (i, j)).toArray
+    // ONE narrow pass accumulating every pair's co-moments as EXACT
+    // signed 128-bit integers (two longs + Math.multiplyHigh) — the
+    // r21 rewrite of the old decimal(38) Catalyst aggregate, which
+    // allocated a BigDecimal per term and measured ~4 µs/row; the
+    // two-long adds are allocation-free and bit-identical (an int128
+    // holds any |v| ≤ 2^43-ish column's co-moments past 10^12 rows —
+    // the same envelope as the oracle's HUGEINT and the old decimal
+    // path, enforced by the ±range guard below).
+    // layout per pair: [n, sa.hi, sa.lo, sb.hi, sb.lo, sab.hi, sab.lo,
+    //                   saa.hi, saa.lo, sbb.hi, sbb.lo]
+    val P = 11
+    val nc = cols.length
+    val np = pairs.length
+    val bcPairs = spark.sparkContext.broadcast(pairs)
+    val seqOp = (acc: Array[Long], row: Row) => {
+      // acc = [pair blocks ×P | per-col min | per-col max]
+      val ps = bcPairs.value
+      var p = 0
+      while (p < ps.length) {
+        val (i, j) = ps(p)
+        if (!row.isNullAt(i) && !row.isNullAt(j)) {
+          val a = row.getLong(i)
+          val b = row.getLong(j)
+          val o = p * P
+          acc(o) += 1L
+          // add128(acc, at, hi, lo): two's-complement carry propagation
+          def add128(at: Int, hi: Long, lo: Long): Unit = {
+            val nl = acc(at + 1) + lo
+            acc(at) += hi +
+              (if (java.lang.Long.compareUnsigned(nl, acc(at + 1)) < 0)
+                1L else 0L)
+            acc(at + 1) = nl
+          }
+          add128(o + 1, if (a < 0) -1L else 0L, a)
+          add128(o + 3, if (b < 0) -1L else 0L, b)
+          add128(o + 5, Math.multiplyHigh(a, b), a * b)
+          add128(o + 7, Math.multiplyHigh(a, a), a * a)
+          add128(o + 9, Math.multiplyHigh(b, b), b * b)
+        }
+        p += 1
+      }
+      var c = 0
+      val base = ps.length * P
+      while (c < nc) {
+        if (!row.isNullAt(c)) {
+          val v = row.getLong(c)
+          if (v < acc(base + 2 * c)) acc(base + 2 * c) = v
+          if (v > acc(base + 2 * c + 1)) acc(base + 2 * c + 1) = v
+        }
+        c += 1
+      }
+      acc
     }
-    val aggExprs = rangeExprs ++ pairs.zipWithIndex.flatMap { case ((i, j), p) =>
-      val a = col(s"__q_${cols(i)}")
-      val b = col(s"__q_${cols(j)}")
-      val both = a.isNotNull && b.isNotNull
-      Seq(
-        count(when(both, 1)).as(s"n_$p"),
-        sum(when(both, a)).as(s"sa_$p"),
-        sum(when(both, b)).as(s"sb_$p"),
-        sum(when(both, a * b)).as(s"sab_$p"),
-        sum(when(both, a * a)).as(s"saa_$p"),
-        sum(when(both, b * b)).as(s"sbb_$p"))
+    val combOp = (x: Array[Long], y: Array[Long]) => {
+      var p = 0
+      while (p < np) {
+        val o = p * P
+        x(o) += y(o)
+        var f = 1
+        while (f < P) {
+          val nl = x(o + f + 1) + y(o + f + 1)
+          x(o + f) += y(o + f) +
+            (if (java.lang.Long.compareUnsigned(nl, x(o + f + 1)) < 0)
+              1L else 0L)
+          x(o + f + 1) = nl
+          f += 2
+        }
+        p += 1
+      }
+      val base = np * P
+      var c = 0
+      while (c < nc) {
+        x(base + 2 * c) = math.min(x(base + 2 * c), y(base + 2 * c))
+        x(base + 2 * c + 1) =
+          math.max(x(base + 2 * c + 1), y(base + 2 * c + 1))
+        c += 1
+      }
+      x
     }
-    val r = qdf.agg(aggExprs.head, aggExprs.tail: _*).head()
-    def dec(name: String): BigDecimal =
-      Option(r.getAs[java.math.BigDecimal](name))
-        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    val zero = new Array[Long](np * P + 2 * nc)
+    cols.indices.foreach { c =>
+      zero(np * P + 2 * c) = Long.MaxValue
+      zero(np * P + 2 * c + 1) = Long.MinValue
+    }
+    val acc = qdf.rdd.treeAggregate(zero)(seqOp, combOp, depth = 2)
+    bcPairs.destroy()
     cols.indices.foreach { i =>
-      val mn = dec(s"rmn_$i"); val mx = dec(s"rmx_$i")
-      require(mn > BigDecimal(-MaxAbsQ) && mx < BigDecimal(MaxAbsQ),
-        s"correlations: column ${cols(i)} has fixed-point values " +
-          s"outside ±2^62 (min=$mn max=$mx) — ±Infinity or |v| beyond " +
-          "~4.4e12 would corrupt the exact co-moment sums")
+      val mn = acc(np * P + 2 * i)
+      val mx = acc(np * P + 2 * i + 1)
+      // an entirely-null column leaves the sentinels — nothing to check
+      if (mn != Long.MaxValue)
+        require(mn > -MaxAbsQ && mx < MaxAbsQ,
+          s"correlations: column ${cols(i)} has fixed-point values " +
+            s"outside ±2^62 (min=$mn max=$mx) — ±Infinity or |v| " +
+            "beyond ~4.4e12 would corrupt the exact co-moment sums")
     }
-    val out = pairs.zipWithIndex.map { case ((i, j), p) =>
-      val n = BigDecimal(r.getAs[Long](s"n_$p"))
-      val sa = dec(s"sa_$p"); val sb = dec(s"sb_$p")
-      val num = n * dec(s"sab_$p") - sa * sb
-      val d1 = n * dec(s"saa_$p") - sa * sa
-      val d2 = n * dec(s"sbb_$p") - sb * sb
+    def big128(hi: Long, lo: Long): BigDecimal = BigDecimal(
+      (BigInt(hi) << 64) + BigInt(java.lang.Long.toUnsignedString(lo)))
+    val out = pairs.zipWithIndex.map { case (_, p) =>
+      val o = p * P
+      val n = BigDecimal(acc(o))
+      val sa = big128(acc(o + 1), acc(o + 2))
+      val sb = big128(acc(o + 3), acc(o + 4))
+      val num = n * big128(acc(o + 5), acc(o + 6)) - sa * sb
+      val d1 = n * big128(acc(o + 7), acc(o + 8)) - sa * sa
+      val d2 = n * big128(acc(o + 9), acc(o + 10)) - sb * sb
       val corr =
         if (n == 0 || d1.signum <= 0 || d2.signum <= 0) 0.0
         else BigDecimal(num.toDouble /
           (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble)))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (i, j) = pairs(p)
       Row(cols(i), cols(j), n.toLong, corr)
     }
     spark.createDataFrame(

@@ -1017,14 +1017,18 @@ object TextOps {
    * empty/near-empty lines are legitimately frequent and removing them
    * would reflow every document.
    *
-   * Scale shape: one posexplode scan → one map-side-combined
-   * `groupBy(line).count` shuffle (the boilerplate set) → one anti
-   * join (sort-merge on the line key — the boilerplate set is NOT
-   * assumed broadcastable: at web scale it can be millions of lines)
-   * → one per-doc rebuild group-by. No collect, no all-pairs; skew on
-   * a hyper-frequent line is bounded because the COUNT side combines
-   * map-side and the anti-join PROBE side is the corpus's natural line
-   * distribution.
+   * Scale shape: ONE posexplode scan → ONE shuffle by line + a
+   * per-line window count (all occurrences of a line land in the same
+   * partition, so the corpus-wide count is partition-local there) →
+   * one per-doc rebuild group-by. Before r21 this was a groupBy-count
+   * plus a sort-merge anti join against the count table — the window
+   * shape removes that second full-line exchange AND evaluates the
+   * upstream text expressions once instead of once per join branch
+   * (the count side is derived from the same shuffled rows, not a
+   * re-scan). No collect, no all-pairs, no broadcast assumption (at
+   * web scale the boilerplate set can be millions of lines); skew on
+   * a hyper-frequent line is the same as the old anti-join probe side
+   * — the corpus's natural line distribution.
    *
    * Returns (idCol, text) for EVERY input document — a fully-
    * boilerplate document comes back as the empty string, preserving
@@ -1036,12 +1040,17 @@ object TextOps {
     require(minLineLen >= 0, s"minLineLen must be >= 0: $minLineLen")
     val lines = df.select(col(idCol),
       posexplode(split(nz(col(textCol)), "\n")).as(Seq("idx", "line")))
-    val boiler = lines
-      .filter(length(col("line")) >= minLineLen)
-      .groupBy("line").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minRepeats)
-      .select("line")
-    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    // corpus-wide occurrence count per exact line string: filtering on
+    // length commutes with the count (all occurrences of a line share
+    // its length), so counting every occurrence and gating the REMOVAL
+    // on length is equivalent to the old filter-then-count-then-anti
+    // shape while needing no second pass over the lines
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("line")
+    val kept = lines
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(length(col("line")) < minLineLen ||
+        col("__cnt") < minRepeats)
+      .drop("__cnt")
     val rebuilt = kept.groupBy(idCol)
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("idx"), col("line")))),

@@ -20,40 +20,50 @@ object Probe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    // warm
-    graft.ops.Profiler.profile(df, cols, Seq(25, 50, 75, 95))
-      .write.format("noop").mode("overwrite").save()
-    (1 to 3).foreach { i =>
-      t(s"profile run $i") {
-        graft.ops.Profiler.profile(df, cols, Seq(25, 50, 75, 95))
-          .write.format("noop").mode("overwrite").save()
-      }
+    // mirror Profiler.correlations' aggregate
+    val qCols = cols.map(c => {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null))
+        .otherwise(floor(d * 1048576.0 + 0.5).cast("long"))
+        .cast("decimal(19,0)").as(s"__q_$c")
+    })
+    val qdf = df.select(qCols: _*)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (i, j)
+    val aggExprs = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
+      val a = col(s"__q_${cols(i)}")
+      val b = col(s"__q_${cols(j)}")
+      val both = a.isNotNull && b.isNotNull
+      Seq(count(when(both, 1)).as(s"n_$p"),
+        sum(when(both, a)).as(s"sa_$p"),
+        sum(when(both, b)).as(s"sb_$p"),
+        sum(when(both, a * b)).as(s"sab_$p"),
+        sum(when(both, a * a)).as(s"saa_$p"),
+        sum(when(both, b * b)).as(s"sbb_$p"))
     }
-    val qdf = df.selectExpr(cols.map(c =>
-      s"cast(floor(cast($c as double) * 1048576.0 + 0.5) as long) as __q_$c"): _*)
-    (1 to 2).foreach { i =>
-      t(s"persist+count $i") {
-        val p = qdf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count()
-        t(s"agg $i") {
-          val aggExprs = count(lit(1)).as("total") +:
-            cols.zipWithIndex.flatMap { case (c, j) =>
-              val q = col(s"__q_$c")
-              Seq(count(q).as(s"n_$j"), min(q).as(s"mn_$j"),
-                max(q).as(s"mx_$j"),
-                sum(q.cast("decimal(38,0)")).as(s"sm_$j"))
-            }
-          p.agg(aggExprs.head, aggExprs.tail: _*).head()
-        }
-        t(s"rdd pass $i") {
-          p.rdd.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).count()
-        }
-        t(s"rdd repart pass $i") {
-          p.rdd.repartition(32).map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).count()
-        }
-        p.unpersist(blocking = true)
-      }
+    val agg = qdf.agg(aggExprs.head, aggExprs.tail: _*)
+    println(agg.queryExecution.executedPlan.toString.take(2000))
+    (1 to 3).foreach { i => t(s"corr agg $i") { agg.head() } }
+    // long-based variant for comparison (NOT exact at scale, probe only)
+    val lCols = cols.map(c => {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null))
+        .otherwise(floor(d * 1048576.0 + 0.5).cast("long")).as(s"__q_$c")
+    })
+    val ldf = df.select(lCols: _*)
+    val aggL = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
+      val a = col(s"__q_${cols(i)}")
+      val b = col(s"__q_${cols(j)}")
+      val both = a.isNotNull && b.isNotNull
+      Seq(count(when(both, 1)).as(s"n_$p"),
+        sum(when(both, a)).as(s"sa_$p"),
+        sum(when(both, b)).as(s"sb_$p"),
+        sum(when(both, (a * b).cast("decimal(38,0)"))).as(s"sab_$p"),
+        sum(when(both, (a * a).cast("decimal(38,0)"))).as(s"saa_$p"),
+        sum(when(both, (b * b).cast("decimal(38,0)"))).as(s"sbb_$p"))
     }
+    val agg2 = ldf.agg(aggL.head, aggL.tail: _*)
+    (1 to 3).foreach { i => t(s"corr agg long-in $i") { agg2.head() } }
     spark.stop()
   }
 }
