@@ -32,5 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs all N executor threads inside this one JVM, so the
+  // heap serves 32 concurrent tasks plus the driver; 8g showed full-
+  // suite GC stalls (isolated-query times 2-10x lower than the same
+  // query mid-suite, r21 measurements). 16g on a 128 GiB box is still
+  // conservative; override via SPARK_DRIVER_MEM either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -42,11 +42,16 @@ object BenchProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b = if (sys.env.contains("GRAFT_AQE_SIZE"))
+      b0.config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+          "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    else b0
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val log = new JobLog
     spark.sparkContext.addSparkListener(log)

@@ -31,7 +31,15 @@ object SparkEntry {
   private def scratchDir(prefix: String, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val pid = ProcessHandle.current().pid()
-    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${safe}_$pid"
+    // Round-trip scratch is written and re-read within one query and
+    // never kept — put it on tmpfs when the box has one (guide §6:
+    // scratch belongs on the fastest local medium; the sink code path
+    // under test is identical). Production sinks take explicit
+    // durable paths.
+    val root =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    s"$root/${prefix}_${safe}_$pid"
   }
 
   /** Double-array view of a float-vector column (keeps the dot product

@@ -652,7 +652,7 @@ object Dedup {
     * Catalyst transform/slice/hash lambda chain is interpreted — not
     * codegen'd — and ~30× slower on long documents). Ascending order
     * doubles as the global prefix-filter order. */
-  private def wordGramHashes(n: Int) = udf { s: String =>
+  private[graft] def wordGramHashes(n: Int) = udf { s: String =>
     if (s == null) Array.empty[Int]
     else {
       val toks = s.toLowerCase(java.util.Locale.ROOT)
@@ -821,11 +821,11 @@ object Dedup {
    * each duplicated run.
    *
    * Scale shape: one narrow pass emits (gramHash, doc, pos) — O(tokens)
-   * 16-byte rows; ONE shuffle aggregates count + canonical-min per hash
-   * (map-side combinable — a boilerplate gram with 10⁶ occurrences
-   * never collects a list); duplicate positions (the sliver) shuffle
-   * back by doc for a bounded per-doc interval merge. No corpus-wide
-   * windows, no suffix array.
+   * 16-byte rows; ONE shuffle by hash computes count + canonical-min
+   * per hash as window functions (no occurrence lists are ever
+   * collected — both are streaming aggregates over the partition);
+   * duplicate positions (the sliver) shuffle back by doc for a bounded
+   * per-doc interval merge. No corpus-wide windows, no suffix array.
    */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
@@ -840,10 +840,18 @@ object Dedup {
         sequence(lit(0), size(col("toks")) - k),
         i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    val stats = g.groupBy("h")
-      .agg(count(lit(1)).as("n"),
-        min(struct(col("id"), col("pos"))).as("first"))
-    val dup = g.join(stats, "h")
+    // count + canonical-min per hash as WINDOW functions over one
+    // shuffle by h (r21): the old groupBy(h) + join(g, stats) shape
+    // shuffled the gram rows by h twice AND evaluated the positional
+    // gram-hash expression chain into both exchanges; the window keeps
+    // the identical per-hash semantics (occurrence count, lexicographic
+    // first (id, pos)) with one evaluation and one exchange. Skew on a
+    // boilerplate gram is unchanged — the join probe side already
+    // funneled every occurrence of a hash into one partition.
+    val wh = Window.partitionBy("h")
+    val dup = g
+      .withColumn("n", count(lit(1)).over(wh))
+      .withColumn("first", min(struct(col("id"), col("pos"))).over(wh))
       .filter(col("n") > 1 &&
         !(col("id") === col("first.id") && col("pos") === col("first.pos")))
       .select(col("id"), col("pos"))

@@ -18,52 +18,40 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/lineitem.parquet")
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    // mirror Profiler.correlations' aggregate
-    val qCols = cols.map(c => {
-      val d = col(c).cast("double")
-      when(isnan(d), lit(null))
-        .otherwise(floor(d * 1048576.0 + 0.5).cast("long"))
-        .cast("decimal(19,0)").as(s"__q_$c")
-    })
-    val qdf = df.select(qCols: _*)
-    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
-      yield (i, j)
-    val aggExprs = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
-      val a = col(s"__q_${cols(i)}")
-      val b = col(s"__q_${cols(j)}")
-      val both = a.isNotNull && b.isNotNull
-      Seq(count(when(both, 1)).as(s"n_$p"),
-        sum(when(both, a)).as(s"sa_$p"),
-        sum(when(both, b)).as(s"sb_$p"),
-        sum(when(both, a * b)).as(s"sab_$p"),
-        sum(when(both, a * a)).as(s"saa_$p"),
-        sum(when(both, b * b)).as(s"sbb_$p"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // warm
+    graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+      .write.format("noop").mode("overwrite").save()
+    (1 to 3).foreach { i =>
+      t(s"ngramJaccard $i") {
+        graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
-    val agg = qdf.agg(aggExprs.head, aggExprs.tail: _*)
-    println(agg.queryExecution.executedPlan.toString.take(2000))
-    (1 to 3).foreach { i => t(s"corr agg $i") { agg.head() } }
-    // long-based variant for comparison (NOT exact at scale, probe only)
-    val lCols = cols.map(c => {
-      val d = col(c).cast("double")
-      when(isnan(d), lit(null))
-        .otherwise(floor(d * 1048576.0 + 0.5).cast("long")).as(s"__q_$c")
-    })
-    val ldf = df.select(lCols: _*)
-    val aggL = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
-      val a = col(s"__q_${cols(i)}")
-      val b = col(s"__q_${cols(j)}")
-      val both = a.isNotNull && b.isNotNull
-      Seq(count(when(both, 1)).as(s"n_$p"),
-        sum(when(both, a)).as(s"sa_$p"),
-        sum(when(both, b)).as(s"sb_$p"),
-        sum(when(both, (a * b).cast("decimal(38,0)"))).as(s"sab_$p"),
-        sum(when(both, (a * a).cast("decimal(38,0)"))).as(s"saa_$p"),
-        sum(when(both, (b * b).cast("decimal(38,0)"))).as(s"sbb_$p"))
+    t("components on ngram pairs") {
+      val pairs = graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text",
+        3, 0.8)
+      graft.ops.Dedup.components(pairs, "keep_id", "dup_id")
+        .write.format("noop").mode("overwrite").save()
     }
-    val agg2 = ldf.agg(aggL.head, aggL.tail: _*)
-    (1 to 3).foreach { i => t(s"corr agg long-in $i") { agg2.head() } }
+    // phase split: grams persist+force, posting agg, rest
+    val grams = docs.select(col("doc_id").cast("long").as("id"),
+      graft.ops.Dedup.wordGramHashes(3)(col("text")).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("grams force") { grams.count() }
+    t("grams count again") { grams.count() }
+    val prefixLen = (size(col("grams")).cast("double") * 0.2)
+      .cast("int") + 1
+    val posting = grams.select(
+      (col("id") * 1048576 + least(size(col("grams")), lit(1048575)))
+        .as("pid"),
+      explode(slice(col("grams"), lit(1), prefixLen)).as("gram"))
+    t("posting groupBy count") {
+      posting.groupBy("gram").agg(count(lit(1)).as("n"))
+        .agg(sum("n")).head()
+    }
+    grams.unpersist(blocking = true)
     spark.stop()
   }
 }
