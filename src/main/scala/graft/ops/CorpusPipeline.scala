@@ -416,7 +416,12 @@ object CorpusPipeline {
     // instead of being sort-merge-shuffled by id (pinned in
     // PlanAuditSpec — this is what makes the no-corpus-reshuffle claim
     // above literally true in the physical plan)
-    val tagged = split.join(broadcast(comps), "id")
+    // the inner join keeps only pair members, so `tagged` is tiny —
+    // but it is read TWICE (the leaky-cluster aggregate and the final
+    // join), and each read re-ran the full corpus-projection scan
+    // under it. Materialize it once (r21): one corpus scan instead of
+    // two; the checkpointed rows are KBs by the audit's premise.
+    val tagged = split.join(broadcast(comps), "id").localCheckpoint(true)
     val leaky = tagged.groupBy("comp")
       .agg(countDistinct("split").as("n_splits"))
       .filter(col("n_splits") > 1)
