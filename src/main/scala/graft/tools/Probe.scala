@@ -18,40 +18,69 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val events = spark.read.parquet(s"$dir/events.parquet")
     // warm
-    graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+    graft.streaming.StreamPipeline.replaySessions(
+      events, "user_id", "ts", "event_id", "value", gapSec = 21600)
       .write.format("noop").mode("overwrite").save()
     (1 to 3).foreach { i =>
-      t(s"ngramJaccard $i") {
-        graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+      t(s"replaySessions $i") {
+        graft.streaming.StreamPipeline.replaySessions(
+          events, "user_id", "ts", "event_id", "value", gapSec = 21600)
           .write.format("noop").mode("overwrite").save()
       }
     }
-    t("components on ngram pairs") {
-      val pairs = graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text",
-        3, 0.8)
-      graft.ops.Dedup.components(pairs, "keep_id", "dup_id")
-        .write.format("noop").mode("overwrite").save()
+    // manual phase split of the same replay
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val micros = floor(graft.ops.Sessions.asNanos(events, "ts")
+      .cast("decimal(38,0)") / lit(1000L)).cast("long")
+    val rows = t("collect") {
+      events.select(col("user_id").cast("long"), micros.as("us"),
+          col("value").cast("double"), col("event_id").cast("long"))
+        .as[(Long, Long, Double, Long)].collect()
+        .sortBy(r => (r._2, r._4))
     }
-    // phase split: grams persist+force, posting agg, rest
-    val grams = docs.select(col("doc_id").cast("long").as("id"),
-      graft.ops.Dedup.wordGramHashes(3)(col("text")).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    t("grams force") { grams.count() }
-    t("grams count again") { grams.count() }
-    val prefixLen = (size(col("grams")).cast("double") * 0.2)
-      .cast("int") + 1
-    val posting = grams.select(
-      (col("id") * 1048576 + least(size(col("grams")), lit(1048575)))
-        .as("pid"),
-      explode(slice(col("grams"), lit(1), prefixLen)).as("gram"))
-    t("posting groupBy count") {
-      posting.groupBy("gram").agg(count(lit(1)).as("n"))
-        .agg(sum("n")).head()
+    def mkTs(us: Long) = {
+      val ts = new java.sql.Timestamp((us / 1000000L) * 1000L)
+      ts.setNanos(((us % 1000000L) * 1000L).toInt); ts
     }
-    grams.unpersist(blocking = true)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = graft.streaming.StreamPipeline.sessionStream(
+      in.toDF().toDF("user_id", "ts", "value"), "user_id", "ts",
+      21600, "10 minutes", "value")
+    val q = t("start") {
+      sessions.writeStream.format("memory").queryName("probe_sess")
+        .option("checkpointLocation", "/dev/shm/graft_probe_ck")
+        .outputMode("append").start()
+    }
+    val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
+    rows.grouped(per).zipWithIndex.foreach { case (b, i) =>
+      t(s"batch $i") {
+        in.addData(b.toSeq.map { case (u, us, v, _) => (u, mkTs(us), v) })
+        q.processAllAvailable()
+      }
+    }
+    val maxUs = rows.last._2
+    (0 to 1).foreach { i =>
+      t(s"flush $i") {
+        in.addData(Seq((-1L,
+          mkTs(maxUs + (21600L + 1200L) * 1000000L * (i + 1)), 0.0)))
+        q.processAllAvailable()
+      }
+    }
+    t("read+stop") {
+      s2.table("probe_sess").filter(col("user_id") =!= -1L)
+        .orderBy("user_id", "start_us").localCheckpoint(true)
+      q.stop()
+    }
+    def rm(f: java.io.File): Unit = {
+      val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete()
+    }
+    rm(new java.io.File("/dev/shm/graft_probe_ck"))
     spark.stop()
   }
 }

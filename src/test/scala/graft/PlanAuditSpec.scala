@@ -77,15 +77,20 @@ class PlanAuditSpec extends SparkTestBase {
     // a sort-merge join here would shuffle the 2-column projection of
     // the WHOLE corpus by id; broadcasting the (pair-member-sized)
     // component set keeps the corpus side streaming (judge r17).
-    // Three broadcast joins, not two: the leaky-cluster branch
-    // recomputes the tagged subtree (a second narrow one-column scan —
-    // cheap), and ALL of them must stay broadcast
+    // Since r21 the tagged pair-member set is materialized ONCE (an
+    // eager localCheckpoint — one corpus scan total instead of the
+    // leaky-cluster branch re-running the projection), so the audited
+    // plan is the tail only: checkpointed member rows (Scan
+    // ExistingRDD) joined against the broadcast leaky-cluster list
     assert(!p.contains("SortMergeJoin"), p)
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
     // the only hash exchanges are the member-sized cluster aggregates
     // (keyed by comp) — never an id-keyed reshuffle of the corpus
     assert(!"Exchange hashpartitioning\\(id#".r.findFirstIn(p).isDefined,
       p)
+    // the corpus never reaches the audited tail at all — no file scan
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"), p)
   }
 
   test("pp_decontam: the eval gram set broadcasts — the corpus is " +
