@@ -1099,7 +1099,7 @@ object SparkEntry {
       require(broken == 0L,
         s"tx_unigram_encode: $broken document(s) failed the " +
           "lossless/optimality pin — encoder or score table is broken")
-      Unigram.unigramTokens(docs, "doc_id", "text",
+      Unigram.unigramTokens(docs, "text",
           Unigram.UnigramModel(UnigramFixedPieces))
         .select(col("doc_id"),
           size(col("uni_seq")).cast("long").as("uni_pieces"),

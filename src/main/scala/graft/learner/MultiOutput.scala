@@ -83,7 +83,13 @@ object MultiOutput {
       * materializes), so the whole single-output model surface —
       * codegen [[graft.functions.EnsembleScore]] predict, SHAP,
       * treesToDataFrame, xgboost-JSON export — works on a slice
-      * unchanged. */
+      * unchanged. Caveat (advice r20): `gain` and `cover` are shared
+      * TREE-LEVEL arrays — summed-over-targets gain, mean-across-
+      * targets cover — not per-target quantities, so gain-based
+      * feature importance and TreeSHAP background weights computed on
+      * a slice are joint-tree values; for non-constant-hessian
+      * objectives (e.g. binary:logistic) treat them as approximate
+      * per-target attributions. PREDICTIONS on a slice are exact. */
     def slice(j: Int): RegTree = {
       require(j >= 0 && j < k, s"output $j out of range [0,$k)")
       val v = new Array[Float](numNodes)

@@ -244,7 +244,12 @@ object Similarity {
       // ONE materialized brute-force pass shared by every method
       val exact = cache(bruteForceTopK(corpus, sampled, idCol, vecCol,
         queryIdCol, k).select(col(queryIdCol), col("id")))
-      exact.count()
+      // empty corpus ⇒ zero exact rows ⇒ the per-method left-join
+      // aggregate returns null avg/min and getDouble NPEs opaquely —
+      // fail with a diagnosis instead (advice r20)
+      require(exact.count() > 0,
+        "recallCheck: corpus side is empty — no exact top-k to score " +
+          "recall against")
       val exactN = cache(exact.groupBy(queryIdCol)
         .agg(count(lit(1)).as("__n")))
       exactN.count()

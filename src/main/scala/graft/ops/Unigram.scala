@@ -190,13 +190,16 @@ object Unigram {
   }
 
   /**
-   * Encode a corpus under a trained [[UnigramModel]], appending
-   * `uni_pieces` (BIGINT piece count) and `uni_text` (the space-joined
-   * piece sequence, word pieces in word order) — the [[TextOps
-   * .bpeTokens]] shape for the unigram family. Broadcast table,
-   * per-task word memo, zero shuffle, one scan.
+   * Encode a corpus under a trained [[UnigramModel]], appending one
+   * `uni_seq` column — the per-document piece sequence as an array of
+   * strings (word pieces in word order); callers derive counts /
+   * joined-text views from it (SparkEntry's `tx_unigram_encode` does
+   * exactly that). Broadcast table, per-task word memo, zero shuffle,
+   * one scan. (Scaladoc corrected per advice r20 — the old text
+   * promised `uni_pieces`/`uni_text` columns this function never
+   * emitted, and carried an unused id parameter.)
    */
-  def unigramTokens(df: DataFrame, idCol: String, textCol: String,
+  def unigramTokens(df: DataFrame, textCol: String,
       model: UnigramModel): DataFrame =
     df.withColumn("uni_seq",
       TextOps.seqEncoderUdf(model.encode)(col(textCol)))

@@ -56,7 +56,7 @@ class UnigramSpec extends SparkTestBase {
     }.toDF("doc_id", "text")
     val m = Unigram.trainUnigram(docs, "text", vocabSize = 20,
       maxWords = 100)
-    val enc = Unigram.unigramTokens(docs, "doc_id", "text", m)
+    val enc = Unigram.unigramTokens(docs, "text", m)
       .select(col("doc_id"), col("uni_seq"))
       .collect()
     enc.foreach { r =>

@@ -67,8 +67,12 @@ class FileStreamSpec extends SparkTestBase {
         val scratch = s"$root/stage_$i"
         b.toDF("doc_id", "ts", "text").coalesce(1)
           .write.parquet(scratch)
-        val part = Files.list(Paths.get(scratch)).toArray
-          .map(_.toString).filter(_.endsWith(".parquet"))
+        // Files.list holds an open directory handle — close it (advice
+        // r20: one leaked fd per staged batch otherwise)
+        val listing = Files.list(Paths.get(scratch))
+        val part =
+          try listing.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+          finally listing.close()
         assert(part.length == 1, s"expected 1 part file, got ${part.toSeq}")
         Files.move(Paths.get(part.head),
           Paths.get(s"$watch/batch_$i.parquet"),
