@@ -824,6 +824,13 @@ object StreamPipeline {
       : org.apache.spark.sql.SparkSession = {
     val s = df.sparkSession.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // newSession() resets runtime conf to the context defaults, which
+    // would silently drop a caller-chosen state-store provider (the
+    // 100 TB deployment runs RocksDB; RocksDbStateSpec pins that the
+    // finals are provider-independent) — carry it over when set
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    df.sparkSession.conf.getOption(providerKey)
+      .foreach(v => s.conf.set(providerKey, v))
     s
   }
 
