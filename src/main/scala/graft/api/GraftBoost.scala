@@ -59,7 +59,8 @@ object GraftBoost {
     // the margin chain advances past them, exactly the pre-BinnedMatrix
     // lifecycle
     val res = Trainer.boost(data.blocks, evalRdds, data.bins, p2,
-      callbacks, initModel, Some(df.sparkSession), distributedCallbacks)
+      callbacks, initModel, Some(df.sparkSession), distributedCallbacks,
+      knownRows = data.knownRows)
     attachNames(res, data.featureNames)
   }
 
@@ -92,13 +93,18 @@ object GraftBoost {
       private[api] val maxBins: Int,
       private[api] val seed: Long,
       private[api] val forTraining: Boolean,
-      private[api] val loadCallbacks: Seq[DistributedCallback]) {
+      private[api] val loadCallbacks: Seq[DistributedCallback],
+      private[api] val knownRows: Long = -1L) {
 
     def numFeatures: Int = bins.numFeatures
 
-    /** Exact row count (cheap block-count sum over the cache). */
-    lazy val numRows: Long = blocks.mapPartitions(it =>
-      Iterator.single(it.foldLeft(0L)(_ + _.n))).fold(0L)(_ + _)
+    /** Exact row count — the count the materialization already took
+      * (prepare/pack drop no rows) or, for handles built without one,
+      * a cheap block-count sum over the cache. */
+    lazy val numRows: Long =
+      if (knownRows >= 0L) knownRows
+      else blocks.mapPartitions(it =>
+        Iterator.single(it.foldLeft(0L)(_ + _.n))).fold(0L)(_ + _)
 
     /** Train against the materialized blocks. Eval sets are other
       * matrices bound to THIS matrix's bins ([[materializeEval]]); pass
@@ -184,7 +190,8 @@ object GraftBoost {
       val bins = Binner.fit(
         fblocks.flatMap(fb => (0 until fb.n).iterator.map(fb.featureRow)),
         totalRows, params.maxBins,
-        seed = params.seed + 42, catFeatures = catFlags)
+        seed = params.seed + 42, catFeatures = catFlags,
+        knownWidth = spec.featureWidth(df))
       val blocks = fromFloat(fblocks, bins, obj)
         .persist(params.storageLevel)
       blocks.foreachPartition(_ => ()) // materialize bytes, drop floats
@@ -193,7 +200,8 @@ object GraftBoost {
       return new BinnedMatrix(blocks, bins, catFlags, names,
         spec.featureWeights, df.sparkSession, obj.name, obj.numOutputs,
         params.baseScore, params.maxBins, params.seed,
-        forTraining = true, loadCallbacks = distributedCallbacks)
+        forTraining = true, loadCallbacks = distributedCallbacks,
+        knownRows = totalRows)
     }
     val nondetPlan = df.queryExecution.analyzed.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
@@ -207,7 +215,8 @@ object GraftBoost {
       else prepared0
     val totalRows = if (cachePrepared) prepared.count() else df.count()
     val bins = Binner.fit(prepared.map(_._1), totalRows, params.maxBins,
-      seed = params.seed + 42, catFeatures = catFlags)
+      seed = params.seed + 42, catFeatures = catFlags,
+      knownWidth = spec.featureWidth(df))
     val blocks = toBinned(prepared, bins, obj, params.baseScore)
       .persist(params.storageLevel)
     blocks.foreachPartition(_ => ()) // materialize bytes, drop floats
@@ -216,7 +225,7 @@ object GraftBoost {
     new BinnedMatrix(blocks, bins, catFlags, names, spec.featureWeights,
       df.sparkSession, obj.name, obj.numOutputs, params.baseScore,
       params.maxBins, params.seed, forTraining = true,
-      loadCallbacks = distributedCallbacks)
+      loadCallbacks = distributedCallbacks, knownRows = totalRows)
   }
 
   /** Materialize an EVAL set against an existing training matrix's
@@ -299,7 +308,7 @@ object GraftBoost {
       params.featureWeights.orElse(data.specFeatureWeights))
     val res = Trainer.boost(data.blocks, evalRdds, data.bins, p2,
       callbacks, initModel, Some(data.session), distributedCallbacks,
-      releaseInputs = false)
+      releaseInputs = false, knownRows = data.knownRows)
     attachNames(res, data.featureNames)
   }
 
@@ -409,7 +418,8 @@ object GraftBoost {
     val multiRows = prepareMulti(df, spec, numWorkers)
     val totalRows = df.count()
     val bins = Binner.fit(multiRows.map(_._1), totalRows, params.maxBins,
-      seed = params.seed + 42, catFeatures = catFlags)
+      seed = params.seed + 42, catFeatures = catFlags,
+      knownWidth = spec.featureWidth(df))
     val composite = multiRows.mapPartitions({ it0 =>
       val it = it0.buffered
       val nf = bins.numFeatures
@@ -463,7 +473,8 @@ object GraftBoost {
         val p2 = params.copy(featureWeights =
           params.featureWeights.orElse(spec.featureWeights))
         val res = Trainer.boost(blocks, evalRdds, bins, p2,
-          Nil, None, Some(df.sparkSession), Nil)
+          Nil, None, Some(df.sparkSession), Nil,
+          knownRows = totalRows)
         (l, attachNames(res, names))
       })
     } finally composite.unpersist(blocking = false)
@@ -539,7 +550,8 @@ object GraftBoost {
     val multiRows = prepareMulti(df, spec, numWorkers)
     val totalRows = df.count()
     val bins = Binner.fit(multiRows.map(_._1), totalRows,
-      params.maxBins, seed = params.seed + 42, catFeatures = catFlags)
+      params.maxBins, seed = params.seed + 42, catFeatures = catFlags,
+      knownWidth = spec.featureWidth(df))
     val blocks = multiRows.mapPartitions({ it0 =>
       val it = it0.buffered
       val nf = bins.numFeatures

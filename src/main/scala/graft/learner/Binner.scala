@@ -105,7 +105,8 @@ object Binner {
    */
   def fit(rows: RDD[Array[Float]], totalRows: Long, maxBins: Int = 256,
       maxSampleRows: Int = 200000, seed: Long = 42L,
-      catFeatures: Array[Boolean] = Array.empty): Bins = {
+      catFeatures: Array[Boolean] = Array.empty,
+      knownWidth: Option[Int] = None): Bins = {
     require(maxBins >= 2 && maxBins <= 256, s"maxBins in [2,256]: $maxBins")
     val nCuts = math.min(maxBins - 1, MaxCuts)
     if (totalRows <= maxSampleRows)
@@ -117,7 +118,12 @@ object Binner {
       // scans all rows once; its cat accumulator is exact.
       fitSketch(rows, nCuts, catFeatures)
     else {
-      val nf = rows.first().length
+      // feature width: statically known for per-column assembly
+      // (DMatrixSpec.featureWidth) — the rows.first() job is only for
+      // pre-assembled vector columns whose width is a runtime property.
+      // The width does not change the sample (fraction/seed identical),
+      // so cuts are bit-identical either way.
+      val nf = knownWidth.getOrElse(rows.first().length)
       // collect a seeded sample only while its cell volume stays small
       // (narrow tables); wide tables take the sketch (driver traffic
       // independent of both row count and sample width)
@@ -128,8 +134,8 @@ object Binner {
           math.min(1.0, targetRows.toDouble / totalRows * 1.1), seed)
           .collect()
         if (sample.nonEmpty) fitExact(sample, nCuts, catFeatures)
-        else fitSketch(rows, nCuts, catFeatures)
-      } else fitSketch(rows, nCuts, catFeatures)
+        else fitSketch(rows, nCuts, catFeatures, knownWidth)
+      } else fitSketch(rows, nCuts, catFeatures, knownWidth)
     }
   }
 
@@ -187,9 +193,10 @@ object Binner {
     * instead of a quantile sketch — identity binning needs only the
     * top code plus the integrality check. */
   private def fitSketch(rows: RDD[Array[Float]], nCuts: Int,
-      catFeatures: Array[Boolean] = Array.empty): Bins = {
+      catFeatures: Array[Boolean] = Array.empty,
+      knownWidth: Option[Int] = None): Bins = {
     import org.apache.spark.sql.catalyst.util.QuantileSummaries
-    val numFeatures = rows.first().length
+    val numFeatures = knownWidth.getOrElse(rows.first().length)
     val relErr = math.min(0.25 / (nCuts + 1), 0.001)
     val catF = catFeatures
     val zero = (

@@ -1378,7 +1378,8 @@ object Trainer {
       initModel: Option[GraftModel] = None,
       spark: Option[org.apache.spark.sql.SparkSession] = None,
       distributedCallbacks: Seq[DistributedCallback] = Nil,
-      releaseInputs: Boolean = true)
+      releaseInputs: Boolean = true,
+      knownRows: Long = -1L)
       : TrainResult = {
     val inputSet = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[RDD[TrainBlock], java.lang.Boolean]())
@@ -1414,7 +1415,7 @@ object Trainer {
       s"unknown processType '${p.processType}' (default | update)")
     if (p.processType == "update")
       return refreshModel(train, evals, bins, p, obj, initModel,
-        releaseInputs)
+        releaseInputs, knownRows)
     val dart = p.booster == "dart"
     if (dart) {
       require(p.rateDrop >= 0.0 && p.rateDrop <= 1.0,
@@ -1520,7 +1521,12 @@ object Trainer {
       release(base)
       data = upd
     }
-    val totalN = countRows(data) // A3 total_n (main.py:1333-1335)
+    // A3 total_n (main.py:1333-1335). The caller usually already
+    // counted the input (GraftBoost.train's strategy count / the fused
+    // path's block fold) — reuse that EXACT value instead of paying one
+    // more full-cache job per train (prepare/pack drop no rows, so the
+    // two counts are the same number by construction).
+    val totalN = if (knownRows >= 0L) knownRows else countRows(data)
 
     // C8 beforeTrain: one lightweight job over the cached partitions
     if (distributedCallbacks.nonEmpty) {
@@ -2029,7 +2035,8 @@ object Trainer {
       p: TrainParams,
       obj: Objective,
       initModel: Option[GraftModel],
-      releaseInputs: Boolean = true): TrainResult = {
+      releaseInputs: Boolean = true,
+      knownRows: Long = -1L): TrainResult = {
     def release(r: RDD[TrainBlock]): Unit =
       if (releaseInputs || !(r eq train)) r.unpersist(blocking = false)
     val k = obj.numOutputs
@@ -2079,7 +2086,7 @@ object Trainer {
       if (train.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
         train.persist(p.storageLevel)
       else train
-    val totalN = countRows(data)
+    val totalN = if (knownRows >= 0L) knownRows else countRows(data)
     val outTrees = m.trees.clone()
     var prevData: Option[RDD[TrainBlock]] = None
     // margin-advance broadcasts stay referenced by every LATER round's
