@@ -757,25 +757,37 @@ object Dedup {
       bridge.expression(col("pid")), maxPosting).toAggregateExpression())
     val agg = posting.groupBy("gram").agg(cc.as("cc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    agg.count()
+    // materialize the cache (full-scan aggregate, exactly what count()
+    // did) AND learn the worst posting size in the same job: when no
+    // gram is oversized — every gram at bench/typical thresholds, and
+    // knowable here for free — the whole oversized branch (a second
+    // posting explode over the gram cache, a broadcast, a block-pair
+    // groupBy: ~2 jobs + 3 exchanges) is provably empty and is skipped
+    // outright instead of executed against zero rows. Oversized grams
+    // take the identical block-pair path as before.
+    val maxPostRow = agg.agg(max(col("cc.total"))).head()
+    val maxPost = if (maxPostRow.isNullAt(0)) 0L else maxPostRow.getLong(0)
     val smallPairs = agg.filter(col("cc.total") <= maxPosting)
       .select(explode(pairUdf(lit(0), lit(0), col("cc.ids"),
         typedLit(Seq.empty[Long]))).as("p"))
-    val oversized = agg.filter(col("cc.total") > maxPosting)
-      .withColumn("__nb",
-        ceil(col("cc.total").cast("double") / maxPosting).cast("int"))
-      .select("gram", "__nb")
-    val bigPairs = posting
-      .join(broadcast(oversized), Seq("gram"))
-      .withColumn("__blk", pmod(hash(col("pid")), col("__nb")))
-      .select(col("gram"), col("pid"),
-        explode(blockPairs(col("__blk"), col("__nb"))).as("bp"))
-      .groupBy(col("gram"), col("bp._1").as("bi"), col("bp._2").as("bj"))
-      .agg(collect_list(when(col("bp._3") === 0, col("pid"))).as("ia"),
-        collect_list(when(col("bp._3") === 1, col("pid"))).as("ib"))
-      .select(explode(
-        pairUdf(col("bi"), col("bj"), col("ia"), col("ib"))).as("p"))
-    val candidates = smallPairs.unionByName(bigPairs)
+    val allPairs = if (maxPost <= maxPosting) smallPairs else {
+      val oversized = agg.filter(col("cc.total") > maxPosting)
+        .withColumn("__nb",
+          ceil(col("cc.total").cast("double") / maxPosting).cast("int"))
+        .select("gram", "__nb")
+      val bigPairs = posting
+        .join(broadcast(oversized), Seq("gram"))
+        .withColumn("__blk", pmod(hash(col("pid")), col("__nb")))
+        .select(col("gram"), col("pid"),
+          explode(blockPairs(col("__blk"), col("__nb"))).as("bp"))
+        .groupBy(col("gram"), col("bp._1").as("bi"), col("bp._2").as("bj"))
+        .agg(collect_list(when(col("bp._3") === 0, col("pid"))).as("ia"),
+          collect_list(when(col("bp._3") === 1, col("pid"))).as("ib"))
+        .select(explode(
+          pairUdf(col("bi"), col("bj"), col("ia"), col("ib"))).as("p"))
+      smallPairs.unionByName(bigPairs)
+    }
+    val candidates = allPairs
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
     // exact verification on the full gram sets (sorted int arrays)
@@ -935,17 +947,30 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // cache + force the incoming pairs: both union legs of the edge
     // build read them, and the caller's pair pipeline (LSH, posting
-    // lists...) is far too expensive to execute twice
-    val p = pairs.persist(lvl)
-    p.count()
+    // lists...) is far too expensive to execute twice. EXCEPT when the
+    // caller hands a plan that is already a materialized RDD (the
+    // ngramJaccard/simhashDups outputs are eager localCheckpoints —
+    // their analyzed plan is a bare LogicalRDD): re-reading those is
+    // free, so the extra persist + count job would only duplicate them.
+    val preMat = pairs.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val p = if (preMat) pairs else pairs.persist(lvl)
+    if (!preMat) p.count()
+    // edges are re-joined by src EVERY iteration: hash-partition them
+    // by src BEFORE caching so the cached relation's partitioning
+    // satisfies the per-iteration join requirement and the edge side
+    // never re-exchanges (guide §2.4 — establish the partitioning
+    // once). min-label propagation is order-free, so the layout change
+    // cannot affect results.
     val edges = p.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .union(p.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(lvl)
     edges.count()
-    p.unpersist(blocking = false)
+    if (!preMat) p.unpersist(blocking = false)
     // localCheckpoint per iteration RESETS the logical plan (LogicalRDD)
     // — without it each round nests the previous round's plan and the
     // tree grows exponentially with iterations (OOM by ~iteration 12).
