@@ -188,7 +188,12 @@ object Profiler {
       // projection measured ~10× that (row serialization dominates —
       // probed r21). At real scale the scan arrives in many partitions
       // anyway; counts are order-free sums, partitioning-invariant.
-      val rdd = qdf.rdd
+      // toRdd, not .rdd (r22): .rdd deserializes every cached
+      // InternalRow into an external Row on EVERY pass — pure per-row
+      // allocation the histogram never needed. The InternalRow is read
+      // (two primitive fields) and never retained, so Spark's row reuse
+      // is safe; values are identical, only the boxing is gone.
+      val rdd = qdf.queryExecution.toRdd
       val dbg = sys.env.contains("GRAFT_PROF_DEBUG")
       while (states.nonEmpty) {
         val tPass = System.nanoTime()
@@ -218,7 +223,7 @@ object Profiler {
         val histSize = offsets.last
         val bc = spark.sparkContext.broadcast((st, widths, offsets))
         val seqOp = (acc: Array[Long],
-            row: org.apache.spark.sql.Row) => {
+            row: org.apache.spark.sql.catalyst.InternalRow) => {
           val (ss, ws, off) = bc.value
           var k = 0
           while (k < ss.length) {
