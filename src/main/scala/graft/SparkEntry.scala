@@ -34,10 +34,15 @@ object SparkEntry {
     // Round-trip scratch is written and re-read within one query and
     // never kept — put it on tmpfs when the box has one (guide §6:
     // scratch belongs on the fastest local medium; the sink code path
-    // under test is identical). Production sinks take explicit
-    // durable paths.
+    // under test is identical) AND it has real headroom (advisor r21:
+    // containers commonly mount a 64 MB /dev/shm, and this scratch is
+    // data-sized — an ENOSPC mid-query is strictly worse than the
+    // slower tmpdir). 1 GiB covers the harness SFs by orders of
+    // magnitude; a deployment writes round-trips to explicit durable
+    // paths, never here.
+    val shm = new java.io.File("/dev/shm")
     val root =
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      if (shm.isDirectory && shm.getUsableSpace > (1L << 30)) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     s"$root/${prefix}_${safe}_$pid"
   }

@@ -857,9 +857,13 @@ object Dedup {
     // shuffled the gram rows by h twice AND evaluated the positional
     // gram-hash expression chain into both exchanges; the window keeps
     // the identical per-hash semantics (occurrence count, lexicographic
-    // first (id, pos)) with one evaluation and one exchange. Skew on a
-    // boilerplate gram is unchanged — the join probe side already
-    // funneled every occurrence of a hash into one partition.
+    // first (id, pos)) with one evaluation and one exchange. Skew: a
+    // boilerplate gram funnels to one partition either way, but the
+    // whole-partition window FRAME buffers that hash's occurrences in
+    // WindowExec's ExternalAppendOnlyUnsafeRowArray before emitting
+    // (the old join streamed its probe side) — spill-backed, so a hot
+    // gram costs disk speed on that partition, never an OOM (advice
+    // r21; probed in `SkewCheck lines`).
     val wh = Window.partitionBy("h")
     val dup = g
       .withColumn("n", count(lit(1)).over(wh))

@@ -286,10 +286,20 @@ object Similarity {
           } finally approx.unpersist(blocking = false)
         }
       }
-      val rows =
-        try futures.map(f => scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf))
-        finally pool.shutdown()
+      // Await EVERY future before surfacing the first failure (advice
+      // r21): rethrowing on the first failed method would leave later
+      // futures still running — their persist(lvl)'d approx frames
+      // never unpersisted and the exact/exactN caches pulled out from
+      // under them by the outer finally. Try-wrapping drains the pool
+      // completely (each future's own finally has then run), THEN
+      // surfaces the first failure.
+      val rows = {
+        val settled =
+          try futures.map(f => scala.util.Try(scala.concurrent.Await
+            .result(f, scala.concurrent.duration.Duration.Inf)))
+          finally pool.shutdown()
+        settled.map(_.get)
+      }
       rows.toDF("method", "n_queries", "k", "mean_recall",
         "min_recall", "ci95_bound")
     } finally persisted.foreach(_.unpersist(blocking = false))

@@ -1026,9 +1026,14 @@ object TextOps {
    * upstream text expressions once instead of once per join branch
    * (the count side is derived from the same shuffled rows, not a
    * re-scan). No collect, no all-pairs, no broadcast assumption (at
-   * web scale the boilerplate set can be millions of lines); skew on
-   * a hyper-frequent line is the same as the old anti-join probe side
-   * — the corpus's natural line distribution.
+   * web scale the boilerplate set can be millions of lines). Skew: a
+   * hyper-frequent line funnels to one partition either way, but the
+   * whole-partition window FRAME buffers that key's occurrences in
+   * WindowExec's row array before emitting, where the old sort-merge
+   * anti-join streamed its probe side — the buffer is
+   * ExternalAppendOnlyUnsafeRowArray, so a boilerplate explosion
+   * spills to disk rather than OOMs (advice r21; probed in
+   * `SkewCheck lines`), at spill-speed cost on that one partition.
    *
    * Returns (idCol, text) for EVERY input document — a fully-
    * boilerplate document comes back as the empty string, preserving
