@@ -16,11 +16,26 @@ import org.apache.spark.sql.functions._
  */
 object SparkEntry {
 
+  /** Inferred parquet schemas by path. `spark.read.parquet` runs a
+    * driver-side footer/schema-inference job on EVERY call; the test
+    * tables are immutable within a process, so the schema — plan-time
+    * METADATA, never row data; every query still scans the parquet
+    * itself — is inferred once per path and passed explicitly
+    * afterwards, exactly as a production job declares its schemas
+    * up front (guide §6: listing/inference is driver-side work worth
+    * paying once). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   private def ld(s: SparkSession, dir: String, t: String): DataFrame = {
     // events.parquet carries timestamp[ns]; Spark reads nanos as long
-    // only with this legacy conf (runtime-settable SQLConf)
+    // only with this legacy conf (runtime-settable SQLConf); it must be
+    // set before BOTH the one-time inference and every scan
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$t.parquet")
+    val path = s"$dir/$t.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    s.read.schema(sch).parquet(path)
   }
 
   /** Scratch dir for a round-trip query's intermediate write, keyed on

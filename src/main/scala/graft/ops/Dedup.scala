@@ -585,7 +585,14 @@ object Dedup {
       maxBucket).toAggregateExpression())
     val agg = chunked.groupBy("chunk", "ch").agg(cc.as("cc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    agg.count()
+    // materialize the cache (full-scan aggregate, exactly what count()
+    // did) AND learn the worst bucket size in the same job — when no
+    // bucket is oversized the block-pair branch (a second pass over the
+    // cached signatures, a broadcast, a block-pair groupBy) is provably
+    // empty and skipped outright (r22, the ngramJaccard recipe).
+    // Oversized buckets take the identical block-pair path as before.
+    val maxBkRow = agg.agg(max(col("cc.total"))).head()
+    val maxBk = if (maxBkRow.isNullAt(0)) 0L else maxBkRow.getLong(0)
     // arrays_zip rebuilds the (id, sig) member structs positionally —
     // the same shape the block-pair branch's collect_list produces, so
     // one pair UDF serves both branches
@@ -593,25 +600,28 @@ object Dedup {
       .select(explode(pairUdf(lit(0), lit(0),
         arrays_zip(col("cc.ids"), col("cc.vals")),
         typedLit(Seq.empty[(Long, Long)]))).as("p"))
-    val oversized = agg.filter(col("cc.total") > maxBucket)
-      .withColumn("__nb",
-        ceil(col("cc.total").cast("double") / maxBucket).cast("int"))
-      .select("chunk", "ch", "__nb")
-    val bigPairs = chunked
-      .join(broadcast(oversized), Seq("chunk", "ch"))
-      .withColumn("__blk", pmod(hash(col("id")), col("__nb")))
-      .select(col("chunk"), col("ch"), col("id"), col("sig"),
-        explode(blockPairs(col("__blk"), col("__nb"))).as("bp"))
-      .groupBy(col("chunk"), col("ch"),
-        col("bp._1").as("bi"), col("bp._2").as("bj"))
-      .agg(
-        collect_list(when(col("bp._3") === 0,
-          struct(col("id"), col("sig")))).as("ma"),
-        collect_list(when(col("bp._3") === 1,
-          struct(col("id"), col("sig")))).as("mb"))
-      .select(explode(
-        pairUdf(col("bi"), col("bj"), col("ma"), col("mb"))).as("p"))
-    val verified = smallPairs.unionByName(bigPairs)
+    val allPairs = if (maxBk <= maxBucket) smallPairs else {
+      val oversized = agg.filter(col("cc.total") > maxBucket)
+        .withColumn("__nb",
+          ceil(col("cc.total").cast("double") / maxBucket).cast("int"))
+        .select("chunk", "ch", "__nb")
+      val bigPairs = chunked
+        .join(broadcast(oversized), Seq("chunk", "ch"))
+        .withColumn("__blk", pmod(hash(col("id")), col("__nb")))
+        .select(col("chunk"), col("ch"), col("id"), col("sig"),
+          explode(blockPairs(col("__blk"), col("__nb"))).as("bp"))
+        .groupBy(col("chunk"), col("ch"),
+          col("bp._1").as("bi"), col("bp._2").as("bj"))
+        .agg(
+          collect_list(when(col("bp._3") === 0,
+            struct(col("id"), col("sig")))).as("ma"),
+          collect_list(when(col("bp._3") === 1,
+            struct(col("id"), col("sig")))).as("mb"))
+        .select(explode(
+          pairUdf(col("bi"), col("bj"), col("ma"), col("mb"))).as("p"))
+      smallPairs.unionByName(bigPairs)
+    }
+    val verified = allPairs
       .select(col("p._1").as("keep_id"), col("p._2").as("dup_id"),
         col("p._3").cast("long").as("hamming"))
       .dropDuplicates("keep_id", "dup_id")

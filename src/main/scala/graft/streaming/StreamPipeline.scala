@@ -835,6 +835,14 @@ object StreamPipeline {
     val parts = df.sparkSession.conf
       .getOption("spark.graft.replay.statePartitions").getOrElse("2")
     s.conf.set("spark.sql.shuffle.partitions", parts)
+    // No-data micro-batches fire after every data batch that advances
+    // the watermark (an extra full plan/commit cycle each). The replays
+    // never rely on them: emission-on-watermark rides the SECOND flush
+    // sentinel's data batch by design (see replayQualityWindow /
+    // replaySessions — "the watermark the sink sees lags one batch"),
+    // and the custom-state ops emit from the function on data. Finals
+    // are identical; each replay saves numBatches-ish commit cycles.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // newSession() resets runtime conf to the context defaults, which
     // would silently drop a caller-chosen state-store provider (the
     // 100 TB deployment runs RocksDB; RocksDbStateSpec pins that the
