@@ -970,66 +970,73 @@ object Dedup {
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
     val p = if (preMat) pairs else pairs.persist(lvl)
     if (!preMat) p.count()
-    // edges are re-joined by src EVERY iteration: hash-partition them
-    // by src BEFORE caching so the cached relation's partitioning
-    // satisfies the per-iteration join requirement and the edge side
-    // never re-exchanges (guide §2.4 — establish the partitioning
-    // once). min-label propagation is order-free, so the layout change
-    // cannot affect results.
-    val edges = p.select(col(aCol).cast("long").as("src"),
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    // The propagation loop runs on RDDs under ONE fixed HashPartitioner
+    // (r22, guide §2.4 — operations keyed the same way share one
+    // exchange): the edge cache is partitioned by src once, reduceByKey
+    // and the co-partitioned joins preserve that partitioning, so each
+    // iteration is ONE job with exactly ONE shuffle (the dst re-key).
+    // The r21 DataFrame shape paid per iteration: an edge re-exchange,
+    // a labels exchange, a groupBy exchange, and 2-3 AQE stage jobs
+    // plus an eager localCheckpoint. RDD lineage grows linearly (no
+    // Catalyst plan nesting), and RDD.localCheckpoint per iteration
+    // truncates it on the same count job that reads the accumulator.
+    // min over longs is a total order — partitioning and merge order
+    // cannot change any label, so the fixpoint is the r21 one exactly.
+    val np = sess.sessionState.conf.numShufflePartitions
+    val part = new org.apache.spark.HashPartitioner(np)
+    val e = p.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .union(p.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
-      .repartition(col("src"))
+      .as[(Long, Long)].rdd
+      .partitionBy(part)
       .persist(lvl)
-    edges.count()
-    if (!preMat) p.unpersist(blocking = false)
-    // localCheckpoint per iteration RESETS the logical plan (LogicalRDD)
-    // — without it each round nests the previous round's plan and the
-    // tree grows exponentially with iterations (OOM by ~iteration 12).
-    // On a cluster that needs checkpoint-level FT, swap for
-    // spark.sparkContext.setCheckpointDir + .checkpoint().
     // seed each node with min(self, min neighbor) — identical to one
     // free propagation round (every node appears as src: edges are
-    // symmetric), so near-clique dup clusters converge a round earlier
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("comp"))
-      .localCheckpoint(true)
+    // symmetric), so near-clique dup clusters converge a round earlier.
+    // reduceByKey(part, …) keeps the edge partitioning; the seed job
+    // also materializes the edge cache (single consumer — no diamond).
+    var labels = e.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(_.map { case (id, mn) =>
+        (id, math.min(id, mn))
+      }, preservesPartitioning = true)
+    labels.localCheckpoint()
+    labels.count()
+    if (!preMat) p.unpersist(blocking = false)
     var iter = 0
     var converged = false
-    val sess = pairs.sparkSession
-    import sess.implicits._
+    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
     while (!converged && iter < maxIter) {
-      val neigh = edges
-        .join(labels.select(col("id").as("src"), col("comp")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min("comp").as("ncomp"))
-      // the changed-count rides an accumulator on the SAME job the
-      // eager localCheckpoint runs — no separate join+count probe job
-      // per iteration. Retries/speculation can only OVER-count (a task
-      // adds only when it observed nc < old, i.e. a real change), and
-      // the decision compares against zero, so the convergence verdict
-      // is exact either way: acc == 0 ⇔ no row changed.
+      // the changed-count rides an accumulator on the SAME count job
+      // that materializes the iteration — no separate probe job.
+      // Retries/speculation can only OVER-count (a task adds only when
+      // it observed nc < old, i.e. a real change), and the decision
+      // compares against zero, so the verdict is exact either way:
+      // acc == 0 ⇔ no row changed.
       val acc = sess.sparkContext.longAccumulator("components-changed")
-      val updated = labels.join(neigh, Seq("id"), "left")
-        .select(col("id").cast("long"), col("comp").cast("long"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp")))
-            .cast("long"))
-        .as[(Long, Long, Long)]
-        .mapPartitions(_.map { case (id, old, nc) =>
-          if (nc < old) acc.add(1L)
-          (id, nc)
-        })
-        .toDF("id", "comp")
-        .localCheckpoint(true)
+      val neigh = e.join(labels) // co-partitioned: no exchange
+        .map { case (_, (dst, comp)) => (dst, comp) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // ONE shuffle
+      val updated = labels.leftOuterJoin(neigh) // co-partitioned
+        .mapPartitions(_.map { case (id, (old, nc)) =>
+          val next = nc.fold(old)(math.min(old, _))
+          if (next < old) acc.add(1L)
+          (id, next)
+        }, preservesPartitioning = true)
+      updated.localCheckpoint()
+      updated.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = labels
       labels = updated
       converged = acc.value == 0L
       iter += 1
     }
-    edges.unpersist(blocking = false)
-    labels
+    if (prev != null) prev.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    labels.toDF("id", "comp")
   }
 
   // ---------------- embedding cosine near-dup ----------------
