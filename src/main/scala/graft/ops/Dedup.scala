@@ -114,19 +114,17 @@ object Dedup {
         col("a.__fp") === col("b.__fp") && col("a.src") <= col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-    // returned LAZY (unlike associationPairs): PlanAuditSpec pins the
-    // broadcast-join/equi-join shape of THIS plan — an eager checkpoint
-    // would hide it behind an ExistingRDD. The sh cache backs the lazy
-    // result, so it cannot release here; it is LRU-managed (the
-    // CorpusPipeline.clean cacheSurvivors posture) and harness runs
-    // clear caches between queries.
-    pairs
+    // checkpoint the ≤ |sources|² result eagerly, release the cache NOW
+    val out = pairs
       .join(broadcast(n.as("na")), col("src_a") === col("na.src"))
       .join(broadcast(n.as("nb")), col("src_b") === col("nb.src"))
       .select(col("src_a"), col("src_b"), col("n_shared"),
         col("na.__n").as("n_a"), col("nb.__n").as("n_b"))
       .withColumn("jaccard_q",
         expr("n_shared * 1048576L div (n_a + n_b - n_shared)"))
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
   }
 
   /**
