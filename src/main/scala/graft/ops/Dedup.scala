@@ -97,34 +97,22 @@ object Dedup {
    */
   def sharedContentMatrix(df: DataFrame, sourceCol: String,
       textCol: String): DataFrame = {
-    // cache + force the distinct (source, fingerprint) set: THREE plan
-    // branches read it (both self-join sides + the per-source counts),
-    // and each un-cached read re-ran the md5 fingerprint over the whole
-    // corpus (r22; the associationPairs/ngramJaccard cache discipline).
-    // One distinct row per (source, content) — far smaller than the
-    // corpus by the dedup premise.
     val sh = df.select(col(sourceCol).cast("string").as("src"),
         TextOps.fingerprint(col(textCol)).as("__fp"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
     val n = sh.groupBy("src").agg(count(lit(1)).as("__n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.__fp") === col("b.__fp") && col("a.src") <= col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-    // checkpoint the ≤ |sources|² result eagerly, release the cache NOW
-    val out = pairs
+    pairs
       .join(broadcast(n.as("na")), col("src_a") === col("na.src"))
       .join(broadcast(n.as("nb")), col("src_b") === col("nb.src"))
       .select(col("src_a"), col("src_b"), col("n_shared"),
         col("na.__n").as("n_a"), col("nb.__n").as("n_b"))
       .withColumn("jaccard_q",
         expr("n_shared * 1048576L div (n_a + n_b - n_shared)"))
-      .localCheckpoint(true)
-    sh.unpersist(blocking = false)
-    out
   }
 
   /**

@@ -1536,10 +1536,6 @@ object Similarity {
           "filter or null non-finite embeddings upstream"))
           .cast("long"))
       .otherwise(floor(c * lit(1048576.0) + lit(0.5)).cast("long"))
-    // cache + force the sum table: FOUR plan branches read it (norms,
-    // both dot-join sides — one broadcast) and each un-cached read
-    // re-ran the posexplode shuffle over the corpus (r22; the
-    // associationPairs cache discipline). |groups|·dim rows — KBs.
     val sums = df
       .select(col(groupCol).cast("string").as("group"),
         posexplode(col(vecCol).cast("array<double>"))
@@ -1547,8 +1543,6 @@ object Similarity {
       .select(col("group"), col("dim"), q.as("q"))
       .groupBy("group", "dim")
       .agg(sum(col("q").cast("decimal(38,0)")).as("sq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sums.count()
     val ns = df.groupBy(col(groupCol).cast("string").as("group"))
       .agg(count(lit(1)).as("n"))
     val norms = sums.groupBy("group")
@@ -1561,8 +1555,7 @@ object Similarity {
     val cosRaw = col("dot").cast("double") /
       (sqrt(col("na.nrm").cast("double")) *
         sqrt(col("nb.nrm").cast("double")))
-    // checkpoint the ≤ |G|² matrix eagerly, release the cache NOW
-    val out = dots
+    dots
       .join(broadcast(norms.as("na")),
         col("group_a") === col("na.group"))
       .join(broadcast(norms.as("nb")),
@@ -1573,8 +1566,5 @@ object Similarity {
         col("ca.n").as("n_a"), col("cb.n").as("n_b"),
         when(col("na.nrm") > 0 && col("nb.nrm") > 0,
           round(cosRaw, 6)).otherwise(lit(null)).as("cos"))
-      .localCheckpoint(true)
-    sums.unpersist(blocking = false)
-    out
   }
 }
