@@ -341,18 +341,10 @@ object Sessions {
       minSupport: Long = 1L): DataFrame = {
     require(minSupport >= 1, s"associationPairs: minSupport must be " +
       s"positive, got $minSupport")
-    // cache + force the distinct item set: FOUR plan branches read it
-    // (session total, per-item counts, both self-join sides), and each
-    // un-cached read re-ran the whole sessionize carve-up — the
-    // expensive window over the raw events (r22; the ngramJaccard
-    // cache discipline). The set is ≤ |types| rows per session by
-    // construction — KB-scale next to the log at any corpus size.
     val items = sessionize(events, userCol, tsCol, orderCol, gapSec)
       .select(col(userCol).cast("long").as("u"), col("session_idx"),
         col(typeCol).cast("string").as("item"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    items.count()
     val tot = items.select(col("u"), col("session_idx")).distinct()
       .agg(count(lit(1)).as("n_sessions"))
     val cnts = items.groupBy("item").agg(count(lit(1)).as("n"))
@@ -364,10 +356,7 @@ object Sessions {
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
-    // checkpoint the ≤ |types|² result eagerly and release the item
-    // cache NOW (deterministic release, the ngramJaccard pattern) —
-    // callers read the checkpointed rows without re-executing anything
-    val out = pairs
+    pairs
       .join(broadcast(cnts.as("ca")), col("item_a") === col("ca.item"))
       .join(broadcast(cnts.as("cb")), col("item_b") === col("cb.item"))
       .crossJoin(broadcast(tot))
@@ -376,9 +365,6 @@ object Sessions {
         col("n_sessions"),
         expr("n_ab * 1048576L div `ca`.n").as("conf_ab_q"),
         expr("n_ab * 1048576L div `cb`.n").as("conf_ba_q"))
-      .localCheckpoint(true)
-    items.unpersist(blocking = false)
-    out
   }
 
   /**
