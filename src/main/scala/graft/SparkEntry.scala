@@ -59,6 +59,26 @@ object SparkEntry {
     val root =
       if (shm.isDirectory && shm.getUsableSpace > (1L << 30)) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
+    // prune DEAD runs' scratch (the Bench detail-file discipline): the
+    // pid key prevents concurrent clobbering but leaks a dir per
+    // process on tmpfs otherwise. Only dirs older than a day go — a
+    // live or just-finished run's scratch (re-read later by the lazy
+    // plan) is never raced.
+    try {
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val stale = new java.io.File(root).listFiles()
+      if (stale != null) stale
+        .filter(f => f.getName.startsWith(prefix + "_") &&
+          f.lastModified() < cutoff)
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles()
+            if (kids != null) kids.foreach(rm)
+            f.delete()
+          }
+          rm(d)
+        }
+    } catch { case _: Throwable => () }
     s"$root/${prefix}_${safe}_$pid"
   }
 
